@@ -1,0 +1,291 @@
+"""Distributed MapReduce with the reference's exact task contract.
+
+This module re-expresses the API + semantics of the reference engine
+(/root/reference/tinymr.py — the whole engine is that one file) on top of
+Spark RDDs.  The contract being preserved, with reference citations:
+
+* Subclass surface: abstract ``mapper()`` / ``reducer()``, overridable
+  ``output()``, four boolean sort properties
+  (/root/reference/tinymr.py:39-154).
+* Tuple IR: every inter-stage record is ``(key, value)`` or
+  ``(key, sort, value)``; arity is validated from the FIRST record of each
+  stage and anything outside {2, 3} raises ``ElementCountError``
+  (/root/reference/tinymr.py:301-308).
+* Yield/return duality: ``inspect.isgeneratorfunction`` on the *function*
+  decides whether mapper/reducer output is flattened — a plain function
+  returning an iterator is NOT flattened (/root/reference/tinymr.py:186,
+  198, 214, 226).
+* Sort matrix (/root/reference/tinymr.py:310-330, docs.rst:300-307):
+
+  ===============  ==================  =====================
+  tuple shape      sort_*_with_value   effective sort key
+  ===============  ==================  =====================
+  (key, value)     False               no sort
+  (key, value)     True                value
+  (key, s, value)  False               s
+  (key, s, value)  True                (s, value)
+  ===============  ==================  =====================
+
+* Stable ties, including under ``reverse=True`` — ties keep first-encounter
+  order (Python ``list.sort`` stability, /root/reference/tinymr.py:336-343).
+  Spark shuffles do not guarantee arrival order, so every record carries an
+  encounter index assigned before the shuffle; within each key the list is
+  first restored to encounter order, then stably sorted.
+* Second shuffle round: reducer output is re-partitioned (+ optionally
+  re-sorted) by its own output keys; colliding output keys merge
+  (/root/reference/tinymr.py:217-221).
+* Scalar extraction: return-style reducer output collapses each key's list
+  to its first element — on collision only the first value (by sort order,
+  else encounter order) survives (/root/reference/tinymr.py:223-227).
+* Output ordering: result dict keys appear in first-encounter order of the
+  reduced stream (/root/reference/tinymr.py:332-334 + dict semantics).
+
+Deliberate deviations (documented in SURVEY.md §2.1 I11 / §7):
+
+* Empty input returns ``output({})`` instead of leaking ``StopIteration``
+  from the first-record peek (/root/reference/tinymr.py:301-303).
+* ``mapper_map`` / ``reducer_map`` pool injection
+  (/root/reference/tinymr.py:156-199) is accepted for signature
+  compatibility but ignored: Spark executors ARE the pool.  Parallelism is
+  controlled with ``num_partitions`` / input partitioning instead.
+
+Scale notes: the dict-returning ``__call__`` is the small-result parity
+adapter (it collects).  The 100 TB path is ``to_rdd()`` which returns the
+final distributed ``RDD[(key, values)]`` without driver materialization;
+each key's value list must fit in one executor — the same per-key contract
+the reference imposes process-wide (/root/reference/tinymr.py:332-334).
+"""
+
+from __future__ import annotations
+
+import abc
+from inspect import isgeneratorfunction
+
+from pyspark.rdd import RDD
+
+__all__ = ["ElementCountError", "MapReduce"]
+
+
+class ElementCountError(Exception):
+    """Raised when a record's element count is not 2 or 3.
+
+    Mirrors /root/reference/tinymr.py:273-275.
+    """
+
+
+def _check_arity(record):
+    """First-record arity validation (/root/reference/tinymr.py:305-308)."""
+    n = len(record)
+    if n not in (2, 3):
+        raise ElementCountError(
+            "Expected data of size 2 or 3, not {}. Example: {}".format(n, record)
+        )
+    return n
+
+
+def _group_and_sort(indexed, has_sort, sort_with_value, reverse, num_partitions):
+    """Distributed equivalent of ``_partition_and_sort``
+    (/root/reference/tinymr.py:278-345).
+
+    ``indexed`` is ``RDD[(encounter_idx_tuple, record_tuple)]``.  Returns
+    ``RDD[(key, (first_encounter_idx, [value, ...]))]`` where the value
+    list reproduces the reference's per-key ordering exactly: encounter
+    order restored first (Spark shuffle arrival order is nondeterministic),
+    then one stable sort by the matrix key.  ``first_encounter_idx`` is
+    kept so downstream stages can reproduce first-encounter key ordering.
+    """
+    if has_sort:
+        # (k, s, v) -> key=k, payload=(idx, s, v)   [tinymr.py:313-314]
+        kv = indexed.map(lambda t: (t[1][0], (t[0], t[1][1], t[1][2])))
+    else:
+        kv = indexed.map(lambda t: (t[1][0], (t[0], None, t[1][1])))
+
+    grouped = kv.groupByKey(num_partitions) if num_partitions else kv.groupByKey()
+
+    def finish(payloads):
+        lst = sorted(payloads, key=lambda p: p[0])  # restore encounter order
+        first_idx = lst[0][0]
+        if has_sort:
+            if sort_with_value:
+                # sort by (sort, value) tuple        [tinymr.py:327-328]
+                lst.sort(key=lambda p: (p[1], p[2]), reverse=reverse)
+            else:
+                # sort by the sort element only      [tinymr.py:329-330]
+                lst.sort(key=lambda p: p[1], reverse=reverse)
+        elif sort_with_value:
+            # 2-tuples + sort_with_value: sort by value  [tinymr.py:320-323]
+            lst.sort(key=lambda p: p[2], reverse=reverse)
+        return (first_idx, [p[2] for p in lst])
+
+    return grouped.mapValues(finish)
+
+
+class MapReduce(abc.ABC):
+    """Distributed MapReduce task; subclass contract of
+    /root/reference/tinymr.py:27-37.
+
+    Subclassers implement ``mapper()`` and ``reducer()``; may override
+    ``output()``, the four sort properties, ``__init__`` for parameters,
+    and ``__enter__``/``__exit__`` for setup/teardown
+    (/root/reference/docs.rst:188-195).  Instances are called with a
+    sequence (any iterable, or an existing ``RDD``).
+    """
+
+    #: Shuffle parallelism for both grouping rounds (replaces the
+    #: reference's pool-``map`` knobs, /root/reference/tinymr.py:166-173).
+    num_partitions = None
+
+    #: Partition count used when parallelizing a plain Python sequence.
+    input_partitions = None
+
+    @abc.abstractmethod
+    def mapper(self, item):
+        """Emit 0..n ``(key, value)`` / ``(key, sort, value)`` tuples per
+        input item; ``yield`` many or ``return`` exactly one
+        (/root/reference/tinymr.py:39-59)."""
+        raise NotImplementedError  # pragma: no cover
+
+    @abc.abstractmethod
+    def reducer(self, key, values):
+        """Per ``(key, [values])`` emit 0..n tuples; same yield/return
+        duality as ``mapper`` (/root/reference/tinymr.py:61-91).  ``values``
+        is always a materialized ``list`` (/root/reference/tinymr.py:72-73).
+        """
+        raise NotImplementedError  # pragma: no cover
+
+    def output(self, mapping):
+        """Optionally transform the result before returning — "Anything!"
+        (/root/reference/tinymr.py:93-114)."""
+        return mapping
+
+    # Sort knobs (/root/reference/tinymr.py:116-154).
+    @property
+    def sort_map_with_value(self):
+        return False
+
+    @property
+    def sort_map_reverse(self):
+        return False
+
+    @property
+    def sort_reduce_with_value(self):
+        return False
+
+    @property
+    def sort_reduce_reverse(self):
+        return False
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+
+    def _as_rdd(self, sequence, spark=None):
+        if isinstance(sequence, RDD):
+            return sequence
+        items = sequence if isinstance(sequence, (list, tuple)) else list(sequence)
+        if not items:
+            return None
+        if spark is None:
+            from tinymr_spark.session import get_session
+
+            spark = get_session()
+        sc = spark.sparkContext
+        n = self.input_partitions or min(len(items), sc.defaultParallelism)
+        return sc.parallelize(items, n)
+
+    def _pipeline(self, rdd):
+        """Build the distributed pipeline; returns
+        ``RDD[(key, (first_idx, values))]`` after the second grouping, with
+        scalar extraction applied, or ``None`` for an empty stream.
+
+        Mirrors the reference's two-eager-barrier structure
+        (/root/reference/tinymr.py:196-230): the two ``groupByKey`` calls
+        are the only shuffles, everything between is narrow/pipelined.
+        """
+        mapper = self.mapper
+        if isgeneratorfunction(self.mapper):
+            mapped = rdd.flatMap(mapper)
+        else:
+            mapped = rdd.map(mapper)
+        mapped = mapped.cache()
+
+        head = mapped.take(1)
+        if not head:
+            return None
+        arity = _check_arity(head[0])
+
+        indexed = mapped.zipWithIndex().map(lambda ti: ((ti[1],), ti[0]))
+        grouped = _group_and_sort(
+            indexed,
+            arity == 3,
+            self.sort_map_with_value,
+            self.sort_map_reverse,
+            self.num_partitions,
+        )
+
+        reducer = self.reducer
+        reducer_is_gen = isgeneratorfunction(self.reducer)
+
+        def run_reduce(kv):
+            key, (first_idx, values) = kv
+            if reducer_is_gen:
+                for j, rec in enumerate(reducer(key, values)):
+                    # Composite encounter index: keys in first-encounter
+                    # order of the map round, then reducer-output order —
+                    # exactly the serial iteration order of
+                    # /root/reference/tinymr.py:209-215.
+                    yield (first_idx + (j,), rec)
+            else:
+                yield (first_idx + (0,), reducer(key, values))
+
+        reduced = grouped.flatMap(run_reduce).cache()
+        rhead = reduced.take(1)
+        if not rhead:
+            return None
+        rarity = _check_arity(rhead[0][1])
+
+        grouped2 = _group_and_sort(
+            reduced,
+            rarity == 3,
+            self.sort_reduce_with_value,
+            self.sort_reduce_reverse,
+            self.num_partitions,
+        )
+
+        if not reducer_is_gen:
+            # {k: next(iter(v))} — first value survives collisions
+            # (/root/reference/tinymr.py:223-227).
+            grouped2 = grouped2.mapValues(lambda fv: (fv[0], fv[1][0]))
+        return grouped2
+
+    def to_rdd(self, sequence, spark=None):
+        """Scale path: run the task, return ``RDD[(key, values)]`` without
+        collecting.  ``values`` is a list (yield-style reducer) or a scalar
+        (return-style)."""
+        rdd = self._as_rdd(sequence, spark)
+        if rdd is None:
+            return None
+        final = self._pipeline(rdd)
+        if final is None:
+            return None
+        return final.mapValues(lambda fv: fv[1])
+
+    def __call__(self, sequence, map=None, mapper_map=None, reducer_map=None, spark=None):
+        """Execute; returns ``output(dict)`` like
+        /root/reference/tinymr.py:156-230.
+
+        ``map``/``mapper_map``/``reducer_map`` are accepted for reference
+        API compatibility and ignored — Spark executors supply the
+        parallelism (see module docstring).
+        """
+        rdd = self._as_rdd(sequence, spark)
+        if rdd is None:
+            return self.output({})
+        final = self._pipeline(rdd)
+        if final is None:
+            return self.output({})
+        rows = final.collect()
+        # First-encounter ordering of the reduced stream
+        # (/root/reference/tinymr.py:332-334 insertion order).
+        rows.sort(key=lambda kv: kv[1][0])
+        return self.output({k: v for k, (_idx, v) in rows})

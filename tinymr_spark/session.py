@@ -1,0 +1,61 @@
+"""SparkSession bootstrap with scale-oriented defaults.
+
+The reference has no session concept (execution is ``MapReduce.__call__``
+on the calling thread, /root/reference/tinymr.py:156-230); here the
+session is the unit of resource lifecycle.  Defaults are chosen for the
+driver environment (local[32], 128 GiB) but express cluster-safe policy:
+AQE on (runtime re-planning, skew-join handling, partition coalescing),
+modest broadcast threshold, UTC session timezone so timestamp semantics
+match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def _ensure_worker_pythonpath() -> None:
+    """Make the tinymr_spark package importable in executor python workers.
+
+    Task closures (MapReduce subclasses) are unpickled by module reference
+    on workers; if the package was imported from a directory not on the
+    workers' PYTHONPATH, every task fails with ModuleNotFoundError.  Must
+    run before the JVM starts (workers inherit the driver environment in
+    local mode; on a cluster, ship the package with --py-files instead).
+    """
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = os.pathsep.join(p for p in (pkg_parent, current) if p)
+
+
+def get_session(app_name: str = "tinymr-spark", cpus: str | None = None) -> SparkSession:
+    """Return the active SparkSession, creating one if needed."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    _ensure_worker_pythonpath()
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # this is what turns a static 32-partition plan into a sane one.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # Dimension tables (region/nation/supplier/part) should broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for pandas UDF / toPandas hot paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()
