@@ -1,0 +1,186 @@
+"""Event-stream analytics on the `events` table — the batch face.
+
+Time-windowed aggregation, sessionization, pivot, and JSON extraction.
+The same window logic runs under Structured Streaming in
+`tinymr_spark.streaming` (readStream + watermark); these batch versions
+are the oracle-checkable twins.
+
+Timestamp discipline: the parquet stores nanoseconds, Spark truncates to
+microseconds — so oracle-matched queries never project raw `ts`; they
+bucket it (epoch-floor) or reduce it to whole-second diffs, which are
+identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.sources import load_table
+
+BUCKET_SEC = 300  # 5-minute tumbling windows
+SESSION_GAP_SEC = 1800  # 30-minute session gap
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregate via the native window() operator (epoch-aligned
+# 5-minute buckets).
+# ---------------------------------------------------------------------------
+def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", f"{BUCKET_SEC} seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_ts"), "event_type", "n", "total_value")
+    )
+
+
+ORACLE_Q70 = f"""
+SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / {BUCKET_SEC}) AS BIGINT) * {BUCKET_SEC}) AS TIMESTAMP) AS bucket_ts,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: 10-minute windows every 5 minutes (each event lands in 2
+# buckets).  Native window(slideDuration); oracle replays the expansion.
+# ---------------------------------------------------------------------------
+def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # NOTE: SUM of 2-decimal inputs rounds safely; AVG would land on exact
+    # half-cent boundaries where Spark and DuckDB round differently.
+    return (
+        ev.groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_ts"), "n", "total_value")
+    )
+
+
+ORACLE_Q71 = """
+WITH expanded AS (
+    SELECT CAST(to_timestamp((CAST(FLOOR(epoch(ts) / 300) AS BIGINT) - shift) * 300) AS TIMESTAMP) AS bucket_ts,
+           value
+    FROM events, (SELECT UNNEST([0, 1]) AS shift)
+)
+SELECT bucket_ts, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM expanded
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running sum —
+# the classic window-function sessionizer).  Output avoids raw timestamps
+# (ns vs us); durations are whole-second diffs.
+# ---------------------------------------------------------------------------
+def q72_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    byuser = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(byuser))
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no", F.sum(new_sess).over(byuser.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias(
+            "duration_sec"
+        ),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+ORACLE_Q72 = f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN date_diff('second', LAG(ts) OVER w, ts) > {SESSION_GAP_SEC}
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+    FROM marked
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: per-user event-type counts as columns.
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q73_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+ORACLE_Q73 = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: the `props` column is a JSON string.
+# ---------------------------------------------------------------------------
+def q74_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod10"))
+        .agg(F.count("*").alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    )
+
+
+ORACLE_Q74 = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod10,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q70_tumbling_window": q70_tumbling_window,
+    "q71_sliding_window": q71_sliding_window,
+    "q72_sessionize": q72_sessionize,
+    "q73_pivot": q73_pivot,
+    "q74_json_extract": q74_json_extract,
+}
+
+ORACLE = {
+    "q70_tumbling_window": ORACLE_Q70,
+    "q71_sliding_window": ORACLE_Q71,
+    "q72_sessionize": ORACLE_Q72,
+    "q73_pivot": ORACLE_Q73,
+    "q74_json_extract": ORACLE_Q74,
+}

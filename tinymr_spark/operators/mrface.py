@@ -1,0 +1,82 @@
+"""Queries executed through the tinymr-compatible MapReduce face — proving
+the parity API produces DuckDB-verifiable results on the driver testdata.
+
+This is the reference's flagship word count (/root/reference/docs.rst:137-159)
+run as a `tinymr_spark.MapReduce` task over a distributed RDD of document
+texts, with the result dict lifted back into a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.mapreduce import MapReduce
+from tinymr_spark.sources import load_table
+
+
+class _WordCount(MapReduce):
+    """Reference docs.rst:137-159 word count, unchanged user code."""
+
+    def mapper(self, item):
+        for word in item.split():
+            yield (word, 1)
+
+    def reducer(self, key, values):
+        return (key, sum(values))
+
+
+class _DistinctPerKey(MapReduce):
+    """Reference docs.rst:396-407 idiom: distinct count per key."""
+
+    def mapper(self, item):
+        lang, source = item
+        yield (lang, source)
+
+    def reducer(self, key, values):
+        return (key, len(set(values)))
+
+
+def q80_mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select("text").rdd.map(lambda r: r[0])
+    counts = _WordCount()(lines, spark=spark)
+    return spark.createDataFrame(
+        [(w, int(n)) for w, n in counts.items()], schema="word string, n bigint"
+    )
+
+
+ORACLE_Q80 = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+def q81_mr_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("lang", "source").rdd.map(lambda r: (r[0], r[1]))
+    result = _DistinctPerKey()(pairs, spark=spark)
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in result.items()],
+        schema="lang string, n_sources bigint",
+    )
+
+
+ORACLE_Q81 = """
+SELECT lang, COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "q80_mr_wordcount": q80_mr_wordcount,
+    "q81_mr_distinct_sources": q81_mr_distinct_sources,
+}
+
+ORACLE = {
+    "q80_mr_wordcount": ORACLE_Q80,
+    "q81_mr_distinct_sources": ORACLE_Q81,
+}

@@ -1,0 +1,163 @@
+"""Multimodal column conventions: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake behind the real Spark plumbing (mapInPandas with an
+explicit output schema, Arrow-batched).  The conventions that matter at
+100 TB are real and tested:
+
+* payloads travel as `binary` columns next to typed metadata, never as
+  driver-side objects;
+* per-batch Python work happens in `mapInPandas` (Arrow columnar batches),
+  never row-at-a-time UDFs;
+* cheap manifest facts (byte length, content hash) are computed JVM-side
+  so pruning/pushdown still work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.sources import load_table
+
+
+def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-shaped view of `documents`: binary payload + metadata
+    struct.  With real images/audio this would read the binary column
+    directly from parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manifest: JVM-side facts about each payload (no Python in the loop).
+# ---------------------------------------------------------------------------
+def q60_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = payloads(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.upper(F.hex(F.substring(F.col("payload"), 1, 8))).alias("head_hex"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.lang").alias("lang"),
+    )
+
+
+ORACLE_Q60 = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text)                             AS payload_sha256,
+       UPPER(hex(encode(substring(text, 1, 8)))) AS head_hex,
+       source, lang
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract via mapInPandas.  The "decoder" is a
+# deterministic fake (real codecs are not in this container — see module
+# docstring); the Arrow batch path, output schema, and partition behavior
+# are the real thing.  Kept SQL-reproducible on purpose so the oracle
+# cross-checks the UDF plumbing end-to-end.
+# ---------------------------------------------------------------------------
+DECODE_SCHEMA = "doc_id bigint, width int, height int, first_byte int, n_bytes int"
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payload = pdf["payload"]
+        n_bytes = payload.str.len().astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                # stand-in for image dimensions a real decoder would return
+                "width": (n_bytes % 640).astype("int32"),
+                "height": (n_bytes % 480).astype("int32"),
+                "first_byte": payload.str[0].astype("int32"),
+                "n_bytes": n_bytes,
+            }
+        )
+
+
+def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = payloads(spark, sf_dir).select("doc_id", "payload")
+    return df.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
+
+
+ORACLE_Q61 = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+       CAST(ascii(substring(text, 1, 1)) AS INT)     AS first_byte,
+       CAST(octet_length(encode(text)) AS INT)       AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame-sampling shape: one row per sampled "frame" (chunk) of each
+# payload — the explode pattern used for video frame extraction, with the
+# chunking arithmetic JVM-side.
+# ---------------------------------------------------------------------------
+FRAME_SIZE = 64
+
+
+def q62_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = payloads(spark, sf_dir)
+    n_frames = F.ceil(F.octet_length("payload") / FRAME_SIZE).cast("int")
+    return (
+        df.select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        )
+        .where(F.col("frame_no") % 4 == 0)  # sample every 4th frame
+        .select(
+            "doc_id",
+            "frame_no",
+            (F.col("frame_no") * FRAME_SIZE).alias("offset"),
+            F.least(
+                F.lit(FRAME_SIZE), F.col("n_bytes") - F.col("frame_no") * FRAME_SIZE
+            ).alias("frame_len"),
+        )
+    )
+
+
+ORACLE_Q62 = f"""
+WITH sized AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+)
+SELECT doc_id, frame_no,
+       frame_no * {FRAME_SIZE} AS offset,
+       LEAST({FRAME_SIZE}, n_bytes - frame_no * {FRAME_SIZE}) AS frame_len
+FROM (SELECT doc_id, n_bytes,
+             CAST(unnest(range(0, CAST(CEIL(CAST(n_bytes AS DOUBLE) / {FRAME_SIZE}) AS INT))) AS INT) AS frame_no
+      FROM sized)
+WHERE frame_no % 4 = 0
+"""
+
+
+QUERIES = {
+    "q60_multimodal_manifest": q60_multimodal_manifest,
+    "q61_multimodal_decode": q61_multimodal_decode,
+    "q62_multimodal_frames": q62_multimodal_frames,
+}
+
+ORACLE = {
+    "q60_multimodal_manifest": ORACLE_Q60,
+    "q61_multimodal_decode": ORACLE_Q61,
+    "q62_multimodal_frames": ORACLE_Q62,
+}

@@ -1,0 +1,630 @@
+"""Relational operator surface (SURVEY.md §2.4 gaps — none of these exist
+in the reference; users hand-wrote them inside mapper/reducer, e.g. sums at
+/root/reference/docs.rst:147-148).  All pure DataFrame API so Catalyst owns
+pushdown/pruning/join planning; broadcast hints on dimension tables.
+
+Float discipline for oracle parity: aggregate results are ROUNDed in BOTH
+the Spark plan and the DuckDB SQL; group keys are exact types.  Every
+computed column is aliased identically on both sides (driver hash compares
+by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.sources import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan + filter + hash aggregate.
+# Catalyst plans a partial (map-side) aggregate before the shuffle — the
+# built-in version of the reference's manual combine idiom
+# (/root/reference/docs.rst:199-283).
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — filter + projection: pushdown/pruning demo (scan should read only
+# 4 of 11 lineitem columns and carry PushedFilters).
+# ---------------------------------------------------------------------------
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_quantity") >= 45)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT)   AS ship_year
+FROM lineitem
+WHERE l_quantity >= 45 AND l_discount >= 0.05 AND l_returnflag = 'R'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — broadcast hash join: lineitem (fact) x part (dim).  part is tiny at
+# every SF relative to lineitem; broadcast() pins the strategy so no shuffle
+# of the fact side happens — at 100 TB this is the difference between a
+# map-side join and a full exchange.
+# ---------------------------------------------------------------------------
+def q03_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q03 = """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — multi-way star join (TPC-H Q5 shape): region->nation->customer->
+# orders->lineitem.  Dims broadcast; the only big-big join (orders x
+# lineitem) shuffles on the join key once.
+# ---------------------------------------------------------------------------
+def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .where(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_Q04 = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05/q06 — semi and anti joins.
+# ---------------------------------------------------------------------------
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ORACLE_Q05 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+ORACLE_Q06 = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — global top-k (reference idiom I2, Counter.most_common):
+# orderBy + limit lowers to TakeOrderedAndProject — no global sort of all
+# partitions, each partition contributes its local top-k.
+# ---------------------------------------------------------------------------
+def q07_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_Q07 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — ranking window: top-3 orders per customer.  The reference's nearest
+# concept is per-key secondary sort (tinymr.py:310-330); this is the
+# first-class version.
+# ---------------------------------------------------------------------------
+def q08_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+ORACLE_Q08 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — analytic window with frame: running revenue per customer.
+# ---------------------------------------------------------------------------
+def q09_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lagw = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(lagw), 2).alias("prev_price"),
+    )
+
+
+ORACLE_Q09 = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       ROUND(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC), 2) AS prev_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10/q11/q12 — rollup / cube / grouping sets.
+# ---------------------------------------------------------------------------
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+ORACLE_Q10 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.avg("o_totalprice"), 2).alias("avg_price"), F.count("*").alias("n"))
+    )
+
+
+ORACLE_Q11 = """
+SELECT o_orderstatus, o_orderpriority,
+       ROUND(AVG(o_totalprice), 2) AS avg_price, COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — distinct aggregate (reference idiom I4: len(set(values)),
+# docs.rst:396-397).
+# ---------------------------------------------------------------------------
+def q13_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_Q13 = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — set operators: union / intersect / except (absent from reference;
+# input concatenation was user-side, docs.rst:358).
+# ---------------------------------------------------------------------------
+def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = customer.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    big_spenders = (
+        orders.where(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        building.union(machinery).intersect(big_spenders)
+        .unionByName(
+            customer.where(F.col("c_acctbal") < -900).select("c_custkey").exceptAll(
+                big_spenders
+            )
+        )
+    )
+
+
+ORACLE_Q14 = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION ALL
+ SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000
+UNION ALL
+(SELECT c_custkey FROM customer WHERE c_acctbal < -900
+ EXCEPT ALL
+ SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — scalar function library (string/date/math; the reference's
+# "function library" is arbitrary Python in user code, docs.rst:143-145).
+# ---------------------------------------------------------------------------
+def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_brand", 1, 5).alias("brand_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.sqrt(F.col("p_retailprice")), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 4).alias("price_ln"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+    )
+
+
+ORACLE_Q15 = """
+SELECT p_partkey,
+       UPPER(p_name)                     AS name_upper,
+       CAST(LENGTH(p_name) AS INT)       AS name_len,
+       SUBSTRING(p_brand, 1, 5)          AS brand_prefix,
+       CONCAT_WS('/', p_brand, p_type)   AS brand_type,
+       ROUND(SQRT(p_retailprice), 4)     AS price_sqrt,
+       ROUND(LN(p_retailprice + 1), 4)   AS price_ln,
+       CAST(p_size % 7 AS INT)           AS size_mod7,
+       CAST(ABS(p_size - 25) AS INT)     AS size_dev
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# q16 — CASE / conditional buckets + date functions.
+# ---------------------------------------------------------------------------
+def q16_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.select(
+            bucket.alias("price_bucket"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            "o_totalprice",
+        )
+        .groupBy("price_bucket", "order_year", "order_quarter")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END                         AS price_bucket,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT)    AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — statistical aggregates.
+# ---------------------------------------------------------------------------
+def q17_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+    )
+
+
+ORACLE_Q17 = """
+SELECT l_linestatus,
+       ROUND(MIN(l_extendedprice), 2)    AS min_price,
+       ROUND(MAX(l_extendedprice), 2)    AS max_price,
+       ROUND(AVG(l_extendedprice), 2)    AS avg_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS stddev_price,
+       ROUND(VAR_SAMP(l_quantity), 2)    AS var_qty
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q18 — correlated EXISTS subquery (orders with a late-shipped item).
+# ---------------------------------------------------------------------------
+def q18_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("_q18_orders")
+    li.createOrReplaceTempView("_q18_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM _q18_orders
+        WHERE EXISTS (
+            SELECT 1 FROM _q18_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE_Q18 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q19 — scalar subquery + HAVING: parts priced above the global average.
+# ---------------------------------------------------------------------------
+def q19_having_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("_q19_part")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above_avg
+        FROM _q19_part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM _q19_part)
+        GROUP BY p_brand
+        HAVING COUNT(*) >= 5
+        """
+    )
+
+
+ORACLE_Q19 = """
+SELECT p_brand, COUNT(*) AS n_above_avg
+FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+GROUP BY p_brand
+HAVING COUNT(*) >= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q20 — join + aggregation by derived key (avg order value per segment).
+# ---------------------------------------------------------------------------
+def q20_segment_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+ORACLE_Q20 = """
+SELECT c_mktsegment,
+       ROUND(AVG(o_totalprice), 2) AS avg_order_value,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_join_broadcast": q03_join_broadcast,
+    "q04_star_join_revenue": q04_star_join_revenue,
+    "q05_semi_join": q05_semi_join,
+    "q06_anti_join": q06_anti_join,
+    "q07_global_topk": q07_global_topk,
+    "q08_window_rank": q08_window_rank,
+    "q09_window_running_sum": q09_window_running_sum,
+    "q10_rollup": q10_rollup,
+    "q11_cube": q11_cube,
+    "q12_grouping_sets": q12_grouping_sets,
+    "q13_distinct_agg": q13_distinct_agg,
+    "q14_set_ops": q14_set_ops,
+    "q15_scalar_functions": q15_scalar_functions,
+    "q16_case_buckets": q16_case_buckets,
+    "q17_agg_stats": q17_agg_stats,
+    "q18_exists_subquery": q18_exists_subquery,
+    "q19_having_scalar_subquery": q19_having_scalar_subquery,
+    "q20_segment_order_value": q20_segment_order_value,
+}
+
+ORACLE = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_filter_project": ORACLE_Q02,
+    "q03_join_broadcast": ORACLE_Q03,
+    "q04_star_join_revenue": ORACLE_Q04,
+    "q05_semi_join": ORACLE_Q05,
+    "q06_anti_join": ORACLE_Q06,
+    "q07_global_topk": ORACLE_Q07,
+    "q08_window_rank": ORACLE_Q08,
+    "q09_window_running_sum": ORACLE_Q09,
+    "q10_rollup": ORACLE_Q10,
+    "q11_cube": ORACLE_Q11,
+    "q12_grouping_sets": ORACLE_Q12,
+    "q13_distinct_agg": ORACLE_Q13,
+    "q14_set_ops": ORACLE_Q14,
+    "q15_scalar_functions": ORACLE_Q15,
+    "q16_case_buckets": ORACLE_Q16,
+    "q17_agg_stats": ORACLE_Q17,
+    "q18_exists_subquery": ORACLE_Q18,
+    "q19_having_scalar_subquery": ORACLE_Q19,
+    "q20_segment_order_value": ORACLE_Q20,
+}

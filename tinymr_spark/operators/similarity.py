@@ -1,0 +1,234 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+bucketed candidate generation (label blocking here, sign-projection LSH as
+the general variant) so that at 100 TB the cross product never
+materializes.  Distance math stays in built-in higher-order functions
+(zip_with/aggregate — JVM, no Python), with double accumulation in a fixed
+order so the DuckDB oracle reproduces values bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.operators.dedup import _cosine
+from tinymr_spark.sources import load_table
+
+N_QUERY = 5  # query vectors for the top-k demos
+TOP_K = 3
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: small query set x full corpus, ranked per query.
+# The query side is broadcast — the corpus is scanned once, never shuffled
+# until the (tiny) per-query top-k aggregation.
+# ---------------------------------------------------------------------------
+def q50_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sim = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+ORACLE_Q50 = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                 6) AS cos_sim
+    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-bucketed ANN (the IVF pattern): restrict candidates to the query's
+# bucket, then exact rank inside it.  Same output shape as q50.
+# ---------------------------------------------------------------------------
+def q51_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    sim = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+ORACLE_Q51 = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                 6) AS cos_sim
+    FROM embeddings q JOIN embeddings e
+      ON e.label = q.label AND e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Centroids per label: positional average of the vectors — the k-means /
+# IVF building block.  posexplode + groupBy(label, pos).
+# ---------------------------------------------------------------------------
+def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid_v"),
+             F.count("*").alias("n_vecs"))
+    )
+
+
+ORACLE_Q52 = """
+SELECT label, pos,
+       ROUND(AVG(CAST(v AS DOUBLE)), 4) AS centroid_v,
+       COUNT(*) AS n_vecs
+FROM (SELECT label,
+             unnest(embedding) AS v,
+             CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sign-projection LSH buckets: 8 deterministic md5-derived hyperplanes of
+# +-1 weights; bucket = 8-bit sign signature.  Fully portable (no RNG), so
+# the oracle checks the bucketing itself.
+# ---------------------------------------------------------------------------
+N_PLANES = 8
+
+
+def q53_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("plane"),
+    )
+    # weight = +1 if first md5 nibble of "plane-pos" is even else -1
+    nib = F.conv(
+        F.substring(F.md5(F.concat_ws("-", "plane", "pos")), 1, 1), 16, 10
+    ).cast("int")
+    w = F.when(nib % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    dots = (
+        expanded.select(
+            "vec_id", "plane", (F.col("v").cast("double") * w).alias("c")
+        )
+        .groupBy("vec_id", "plane")
+        .agg(F.sum("c").alias("dot"))
+    )
+    return (
+        dots.select(
+            "vec_id",
+            F.when(F.col("dot") > 0, F.pow(F.lit(2), F.col("plane")).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+
+
+ORACLE_Q53 = f"""
+WITH flat AS (
+    SELECT vec_id,
+           CAST(unnest(embedding) AS DOUBLE) AS v,
+           CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+    FROM embeddings
+),
+expanded AS (
+    SELECT vec_id, pos, v, plane
+    FROM flat, generate_series(0, {N_PLANES - 1}) AS g(plane)
+),
+dots AS (
+    SELECT vec_id, plane,
+           SUM(v * (CASE WHEN (strpos('0123456789abcdef',
+                       substr(md5(plane || '-' || pos), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)) AS dot
+    FROM expanded
+    GROUP BY vec_id, plane
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN dot > 0 THEN CAST(POW(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+FROM dots
+GROUP BY vec_id
+"""
+
+
+QUERIES = {
+    "q50_ann_bruteforce": q50_ann_bruteforce,
+    "q51_ann_bucketed": q51_ann_bucketed,
+    "q52_label_centroids": q52_label_centroids,
+    "q53_lsh_buckets": q53_lsh_buckets,
+}
+
+ORACLE = {
+    "q50_ann_bruteforce": ORACLE_Q50,
+    "q51_ann_bucketed": ORACLE_Q51,
+    "q52_label_centroids": ORACLE_Q52,
+    "q53_lsh_buckets": ORACLE_Q53,
+}

@@ -1,0 +1,267 @@
+"""Text-analysis operators over the `documents` table.
+
+Word count is the reference's flagship computation
+(/root/reference/docs.rst:137-159); everything else generalizes it the way
+a large-scale training-data pipeline needs: token stats, quality scoring,
+language-ID heuristics, fingerprinting, n-gram frequencies.
+
+All built-in pyspark.sql.functions (JVM/codegen, no Python UDFs in the hot
+path) — at 100 TB these run entirely inside whole-stage codegen with the
+parquet scan pruned to the columns used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.sources import load_table
+
+# Tokenization shared by every query: split on whitespace, drop empties.
+_TOKENIZE = r"\s+"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _tokens(col):
+    return F.filter(F.split(col, _TOKENIZE), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# Word count: explode + count — the distributed I1.
+# ---------------------------------------------------------------------------
+def q30_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_Q30 = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k words (reference idiom I2 — Counter.most_common).
+# ---------------------------------------------------------------------------
+def q31_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q30_wordcount(spark, sf_dir)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(15)
+    )
+
+
+ORACLE_Q31 = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document token statistics.
+# ---------------------------------------------------------------------------
+def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.length("text").alias("text_len"),
+    )
+
+
+ORACLE_Q32 = r"""
+SELECT doc_id,
+       CAST(len(toks) AS INT)                 AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT)  AS n_distinct_tokens,
+       ROUND(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(toks), 4)                  AS avg_token_len,
+       CAST(LENGTH(text) AS INT)              AS text_len
+FROM (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: stopword ratio, distinct-token ratio, length features —
+# the standard cheap filters of an LLM data pipeline.
+# ---------------------------------------------------------------------------
+def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = F.round(n_stop / n_tok, 4)
+    diversity = F.round(n_distinct / n_tok, 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("diversity"),
+        F.round(
+            (n_stop / n_tok) * 0.5 + (n_distinct / n_tok) * 0.5, 4
+        ).alias("quality_score"),
+    )
+
+
+ORACLE_Q33 = r"""
+SELECT doc_id, lang,
+       CAST(len(toks) AS INT) AS n_tokens,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / len(toks), 4) AS stopword_ratio,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS diversity,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / len(toks) * 0.5
+             + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5, 4) AS quality_score
+FROM (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-hit scoring per language family.  (The
+# testdata text is synthetic so the guess is mostly constant — the operator
+# shape, not the linguistics, is the point.)
+# ---------------------------------------------------------------------------
+def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    en = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
+    de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "das", "und")))
+    es = F.size(F.filter(toks, lambda x: x.isin("el", "la", "de", "y")))
+    guess = (
+        F.when((en >= de) & (en >= es), "en")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        es.alias("es_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+ORACLE_Q34 = r"""
+SELECT doc_id, lang AS declared_lang,
+       CAST(en AS INT) AS en_hits, CAST(de AS INT) AS de_hits, CAST(es AS INT) AS es_hits,
+       CASE WHEN en >= de AND en >= es THEN 'en'
+            WHEN de >= es THEN 'de'
+            ELSE 'es' END AS lang_guess
+FROM (SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS en,
+             len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS de,
+             len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS es
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+            FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: content hash for exact-dup detection at scale.
+# ---------------------------------------------------------------------------
+def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("fp_md5"),
+        F.sha2(F.col("text"), 256).alias("fp_sha256"),
+    )
+
+
+ORACLE_Q35 = """
+SELECT doc_id,
+       md5(LOWER(text))  AS fp_md5,
+       sha256(text)      AS fp_sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram frequency.  Built array-natively (transform over the token array,
+# then one explode) — NO self-join: a join on (doc_id, pos) would shuffle
+# the entire token stream twice at 100 TB for what is a per-row operation.
+# ---------------------------------------------------------------------------
+def ngrams(col, n: int = 2):
+    """n-grams of the whitespace tokens of `col` as an array column."""
+    toks = _tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q36_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ngrams(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(15)
+    )
+
+
+ORACLE_Q36 = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok,
+           unnest(range(1, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) + 1)) AS pos
+    FROM documents
+)
+SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 15
+"""
+
+
+QUERIES = {
+    "q30_wordcount": q30_wordcount,
+    "q31_top_words": q31_top_words,
+    "q32_token_stats": q32_token_stats,
+    "q33_quality_score": q33_quality_score,
+    "q34_lang_id": q34_lang_id,
+    "q35_fingerprint": q35_fingerprint,
+    "q36_bigram_freq": q36_bigram_freq,
+}
+
+ORACLE = {
+    "q30_wordcount": ORACLE_Q30,
+    "q31_top_words": ORACLE_Q31,
+    "q32_token_stats": ORACLE_Q32,
+    "q33_quality_score": ORACLE_Q33,
+    "q34_lang_id": ORACLE_Q34,
+    "q35_fingerprint": ORACLE_Q35,
+    "q36_bigram_freq": ORACLE_Q36,
+}

@@ -1,0 +1,101 @@
+"""Sources: the reference has none — I/O lives in user code (the caller
+streams any iterable in, /root/reference/tinymr.py:156, docs.rst:343-347).
+Here scans move inside the engine as Spark DataFrame readers so Catalyst
+owns predicate pushdown / column pruning / partition pruning.
+
+The driver testdata is one parquet file per table (TESTDATA.md); on a real
+deployment these would be partitioned directories — the API is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown happen at this
+    scan when callers select/filter before actions (verify with
+    .explain: PushedFilters / ReadSchema).
+
+    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark refuses
+    by default: read nanos as long and convert to a microsecond timestamp
+    (truncation — same semantics Spark applies to any sub-micro source).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division — float division would lose precision on
+            # ~1.7e18 nanosecond epochs (double mantissa is 53 bits)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: load_table(spark, sf_dir, name)
+        for name in TABLES
+        if os.path.exists(table_path(sf_dir, name))
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can be used."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, paths) -> DataFrame:
+    """Multi-file text ingest (reference idiom I8, docs.rst:343-347 — the
+    mapper opened file paths itself; here the scan is the engine's)."""
+    return spark.read.text(paths)
+
+
+def read_json(spark: SparkSession, paths, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def read_csv(spark: SparkSession, paths, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(paths)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by=None, mode: str = "overwrite") -> None:
+    """Sink: parquet writer; partition_by enables partition pruning for
+    downstream readers (the 100 TB layout discipline)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

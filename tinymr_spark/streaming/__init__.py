@@ -1,0 +1,87 @@
+"""Structured Streaming face (beyond-reference scope — the reference is
+strictly batch, /root/reference/tinymr.py:196-230; SURVEY.md §7 Phase 4).
+
+The `events` parquet is replayed through a file streaming source with an
+event-time watermark and windowed aggregation — the production shape for
+late-data-tolerant rollups.  `run_stream_to_table` drives any of these to
+completion with Trigger.AvailableNow and returns the materialized result,
+which makes streaming queries oracle-checkable like batch ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinymr_spark.sources import load_table, table_path
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema taken from a batch peek —
+    file streams require an explicit schema).  The parquet stores
+    TIMESTAMP(NANOS): read nanos as long, convert to microsecond timestamps
+    in the stream (same policy as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    # The file streaming source requires a directory: stage a symlink dir
+    # (in production this would BE the landing directory being watched).
+    stage = os.path.join(
+        tempfile.gettempdir(), "tinymr_spark_stream", hashlib.md5(path.encode()).hexdigest()
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(stream: DataFrame, bucket: str = "300 seconds",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate; append-mode compatible."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bucket).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_ts"), "event_type", "n", "total_value")
+    )
+
+
+def run_stream_to_table(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into an
+    in-memory sink; return the materialized table."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real streaming pipeline (readStream -> watermark -> window ->
+    sink), driven to completion; equals the batch q70 result."""
+    return run_stream_to_table(tumbling_counts(stream_events(spark, sf_dir)), spark)
+
+
+ORACLE_Q90 = """
+SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300) AS TIMESTAMP) AS bucket_ts,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES = {"q90_stream_tumbling": q90_stream_tumbling}
+ORACLE = {"q90_stream_tumbling": ORACLE_Q90}
