@@ -1,0 +1,85 @@
+"""Plan-shape assertions: correctness tests prove WHAT is computed; these
+prove HOW — pushdown reaches the scan, dimensions broadcast, no accidental
+Python row-tripping, shuffle counts stay minimal.  These are the
+100 TB-readiness gates."""
+
+from __future__ import annotations
+
+import pytest
+
+from tinymr_spark.operators import relational, text
+from tinymr_spark.plans import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_shuffle_join,
+    read_schema_columns,
+    uses_python_eval,
+)
+
+
+def test_q02_filter_pushdown_and_pruning(spark, sf_dir):
+    df = relational.q02_filter_project(spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = read_schema_columns(df)
+    # 11-column table: the scan must read only what the query touches
+    assert set(cols) <= {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+    }
+    assert "l_comment" not in cols and "l_partkey" not in cols
+
+
+def test_q01_scan_prunes_columns(spark, sf_dir):
+    df = relational.q01_pricing_summary(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir):
+    df = relational.q03_join_broadcast(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_shuffle_join(df)
+
+
+def test_q04_star_join_single_fact_shuffle_pair(spark, sf_dir):
+    df = relational.q04_star_join_revenue(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # lineitem x orders is the only shuffle join allowed
+    s_joins = sum(
+        1
+        for line in explain_str(df, "simple").splitlines()
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line
+    )
+    assert s_joins <= 1
+
+
+def test_q05_semi_join_stays_semi(spark, sf_dir):
+    df = relational.q05_semi_join(spark, sf_dir)
+    assert "LeftSemi" in explain_str(df)
+
+
+def test_no_python_eval_in_builtin_queries(spark, sf_dir):
+    # Everything except the explicitly-Python operators (mapInPandas
+    # decode, MR-face) must stay JVM-side.
+    for name, fn in relational.QUERIES.items():
+        assert not uses_python_eval(fn(spark, sf_dir)), name
+    for name, fn in text.QUERIES.items():
+        assert not uses_python_eval(fn(spark, sf_dir)), name
+
+
+def test_q01_exchange_budget(spark, sf_dir):
+    # one shuffle for the aggregate (plus AQE reads); no join exchanges
+    df = relational.q01_pricing_summary(spark, sf_dir)
+    assert count_exchanges(df) <= 1
+
+
+def test_q07_topk_is_take_ordered(spark, sf_dir):
+    df = relational.q07_global_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)

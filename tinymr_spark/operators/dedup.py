@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tinymr_spark.operators.text import ngrams
+from tinymr_spark.operators.text import ngrams, with_tokens
 from tinymr_spark.sources import load_table
 
 N_MINHASH = 8  # minhash signature length (b=8 bands of r=1)
@@ -24,9 +24,9 @@ N_MINHASH = 8  # minhash signature length (b=8 bands of r=1)
 
 def _shingles(spark, sf_dir, n=3):
     """Distinct (doc_id, shingle) pairs — the inverted-index input."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(ngrams(F.col("text"), n))).alias("sh")
+        "doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("sh")
     )
 
 
@@ -259,11 +259,29 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _dot(a, b):
+    """Left-to-right double dot product of two float-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def q44_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # Precompute each vector's norm ONCE before the join — computing it per
+    # candidate pair would redo O(dim) work candidate-count times (the norm
+    # value is bit-identical either way, so the oracle is unaffected).
+    with_norm = emb.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
     return (
         a.join(
             b,

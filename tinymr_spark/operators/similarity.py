@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tinymr_spark.operators.dedup import _cosine
+from tinymr_spark.operators.dedup import _dot
 from tinymr_spark.sources import load_table
 
 N_QUERY = 5  # query vectors for the top-k demos
@@ -28,11 +28,20 @@ TOP_K = 3
 def q50_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    sim = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    queries = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    # norms precomputed per vector (not per pair) — same bits, O(dim) less
+    # work per candidate
+    sim = F.round(
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")), 6
+    )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
@@ -79,13 +88,19 @@ FROM ranked WHERE rank <= {TOP_K}
 def q51_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
     queries = emb.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
     )
-    sim = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    sim = F.round(
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")), 6
+    )
     scored = (
         emb.join(
             F.broadcast(queries),

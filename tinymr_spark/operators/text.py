@@ -27,6 +27,19 @@ def _tokens(col):
     return F.filter(F.split(col, _TOKENIZE), lambda x: x != "")
 
 
+def with_tokens(df, src: str = "text", out: str = "toks"):
+    """Materialize the token array as its own projection.
+
+    Referencing `_tokens(text)` many times inside one expression tree
+    (size guards, element_at per n-gram position) re-evaluates the
+    split+filter per reference — O(tokens^2) work per row.  A separate
+    projection makes downstream references plain attribute reads;
+    Catalyst's CollapseProject keeps non-cheap multiply-referenced
+    aliases in their own stage, so the split runs once per row.
+    """
+    return df.withColumn(out, _tokens(F.col(src)))
+
+
 # ---------------------------------------------------------------------------
 # Word count: explode + count — the distributed I1.
 # ---------------------------------------------------------------------------
@@ -72,8 +85,8 @@ LIMIT 15
 # Per-document token statistics.
 # ---------------------------------------------------------------------------
 def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -105,8 +118,8 @@ FROM (SELECT doc_id, text,
 # the standard cheap filters of an LLM data pipeline.
 # ---------------------------------------------------------------------------
 def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     n_distinct = F.size(F.array_distinct(toks))
@@ -145,8 +158,8 @@ FROM (SELECT doc_id, lang,
 # shape, not the linguistics, is the point.)
 # ---------------------------------------------------------------------------
 def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
     en = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and")))
     de = F.size(F.filter(toks, lambda x: x.isin("der", "die", "das", "und")))
     es = F.size(F.filter(toks, lambda x: x.isin("el", "la", "de", "y")))
@@ -206,9 +219,9 @@ FROM documents
 # then one explode) — NO self-join: a join on (doc_id, pos) would shuffle
 # the entire token stream twice at 100 TB for what is a per-row operation.
 # ---------------------------------------------------------------------------
-def ngrams(col, n: int = 2):
-    """n-grams of the whitespace tokens of `col` as an array column."""
-    toks = _tokens(col)
+def ngrams(toks, n: int = 2):
+    """n-grams of a token-array column.  Pass a MATERIALIZED column (see
+    with_tokens) — passing a raw expression re-evaluates it per element."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -221,9 +234,9 @@ def ngrams(col, n: int = 2):
 
 
 def q36_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
     return (
-        docs.select(F.explode(ngrams(F.col("text"), 2)).alias("bigram"))
+        docs.select(F.explode(ngrams(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
