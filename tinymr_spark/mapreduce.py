@@ -138,6 +138,16 @@ class MapReduce(abc.ABC):
     #: Partition count used when parallelizing a plain Python sequence.
     input_partitions = None
 
+    #: Opt-in map-side combining (the automated version of the reference's
+    #: manual key-overloading idiom, /root/reference/docs.rst:199-283).
+    #: Legal only when the reducer is ASSOCIATIVE over value-list splits:
+    #: ``reducer(k, xs + ys) == reducer(k, [reducer(k, xs)[-1]] + ys)``,
+    #: is return-style, emits ``(input_key, value)``, and no map-round
+    #: sorting is requested.  The engine then pre-reduces each partition
+    #: before the shuffle, so per-key value lists never materialize in
+    #: full — the difference between shuffling O(rows) and O(keys) bytes.
+    combine = False
+
     @abc.abstractmethod
     def mapper(self, item):
         """Emit 0..n ``(key, value)`` / ``(key, sort, value)`` tuples per
@@ -215,13 +225,24 @@ class MapReduce(abc.ABC):
         arity = _check_arity(head[0])
 
         indexed = mapped.zipWithIndex().map(lambda ti: ((ti[1],), ti[0]))
-        grouped = _group_and_sort(
-            indexed,
-            arity == 3,
-            self.sort_map_with_value,
-            self.sort_map_reverse,
-            self.num_partitions,
+
+        reducer_is_gen_early = isgeneratorfunction(self.reducer)
+        use_combine = (
+            self.combine
+            and arity == 2
+            and not reducer_is_gen_early
+            and not self.sort_map_with_value
         )
+        if use_combine:
+            grouped = self._grouped_with_combine(indexed)
+        else:
+            grouped = _group_and_sort(
+                indexed,
+                arity == 3,
+                self.sort_map_with_value,
+                self.sort_map_reverse,
+                self.num_partitions,
+            )
 
         reducer = self.reducer
         reducer_is_gen = isgeneratorfunction(self.reducer)
@@ -257,6 +278,42 @@ class MapReduce(abc.ABC):
             # (/root/reference/tinymr.py:223-227).
             grouped2 = grouped2.mapValues(lambda fv: (fv[0], fv[1][0]))
         return grouped2
+
+    def _grouped_with_combine(self, indexed):
+        """Map-side combine lowering: pre-reduce each partition, then group the
+        per-partition partials.  Produces the same ``(key, (first_idx,
+        [values]))`` shape as ``_group_and_sort``, with the value list
+        holding partials instead of raw values — indistinguishable to an
+        associative reducer.  Encounter ordering is preserved by carrying
+        min encounter indices through the combine."""
+        reducer = self.reducer
+
+        def combine_partition(it):
+            acc: dict = {}
+            for idx, (k, v) in it:
+                slot = acc.get(k)
+                if slot is None:
+                    acc[k] = [idx, [v]]
+                else:
+                    if idx < slot[0]:
+                        slot[0] = idx
+                    slot[1].append(v)
+            for k, (min_idx, values) in acc.items():
+                out = reducer(k, values)
+                yield (k, (min_idx, out[-1]))
+
+        partials = indexed.mapPartitions(combine_partition)
+        grouped = (
+            partials.groupByKey(self.num_partitions)
+            if self.num_partitions
+            else partials.groupByKey()
+        )
+
+        def finish(payloads):
+            lst = sorted(payloads, key=lambda p: p[0])
+            return (lst[0][0], [p[1] for p in lst])
+
+        return grouped.mapValues(finish)
 
     def to_rdd(self, sequence, spark=None):
         """Scale path: run the task, return ``RDD[(key, values)]`` without

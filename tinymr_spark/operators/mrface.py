@@ -16,7 +16,11 @@ from tinymr_spark.sources import load_table
 
 
 class _WordCount(MapReduce):
-    """Reference docs.rst:137-159 word count, unchanged user code."""
+    """Reference docs.rst:137-159 word count, unchanged user code —
+    plus the engine's map-side combine (sum is associative), so the
+    shuffle moves per-key partials instead of every (word, 1) pair."""
+
+    combine = True
 
     def mapper(self, item):
         for word in item.split():
