@@ -15,6 +15,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
+    from tinymr_spark import functions as fnlib
     from tinymr_spark import streaming
     from tinymr_spark.operators import (
         dedup,
@@ -27,12 +28,13 @@ def all_queries() -> dict[str, QueryFn]:
     )
 
     merged: dict[str, QueryFn] = {}
-    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming):
+    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib):
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
+    from tinymr_spark import functions as fnlib
     from tinymr_spark import streaming
     from tinymr_spark.operators import (
         dedup,
@@ -45,6 +47,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming):
+    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib):
         merged.update(mod.ORACLE)
     return merged

@@ -583,6 +583,66 @@ GROUP BY c_mktsegment
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q21 — percentiles / median (exact linear interpolation; matches DuckDB's
+# quantile_cont bit-for-bit, verified).
+# ---------------------------------------------------------------------------
+def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.median("l_extendedprice").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_Q21 = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — analytic window battery: lead / ntile / percent_rank / cume_dist /
+# first_value over a deterministic ordering.
+# ---------------------------------------------------------------------------
+def q22_analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.where(F.col("o_custkey") < 50).select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("cheapest_orderkey"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT o_orderstatus, o_orderkey,
+       LEAD(o_orderkey, 1) OVER w             AS next_orderkey,
+       CAST(NTILE(4) OVER w AS INT)           AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6)        AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)           AS cume,
+       FIRST_VALUE(o_orderkey) OVER w         AS cheapest_orderkey
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -604,6 +664,8 @@ QUERIES = {
     "q18_exists_subquery": q18_exists_subquery,
     "q19_having_scalar_subquery": q19_having_scalar_subquery,
     "q20_segment_order_value": q20_segment_order_value,
+    "q21_percentiles": q21_percentiles,
+    "q22_analytics_battery": q22_analytics_battery,
 }
 
 ORACLE = {
@@ -627,4 +689,6 @@ ORACLE = {
     "q18_exists_subquery": ORACLE_Q18,
     "q19_having_scalar_subquery": ORACLE_Q19,
     "q20_segment_order_value": ORACLE_Q20,
+    "q21_percentiles": ORACLE_Q21,
+    "q22_analytics_battery": ORACLE_Q22,
 }

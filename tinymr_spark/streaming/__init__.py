@@ -83,5 +83,102 @@ FROM events
 GROUP BY 1, 2
 """
 
-QUERIES = {"q90_stream_tumbling": q90_stream_tumbling}
-ORACLE = {"q90_stream_tumbling": ORACLE_Q90}
+def sliding_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window aggregate (10 min window / 5 min slide)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_ts"), "n", "total_value")
+    )
+
+
+def q91_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_table(sliding_totals(stream_events(spark, sf_dir)), spark)
+
+
+ORACLE_Q91 = """
+WITH expanded AS (
+    SELECT CAST(to_timestamp((CAST(FLOOR(epoch(ts) / 300) AS BIGINT) - shift) * 300) AS TIMESTAMP) AS bucket_ts,
+           value
+    FROM events, (SELECT UNNEST([0, 1]) AS shift)
+)
+SELECT bucket_ts, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM expanded
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running totals via
+# applyInPandasWithState — the escape hatch for semantics the built-in
+# windowed aggregates can't express (arbitrary per-key state machines).
+# With AvailableNow each key's whole history arrives in one batch here;
+# on a live stream the same code accumulates across triggers.
+# ---------------------------------------------------------------------------
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events int, total_value double",
+        stateStructType="total double, n int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q92_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode can emit a row per trigger per key; keep the final state
+    from pyspark.sql import Window
+
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+ORACLE_Q92 = """
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q90_stream_tumbling": q90_stream_tumbling,
+    "q91_stream_sliding": q91_stream_sliding,
+    "q92_stream_stateful": q92_stream_stateful,
+}
+ORACLE = {
+    "q90_stream_tumbling": ORACLE_Q90,
+    "q91_stream_sliding": ORACLE_Q91,
+    "q92_stream_stateful": ORACLE_Q92,
+}
