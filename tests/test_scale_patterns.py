@@ -1,0 +1,82 @@
+"""Scale-pattern proofs: salting is result-identical to direct
+aggregation; bucketed tables join without exchanges; explicit
+repartitioning is reused across downstream aggregations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinymr_spark.operators.scale import hash_repartition, salted_agg, write_bucketed
+from tinymr_spark.plans import explain_str
+from tinymr_spark.sources import load_table
+
+
+def test_salted_agg_matches_direct(spark):
+    # skewed data: one key holds 90% of rows
+    rows = [("hot", float(i % 7)) for i in range(9000)] + [
+        (f"k{i % 50}", float(i)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "key string, v double")
+    direct = {
+        r["key"]: (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("key")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["key"]: (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df,
+            "key",
+            [("sum", "v", "total"), ("count", "v", "n"), ("max", "v", "mx")],
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == direct
+    assert salted["hot"][1] == 9000
+
+
+def test_salted_agg_rejects_non_mergeable(spark):
+    df = spark.createDataFrame([("a", 1.0)], "key string, v double")
+    with pytest.raises(ValueError):
+        salted_agg(df, "key", [("avg", "v", "a")])
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        "b_orders",
+        "o_orderkey",
+        4,
+        str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"),
+        "b_lineitem",
+        "l_orderkey",
+        4,
+        str(tmp_path / "b_lineitem"),
+    )
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = explain_str(joined, "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and it actually runs
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_hash_repartition_reused_downstream(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pre = hash_repartition(li, ["l_orderkey"], 8)
+    agg = pre.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    plan = explain_str(agg, "simple")
+    # the groupBy must reuse the explicit partitioning: exactly the one
+    # repartition exchange, no second exchange for the aggregate
+    assert plan.count("Exchange hashpartitioning") == 1

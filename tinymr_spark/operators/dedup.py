@@ -312,12 +312,88 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Banded MinHash (the canonical shingle -> minhash -> band -> bucket-join
+# pipeline): r=2 rows per band, b=4 bands.  A pair is a candidate iff ALL
+# rows of some band match — tunable precision/recall vs q42's r=1.  Band
+# keys are md5 of the concatenated row signatures, so the bucket join key
+# is a fixed 32-byte string regardless of r.
+# ---------------------------------------------------------------------------
+BAND_R = 2
+BAND_B = 4
+
+
+def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    seeds = F.sequence(F.lit(0), F.lit(BAND_R * BAND_B - 1))
+    sigs = (
+        sh.select("doc_id", "sh", F.explode(seeds).alias("seed"))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / BAND_R).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("bandkey")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+ORACLE_Q45 = (
+    _SQL_SHINGLES
+    + f"""
+    , sigs AS (
+        SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+        FROM shingles, generate_series(0, {BAND_R * BAND_B - 1}) AS g(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // {BAND_R} AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+        FROM sigs
+        GROUP BY doc_id, band
+    )
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+)
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
     "q42_dedup_minhash": q42_dedup_minhash,
     "q43_dedup_simhash": q43_dedup_simhash,
     "q44_dedup_embedding": q44_dedup_embedding,
+    "q45_dedup_minhash_banded": q45_dedup_minhash_banded,
 }
 
 ORACLE = {
@@ -326,4 +402,5 @@ ORACLE = {
     "q42_dedup_minhash": ORACLE_Q42,
     "q43_dedup_simhash": ORACLE_Q43,
     "q44_dedup_embedding": ORACLE_Q44,
+    "q45_dedup_minhash_banded": ORACLE_Q45,
 }

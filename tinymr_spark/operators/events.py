@@ -169,12 +169,66 @@ GROUP BY 1, 2
 """
 
 
+
+# ---------------------------------------------------------------------------
+# As-of join (most-recent-prior match) — an operator Spark lacks natively.
+# Implemented as a composition: union the two sides, carry the last click
+# forward per user with last(ignorenulls) over an ordered window, keep the
+# purchase rows.  One shuffle on user_id; no range cross-join.  The DuckDB
+# oracle uses its native ASOF JOIN, so this checks the composition against
+# a first-class implementation.
+# ---------------------------------------------------------------------------
+def q75_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w).alias(
+            "last_click_id"
+        ),
+        F.last(F.when(is_click, F.unix_timestamp("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_sec"),
+    )
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "last_click_id",
+            (F.unix_timestamp("ts") - F.col("last_click_sec")).alias("gap_sec"),
+        )
+    )
+
+
+ORACLE_Q75 = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS last_click_id,
+       date_diff('second', c.ts, p.ts) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
     "q71_sliding_window": q71_sliding_window,
     "q72_sessionize": q72_sessionize,
     "q73_pivot": q73_pivot,
     "q74_json_extract": q74_json_extract,
+    "q75_asof_join": q75_asof_join,
 }
 
 ORACLE = {
@@ -183,4 +237,5 @@ ORACLE = {
     "q72_sessionize": ORACLE_Q72,
     "q73_pivot": ORACLE_Q73,
     "q74_json_extract": ORACLE_Q74,
+    "q75_asof_join": ORACLE_Q75,
 }

@@ -643,6 +643,21 @@ WHERE o_custkey < 50
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
 
+
+# ---------------------------------------------------------------------------
+# q24 — approximate distinct (HyperLogLog++).  Sketch results are
+# engine-specific, so this is a rows-only query (no SQL oracle); the
+# accuracy contract is tested in tests/test_relational_extra.py against
+# the exact count.  At 100 TB approx_count_distinct is the difference
+# between one pass and a full distinct shuffle.
+# ---------------------------------------------------------------------------
+def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -666,6 +681,7 @@ QUERIES = {
     "q20_segment_order_value": q20_segment_order_value,
     "q21_percentiles": q21_percentiles,
     "q22_analytics_battery": q22_analytics_battery,
+    "q24_approx_distinct": q24_approx_distinct,
 }
 
 ORACLE = {
