@@ -21,12 +21,69 @@ from tinymr_spark.sources import load_table
 
 N_MINHASH = 8  # minhash signature length (b=8 bands of r=1)
 
+HASH_P = 2147483647  # 2^31-1 — modulus of the universal hash family
+
+# Fixed (a, b) pairs for the per-seed universal hashes (a*h + b) % HASH_P.
+# Both operands stay under 2^31, so a*h < 2^62 is exact int64 arithmetic
+# in Spark and DuckDB alike — no overflow, no hugeint promotion.
+MINHASH_SEEDS = [
+    (1103515245, 12345),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (69069, 362437),
+    (214013, 2531011),
+    (134775813, 7),
+    (747796405, 1185372425),
+    (1103527639, 54321),
+]
+
 
 def _shingles(spark, sf_dir, n=3):
     """Distinct (doc_id, shingle) pairs — the inverted-index input."""
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), n))).alias("sh")
+    )
+
+
+def _hashed_shingles(spark, sf_dir, n=3):
+    """(doc_id, n_sh, hm) rows over distinct shingles: hm is the
+    shingle's 60-bit md5 prefix reduced mod 2^31-1 — an 8-byte
+    shuffle/join key instead of a 32-byte hex string, and md5 runs ONCE
+    per shingle (per-seed minhashes derive from hm arithmetically).
+    n_sh, the doc's distinct-shingle count, rides along so Jaccard needs
+    no separate size join.
+
+    PLAN TRAP: the shingle array must stay an anonymous expression fed
+    straight into explode().  Naming it in its own projection makes
+    InferFiltersFromGenerate synthesize a size()>0 filter on the column,
+    which predicate pushdown then inlines BELOW the token projection —
+    re-evaluating filter(split(text)) per element_at, O(tokens^2) per
+    doc (measured 4x slowdown end-to-end).  Hashing happens on the flat
+    post-explode rows for the same reason."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    arr = F.array_distinct(ngrams(F.col("toks"), n))
+    return docs.select(
+        "doc_id", F.size(arr).alias("n_sh"), F.explode(arr).alias("sh")
+    ).select(
+        "doc_id",
+        "n_sh",
+        (
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint") % HASH_P
+        ).alias("hm"),
+    )
+
+
+def _minhash_signature(spark, sf_dir):
+    """One row per doc with columns mh0..mh7.  The mins are plain
+    aggregates, so Spark's partial (map-side) aggregation shrinks the
+    shuffle from n_shingles*n_seeds rows to n_docs rows."""
+    hs = _hashed_shingles(spark, sf_dir)
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % HASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_SEEDS)
+        ]
     )
 
 
@@ -44,6 +101,32 @@ _SQL_SHINGLES = r"""
         JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
     )
 """
+
+_SQL_SEEDS_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_SEEDS)
+)
+
+# DuckDB twin of _hashed_shingles + _minhash_signature.  CAST('0x'||hex)
+# in DuckDB equals Spark's conv(hex,16,10) — verified bit-for-bit.  No
+# DISTINCT after hashing: shingles is already distinct on the string, and
+# a (vanishingly rare) hm collision must duplicate identically in both
+# engines for exact parity.
+_SQL_HASHED = (
+    _SQL_SHINGLES
+    + f"""
+    , hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {HASH_P} AS hm
+        FROM shingles
+    ),
+    seeds AS (SELECT * FROM (VALUES {_SQL_SEEDS_ROWS}) AS t(seed, a, b)),
+    sigs AS (
+        SELECT doc_id, seed, MIN((a * hm + b) % {HASH_P}) AS mh
+        FROM hashed, seeds
+        GROUP BY doc_id, seed
+    )
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -72,41 +155,44 @@ GROUP BY 1
 # pairs sharing >= 2 shingles -> exact Jaccard on candidates only.
 # ---------------------------------------------------------------------------
 def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-        .where(F.col("n_common") >= 2)
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    """Self-join on the 8-byte shingle hash; each exploded row carries its
+    doc's set size, so |A| and |B| fall out of the pair aggregation and no
+    separate size-lookup join is needed.  Both self-join sides are the
+    identical subtree partitioned the same way, so Spark's ReuseExchange
+    computes the shuffle once."""
+    hs = _hashed_shingles(spark, sf_dir)
+    a = hs.alias("a")
+    b = hs.alias("b")
     return (
-        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        a.join(
+            b,
+            (F.col("a.hm") == F.col("b.hm")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
+        .where(F.col("n_common") >= 2)
         .select(
             "doc_a",
             "doc_b",
             "n_common",
             F.round(
-                F.col("n_common")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
-                4,
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
             ).alias("jaccard"),
         )
     )
 
 
 ORACLE_Q41 = (
-    _SQL_SHINGLES
+    _SQL_HASHED
     + """
-    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM hashed a JOIN hashed b ON a.hm = b.hm AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
     )
@@ -120,23 +206,20 @@ JOIN sizes sb ON doc_b = sb.doc_id
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH: signature = min(md5(seed || shingle)) per seed; banding
-# with r=1, b=8 (a pair is a candidate if ANY signature position matches).
-# md5 makes signatures engine-portable; the shuffle key for candidate
-# generation is (seed, minhash) — tiny.
+# MinHash + LSH: per-seed signature mh_i = min over shingles of
+# (a_i*hm + b_i) % (2^31-1); banding with r=1, b=8 (a pair is a candidate
+# if ANY signature position matches).  The per-seed mins are computed as 8
+# parallel aggregates in ONE groupBy, so the map-side partial aggregation
+# collapses the shuffle to one 72-byte row per doc — no n_shingles*n_seeds
+# explosion, and md5 runs once per shingle (inside _hashed_shingles).
 # ---------------------------------------------------------------------------
 def q42_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    seeds = F.sequence(F.lit(0), F.lit(N_MINHASH - 1))
-    sigs = (
-        sh.select("doc_id", "sh", F.explode(seeds).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    sig = _minhash_signature(spark, sf_dir)
+    sigs = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias(
+            "seed", "mh"
+        ),
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -156,13 +239,8 @@ def q42_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q42 = (
-    _SQL_SHINGLES
+    _SQL_HASHED
     + f"""
-    , sigs AS (
-        SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-        FROM shingles, generate_series(0, {N_MINHASH - 1}) AS g(seed)
-        GROUP BY doc_id, seed
-    )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(*) AS n_bands,
        ROUND(CAST(COUNT(*) AS DOUBLE) / {N_MINHASH}, 4) AS est_jaccard
@@ -315,43 +393,34 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 
 # ---------------------------------------------------------------------------
 # Banded MinHash (the canonical shingle -> minhash -> band -> bucket-join
-# pipeline): r=2 rows per band, b=4 bands.  A pair is a candidate iff ALL
-# rows of some band match — tunable precision/recall vs q42's r=1.  Band
-# keys are md5 of the concatenated row signatures, so the bucket join key
-# is a fixed 32-byte string regardless of r.
+# pipeline): r=2 rows per band, b=4 bands over the same 8-seed signature
+# as q42.  A pair is a candidate iff ALL rows of some band match — tunable
+# precision/recall vs q42's r=1.  Band keys are md5 of the concatenated
+# row values, so the bucket join key is a fixed 32-byte string regardless
+# of r, and banding is pure per-row array math on the one-row-per-doc
+# signature (no extra shuffle beyond the signature groupBy).
 # ---------------------------------------------------------------------------
 BAND_R = 2
 BAND_B = 4
 
 
 def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    seeds = F.sequence(F.lit(0), F.lit(BAND_R * BAND_B - 1))
-    sigs = (
-        sh.select("doc_id", "sh", F.explode(seeds).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / BAND_R).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    sig = _minhash_signature(spark, sf_dir)
+    bandkeys = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.col(f"mh{band * BAND_R + r}").cast("string")
+                        for r in range(BAND_R)
+                    ],
                 )
-            ).alias("bandkey")
-        )
+            )
+            for band in range(BAND_B)
+        ]
     )
+    bands = sig.select("doc_id", F.posexplode(bandkeys).alias("band", "bandkey"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -367,16 +436,11 @@ def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q45 = (
-    _SQL_SHINGLES
+    _SQL_HASHED
     + f"""
-    , sigs AS (
-        SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-        FROM shingles, generate_series(0, {BAND_R * BAND_B - 1}) AS g(seed)
-        GROUP BY doc_id, seed
-    ),
-    bands AS (
+    , bands AS (
         SELECT doc_id, seed // {BAND_R} AS band,
-               md5(string_agg(mh, '|' ORDER BY seed)) AS bandkey
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bandkey
         FROM sigs
         GROUP BY doc_id, band
     )
