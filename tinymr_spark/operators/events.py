@@ -222,6 +222,48 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
+# ---------------------------------------------------------------------------
+# Interval (range) join: clicks within the 10 minutes preceding each
+# purchase, per user.  The equi-key (user_id) makes this a plain hash
+# join with the time range as a post-join filter — no cross product, one
+# shuffle on user_id.  A range join with NO equi key would instead need
+# binning (join on a time-bucket key, filter exact range after); the
+# equi-keyed form is the 100 TB-safe default.
+# ---------------------------------------------------------------------------
+def q76_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("cuser"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("cts").alias("n_clicks_10m"))
+    )
+
+
+ORACLE_Q76 = """
+SELECT p.event_id AS purchase_id, p.user_id, COUNT(c.ts) AS n_clicks_10m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
     "q71_sliding_window": q71_sliding_window,
@@ -229,6 +271,7 @@ QUERIES = {
     "q73_pivot": q73_pivot,
     "q74_json_extract": q74_json_extract,
     "q75_asof_join": q75_asof_join,
+    "q76_interval_join": q76_interval_join,
 }
 
 ORACLE = {
@@ -238,4 +281,5 @@ ORACLE = {
     "q73_pivot": ORACLE_Q73,
     "q74_json_extract": ORACLE_Q74,
     "q75_asof_join": ORACLE_Q75,
+    "q76_interval_join": ORACLE_Q76,
 }

@@ -234,11 +234,120 @@ GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# True IVF (inverted-file) ANN: a k-entry codebook partitions the corpus
+# into cells by nearest centroid; a query probes only its own cell.  The
+# codebook here is the deterministic seed-vector variant (centroid =
+# embedding of the min vec_id per label, i.e. a k-means-style init) so
+# both engines derive bit-identical cells with no float accumulation:
+# squared distance decomposes into the three dot products
+# |v|^2 - 2<v,c> + |c|^2, each computed with the same left-to-right
+# double fold the oracle's list_dot_product uses.
+#
+# Scale shape: assignment is corpus x k (linear, broadcast codebook, no
+# shuffle); the probe joins on the cell id — candidates never leave
+# their bucket, the classic IVF contract.
+# ---------------------------------------------------------------------------
+def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
+    )
+    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("seed_id"))
+    codebook = (
+        seed_ids.join(emb.select("vec_id", "embedding"), F.col("seed_id") == F.col("vec_id"))
+        .select(
+            F.col("label").alias("cell"),
+            F.col("embedding").alias("cvec"),
+            _dot(F.col("embedding"), F.col("embedding")).alias("cnorm2"),
+        )
+    )
+    dist2 = (
+        F.col("norm2") - 2 * _dot(F.col("embedding"), F.col("cvec")) + F.col("cnorm2")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(codebook))
+        .select("vec_id", "embedding", "norm2", "cell", dist2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm2", "cell")
+    )
+    queries = assigned.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt("norm2").alias("qnorm"),
+        F.col("cell").alias("qcell"),
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.sqrt("norm2")), 6
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cell", sim.alias("cos_sim")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "cell", "rank",
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )
+
+
+ORACLE_Q54 = f"""
+WITH emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS norm2
+    FROM embeddings
+),
+seed_ids AS (SELECT label, MIN(vec_id) AS seed_id FROM emb GROUP BY label),
+codebook AS (
+    SELECT e.label AS cell, e.v AS cvec, e.norm2 AS cnorm2
+    FROM seed_ids s JOIN emb e ON e.vec_id = s.seed_id
+),
+assigned AS (
+    SELECT vec_id, v, norm2, cell FROM (
+        SELECT e.vec_id, e.v, e.norm2, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY e.norm2 - 2 * list_dot_product(e.v, c.cvec) + c.cnorm2 ASC,
+                            c.cell ASC) AS rn
+        FROM emb e CROSS JOIN codebook c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.cell,
+           ROUND(list_dot_product(q.v, e.v) / (SQRT(q.norm2) * SQRT(e.norm2)), 6) AS cos_sim
+    FROM assigned q JOIN assigned e
+      ON e.cell = q.cell AND e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cell, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cell, rank, ROUND(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
     "q51_ann_bucketed": q51_ann_bucketed,
     "q52_label_centroids": q52_label_centroids,
     "q53_lsh_buckets": q53_lsh_buckets,
+    "q54_ann_ivf": q54_ann_ivf,
 }
 
 ORACLE = {
@@ -246,4 +355,5 @@ ORACLE = {
     "q51_ann_bucketed": ORACLE_Q51,
     "q52_label_centroids": ORACLE_Q52,
     "q53_lsh_buckets": ORACLE_Q53,
+    "q54_ann_ivf": ORACLE_Q54,
 }
