@@ -1,0 +1,57 @@
+"""Source/sink round-trips (SURVEY.md §2.3: the reference has no I/O —
+scans and sinks are our engine's responsibility) and the plan-level
+contracts that matter at 100 TB: a partitioned sink must yield partition
+pruning on read-back, and scans must push filters / prune columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tinymr_spark.plans import explain_str
+from tinymr_spark.sources import (
+    load_table,
+    read_csv,
+    read_json,
+    write_parquet,
+)
+
+
+def test_partitioned_sink_prunes_on_readback(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    one_lang = back.where(F.col("lang") == "en")
+    plan = explain_str(one_lang, "formatted")
+    # partition filter, not a data filter: the scan lists only lang=en dirs
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    got = {r["lang"] for r in one_lang.select("lang").distinct().collect()}
+    assert got <= {"en"}
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id bigint, s string, v double"
+    )
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.json")
+    df.write.mode("overwrite").option("header", "true").csv(csv_path)
+    df.write.mode("overwrite").json(json_path)
+
+    back_csv = read_csv(spark, csv_path, schema="id bigint, s string, v double")
+    back_json = read_json(spark, json_path, schema="id bigint, s string, v double")
+    want = {(1, "a", 1.5), (2, "b", -2.0)}
+    assert {tuple(r) for r in back_csv.collect()} == want
+    assert {tuple(r) for r in back_json.collect()} == want
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = explain_str(q, "formatted")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # ReadSchema prunes to exactly the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:" in plan
