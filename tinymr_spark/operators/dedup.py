@@ -451,6 +451,88 @@ GROUP BY 1, 2
 """
 )
 
+# ---------------------------------------------------------------------------
+# Transitive dedup groups: connected components over the q45 LSH candidate
+# pairs — the step that turns pairwise candidates into actual dedup
+# decisions (keep one doc per component).  Distributed min-label
+# propagation: each round every node adopts the minimum label in its
+# neighborhood; converged when the global label sum stops decreasing
+# (labels are monotonically non-increasing, so equal sums == fixpoint).
+# Rounds are O(component diameter) — near-dup components are
+# band-induced quasi-cliques, so diameter is small; each round is one
+# shuffle on node id, and localCheckpoint truncates the growing lineage
+# (the standard guard for iterative DataFrame algorithms).
+#
+# The DuckDB oracle computes the same fixpoint as a recursive CTE
+# (min reachable id per node), so the iterative distributed algorithm is
+# checked against a from-first-principles closure.
+# ---------------------------------------------------------------------------
+def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q45_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    try:
+        prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return (
+            labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("group_id"))
+        )
+    finally:
+        edges.unpersist()
+
+
+ORACLE_Q46 = (
+    ORACLE_Q45.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    .replace(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands\nFROM bands a JOIN bands b\n  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id\nGROUP BY 1, 2",
+        """, pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r
+        FROM edges e JOIN reach ON reach.node = e.src
+    )
+SELECT node AS doc_id, MIN(r) AS group_id
+FROM reach
+GROUP BY node""",
+    )
+)
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -458,6 +540,7 @@ QUERIES = {
     "q43_dedup_simhash": q43_dedup_simhash,
     "q44_dedup_embedding": q44_dedup_embedding,
     "q45_dedup_minhash_banded": q45_dedup_minhash_banded,
+    "q46_dedup_groups": q46_dedup_groups,
 }
 
 ORACLE = {
@@ -467,4 +550,5 @@ ORACLE = {
     "q43_dedup_simhash": ORACLE_Q43,
     "q44_dedup_embedding": ORACLE_Q44,
     "q45_dedup_minhash_banded": ORACLE_Q45,
+    "q46_dedup_groups": ORACLE_Q46,
 }

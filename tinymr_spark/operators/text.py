@@ -259,6 +259,42 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pretokenizer regex (contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs) — the token-budget estimator of an LLM data pipeline.
+# The pattern is lookahead-free on purpose: Spark compiles Java regex,
+# DuckDB compiles RE2, and only the lookahead-free common subset behaves
+# identically in both.
+# ---------------------------------------------------------------------------
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q37_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.filter(pieces, lambda p: p.rlike(r"^\s+$") == F.lit(False))).alias(
+            "n_content_tokens"
+        ),
+        F.length("text").alias("text_len"),
+    )
+
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+ORACLE_Q37 = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_SQL}'),
+                            p -> NOT regexp_full_match(p, '\s+'))) AS INT) AS n_content_tokens,
+       CAST(LENGTH(text) AS INT) AS text_len
+FROM documents
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -267,6 +303,7 @@ QUERIES = {
     "q34_lang_id": q34_lang_id,
     "q35_fingerprint": q35_fingerprint,
     "q36_bigram_freq": q36_bigram_freq,
+    "q37_bpe_token_count": q37_bpe_token_count,
 }
 
 ORACLE = {
@@ -277,4 +314,5 @@ ORACLE = {
     "q34_lang_id": ORACLE_Q34,
     "q35_fingerprint": ORACLE_Q35,
     "q36_bigram_freq": ORACLE_Q36,
+    "q37_bpe_token_count": ORACLE_Q37,
 }
