@@ -183,13 +183,70 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Native session windows on the stream — the streaming twin of the batch
+# lag-based sessionizer (q72).  session_window() starts a NEW session when
+# the gap is >= the duration (an event extends a session only while it
+# lands strictly inside [start, last+gap)), so the oracle's split
+# condition is `>= gap`, not `> gap`.  Output avoids raw timestamps
+# (ns vs us): session start is floor-epoch seconds, duration a whole-
+# second diff.
+# ---------------------------------------------------------------------------
+def session_totals(stream: DataFrame, gap_sec: int = 1800,
+                   watermark: str = "1 hour") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_sec} seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_sec"),
+            (F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start"))
+             - gap_sec).alias("duration_sec"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def q93_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_table(session_totals(stream_events(spark, sf_dir)), spark)
+
+
+ORACLE_Q93 = """
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM marked
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_sec,
+       date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, session_no
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
     "q92_stream_stateful": q92_stream_stateful,
+    "q93_stream_session": q93_stream_session,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
     "q91_stream_sliding": ORACLE_Q91,
     "q92_stream_stateful": ORACLE_Q92,
+    "q93_stream_session": ORACLE_Q93,
 }
