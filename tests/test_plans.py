@@ -83,3 +83,41 @@ def test_q01_exchange_budget(spark, sf_dir):
 def test_q07_topk_is_take_ordered(spark, sf_dir):
     df = relational.q07_global_topk(spark, sf_dir)
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_q42_minhash_partial_aggregation(spark, sf_dir):
+    """The signature groupBy must pre-aggregate map-side: the shuffle
+    carries one row per doc, not one per shingle (the whole point of the
+    8-parallel-min design)."""
+    from tinymr_spark.operators import dedup
+
+    df = dedup._minhash_signature(spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial_min" in plan, plan[:1000]
+
+
+def test_q41_no_inlined_token_pipeline(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate trap: a filter
+    that re-derives the token array inline (`size(filter(split(text`)
+    re-splits the text per element_at — O(tokens^2) per doc."""
+    from tinymr_spark.operators import dedup
+
+    plan = explain_str(dedup.q41_dedup_jaccard(spark, sf_dir), "simple")
+    assert "size(filter(split(" not in plan.replace(" ", "")
+
+
+def test_q54_ivf_broadcasts_codebook(spark, sf_dir):
+    from tinymr_spark.operators import similarity
+
+    df = similarity.q54_ann_ivf(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not uses_python_eval(df)
+
+
+def test_q76_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The equi-key must make this a hash/sort-merge join; a nested-loop
+    or cartesian plan means the range predicate swallowed the equi-key."""
+    from tinymr_spark.operators import events
+
+    plan = explain_str(events.q76_interval_join(spark, sf_dir), "simple")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
