@@ -264,6 +264,60 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Funnel analysis: signup -> click -> purchase, in event-time order, per
+# user.  Step k counts only if it happens at-or-after step k-1's FIRST
+# occurrence — the standard ordered-funnel definition.  One aggregation
+# pass: conditional MIN per step, then ordering comparisons; no joins,
+# no window functions, shuffles once on user_id.
+# ---------------------------------------------------------------------------
+def q77_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    step = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", sec)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", sec)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias("t_purchase"),
+    )
+    reached1 = F.col("t_signup").isNotNull()
+    # first click at-or-after first signup: t_click is min over ALL clicks,
+    # so compare against the step-1 gate with >=
+    reached2 = reached1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_signup"))
+    reached3 = reached2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return step.select(
+        F.count_if(reached1).alias("n_signup"),
+        F.count_if(reached2).alias("n_signup_click"),
+        F.count_if(reached3).alias("n_full_funnel"),
+        F.count("*").alias("n_users"),
+    )
+
+
+ORACLE_Q77 = """
+WITH step AS (
+    -- floor-epoch seconds, matching Spark's unix_timestamp granularity
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT CAST(COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+                       THEN 1 END) AS BIGINT) AS n_signup_click,
+       CAST(COUNT(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+                        AND t_purchase >= t_click
+                       THEN 1 END) AS BIGINT) AS n_full_funnel,
+       COUNT(*) AS n_users
+FROM step
+"""
+
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
     "q71_sliding_window": q71_sliding_window,
@@ -272,6 +326,7 @@ QUERIES = {
     "q74_json_extract": q74_json_extract,
     "q75_asof_join": q75_asof_join,
     "q76_interval_join": q76_interval_join,
+    "q77_funnel": q77_funnel,
 }
 
 ORACLE = {
@@ -282,4 +337,5 @@ ORACLE = {
     "q74_json_extract": ORACLE_Q74,
     "q75_asof_join": ORACLE_Q75,
     "q76_interval_join": ORACLE_Q76,
+    "q77_funnel": ORACLE_Q77,
 }

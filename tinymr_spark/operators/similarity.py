@@ -342,12 +342,89 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup: candidate pairs share a q53 sign-
+# projection bucket (self-contained — no label attribute needed), exact
+# cosine only on candidates.  This is the embedding twin of the q45
+# banded-minhash pipeline: bucket key is an 8-bit signature, so the
+# self-join shuffles on a tiny key and the cross product never appears.
+# ---------------------------------------------------------------------------
+SIM_THRESHOLD = 0.30  # synthetic embeddings are near-orthogonal; ~p95 of in-bucket pairs
+
+
+def q55_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = q53_lsh_buckets(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    vecs = emb.join(buckets, "vec_id")
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= SIM_THRESHOLD)
+    )
+
+
+ORACLE_Q55 = f"""
+WITH flat AS (
+    SELECT vec_id,
+           CAST(unnest(embedding) AS DOUBLE) AS v,
+           CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+    FROM embeddings
+),
+expanded AS (
+    SELECT vec_id, pos, v, plane
+    FROM flat, generate_series(0, {N_PLANES - 1}) AS g(plane)
+),
+dots AS (
+    SELECT vec_id, plane,
+           SUM(v * (CASE WHEN (strpos('0123456789abcdef',
+                       substr(md5(plane || '-' || pos), 1, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)) AS dot
+    FROM expanded
+    GROUP BY vec_id, plane
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN CAST(POW(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots
+    GROUP BY vec_id
+),
+vecs AS (
+    SELECT e.vec_id, b.bucket, CAST(e.embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS norm
+    FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_sim
+FROM vecs a JOIN vecs b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= {SIM_THRESHOLD}
+"""
+
+
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
     "q51_ann_bucketed": q51_ann_bucketed,
     "q52_label_centroids": q52_label_centroids,
     "q53_lsh_buckets": q53_lsh_buckets,
     "q54_ann_ivf": q54_ann_ivf,
+    "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
 }
 
 ORACLE = {
@@ -356,4 +433,5 @@ ORACLE = {
     "q52_label_centroids": ORACLE_Q52,
     "q53_lsh_buckets": ORACLE_Q53,
     "q54_ann_ivf": ORACLE_Q54,
+    "q55_embedding_lsh_dedup": ORACLE_Q55,
 }
