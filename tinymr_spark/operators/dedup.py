@@ -468,31 +468,32 @@ GROUP BY 1, 2
 # checked against a from-first-principles closure.
 # ---------------------------------------------------------------------------
 def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q45_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+    # One materialization of the candidate pipeline; nodes/edges/labels all
+    # derive from it (deriving them from the un-persisted plan would rerun
+    # the whole LSH pipeline once per derived frame).
+    pairs = (
+        q45_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b").persist()
+    )
+    nodes = pairs.select(F.col("doc_a").alias("src")).union(
+        pairs.select("doc_b")
+    ).distinct()
+    # symmetric edges + a self-loop per node: with self-loops, one
+    # join+groupBy computes min(label over neighborhood INCLUDING self) —
+    # no second join to merge the old label back in.
     edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .distinct()
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .persist()
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select("doc_b", "doc_a"))
+        .union(nodes.select("src", F.col("src").alias("dst")))
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
+    labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
     try:
         prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         while True:
-            neighbor_min = (
+            labels = (
                 edges.join(labels, edges.src == labels.node)
                 .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lbl").alias("nlbl"))
-            )
-            labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-                )
+                .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint()
             )
             cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
@@ -503,7 +504,7 @@ def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("group_id"))
         )
     finally:
-        edges.unpersist()
+        pairs.unpersist()
 
 
 ORACLE_Q46 = (
