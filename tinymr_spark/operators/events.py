@@ -318,6 +318,49 @@ FROM step
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by signup week (epoch-floor), counted
+# when active in weeks +0..+3.  Two aggregations + one join on user_id;
+# the distinct-activity table is the scale knob (it shrinks events to
+# user-weeks before the join).
+# ---------------------------------------------------------------------------
+WEEK_SEC = 604800
+
+
+def q78_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / WEEK_SEC)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("w0"))
+    )
+    activity = ev.select("user_id", week.alias("w")).distinct()
+    return (
+        activity.join(signup, "user_id")
+        .where((F.col("w") >= F.col("w0")) & (F.col("w") - F.col("w0") <= 3))
+        .groupBy(F.col("w0").alias("cohort_week"), (F.col("w") - F.col("w0")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+ORACLE_Q78 = f"""
+WITH signup AS (
+    SELECT user_id, MIN(CAST(FLOOR(epoch(ts) / {WEEK_SEC}) AS BIGINT)) AS w0
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(FLOOR(epoch(ts) / {WEEK_SEC}) AS BIGINT) AS w
+    FROM events
+)
+SELECT s.w0 AS cohort_week, a.w - s.w0 AS week_offset, COUNT(*) AS n_active_users
+FROM activity a JOIN signup s USING (user_id)
+WHERE a.w >= s.w0 AND a.w - s.w0 <= 3
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
     "q71_sliding_window": q71_sliding_window,
@@ -327,6 +370,7 @@ QUERIES = {
     "q75_asof_join": q75_asof_join,
     "q76_interval_join": q76_interval_join,
     "q77_funnel": q77_funnel,
+    "q78_retention": q78_retention,
 }
 
 ORACLE = {
@@ -338,4 +382,5 @@ ORACLE = {
     "q75_asof_join": ORACLE_Q75,
     "q76_interval_join": ORACLE_Q76,
     "q77_funnel": ORACLE_Q77,
+    "q78_retention": ORACLE_Q78,
 }

@@ -645,6 +645,40 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey AS
 
 
 # ---------------------------------------------------------------------------
+# q23 — RANGE-frame windows: running totals over a VALUE range, not a row
+# count (all peers with o_totalprice within 1000.0 below the current
+# row).  Exercises the range-frame codepath the ROWS-frame queries
+# don't.  Sum over a windowed integer column keeps the oracle exact.
+# ---------------------------------------------------------------------------
+def q23_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return orders.where(F.col("o_custkey") < 100).select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_within_1000"),
+        F.sum(F.col("o_orderkey") % 97).over(w).alias("key_mod_sum"),
+    )
+
+
+ORACLE_Q23 = """
+SELECT o_orderstatus, o_orderkey,
+       COUNT(*) OVER w AS n_within_1000,
+       SUM(o_orderkey % 97) OVER w AS key_mod_sum
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q24 — approximate distinct (HyperLogLog++).  Sketch results are
 # engine-specific, so this is a rows-only query (no SQL oracle); the
 # accuracy contract is tested in tests/test_relational_extra.py against
@@ -681,6 +715,7 @@ QUERIES = {
     "q20_segment_order_value": q20_segment_order_value,
     "q21_percentiles": q21_percentiles,
     "q22_analytics_battery": q22_analytics_battery,
+    "q23_window_range_frame": q23_window_range_frame,
     "q24_approx_distinct": q24_approx_distinct,
 }
 
@@ -707,4 +742,5 @@ ORACLE = {
     "q20_segment_order_value": ORACLE_Q20,
     "q21_percentiles": ORACLE_Q21,
     "q22_analytics_battery": ORACLE_Q22,
+    "q23_window_range_frame": ORACLE_Q23,
 }

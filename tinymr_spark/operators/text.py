@@ -295,6 +295,48 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF: the canonical two-aggregation text-weighting pipeline.  The
+# document-frequency side is a tiny per-term table — broadcast — and the
+# corpus size N is a broadcast scalar, so the only real shuffle is the
+# (doc, term) term-frequency aggregation.
+# ---------------------------------------------------------------------------
+def q38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("n_df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "n_df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("n_df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+ORACLE_Q38 = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(*) AS n_df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tok, tf, n_df,
+       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / n_df), 4) AS tfidf
+FROM tf JOIN df USING (tok), n
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -304,6 +346,7 @@ QUERIES = {
     "q35_fingerprint": q35_fingerprint,
     "q36_bigram_freq": q36_bigram_freq,
     "q37_bpe_token_count": q37_bpe_token_count,
+    "q38_tfidf": q38_tfidf,
 }
 
 ORACLE = {
@@ -315,4 +358,5 @@ ORACLE = {
     "q35_fingerprint": ORACLE_Q35,
     "q36_bigram_freq": ORACLE_Q36,
     "q37_bpe_token_count": ORACLE_Q37,
+    "q38_tfidf": ORACLE_Q38,
 }
