@@ -2,10 +2,12 @@
 
 entry(spark)  — flagship query (pricing summary, TPC-H Q1 shape) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
-                extensions): relational q01-q20, text q30-q36, dedup
-                q40-q44, similarity q50-q53, multimodal q60-q62, events
-                q70-q74, MapReduce-face q80-q81, streaming q90.
-oracle_sql()  — DuckDB twins for all of the above.
+                extensions); full inventory in SURVEY.md §8: relational
+                q01-q24, text q30-q38, dedup q40-q46, similarity q50-q55,
+                multimodal q60-q62, pandas-UDF q63-q64, events q70-q78,
+                MapReduce-face q80-q81, streaming q90-q93.
+oracle_sql()  — DuckDB twins for all of the above (q24 is rows-only; its
+                accuracy bound is pytest-checked instead).
 """
 
 from __future__ import annotations
