@@ -217,14 +217,26 @@ class MapReduce(abc.ABC):
             mapped = rdd.flatMap(mapper)
         else:
             mapped = rdd.map(mapper)
-        mapped = mapped.cache()
 
         head = mapped.take(1)
         if not head:
             return None
         arity = _check_arity(head[0])
 
-        indexed = mapped.zipWithIndex().map(lambda ti: ((ti[1],), ti[0]))
+        # Encounter index = (partition_id, intra_partition_index): compares
+        # lexicographically identical to a global zipWithIndex (partitions
+        # hold contiguous input slices) but needs NO extra count job and no
+        # caching of the full mapped stream — one pass, scale-safe.
+        def index_partition(pid, it):
+            for i, rec in enumerate(it):
+                yield ((pid, i), rec)
+
+        indexed = mapped.mapPartitionsWithIndex(index_partition)
+
+        # Shuffle parallelism: explicit knob, else follow the input's split
+        # count (a 100 TB scan with 10k splits gets 10k reducers; a tiny
+        # 1-file input doesn't pay for 32 near-empty Python reduce tasks).
+        n_parts = self.num_partitions or rdd.getNumPartitions()
 
         reducer_is_gen_early = isgeneratorfunction(self.reducer)
         use_combine = (
@@ -234,14 +246,14 @@ class MapReduce(abc.ABC):
             and not self.sort_map_with_value
         )
         if use_combine:
-            grouped = self._grouped_with_combine(indexed)
+            grouped = self._grouped_with_combine(indexed, n_parts)
         else:
             grouped = _group_and_sort(
                 indexed,
                 arity == 3,
                 self.sort_map_with_value,
                 self.sort_map_reverse,
-                self.num_partitions,
+                n_parts,
             )
 
         reducer = self.reducer
@@ -270,7 +282,7 @@ class MapReduce(abc.ABC):
             rarity == 3,
             self.sort_reduce_with_value,
             self.sort_reduce_reverse,
-            self.num_partitions,
+            n_parts,
         )
 
         if not reducer_is_gen:
@@ -279,7 +291,7 @@ class MapReduce(abc.ABC):
             grouped2 = grouped2.mapValues(lambda fv: (fv[0], fv[1][0]))
         return grouped2
 
-    def _grouped_with_combine(self, indexed):
+    def _grouped_with_combine(self, indexed, n_parts):
         """Map-side combine lowering: pre-reduce each partition, then group the
         per-partition partials.  Produces the same ``(key, (first_idx,
         [values]))`` shape as ``_group_and_sort``, with the value list
@@ -303,11 +315,7 @@ class MapReduce(abc.ABC):
                 yield (k, (min_idx, out[-1]))
 
         partials = indexed.mapPartitions(combine_partition)
-        grouped = (
-            partials.groupByKey(self.num_partitions)
-            if self.num_partitions
-            else partials.groupByKey()
-        )
+        grouped = partials.groupByKey(n_parts)
 
         def finish(payloads):
             lst = sorted(payloads, key=lambda p: p[0])

@@ -44,9 +44,12 @@ class _DistinctPerKey(MapReduce):
 def q80_mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lines = docs.select("text").rdd.map(lambda r: r[0])
-    counts = _WordCount()(lines, spark=spark)
+    # Scale path: the result RDD becomes a DataFrame without ever touching
+    # the driver (``__call__`` would collect the dict — fine for the parity
+    # adapter, wrong at 100 TB).
+    counts = _WordCount().to_rdd(lines, spark=spark)
     return spark.createDataFrame(
-        [(w, int(n)) for w, n in counts.items()], schema="word string, n bigint"
+        counts.map(lambda kv: (kv[0], int(kv[1]))), schema="word string, n bigint"
     )
 
 
@@ -61,9 +64,9 @@ GROUP BY word
 def q81_mr_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select("lang", "source").rdd.map(lambda r: (r[0], r[1]))
-    result = _DistinctPerKey()(pairs, spark=spark)
+    result = _DistinctPerKey().to_rdd(pairs, spark=spark)
     return spark.createDataFrame(
-        [(k, int(v)) for k, v in result.items()],
+        result.map(lambda kv: (kv[0], int(kv[1]))),
         schema="lang string, n_sources bigint",
     )
 
