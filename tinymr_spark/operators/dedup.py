@@ -319,32 +319,24 @@ GROUP BY doc_id
 # Embedding-cosine near-dup: candidate restriction by label (the cheap
 # blocking key), exact cosine in double precision on candidates.
 # ---------------------------------------------------------------------------
-EMB_DIM = 64  # testdata embedding width (TESTDATA.md); callers pass dim= for other widths
-
-
-def _dot(a, b, dim: int | None = EMB_DIM):
+def _dot(a, b):
     """Left-to-right double dot product of two float-array columns.
 
-    With a known width the fold is unrolled into a flat
-    ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` expression chain: IEEE addition
-    is evaluated in the same sequential order, so the result is
-    bit-identical to the higher-order-function fold (and to DuckDB's
-    ``list_dot_product``), but the expression participates in whole-stage
-    codegen instead of the interpreted lambda path — on pairwise similarity
-    joins this is the difference between compiled arithmetic and ~dim
-    allocations + interpreted lambda dispatches per candidate pair.
-    ``dim=None`` falls back to the fold for unknown-width arrays.
+    Deliberately the higher-order-function fold, NOT an unrolled
+    ``a[0]*b[0] + a[1]*b[1] + ...`` expression chain: unrolling 64 terms
+    was measured 4-8x SLOWER end-to-end (q44 10.9s -> 2.6s, q54 8.2s ->
+    1.2s at sf0.1 on reverting) — the giant expression tree blows past
+    whole-stage-codegen method limits and falls back to per-term
+    interpreted eval, while ArrayAggregate evaluates the fold in one tight
+    JVM loop over the unsafe array.  The fold's left-to-right IEEE
+    accumulation order also matches DuckDB's ``list_dot_product``
+    bit-for-bit, which the oracle hash-checks rely on.
     """
-    if dim is None:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
-    return acc
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def q44_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

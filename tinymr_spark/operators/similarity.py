@@ -244,9 +244,17 @@ GROUP BY vec_id
 # |v|^2 - 2<v,c> + |c|^2, each computed with the same left-to-right
 # double fold the oracle's list_dot_product uses.
 #
-# Scale shape: assignment is corpus x k (linear, broadcast codebook, no
-# shuffle); the probe joins on the cell id — candidates never leave
-# their bucket, the classic IVF contract.
+# Scale shape: the codebook (k rows) is folded into ONE row holding an
+# array<struct<cell,cvec,cnorm2>> and broadcast; cell assignment is then a
+# per-row transform+array_min over that array — NO corpus shuffle, NO
+# window, no driver round trip.  Two earlier formulations were measured
+# and rejected: crossJoin(broadcast(codebook)) + row_number over vec_id
+# shuffles corpus x k rows (an extra full-corpus exchange at 100 TB), and
+# inlining the codebook as k literal-array expressions compiled a 10x
+# bigger codegen unit (~3s one-time cost per plan).  array_min on
+# (d2, cell) structs == the oracle's ORDER BY d2 ASC, cell ASC.  The probe
+# then joins on the cell id — candidates never leave their bucket, the
+# classic IVF contract.
 # ---------------------------------------------------------------------------
 def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -255,25 +263,41 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
     )
-    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("seed_id"))
-    codebook = (
-        seed_ids.join(emb.select("vec_id", "embedding"), F.col("seed_id") == F.col("vec_id"))
+    # min_by fetches the embedding of the min-vec_id row per label (the
+    # seed-vector codebook) in one aggregation; collect_list folds the k
+    # cells into a single array row for broadcast.
+    cb = (
+        emb.groupBy(F.col("label").alias("cell"))
+        .agg(F.min_by("embedding", "vec_id").alias("cvec"))
         .select(
-            F.col("label").alias("cell"),
-            F.col("embedding").alias("cvec"),
-            _dot(F.col("embedding"), F.col("embedding")).alias("cnorm2"),
+            F.struct(
+                F.col("cell"),
+                F.transform("cvec", lambda x: x.cast("double")).alias("cvec"),
+                _dot(F.col("cvec"), F.col("cvec")).alias("cnorm2"),
+            ).alias("c")
         )
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
     )
-    dist2 = (
-        F.col("norm2") - 2 * _dot(F.col("embedding"), F.col("cvec")) + F.col("cnorm2")
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+
+    def _d2_struct(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), c["cvec"], lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(
+            (F.col("norm2") - 2 * dot + c["cnorm2"]).alias("d2"),
+            c["cell"].alias("cell"),
+        )
+
     assigned = (
-        emb.crossJoin(F.broadcast(codebook))
-        .select("vec_id", "embedding", "norm2", "cell", dist2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm2", "cell")
+        emb.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id", "embedding", "norm2",
+            F.array_min(F.transform(F.col("cb"), _d2_struct))["cell"].alias("cell"),
+        )
     )
     queries = assigned.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
