@@ -729,6 +729,85 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# q26 — salted (two-stage) aggregation over a genuinely skewed key:
+# l_returnflag has 3 values over the whole lineitem table, so a plain hash
+# aggregate funnels ~200k rows per key into single reducers.  scale.salted_agg
+# spreads each key over 16 salts and merges partials; the RESULT is
+# value-identical to the direct GROUP BY (the oracle), which is the whole
+# point — salting is an execution strategy, not a semantic change.  (AQE
+# splits skewed JOIN partitions but not skewed aggregates; salting is the
+# 100 TB answer for hot aggregation keys.)
+# ---------------------------------------------------------------------------
+def q26_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.scale import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_int", F.col("l_quantity").cast("long")
+    )
+    return salted_agg(
+        li,
+        "l_returnflag",
+        [
+            ("count", "qty_int", "n_rows"),
+            ("sum", "qty_int", "sum_qty"),
+            ("min", "l_extendedprice", "min_price"),
+            ("max", "l_extendedprice", "max_price"),
+        ],
+        n_salts=16,
+    )
+
+
+ORACLE_Q26 = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — deterministic stratified sampling: keep ~20% of documents per
+# language stratum by hashing the doc_id (md5 -> 60-bit int, same portable
+# construction as the dedup shingle hash).  Hash-based sampling is the
+# training-data-pipeline way to sample: reproducible across runs and
+# engines, no RNG state, prunes in the scan (the predicate is a pure
+# per-row function), and composable with any downstream operator.
+# ---------------------------------------------------------------------------
+SAMPLE_MOD = 10
+SAMPLE_KEEP = 2  # hash % 10 < 2  -> ~20%
+
+
+def q27_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        docs.where((h % SAMPLE_MOD) < SAMPLE_KEEP)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_Q27 = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {SAMPLE_MOD} < {SAMPLE_KEEP}
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -755,6 +834,8 @@ QUERIES = {
     "q23_window_range_frame": q23_window_range_frame,
     "q24_approx_distinct": q24_approx_distinct,
     "q25_array_functions": q25_array_functions,
+    "q26_salted_agg": q26_salted_agg,
+    "q27_stratified_sample": q27_stratified_sample,
 }
 
 ORACLE = {
@@ -782,4 +863,6 @@ ORACLE = {
     "q22_analytics_battery": ORACLE_Q22,
     "q23_window_range_frame": ORACLE_Q23,
     "q25_array_functions": ORACLE_Q25,
+    "q26_salted_agg": ORACLE_Q26,
+    "q27_stratified_sample": ORACLE_Q27,
 }

@@ -442,6 +442,57 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= {SIM_THRESHOLD
 """
 
 
+# ---------------------------------------------------------------------------
+# q56 — embedding normalization + int8 quantization: the standard
+# vector-store prep step (unit-normalize so cosine == dot, then symmetric
+# int8 quantization at scale 127).  Pure per-row array math — transform()
+# lambdas evaluate JVM-side, the scan reads only (vec_id, embedding), and
+# the operator composes with any of the ANN queries.  clamp(round(x/norm
+# * 127)) matches DuckDB exactly away from .5 boundaries, which the
+# near-orthogonal double values never hit.
+# ---------------------------------------------------------------------------
+def q56_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / F.col("norm") * 127).cast("int"),
+            ),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.round("norm", 6).alias("norm"),
+        quant.alias("q_embedding"),
+        F.aggregate(
+            quant, F.lit(0).cast("bigint"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+    )
+
+
+ORACLE_Q56 = """
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+),
+quant AS (
+    SELECT vec_id, norm,
+           list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, ROUND(x / norm * 127))) AS INT)) AS q_embedding
+    FROM base
+)
+SELECT vec_id, ROUND(norm, 6) AS norm, q_embedding,
+       CAST(list_sum(list_transform(q_embedding, x -> ABS(x))) AS BIGINT) AS q_l1
+FROM quant
+"""
+
+
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
     "q51_ann_bucketed": q51_ann_bucketed,
@@ -449,6 +500,7 @@ QUERIES = {
     "q53_lsh_buckets": q53_lsh_buckets,
     "q54_ann_ivf": q54_ann_ivf,
     "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
+    "q56_normalize_quantize": q56_normalize_quantize,
 }
 
 ORACLE = {
@@ -458,4 +510,5 @@ ORACLE = {
     "q53_lsh_buckets": ORACLE_Q53,
     "q54_ann_ivf": ORACLE_Q54,
     "q55_embedding_lsh_dedup": ORACLE_Q55,
+    "q56_normalize_quantize": ORACLE_Q56,
 }

@@ -337,6 +337,61 @@ FROM tf JOIN df USING (tok), n
 """
 
 
+# ---------------------------------------------------------------------------
+# q39 — the composed training-data prep pipeline: language filter ->
+# quality gate (token count + stopword ratio) -> exact dedup (md5
+# fingerprint, keep min doc_id) -> per-kept-doc token stats.  One
+# declarative plan: the filters reach the parquet scan, dedup is a single
+# shuffle on the 32-byte fingerprint, and everything downstream of the
+# scan stays in whole-stage codegen.  This is the query a 100 TB corpus
+# actually runs nightly; the pieces (q33/q35/q40) are its unit tests.
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 20
+MAX_STOP_RATIO = 0.5
+
+
+def q39_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        n_tok.alias("n_tokens"),
+        (n_stop / n_tok).alias("stop_ratio"),
+    ).where(
+        (F.col("lang") == "en")
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("stop_ratio") <= MAX_STOP_RATIO)
+    )
+    return staged.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.round(F.min("stop_ratio"), 4).alias("stop_ratio"),
+    )
+
+
+ORACLE_Q39 = rf"""
+WITH staged AS (
+    SELECT doc_id, lang, md5(text) AS fp,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+               / len(toks) AS stop_ratio
+    FROM (SELECT doc_id, lang, text,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM documents)
+)
+SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
+       MIN(n_tokens) AS n_tokens, ROUND(MIN(stop_ratio), 4) AS stop_ratio
+FROM staged
+WHERE lang = 'en' AND n_tokens >= {MIN_TOKENS} AND stop_ratio <= {MAX_STOP_RATIO}
+GROUP BY fp
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -347,6 +402,7 @@ QUERIES = {
     "q36_bigram_freq": q36_bigram_freq,
     "q37_bpe_token_count": q37_bpe_token_count,
     "q38_tfidf": q38_tfidf,
+    "q39_prep_pipeline": q39_prep_pipeline,
 }
 
 ORACLE = {
@@ -359,4 +415,5 @@ ORACLE = {
     "q36_bigram_freq": ORACLE_Q36,
     "q37_bpe_token_count": ORACLE_Q37,
     "q38_tfidf": ORACLE_Q38,
+    "q39_prep_pipeline": ORACLE_Q39,
 }
