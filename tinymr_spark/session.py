@@ -53,6 +53,12 @@ def get_session(app_name: str = "tinymr-spark", cpus: str | None = None) -> Spar
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas UDF / toPandas hot paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Default codegen class cache (100 entries) thrashes when ~70
+        # distinct query plans run in one session: whole-stage units
+        # evicted mid-run recompile multi-second pipelines (janino compile
+        # of the shingle/md5 stages alone is ~3-4s).  Static conf — must
+        # be set before the first session.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

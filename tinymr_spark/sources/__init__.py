@@ -34,6 +34,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# DataFrames are immutable logical plans, so the resolved scan for a given
+# (session, path) can be handed to every caller: without this, each of the
+# ~70 queries re-lists the path and re-reads the parquet footer during
+# analysis — pure fixed overhead at any scale (and the schema of a given
+# path does not change within a session).
+_scan_cache: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown happen at this
     scan when callers select/filter before actions (verify with
@@ -43,17 +51,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     by default: read nanos as long and convert to a microsecond timestamp
     (truncation — same semantics Spark applies to any sub-micro source).
     """
+    path = table_path(sf_dir, name)
+    key = (id(spark), path)
+    cached = _scan_cache.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division — float division would lose precision on
             # ~1.7e18 nanosecond epochs (double mantissa is 53 bits)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    _scan_cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
