@@ -335,6 +335,32 @@ class MapReduce(abc.ABC):
             return None
         return final.mapValues(lambda fv: fv[1])
 
+    def to_df(self, sequence, spark=None, key_type: str = "string",
+              value_type: str = "string"):
+        """Scale path into the DataFrame face: run the task and return a
+        ``DataFrame(key, value)`` with one row per reducer emission —
+        never collected to the driver, so the result composes with any
+        relational operator or write-sink (the 100 TB output contract;
+        the reference's only output is an in-memory dict,
+        /root/reference/tinymr.py:93-114).
+
+        ``key_type``/``value_type`` are Spark DDL type strings; keys and
+        values must be Spark-representable (plain Python scalars or
+        lists), which the word-count-style tasks all satisfy.
+        """
+        from tinymr_spark.session import get_session
+
+        rdd = self.to_rdd(sequence, spark)
+        spark = spark or get_session()
+        if rdd is None:
+            return spark.createDataFrame([], f"key: {key_type}, value: {value_type}")
+        flat = rdd.flatMap(
+            lambda kv: [(kv[0], v) for v in kv[1]]
+            if isinstance(kv[1], list)
+            else [(kv[0], kv[1])]
+        )
+        return spark.createDataFrame(flat, f"key: {key_type}, value: {value_type}")
+
     def __call__(self, sequence, map=None, mapper_map=None, reducer_map=None, spark=None):
         """Execute; returns ``output(dict)`` like
         /root/reference/tinymr.py:156-230.

@@ -568,6 +568,74 @@ GROUP BY node""",
 )
 
 
+# ---------------------------------------------------------------------------
+# SimHash-banded near-dup: the pairing step on top of q43's 16-bit
+# signatures.  Pigeonhole blocking — split the signature into two 8-bit
+# halves; any pair within hamming distance <= 3 of BOTH-half corruption
+# still shares at least one intact half when <= floor(16/2/... ) — here
+# the standard guarantee: distance <= 1 per half, so candidates = pairs
+# sharing either half, verified with an exact popcount(xor) <= HAMMING_MAX
+# filter.  Join key is a (band, 8-bit value) pair — tiny, uniform; the
+# cross product never materializes.
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 3
+
+
+def q47_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q43_dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    halves = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("simhash") / 256).cast("int").alias("hv")),
+                F.struct(F.lit(1).alias("band"), (F.col("simhash") % 256).cast("int").alias("hv")),
+            )
+        ).alias("h"),
+    ).select("doc_id", "simhash", F.col("h.band").alias("band"), F.col("h.hv").alias("hv"))
+    a = halves.alias("a")
+    b = halves.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.min(hamming).alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+ORACLE_Q47 = (
+    ORACLE_Q43.replace(
+        """SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums
+GROUP BY doc_id""",
+        f""", sig AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM sums
+    GROUP BY doc_id
+),
+halves AS (
+    SELECT doc_id, simhash, 0 AS band, simhash // 256 AS hv FROM sig
+    UNION ALL
+    SELECT doc_id, simhash, 1 AS band, simhash % 256 AS hv FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming
+FROM halves a JOIN halves b
+  ON a.band = b.band AND a.hv = b.hv AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING MIN(bit_count(xor(a.simhash, b.simhash))) <= {HAMMING_MAX}""",
+    )
+)
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -576,6 +644,7 @@ QUERIES = {
     "q44_dedup_embedding": q44_dedup_embedding,
     "q45_dedup_minhash_banded": q45_dedup_minhash_banded,
     "q46_dedup_groups": q46_dedup_groups,
+    "q47_dedup_simhash_banded": q47_dedup_simhash_banded,
 }
 
 ORACLE = {
@@ -586,4 +655,5 @@ ORACLE = {
     "q44_dedup_embedding": ORACLE_Q44,
     "q45_dedup_minhash_banded": ORACLE_Q45,
     "q46_dedup_groups": ORACLE_Q46,
+    "q47_dedup_simhash_banded": ORACLE_Q47,
 }

@@ -78,12 +78,42 @@ GROUP BY lang
 """
 
 
+def q82_mr_chain_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapReduce face composed INTO the DataFrame face: the reference word
+    count runs as user MR code, `to_df()` lifts the distributed result
+    into a DataFrame (no driver materialization), and declarative
+    operators take over — the two-face contract SURVEY.md §7 promises
+    (filter + projection here; any join/window/sink works the same)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select("text").rdd.map(lambda r: r[0])
+    counts = _WordCount().to_df(lines, spark=spark, key_type="string", value_type="bigint")
+    return (
+        counts.where(F.col("value") >= 50)
+        .select(
+            F.col("key").alias("word"),
+            F.col("value").alias("n"),
+            F.length("key").alias("word_len"),
+        )
+    )
+
+
+ORACLE_Q82 = r"""
+SELECT word, COUNT(*) AS n, CAST(LENGTH(word) AS INT) AS word_len
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+HAVING COUNT(*) >= 50
+"""
+
+
 QUERIES = {
     "q80_mr_wordcount": q80_mr_wordcount,
     "q81_mr_distinct_sources": q81_mr_distinct_sources,
+    "q82_mr_chain_relational": q82_mr_chain_relational,
 }
 
 ORACLE = {
     "q80_mr_wordcount": ORACLE_Q80,
     "q81_mr_distinct_sources": ORACLE_Q81,
+    "q82_mr_chain_relational": ORACLE_Q82,
 }
