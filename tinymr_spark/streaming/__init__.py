@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from tinymr_spark.sources import load_table, table_path
 
 
+_schema_cache: dict = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema taken from a batch peek —
     file streams require an explicit schema).  The parquet stores
@@ -28,7 +31,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the stream (same policy as the batch loader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    raw_schema = spark.read.parquet(path).schema
+    skey = (id(spark), path)
+    raw_schema = _schema_cache.get(skey)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(path).schema
+        _schema_cache[skey] = raw_schema
     # The file streaming source requires a directory: stage a symlink dir
     # (in production this would BE the landing directory being watched).
     stage = os.path.join(
@@ -55,18 +62,32 @@ def tumbling_counts(stream: DataFrame, bucket: str = "300 seconds",
     )
 
 
-def run_stream_to_table(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_to_table(result: DataFrame, spark: SparkSession,
+                        n_state_parts: int = 8) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
-    in-memory sink; return the materialized table."""
+    in-memory sink; return the materialized table.
+
+    Every windowed/session aggregate is stateful: each shuffle partition
+    owns a state store (provider init + commit + maintenance per
+    micro-batch), so the partition count should track state size, not the
+    batch-side default — same sizing rule measured 3x on q92.  Set via
+    conf for the duration of the run; the count freezes into the
+    checkpoint on first start anyway, so this is a per-stream sizing
+    decision, not a tunable-later knob."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
