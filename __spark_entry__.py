@@ -20,14 +20,31 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from tinymr_spark.operators.relational import q01_pricing_summary
+    from tinymr_spark.session import ensure_shipped
 
+    ensure_shipped(spark)
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every callable ships the tinymr_spark package to executor Python
+    workers first (addPyFile, idempotent per context): the harness owns
+    the SparkSession, so module-referenced task closures (MapReduce
+    subclasses, mapPartitions/applyInPandas functions) would otherwise
+    hit ModuleNotFoundError on workers whose PYTHONPATH lacks this repo.
+    """
     from tinymr_spark.operators import all_queries
+    from tinymr_spark.session import ensure_shipped
 
-    return all_queries()
+    def _shipped(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: _shipped(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -190,15 +190,19 @@ class MapReduce(abc.ABC):
     # ------------------------------------------------------------------
 
     def _as_rdd(self, sequence, spark=None):
+        from tinymr_spark.session import ensure_shipped, get_session
+
         if isinstance(sequence, RDD):
+            # Task closures reference this module; ship the package in case
+            # the RDD's context was created outside get_session().
+            ensure_shipped(sequence.ctx)
             return sequence
         items = sequence if isinstance(sequence, (list, tuple)) else list(sequence)
         if not items:
             return None
         if spark is None:
-            from tinymr_spark.session import get_session
-
             spark = get_session()
+        ensure_shipped(spark)
         sc = spark.sparkContext
         n = self.input_partitions or min(len(items), sc.defaultParallelism)
         return sc.parallelize(items, n)

@@ -33,6 +33,43 @@ def _ensure_worker_pythonpath() -> None:
         os.environ["PYTHONPATH"] = os.pathsep.join(p for p in (pkg_parent, current) if p)
 
 
+def ensure_shipped(spark) -> None:
+    """Make `tinymr_spark` importable on executor Python workers for a
+    session THIS package did not create.
+
+    RDD task closures (MapReduce subclasses, the union-find contraction)
+    unpickle by module reference on workers; a harness that builds its own
+    SparkSession never ran `_ensure_worker_pythonpath`, so those tasks die
+    with ModuleNotFoundError.  `addPyFile` ships a zip of the package with
+    every task and prepends it to the worker's sys.path — works after JVM
+    start, on any session, local or cluster (the --py-files mechanism).
+    Idempotent per SparkContext; rebuilt zip per driver process.
+    Accepts a SparkSession or a bare SparkContext.
+    """
+    sc = getattr(spark, "sparkContext", spark)
+    if getattr(sc, "_tinymr_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"tinymr_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.join(
+                            "tinymr_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._tinymr_spark_shipped = True
+
+
 def get_session(app_name: str = "tinymr-spark", cpus: str | None = None) -> SparkSession:
     """Return the active SparkSession, creating one if needed."""
     active = SparkSession.getActiveSession()
