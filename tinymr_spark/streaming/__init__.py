@@ -259,15 +259,99 @@ GROUP BY user_id, session_no
 """
 
 
+# ---------------------------------------------------------------------------
+# Stream-static join: the enrichment shape — every micro-batch joins
+# against a static dimension (here a per-user lifetime profile computed
+# batch-side from the same table; in production, a slowly-changing dim).
+# The static side is broadcast, so the stream is never shuffled for the
+# join; the only stateful op is the downstream windowed count.
+# ---------------------------------------------------------------------------
+def q94_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("lifetime_events"),
+            F.round(F.sum("value"), 2).alias("lifetime_value"),
+        )
+    )
+    stream = stream_events(spark, sf_dir)
+    enriched = stream.join(F.broadcast(profile), "user_id")
+    result = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy("user_id", "lifetime_events", "lifetime_value")
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.round(F.sum("value"), 2).alias("window_value"),
+        )
+    )
+    return run_stream_to_table(result, spark)
+
+
+ORACLE_Q94 = """
+WITH profile AS (
+    SELECT user_id, COUNT(*) AS lifetime_events, ROUND(SUM(value), 2) AS lifetime_value
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id, p.lifetime_events, p.lifetime_value,
+       COUNT(*) AS n_seen, ROUND(SUM(e.value), 2) AS window_value
+FROM events e JOIN profile p ON p.user_id = e.user_id
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming deduplication: watermarked dropDuplicates on the key columns —
+# the standard exactly-once-per-key guard at ingest (state = one entry per
+# key inside the watermark horizon).  Projected to the key columns only so
+# which physical row survives is immaterial; equals batch DISTINCT.
+# ---------------------------------------------------------------------------
+def q95_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+ORACLE_Q95 = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
     "q92_stream_stateful": q92_stream_stateful,
     "q93_stream_session": q93_stream_session,
+    "q94_stream_static_join": q94_stream_static_join,
+    "q95_stream_dedup": q95_stream_dedup,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
     "q91_stream_sliding": ORACLE_Q91,
     "q92_stream_stateful": ORACLE_Q92,
     "q93_stream_session": ORACLE_Q93,
+    "q94_stream_static_join": ORACLE_Q94,
+    "q95_stream_dedup": ORACLE_Q95,
 }
