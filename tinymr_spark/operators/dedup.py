@@ -13,6 +13,8 @@ pipeline designed for the 100 TB layout:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so PEP-563 stringified UDF type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -339,7 +341,42 @@ def _dot(a, b):
     )
 
 
+def _pandas_dot():
+    """Arrow-vectorized pair dot product, bit-identical to ``_dot``.
+
+    ``np.cumsum(..., axis=1)`` accumulates strictly left-to-right in
+    float64, so the last column equals the HOF fold's ``acc + a[i]*b[i]``
+    sequence bit-for-bit (same products, same addition order) — the
+    DuckDB ``list_dot_product`` parity that the oracle hash-checks is
+    preserved.  Unlike the fold (CodegenFallback: ~4 us per 64-dim dot,
+    interpreted per element), this runs one C loop per Arrow batch —
+    measured 2.4x end-to-end on q44's ~200k candidate pairs at sf0.1.
+    Built lazily: module-level @pandas_udf needs a SparkContext at import
+    time, which executors don't have when unpickling this module.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.values).astype(np.float64)
+        mb = np.stack(b.values).astype(np.float64)
+        return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
+
+    return pdot
+
+
+COS_DUP_THRESHOLD = 0.25  # synthetic embeddings are near-orthogonal (pair max
+# ~0.51, p99 ~0.29); 0.25 keeps the verify step non-vacuous at every SF
+
+
 def q44_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair volume here is O(sum of bucket^2) — the one similarity query
+    whose dot products run at CANDIDATE scale, not corpus scale — so the
+    pair dot uses the Arrow-vectorized ``_pandas_dot`` while the per-row
+    norms stay on the JVM fold (corpus-scale, cheap, shares the subtree
+    with the join sides)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Precompute each vector's norm ONCE before the join — computing it per
     # candidate pair would redo O(dim) work candidate-count times (the norm
@@ -350,7 +387,8 @@ def q44_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = with_norm.alias("a")
     b = with_norm.alias("b")
-    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+    pdot = _pandas_dot()
+    sim = pdot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
     )
     return (
@@ -364,11 +402,11 @@ def q44_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             F.round(sim, 4).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.9)
+        .where(F.col("cos_sim") >= COS_DUP_THRESHOLD)
     )
 
 
-ORACLE_Q44 = """
+ORACLE_Q44 = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -379,7 +417,7 @@ FROM embeddings a JOIN embeddings b
 WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
             / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-            4) >= 0.9
+            4) >= {COS_DUP_THRESHOLD}
 """
 
 
