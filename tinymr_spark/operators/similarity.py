@@ -384,7 +384,7 @@ def q55_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = emb.join(buckets, "vec_id")
     a = vecs.alias("a")
-    b = vecs.alias("b")
+    b = vecs.hint("shuffle_hash").alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.norm") * F.col("b.norm")
     )
