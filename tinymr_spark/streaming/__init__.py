@@ -62,6 +62,25 @@ def tumbling_counts(stream: DataFrame, bucket: str = "300 seconds",
     )
 
 
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Drop this JVM's cached state-store providers after a finished run.
+
+    Providers are cached per (checkpoint, operator, partition) and only
+    unloaded lazily; every AvailableNow query here uses a fresh temp
+    checkpoint, so the cache grows monotonically across queries and the
+    background maintenance thread walks ALL of them (including ones whose
+    temp checkpoints are already deleted) — measured as multi-second
+    interference landing on whichever streaming query runs when
+    maintenance fires.  One-shot replay queries never reuse their state,
+    so unloading is pure win; a long-lived production stream would NOT do
+    this (provider cache reuse across micro-batches is the point there).
+    """
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # JVM API shape changed — cache growth is only a perf issue
+
+
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
                         n_state_parts: int = 8) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
@@ -88,6 +107,7 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _unload_state_stores(spark)
     return spark.table(name)
 
 
@@ -183,6 +203,7 @@ def q92_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _unload_state_stores(spark)
     # update mode can emit a row per trigger per key; keep the final state
     from pyspark.sql import Window
 
@@ -315,21 +336,7 @@ def q95_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_distinct_users"))
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return run_stream_to_table(deduped, spark)
 
 
 ORACLE_Q95 = """
