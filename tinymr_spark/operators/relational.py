@@ -808,6 +808,81 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q28 — FULL OUTER join: nations seen as customer homes vs as supplier
+# homes; either side can be absent (low-SF dirs don't cover all 25
+# nations on both sides), which is exactly what FULL OUTER preserves and
+# semi/inner joins lose.  Both inputs are pre-aggregated to 25 rows, so
+# at 100 TB the outer join itself is trivial — the heavy lifting stays in
+# the two partial-aggregated groupBys; coalesce() canonicalizes the join
+# key and turns absent sides into explicit zeros.
+# ---------------------------------------------------------------------------
+def q28_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"], "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_Q28 = """
+WITH cust AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+     supp AS (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       CAST(COALESCE(n_customers, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(n_suppliers, 0) AS BIGINT) AS n_suppliers
+FROM cust FULL OUTER JOIN supp ON c_nationkey = s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — unpivot (wide -> long): part's numeric attributes melted to
+# (metric, value) rows via the built-in unpivot/melt, then aggregated per
+# metric.  Unpivot is a narrow per-row transform (no shuffle — each input
+# row expands to k output rows in place); only the tiny per-metric
+# aggregate exchanges.
+# ---------------------------------------------------------------------------
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    )
+    melted = part.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+ORACLE_Q29 = """
+WITH melted AS (
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+SELECT metric, COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM melted
+GROUP BY metric
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -836,6 +911,8 @@ QUERIES = {
     "q25_array_functions": q25_array_functions,
     "q26_salted_agg": q26_salted_agg,
     "q27_stratified_sample": q27_stratified_sample,
+    "q28_full_outer_join": q28_full_outer_join,
+    "q29_unpivot": q29_unpivot,
 }
 
 ORACLE = {
@@ -865,4 +942,6 @@ ORACLE = {
     "q25_array_functions": ORACLE_Q25,
     "q26_salted_agg": ORACLE_Q26,
     "q27_stratified_sample": ORACLE_Q27,
+    "q28_full_outer_join": ORACLE_Q28,
+    "q29_unpivot": ORACLE_Q29,
 }
