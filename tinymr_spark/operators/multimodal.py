@@ -150,14 +150,140 @@ WHERE frame_no % 4 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Real-codec hook: the seam where an actual image/audio decoder plugs in.
+# The container ships no codec libraries, so this raises loudly instead of
+# silently faking — pipelines that need real pixels fail fast with an
+# actionable message, while the _fake_decode path above keeps the Spark
+# plumbing (schema, Arrow batching, partitioning) exercised and tested.
+# ---------------------------------------------------------------------------
+def decode_image(payload: bytes):
+    """Decode an image payload to (width, height, pixels).
+
+    STUB — raises NotImplementedError.  Wire a real decoder by replacing
+    the body with e.g. PIL:  ``img = PIL.Image.open(io.BytesIO(payload))``
+    inside the mapInPandas worker (never driver-side).
+    """
+    try:
+        import PIL.Image  # noqa: F401  — not installed in this container
+    except ImportError:
+        raise NotImplementedError(
+            "decode_image needs an image codec (e.g. Pillow); none is "
+            "installed in this environment. Use q61's deterministic fake "
+            "decoder for plumbing tests."
+        )
+    raise NotImplementedError("real decode path not wired yet")
+
+
+# ---------------------------------------------------------------------------
+# Resize (q65): second mapInPandas stage chained after decode — the
+# canonical two-step multimodal pipeline (decode -> transform), each an
+# Arrow-batched operator with its own explicit schema.  The "resize" is
+# aspect-preserving fit into TARGET x TARGET computed from the decoded
+# dims; with a real codec the same stage would also emit the resampled
+# payload bytes.  Integer arithmetic only, so the oracle reproduces it
+# exactly.
+# ---------------------------------------------------------------------------
+TARGET = 224
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        # guard the degenerate 0-dim rows the fake decoder can produce
+        w = pdf["width"].clip(lower=1)
+        h = pdf["height"].clip(lower=1)
+        scale_num = TARGET  # fit: scale = TARGET / max(w, h), kept rational
+        longest = w.where(w >= h, h)
+        out_w = (w * scale_num // longest).astype("int32")
+        out_h = (h * scale_num // longest).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "out_w": out_w,
+                "out_h": out_h,
+            }
+        )
+
+
+def q65_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = q61_multimodal_decode(spark, sf_dir)
+    return decoded.select("doc_id", "width", "height").mapInPandas(
+        _fake_resize, schema="doc_id bigint, width int, height int, out_w int, out_h int"
+    )
+
+
+ORACLE_Q65 = f"""
+WITH decoded AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height
+    FROM documents
+),
+clamped AS (
+    SELECT doc_id, width, height,
+           GREATEST(width, 1) AS w, GREATEST(height, 1) AS h
+    FROM decoded
+)
+SELECT doc_id, width, height,
+       CAST(w * {TARGET} // GREATEST(w, h) AS INT) AS out_w,
+       CAST(h * {TARGET} // GREATEST(w, h) AS INT) AS out_h
+FROM clamped
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (q66): per-payload scalar features via mapInPandas —
+# the shape of an embedding/fingerprint stage (payload in, feature row
+# out), with REAL vectorized computation (pandas str ops over the Arrow
+# batch), not a fake.  Counts are defined on the decoded utf-8 text so
+# the oracle can reproduce them with regexp counting.
+# ---------------------------------------------------------------------------
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, n_digits int, n_spaces int, n_vowels int"
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        text = pdf["payload"].map(lambda b: b.decode("utf-8"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].str.len().astype("int32"),
+                "n_digits": text.str.count(r"[0-9]").astype("int32"),
+                "n_spaces": text.str.count(" ").astype("int32"),
+                "n_vowels": text.str.count(r"[aeiou]").astype("int32"),
+            }
+        )
+
+
+def q66_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = payloads(spark, sf_dir).select("doc_id", "payload")
+    return df.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+ORACLE_Q66 = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+       CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS INT)     AS n_spaces,
+       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
+FROM documents
+"""
+
+
 QUERIES = {
     "q60_multimodal_manifest": q60_multimodal_manifest,
     "q61_multimodal_decode": q61_multimodal_decode,
     "q62_multimodal_frames": q62_multimodal_frames,
+    "q65_multimodal_resize": q65_multimodal_resize,
+    "q66_payload_features": q66_payload_features,
 }
 
 ORACLE = {
     "q60_multimodal_manifest": ORACLE_Q60,
     "q61_multimodal_decode": ORACLE_Q61,
     "q62_multimodal_frames": ORACLE_Q62,
+    "q65_multimodal_resize": ORACLE_Q65,
+    "q66_payload_features": ORACLE_Q66,
 }
