@@ -346,6 +346,91 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# foreachBatch parquet sink (q96): the production write path — every other
+# streaming query here lands in a memory sink for oracle comparison, but a
+# real pipeline writes files.  foreachBatch gives batch-DataFrame writer
+# semantics per micro-batch; in complete mode, overwrite-per-batch makes
+# the sink IDEMPOTENT (a replayed batch rewrites the same result — the
+# standard exactly-once recipe for aggregate sinks).  The returned
+# DataFrame is read back from the files, so the oracle checks the entire
+# source -> state -> sink -> re-read loop.
+# ---------------------------------------------------------------------------
+def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "tinymr_spark_sink", uuid.uuid4().hex[:8]
+    )
+    result = tumbling_counts(stream_events(spark, sf_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _unload_state_stores(spark)
+    return spark.read.parquet(out_dir)
+
+
+ORACLE_Q96 = ORACLE_Q90  # same aggregate, different sink
+
+
+# ---------------------------------------------------------------------------
+# Multi-micro-batch incremental state (q97): every AvailableNow query over
+# the single-file testdata collapses to ONE micro-batch; this one stages
+# the events as several files and throttles with maxFilesPerTrigger=1, so
+# the aggregation state genuinely accumulates across batches — the thing
+# that distinguishes streaming state from a batch groupBy.  Complete mode
+# + no watermark keeps the final answer independent of file arrival
+# order (file listing order is not ts order, so a watermark would drop
+# "late" rows nondeterministically).
+# ---------------------------------------------------------------------------
+N_STAGE_FILES = 4
+
+
+def _staged_event_files(spark: SparkSession, sf_dir: str) -> str:
+    """Split the events table into N_STAGE_FILES parquet files once per
+    (session, sf_dir); returns the staging directory."""
+    stage = os.path.join(
+        tempfile.gettempdir(), "tinymr_spark_stage_multi",
+        hashlib.md5(table_path(sf_dir, "events").encode()).hexdigest(),
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "events").repartition(N_STAGE_FILES).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        open(done, "w").close()
+    return stage
+
+
+def q97_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _staged_event_files(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(stage)
+    per_user = (
+        stream.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return run_stream_to_table(per_user, spark)
+
+
+ORACLE_Q97 = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
@@ -353,6 +438,8 @@ QUERIES = {
     "q93_stream_session": q93_stream_session,
     "q94_stream_static_join": q94_stream_static_join,
     "q95_stream_dedup": q95_stream_dedup,
+    "q96_stream_sink_parquet": q96_stream_sink_parquet,
+    "q97_stream_incremental": q97_stream_incremental,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -361,4 +448,6 @@ ORACLE = {
     "q93_stream_session": ORACLE_Q93,
     "q94_stream_static_join": ORACLE_Q94,
     "q95_stream_dedup": ORACLE_Q95,
+    "q96_stream_sink_parquet": ORACLE_Q96,
+    "q97_stream_incremental": ORACLE_Q97,
 }
