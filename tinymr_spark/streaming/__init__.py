@@ -81,6 +81,24 @@ def _unload_state_stores(spark: SparkSession) -> None:
         pass  # JVM API shape changed — cache growth is only a perf issue
 
 
+def _pre_stream_cleanup(spark: SparkSession) -> None:
+    """Clear residue of earlier one-shot streaming runs before starting a
+    new one.  Two things grow per terminated query and were measured to
+    triple later queries' wall time by the ~20th run: the query manager's
+    terminated-query list (the listener bus walks it) and the memory-sink
+    temp views (each pins its sink rows and plan).  Dropping a view does
+    not break DataFrames already returned — they hold the resolved plan —
+    only fresh ``spark.table(old_name)`` lookups, which nothing does.
+    """
+    try:
+        spark.streams.resetTerminated()
+    except Exception:
+        pass
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_out_"):
+            spark.catalog.dropTempView(t.name)
+
+
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
                         n_state_parts: int = 8) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
@@ -93,6 +111,7 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     conf for the duration of the run; the count freezes into the
     checkpoint on first start anyway, so this is a per-stream sizing
     decision, not a tunable-later knob."""
+    _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
@@ -182,6 +201,7 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
 
 def q92_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir)
+    _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     # Each shuffle partition carries its own state store AND its own Python
     # worker per micro-batch; for a stateful op the partition count should
@@ -361,6 +381,7 @@ def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "tinymr_spark_sink", uuid.uuid4().hex[:8]
     )
     result = tumbling_counts(stream_events(spark, sf_dir))
+    _pre_stream_cleanup(spark)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
