@@ -80,3 +80,18 @@ def test_hash_repartition_reused_downstream(spark, sf_dir):
     # the groupBy must reuse the explicit partitioning: exactly the one
     # repartition exchange, no second exchange for the aggregate
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    from tinymr_spark.operators.scale import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path)
+    one_lang = back.where(F.col("lang") == "en").select("doc_id")
+    plan = explain_str(one_lang, "formatted")
+    # the lang predicate must prune at the DIRECTORY level, not post-scan
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], plan
+    expected = docs.where(F.col("lang") == "en").count()
+    assert one_lang.count() == expected and expected > 0

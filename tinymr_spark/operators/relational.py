@@ -883,6 +883,53 @@ GROUP BY metric
 """
 
 
+# ---------------------------------------------------------------------------
+# q85 — the SQL-string surface: the same engine drives ANSI SQL text via
+# spark.sql() over registered views (CTE + join + aggregate + window in
+# one statement).  The reference has no SQL parser at all (SURVEY.md
+# §2.4); here the parser, analyzer and optimizer come with Spark — this
+# entry proves the registration + dialect path works end-to-end, and that
+# SQL text gets the identical physical treatment (broadcast dim join,
+# partial aggregation) as the DataFrame API.
+# ---------------------------------------------------------------------------
+def q85_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH nation_rev AS (
+            SELECT n.n_name AS nation,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT nation, revenue, n_items,
+               CAST(RANK() OVER (ORDER BY revenue DESC) AS INT) AS rev_rank
+        FROM nation_rev
+    """)
+
+
+ORACLE_Q85 = """
+WITH nation_rev AS (
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation, revenue, n_items,
+       CAST(RANK() OVER (ORDER BY revenue DESC) AS INT) AS rev_rank
+FROM nation_rev
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -913,6 +960,7 @@ QUERIES = {
     "q27_stratified_sample": q27_stratified_sample,
     "q28_full_outer_join": q28_full_outer_join,
     "q29_unpivot": q29_unpivot,
+    "q85_sql_interface": q85_sql_interface,
 }
 
 ORACLE = {
@@ -944,4 +992,5 @@ ORACLE = {
     "q27_stratified_sample": ORACLE_Q27,
     "q28_full_outer_join": ORACLE_Q28,
     "q29_unpivot": ORACLE_Q29,
+    "q85_sql_interface": ORACLE_Q85,
 }

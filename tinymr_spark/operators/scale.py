@@ -64,3 +64,18 @@ def hash_repartition(df: DataFrame, cols: list[str], n: int) -> DataFrame:
     """Explicit hash partitioning — pre-shuffle once, reuse across several
     downstream keyed operations on the same key."""
     return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Persist hive-style directory-partitioned parquet
+    (``path/col=value/...``).
+
+    Partition pruning is the coarsest and cheapest data-skipping layer at
+    100 TB: a filter on a partition column never LISTS the other
+    directories, let alone reads them — it shows up in the scan as
+    ``PartitionFilters`` (asserted by tests/test_scale_patterns.py).
+    Choose low-cardinality columns that dominate query predicates (date,
+    region, language); high-cardinality partitioning creates a
+    small-files problem instead.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
