@@ -1,0 +1,81 @@
+"""Scale-readiness audit: compile every queries() entry and scan its
+physical plan for patterns that break at 100 TB.
+
+Red flags:
+  CartesianProduct           — all-pairs blowup
+  BroadcastNestedLoopJoin    — non-equi join fallback (O(n*m) probe)
+  BatchEvalPython            — row-at-a-time Python UDF in the plan
+Informational:
+  ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas — Python, but
+  Arrow-batched (the sanctioned escape hatch)
+  exchanges                  — shuffle count per plan
+
+Streaming queries (q9x) and driver-finalized ones (q46) execute on
+construction; they are planned but flagged `dynamic` and skipped for
+plan-string checks where construction would run the stream.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+RED = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+# queries whose construction executes jobs (streaming drives to a sink;
+# q46 finishes a driver-side union-find) — planned on their RESULT table,
+# so exchange counts reflect the final read, not the pipeline.
+DYNAMIC = {"q46_dedup_groups"}
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# O(1) rows — then the "nested loop" is a constant-size per-row loop, the
+# intended plan, not a blowup:
+#   q38_tfidf          — crossJoin(broadcast(1-row corpus doc count))
+#   q50_ann_bruteforce — per-corpus-row loop over N_QUERY=5 broadcast
+#                        queries IS the brute-force contract
+#   q54_ann_ivf        — crossJoin(broadcast(1-row folded codebook))
+ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    import __spark_entry__ as entrymod
+    from tinymr_spark.session import get_session
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for name, fn in entrymod.queries().items():
+        dynamic = name in DYNAMIC or name.startswith("q9")
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        reds = [
+            p for p in RED
+            if p in plan and not (p == "BroadcastNestedLoopJoin" and name in ALLOW_BNLJ)
+        ]
+        infos = [p for p in INFO if p in plan]
+        nex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        tag = " dynamic" if dynamic else ""
+        notes = (" RED:" + ",".join(reds)) if reds else ""
+        if infos:
+            notes += " arrow:" + ",".join(infos)
+        print(f"{name:32s} exchanges={nex}{tag}{notes}")
+        if reds and not dynamic:
+            failures.append((name, reds))
+    if failures:
+        print("\nRED FLAGS:")
+        for name, reds in failures:
+            print(f"  {name}: {', '.join(reds)}")
+        return 1
+    print("\nno red flags")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
