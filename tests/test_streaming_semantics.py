@@ -1,0 +1,90 @@
+"""Watermark semantics under real multi-batch replay — behavior that
+single-batch AvailableNow replays (q90-q97 on the driver's one-file
+testdata) can never exhibit.
+
+Spark drops a late row only once its window has been FINALIZED (emitted
+and evicted): a row later than the watermark whose window is still in
+state is merged, not dropped (verified empirically — the
+numRowsDroppedByWatermark metric stays 0 and the count includes it).
+So the drop needs three micro-batches (parquet files with controlled
+mtimes; FileStreamSource processes oldest-first with
+maxFilesPerTrigger=1):
+
+  batch A: 10:00, 10:02 (window 10:00) + 10:30 -> watermark 10:20 after A
+  batch B: 10:45 on-time; at batch end the 10:00 window (end 10:05 <=
+           wm 10:20) is emitted with n=2 and evicted
+  batch C: 10:01 -> its window is gone -> DROPPED (metric = 1)
+
+If the watermark machinery were broken, the 10:00 window would emit
+n=3 (late row merged) or emit twice (n=2 then n=1)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+
+def _write(path: str, ts_us: list[int], mtime: int) -> None:
+    table = pa.table(
+        {
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ts_us), type=pa.int64()),
+            "value": pa.array([1.0] * len(ts_us), type=pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _us(hh: int, mm: int) -> int:
+    return ((hh * 60 + mm) * 60) * 1_000_000
+
+
+def test_late_event_dropped_after_window_finalized(spark, tmp_path):
+    stage = str(tmp_path / "late_stage")
+    os.makedirs(stage)
+    _write(os.path.join(stage, "a.parquet"),
+           [_us(10, 0), _us(10, 2), _us(10, 30)], mtime=1_000_000)
+    _write(os.path.join(stage, "b.parquet"), [_us(10, 45)], mtime=2_000_000)
+    _write(os.path.join(stage, "c.parquet"), [_us(10, 1)], mtime=3_000_000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_ts"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = [
+        (r["bucket_ts"].strftime("%H:%M"), r["n"])
+        for r in spark.table(name).collect()
+    ]
+    emitted_1000 = [n for b, n in rows if b == "10:00"]
+
+    assert dropped == 1, (dropped, rows)
+    # emitted exactly once, with exactly the two on-time rows
+    assert emitted_1000 == [2], rows
