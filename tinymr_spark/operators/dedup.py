@@ -684,6 +684,100 @@ HAVING MIN(bit_count(xor(a.simhash, b.simhash))) <= {HAMMING_MAX}""",
 )
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (q48): sub-document dedup — the CDC
+# technique from backup/storage systems applied to the token stream.  A
+# token is a chunk BOUNDARY when its md5 falls in 1/CDC_DIV of hash
+# space; chunk id = running count of boundaries before each position
+# (a window running sum — the one shuffle, on doc_id).  Because
+# boundaries depend only on token CONTENT, shared passages between
+# documents chunk identically regardless of their offset — exactly why
+# CDC beats fixed-size blocks — and duplicate chunks are then a plain
+# fingerprint groupBy.  Returns cross-document duplicated chunks with
+# their source count (the "dedupable bytes" report).
+# ---------------------------------------------------------------------------
+CDC_DIV = 8       # ~1/8 of tokens are boundaries -> expected chunk ~8 tokens
+CDC_MIN_TOKENS = 4  # ignore trivial chunks
+
+
+def q48_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    boundary = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % CDC_DIV == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.select(
+        "doc_id", "pos", "tok",
+        F.coalesce(F.sum(boundary).over(w), F.lit(0)).alias("chunk_no"),
+    )
+    # collect_list order is NOT guaranteed across exchanges — sort the
+    # (pos, tok) structs explicitly so the fingerprint is deterministic
+    # under any physical plan (matches the oracle's ORDER BY pos).
+    ordered_toks = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_no")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(F.array_join(ordered_toks, " ")).alias("chunk_fp"),
+        )
+        .where(F.col("n_tokens") >= CDC_MIN_TOKENS)
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_Q48 = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok,
+           unnest(range(0, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))) AS pos
+    FROM documents
+),
+flagged AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {CDC_DIV} = 0
+                THEN 1 ELSE 0 END AS b
+    FROM toks
+),
+chunked AS (
+    SELECT doc_id, pos, tok,
+           COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+    FROM flagged
+),
+chunks AS (
+    SELECT doc_id, chunk_no, COUNT(*) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+    FROM chunked
+    GROUP BY doc_id, chunk_no
+    HAVING COUNT(*) >= {CDC_MIN_TOKENS}
+)
+SELECT chunk_fp,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(n_tokens) AS n_tokens
+FROM chunks
+GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -693,6 +787,7 @@ QUERIES = {
     "q45_dedup_minhash_banded": q45_dedup_minhash_banded,
     "q46_dedup_groups": q46_dedup_groups,
     "q47_dedup_simhash_banded": q47_dedup_simhash_banded,
+    "q48_dedup_cdc_chunks": q48_dedup_cdc_chunks,
 }
 
 ORACLE = {
@@ -704,4 +799,5 @@ ORACLE = {
     "q45_dedup_minhash_banded": ORACLE_Q45,
     "q46_dedup_groups": ORACLE_Q46,
     "q47_dedup_simhash_banded": ORACLE_Q47,
+    "q48_dedup_cdc_chunks": ORACLE_Q48,
 }
