@@ -256,9 +256,10 @@ GROUP BY vec_id
 # then joins on the cell id — candidates never leave their bucket, the
 # classic IVF contract.
 # ---------------------------------------------------------------------------
-def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector assigned to its nearest seed-codebook cell — the
+    shared IVF building block (see q54's header comment for the plan
+    rationale: one-row folded broadcast codebook, no corpus shuffle)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
@@ -292,13 +293,19 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["cell"].alias("cell"),
         )
 
-    assigned = (
+    return (
         emb.crossJoin(F.broadcast(cb))
         .select(
             "vec_id", "embedding", "norm2",
             F.array_min(F.transform(F.col("cb"), _d2_struct))["cell"].alias("cell"),
         )
     )
+
+
+def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assigned = _ivf_assigned(spark, sf_dir)
     queries = assigned.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -493,6 +500,46 @@ FROM quant
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q57 — one k-means (Lloyd) iteration: assign every vector to its nearest
+# seed centroid (the q54 assignment — broadcast codebook, no corpus
+# shuffle), then recompute each cell's centroid as the positional mean.
+# This is THE iterative-ML building block on an engine: iterating it is
+# k-means; the per-iteration cost is one narrow pass + one groupBy
+# (posexplode -> partial-aggregated avg), so an iteration at 100 TB
+# shuffles only k*dim partial sums per executor, not the corpus.
+# ---------------------------------------------------------------------------
+def q57_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _ivf_assigned(spark, sf_dir)
+    return (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+# the assigned CTE is exactly q54's oracle prefix
+_ORACLE_ASSIGNED = ORACLE_Q54.split(",\nscored AS")[0].replace(
+    "WITH emb AS", "WITH emb AS"
+)
+
+ORACLE_Q57 = _ORACLE_ASSIGNED + """
+SELECT cell, pos,
+       ROUND(AVG(v_elem), 6) AS centroid_v,
+       COUNT(*) AS n_members
+FROM (SELECT cell,
+             unnest(v) AS v_elem,
+             CAST(unnest(range(0, len(v))) AS INT) AS pos
+      FROM assigned)
+GROUP BY cell, pos
+"""
+
+
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
     "q51_ann_bucketed": q51_ann_bucketed,
@@ -501,6 +548,7 @@ QUERIES = {
     "q54_ann_ivf": q54_ann_ivf,
     "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
     "q56_normalize_quantize": q56_normalize_quantize,
+    "q57_kmeans_iteration": q57_kmeans_iteration,
 }
 
 ORACLE = {
@@ -511,4 +559,5 @@ ORACLE = {
     "q54_ann_ivf": ORACLE_Q54,
     "q55_embedding_lsh_dedup": ORACLE_Q55,
     "q56_normalize_quantize": ORACLE_Q56,
+    "q57_kmeans_iteration": ORACLE_Q57,
 }

@@ -38,7 +38,9 @@ DYNAMIC = {"q46_dedup_groups"}
 #   q50_ann_bruteforce — per-corpus-row loop over N_QUERY=5 broadcast
 #                        queries IS the brute-force contract
 #   q54_ann_ivf        — crossJoin(broadcast(1-row folded codebook))
-ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf"}
+#   q57_kmeans_iteration — same folded-codebook assignment as q54
+ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
+              "q57_kmeans_iteration"}
 
 
 def main() -> int:
