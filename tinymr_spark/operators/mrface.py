@@ -106,14 +106,70 @@ HAVING COUNT(*) >= 50
 """
 
 
+class _EarliestPerType(MapReduce):
+    """Secondary sort in anger: 3-tuple mapper output (key, sort, value)
+    triggers the engine's within-key ordering (reference docs.rst:300-307
+    sort matrix); ``sort_map_with_value`` adds the value as tie-breaker so
+    the result is total-ordered and engine-independent.  The reducer just
+    takes the first K — "earliest K events per type" with ZERO sorting in
+    user code, exactly how the reference's users exploit the sort stage."""
+
+    sort_map_with_value = True
+    K = 3
+
+    def mapper(self, item):
+        event_type, ts_us, event_id = item
+        yield (event_type, ts_us, event_id)
+
+    def reducer(self, key, values):
+        return (key, list(values)[: self.K])
+
+
+def q83_mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed secondary sort through the MapReduce face.  The sort
+    key is integer microseconds (the engine compares Python values — µs
+    ints sidestep the parquet-NANOS-vs-µs divergence; the oracle orders
+    by epoch_ns // 1000 for the same reason)."""
+    ev = load_table(spark, sf_dir, "events")
+    triples = ev.select(
+        "event_type",
+        (F.unix_micros("ts")).alias("ts_us"),
+        "event_id",
+    ).rdd.map(lambda r: (r[0], int(r[1]), int(r[2])))
+    result = _EarliestPerType().to_rdd(triples, spark=spark)
+    rows = result.flatMap(
+        lambda kv: [
+            (kv[0], rank + 1, int(event_id))
+            for rank, event_id in enumerate(kv[1])
+        ]
+    )
+    return spark.createDataFrame(
+        rows, schema="event_type string, rank int, event_id bigint"
+    )
+
+
+ORACLE_Q83 = f"""
+SELECT event_type, CAST(rn AS INT) AS rank, event_id
+FROM (
+    SELECT event_type, event_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+    FROM events
+)
+WHERE rn <= {_EarliestPerType.K}
+"""
+
+
 QUERIES = {
     "q80_mr_wordcount": q80_mr_wordcount,
     "q81_mr_distinct_sources": q81_mr_distinct_sources,
     "q82_mr_chain_relational": q82_mr_chain_relational,
+    "q83_mr_secondary_sort": q83_mr_secondary_sort,
 }
 
 ORACLE = {
     "q80_mr_wordcount": ORACLE_Q80,
     "q81_mr_distinct_sources": ORACLE_Q81,
     "q82_mr_chain_relational": ORACLE_Q82,
+    "q83_mr_secondary_sort": ORACLE_Q83,
 }
