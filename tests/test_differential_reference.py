@@ -134,3 +134,18 @@ def test_two_stage_regroup(spark, data, smr, srr):
 
     ref, ours = mk(reference.MapReduce)(), mk(OurMR)()
     assert ours(data) == ref(data)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=TUPLES3, smwv=FLAG, smr=FLAG)
+def test_against_pooled_reference(spark, data, smwv, smr):
+    """The reference's POOLED path (mapper_map/reducer_map, O15's
+    serialization wrappers) must agree with our engine too — Spark
+    executors replace the pool, same results."""
+    from multiprocessing.dummy import Pool
+
+    ref, ours = _passthrough_pair({"smwv": smwv, "smr": smr})
+    with Pool(4) as pool:
+        expected = ref(data, mapper_map=pool.map, reducer_map=pool.map)
+    assert ours(data, mapper_map=pool.map, reducer_map=pool.map) == expected
