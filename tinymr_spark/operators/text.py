@@ -392,6 +392,60 @@ GROUP BY fp
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q86 — sentence segmentation + per-document readability stats: split on
+# terminal punctuation runs ([.!?]+), keep non-blank sentences, report
+# sentence count / mean words-per-sentence — the quality signals used for
+# training-data readability filtering.  Same regex dialect in Spark
+# (Java regex) and DuckDB (RE2): no lookarounds, just a character-class
+# split, so both engines segment identically.  Narrow per-row work; the
+# only exchange is the final nothing (per-doc output).
+# ---------------------------------------------------------------------------
+def q86_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    words_per = F.transform(
+        sents, lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sents).alias("n_sentences"),
+        F.round(
+            F.when(
+                F.size(sents) > 0,
+                F.aggregate(words_per, F.lit(0), lambda a, b: a + b)
+                / F.size(sents).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_words_per_sentence"),
+    )
+
+
+ORACLE_Q86 = r"""
+WITH segs AS (
+    SELECT doc_id,
+           list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                      s -> trim(s)),
+                       s -> s <> '') AS sents
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS INT) AS n_sentences,
+       ROUND(CASE WHEN len(sents) > 0
+                  THEN CAST(list_sum(COALESCE(list_transform(sents,
+                         s -> len(list_filter(regexp_split_to_array(s, '\s+'),
+                                              w -> w <> ''))), [])) AS DOUBLE)
+                       / len(sents)
+                  ELSE 0.0 END, 4) AS avg_words_per_sentence
+FROM segs
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -403,6 +457,7 @@ QUERIES = {
     "q37_bpe_token_count": q37_bpe_token_count,
     "q38_tfidf": q38_tfidf,
     "q39_prep_pipeline": q39_prep_pipeline,
+    "q86_sentence_stats": q86_sentence_stats,
 }
 
 ORACLE = {
@@ -416,4 +471,5 @@ ORACLE = {
     "q37_bpe_token_count": ORACLE_Q37,
     "q38_tfidf": ORACLE_Q38,
     "q39_prep_pipeline": ORACLE_Q39,
+    "q86_sentence_stats": ORACLE_Q86,
 }

@@ -100,7 +100,8 @@ def _pre_stream_cleanup(spark: SparkSession) -> None:
 
 
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
-                        n_state_parts: int = 8) -> DataFrame:
+                        n_state_parts: int = 8,
+                        output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink; return the materialized table.
 
@@ -119,7 +120,7 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -452,6 +453,63 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream join (q98): the remaining major stateful operator — BOTH
+# join sides are unbounded streams, so each side buffers rows in state
+# until the other side's watermark proves no more matches can arrive.
+# Clicks attribute to a purchase by the same user within the preceding 10
+# minutes: equality on user_id + an event-time range condition, both
+# sides watermarked (that pair is exactly what lets Spark bound the join
+# state).  Output projects the time delta in integer MICROSECONDS — raw
+# timestamps never appear, sidestepping the parquet ns-vs-us divergence.
+# ---------------------------------------------------------------------------
+def q98_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+    )
+    return run_stream_to_table(joined, spark, output_mode="append")
+
+
+ORACLE_Q98 = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id,
+       epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000
+ AND epoch_ns(c.ts) // 1000 >= epoch_ns(p.ts) // 1000 - 600000000
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
@@ -461,6 +519,7 @@ QUERIES = {
     "q95_stream_dedup": q95_stream_dedup,
     "q96_stream_sink_parquet": q96_stream_sink_parquet,
     "q97_stream_incremental": q97_stream_incremental,
+    "q98_stream_stream_join": q98_stream_stream_join,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -471,4 +530,5 @@ ORACLE = {
     "q95_stream_dedup": ORACLE_Q95,
     "q96_stream_sink_parquet": ORACLE_Q96,
     "q97_stream_incremental": ORACLE_Q97,
+    "q98_stream_stream_join": ORACLE_Q98,
 }
