@@ -446,6 +446,119 @@ FROM segs
 """
 
 
+# ---------------------------------------------------------------------------
+# q87 — repetition signals (Gopher-style quality filters): per document,
+# the unique-token fraction, the most-frequent-token fraction, and the
+# duplicated-bigram fraction — the standard knobs for dropping
+# boilerplate/spam from a pretraining corpus.  Entirely per-row array
+# work (ZERO shuffles — the output is already per-doc): embarrassingly
+# parallel at 100 TB, and the parquet scan reads only (doc_id, text).
+# Fractions are emitted as raw int/int double divisions (no rounding) —
+# IEEE division is bit-identical across Spark and DuckDB, so the oracle
+# hash matches without the half-even rounding hazards of ROUND().
+# ---------------------------------------------------------------------------
+def q87_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    staged = docs.withColumn("bigrams", ngrams(toks, 2))
+    n, nb = F.size(toks), F.size(F.col("bigrams"))
+    # Per-doc mode count via nested HOFs: O(unique * n) per row, but the
+    # vocabulary is bounded and this avoids an explode+groupBy+rejoin
+    # (two shuffles of the full token stream) for a per-row statistic.
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n)
+        .otherwise(0.0)
+        .alias("unique_token_frac"),
+        F.when(n > 0, top_cnt.cast("double") / n)
+        .otherwise(0.0)
+        .alias("top_token_frac"),
+        F.when(
+            nb > 0,
+            F.lit(1.0) - F.size(F.array_distinct(F.col("bigrams"))).cast("double") / nb,
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+
+
+ORACLE_Q87 = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+), b AS (
+    SELECT doc_id, toks,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS unique_token_frac,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_max(list_transform(list_distinct(toks),
+                     tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS top_token_frac,
+       CASE WHEN len(bigrams) > 0
+            THEN 1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q88 — benchmark decontamination: flag corpus documents sharing an exact
+# n-gram with a held-out benchmark set (here a deterministic slice,
+# doc_id % 97 == 0, standing in for an eval suite; real pipelines use
+# 8-13-grams — 4 here only because the synthetic vocabulary is tiny).
+# The benchmark n-gram set is small by construction → DISTINCT then
+# broadcast-hash-join against the corpus n-gram stream: at 100 TB the
+# corpus side never shuffles, each task probes a shared hash map, and the
+# per-doc hit count comes from a partial-aggregated groupBy on doc_id.
+# ---------------------------------------------------------------------------
+def q88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams(F.col("toks"), 4))).alias("ngram")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("ngram").distinct()
+    return (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+ORACLE_Q88 = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS ngram
+    FROM t
+), bench AS (
+    SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_hits
+FROM g JOIN bench USING (ngram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -458,6 +571,8 @@ QUERIES = {
     "q38_tfidf": q38_tfidf,
     "q39_prep_pipeline": q39_prep_pipeline,
     "q86_sentence_stats": q86_sentence_stats,
+    "q87_repetition_signals": q87_repetition_signals,
+    "q88_decontaminate": q88_decontaminate,
 }
 
 ORACLE = {
@@ -472,4 +587,6 @@ ORACLE = {
     "q38_tfidf": ORACLE_Q38,
     "q39_prep_pipeline": ORACLE_Q39,
     "q86_sentence_stats": ORACLE_Q86,
+    "q87_repetition_signals": ORACLE_Q87,
+    "q88_decontaminate": ORACLE_Q88,
 }
