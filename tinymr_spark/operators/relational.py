@@ -930,6 +930,66 @@ FROM nation_rev
 """
 
 
+# ---------------------------------------------------------------------------
+# q89 — recursive-CTE calendar gap-fill: build a month spine with Spark's
+# native WITH RECURSIVE (new in Spark 4), then LEFT JOIN sparse monthly
+# aggregates onto it so empty months surface as explicit zeros — the
+# missing-period normalization every time-series rollup needs.  The spine
+# bounds ride along in the anchor row (no subquery in the recursive
+# step), the recursion is linear (one row per month, ~80 iterations, far
+# under the default recursion limit), and at 100 TB the plan is ideal:
+# the big side pre-aggregates to one row per month BEFORE the join, and
+# the ~80-row spine broadcasts.  DuckDB's oracle uses generate_series —
+# same spine, independently derived.
+# ---------------------------------------------------------------------------
+def q89_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE months(m, mx) AS (
+            SELECT date_trunc('MONTH', MIN(o_orderdate)),
+                   date_trunc('MONTH', MAX(o_orderdate))
+            FROM orders
+            UNION ALL
+            SELECT add_months(m, 1), mx FROM months WHERE m < mx
+        ),
+        monthly AS (
+            SELECT date_trunc('MONTH', o_orderdate) AS m,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+            GROUP BY 1
+        )
+        SELECT CAST(months.m AS DATE) AS month,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(revenue, 0.0) AS revenue
+        FROM months LEFT JOIN monthly ON months.m = monthly.m
+    """)
+
+
+ORACLE_Q89 = """
+WITH months AS (
+    SELECT unnest(generate_series(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)),
+                                  date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)),
+                                  INTERVAL 1 MONTH)) AS m
+),
+monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+    GROUP BY 1
+)
+SELECT CAST(months.m AS DATE) AS month,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(revenue, 0.0) AS revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -961,6 +1021,7 @@ QUERIES = {
     "q28_full_outer_join": q28_full_outer_join,
     "q29_unpivot": q29_unpivot,
     "q85_sql_interface": q85_sql_interface,
+    "q89_monthly_gapfill": q89_monthly_gapfill,
 }
 
 ORACLE = {
@@ -993,4 +1054,5 @@ ORACLE = {
     "q28_full_outer_join": ORACLE_Q28,
     "q29_unpivot": ORACLE_Q29,
     "q85_sql_interface": ORACLE_Q85,
+    "q89_monthly_gapfill": ORACLE_Q89,
 }
