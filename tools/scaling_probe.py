@@ -45,6 +45,7 @@ BATTERY = [
     "q08_window_rank",
     "q13_distinct_agg",
     "q26_salted_agg",
+    "q89_monthly_gapfill",
     "q70_tumbling_window",
     "q72_sessionize",
     "q77_funnel",
