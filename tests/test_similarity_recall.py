@@ -1,0 +1,37 @@
+"""ANN accuracy gate: the IVF index (q54) is hash-checked against its own
+oracle for plan mechanics, but an index can be mechanically correct and
+useless — recall against the exact brute-force top-k (q50) is the number
+that matters.  Measured 1.0 at sf0.001 and 0.93 at sf0.01 (single-probe,
+label-seeded codebook); the floor below is the regression tripwire, not
+the spec.
+
+The recall computation itself stays distributed (join + aggregate; one
+scalar collected) — the same computation a 100 TB evaluation would run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tinymr_spark.operators.similarity import (
+    TOP_K,
+    q50_ann_bruteforce,
+    q54_ann_ivf,
+)
+
+RECALL_FLOOR = 0.79
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    truth = q50_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q54_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").count()
+    recall = (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(F.coalesce("count", F.lit(0)).alias("h"))
+        .agg((F.sum("h") / (F.count("*") * TOP_K)).alias("recall"))
+        .collect()[0][0]
+    )
+    assert recall >= RECALL_FLOOR, f"IVF recall@{TOP_K} degraded to {recall:.3f}"
