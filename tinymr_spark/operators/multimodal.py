@@ -272,12 +272,75 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q67 — audio-shaped processing: interpret each payload's bytes as PCM
+# samples (the deterministic stand-in for a real audio decode — same
+# loud-seam policy as decode_image) and emit per-frame energy stats, the
+# silence-detection / segmentation primitive of an audio pipeline.  The
+# numpy work is vectorized per Arrow batch inside mapInPandas; the frame
+# RMS leaves Python as an EXACT integer sum of squares, and the sqrt of
+# (bigint / count) is one correctly-rounded IEEE op on both engines, so
+# the oracle hash-matches on raw doubles with no rounding.
+# ---------------------------------------------------------------------------
+AUDIO_FRAME = 256
+
+ENERGY_SCHEMA = "doc_id bigint, frame_id int, n_samples int, peak int, sum_sq bigint"
+
+
+def _frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict = {k: [] for k in ("doc_id", "frame_id", "n_samples", "peak", "sum_sq")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            for f in range(0, len(samples), AUDIO_FRAME):
+                fr = samples[f : f + AUDIO_FRAME]
+                rows["doc_id"].append(doc_id)
+                rows["frame_id"].append(f // AUDIO_FRAME)
+                rows["n_samples"].append(len(fr))
+                rows["peak"].append(int(fr.max()))
+                rows["sum_sq"].append(int((fr * fr).sum()))
+        yield pd.DataFrame(rows)
+
+
+def q67_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = payloads(spark, sf_dir).select("doc_id", "payload")
+    frames = df.mapInPandas(_frame_energy, schema=ENERGY_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_id",
+        "n_samples",
+        "peak",
+        F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")).alias("rms_energy"),
+    )
+
+
+ORACLE_Q67 = f"""
+WITH codes AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(text) + 1), i -> ord(text[i]))) AS code,
+           unnest(range(0, len(text))) AS pos
+    FROM documents
+    WHERE len(text) > 0
+)
+SELECT doc_id,
+       CAST(pos // {AUDIO_FRAME} AS INT) AS frame_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(MAX(code) AS INT) AS peak,
+       SQRT(CAST(SUM(code * code) AS DOUBLE) / COUNT(*)) AS rms_energy
+FROM codes
+GROUP BY doc_id, pos // {AUDIO_FRAME}
+"""
+
+
 QUERIES = {
     "q60_multimodal_manifest": q60_multimodal_manifest,
     "q61_multimodal_decode": q61_multimodal_decode,
     "q62_multimodal_frames": q62_multimodal_frames,
     "q65_multimodal_resize": q65_multimodal_resize,
     "q66_payload_features": q66_payload_features,
+    "q67_audio_frame_energy": q67_audio_frame_energy,
 }
 
 ORACLE = {
@@ -286,4 +349,5 @@ ORACLE = {
     "q62_multimodal_frames": ORACLE_Q62,
     "q65_multimodal_resize": ORACLE_Q65,
     "q66_payload_features": ORACLE_Q66,
+    "q67_audio_frame_energy": ORACLE_Q67,
 }
