@@ -617,6 +617,184 @@ GROUP BY node""",
 
 
 # ---------------------------------------------------------------------------
+# q49 — the full corpus-prep funnel, the composed pipeline a 100 TB
+# pretraining corpus actually runs: language filter -> quality gate
+# (tokens + stopword ratio, q33/q39) -> repetition gate (q87's
+# unique/top-token/dup-bigram signals) -> benchmark decontamination
+# (q88's 4-gram overlap) -> exact dedup (q40's fingerprint, keep min
+# doc_id) -> greedy near-dup drop (any doc with an EARLIER q45 LSH
+# candidate partner goes; single-pass policy, the transitive version is
+# q46).  Output is the funnel itself: docs surviving each stage.
+#
+# Scale shape — ONE pass over the corpus, not one per stage: each doc
+# gets cumulative survival flags, its funnel depth = their sum, and
+# explode(sequence(0, depth)) + groupBy counts every stage in a single
+# aggregation.  The decontamination and near-dup sets are tiny by
+# construction and enter as broadcast anti-join flags; the only
+# full-width exchange is the fingerprint window (the same shuffle exact
+# dedup pays anyway).
+# ---------------------------------------------------------------------------
+TOP_TOKEN_MAX = 0.2
+DUP_BIGRAM_MAX = 0.1
+
+_STAGES = ["all", "lang", "quality", "repetition", "decontaminated",
+           "exact_dedup", "near_dedup"]
+
+
+def q49_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tinymr_spark.operators.text import MAX_STOP_RATIO, MIN_TOKENS, STOPWORDS
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    staged = docs.withColumn("bigrams", ngrams(toks, 2)).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        n_tok.alias("n_tokens"),
+        (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok).alias("stop_ratio"),
+        # The O(unique*n) mode count only matters for docs still alive
+        # after the cheap gates — conditional eval skips it for the rest
+        # (funnel counts are unaffected: c3 is already false there).
+        F.when(
+            (F.col("lang") == "en") & (n_tok >= MIN_TOKENS),
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
+                )
+            ).cast("double")
+            / n_tok,
+        ).alias("top_token_frac"),
+        F.when(
+            F.size("bigrams") > 0,
+            F.lit(1.0) - F.size(F.array_distinct(F.col("bigrams"))).cast("double")
+            / F.size("bigrams"),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
+
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams(toks, 4))).alias("ngram")
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("ngram").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ngram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    dup_b = (
+        q45_dedup_minhash_banded(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+
+    flagged = staged.join(F.broadcast(contaminated), "doc_id", "left").join(
+        F.broadcast(dup_b), "doc_id", "left"
+    )
+    c1 = F.col("lang") == "en"
+    c2 = c1 & (F.col("n_tokens") >= MIN_TOKENS) & (F.col("stop_ratio") <= MAX_STOP_RATIO)
+    c3 = c2 & (F.col("top_token_frac") <= TOP_TOKEN_MAX) & (
+        F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX
+    )
+    c4 = c3 & (F.col("doc_id") % 97 != 0) & F.col("is_cont").isNull()
+    flagged = flagged.withColumn("c4", c4).withColumn(
+        # windows can't appear inside the later explode projection —
+        # materialize the per-fingerprint representative id first
+        "keep_id",
+        F.min(F.when(F.col("c4"), F.col("doc_id"))).over(Window.partitionBy("fp")),
+    )
+    c5 = F.col("c4") & (F.col("doc_id") == F.col("keep_id"))
+    c6 = c5 & F.col("is_dup").isNull()
+    depth = sum(
+        (c.cast("int") for c in (c1, c2, c3, F.col("c4"), c5, c6)), F.lit(0)
+    )
+    names = F.array(*[F.lit(s) for s in _STAGES])
+    return (
+        flagged.select(F.explode(F.sequence(F.lit(0), depth)).alias("stage_ord"))
+        .groupBy("stage_ord")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("stage_ord").cast("int").alias("stage_ord"),
+            F.element_at(names, F.col("stage_ord") + 1).alias("stage"),
+            "n_docs",
+        )
+    )
+
+
+def _oracle_q49() -> str:
+    from tinymr_spark.operators.text import MAX_STOP_RATIO, MIN_TOKENS
+
+    return (
+        r"""
+WITH staged AS (
+    SELECT doc_id, lang, md5(text) AS fp, len(toks) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+               / len(toks) AS stop_ratio,
+           CAST(list_max(list_transform(list_distinct(toks),
+                    tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+               / len(toks) AS top_token_frac,
+           CASE WHEN len(bigrams) > 0
+                THEN 1 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM (SELECT doc_id, lang, text, toks,
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+          FROM (SELECT doc_id, lang, text,
+                       list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+                FROM documents))
+),
+g4 AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS ngram
+    FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM documents)
+),
+contaminated AS (
+    SELECT DISTINCT g.doc_id
+    FROM g4 g JOIN (SELECT DISTINCT ngram FROM g4 WHERE doc_id % 97 = 0) b USING (ngram)
+    WHERE g.doc_id % 97 <> 0
+),
+dup_b AS (
+    SELECT DISTINCT doc_b AS doc_id FROM (
+"""
+        + ORACLE_Q45
+        + r"""
+    )
+),
+k1 AS (SELECT * FROM staged WHERE lang = 'en'),
+k2 AS (SELECT * FROM k1 WHERE n_tokens >= """
+        + f"{MIN_TOKENS} AND stop_ratio <= {MAX_STOP_RATIO}"
+        + r"""),
+k3 AS (SELECT * FROM k2 WHERE top_token_frac <= """
+        + f"{TOP_TOKEN_MAX} AND dup_bigram_frac <= {DUP_BIGRAM_MAX}"
+        + r"""),
+k4 AS (SELECT * FROM k3
+       WHERE doc_id % 97 <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+k5 AS (SELECT fp, MIN(doc_id) AS doc_id FROM k4 GROUP BY fp),
+k6 AS (SELECT * FROM k5 WHERE doc_id NOT IN (SELECT doc_id FROM dup_b))
+SELECT CAST(0 AS INT) AS stage_ord, 'all' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+UNION ALL SELECT 1, 'lang', (SELECT COUNT(*) FROM k1)
+UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM k2)
+UNION ALL SELECT 3, 'repetition', (SELECT COUNT(*) FROM k3)
+UNION ALL SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM k4)
+UNION ALL SELECT 5, 'exact_dedup', (SELECT COUNT(*) FROM k5)
+UNION ALL SELECT 6, 'near_dedup', (SELECT COUNT(*) FROM k6)
+"""
+    )
+
+
+ORACLE_Q49 = _oracle_q49()
+
+
+# ---------------------------------------------------------------------------
 # SimHash-banded near-dup: the pairing step on top of q43's 16-bit
 # signatures.  Pigeonhole blocking — split the signature into two 8-bit
 # halves; any pair within hamming distance <= 3 of BOTH-half corruption
@@ -786,6 +964,7 @@ QUERIES = {
     "q44_dedup_embedding": q44_dedup_embedding,
     "q45_dedup_minhash_banded": q45_dedup_minhash_banded,
     "q46_dedup_groups": q46_dedup_groups,
+    "q49_corpus_pipeline": q49_corpus_pipeline,
     "q47_dedup_simhash_banded": q47_dedup_simhash_banded,
     "q48_dedup_cdc_chunks": q48_dedup_cdc_chunks,
 }
@@ -798,6 +977,7 @@ ORACLE = {
     "q44_dedup_embedding": ORACLE_Q44,
     "q45_dedup_minhash_banded": ORACLE_Q45,
     "q46_dedup_groups": ORACLE_Q46,
+    "q49_corpus_pipeline": ORACLE_Q49,
     "q47_dedup_simhash_banded": ORACLE_Q47,
     "q48_dedup_cdc_chunks": ORACLE_Q48,
 }
