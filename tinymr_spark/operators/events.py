@@ -171,6 +171,35 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# q79 — the VARIANT path for semi-structured props (Spark 4): parse_json
+# once into the binary VARIANT encoding, then typed variant_get
+# extraction.  Contrast with q74's get_json_object, which re-parses the
+# JSON string per extracted field — at 100 TB, one parse into VARIANT +
+# N typed gets beats N string parses, and the open schema evolves
+# without a migration (fields appear per row, not per table).
+# ---------------------------------------------------------------------------
+def q79_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+ORACLE_Q79 = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join (most-recent-prior match) — an operator Spark lacks natively.
 # Implemented as a composition: union the two sides, carry the last click
 # forward per user with last(ignorenulls) over an ordered window, keep the
@@ -371,6 +400,7 @@ QUERIES = {
     "q76_interval_join": q76_interval_join,
     "q77_funnel": q77_funnel,
     "q78_retention": q78_retention,
+    "q79_variant_props": q79_variant_props,
 }
 
 ORACLE = {
@@ -383,4 +413,5 @@ ORACLE = {
     "q76_interval_join": ORACLE_Q76,
     "q77_funnel": ORACLE_Q77,
     "q78_retention": ORACLE_Q78,
+    "q79_variant_props": ORACLE_Q79,
 }
