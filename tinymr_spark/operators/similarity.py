@@ -302,6 +302,112 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q59 — product quantization (PQ): the compression half of a production
+# ANN stack (IVF-PQ).  Each 64-dim vector splits into M=4 16-dim
+# subvectors; each subvector is assigned the nearest of K=8 per-subspace
+# centroids (seeded from the first K vectors, same deterministic-seed
+# policy as the IVF codebook); the vector is stored as 4 small codes +
+# its reconstruction error.  Same scale shape as q54: the codebook folds
+# into ONE broadcast row, assignment is a narrow map over the corpus
+# (zero shuffles), and d2 uses the norm2 - 2·dot + cnorm2 expansion so
+# the DuckDB oracle reproduces every double bit-for-bit.
+# ---------------------------------------------------------------------------
+PQ_M, PQ_SUB, PQ_K = 4, 16, 8
+
+
+def q59_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    parts = base.select(
+        "vec_id",
+        *[F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias(f"s{m}") for m in range(PQ_M)],
+    )
+    parts = parts.select(
+        "vec_id",
+        *[f"s{m}" for m in range(PQ_M)],
+        *[_dot(F.col(f"s{m}"), F.col(f"s{m}")).alias(f"n{m}") for m in range(PQ_M)],
+    )
+    cb = (
+        parts.where(F.col("vec_id") < PQ_K)
+        .select(
+            F.struct(
+                F.col("vec_id").cast("int").alias("code"),
+                *[F.col(f"s{m}").alias(f"cs{m}") for m in range(PQ_M)],
+                *[F.col(f"n{m}").alias(f"cn{m}") for m in range(PQ_M)],
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    )
+
+    def _best(m):
+        def d2s(c):
+            dot = F.aggregate(
+                F.zip_with(F.col(f"s{m}"), c[f"cs{m}"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return F.struct(
+                (F.col(f"n{m}") - 2 * dot + c[f"cn{m}"]).alias("d2"),
+                c["code"].alias("code"),
+            )
+
+        return F.array_min(F.transform(F.col("cb"), d2s))
+
+    coded = parts.crossJoin(F.broadcast(cb)).select(
+        "vec_id", *[_best(m).alias(f"b{m}") for m in range(PQ_M)]
+    )
+    recon = F.col("b0")["d2"] + F.col("b1")["d2"] + F.col("b2")["d2"] + F.col("b3")["d2"]
+    return coded.select(
+        "vec_id",
+        *[F.col(f"b{m}")["code"].alias(f"code{m}") for m in range(PQ_M)],
+        recon.alias("recon_err"),
+    )
+
+
+ORACLE_Q59 = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+partn AS (
+    SELECT vec_id,
+           v[1:16] AS s0, v[17:32] AS s1, v[33:48] AS s2, v[49:64] AS s3,
+           list_dot_product(v[1:16], v[1:16])  AS n0,
+           list_dot_product(v[17:32], v[17:32]) AS n1,
+           list_dot_product(v[33:48], v[33:48]) AS n2,
+           list_dot_product(v[49:64], v[49:64]) AS n3
+    FROM emb
+),
+long AS (
+              SELECT vec_id, 0 AS m, s0 AS s, n0 AS n FROM partn
+    UNION ALL SELECT vec_id, 1, s1, n1 FROM partn
+    UNION ALL SELECT vec_id, 2, s2, n2 FROM partn
+    UNION ALL SELECT vec_id, 3, s3, n3 FROM partn
+),
+cb AS (SELECT CAST(vec_id AS INT) AS code, m, s AS cs, n AS cn
+       FROM long WHERE vec_id < {PQ_K}),
+scored AS (
+    SELECT l.vec_id, l.m, c.code,
+           l.n - 2 * list_dot_product(l.s, c.cs) + c.cn AS d2,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.vec_id, l.m
+               ORDER BY l.n - 2 * list_dot_product(l.s, c.cs) + c.cn ASC,
+                        c.code ASC) AS rn
+    FROM long l JOIN cb c ON c.m = l.m
+),
+chosen AS (SELECT vec_id, m, code, d2 FROM scored WHERE rn = 1)
+SELECT vec_id,
+       MAX(CASE WHEN m = 0 THEN code END) AS code0,
+       MAX(CASE WHEN m = 1 THEN code END) AS code1,
+       MAX(CASE WHEN m = 2 THEN code END) AS code2,
+       MAX(CASE WHEN m = 3 THEN code END) AS code3,
+       MAX(CASE WHEN m = 0 THEN d2 END) + MAX(CASE WHEN m = 1 THEN d2 END)
+         + MAX(CASE WHEN m = 2 THEN d2 END) + MAX(CASE WHEN m = 3 THEN d2 END) AS recon_err
+FROM chosen
+GROUP BY vec_id
+"""
+
+
 def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -549,6 +655,7 @@ QUERIES = {
     "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
     "q56_normalize_quantize": q56_normalize_quantize,
     "q57_kmeans_iteration": q57_kmeans_iteration,
+    "q59_product_quantization": q59_product_quantization,
 }
 
 ORACLE = {
@@ -560,4 +667,5 @@ ORACLE = {
     "q55_embedding_lsh_dedup": ORACLE_Q55,
     "q56_normalize_quantize": ORACLE_Q56,
     "q57_kmeans_iteration": ORACLE_Q57,
+    "q59_product_quantization": ORACLE_Q59,
 }

@@ -39,8 +39,9 @@ DYNAMIC = {"q46_dedup_groups"}
 #                        queries IS the brute-force contract
 #   q54_ann_ivf        — crossJoin(broadcast(1-row folded codebook))
 #   q57_kmeans_iteration — same folded-codebook assignment as q54
+#   q59_product_quantization — same folded-codebook assignment, one row
 ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
-              "q57_kmeans_iteration"}
+              "q57_kmeans_iteration", "q59_product_quantization"}
 
 
 def main() -> int:
