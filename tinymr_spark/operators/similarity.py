@@ -316,7 +316,8 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M, PQ_SUB, PQ_K = 4, 16, 8
 
 
-def q59_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per vector: the M subvectors (double) and their squared norms."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -325,12 +326,17 @@ def q59_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias(f"s{m}") for m in range(PQ_M)],
     )
-    parts = parts.select(
+    return parts.select(
         "vec_id",
         *[f"s{m}" for m in range(PQ_M)],
         *[_dot(F.col(f"s{m}"), F.col(f"s{m}")).alias(f"n{m}") for m in range(PQ_M)],
     )
-    cb = (
+
+
+def _pq_codebook(parts: DataFrame) -> DataFrame:
+    """The K per-subspace centroids folded into ONE broadcastable row,
+    sorted by code (struct field order makes sort_array sort on it)."""
+    return (
         parts.where(F.col("vec_id") < PQ_K)
         .select(
             F.struct(
@@ -342,23 +348,40 @@ def q59_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("c")).alias("cb"))
     )
 
+
+def _pq_sub_d2(m: int, c):
+    """Exact squared distance of this row's m-th subvector to codebook
+    entry `c`, via the norm2 - 2·dot + cnorm2 expansion (oracle-exact)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(f"s{m}"), c[f"cs{m}"], lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.col(f"n{m}") - 2 * dot + c[f"cn{m}"]
+
+
+def _pq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector encoded: b0..b{M-1} structs of (d2, code)."""
+    parts = _pq_parts(spark, sf_dir)
+    cb = _pq_codebook(parts)
+
     def _best(m):
-        def d2s(c):
-            dot = F.aggregate(
-                F.zip_with(F.col(f"s{m}"), c[f"cs{m}"], lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    _pq_sub_d2(m, c).alias("d2"), c["code"].alias("code")
+                ),
             )
-            return F.struct(
-                (F.col(f"n{m}") - 2 * dot + c[f"cn{m}"]).alias("d2"),
-                c["code"].alias("code"),
-            )
+        )
 
-        return F.array_min(F.transform(F.col("cb"), d2s))
-
-    coded = parts.crossJoin(F.broadcast(cb)).select(
+    return parts.crossJoin(F.broadcast(cb)).select(
         "vec_id", *[_best(m).alias(f"b{m}") for m in range(PQ_M)]
     )
+
+
+def q59_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coded = _pq_coded(spark, sf_dir)
     recon = F.col("b0")["d2"] + F.col("b1")["d2"] + F.col("b2")["d2"] + F.col("b3")["d2"]
     return coded.select(
         "vec_id",
@@ -405,6 +428,120 @@ SELECT vec_id,
          + MAX(CASE WHEN m = 2 THEN d2 END) + MAX(CASE WHEN m = 3 THEN d2 END) AS recon_err
 FROM chosen
 GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q58 — ADC (asymmetric distance computation) search over the PQ codes:
+# the payoff of q59 and the query path of a real IVF-PQ index.  Each
+# query precomputes its exact distance to every per-subspace centroid
+# (an M×K lookup table — 32 doubles here); a corpus vector's approximate
+# distance is then FOUR table lookups + three adds, independent of the
+# 64 raw dims.  At 100 TB the corpus side carries only the codes (4
+# bytes/vector vs 256), never shuffles, and streams once past the
+# broadcast query tables.  Ranking is over the approximation — the
+# oracle checks the ADC math itself, recall vs exact is q54/q50's job.
+# ---------------------------------------------------------------------------
+def q58_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parts = _pq_parts(spark, sf_dir)
+    cb = _pq_codebook(parts)
+    coded = _pq_coded(spark, sf_dir).select(
+        "vec_id", *[F.col(f"b{m}")["code"].alias(f"code{m}") for m in range(PQ_M)]
+    )
+    def _qtable(m):
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # receive (element, index) and shadow the bound m
+        return F.transform(F.col("cb"), lambda c: _pq_sub_d2(m, c)).alias(f"t{m}")
+
+    qtables = (
+        parts.where(F.col("vec_id") < N_QUERY)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            # cb is sorted by code, so table index i holds code i-1
+            *[_qtable(m) for m in range(PQ_M)],
+        )
+    )
+    approx = (
+        F.element_at("t0", F.col("code0") + 1)
+        + F.element_at("t1", F.col("code1") + 1)
+        + F.element_at("t2", F.col("code2") + 1)
+        + F.element_at("t3", F.col("code3") + 1)
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qtables))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            approx.alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )
+
+
+ORACLE_Q58 = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+partn AS (
+    SELECT vec_id,
+           v[1:16] AS s0, v[17:32] AS s1, v[33:48] AS s2, v[49:64] AS s3,
+           list_dot_product(v[1:16], v[1:16])  AS n0,
+           list_dot_product(v[17:32], v[17:32]) AS n1,
+           list_dot_product(v[33:48], v[33:48]) AS n2,
+           list_dot_product(v[49:64], v[49:64]) AS n3
+    FROM emb
+),
+long AS (
+              SELECT vec_id, 0 AS m, s0 AS s, n0 AS n FROM partn
+    UNION ALL SELECT vec_id, 1, s1, n1 FROM partn
+    UNION ALL SELECT vec_id, 2, s2, n2 FROM partn
+    UNION ALL SELECT vec_id, 3, s3, n3 FROM partn
+),
+cb AS (SELECT CAST(vec_id AS INT) AS code, m, s AS cs, n AS cn
+       FROM long WHERE vec_id < {PQ_K}),
+scored0 AS (
+    SELECT l.vec_id, l.m, c.code,
+           l.n - 2 * list_dot_product(l.s, c.cs) + c.cn AS d2,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.vec_id, l.m
+               ORDER BY l.n - 2 * list_dot_product(l.s, c.cs) + c.cn ASC,
+                        c.code ASC) AS rn
+    FROM long l JOIN cb c ON c.m = l.m
+),
+chosen AS (SELECT vec_id, m, code FROM scored0 WHERE rn = 1),
+qd AS (
+    SELECT l.vec_id AS query_id, l.m, c.code,
+           l.n - 2 * list_dot_product(l.s, c.cs) + c.cn AS d2
+    FROM long l JOIN cb c ON c.m = l.m
+    WHERE l.vec_id < {N_QUERY}
+),
+approx AS (
+    SELECT q.query_id, ch.vec_id AS neighbor_id,
+           MAX(CASE WHEN ch.m = 0 THEN q.d2 END) + MAX(CASE WHEN ch.m = 1 THEN q.d2 END)
+             + MAX(CASE WHEN ch.m = 2 THEN q.d2 END) + MAX(CASE WHEN ch.m = 3 THEN q.d2 END)
+               AS approx_d2
+    FROM chosen ch
+    JOIN qd q ON q.m = ch.m AND q.code = ch.code
+    WHERE ch.vec_id <> q.query_id
+    GROUP BY q.query_id, ch.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, approx_d2,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_d2 ASC, neighbor_id ASC) AS INT) AS rank
+    FROM approx
+)
+SELECT query_id, neighbor_id, rank, approx_d2
+FROM ranked WHERE rank <= {TOP_K}
 """
 
 
@@ -655,6 +792,7 @@ QUERIES = {
     "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
     "q56_normalize_quantize": q56_normalize_quantize,
     "q57_kmeans_iteration": q57_kmeans_iteration,
+    "q58_ann_pq_adc": q58_ann_pq_adc,
     "q59_product_quantization": q59_product_quantization,
 }
 
@@ -667,5 +805,6 @@ ORACLE = {
     "q55_embedding_lsh_dedup": ORACLE_Q55,
     "q56_normalize_quantize": ORACLE_Q56,
     "q57_kmeans_iteration": ORACLE_Q57,
+    "q58_ann_pq_adc": ORACLE_Q58,
     "q59_product_quantization": ORACLE_Q59,
 }

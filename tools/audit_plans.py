@@ -40,8 +40,10 @@ DYNAMIC = {"q46_dedup_groups"}
 #   q54_ann_ivf        — crossJoin(broadcast(1-row folded codebook))
 #   q57_kmeans_iteration — same folded-codebook assignment as q54
 #   q59_product_quantization — same folded-codebook assignment, one row
+#   q58_ann_pq_adc     — codebook row + N_QUERY=5 broadcast ADC tables
 ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
-              "q57_kmeans_iteration", "q59_product_quantization"}
+              "q57_kmeans_iteration", "q59_product_quantization",
+              "q58_ann_pq_adc"}
 
 
 def main() -> int:
