@@ -117,3 +117,53 @@ def test_tws_gated_or_runs(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dedup_within_watermark_state_expires(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (q99) vs dropDuplicates (q95): the
+    bounded variant EVICTS a key once the watermark passes its event time
+    + delay, so a later re-occurrence is emitted again; the unbounded
+    variant would drop it forever.  Four micro-batches, 30-minute delay:
+
+      A: user 1 @ 10:00  -> emitted (first seen; expiry 10:30)
+      B: user 1 @ 12:00  -> deduped (state alive), expiry extends to 12:30
+      C: user 2 @ 16:00  -> emitted; watermark -> 15:30 > 12:30, user 1
+                            evicted at the next batch boundary
+      D: user 1 @ 16:00  -> EMITTED AGAIN (state expired)
+    """
+    stage = str(tmp_path / "ddww_stage")
+    os.makedirs(stage)
+    _write(os.path.join(stage, "a.parquet"), [_us(10, 0)], mtime=1_000_000)
+    _write(os.path.join(stage, "b.parquet"), [_us(12, 0)], mtime=2_000_000)
+    table_c = os.path.join(stage, "c.parquet")
+    _write(table_c, [_us(16, 0)], mtime=3_000_000)
+    # rewrite batch C with user_id 2 (the _write helper pins user_id=1)
+    t = pq.read_table(table_c)
+    t = t.set_column(1, "user_id", pa.array([2], type=pa.int64()))
+    pq.write_table(t, table_c)
+    os.utime(table_c, (3_000_000, 3_000_000))
+    _write(os.path.join(stage, "d.parquet"), [_us(16, 0)], mtime=4_000_000)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    deduped = (
+        stream.withWatermark("ts", "30 minutes")
+        .select("user_id", "ts")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["user_id"], r["ts"].strftime("%H:%M")) for r in spark.table(name).collect()
+    )
+    assert rows == [(1, "10:00"), (1, "16:00"), (2, "16:00")], rows

@@ -586,6 +586,36 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+# ---------------------------------------------------------------------------
+# q99 — dropDuplicatesWithinWatermark: the state-BOUNDED dedup variant.
+# q95's dropDuplicates keeps one state entry per key forever (watermark
+# only gates late arrivals); this variant expires a key's entry once the
+# watermark passes its event time + delay, so state is O(keys seen per
+# delay window) — the only tractable contract for an unbounded key space
+# at 100 TB/day ingest.  Under this harness's single AvailableNow batch
+# nothing expires mid-batch, so the result equals batch DISTINCT (the
+# oracle); the expiry semantics themselves are proven by the multi-batch
+# replay test in tests/test_streaming_semantics.py.
+# ---------------------------------------------------------------------------
+def q99_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_event_types"))
+    )
+    return run_stream_to_table(deduped, spark)
+
+
+ORACLE_Q99 = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_event_types
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
@@ -596,6 +626,7 @@ QUERIES = {
     "q96_stream_sink_parquet": q96_stream_sink_parquet,
     "q97_stream_incremental": q97_stream_incremental,
     "q98_stream_stream_join": q98_stream_stream_join,
+    "q99_stream_dedup_bounded": q99_stream_dedup_bounded,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -607,4 +638,5 @@ ORACLE = {
     "q96_stream_sink_parquet": ORACLE_Q96,
     "q97_stream_incremental": ORACLE_Q97,
     "q98_stream_stream_join": ORACLE_Q98,
+    "q99_stream_dedup_bounded": ORACLE_Q99,
 }
