@@ -334,6 +334,74 @@ GROUP BY doc_id, pos // {AUDIO_FRAME}
 """
 
 
+# ---------------------------------------------------------------------------
+# q68 — perceptual average-hash dedup: the image-level near-dup primitive
+# (aHash: threshold each sample against the image mean, pack the bits).
+# Here the "pixels" are the first 60 payload bytes (same bytes-as-samples
+# stand-in as q67; a real decoder would feed an 8x8 luma grid through the
+# IDENTICAL hash/group plumbing).  Everything stays JVM-side — sequence/
+# transform/aggregate higher-order functions, one shuffle on the packed
+# 60-bit hash — and images agreeing on every thresholded bit collapse to
+# one group (exact-phash dedup; banded hamming near-dup is q47's
+# machinery and composes the same way).
+# ---------------------------------------------------------------------------
+PHASH_BITS = 60  # < 63 so the packed hash stays a positive BIGINT
+
+
+def q68_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = payloads(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.octet_length("payload"), F.lit(PHASH_BITS))),
+            lambda i: F.ascii(F.substring("payload", i, F.lit(1))),
+        ).alias("codes"),
+    )
+    docs = docs.withColumn(
+        "mean", F.aggregate("codes", F.lit(0), lambda a, c: a + c).cast("double")
+        / F.size("codes")
+    )
+    # shiftleft() takes only literal shift amounts — pack via a Horner
+    # fold over the reversed bit list instead (acc*2 + bit), which equals
+    # sum(bit_i << i) exactly in int64
+    bits = F.transform(
+        "codes",
+        lambda c: F.when(c > F.col("mean"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    packed = F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return (
+        docs.select("doc_id", packed.alias("phash"))
+        .groupBy("phash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_images"))
+    )
+
+
+ORACLE_Q68 = f"""
+WITH codes AS (
+    SELECT doc_id,
+           list_transform(range(1, LEAST(len(text), {PHASH_BITS}) + 1),
+                          i -> ord(text[i])) AS codes
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, len(codes) + 1),
+               i -> CASE WHEN codes[i] > CAST(list_sum(codes) AS DOUBLE) / len(codes)
+                         THEN (CAST(1 AS BIGINT) << (i - 1))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+    FROM codes
+)
+SELECT phash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_images
+FROM hashed
+GROUP BY phash
+"""
+
+
 QUERIES = {
     "q60_multimodal_manifest": q60_multimodal_manifest,
     "q61_multimodal_decode": q61_multimodal_decode,
@@ -341,6 +409,7 @@ QUERIES = {
     "q65_multimodal_resize": q65_multimodal_resize,
     "q66_payload_features": q66_payload_features,
     "q67_audio_frame_energy": q67_audio_frame_energy,
+    "q68_phash_dedup": q68_phash_dedup,
 }
 
 ORACLE = {
@@ -350,4 +419,5 @@ ORACLE = {
     "q65_multimodal_resize": ORACLE_Q65,
     "q66_payload_features": ORACLE_Q66,
     "q67_audio_frame_energy": ORACLE_Q67,
+    "q68_phash_dedup": ORACLE_Q68,
 }
