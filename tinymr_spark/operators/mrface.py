@@ -106,6 +106,43 @@ HAVING COUNT(*) >= 50
 """
 
 
+class _OverloadedCombine(MapReduce):
+    """The reference docs' manual map-side-combine idiom VERBATIM
+    (/root/reference/docs.rst:199-283): pre-aggregate each input item
+    into a Counter, overload every record onto key ``None`` so one
+    reducer merges the partials.  The docs themselves warn the single
+    key serializes the reduce — the engine-automated alternative is
+    ``combine = True`` (q80); this query proves the documented user
+    pattern still runs unchanged, distributed."""
+
+    def mapper(self, item):
+        from collections import Counter
+
+        yield None, Counter(item.split())
+
+    def reducer(self, key, values):
+        from functools import reduce
+        from operator import add
+
+        return key, reduce(add, values)
+
+
+def q84_mr_overloaded_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select("text").rdd.map(lambda r: r[0])
+    merged = _OverloadedCombine().to_rdd(lines, spark=spark)
+    rows = merged.flatMap(lambda kv: [(w, int(n)) for w, n in kv[1].items()])
+    return spark.createDataFrame(rows, schema="word string, n bigint")
+
+
+ORACLE_Q84 = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
 class _EarliestPerType(MapReduce):
     """Secondary sort in anger: 3-tuple mapper output (key, sort, value)
     triggers the engine's within-key ordering (reference docs.rst:300-307
@@ -165,6 +202,7 @@ QUERIES = {
     "q81_mr_distinct_sources": q81_mr_distinct_sources,
     "q82_mr_chain_relational": q82_mr_chain_relational,
     "q83_mr_secondary_sort": q83_mr_secondary_sort,
+    "q84_mr_overloaded_combine": q84_mr_overloaded_combine,
 }
 
 ORACLE = {
@@ -172,4 +210,5 @@ ORACLE = {
     "q81_mr_distinct_sources": ORACLE_Q81,
     "q82_mr_chain_relational": ORACLE_Q82,
     "q83_mr_secondary_sort": ORACLE_Q83,
+    "q84_mr_overloaded_combine": ORACLE_Q84,
 }
