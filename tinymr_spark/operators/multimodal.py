@@ -151,6 +151,69 @@ WHERE frame_no % 4 = 0
 
 
 # ---------------------------------------------------------------------------
+# q69 — scene-cut detection: the video-segmentation primitive.  Frames
+# (q62's chunking) are summarized by their mean sample value; a cut is a
+# frame whose mean jumps more than CUT_THRESHOLD from its predecessor
+# (with real decoded frames the identical lag-compare would run on
+# histogram or embedding distances).  Plan shape: one explode + partial-
+# aggregated groupBy to per-frame stats, then a per-doc window — the
+# heavy stream collapses to O(frames) rows BEFORE the window shuffle.
+# Mean = exact-int sum / count, so the lag deltas match the oracle
+# bit-for-bit with no rounding.
+# ---------------------------------------------------------------------------
+CUT_THRESHOLD = 3.0
+
+
+def q69_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = payloads(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.octet_length("payload")),
+            lambda i: F.ascii(F.substring("payload", i, F.lit(1))),
+        ).alias("codes"),
+    )
+    frames = (
+        df.select("doc_id", F.posexplode("codes").alias("pos", "code"))
+        .groupBy("doc_id", F.floor(F.col("pos") / FRAME_SIZE).cast("int").alias("frame_no"))
+        .agg((F.sum("code").cast("double") / F.count("*")).alias("mean_code"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    delta = F.abs(F.col("mean_code") - F.lag("mean_code").over(w))
+    return (
+        frames.withColumn("delta", delta)
+        .where(F.col("delta") > CUT_THRESHOLD)
+        .select("doc_id", "frame_no", "delta")
+    )
+
+
+ORACLE_Q69 = f"""
+WITH codes AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(text) + 1), i -> ord(text[i]))) AS code,
+           unnest(range(0, len(text))) AS pos
+    FROM documents
+    WHERE len(text) > 0
+),
+frames AS (
+    SELECT doc_id, CAST(pos // {FRAME_SIZE} AS INT) AS frame_no,
+           CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_code
+    FROM codes
+    GROUP BY doc_id, pos // {FRAME_SIZE}
+),
+delta AS (
+    SELECT doc_id, frame_no,
+           ABS(mean_code - LAG(mean_code) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS delta
+    FROM frames
+)
+SELECT doc_id, frame_no, delta
+FROM delta
+WHERE delta > {CUT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Real-codec hook: the seam where an actual image/audio decoder plugs in.
 # The container ships no codec libraries, so this raises loudly instead of
 # silently faking — pipelines that need real pixels fail fast with an
@@ -410,6 +473,7 @@ QUERIES = {
     "q66_payload_features": q66_payload_features,
     "q67_audio_frame_energy": q67_audio_frame_energy,
     "q68_phash_dedup": q68_phash_dedup,
+    "q69_scene_cuts": q69_scene_cuts,
 }
 
 ORACLE = {
@@ -420,4 +484,5 @@ ORACLE = {
     "q66_payload_features": ORACLE_Q66,
     "q67_audio_frame_energy": ORACLE_Q67,
     "q68_phash_dedup": ORACLE_Q68,
+    "q69_scene_cuts": ORACLE_Q69,
 }
