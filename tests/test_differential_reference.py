@@ -149,3 +149,30 @@ def test_against_pooled_reference(spark, data, smwv, smr):
     with Pool(4) as pool:
         expected = ref(data, mapper_map=pool.map, reducer_map=pool.map)
     assert ours(data, mapper_map=pool.map, reducer_map=pool.map) == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=TUPLES2)
+def test_combine_matches_reference(spark, data):
+    """combine=True (our map-side-combine lowering, reduceByKey-style
+    partial aggregation — no reference counterpart) must be INVISIBLE:
+    for an associative+commutative return-style reducer the output dict,
+    including key order, equals the reference's plain path."""
+
+    def mk(base, **extra):
+        class T(base):
+            def mapper(self, item):
+                yield item
+
+            def reducer(self, key, values):
+                return key, sum(values)
+
+        for k, v in extra.items():
+            setattr(T, k, v)
+        return T
+
+    ref_out = mk(reference.MapReduce)()(list(data))
+    our_out = mk(OurMR, combine=True)()(list(data))
+    assert our_out == ref_out
+    assert list(our_out.keys()) == list(ref_out.keys())
