@@ -571,7 +571,11 @@ def q98_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
     )
-    return run_stream_to_table(joined, spark, output_mode="append")
+    # A stream-stream join keeps FOUR state stores per partition (two per
+    # side: keyToNumValues + keyWithIndexToValue), so the per-partition
+    # fixed cost is ~double a windowed aggregate's — size down accordingly
+    # (measured at sf0.1: 4 parts 2.4s, 8 parts 3.0s, 16 parts 3.7s).
+    return run_stream_to_table(joined, spark, n_state_parts=4, output_mode="append")
 
 
 ORACLE_Q98 = """
