@@ -441,6 +441,15 @@ GROUP BY vec_id
 # bytes/vector vs 256), never shuffles, and streams once past the
 # broadcast query tables.  Ranking is over the approximation — the
 # oracle checks the ADC math itself, recall vs exact is q54/q50's job.
+#
+# Honesty note on THIS dataset: measured recall@3 vs q50 is ~0.13-0.2
+# (normalizing first changes nothing) — the synthetic embeddings are
+# near-orthogonal with no cluster structure, so M*log2(K)=12 bits cannot
+# preserve neighborhoods; q54's IVF reaches 0.93 only because its cells
+# come from the label column, which does correlate with geometry.  On
+# real embedding corpora (which are clustered) the identical plan is the
+# standard recall/compression trade; here the query's value is the
+# oracle-exact ADC plumbing.
 # ---------------------------------------------------------------------------
 def q58_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
