@@ -83,12 +83,59 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# q100 — GROUPED_AGG pandas UDF: the third sanctioned pandas-UDF flavor
+# (scalar = q63, grouped map = q64).  A Series -> scalar pandas_udf slots
+# straight into groupBy().agg() beside built-ins, with map-side Arrow
+# batching per group.  The aggregate is a 2-decimal money sum: inputs are
+# exact multiples of 0.01, so ROUND(sum, 2) recovers the same multiple on
+# both engines regardless of numpy's pairwise vs SQL's sequential
+# accumulation order — the one FP-summation case that is hash-safe.
+# ---------------------------------------------------------------------------
+def rounded_total():
+    @pandas_udf("double")
+    def _udaf(v: pd.Series) -> float:
+        return round(float(v.sum()), 2)
+
+    return _udaf
+
+
+def group_size():
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is a
+    # pandas UDAF too
+    @pandas_udf("long")
+    def _udaf(v: pd.Series) -> int:
+        return len(v)
+
+    return _udaf
+
+
+def q100_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        rounded_total()(F.col("o_totalprice")).alias("total_price"),
+        group_size()(F.col("o_totalprice")).alias("n_orders"),
+    )
+
+
+ORACLE_Q100 = """
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q63_pandas_udf_scalar": q63_pandas_udf_scalar,
     "q64_apply_in_pandas": q64_apply_in_pandas,
+    "q100_pandas_udaf": q100_pandas_udaf,
 }
 
 ORACLE = {
     "q63_pandas_udf_scalar": ORACLE_Q63,
     "q64_apply_in_pandas": ORACLE_Q64,
+    "q100_pandas_udaf": ORACLE_Q100,
 }
