@@ -100,7 +100,7 @@ def _pre_stream_cleanup(spark: SparkSession) -> None:
 
 
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
-                        n_state_parts: int = 8,
+                        n_state_parts: int = 4,
                         output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink; return the materialized table.
@@ -108,10 +108,12 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     Every windowed/session aggregate is stateful: each shuffle partition
     owns a state store (provider init + commit + maintenance per
     micro-batch), so the partition count should track state size, not the
-    batch-side default — same sizing rule measured 3x on q92.  Set via
-    conf for the duration of the run; the count freezes into the
-    checkpoint on first start anyway, so this is a per-stream sizing
-    decision, not a tunable-later knob."""
+    batch-side default — same sizing rule measured 3x on q92.  Default 4
+    (measured at sf0.1: q90 1.1s/1.3s and q95 1.1s/1.4s at 4/8 parts;
+    session windows neutral); multi-batch (q97) and stream-stream (q98)
+    runs size explicitly.  Set via conf for the duration of the run; the
+    count freezes into the checkpoint on first start anyway, so this is a
+    per-stream sizing decision, not a tunable-later knob."""
     _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
