@@ -55,3 +55,19 @@ def test_scan_pushdown_and_pruning(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
     # ReadSchema prunes to exactly the two referenced columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(100)],
+        "id bigint, s string, v double",
+    )
+    orc_path = str(tmp_path / "t.orc")
+    df.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.count() == 100
+    q = back.where(F.col("id") > 90).select("id", "v")
+    plan = explain_str(q, "formatted")
+    # ORC scans get the same pushdown/pruning treatment as parquet
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90" in plan
+    assert {tuple(r) for r in q.collect()} == {(i, float(i)) for i in range(91, 100)}
