@@ -73,17 +73,29 @@ def main():
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The driver records only the LAST 2000 chars of stdout and parses the
+    # JSON from that tail: with 100 full query names the line is ~3.5k
+    # chars and parsing fails (BENCH_r01/r02 "parsed": null).  Emit short
+    # keys (the spec's own example format, {"q1": sec}) with compact
+    # separators so the line fits; the qNN -> full-name mapping is the
+    # docstring of every queries() entry and SURVEY.md §8.
+    short = {}
+    for name, t in timings.items():
+        k = name.split("_", 1)[0]
+        short[name if k in short else k] = t
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
+        print(f"# bench warning: JSON line {len(line)} chars", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

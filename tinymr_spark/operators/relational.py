@@ -670,7 +670,7 @@ def q23_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q23 = """
 SELECT o_orderstatus, o_orderkey,
        COUNT(*) OVER w AS n_within_1000,
-       SUM(o_orderkey % 97) OVER w AS key_mod_sum
+       CAST(SUM(o_orderkey % 97) OVER w AS BIGINT) AS key_mod_sum
 FROM orders
 WHERE o_custkey < 100
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice

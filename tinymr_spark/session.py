@@ -97,6 +97,10 @@ def get_session(app_name: str = "tinymr-spark", cpus: str | None = None) -> Spar
         # be set before the first session.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Read parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) as regular
+        # TimestampType instead of TIMESTAMP_NTZ: keeps ts filters pushable
+        # at the scan (no cast projection) and watermark/unix_micros legal.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         # local mode = ONE JVM for driver + all 32 executor threads; an

@@ -47,9 +47,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan when callers select/filter before actions (verify with
     .explain: PushedFilters / ReadSchema).
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark refuses
-    by default: read nanos as long and convert to a microsecond timestamp
-    (truncation — same semantics Spark applies to any sub-micro source).
+    `events.ts` normalizes to TimestampType (LTZ) regardless of how the
+    parquet was written: TIMESTAMP(NANOS) reads as long and converts to
+    microseconds; TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+    TIMESTAMP_NTZ, which `withWatermark`/`unix_micros` reject — cast it
+    (value-preserving under the UTC session timezone set in session.py).
     """
     path = table_path(sf_dir, name)
     key = (id(spark), path)
@@ -61,10 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division — float division would lose precision on
             # ~1.7e18 nanosecond epochs (double mantissa is 53 bits)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     _scan_cache[key] = df

@@ -46,8 +46,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TimestampType; the cast is value-preserving
+        # under the UTC session timezone (session.py).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
