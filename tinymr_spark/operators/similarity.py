@@ -728,7 +728,11 @@ def q56_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round("norm", 6).alias("norm"),
-        quant.alias("q_embedding"),
+        # JSON-canonical projection: an array<int> cell round-trips through
+        # pandas as a numpy array on Spark but a list on DuckDB, so the
+        # driver's value-hash would diverge on representation alone; the
+        # JSON string is identical from both engines.
+        F.to_json(quant).alias("q_embedding"),
         F.aggregate(
             quant, F.lit(0).cast("bigint"), lambda acc, v: acc + F.abs(v)
         ).alias("q_l1"),
@@ -746,7 +750,8 @@ quant AS (
            list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, ROUND(x / norm * 127))) AS INT)) AS q_embedding
     FROM base
 )
-SELECT vec_id, ROUND(norm, 6) AS norm, q_embedding,
+SELECT vec_id, ROUND(norm, 6) AS norm,
+       CAST(to_json(q_embedding) AS VARCHAR) AS q_embedding,
        CAST(list_sum(list_transform(q_embedding, x -> ABS(x))) AS BIGINT) AS q_l1
 FROM quant
 """
