@@ -550,21 +550,28 @@ def _local_spanning_forest(rows):
 
 
 def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = (
-        q45_dedup_minhash_banded(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .rdd.map(tuple)
-        .mapPartitions(_local_spanning_forest)
-        .persist()
-    )
-    # Contraction loop: only entered when the first-round forest is still
-    # too big to collect — each pass merges partitions pairwise so
-    # partial forests union, monotonically shrinking the edge set.
-    while edges.count() > FINISH_EDGES:
-        nparts = max(1, edges.getNumPartitions() // 2)
-        nxt = edges.repartition(nparts).mapPartitions(_local_spanning_forest).persist()
-        edges.unpersist()
-        edges = nxt
+    pairs = q45_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b").persist()
+    n_pairs = pairs.count()
+    if n_pairs <= FINISH_EDGES:
+        # The pair list already fits the driver-merge budget: collect it
+        # raw.  The per-partition spanning-forest round exists only to
+        # SHRINK an oversized edge set; when it wouldn't shrink anything
+        # it just adds a Python-worker pass (measured 2.6s of q46's 4.4s
+        # at sf0.1 for 715 edges).
+        forest = [(r[0], r[1]) for r in pairs.collect()]
+        pairs.unpersist()
+        edges = None
+    else:
+        edges = pairs.rdd.map(tuple).mapPartitions(_local_spanning_forest).persist()
+        # Contraction loop: only entered when the first-round forest is
+        # still too big to collect — each pass merges partitions pairwise
+        # so partial forests union, monotonically shrinking the edge set.
+        while edges.count() > FINISH_EDGES:
+            nparts = max(1, edges.getNumPartitions() // 2)
+            nxt = edges.repartition(nparts).mapPartitions(_local_spanning_forest).persist()
+            edges.unpersist()
+            edges = nxt
+        pairs.unpersist()
 
     parent: dict = {}
 
@@ -576,8 +583,9 @@ def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    forest = edges.collect()
-    edges.unpersist()
+    if edges is not None:
+        forest = edges.collect()
+        edges.unpersist()
     for a, b in forest:
         ra, rb = find(a), find(b)
         if ra != rb:

@@ -559,6 +559,184 @@ GROUP BY g.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q101 — sequence packing (concat-and-chunk): the training-batch
+# construction step.  Docs are concatenated in doc_id order within each
+# source shard and split into fixed CONTEXT_TOKENS windows; a doc belongs
+# to the window its first token lands in.  The cumsum window is
+# partitioned by source, so every shard packs in parallel and nothing
+# needs a global order — at 100 TB the input shard is the packing unit,
+# exactly how pretraining pipelines batch.  (No reference counterpart —
+# the reference has no notion of sequences, /root/reference/tinymr.py.)
+# ---------------------------------------------------------------------------
+CONTEXT_TOKENS = 256
+
+
+def q101_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    staged = docs.select(
+        "doc_id", "source", F.size("toks").alias("n_tok")
+    ).withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        staged.withColumn("seq_id", F.floor(F.col("start") / CONTEXT_TOKENS))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+ORACLE_Q101 = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+    FROM documents
+),
+staged AS (
+    SELECT doc_id, source, n_tok,
+           SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+    FROM toks
+)
+SELECT source, CAST(FLOOR(start / {CONTEXT_TOKENS}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM staged
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q102 — domain-mixture sampling: reweight the corpus so every source
+# contributes an equal token share (the downsample-to-smallest policy).
+# Per-source keep rate = cap / source_tokens with cap = smallest source;
+# membership is decided by a deterministic md5(doc_id) draw (the q27
+# idiom) compared in INTEGER math — h*source_tokens < cap*MOD — so both
+# engines make bit-identical keep decisions with no float rounding at
+# the boundary.  Totals broadcast (20 sources); the corpus pass is
+# shuffle-free until the final per-source rollup.
+# ---------------------------------------------------------------------------
+MIX_MOD = 1_000_000
+
+
+def q102_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.size("toks").alias("n_tok")
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("source_tokens")
+    )
+    cap = totals.agg(F.min("source_tokens").alias("cap"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % MIX_MOD
+    return (
+        docs.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(cap))
+        .where(h * F.col("source_tokens") < F.col("cap") * F.lit(MIX_MOD))
+        .groupBy("source")
+        .agg(
+            F.max("source_tokens").alias("source_tokens"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+ORACLE_Q102 = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+    FROM documents
+),
+totals AS (
+    SELECT source, CAST(SUM(n_tok) AS BIGINT) AS source_tokens FROM toks GROUP BY 1
+),
+cap AS (SELECT MIN(source_tokens) AS cap FROM totals)
+SELECT t.source, CAST(MAX(tt.source_tokens) AS BIGINT) AS source_tokens,
+       COUNT(*) AS n_kept, CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
+FROM toks t JOIN totals tt USING (source), cap
+WHERE (CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {MIX_MOD})
+      * tt.source_tokens < cap.cap * {MIX_MOD}
+GROUP BY t.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q103 — vocabulary encoding: build a top-V vocab by corpus frequency
+# (deterministic tie-break: count desc, token asc) and dictionary-encode
+# every document to id sequences; out-of-vocab -> -1.  The vocab is the
+# output of a full aggregation but is tiny (real tokenizers are ~100k
+# entries), so the encode join broadcasts it and the corpus pass stays
+# shuffle-free; positions are re-assembled order-preservingly with
+# array_sort over (pos, id) structs.  ids_prefix is JSON-canonical (same
+# reason as q56).
+# ---------------------------------------------------------------------------
+VOCAB_SIZE = 16
+
+
+def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .count()
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("count"), F.asc("tok"))) - 1,
+        )
+        .where(F.col("id") < VOCAB_SIZE)
+        .select("tok", "id")
+    )
+    enc = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("id")
+    )
+    ids_by_pos = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("id") == -1).cast("int")).cast("bigint").alias("n_oov"),
+        F.to_json(F.slice(ids_by_pos, 1, 8)).alias("ids_prefix"),
+        F.sum(F.col("id") * F.col("pos")).cast("bigint").alias("id_dot_pos"),
+    )
+
+
+ORACLE_Q103 = f"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok,
+           unnest(range(1, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) + 1)) AS pos
+    FROM documents
+),
+vocab AS (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) - 1 AS id
+    FROM tok GROUP BY tok
+    QUALIFY id < {VOCAB_SIZE}
+),
+enc AS (
+    SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS id
+    FROM tok t LEFT JOIN vocab v USING (tok)
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(to_json(list_slice(list(id ORDER BY pos), 1, 8)) AS VARCHAR) AS ids_prefix,
+       CAST(SUM(id * pos) AS BIGINT) AS id_dot_pos
+FROM enc
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -573,6 +751,9 @@ QUERIES = {
     "q86_sentence_stats": q86_sentence_stats,
     "q87_repetition_signals": q87_repetition_signals,
     "q88_decontaminate": q88_decontaminate,
+    "q101_sequence_packing": q101_sequence_packing,
+    "q102_domain_mixture": q102_domain_mixture,
+    "q103_vocab_encode": q103_vocab_encode,
 }
 
 ORACLE = {
@@ -589,4 +770,7 @@ ORACLE = {
     "q86_sentence_stats": ORACLE_Q86,
     "q87_repetition_signals": ORACLE_Q87,
     "q88_decontaminate": ORACLE_Q88,
+    "q101_sequence_packing": ORACLE_Q101,
+    "q102_domain_mixture": ORACLE_Q102,
+    "q103_vocab_encode": ORACLE_Q103,
 }

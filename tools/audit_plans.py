@@ -43,7 +43,9 @@ DYNAMIC = {"q46_dedup_groups"}
 #   q58_ann_pq_adc     — codebook row + N_QUERY=5 broadcast ADC tables
 ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               "q57_kmeans_iteration", "q59_product_quantization",
-              "q58_ann_pq_adc"}
+              "q58_ann_pq_adc",
+              # one-row broadcast of the smallest-source token cap
+              "q102_domain_mixture"}
 
 
 def main() -> int:
