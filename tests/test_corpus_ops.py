@@ -1,0 +1,122 @@
+"""Semantic invariants of the corpus-construction operators (q101-q103)
+beyond the oracle hash: packing covers every doc exactly once, mixture
+sampling actually equalizes token shares, and vocab encoding is
+deterministic with a correct OOV boundary.  (Cross-engine value equality
+is tests/test_oracle_parity.py; these pin the semantics a hash can't
+explain.)"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tinymr_spark.operators.text import (
+    CONTEXT_TOKENS,
+    VOCAB_SIZE,
+    q101_sequence_packing,
+    q102_domain_mixture,
+    q103_vocab_encode,
+    with_tokens,
+)
+from tinymr_spark.sources import load_table
+
+
+def test_q101_packing_partitions_docs_exactly_once(spark, sf_dir):
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    total_tokens = docs.select(F.sum(F.size("toks"))).first()[0]
+    packed = q101_sequence_packing(spark, sf_dir)
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
+    ).first()
+    assert agg["docs"] == n_docs
+    assert agg["toks"] == total_tokens
+    # A sequence holds >= 1 doc and starts within one doc of its capacity:
+    # a doc's start offset lands inside the window, so at least one token
+    # of every member doc belongs to the window's [k*C, (k+1)*C) range.
+    rows = packed.collect()
+    assert all(r["n_docs"] >= 1 for r in rows)
+    # Per source, seq ids are dense from 0 (concat-and-chunk leaves no gaps).
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r["seq_id"])
+    for src, ids in per_src.items():
+        assert sorted(ids) == list(range(len(ids))), src
+
+
+def test_q101_straddling_doc_counts_toward_its_start_window(spark, sf_dir):
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    one_src = (
+        docs.select("doc_id", "source", F.size("toks").alias("n"))
+        .where(F.col("source") == "src0")
+        .orderBy("doc_id")
+        .collect()
+    )
+    start = 0
+    want = {}
+    for r in one_src:
+        want.setdefault(start // CONTEXT_TOKENS, []).append(r["doc_id"])
+        start += r["n"]
+    got = {
+        r["seq_id"]: (r["n_docs"], r["first_doc"], r["last_doc"])
+        for r in q101_sequence_packing(spark, sf_dir)
+        .where(F.col("source") == "src0")
+        .collect()
+    }
+    assert got == {
+        k: (len(v), min(v), max(v)) for k, v in want.items()
+    }
+
+
+def test_q102_mixture_caps_each_source_near_smallest(spark, sf_dir):
+    rows = q102_domain_mixture(spark, sf_dir).collect()
+    cap = min(r["source_tokens"] for r in rows)
+    for r in rows:
+        # Expected kept tokens = cap (each source downsampled to the
+        # smallest source's token count); hash draws are Bernoulli per
+        # doc, so allow generous sampling slack around the target.
+        assert r["kept_tokens"] <= r["source_tokens"]
+        assert 0.3 * cap < r["kept_tokens"] < 2.2 * cap, (r, cap)
+    # The smallest source keeps everything: rate == 1 exactly.
+    smallest = [r for r in rows if r["source_tokens"] == cap]
+    assert all(r["kept_tokens"] == cap for r in smallest)
+
+
+def test_q103_vocab_ids_and_oov(spark, sf_dir):
+    enc = q103_vocab_encode(spark, sf_dir)
+    rows = enc.collect()
+    # n_oov counts exactly the -1 ids; prefix ids are within [-1, V).
+    for r in rows[:50]:
+        ids = json.loads(r["ids_prefix"])
+        assert all(-1 <= i < VOCAB_SIZE for i in ids)
+        assert len(ids) == min(8, r["n_tokens"])
+    # Deterministic across runs (vocab tie-break is total, not hash-order).
+    again = {r["doc_id"]: r["ids_prefix"] for r in enc.collect()}
+    assert all(again[r["doc_id"]] == r["ids_prefix"] for r in rows)
+
+
+def test_q103_top_token_gets_id_zero(spark, sf_dir):
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    top = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .first()["tok"]
+    )
+    # Re-derive id 0's token by encoding a one-token probe through the
+    # pipeline's vocab: cheapest check is that some doc whose first token
+    # is `top` has prefix starting with 0.
+    probe = (
+        docs.where(F.element_at("toks", 1) == top)
+        .select("doc_id")
+        .first()
+    )
+    if probe is not None:
+        row = (
+            q103_vocab_encode(spark, sf_dir)
+            .where(F.col("doc_id") == probe["doc_id"])
+            .first()
+        )
+        assert json.loads(row["ids_prefix"])[0] == 0
