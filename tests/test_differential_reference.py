@@ -26,6 +26,17 @@ sys.path.insert(0, "/root/reference")
 import tinymr as reference  # noqa: E402
 
 
+@pytest.fixture(params=["local", "distributed"], autouse=True)
+def exec_mode(request, monkeypatch):
+    """Fuzz BOTH execution paths against the reference: the in-process
+    small-input fast path and the RDD lowering (local_threshold=0 forces
+    every input through Spark regardless of size)."""
+    monkeypatch.setattr(
+        OurMR, "local_threshold", 10**9 if request.param == "local" else 0
+    )
+    return request.param
+
+
 KEYS = st.sampled_from(["a", "b", "c", "d"])
 SORTS = st.integers(min_value=0, max_value=3)  # small range -> many ties
 VALS = st.integers(min_value=0, max_value=99)

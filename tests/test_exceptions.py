@@ -9,6 +9,16 @@ import pytest
 from tinymr_spark import ElementCountError, MapReduce
 
 
+@pytest.fixture(params=["local", "distributed"], autouse=True)
+def exec_mode(request, monkeypatch):
+    """Arity validation must raise identically from the in-process fast
+    path and the RDD lowering."""
+    monkeypatch.setattr(
+        MapReduce, "local_threshold", 10**9 if request.param == "local" else 0
+    )
+    return request.param
+
+
 class BadMapperArity1(MapReduce):
     def mapper(self, item):
         yield (item,)

@@ -15,6 +15,14 @@ import pytest
 
 from tinymr_spark import ElementCountError, MapReduce
 
+
+@pytest.fixture(autouse=True)
+def _force_distributed(monkeypatch):
+    """These modules pin the DISTRIBUTED lowering's semantics; disable the
+    small-input local fast path so tiny fixtures still exercise it (the
+    local path is differentially fuzzed in test_differential_reference)."""
+    monkeypatch.setattr(MapReduce, "local_threshold", 0)
+
 TEXT = [
     "word count is the flagship query",
     "the count of each word is the answer",

@@ -6,7 +6,17 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from tinymr_spark import MapReduce
+
+
+@pytest.fixture(autouse=True)
+def _force_distributed(monkeypatch):
+    """These modules pin the DISTRIBUTED lowering's semantics; disable the
+    small-input local fast path so tiny fixtures still exercise it (the
+    local path is differentially fuzzed in test_differential_reference)."""
+    monkeypatch.setattr(MapReduce, "local_threshold", 0)
 
 LINES = [f"w{i % 7} w{i % 3} common" for i in range(50)]
 

@@ -12,6 +12,14 @@ import pytest
 from tinymr_spark import MapReduce
 
 
+@pytest.fixture(autouse=True)
+def _force_distributed(monkeypatch):
+    """These modules pin the DISTRIBUTED lowering's semantics; disable the
+    small-input local fast path so tiny fixtures still exercise it (the
+    local path is differentially fuzzed in test_differential_reference)."""
+    monkeypatch.setattr(MapReduce, "local_threshold", 0)
+
+
 class CollectValues(MapReduce):
     """Group 2-tuples; reducer passes the (possibly sorted) list through."""
 

@@ -83,6 +83,37 @@ def _check_arity(record):
     return n
 
 
+def _local_group_and_sort(stream, sort_with_value, reverse):
+    """In-process twin of ``_group_and_sort`` for the local fast path:
+    insertion-ordered dict gives first-encounter key order, ``list.sort``
+    gives the same stable-tie behavior the distributed round reconstructs
+    via encounter indices.  Returns ``{key: [value, ...]}`` or ``None``
+    for an empty stream."""
+    groups: dict = {}
+    arity = None
+    for rec in stream:
+        if arity is None:
+            arity = _check_arity(rec)
+        if arity == 3:
+            groups.setdefault(rec[0], []).append((rec[1], rec[2]))
+        else:
+            groups.setdefault(rec[0], []).append((None, rec[1]))
+    if arity is None:
+        return None
+    has_sort = arity == 3
+    out: dict = {}
+    for key, payloads in groups.items():
+        if has_sort:
+            if sort_with_value:
+                payloads.sort(key=lambda p: (p[0], p[1]), reverse=reverse)
+            else:
+                payloads.sort(key=lambda p: p[0], reverse=reverse)
+        elif sort_with_value:
+            payloads.sort(key=lambda p: p[1], reverse=reverse)
+        out[key] = [p[1] for p in payloads]
+    return out
+
+
 def _group_and_sort(indexed, has_sort, sort_with_value, reverse, num_partitions):
     """Distributed equivalent of ``_partition_and_sort``
     (/root/reference/tinymr.py:278-345).
@@ -137,6 +168,14 @@ class MapReduce(abc.ABC):
 
     #: Partition count used when parallelizing a plain Python sequence.
     input_partitions = None
+
+    #: Plain-sequence inputs at or below this many items execute
+    #: in-process with identical semantics instead of through a Spark
+    #: job: megabyte-scale lists cost milliseconds serially but seconds
+    #: of job/shuffle fixed overhead distributed (the small-job analog of
+    #: AQE's local-shuffle fallback).  0 disables the fast path; RDD
+    #: inputs always run distributed.
+    local_threshold = 10_000
 
     #: Opt-in map-side combining (the automated version of the reference's
     #: manual key-overloading idiom, /root/reference/docs.rst:199-283).
@@ -373,6 +412,17 @@ class MapReduce(abc.ABC):
         API compatibility and ignored — Spark executors supply the
         parallelism (see module docstring).
         """
+        if not isinstance(sequence, RDD):
+            items = (
+                sequence
+                if isinstance(sequence, (list, tuple))
+                else list(sequence)
+            )
+            if not items:
+                return self.output({})
+            if self.local_threshold and len(items) <= self.local_threshold:
+                return self._run_local(items)
+            sequence = items
         rdd = self._as_rdd(sequence, spark)
         if rdd is None:
             return self.output({})
@@ -384,3 +434,39 @@ class MapReduce(abc.ABC):
         # (/root/reference/tinymr.py:332-334 insertion order).
         rows.sort(key=lambda kv: kv[1][0])
         return self.output({k: v for k, (_idx, v) in rows})
+
+    def _run_local(self, items):
+        """In-process execution of the identical contract — the sort
+        matrix, stable ties, first-record arity validation, second
+        grouping round, and first-wins scalar extraction all behave
+        exactly as the distributed lowering (differentially fuzzed against
+        it and against the reference in tests/test_differential_reference.py).
+        """
+        if isgeneratorfunction(self.mapper):
+            mapped = (rec for item in items for rec in self.mapper(item))
+        else:
+            mapped = (self.mapper(item) for item in items)
+        grouped = _local_group_and_sort(
+            mapped, self.sort_map_with_value, self.sort_map_reverse
+        )
+        if grouped is None:
+            return self.output({})
+
+        reducer_is_gen = isgeneratorfunction(self.reducer)
+        if reducer_is_gen:
+            reduced = (
+                rec
+                for key, values in grouped.items()
+                for rec in self.reducer(key, values)
+            )
+        else:
+            reduced = (self.reducer(key, values) for key, values in grouped.items())
+        grouped2 = _local_group_and_sort(
+            reduced, self.sort_reduce_with_value, self.sort_reduce_reverse
+        )
+        if grouped2 is None:
+            return self.output({})
+        if not reducer_is_gen:
+            # first value survives collisions (/root/reference/tinymr.py:223-227)
+            grouped2 = {k: v[0] for k, v in grouped2.items()}
+        return self.output(grouped2)
