@@ -35,3 +35,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         .collect()[0][0]
     )
     assert recall >= RECALL_FLOOR, f"IVF recall@{TOP_K} degraded to {recall:.3f}"
+
+
+def test_ml_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """q104 (pyspark.ml MinHashLSH) must recover nearly all pairs the
+    exact shingle-Jaccard join (q41) scores well above its similarity
+    cutoff.  With 8 single-hash tables a pair at similarity s is emitted
+    with probability 1-(1-s)^8 (>= 0.98 at s=0.45); the floor allows for
+    HashingTF collisions shifting a few pairs across the boundary."""
+    from tinymr_spark.operators.dedup import q41_dedup_jaccard, q104_ml_minhash_lsh
+
+    truth = (
+        q41_dedup_jaccard(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.45)
+        .select("doc_a", "doc_b")
+    )
+    got = q104_ml_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    if n_truth == 0:
+        return  # no strong pairs at this SF — nothing to gate
+    n_hit = truth.join(got, ["doc_a", "doc_b"]).count()
+    recall = n_hit / n_truth
+    assert recall >= 0.9, f"ML MinHashLSH recall degraded to {recall:.3f}"

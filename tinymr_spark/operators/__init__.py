@@ -43,7 +43,12 @@ _DRIVER_VERIFIED_R1_R2 = frozenset(
 
 # Queries added in round 3, after the gate rotation was planned.
 _ADDED_R3 = frozenset(
-    {"q101_sequence_packing", "q102_domain_mixture", "q103_vocab_encode"}
+    {
+        "q101_sequence_packing",
+        "q102_domain_mixture",
+        "q103_vocab_encode",
+        "q104_ml_minhash_lsh",
+    }
 )
 
 

@@ -964,6 +964,68 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q104 — MinHash LSH via pyspark.ml (the library-native counterpart of the
+# hand-rolled q42/q45): shingles -> binary HashingTF vectors ->
+# MinHashLSH.approxSimilarityJoin.  Deterministic under the fixed seed,
+# but the minhash functions are the library's own, so there is no SQL
+# oracle — the driver records the rows-only check and
+# tests/test_similarity_recall.py gates recall against q41's exact-Jaccard
+# ground truth.  Same scale shape as q45: band buckets join-side,
+# candidate verification distributed; the ml.Model itself holds only the
+# hash coefficients (broadcast-sized).
+# ---------------------------------------------------------------------------
+ML_LSH_DIST_MAX = 0.6  # Jaccard distance cutoff (similarity >= 0.4)
+
+# The fitted index (model + persisted hashed corpus) per (session, sf_dir):
+# an LSH index is built once and queried many times — same lifecycle as
+# the scan cache in sources/__init__.py.
+_ml_lsh_cache: dict = {}
+
+
+def _ml_lsh_index(spark: SparkSession, sf_dir: str):
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    key = (id(spark), sf_dir)
+    cached = _ml_lsh_cache.get(key)
+    if cached is not None:
+        return cached
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # MinHashLSH rejects all-zero vectors, so empty shingle sets must be
+    # filtered — but on the CHEAP precondition (size(toks) >= 3), not on
+    # size(shingles): a filter naming the shingle array gets pushed below
+    # the projection and re-evaluates the O(tokens^2) ngram expression
+    # per row (the _hashed_shingles plan trap; measured 9.7s -> 1.3s at
+    # sf0.1 for this stage).
+    sh = docs.where(F.size("toks") >= 3).select(
+        "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("shingles")
+    )
+    vec = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(vec)
+    # The self-join consumes the tokenize->shingle->hash pipeline twice;
+    # materialize it once (tiny: one sparse vector + 8 hashes per doc).
+    hashed = model.transform(vec).persist()
+    _ml_lsh_cache[key] = (model, hashed)
+    return model, hashed
+
+
+def q104_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, hashed = _ml_lsh_index(spark, sf_dir)
+    return (
+        model.approxSimilarityJoin(hashed, hashed, ML_LSH_DIST_MAX, distCol="jdist")
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jdist", 4).alias("jdist"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -975,6 +1037,7 @@ QUERIES = {
     "q49_corpus_pipeline": q49_corpus_pipeline,
     "q47_dedup_simhash_banded": q47_dedup_simhash_banded,
     "q48_dedup_cdc_chunks": q48_dedup_cdc_chunks,
+    "q104_ml_minhash_lsh": q104_ml_minhash_lsh,
 }
 
 ORACLE = {
