@@ -50,6 +50,12 @@ BATTERY = [
     "q72_sessionize",
     "q77_funnel",
     "q78_retention",
+    # corpus ops that are LINEAR in documents (not pair-based, so a 5x
+    # doc copy scales work without changing output semantics; the
+    # dedup/ANN family stays excluded — 5x dups would change the answer
+    # quadratically, not the engine behavior)
+    "q101_sequence_packing",
+    "q103_vocab_encode",
 ]
 
 
@@ -74,8 +80,19 @@ def stage(spark):
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(STAGE, f"{name}.parquet"))
+    # documents scale too (doc_id offset keeps ids disjoint): the probe's
+    # corpus queries (q101/q103) are per-doc linear, and no battery query
+    # does cross-doc pairing on documents.
+    docs = load_table(spark, BASE, "documents")
+    dcopies = []
+    for i in range(N_COPIES):
+        dcopies.append(docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET)))
+    dout = dcopies[0]
+    for c in dcopies[1:]:
+        dout = dout.unionByName(c)
+    dout.write.mode("overwrite").parquet(os.path.join(STAGE, "documents.parquet"))
     for name in (
-        "region nation supplier part documents embeddings".split()
+        "region nation supplier part embeddings".split()
     ):
         src = os.path.join(BASE, f"{name}.parquet")
         dst = os.path.join(STAGE, f"{name}.parquet")
