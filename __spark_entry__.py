@@ -39,6 +39,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _shipped(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shipped(spark)
+            # The harness owns this session: pin the two confs the
+            # oracle comparison depends on (sources/__init__.py casts
+            # TIMESTAMP_NTZ to LTZ, which is value-preserving only under
+            # a UTC session timezone).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             return fn(spark, sf_dir)
 
         run.__name__ = getattr(fn, "__name__", "query")
