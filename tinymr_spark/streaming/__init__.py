@@ -105,7 +105,7 @@ def _pre_stream_cleanup(spark: SparkSession) -> None:
 
 
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
-                        n_state_parts: int = 4,
+                        n_state_parts: int = 2,
                         output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink; return the materialized table.
@@ -113,10 +113,11 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     Every windowed/session aggregate is stateful: each shuffle partition
     owns a state store (provider init + commit + maintenance per
     micro-batch), so the partition count should track state size, not the
-    batch-side default — same sizing rule measured 3x on q92.  Default 4
-    (measured at sf0.1: q90 1.1s/1.3s and q95 1.1s/1.4s at 4/8 parts;
-    session windows neutral); multi-batch (q97) and stream-stream (q98)
-    runs size explicitly.  Set via conf for the duration of the run; the
+    batch-side default — same sizing rule measured 3x on q92.  Default 2
+    (measured at sf0.1: q90 0.76s/1.02s and q91 0.64s/0.83s at 2/4
+    parts, session windows neutral — MB-scale replay state wants the
+    fewest stores that still parallelize); multi-batch (q97) and
+    stream-stream (q98) runs size explicitly.  Set via conf for the duration of the run; the
     count freezes into the checkpoint on first start anyway, so this is a
     per-stream sizing decision, not a tunable-later knob."""
     _pre_stream_cleanup(spark)
