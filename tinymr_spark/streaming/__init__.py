@@ -26,9 +26,10 @@ _schema_cache: dict = {}
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema taken from a batch peek —
-    file streams require an explicit schema).  The parquet stores
-    TIMESTAMP(NANOS): read nanos as long, convert to microsecond timestamps
-    in the stream (same policy as the batch loader)."""
+    file streams require an explicit schema).  `ts` normalizes to
+    TimestampType whatever the parquet stored — NANOS read as long and
+    truncated to micros, or tz-naive MICROS inferred as NTZ and cast —
+    same policy as the batch loader (sources/__init__.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     skey = (id(spark), path)
@@ -453,8 +454,8 @@ def q97_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Multi-batch runs pay the per-partition store commit EVERY micro-batch,
     # so size down further than the single-batch queries (measured at
-    # sf0.1: 4 parts ~1.7s vs 8 parts ~2.4s median).
-    return run_stream_to_table(per_user, spark, n_state_parts=4)
+    # sf0.1: 2 parts min 1.87s vs 4 parts min 2.25s over 4 runs).
+    return run_stream_to_table(per_user, spark, n_state_parts=2)
 
 
 ORACLE_Q97 = """
