@@ -71,19 +71,27 @@ def main():
                 timings.setdefault(name, -1.0)
                 print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
 
+    line = format_bench_line(timings, sf_dir)
+    if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
+        print(f"# bench warning: JSON line {len(line)} chars", file=sys.stderr)
+    print(line)
+
+
+def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
+    """One compact JSON line.  The driver records only the LAST 2000 chars
+    of stdout and parses the JSON from that tail: with 100 full query
+    names the line is ~3.5k chars and parsing fails (BENCH_r01/r02
+    "parsed": null).  Short keys (the spec's own example format,
+    {"q1": sec}) with compact separators keep it inside the window; the
+    qNN -> full-name mapping is the docstring of every queries() entry
+    and SURVEY.md §8."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # The driver records only the LAST 2000 chars of stdout and parses the
-    # JSON from that tail: with 100 full query names the line is ~3.5k
-    # chars and parsing fails (BENCH_r01/r02 "parsed": null).  Emit short
-    # keys (the spec's own example format, {"q1": sec}) with compact
-    # separators so the line fits; the qNN -> full-name mapping is the
-    # docstring of every queries() entry and SURVEY.md §8.
     short = {}
     for name, t in timings.items():
         k = name.split("_", 1)[0]
         short[name if k in short else k] = t
-    line = json.dumps(
+    return json.dumps(
         {
             "metric": "total_query_wall_sec",
             "value": total,
@@ -93,9 +101,6 @@ def main():
         },
         separators=(",", ":"),
     )
-    if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
-        print(f"# bench warning: JSON line {len(line)} chars", file=sys.stderr)
-    print(line)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,42 @@
+"""The bench output contract: ONE parseable JSON line that fits the
+driver's 2000-char stdout tail even with the full query inventory (the
+round-1/2 BENCH files recorded "parsed": null because the full-name line
+overflowed the tail)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import format_bench_line
+
+
+def _inventory_names():
+    import __spark_entry__ as entrymod
+
+    return list(entrymod.queries())
+
+
+def test_bench_line_fits_driver_tail_and_parses():
+    names = _inventory_names()
+    timings = {n: round(0.0001 + 11.1111 * (i % 7), 4) for i, n in enumerate(names)}
+    timings[names[0]] = -1.0  # a failed query must not break the format
+    line = format_bench_line(timings, "/root/testdata/sf0.1")
+    assert "\n" not in line
+    assert len(line) <= 1900, f"{len(line)} chars overflows the driver tail"
+    d = json.loads(line)
+    assert d["metric"] == "total_query_wall_sec"
+    assert d["unit"] == "sec"
+    assert d["sf"] == 0.1
+    assert len(d["queries"]) == len(names)
+    # total excludes failures
+    assert d["value"] == round(
+        sum(t for t in timings.values() if t >= 0), 4
+    )
+    # short keys stay unique (fall back to the full name on collision)
+    assert len(set(d["queries"])) == len(names)
+
+
+def test_bench_short_key_collision_falls_back_to_full_name():
+    line = format_bench_line({"q01_a": 1.0, "q01_b": 2.0}, "sf0.01")
+    d = json.loads(line)
+    assert d["queries"] == {"q01": 1.0, "q01_b": 2.0}
