@@ -8,9 +8,12 @@ Spark RDDs.  The contract being preserved, with reference citations:
   ``output()``, four boolean sort properties
   (/root/reference/tinymr.py:39-154).
 * Tuple IR: every inter-stage record is ``(key, value)`` or
-  ``(key, sort, value)``; arity is validated from the FIRST record of each
-  stage and anything outside {2, 3} raises ``ElementCountError``
-  (/root/reference/tinymr.py:301-308).
+  ``(key, sort, value)``; arity outside {2, 3} raises
+  ``ElementCountError`` (/root/reference/tinymr.py:301-308).  Validation
+  runs executor-side on each partition's first map record and each
+  reducer call's first emission (strictly more checking than the
+  reference's single global peek, cost one ``len`` per partition/key);
+  the parity adapter re-raises the original exception type driver-side.
 * Yield/return duality: ``inspect.isgeneratorfunction`` on the *function*
   decides whether mapper/reducer output is flattened — a plain function
   returning an iterator is NOT flattened (/root/reference/tinymr.py:186,
@@ -83,6 +86,26 @@ def _check_arity(record):
     return n
 
 
+def _collect_reraising(rdd):
+    """Collect, surfacing a task's ``ElementCountError`` as itself.
+
+    Arity validation runs executor-side (no driver peek job), so Spark
+    wraps the raise in its serialized-task exception; the parity adapter
+    re-raises the original so callers see the reference's exception type
+    (/root/reference/tinymr.py:273-275) with the original message."""
+    try:
+        return rdd.collect()
+    except ElementCountError:
+        raise
+    except Exception as e:
+        msg = str(e)
+        marker = "ElementCountError: "
+        if marker in msg:
+            detail = msg.split(marker, 1)[1].splitlines()[0]
+            raise ElementCountError(detail) from None
+        raise
+
+
 def _local_group_and_sort(stream, sort_with_value, reverse):
     """In-process twin of ``_group_and_sort`` for the local fast path:
     insertion-ordered dict gives first-encounter key order, ``list.sort``
@@ -114,7 +137,7 @@ def _local_group_and_sort(stream, sort_with_value, reverse):
     return out
 
 
-def _group_and_sort(indexed, has_sort, sort_with_value, reverse, num_partitions):
+def _group_and_sort(indexed, sort_with_value, reverse, num_partitions):
     """Distributed equivalent of ``_partition_and_sort``
     (/root/reference/tinymr.py:278-345).
 
@@ -124,19 +147,26 @@ def _group_and_sort(indexed, has_sort, sort_with_value, reverse, num_partitions)
     order restored first (Spark shuffle arrival order is nondeterministic),
     then one stable sort by the matrix key.  ``first_encounter_idx`` is
     kept so downstream stages can reproduce first-encounter key ordering.
-    """
-    if has_sort:
-        # (k, s, v) -> key=k, payload=(idx, s, v)   [tinymr.py:313-314]
-        kv = indexed.map(lambda t: (t[1][0], (t[0], t[1][1], t[1][2])))
-    else:
-        kv = indexed.map(lambda t: (t[1][0], (t[0], None, t[1][1])))
 
-    grouped = kv.groupByKey(num_partitions) if num_partitions else kv.groupByKey()
+    The 2-vs-3-tuple shape is read off each record map-side (payload
+    ``(idx, v)`` or ``(idx, s, v)``) rather than decided driver-side, so
+    no peek job is needed; arity is uniform per stream (mixed arity is
+    UB, exactly as in the reference — tinymr.py:301-308)."""
+
+    def kv(t):
+        rec = t[1]
+        if len(rec) == 3:
+            # (k, s, v) -> key=k, payload=(idx, s, v)   [tinymr.py:313-314]
+            return (rec[0], (t[0], rec[1], rec[2]))
+        return (rec[0], (t[0], rec[1]))
+
+    kvr = indexed.map(kv)
+    grouped = kvr.groupByKey(num_partitions) if num_partitions else kvr.groupByKey()
 
     def finish(payloads):
         lst = sorted(payloads, key=lambda p: p[0])  # restore encounter order
         first_idx = lst[0][0]
-        if has_sort:
+        if len(lst[0]) == 3:
             if sort_with_value:
                 # sort by (sort, value) tuple        [tinymr.py:327-328]
                 lst.sort(key=lambda p: (p[1], p[2]), reverse=reverse)
@@ -145,8 +175,8 @@ def _group_and_sort(indexed, has_sort, sort_with_value, reverse, num_partitions)
                 lst.sort(key=lambda p: p[1], reverse=reverse)
         elif sort_with_value:
             # 2-tuples + sort_with_value: sort by value  [tinymr.py:320-323]
-            lst.sort(key=lambda p: p[2], reverse=reverse)
-        return (first_idx, [p[2] for p in lst])
+            lst.sort(key=lambda p: p[1], reverse=reverse)
+        return (first_idx, [p[-1] for p in lst])
 
     return grouped.mapValues(finish)
 
@@ -247,13 +277,20 @@ class MapReduce(abc.ABC):
         return sc.parallelize(items, n)
 
     def _pipeline(self, rdd):
-        """Build the distributed pipeline; returns
+        """Build the distributed pipeline LAZILY; returns
         ``RDD[(key, (first_idx, values))]`` after the second grouping, with
-        scalar extraction applied, or ``None`` for an empty stream.
+        scalar extraction applied.  Empty streams simply collect to [].
 
-        Mirrors the reference's two-eager-barrier structure
-        (/root/reference/tinymr.py:196-230): the two ``groupByKey`` calls
-        are the only shuffles, everything between is narrow/pipelined.
+        No driver-side peeks: arity is validated executor-side on each
+        partition's first map record and each reducer call's first
+        emission (re-raised as ``ElementCountError`` at the collecting
+        action).  The old ``take(1)`` peek re-evaluated partition 0 of
+        the map phase — for a single-split input that is the ENTIRE map
+        phase run twice — and forced a ``cache()`` of the reduced stream.
+        Now every stage feeds exactly one consumer, nothing is cached,
+        and the only jobs are the two ``groupByKey`` shuffles with
+        narrow/pipelined stages between (the reference's two eager
+        barriers, /root/reference/tinymr.py:196-230).
         """
         mapper = self.mapper
         if isgeneratorfunction(self.mapper):
@@ -261,17 +298,16 @@ class MapReduce(abc.ABC):
         else:
             mapped = rdd.map(mapper)
 
-        head = mapped.take(1)
-        if not head:
-            return None
-        arity = _check_arity(head[0])
-
         # Encounter index = (partition_id, intra_partition_index): compares
         # lexicographically identical to a global zipWithIndex (partitions
         # hold contiguous input slices) but needs NO extra count job and no
         # caching of the full mapped stream — one pass, scale-safe.
         def index_partition(pid, it):
+            checked = False
             for i, rec in enumerate(it):
+                if not checked:
+                    _check_arity(rec)
+                    checked = True
                 yield ((pid, i), rec)
 
         indexed = mapped.mapPartitionsWithIndex(index_partition)
@@ -281,11 +317,11 @@ class MapReduce(abc.ABC):
         # 1-file input doesn't pay for 32 near-empty Python reduce tasks).
         n_parts = self.num_partitions or rdd.getNumPartitions()
 
-        reducer_is_gen_early = isgeneratorfunction(self.reducer)
+        reducer = self.reducer
+        reducer_is_gen = isgeneratorfunction(self.reducer)
         use_combine = (
             self.combine
-            and arity == 2
-            and not reducer_is_gen_early
+            and not reducer_is_gen
             and not self.sort_map_with_value
         )
         if use_combine:
@@ -293,36 +329,31 @@ class MapReduce(abc.ABC):
         else:
             grouped = _group_and_sort(
                 indexed,
-                arity == 3,
                 self.sort_map_with_value,
                 self.sort_map_reverse,
                 n_parts,
             )
 
-        reducer = self.reducer
-        reducer_is_gen = isgeneratorfunction(self.reducer)
-
         def run_reduce(kv):
             key, (first_idx, values) = kv
             if reducer_is_gen:
                 for j, rec in enumerate(reducer(key, values)):
+                    if j == 0:
+                        _check_arity(rec)
                     # Composite encounter index: keys in first-encounter
                     # order of the map round, then reducer-output order —
                     # exactly the serial iteration order of
                     # /root/reference/tinymr.py:209-215.
                     yield (first_idx + (j,), rec)
             else:
-                yield (first_idx + (0,), reducer(key, values))
+                rec = reducer(key, values)
+                _check_arity(rec)
+                yield (first_idx + (0,), rec)
 
-        reduced = grouped.flatMap(run_reduce).cache()
-        rhead = reduced.take(1)
-        if not rhead:
-            return None
-        rarity = _check_arity(rhead[0][1])
+        reduced = grouped.flatMap(run_reduce)
 
         grouped2 = _group_and_sort(
             reduced,
-            rarity == 3,
             self.sort_reduce_with_value,
             self.sort_reduce_reverse,
             n_parts,
@@ -345,7 +376,18 @@ class MapReduce(abc.ABC):
 
         def combine_partition(it):
             acc: dict = {}
-            for idx, (k, v) in it:
+            checked = False
+            for idx, rec in it:
+                if not checked:
+                    # combine requires (key, value) records: a sort element
+                    # would trigger the map-round sort the combine skips
+                    if len(rec) != 2:
+                        raise ElementCountError(
+                            "combine=True requires (key, value) records; "
+                            "got arity {}. Example: {}".format(len(rec), rec)
+                        )
+                    checked = True
+                k, v = rec
                 slot = acc.get(k)
                 if slot is None:
                     acc[k] = [idx, [v]]
@@ -369,14 +411,12 @@ class MapReduce(abc.ABC):
     def to_rdd(self, sequence, spark=None):
         """Scale path: run the task, return ``RDD[(key, values)]`` without
         collecting.  ``values`` is a list (yield-style reducer) or a scalar
-        (return-style)."""
+        (return-style).  Task errors (including arity validation) surface
+        at the caller's first action, as with any lazy RDD."""
         rdd = self._as_rdd(sequence, spark)
         if rdd is None:
             return None
-        final = self._pipeline(rdd)
-        if final is None:
-            return None
-        return final.mapValues(lambda fv: fv[1])
+        return self._pipeline(rdd).mapValues(lambda fv: fv[1])
 
     def to_df(self, sequence, spark=None, key_type: str = "string",
               value_type: str = "string"):
@@ -426,10 +466,7 @@ class MapReduce(abc.ABC):
         rdd = self._as_rdd(sequence, spark)
         if rdd is None:
             return self.output({})
-        final = self._pipeline(rdd)
-        if final is None:
-            return self.output({})
-        rows = final.collect()
+        rows = _collect_reraising(self._pipeline(rdd))
         # First-encounter ordering of the reduced stream
         # (/root/reference/tinymr.py:332-334 insertion order).
         rows.sort(key=lambda kv: kv[1][0])
