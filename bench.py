@@ -90,7 +90,11 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     short = {}
     for name, t in timings.items():
         k = name.split("_", 1)[0]
-        short[name if k in short else k] = t
+        if k in short:
+            k = name
+        while k in short:  # a full name can equal an earlier short key
+            k = k + "+"
+        short[k] = t
     return json.dumps(
         {
             "metric": "total_query_wall_sec",

@@ -40,3 +40,11 @@ def test_bench_short_key_collision_falls_back_to_full_name():
     line = format_bench_line({"q01_a": 1.0, "q01_b": 2.0}, "sf0.01")
     d = json.loads(line)
     assert d["queries"] == {"q01": 1.0, "q01_b": 2.0}
+
+
+def test_bench_full_name_colliding_with_short_key_loses_no_timing():
+    # 'q01' the full name equals the short key already taken by q01_a
+    line = format_bench_line({"q01_a": 1.0, "q01": 2.0}, "sf0.01")
+    d = json.loads(line)
+    assert sorted(d["queries"].values()) == [1.0, 2.0]
+    assert len(d["queries"]) == 2

@@ -106,6 +106,38 @@ def _collect_reraising(rdd):
         raise
 
 
+def _require_pairs(stream):
+    """Local twin of the combine path's arity guard: combine=True demands
+    (key, value) records on every path, so input size never changes a
+    task's outcome."""
+    checked = False
+    for rec in stream:
+        if not checked:
+            if len(rec) != 2:
+                raise ElementCountError(
+                    "combine=True requires (key, value) records; "
+                    "got arity {}. Example: {}".format(len(rec), rec)
+                )
+            checked = True
+        yield rec
+
+
+def _checked_first(it):
+    """Validate the first emission of a yield-style reducer call — the
+    local twin of run_reduce's per-call check."""
+    first = True
+    for rec in it:
+        if first:
+            _check_arity(rec)
+            first = False
+        yield rec
+
+
+def _checked_one(rec):
+    _check_arity(rec)
+    return rec
+
+
 def _local_group_and_sort(stream, sort_with_value, reverse):
     """In-process twin of ``_group_and_sort`` for the local fast path:
     insertion-ordered dict gives first-encounter key order, ``list.sort``
@@ -474,30 +506,40 @@ class MapReduce(abc.ABC):
 
     def _run_local(self, items):
         """In-process execution of the identical contract — the sort
-        matrix, stable ties, first-record arity validation, second
-        grouping round, and first-wins scalar extraction all behave
-        exactly as the distributed lowering (differentially fuzzed against
-        it and against the reference in tests/test_differential_reference.py).
+        matrix, stable ties, arity validation, second grouping round,
+        and first-wins scalar extraction all behave exactly as the
+        distributed lowering (differentially fuzzed against it and
+        against the reference in tests/test_differential_reference.py).
+        The combine contract is enforced here too, so a task's outcome
+        never depends on which path its input size selected.
         """
+        reducer_is_gen = isgeneratorfunction(self.reducer)
+        enforce_combine = (
+            self.combine and not reducer_is_gen and not self.sort_map_with_value
+        )
         if isgeneratorfunction(self.mapper):
             mapped = (rec for item in items for rec in self.mapper(item))
         else:
             mapped = (self.mapper(item) for item in items)
+        if enforce_combine:
+            mapped = _require_pairs(mapped)
         grouped = _local_group_and_sort(
             mapped, self.sort_map_with_value, self.sort_map_reverse
         )
         if grouped is None:
             return self.output({})
 
-        reducer_is_gen = isgeneratorfunction(self.reducer)
         if reducer_is_gen:
             reduced = (
                 rec
                 for key, values in grouped.items()
-                for rec in self.reducer(key, values)
+                for rec in _checked_first(self.reducer(key, values))
             )
         else:
-            reduced = (self.reducer(key, values) for key, values in grouped.items())
+            reduced = (
+                _checked_one(self.reducer(key, values))
+                for key, values in grouped.items()
+            )
         grouped2 = _local_group_and_sort(
             reduced, self.sort_reduce_with_value, self.sort_reduce_reverse
         )

@@ -576,7 +576,14 @@ def q101_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    w = Window.partitionBy("source").orderBy("doc_id")
+    # ROWS frame pinned explicitly: the orderBy default is a RANGE frame,
+    # which treats duplicate doc_ids as peers and would diverge from the
+    # oracle's ROWS cumsum if ids ever repeated.
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     staged = docs.select(
         "doc_id", "source", F.size("toks").alias("n_tok")
     ).withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
@@ -617,10 +624,14 @@ GROUP BY 1, 2
 # contributes an equal token share (the downsample-to-smallest policy).
 # Per-source keep rate = cap / source_tokens with cap = smallest source;
 # membership is decided by a deterministic md5(doc_id) draw (the q27
-# idiom) compared in INTEGER math — h*source_tokens < cap*MOD — so both
-# engines make bit-identical keep decisions with no float rounding at
-# the boundary.  Totals broadcast (20 sources); the corpus pass is
-# shuffle-free until the final per-source rollup.
+# idiom) compared in EXACT arithmetic — h*source_tokens < cap*MOD — so
+# both engines make bit-identical keep decisions with no float rounding
+# at the boundary.  The products run as DECIMAL(38,0) on Spark and
+# HUGEINT on DuckDB: at 100 TB a source holds ~2e13 tokens, so
+# h*source_tokens (~1e6 * 2e13 = 2e19) overflows int64 — and Spark with
+# ANSI off would WRAP SILENTLY while DuckDB errors.  Totals broadcast
+# (20 sources); the corpus pass is shuffle-free until the final
+# per-source rollup.
 # ---------------------------------------------------------------------------
 MIX_MOD = 1_000_000
 
@@ -636,10 +647,14 @@ def q102_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     ) % MIX_MOD
+    dec = "decimal(38,0)"
     return (
         docs.join(F.broadcast(totals), "source")
         .crossJoin(F.broadcast(cap))
-        .where(h * F.col("source_tokens") < F.col("cap") * F.lit(MIX_MOD))
+        .where(
+            h.cast(dec) * F.col("source_tokens").cast(dec)
+            < F.col("cap").cast(dec) * F.lit(MIX_MOD).cast(dec)
+        )
         .groupBy("source")
         .agg(
             F.max("source_tokens").alias("source_tokens"),
@@ -662,8 +677,9 @@ cap AS (SELECT MIN(source_tokens) AS cap FROM totals)
 SELECT t.source, CAST(MAX(tt.source_tokens) AS BIGINT) AS source_tokens,
        COUNT(*) AS n_kept, CAST(SUM(t.n_tok) AS BIGINT) AS kept_tokens
 FROM toks t JOIN totals tt USING (source), cap
-WHERE (CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {MIX_MOD})
-      * tt.source_tokens < cap.cap * {MIX_MOD}
+WHERE CAST(CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {MIX_MOD} AS HUGEINT)
+      * CAST(tt.source_tokens AS HUGEINT)
+      < CAST(cap.cap AS HUGEINT) * CAST({MIX_MOD} AS HUGEINT)
 GROUP BY t.source
 """
 

@@ -112,7 +112,13 @@ def main():
     spark = get_session(app_name="reference-race")
     spark.sparkContext.setLogLevel("ERROR")
     OurWordCount = _our_wordcount_cls()
-    OurWordCount()(base_texts[:50])  # warm executors/codegen like bench.py
+    # Warm the DISTRIBUTED machinery (executor Python workers, codegen):
+    # local_threshold must be 0 here or the tiny warm input takes the
+    # in-process fast path and the first timed row pays worker spawn.
+    warm_cls = _our_wordcount_combine_cls()
+    warm_cls()(base_texts[:50])
+    warm_plain = type("Warm", (OurWordCount,), {"local_threshold": 0})
+    warm_plain()(base_texts[:50])
 
     for scale in scales:
         texts = base_texts * scale
