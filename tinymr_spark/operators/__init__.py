@@ -26,7 +26,12 @@ _DRIVER_VERIFIED_R1_R2 = frozenset(
         (16, "case_buckets"), (17, "agg_stats"), (18, "exists_subquery"),
         (19, "having_scalar_subquery"), (20, "segment_order_value"),
         (21, "percentiles"), (22, "analytics_battery"),
-        (23, "window_range_frame"), (24, "approx_distinct"),
+        # q23 is deliberately ABSENT: its round-1/2 hash mismatch was a
+        # DuckDB HUGEINT-vs-bigint artifact visible only to the driver's
+        # hasher, and the round-3 oracle fix needs the driver's own gate
+        # to confirm it — so it re-enters the front 50 (displacing the
+        # last rotation entry to round 4).
+        (24, "approx_distinct"),
         (25, "array_functions"), (26, "salted_agg"), (27, "stratified_sample"),
         (28, "full_outer_join"), (29, "unpivot"), (30, "wordcount"),
         (31, "top_words"), (32, "token_stats"), (33, "quality_score"),
