@@ -1,0 +1,36 @@
+"""The __spark_entry__ wrapper must hold its contract on a session the
+harness owns: even if the surrounding session was reconfigured to a
+non-UTC timezone, wrapped queries pin UTC (the NTZ->LTZ cast in the
+loader is value-preserving only under UTC) and still match the oracle."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+
+
+@pytest.mark.parametrize("name", ["q70_tumbling_window", "q90_stream_tumbling"])
+def test_wrapper_pins_utc_on_foreign_session(spark, duck, sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sdf = entrymod.queries()[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    rel = duck.sql(entrymod.oracle_sql()[name])
+    assert check_oracle.table_hash(srows, scols) == check_oracle.table_hash(
+        rel.fetchall(), rel.columns
+    )
