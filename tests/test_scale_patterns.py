@@ -95,3 +95,35 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], plan
     expected = docs.where(F.col("lang") == "en").count()
     assert one_lang.count() == expected and expected > 0
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark, sf_dir):
+    import os
+
+    from tinymr_spark.operators.scale import q105_compact_small_files, _FRAGMENT_FILES
+    import hashlib
+    import tempfile
+
+    from tinymr_spark.sources import load_table
+
+    q105_compact_small_files(spark, sf_dir).count()  # stages + compacts
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "tinymr_spark_compact",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+
+    def parquet_files(d):
+        return [
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    small = parquet_files(os.path.join(base, "small"))
+    compacted = parquet_files(os.path.join(base, "compact"))
+    assert len(small) == _FRAGMENT_FILES
+    assert len(compacted) < len(small)
+    n_orig = load_table(spark, sf_dir, "documents").count()
+    assert spark.read.parquet(os.path.join(base, "compact")).count() == n_orig

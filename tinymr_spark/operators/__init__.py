@@ -53,6 +53,7 @@ _ADDED_R3 = frozenset(
         "q102_domain_mixture",
         "q103_vocab_encode",
         "q104_ml_minhash_lsh",
+        "q105_compact_small_files",
     }
 )
 
@@ -66,12 +67,13 @@ def all_queries() -> dict[str, QueryFn]:
         multimodal,
         mrface,
         relational,
+        scale,
         similarity,
         text,
     )
 
     merged: dict[str, QueryFn] = {}
-    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib):
+    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale):
         merged.update(mod.QUERIES)
     # The driver's correctness gate checks the FIRST 50 queries() entries
     # per round (CORRECTNESS_r01/r02 both cover exactly the first 50 keys
@@ -101,11 +103,12 @@ def all_oracles() -> dict[str, str]:
         multimodal,
         mrface,
         relational,
+        scale,
         similarity,
         text,
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib):
+    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale):
         merged.update(mod.ORACLE)
     return merged

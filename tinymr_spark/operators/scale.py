@@ -79,3 +79,86 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     small-files problem instead.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# q105 — small-files compaction: the standing maintenance job of any
+# long-lived 100 TB lake.  Streaming sinks and fine partitioning leave
+# thousands of KB-scale files; each costs a listing entry, a footer
+# read, and a scheduler task.  The compactor rewrites a directory into
+# ceil(bytes / target) files.  The query stages a deliberately
+# fragmented copy of `documents` (64 files), compacts it, and returns
+# per-source content stats FROM THE COMPACTED OUTPUT — the oracle checks
+# the whole round trip preserved every row and byte of content, while
+# tests/test_scale_patterns.py asserts the file count actually dropped.
+# (No reference counterpart: the reference has no storage layer at all,
+# /root/reference/tinymr.py.)
+# ---------------------------------------------------------------------------
+COMPACT_TARGET_BYTES = 32 * 1024 * 1024
+_FRAGMENT_FILES = 64
+
+
+def compact_parquet(spark, src_dir: str, dst_dir: str,
+                    target_bytes: int = COMPACT_TARGET_BYTES) -> int:
+    """Rewrite ``src_dir`` into ``dst_dir`` with ceil(bytes/target)
+    files; returns the output file count.  One narrow read + one
+    round-robin repartition write — no keyed shuffle."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(src_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(dst_dir)
+    return n_out
+
+
+def q105_compact_small_files(spark, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from tinymr_spark.sources import load_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "tinymr_spark_compact",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+    small, compacted = os.path.join(base, "small"), os.path.join(base, "compact")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(_FRAGMENT_FILES).write.mode("overwrite").parquet(small)
+    compact_parquet(spark, small, compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        )
+    )
+
+
+ORACLE_Q105 = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "q105_compact_small_files": q105_compact_small_files,
+}
+
+ORACLE = {
+    "q105_compact_small_files": ORACLE_Q105,
+}
