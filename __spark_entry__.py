@@ -6,8 +6,9 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 q01-q29+q85+q89 (SQL + recursive CTE), text q30-q39+q86-q88+q101-q103, dedup q40-q49+q104, similarity q50-q59,
                 multimodal q60-q62+q65-q69, pandas-UDF q63-q64+q100, events q70-q79,
                 MapReduce-face q80-q84, streaming q90-q99, storage maintenance q105.
-oracle_sql()  — DuckDB twins for all of the above (q24 is rows-only; its
-                accuracy bound is pytest-checked instead).
+oracle_sql()  — DuckDB twins for all of the above (q24 and q104 are
+                rows-only; their accuracy/recall bounds are
+                pytest-checked instead).
 """
 
 from __future__ import annotations
