@@ -24,6 +24,14 @@ from tinymr_spark.sources import load_table, table_path
 _schema_cache: dict = {}
 
 
+def _staging_root(name: str) -> str:
+    """Per-user staging root under the system tmp dir: predictable shared
+    paths would let two users on one host collide (EACCES or silently
+    reading each other's staged data)."""
+    uid = getattr(os, "getuid", lambda: "u")()
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uid}")
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema taken from a batch peek —
     file streams require an explicit schema).  `ts` normalizes to
@@ -39,13 +47,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _schema_cache[skey] = raw_schema
     # The file streaming source requires a directory: stage a symlink dir
     # (in production this would BE the landing directory being watched).
+    # Absolute target (a relative path would resolve against the staging
+    # dir, not the cwd) and lexists (exists() follows the link, so a
+    # dangling link would stream zero files then crash the re-link);
+    # per-uid root so users on a shared host never collide.
     stage = os.path.join(
-        tempfile.gettempdir(), "tinymr_spark_stream", hashlib.md5(path.encode()).hexdigest()
+        _staging_root("tinymr_spark_stream"),
+        hashlib.md5(path.encode()).hexdigest(),
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if not os.path.lexists(link):
+        os.symlink(os.path.abspath(path), link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
@@ -210,34 +223,18 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
 
 
 def q92_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = stream_events(spark, sf_dir)
-    _pre_stream_cleanup(spark)
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    # Each shuffle partition carries its own state store AND its own Python
-    # worker per micro-batch; for a stateful op the partition count should
-    # track key cardinality / state size, not the batch-side default
-    # (measured 3x: 32 partitions -> 7.8s, 8 -> 2.6s at sf0.1).  The count
-    # is pinned into the checkpoint at first run, so it's a per-stream
-    # sizing decision, not a tunable-later knob.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stateful_user_totals(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        _unload_state_stores(spark)
+    # Partition count 8: each shuffle partition carries its own state
+    # store AND its own Python worker per micro-batch (measured 3x: 32
+    # partitions -> 7.8s, 8 -> 2.6s at sf0.1; 4 regresses too).
+    t = run_stream_to_table(
+        stateful_user_totals(stream_events(spark, sf_dir)),
+        spark,
+        n_state_parts=8,
+        output_mode="update",
+    )
     # update mode can emit a row per trigger per key; keep the final state
     from pyspark.sql import Window
 
-    t = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         t.withColumn("rn", F.row_number().over(w))
@@ -287,8 +284,13 @@ def q93_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q93 = """
 WITH marked AS (
+    -- split on the EXACT gap in integer microseconds: Spark's
+    -- session_window compares full-precision timestamps, while
+    -- date_diff('second', ...) counts whole-second boundary crossings
+    -- and would split a 1799.5s gap whose endpoints straddle a second
+    -- boundary; epoch_us keeps the comparison integer-exact.
     SELECT user_id, ts, value,
-           CASE WHEN date_diff('second', LAG(ts) OVER w, ts) >= 1800
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                   OR LAG(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
@@ -387,8 +389,11 @@ GROUP BY event_type
 # source -> state -> sink -> re-read loop.
 # ---------------------------------------------------------------------------
 def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic per-source dir, overwritten each run: a uuid per call
+    # leaked a full result dir into /tmp every bench invocation.
     out_dir = os.path.join(
-        tempfile.gettempdir(), "tinymr_spark_sink", uuid.uuid4().hex[:8]
+        _staging_root("tinymr_spark_sink"),
+        hashlib.md5(table_path(sf_dir, "events").encode()).hexdigest(),
     )
     result = tumbling_counts(stream_events(spark, sf_dir))
     _pre_stream_cleanup(spark)
@@ -409,6 +414,11 @@ def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _unload_state_stores(spark)
+    if not os.path.isdir(out_dir):
+        # zero micro-batches (empty source) -> foreachBatch never fired
+        return spark.createDataFrame(
+            [], "bucket_ts timestamp, event_type string, n bigint, total_value double"
+        )
     return spark.read.parquet(out_dir)
 
 
@@ -430,10 +440,17 @@ N_STAGE_FILES = 4
 
 def _staged_event_files(spark: SparkSession, sf_dir: str) -> str:
     """Split the events table into N_STAGE_FILES parquet files once per
-    (session, sf_dir); returns the staging directory."""
+    source-file VERSION; returns the staging directory.  The cache key
+    hashes the source's mtime and size alongside its path: the staging
+    dir outlives the process, and a regenerated events.parquet at the
+    same path (the harness refreshes testdata between rounds) must not
+    silently serve last round's rows."""
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
     stage = os.path.join(
-        tempfile.gettempdir(), "tinymr_spark_stage_multi",
-        hashlib.md5(table_path(sf_dir, "events").encode()).hexdigest(),
+        _staging_root("tinymr_spark_stage_multi"),
+        hashlib.md5(key.encode()).hexdigest(),
     )
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
