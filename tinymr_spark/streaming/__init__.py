@@ -40,7 +40,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     same policy as the batch loader (sources/__init__.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
-    skey = (id(spark), path)
+    # Key by the file's version, not the session: a schema belongs to the
+    # file (id(spark) could be reused by a later session, and a
+    # regenerated file at the same path may change schema — it did
+    # between rounds 2 and 3).
+    st = os.stat(path)
+    skey = (path, st.st_mtime_ns, st.st_size)
     raw_schema = _schema_cache.get(skey)
     if raw_schema is None:
         raw_schema = spark.read.parquet(path).schema
