@@ -13,11 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Keys of CORRECTNESS_r01.json/r02.json — the queries the driver's capped
-# 50-entry correctness gate already hash-verified in rounds 1-2.
-_DRIVER_VERIFIED_R1_R2 = frozenset(
+# Queries the driver's capped 50-entry correctness gate has hash-verified
+# in some prior round (union of CORRECTNESS_r01/r02 keys and
+# CORRECTNESS_r03 keys).  q24 is deliberately ABSENT even though it
+# appeared in r01/r02: its row was `err: "no_oracle"` (nothing checked);
+# it gained a real oracle in round 4 and must pass through the gate.
+_DRIVER_VERIFIED = frozenset(
     f"q{i:02d}_{name}"
     for i, name in (
+        # --- rounds 1-2 (CORRECTNESS_r01/r02) ---
         (1, "pricing_summary"), (2, "filter_project"), (3, "join_broadcast"),
         (4, "star_join_revenue"), (5, "semi_join"), (6, "anti_join"),
         (7, "global_topk"), (8, "window_rank"), (9, "window_running_sum"),
@@ -26,12 +30,6 @@ _DRIVER_VERIFIED_R1_R2 = frozenset(
         (16, "case_buckets"), (17, "agg_stats"), (18, "exists_subquery"),
         (19, "having_scalar_subquery"), (20, "segment_order_value"),
         (21, "percentiles"), (22, "analytics_battery"),
-        # q23 is deliberately ABSENT: its round-1/2 hash mismatch was a
-        # DuckDB HUGEINT-vs-bigint artifact visible only to the driver's
-        # hasher, and the round-3 oracle fix needs the driver's own gate
-        # to confirm it — so it re-enters the front 50 (displacing the
-        # last rotation entry to round 4).
-        (24, "approx_distinct"),
         (25, "array_functions"), (26, "salted_agg"), (27, "stratified_sample"),
         (28, "full_outer_join"), (29, "unpivot"), (30, "wordcount"),
         (31, "top_words"), (32, "token_stats"), (33, "quality_score"),
@@ -42,19 +40,31 @@ _DRIVER_VERIFIED_R1_R2 = frozenset(
         (45, "dedup_minhash_banded"), (85, "sql_interface"),
         (86, "sentence_stats"), (87, "repetition_signals"),
         (88, "decontaminate"), (89, "monthly_gapfill"),
+        # --- round 3 (CORRECTNESS_r03) ---
+        (23, "window_range_frame"),
+        (46, "dedup_groups"), (47, "dedup_simhash_banded"),
+        (48, "dedup_cdc_chunks"), (49, "corpus_pipeline"),
+        (50, "ann_bruteforce"), (51, "ann_bucketed"),
+        (52, "label_centroids"), (53, "lsh_buckets"), (54, "ann_ivf"),
+        (55, "embedding_lsh_dedup"), (56, "normalize_quantize"),
+        (57, "kmeans_iteration"), (58, "ann_pq_adc"),
+        (59, "product_quantization"), (60, "multimodal_manifest"),
+        (61, "multimodal_decode"), (62, "multimodal_frames"),
+        (63, "pandas_udf_scalar"), (64, "apply_in_pandas"),
+        (65, "multimodal_resize"), (66, "payload_features"),
+        (67, "audio_frame_energy"), (68, "phash_dedup"), (69, "scene_cuts"),
+        (70, "tumbling_window"), (71, "sliding_window"), (72, "sessionize"),
+        (73, "pivot"), (74, "json_extract"), (75, "asof_join"),
+        (76, "interval_join"), (77, "funnel"), (78, "retention"),
+        (79, "variant_props"), (80, "mr_wordcount"),
+        (81, "mr_distinct_sources"), (82, "mr_chain_relational"),
+        (83, "mr_secondary_sort"), (84, "mr_overloaded_combine"),
+        (90, "stream_tumbling"), (91, "stream_sliding"),
+        (92, "stream_stateful"), (93, "stream_session"),
+        (94, "stream_static_join"), (95, "stream_dedup"),
+        (96, "stream_sink_parquet"), (97, "stream_incremental"),
+        (98, "stream_stream_join"), (99, "stream_dedup_bounded"),
     )
-)
-
-
-# Queries added in round 3, after the gate rotation was planned.
-_ADDED_R3 = frozenset(
-    {
-        "q101_sequence_packing",
-        "q102_domain_mixture",
-        "q103_vocab_encode",
-        "q104_ml_minhash_lsh",
-        "q105_compact_small_files",
-    }
 )
 
 
@@ -76,20 +86,14 @@ def all_queries() -> dict[str, QueryFn]:
     for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale):
         merged.update(mod.QUERIES)
     # The driver's correctness gate checks the FIRST 50 queries() entries
-    # per round (CORRECTNESS_r01/r02 both cover exactly the first 50 keys
-    # in registry order).  Rounds 1-2 verified the relational/text/early-
-    # dedup half; listing the other half first rotates the gate onto the
-    # 50 not-yet-driver-verified queries so the union across rounds covers
-    # the whole inventory.  Every entry passes the same oracle check
-    # locally regardless of order (tests/test_oracle_parity.py).
-    # Queries ADDED in round 3 go last: the 50 slots this round belong to
-    # the rounds-1-2 backlog; these rotate into the gate next round.
-    front = {
-        n: f
-        for n, f in merged.items()
-        if n not in _DRIVER_VERIFIED_R1_R2 and n not in _ADDED_R3
-    }
-    front.update({n: f for n, f in merged.items() if n in _DRIVER_VERIFIED_R1_R2})
+    # per round (CORRECTNESS_r01-r03 each cover exactly the first 50 keys
+    # in registry order).  Every not-yet-driver-verified query — including
+    # anything added THIS round — is listed first so it enters the gate in
+    # the round it ships; already-verified backlog fills the remaining
+    # slots (harmless re-confirmation).  Every entry passes the same
+    # oracle check locally regardless of order
+    # (tests/test_oracle_parity.py).
+    front = {n: f for n, f in merged.items() if n not in _DRIVER_VERIFIED}
     front.update(merged)
     return front
 

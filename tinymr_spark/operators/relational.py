@@ -679,18 +679,43 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
 
 
 # ---------------------------------------------------------------------------
-# q24 — approximate distinct (HyperLogLog++).  Sketch results are
-# engine-specific, so this is a rows-only query (no SQL oracle); the
-# accuracy contract is tested in tests/test_relational_extra.py against
-# the exact count.  At 100 TB approx_count_distinct is the difference
-# between one pass and a full distinct shuffle.
+# q24 — approximate distinct (HyperLogLog++).  Raw sketch estimates are
+# engine-specific, so the query emits the EXACT distinct count plus a
+# `within_bound` boolean asserting |approx - exact| / exact <= 5% (the
+# sketch runs at rsd=0.02; HLL++ register updates are max-based and so
+# deterministic for a fixed dataset regardless of partition order).  The
+# DuckDB twin computes the same exact count and literal TRUE — making the
+# accuracy contract itself hash-checkable by the driver.  At 100 TB
+# approx_count_distinct is the difference between one pass and a full
+# distinct shuffle; the exact column here is the verification harness,
+# not the production path.
 # ---------------------------------------------------------------------------
 def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
     )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (rel_err <= F.lit(0.05)).alias("within_bound"),
+    )
+
+
+ORACLE_Q24 = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 # ---------------------------------------------------------------------------
 # q25 — higher-order array functions (filter / transform+aggregate /
@@ -1048,6 +1073,7 @@ ORACLE = {
     "q21_percentiles": ORACLE_Q21,
     "q22_analytics_battery": ORACLE_Q22,
     "q23_window_range_frame": ORACLE_Q23,
+    "q24_approx_distinct": ORACLE_Q24,
     "q25_array_functions": ORACLE_Q25,
     "q26_salted_agg": ORACLE_Q26,
     "q27_stratified_sample": ORACLE_Q27,
