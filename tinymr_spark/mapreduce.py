@@ -62,6 +62,7 @@ the reference imposes process-wide (/root/reference/tinymr.py:332-334).
 from __future__ import annotations
 
 import abc
+import re
 from inspect import isgeneratorfunction
 
 from pyspark.rdd import RDD
@@ -98,11 +99,19 @@ def _collect_reraising(rdd):
     except ElementCountError:
         raise
     except Exception as e:
-        msg = str(e)
-        marker = "ElementCountError: "
-        if marker in msg:
-            detail = msg.split(marker, 1)[1].splitlines()[0]
-            raise ElementCountError(detail) from None
+        # Anchored on the fully-qualified class name at line start — the
+        # exact form the embedded Python traceback prints — so a user
+        # value whose repr merely CONTAINS "ElementCountError: " (inside
+        # the "Example: {rec}" text, mid-line) can't be mis-wrapped.
+        # Last match wins: with chained tracebacks the outermost (real)
+        # raise is printed last.
+        matches = re.findall(
+            r"^tinymr_spark\.mapreduce\.ElementCountError: (.*)$",
+            str(e),
+            re.MULTILINE,
+        )
+        if matches:
+            raise ElementCountError(matches[-1]) from None
         raise
 
 

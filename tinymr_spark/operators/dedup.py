@@ -977,17 +977,20 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 # ---------------------------------------------------------------------------
 ML_LSH_DIST_MAX = 0.6  # Jaccard distance cutoff (similarity >= 0.4)
 
-# The fitted index (model + persisted hashed corpus) per (session, sf_dir):
-# an LSH index is built once and queried many times — same lifecycle as
-# the scan cache in sources/__init__.py.
-_ml_lsh_cache: dict = {}
-
-
 def _ml_lsh_index(spark: SparkSession, sf_dir: str):
+    """The fitted index (model + persisted hashed corpus), cached on the
+    session and keyed by the documents file's version — an LSH index is
+    built once and queried many times, but a regenerated file at the same
+    path must rebuild it (and unpersist the stale hashed corpus), same
+    policy as the scan cache in sources/__init__.py."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    key = (id(spark), sf_dir)
-    cached = _ml_lsh_cache.get(key)
+    from tinymr_spark.sources import file_version, session_cache, table_path
+
+    path = table_path(sf_dir, "documents")
+    cache = session_cache(spark, "_tinymr_ml_lsh_cache")
+    key = (path, *file_version(path))
+    cached = cache.get(key)
     if cached is not None:
         return cached
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
@@ -1009,7 +1012,9 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     # The self-join consumes the tokenize->shingle->hash pipeline twice;
     # materialize it once (tiny: one sparse vector + 8 hashes per doc).
     hashed = model.transform(vec).persist()
-    _ml_lsh_cache[key] = (model, hashed)
+    for stale in [k for k in cache if k[0] == path and k != key]:
+        cache.pop(stale)[1].unpersist()
+    cache[key] = (model, hashed)
     return model, hashed
 
 

@@ -34,18 +34,54 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# DataFrames are immutable logical plans, so the resolved scan for a given
-# (session, path) can be handed to every caller: without this, each of the
-# ~70 queries re-lists the path and re-reads the parquet footer during
-# analysis — pure fixed overhead at any scale (and the schema of a given
-# path does not change within a session).
-_scan_cache: dict[tuple[int, str], DataFrame] = {}
+def file_version(path: str) -> tuple[int, int]:
+    """(mtime_ns, size) of `path` — the cache-key component that changes
+    whenever the driver regenerates a testdata file in place (it did
+    between rounds 2 and 3)."""
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def session_cache(spark: SparkSession, attr: str) -> dict:
+    """A dict stored ON the SparkSession object itself: it dies with the
+    session, so a recycled `id()` from a later session can never resurrect
+    stale entries (the hazard a module-level dict keyed by id(spark)
+    carries)."""
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    return cache
+
+
+def parquet_has_nanos(path: str) -> bool:
+    """True when the parquet footer stores TIMESTAMP(NANOS) — the only
+    case that needs `spark.sql.legacy.parquet.nanosAsLong`.  Checking the
+    footer keeps that session-wide conf untouched for data that doesn't
+    need it (a NANOS column in some *other* table would otherwise be
+    silently read as long)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isfile(path):
+        return True  # directory scan: can't cheaply inspect; keep legacy on
+    try:
+        return any(
+            str(f.type).startswith("timestamp[ns")
+            for f in pq.read_schema(path)
+        )
+    except Exception:
+        return True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown happen at this
     scan when callers select/filter before actions (verify with
     .explain: PushedFilters / ReadSchema).
+
+    DataFrames are immutable logical plans, so the resolved scan for a
+    given path version is handed to every caller: without the cache, each
+    of the ~100 queries re-lists the path and re-reads the parquet footer
+    during analysis — pure fixed overhead at any scale.
 
     `events.ts` normalizes to TimestampType (LTZ) regardless of how the
     parquet was written: TIMESTAMP(NANOS) reads as long and converts to
@@ -54,14 +90,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (value-preserving under the UTC session timezone set in session.py).
     """
     path = table_path(sf_dir, name)
-    key = (id(spark), path)
-    cached = _scan_cache.get(key)
+    cache = session_cache(spark, "_tinymr_scan_cache")
+    key = (path, *file_version(path))
+    cached = cache.get(key)
     if cached is not None:
         return cached
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if parquet_has_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -72,7 +110,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
-    _scan_cache[key] = df
+    for stale in [k for k in cache if k[0] == path and k != key]:
+        del cache[stale]
+    cache[key] = df
     return df
 
 

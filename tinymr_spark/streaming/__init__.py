@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -38,8 +39,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TimestampType whatever the parquet stored — NANOS read as long and
     truncated to micros, or tz-naive MICROS inferred as NTZ and cast —
     same policy as the batch loader (sources/__init__.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
+    from tinymr_spark.sources import parquet_has_nanos
+
+    if parquet_has_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Key by the file's version, not the session: a schema belongs to the
     # file (id(spark) could be reused by a later session, and a
     # regenerated file at the same path may change schema — it did
@@ -402,6 +406,10 @@ def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = tumbling_counts(stream_events(spark, sf_dir))
     _pre_stream_cleanup(spark)
+    # The dir is deterministic and persists across runs, so a prior run's
+    # output must not be read back if THIS run's source turns out empty
+    # (zero micro-batches -> foreachBatch never fires -> stale result).
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
