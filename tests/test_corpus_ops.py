@@ -120,3 +120,48 @@ def test_q103_top_token_gets_id_zero(spark, sf_dir):
             .first()
         )
         assert json.loads(row["ids_prefix"])[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components (q46's engine).  The sf testdata
+# converges in 2 rounds, so these synthetic graphs force the multi-round
+# paths: a long chain (worst-case diameter), disjoint cliques (the
+# LSH-dup shape), and a star colliding with a chain.  Oracle is a local
+# union-find.
+# ---------------------------------------------------------------------------
+def _uf_groups(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("chain", [(i, i + 1) for i in range(60)]),
+        ("cliques", [(b + i, b + j) for b in (0, 100, 200)
+                     for i in range(5) for j in range(i + 1, 5)]),
+        ("star_plus_chain", [(0, i) for i in range(1, 20)]
+                            + [(19, 50), (50, 51), (51, 52)]),
+        ("two_pairs", [(7, 3), (10, 20)]),
+    ],
+)
+def test_connected_components_matches_union_find(spark, name, edges):
+    from tinymr_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["doc_id"]: r["group_id"] for r in connected_components(df).collect()}
+    assert got == _uf_groups(edges), name

@@ -518,83 +518,106 @@ GROUP BY 1, 2
 # label propagation this cuts the job count from ~2 per round + 2 to 3
 # total (measured 17s -> 7s cold at sf0.1, identical output).
 # ---------------------------------------------------------------------------
-FINISH_EDGES = 2_000_000  # max forest edges the driver merge will accept
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    )
+    # The distinct is load-bearing at scale: a dup CLIQUE of size k emits
+    # O(k^2) copies of (child, min) across overlapping neighborhoods, and
+    # without collapsing them here the next round's join shuffles k^2
+    # rows for a k-doc group (map-side partial agg can't save a join
+    # probe side the way it saves a groupBy).
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
 
 
-def _local_spanning_forest(rows):
-    """Partition-local union-find; emits (node, root) spanning-forest edges.
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large->small, then connect every
+    smaller neighbor (and the center) to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return moved.union(centers).distinct()
 
-    Union-by-min with full path compression: roots are always the
-    partition-local minimum, so emitted edges never point "upward" to a
-    larger id — the invariant the driver merge and the oracle's
-    min-reachable-id semantics rely on.
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Distributed connected components over an undirected edge list
+    (columns u, v), via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14).  Returns (doc_id, group_id) for every node that appears in
+    an edge, group_id = the component's minimum node id.
+
+    Each round is two groupBy+join passes; the edge set converges to a
+    star forest — every node pointing at its component's minimum — in
+    O(log^2 n) rounds w.h.p.  Nothing collects to the driver: the edge
+    set stays partitioned the whole way; the only per-round driver
+    traffic is one (count, checksum) row for the convergence test (a
+    checksum collision between successive DISTINCT edge sets is ~2^-64
+    per round).
+
+    localCheckpoint (not persist) between rounds: each star round
+    references its input ~4x, so under persist alone the LOGICAL plan
+    still quadruples per round and Catalyst re-analysis dominates by
+    round 3 (measured 1.5s -> 6.4s/round at sf0.1).  Checkpointing
+    truncates the plan to a scan of the materialized partitions.  On a
+    cluster, executor loss during the loop costs a recompute from the
+    last checkpoint — the standard trade for iterative graph algorithms
+    (GraphX checkpoints the same way); swap for reliable checkpoint() on
+    unstable fleets.
     """
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in rows:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    nodes = parent.keys() | set(parent.values())
-    return [(x, find(x)) for x in nodes]
+    edges = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    sig = None
+    while True:
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a bigint sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        edges = nxt
+        if sig == (row["n"], row["h"]):
+            break
+        sig = (row["n"], row["h"])
+    # At the fixed point each non-root node carries exactly one edge to
+    # its root; the min-agg is an identity pass kept as a structural
+    # guarantee, and roots map to themselves (min-reachable-id semantics
+    # include the root node).
+    children = edges.groupBy("u").agg(F.min("v").alias("group_id"))
+    roots = edges.select("v").distinct().withColumn("group_id", F.col("v"))
+    return (
+        children.select(F.col("u").alias("doc_id"), "group_id")
+        .union(roots.select(F.col("v").alias("doc_id"), "group_id"))
+        .select(F.col("doc_id").cast("long"), F.col("group_id").cast("long"))
+    )
 
 
 def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q45_dedup_minhash_banded(spark, sf_dir).select("doc_a", "doc_b").persist()
-    n_pairs = pairs.count()
-    if n_pairs <= FINISH_EDGES:
-        # The pair list already fits the driver-merge budget: collect it
-        # raw.  The per-partition spanning-forest round exists only to
-        # SHRINK an oversized edge set; when it wouldn't shrink anything
-        # it just adds a Python-worker pass (measured 2.6s of q46's 4.4s
-        # at sf0.1 for 715 edges).
-        forest = [(r[0], r[1]) for r in pairs.collect()]
-        pairs.unpersist()
-        edges = None
-    else:
-        edges = pairs.rdd.map(tuple).mapPartitions(_local_spanning_forest).persist()
-        # Contraction loop: only entered when the first-round forest is
-        # still too big to collect — each pass merges partitions pairwise
-        # so partial forests union, monotonically shrinking the edge set.
-        while edges.count() > FINISH_EDGES:
-            nparts = max(1, edges.getNumPartitions() // 2)
-            nxt = edges.repartition(nparts).mapPartitions(_local_spanning_forest).persist()
-            edges.unpersist()
-            edges = nxt
-        pairs.unpersist()
-
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:
-            parent[x], x = r, parent[x]
-        return r
-
-    if edges is not None:
-        forest = edges.collect()
-        edges.unpersist()
-    for a, b in forest:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    nodes = {x for e in forest for x in e}
-    result = [(int(x), int(find(x))) for x in sorted(nodes)]
-    return spark.createDataFrame(result, "doc_id: long, group_id: long")
+    """Transitive duplicate groups: connected components over the q45 LSH
+    candidate graph — fully distributed (the previous finish was a
+    driver-side union-find over a collected spanning forest, which is
+    O(nodes-in-dup-groups) driver memory: billions of rows at 100 TB
+    with a 30% dup rate)."""
+    pairs = q45_dedup_minhash_banded(spark, sf_dir)
+    return connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
 
 
 ORACLE_Q46 = (

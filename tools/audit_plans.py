@@ -10,9 +10,9 @@ Informational:
   Arrow-batched (the sanctioned escape hatch)
   exchanges                  — shuffle count per plan
 
-Streaming queries (q9x) and driver-finalized ones (q46) execute on
-construction; they are planned but flagged `dynamic` and skipped for
-plan-string checks where construction would run the stream.
+Streaming queries (q9x) execute on construction; they are planned but
+flagged `dynamic` and skipped for plan-string checks where construction
+would run the stream.
 
 Usage: python tools/audit_plans.py [sf_dir]
 """
@@ -26,10 +26,12 @@ sys.path.insert(0, "/root/repo")
 RED = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
-# queries whose construction executes jobs (streaming drives to a sink;
-# q46 finishes a driver-side union-find) — planned on their RESULT table,
-# so exchange counts reflect the final read, not the pipeline.
-DYNAMIC = {"q46_dedup_groups"}
+# queries whose construction executes jobs (streaming drives to a sink)
+# — planned on their RESULT table, so exchange counts reflect the final
+# read, not the pipeline.  q46 runs its star-contraction rounds on
+# construction too, but its returned plan is the real distributed
+# star-forest read and passes the red-flag checks unexempted.
+DYNAMIC = set()
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
 # O(1) rows — then the "nested loop" is a constant-size per-row loop, the
