@@ -84,7 +84,11 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     "parsed": null).  Short keys (the spec's own example format,
     {"q1": sec}) with compact separators keep it inside the window; the
     qNN -> full-name mapping is the docstring of every queries() entry
-    and SURVEY.md §8."""
+    and SURVEY.md §8.  Per-query times are trimmed to 2 decimals (10 ms
+    resolution — the driver compares totals and flags -1.0 failures, and
+    run-to-run noise exceeds 10 ms anyway); the total keeps 4.  At 130
+    hypothetical queries the line stays under 1900 chars
+    (tests/test_bench_contract.py)."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     short = {}
@@ -94,7 +98,7 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
             k = name
         while k in short:  # a full name can equal an earlier short key
             k = k + "+"
-        short[k] = t
+        short[k] = round(t, 2)
     return json.dumps(
         {
             "metric": "total_query_wall_sec",

@@ -17,7 +17,12 @@ def _inventory_names():
 
 
 def test_bench_line_fits_driver_tail_and_parses():
+    # Padded to 130 hypothetical queries: headroom for future rounds, so
+    # growth can't silently reintroduce the round-1 "parsed": null.
     names = _inventory_names()
+    names += [
+        f"q{i}_hypothetical_future_query" for i in range(len(names) + 1, 131)
+    ]
     timings = {n: round(0.0001 + 11.1111 * (i % 7), 4) for i, n in enumerate(names)}
     timings[names[0]] = -1.0  # a failed query must not break the format
     line = format_bench_line(timings, "/root/testdata/sf0.1")
@@ -28,10 +33,13 @@ def test_bench_line_fits_driver_tail_and_parses():
     assert d["unit"] == "sec"
     assert d["sf"] == 0.1
     assert len(d["queries"]) == len(names)
-    # total excludes failures
+    # total excludes failures and keeps full resolution
     assert d["value"] == round(
         sum(t for t in timings.values() if t >= 0), 4
     )
+    # per-query values trim to 2 decimals; the -1.0 sentinel survives
+    assert all(v == round(v, 2) for v in d["queries"].values())
+    assert -1.0 in d["queries"].values()
     # short keys stay unique (fall back to the full name on collision)
     assert len(set(d["queries"])) == len(names)
 

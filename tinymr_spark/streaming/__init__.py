@@ -129,7 +129,8 @@ def _pre_stream_cleanup(spark: SparkSession) -> None:
 
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
                         n_state_parts: int = 2,
-                        output_mode: str = "complete") -> DataFrame:
+                        output_mode: str = "complete",
+                        needs_finalize_batch: bool = False) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink; return the materialized table.
 
@@ -142,11 +143,22 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     fewest stores that still parallelize); multi-batch (q97) and
     stream-stream (q98) runs size explicitly.  Set via conf for the duration of the run; the
     count freezes into the checkpoint on first start anyway, so this is a
-    per-stream sizing decision, not a tunable-later knob."""
+    per-stream sizing decision, not a tunable-later knob.
+
+    `needs_finalize_batch`: watermark-dependent APPEND output (the
+    stream-stream join) emits its rows only when the watermark advances,
+    which under AvailableNow happens in the trailing no-data micro-batch
+    — those queries must keep it.  Update/complete-mode queries emit in
+    the data batches themselves, so the trailing batch is one full
+    state-commit round of pure overhead; skip it (measured at sf0.1:
+    q92 1.68->1.45s, q90 1.01->0.86s, identical results)."""
     _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_no_data = spark.conf.get(no_data_conf)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
+    spark.conf.set(no_data_conf, "true" if needs_finalize_batch else "false")
     try:
         q = (
             result.writeStream.format("memory")
@@ -158,6 +170,7 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(no_data_conf, prev_no_data)
         _unload_state_stores(spark)
     return spark.table(name)
 
@@ -415,7 +428,12 @@ def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_no_data = spark.conf.get(no_data_conf)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # complete mode emits per data batch; the trailing no-data batch
+    # would rewrite the parquet result once more for nothing
+    spark.conf.set(no_data_conf, "false")
     try:
         q = (
             result.writeStream.foreachBatch(write_batch)
@@ -426,6 +444,7 @@ def q96_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(no_data_conf, prev_no_data)
         _unload_state_stores(spark)
     if not os.path.isdir(out_dir):
         # zero micro-batches (empty source) -> foreachBatch never fired
@@ -616,8 +635,13 @@ def q98_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A stream-stream join keeps FOUR state stores per partition (two per
     # side: keyToNumValues + keyWithIndexToValue), so the per-partition
     # fixed cost is ~double a windowed aggregate's — size down accordingly
-    # (measured at sf0.1: 4 parts 2.4s, 8 parts 3.0s, 16 parts 3.7s).
-    return run_stream_to_table(joined, spark, n_state_parts=4, output_mode="append")
+    # (measured at sf0.1: 3 parts 1.83s, 4 parts 1.86s, 8 parts 3.0s).
+    # needs_finalize_batch: append output flushes only when the watermark
+    # advances, which happens in the trailing no-data micro-batch.
+    return run_stream_to_table(
+        joined, spark, n_state_parts=3, output_mode="append",
+        needs_finalize_batch=True,
+    )
 
 
 ORACLE_Q98 = """
