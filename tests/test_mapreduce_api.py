@@ -221,3 +221,40 @@ class NonGenReturningIterator(MapReduce):
 def test_style_detection_is_on_function_not_value(spark):
     result = NonGenReturningIterator()(["x", "y"])
     assert result == {"x": 1, "y": 1}
+
+
+def test_strict_empty_raises_stop_iteration_like_reference(spark):
+    """Opt-in exact parity with /root/reference/tinymr.py:301-303: the
+    reference's first-record peek leaks StopIteration on an empty mapped
+    or reduced stream.  Covers all three execution paths (empty list,
+    local fast path whose mapper emits nothing, distributed RDD)."""
+    import pytest
+
+    class StrictWC(WCYieldYield):
+        strict_empty = True
+
+    with pytest.raises(StopIteration):
+        StrictWC()([])
+    with pytest.raises(StopIteration):
+        StrictWC()(iter([]))
+
+    class StrictDropAll(MapReduce):
+        strict_empty = True
+
+        def mapper(self, item):
+            # generator that yields nothing: the mapped stream is empty
+            return
+            yield
+
+        def reducer(self, key, values):
+            yield key, values
+
+    # yield-style mapper emitting nothing: local fast path...
+    with pytest.raises(StopIteration):
+        StrictDropAll()(["a", "b"])
+    # ...and the distributed path (RDD input bypasses the local gate)
+    with pytest.raises(StopIteration):
+        StrictDropAll()(spark.sparkContext.parallelize(["a", "b"], 2))
+
+    # default mode is unchanged
+    assert WCYieldYield()([]) == {}

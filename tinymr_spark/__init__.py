@@ -17,9 +17,17 @@ Two faces share one SparkSession:
    These stay in Catalyst/Tungsten land for 100 TB-scale execution.
 """
 
+import importlib.metadata
+
 from tinymr_spark.mapreduce import ElementCountError, MapReduce
 from tinymr_spark.session import get_session
 
-__version__ = "0.1.0"
+# Resolve the installed version like the reference does
+# (/root/reference/tinymr.py:17-24); fall back to the in-tree version when
+# the package is just copied onto a path and has no metadata.
+try:
+    __version__ = importlib.metadata.version("tinymr-spark")
+except importlib.metadata.PackageNotFoundError:
+    __version__ = "0.1.0"
 
 __all__ = ["ElementCountError", "MapReduce", "get_session", "__version__"]

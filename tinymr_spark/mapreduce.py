@@ -46,7 +46,8 @@ Spark RDDs.  The contract being preserved, with reference citations:
 Deliberate deviations (documented in SURVEY.md §2.1 I11 / §7):
 
 * Empty input returns ``output({})`` instead of leaking ``StopIteration``
-  from the first-record peek (/root/reference/tinymr.py:301-303).
+  from the first-record peek (/root/reference/tinymr.py:301-303).  Exact
+  parity is opt-in: set ``strict_empty = True`` on the subclass.
 * ``mapper_map`` / ``reducer_map`` pool injection
   (/root/reference/tinymr.py:156-199) is accepted for signature
   compatibility but ignored: Spark executors ARE the pool.  Parallelism is
@@ -247,6 +248,14 @@ class MapReduce(abc.ABC):
     #: AQE's local-shuffle fallback).  0 disables the fast path; RDD
     #: inputs always run distributed.
     local_threshold = 10_000
+
+    #: Opt-in exact empty-input parity: the reference peeks the first
+    #: mapped record with ``next()``, so an EMPTY input escapes as
+    #: ``StopIteration`` (/root/reference/tinymr.py:301-303).  The default
+    #: here returns ``output({})`` — the saner contract — but a porting
+    #: user whose code catches ``StopIteration`` can set this True to get
+    #: the reference's behavior verbatim.
+    strict_empty = False
 
     #: Opt-in map-side combining (the automated version of the reference's
     #: manual key-overloading idiom, /root/reference/docs.rst:199-283).
@@ -485,6 +494,16 @@ class MapReduce(abc.ABC):
         )
         return spark.createDataFrame(flat, f"key: {key_type}, value: {value_type}")
 
+    def _finalize(self, mapping):
+        """Final gate before ``output()``: under ``strict_empty``, an
+        empty result raises ``StopIteration`` exactly where the reference
+        leaks it — from the first-record peek of whichever partition
+        round came up empty (/root/reference/tinymr.py:301-303), BEFORE
+        ``output()`` runs.  Default mode passes the empty dict through."""
+        if self.strict_empty and not mapping:
+            raise StopIteration
+        return self.output(mapping)
+
     def __call__(self, sequence, map=None, mapper_map=None, reducer_map=None, spark=None):
         """Execute; returns ``output(dict)`` like
         /root/reference/tinymr.py:156-230.
@@ -500,18 +519,18 @@ class MapReduce(abc.ABC):
                 else list(sequence)
             )
             if not items:
-                return self.output({})
+                return self._finalize({})
             if self.local_threshold and len(items) <= self.local_threshold:
                 return self._run_local(items)
             sequence = items
         rdd = self._as_rdd(sequence, spark)
         if rdd is None:
-            return self.output({})
+            return self._finalize({})
         rows = _collect_reraising(self._pipeline(rdd))
         # First-encounter ordering of the reduced stream
         # (/root/reference/tinymr.py:332-334 insertion order).
         rows.sort(key=lambda kv: kv[1][0])
-        return self.output({k: v for k, (_idx, v) in rows})
+        return self._finalize({k: v for k, (_idx, v) in rows})
 
     def _run_local(self, items):
         """In-process execution of the identical contract — the sort
@@ -536,7 +555,7 @@ class MapReduce(abc.ABC):
             mapped, self.sort_map_with_value, self.sort_map_reverse
         )
         if grouped is None:
-            return self.output({})
+            return self._finalize({})
 
         if reducer_is_gen:
             reduced = (
@@ -553,7 +572,7 @@ class MapReduce(abc.ABC):
             reduced, self.sort_reduce_with_value, self.sort_reduce_reverse
         )
         if grouped2 is None:
-            return self.output({})
+            return self._finalize({})
         if not reducer_is_gen:
             # first value survives collisions (/root/reference/tinymr.py:223-227)
             grouped2 = {k: v[0] for k, v in grouped2.items()}
