@@ -1054,6 +1054,161 @@ def q104_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q106 — exact-substring (span-level) dedup: which documents CONTAIN long
+# token runs that also appear verbatim in other documents.  This is the
+# span-level counterpart of q40's whole-document dedup: training corpora
+# are full of documents that are not duplicates as a whole but share
+# boilerplate paragraphs (licenses, navigation chrome, quoted posts), and
+# the standard remedy (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better") keys on fixed-length token windows.
+#
+# Every K-token window (with multiplicity — positions, not distinct
+# grams) is reduced to an 8-byte md5-derived key; a window is DUPLICATED
+# when its gram occurs in >= 2 distinct documents.  Output: per document
+# with any duplicated span, the span counts and duplicated fraction.
+#
+# Scale: the gram aggregation and the spans-to-dup-grams join both
+# shuffle on the 8-byte hash — never the gram text; grams per doc =
+# tokens-K+1, so the exploded stream is ~K bytes/token of input.  At
+# 100 TB the gram->n_docs table (only grams with n_docs>=2 survive the
+# HAVING) is far smaller than the span stream and AQE picks a broadcast
+# for the back-join; the fallback is a plain hash join on the same key
+# the aggregation just used.  No reference counterpart (the reference
+# has no dedup at all, /root/reference/tinymr.py).
+# ---------------------------------------------------------------------------
+SUBSTR_K = 8
+
+
+def q106_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # Anonymous array fed straight into explode — naming it trips the
+    # InferFiltersFromGenerate O(tokens^2) plan trap (see _hashed_shingles).
+    arr = ngrams(F.col("toks"), SUBSTR_K)
+    spans = docs.select(
+        "doc_id", F.size(arr).alias("n_spans"), F.explode(arr).alias("gram")
+    ).select(
+        "doc_id",
+        "n_spans",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint") % HASH_P
+        ).alias("gh"),
+    )
+    dup_grams = (
+        spans.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    return (
+        spans.join(dup_grams, "gh")
+        .groupBy("doc_id", "n_spans")
+        .agg(F.count("*").alias("n_dup_spans"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
+        )
+    )
+
+
+ORACLE_Q106 = rf"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           len(toks) - {SUBSTR_K} + 1 AS n_spans,
+           CAST(('0x' || substr(md5(array_to_string(toks[i:i + {SUBSTR_K} - 1], ' ')), 1, 15))
+                AS BIGINT) % {HASH_P} AS gh
+    FROM d, UNNEST(range(1, greatest(len(toks) - {SUBSTR_K} + 2, 1))) AS t(i)
+),
+dup_grams AS (
+    SELECT gh FROM spans GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, n_spans, COUNT(*) AS n_dup_spans,
+       COUNT(*) / CAST(n_spans AS DOUBLE) AS dup_frac
+FROM spans JOIN dup_grams USING (gh)
+GROUP BY doc_id, n_spans
+"""
+
+
+# ---------------------------------------------------------------------------
+# q107 — sketch mergeability, the algebraic property every 100 TB
+# aggregation rests on: a corpus-level minhash signature computed by
+# (a) sketching each (lang, source) shard independently and min-merging
+# the partials is EXACTLY the signature computed by (b) one direct pass
+# over the whole language slice — because min is associative and
+# commutative, which is precisely why Spark can push it map-side and why
+# shard-parallel sketching over 1000 executors is lossless.  The query
+# emits both routes' signatures and the equality verdict per language;
+# the oracle computes route (b) only and a literal TRUE, so a driver
+# hash match proves the merged route reproduced it bit-for-bit.
+# ---------------------------------------------------------------------------
+def q107_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    arr = F.array_distinct(ngrams(F.col("toks"), 3))
+    hashed = docs.select("lang", "source", F.explode(arr).alias("sh")).select(
+        "lang",
+        "source",
+        (
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint") % HASH_P
+        ).alias("hm"),
+    )
+    mins = [
+        (i, F.min((F.lit(a) * F.col("hm") + F.lit(b)) % HASH_P))
+        for i, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+    # route (a): per-shard partial sketches, then min-merge up to lang
+    shard = hashed.groupBy("lang", "source").agg(
+        *[m.alias(f"p{i}") for i, m in mins]
+    )
+    merged = shard.groupBy("lang").agg(
+        *[F.min(f"p{i}").alias(f"m{i}") for i, _ in mins]
+    )
+    # route (b): one direct pass per lang
+    direct = hashed.groupBy("lang").agg(*[m.alias(f"mh{i}") for i, m in mins])
+    same = [F.col(f"m{i}") == F.col(f"mh{i}") for i, _ in mins]
+    merge_ok = same[0]
+    for c in same[1:]:
+        merge_ok = merge_ok & c
+    return merged.join(direct, "lang").select(
+        "lang",
+        *[F.col(f"mh{i}") for i, _ in mins],
+        merge_ok.alias("merge_ok"),
+    )
+
+
+_SQL_SEEDS_EXPR = ", ".join(
+    f"MIN(({a} * hm + {b}) % {HASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(MINHASH_SEEDS)
+)
+
+ORACLE_Q107 = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, lang,
+           array_to_string(toks[i:i + 2], ' ') AS sh
+    FROM toks, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+),
+hashed AS (
+    SELECT lang,
+           CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % {HASH_P} AS hm
+    FROM shingles
+)
+SELECT lang, {_SQL_SEEDS_EXPR}, TRUE AS merge_ok
+FROM hashed
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -1066,6 +1221,8 @@ QUERIES = {
     "q47_dedup_simhash_banded": q47_dedup_simhash_banded,
     "q48_dedup_cdc_chunks": q48_dedup_cdc_chunks,
     "q104_ml_minhash_lsh": q104_ml_minhash_lsh,
+    "q106_substring_dedup": q106_substring_dedup,
+    "q107_minhash_merge": q107_minhash_merge,
 }
 
 ORACLE = {
@@ -1079,4 +1236,6 @@ ORACLE = {
     "q49_corpus_pipeline": ORACLE_Q49,
     "q47_dedup_simhash_banded": ORACLE_Q47,
     "q48_dedup_cdc_chunks": ORACLE_Q48,
+    "q106_substring_dedup": ORACLE_Q106,
+    "q107_minhash_merge": ORACLE_Q107,
 }

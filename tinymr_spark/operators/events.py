@@ -390,6 +390,49 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q108 — SCD Type-2 history from a change feed: the standing dimension-
+# maintenance job of any lake.  Treating each user's 'view' events as
+# attribute updates, every update opens a version interval
+# [valid_from, valid_to) that the NEXT update closes; the open interval
+# (valid_to IS NULL) is the current snapshot — so latest-wins upsert is
+# the is_current slice of the same result, no second pass.
+#
+# One shuffle on user_id, then a single per-user ordered window computes
+# version numbers and closing timestamps together.  Ties on ts break on
+# event_id so both engines order identically.  At 100 TB the change feed
+# arrives date-partitioned and the window runs per user regardless of
+# how many days are merged — this is the batch twin of the streaming
+# latest-state query (q92).
+# ---------------------------------------------------------------------------
+def q108_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+ORACLE_Q108 = """
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       value,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'view'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
     "q71_sliding_window": q71_sliding_window,
@@ -401,6 +444,7 @@ QUERIES = {
     "q77_funnel": q77_funnel,
     "q78_retention": q78_retention,
     "q79_variant_props": q79_variant_props,
+    "q108_scd2_history": q108_scd2_history,
 }
 
 ORACLE = {
@@ -414,4 +458,5 @@ ORACLE = {
     "q77_funnel": ORACLE_Q77,
     "q78_retention": ORACLE_Q78,
     "q79_variant_props": ORACLE_Q79,
+    "q108_scd2_history": ORACLE_Q108,
 }

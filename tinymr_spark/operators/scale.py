@@ -155,10 +155,127 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q110 — salted (skew-safe) JOIN: the join-side counterpart of
+# salted_agg.  A hash join sends every fact row of a key to the one
+# partition owning that key, so a hot orderkey (a viral order, a null-ish
+# default, a bot user) turns one reducer into the stage's straggler.
+# Salting replicates each DIM row S times (one per salt id) and routes
+# each FACT row to a deterministic salt — the hot key's rows now spread
+# over S partitions, each finding its own dim replica.  The result is
+# provably identical to the unsalted join (each fact row matches exactly
+# one replica), which is what the oracle checks: it runs the PLAIN join.
+#
+# AQE's skew-join split covers sort-merge joins after the fact; explicit
+# salting is the a-priori fix that also works for hash joins and for
+# skew AQE's size heuristics miss.  S=8 multiplies the dim shuffle by 8
+# — salt only when a skew profile says so.
+# ---------------------------------------------------------------------------
+JOIN_SALTS = 8
+
+
+def q110_salted_skew_join(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1))).alias("_salt"),
+    )
+    fact = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_linenumber"), F.lit(JOIN_SALTS))
+        .cast("int")
+        .alias("_salt"),
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (fact["_salt"] == dim["_salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+ORACLE_Q110 = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q112 — HyperLogLog sketch merge (Apache DataSketches via Spark 3.5+
+# hll_sketch_agg / hll_union_agg): the mergeable-summary pattern that
+# makes COUNT DISTINCT feasible at 100 TB.  Exact distinct needs a
+# shuffle of every distinct value; a HLL sketch is a fixed-size (~KB)
+# commutative summary, so shards sketch independently and a union of
+# sketches equals the sketch of the union.  The query proves that
+# algebra on real data: per-source sketches union-merged give the SAME
+# estimate as one direct pass (merge_ok), and the estimate lands within
+# 5% of the exact count (within_bound).  The oracle computes the exact
+# count and literal TRUEs — a driver hash match certifies both claims.
+# ---------------------------------------------------------------------------
+HLL_REL_ERR = 0.05
+
+
+def q112_hll_sketch_merge(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    shard = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok").alias("sk"), F.count_distinct("tok").alias("nd")
+    )
+    merged = shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = toks.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_direct"),
+        F.count_distinct("tok").alias("exact_distinct"),
+    )
+    return merged.crossJoin(direct).select(
+        "exact_distinct",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_ok"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= HLL_REL_ERR
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_Q112 = r"""
+SELECT COUNT(DISTINCT tok) AS exact_distinct,
+       TRUE AS merge_ok,
+       TRUE AS within_bound
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+WHERE tok <> ''
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
+    "q110_salted_skew_join": q110_salted_skew_join,
+    "q112_hll_sketch_merge": q112_hll_sketch_merge,
 }
 
 ORACLE = {
     "q105_compact_small_files": ORACLE_Q105,
+    "q110_salted_skew_join": ORACLE_Q110,
+    "q112_hll_sketch_merge": ORACLE_Q112,
 }

@@ -797,6 +797,51 @@ GROUP BY cell, pos
 """
 
 
+# ---------------------------------------------------------------------------
+# q111 — per-dimension corpus statistics: the profiling pass every
+# embedding pipeline runs before whitening, quantization-range selection,
+# or drift monitoring.  posexplode flattens (vector -> 64 (dim, value)
+# rows); ONE aggregation keyed on the 64 dims — partial (map-side)
+# aggregation reduces each executor's contribution to 64 rows, so at
+# 100 TB the shuffle carries n_executors*64 rows no matter the corpus
+# size.  Per-dim value SUMS are made reduction-order-independent the
+# same way as q109: round each value to 6 decimals, sum exactly in
+# DECIMAL — so Spark's partial aggregation and DuckDB's serial scan
+# produce bit-identical sums.  min/max/count are order-free already.
+# ---------------------------------------------------------------------------
+def q111_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double"), 6).cast("decimal(18,6)").alias("xq"),
+        F.col("x").cast("double").alias("xd"),
+    )
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").cast("double").alias("sum_v"),
+        (F.sum("xq").cast("double") / F.count("*")).alias("mean_v"),
+        F.min("xd").alias("min_v"),
+        F.max("xd").alias("max_v"),
+    )
+
+
+ORACLE_Q111 = """
+WITH flat AS (
+    SELECT i - 1 AS dim,
+           CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS xq,
+           CAST(embedding[i] AS DOUBLE) AS xd
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT dim, COUNT(*) AS n,
+       CAST(SUM(xq) AS DOUBLE) AS sum_v,
+       CAST(SUM(xq) AS DOUBLE) / COUNT(*) AS mean_v,
+       MIN(xd) AS min_v,
+       MAX(xd) AS max_v
+FROM flat
+GROUP BY dim
+"""
+
+
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
     "q51_ann_bucketed": q51_ann_bucketed,
@@ -808,6 +853,7 @@ QUERIES = {
     "q57_kmeans_iteration": q57_kmeans_iteration,
     "q58_ann_pq_adc": q58_ann_pq_adc,
     "q59_product_quantization": q59_product_quantization,
+    "q111_embedding_dim_stats": q111_embedding_dim_stats,
 }
 
 ORACLE = {
@@ -821,4 +867,5 @@ ORACLE = {
     "q57_kmeans_iteration": ORACLE_Q57,
     "q58_ann_pq_adc": ORACLE_Q58,
     "q59_product_quantization": ORACLE_Q59,
+    "q111_embedding_dim_stats": ORACLE_Q111,
 }

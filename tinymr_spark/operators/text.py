@@ -753,6 +753,73 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q109 — unigram language-model log-probability: the cheapest model-based
+# quality score (the same shape CCNet/KenLM filtering uses — docs whose
+# tokens are improbable under the corpus unigram LM are outliers).  Two
+# aggregations reusing ONE shuffle lineage: tf per (doc, token), then the
+# vocabulary (token -> corpus count) derived FROM tf, broadcast back.
+#
+# Determinism across engines: a per-doc SUM of doubles is summation-
+# order-dependent, and Spark and DuckDB reduce in different orders.  Each
+# per-term contribution tf*ln(c/N) is therefore rounded to 6 decimals and
+# cast to DECIMAL(18,6) BEFORE the sum — decimal addition is exact and
+# associative, so both engines produce bit-identical totals regardless of
+# reduction order.  The same trick is how a 1000-executor job makes a
+# float aggregate reproducible run-to-run.
+# ---------------------------------------------------------------------------
+def q109_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    n = vocab.agg(F.sum("c").alias("n_corpus"))
+    term = (
+        tf.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("c") / F.col("n_corpus")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("term_lp"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum("term_lp").cast("double").alias("sum_lp"),
+        (F.sum("term_lp").cast("double") / F.sum("tf")).alias("avg_lp"),
+    )
+
+
+ORACLE_Q109 = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY 1),
+n AS (SELECT SUM(c) AS n_corpus FROM vocab),
+term AS (
+    SELECT doc_id, tf,
+           CAST(ROUND(tf * LN(CAST(c AS DOUBLE) / n_corpus), 6)
+                AS DECIMAL(18,6)) AS term_lp
+    FROM tf JOIN vocab USING (tok), n
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(term_lp) AS DOUBLE) AS sum_lp,
+       CAST(SUM(term_lp) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS avg_lp
+FROM term
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -770,6 +837,7 @@ QUERIES = {
     "q101_sequence_packing": q101_sequence_packing,
     "q102_domain_mixture": q102_domain_mixture,
     "q103_vocab_encode": q103_vocab_encode,
+    "q109_unigram_logprob": q109_unigram_logprob,
 }
 
 ORACLE = {
@@ -789,4 +857,5 @@ ORACLE = {
     "q101_sequence_packing": ORACLE_Q101,
     "q102_domain_mixture": ORACLE_Q102,
     "q103_vocab_encode": ORACLE_Q103,
+    "q109_unigram_logprob": ORACLE_Q109,
 }

@@ -47,7 +47,11 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               "q57_kmeans_iteration", "q59_product_quantization",
               "q58_ann_pq_adc",
               # one-row broadcast of the smallest-source token cap
-              "q102_domain_mixture"}
+              "q102_domain_mixture",
+              # crossJoin(broadcast(1-row corpus token total))
+              "q109_unigram_logprob",
+              # crossJoin of two 1-row sketch-estimate aggregates
+              "q112_hll_sketch_merge"}
 
 
 def main() -> int:
