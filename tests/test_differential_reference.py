@@ -152,14 +152,15 @@ def test_two_stage_regroup(spark, data, smr, srr):
 @given(data=TUPLES3, smwv=FLAG, smr=FLAG)
 def test_against_pooled_reference(spark, data, smwv, smr):
     """The reference's POOLED path (mapper_map/reducer_map, O15's
-    serialization wrappers) must agree with our engine too — Spark
-    executors replace the pool, same results."""
+    serialization wrappers) must agree with our engine's live-pool
+    execution — both run the user's pool callables, same results."""
     from multiprocessing.dummy import Pool
 
     ref, ours = _passthrough_pair({"smwv": smwv, "smr": smr})
     with Pool(4) as pool:
         expected = ref(data, mapper_map=pool.map, reducer_map=pool.map)
-    assert ours(data, mapper_map=pool.map, reducer_map=pool.map) == expected
+        got = ours(data, mapper_map=pool.map, reducer_map=pool.map)
+    assert got == expected
 
 
 @settings(max_examples=10, deadline=None,

@@ -89,10 +89,57 @@ def test_word_count_return_mapper(spark, cls):
     assert cls()(TEXT) == expected
 
 
-def test_pool_kwargs_accepted_and_ignored(spark):
+def test_pool_kwargs_accepted(spark):
     # Reference signature compatibility: map/mapper_map/reducer_map
-    # (/root/reference/tinymr.py:156) accepted, Spark supplies parallelism.
+    # (/root/reference/tinymr.py:156) accepted; results identical.
     result = WCYieldReturn()(TEXT, map=map, mapper_map=map, reducer_map=map)
+    assert result == expected_counts()
+
+
+def test_pool_callables_are_live(spark):
+    """An explicitly passed pool is the execution engine on sequence
+    inputs: the user's callables actually carry the phases (the
+    reference's live-pool contract, /root/reference/tinymr.py:184-211),
+    so side effects like call metering happen."""
+    calls = {"mapper": 0, "reducer": 0}
+
+    def metered(phase):
+        def pool_map(fn, iterable):
+            out = []
+            for x in iterable:
+                calls[phase] += 1
+                out.append(fn(x))
+            return out
+        return pool_map
+
+    result = WCYieldReturn()(
+        TEXT, mapper_map=metered("mapper"), reducer_map=metered("reducer")
+    )
+    assert result == expected_counts()
+    assert calls["mapper"] == len(TEXT)  # one pooled call per input item
+    assert calls["reducer"] == len(expected_counts())  # one per key
+
+
+def test_pool_with_process_executor(spark):
+    """The serialization wrappers must survive a real process pool —
+    generator phases are expanded module-level exactly like the
+    reference's _wrap_mapper/_wrap_reducer (tinymr.py:233-269)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(2) as pool:
+        result = WCYieldYield()(TEXT, mapper_map=pool.map, reducer_map=pool.map)
+    assert result == expected_counts()
+
+
+def test_pool_ignored_on_rdd_input(spark):
+    # On RDD inputs Spark supplies the parallelism; pools are accepted
+    # for signature compatibility but not invoked.
+    rdd = spark.sparkContext.parallelize(TEXT, 2)
+
+    def never_called(fn, iterable):  # pragma: no cover - must not run
+        raise AssertionError("pool must not be used on RDD input")
+
+    result = WCYieldReturn()(rdd, mapper_map=never_called, reducer_map=never_called)
     assert result == expected_counts()
 
 

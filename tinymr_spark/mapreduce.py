@@ -49,9 +49,16 @@ Deliberate deviations (documented in SURVEY.md §2.1 I11 / §7):
   from the first-record peek (/root/reference/tinymr.py:301-303).  Exact
   parity is opt-in: set ``strict_empty = True`` on the subclass.
 * ``mapper_map`` / ``reducer_map`` pool injection
-  (/root/reference/tinymr.py:156-199) is accepted for signature
-  compatibility but ignored: Spark executors ARE the pool.  Parallelism is
-  controlled with ``num_partitions`` / input partitioning instead.
+  (/root/reference/tinymr.py:156-199): on a plain-sequence input an
+  explicitly passed pool is HONORED — the task runs the reference's exact
+  pooled flow in-process with the user's callables (including their side
+  effects: logging, metering, imap chunking).  On an RDD input pools are
+  accepted but ignored: Spark executors ARE the pool there, and
+  parallelism is controlled with ``num_partitions`` / input partitioning.
+  The bare ``map=`` argument is accepted and ignored in BOTH engines —
+  the reference's own body never reads it (tinymr.py:156,196,209
+  fall back to ``builtins.map``/``itertools.starmap`` directly), and
+  matching that quirk beats matching its docstring.
 
 Scale notes: the dict-returning ``__call__`` is the small-result parity
 adapter (it collects).  The 100 TB path is ``to_rdd()`` which returns the
@@ -146,6 +153,28 @@ def _checked_first(it):
 def _checked_one(rec):
     _check_arity(rec)
     return rec
+
+
+def _pool_wrap_mapper(item, mapper):
+    """Pool-serialization wrapper for generator mappers: expands the
+    generator so a process pool can pickle the results back — the twin of
+    /root/reference/tinymr.py:233-251 (module-level + partial, so it
+    survives pickling into a ProcessPoolExecutor)."""
+    return tuple(mapper(item))
+
+
+def _pool_wrap_reducer(key_values, reducer):
+    """Like ``_pool_wrap_mapper`` for the reduce phase
+    (/root/reference/tinymr.py:254-269)."""
+    return tuple(reducer(*key_values))
+
+
+def _checked_tuple(records):
+    """Arity-check the first record of one pooled reducer call's
+    materialized output — the pooled twin of ``_checked_first``."""
+    if records:
+        _check_arity(records[0])
+    return records
 
 
 def _local_group_and_sort(stream, sort_with_value, reverse):
@@ -508,9 +537,12 @@ class MapReduce(abc.ABC):
         """Execute; returns ``output(dict)`` like
         /root/reference/tinymr.py:156-230.
 
-        ``map``/``mapper_map``/``reducer_map`` are accepted for reference
-        API compatibility and ignored — Spark executors supply the
-        parallelism (see module docstring).
+        An explicitly passed ``mapper_map``/``reducer_map`` pool is
+        honored on plain-sequence inputs — the task runs the reference's
+        exact pooled flow in-process through the user's callables — and
+        ignored on RDD inputs, where Spark executors supply the
+        parallelism.  ``map=`` is accepted and ignored, matching the
+        reference's actual behavior (see module docstring).
         """
         if not isinstance(sequence, RDD):
             items = (
@@ -520,6 +552,13 @@ class MapReduce(abc.ABC):
             )
             if not items:
                 return self._finalize({})
+            if mapper_map is not None or reducer_map is not None:
+                # Live pool execution: the user chose the pool as the
+                # engine; running it anywhere else would discard the
+                # pool callables' side effects.
+                return self._run_local(
+                    items, mapper_map=mapper_map, reducer_map=reducer_map
+                )
             if self.local_threshold and len(items) <= self.local_threshold:
                 return self._run_local(items)
             sequence = items
@@ -532,7 +571,7 @@ class MapReduce(abc.ABC):
         rows.sort(key=lambda kv: kv[1][0])
         return self._finalize({k: v for k, (_idx, v) in rows})
 
-    def _run_local(self, items):
+    def _run_local(self, items, mapper_map=None, reducer_map=None):
         """In-process execution of the identical contract — the sort
         matrix, stable ties, arity validation, second grouping round,
         and first-wins scalar extraction all behave exactly as the
@@ -540,15 +579,29 @@ class MapReduce(abc.ABC):
         against the reference in tests/test_differential_reference.py).
         The combine contract is enforced here too, so a task's outcome
         never depends on which path its input size selected.
+
+        ``mapper_map``/``reducer_map``, when given, carry each phase
+        exactly as the reference does (/root/reference/tinymr.py:184-211):
+        generator mappers and all pooled reducers go through the
+        module-level serialization wrappers so process pools can pickle
+        the calls, and the pool sees one call per item / per key.
         """
+        from functools import partial
+
         reducer_is_gen = isgeneratorfunction(self.reducer)
         enforce_combine = (
             self.combine and not reducer_is_gen and not self.sort_map_with_value
         )
         if isgeneratorfunction(self.mapper):
-            mapped = (rec for item in items for rec in self.mapper(item))
+            if mapper_map is not None:
+                calls = mapper_map(
+                    partial(_pool_wrap_mapper, mapper=self.mapper), items
+                )
+                mapped = (rec for recs in calls for rec in recs)
+            else:
+                mapped = (rec for item in items for rec in self.mapper(item))
         else:
-            mapped = (self.mapper(item) for item in items)
+            mapped = (mapper_map or map)(self.mapper, items)
         if enforce_combine:
             mapped = _require_pairs(mapped)
         grouped = _local_group_and_sort(
@@ -557,7 +610,20 @@ class MapReduce(abc.ABC):
         if grouped is None:
             return self._finalize({})
 
-        if reducer_is_gen:
+        if reducer_map is not None:
+            calls = reducer_map(
+                partial(_pool_wrap_reducer, reducer=self.reducer),
+                list(grouped.items()),
+            )
+            if reducer_is_gen:
+                reduced = (
+                    rec for recs in calls for rec in _checked_tuple(recs)
+                )
+            else:
+                # return-style: tuple(reducer(...)) IS the single record
+                # (/root/reference/tinymr.py:254-269)
+                reduced = (_checked_one(recs) for recs in calls)
+        elif reducer_is_gen:
             reduced = (
                 rec
                 for key, values in grouped.items()
