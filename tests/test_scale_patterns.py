@@ -97,6 +97,40 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     assert one_lang.count() == expected and expected > 0
 
 
+def test_q113_join_plan_is_exchange_free(spark, sf_dir):
+    """The q113 query's OWN staged tables must join without any shuffle —
+    the whole point of paying the bucketed write.  At test SF Catalyst
+    prefers a broadcast join (also shuffle-free, also correct); disabling
+    broadcast exposes the big-big path the layout exists for: a
+    SortMergeJoin reading matching buckets pairwise, no Exchange below."""
+    from tinymr_spark.operators.scale import q113_bucketed_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q113_bucketed_join(spark, sf_dir)
+        plan = explain_str(df, "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    # tree section: children of the join (the two bucketed scans) render
+    # after the SortMergeJoin line; no shuffle may appear among them
+    tree = plan.split("(1) Scan", 1)[0]
+    below_join = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_q114_scan_has_partition_filter(spark, sf_dir):
+    from tinymr_spark.operators.scale import q114_partition_pruned_scan
+
+    df = q114_partition_pruned_scan(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan, plan
+    first_line = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "event_type" in first_line, plan
+
+
 def test_compaction_reduces_file_count_and_preserves_rows(spark, sf_dir):
     import os
 

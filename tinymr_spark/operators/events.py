@@ -433,6 +433,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q115 — range join WITHOUT an equi key, made shuffle-safe by time
+# binning: every purchase counts ALL clicks (any user) in its preceding
+# 10 minutes.  A naive theta join is a cartesian product — the plan q76's
+# docstring warns about.  The 100 TB-safe lowering: bin both sides into
+# 10-minute buckets; a purchase's 10-minute lookback spans AT MOST two
+# buckets, so exploding each purchase to its two candidate bucket keys
+# turns the theta join into an equi join on the bucket (2x one side, not
+# |L|x|R|), with the exact range check as a join-time filter.  Each click
+# lives in exactly one bucket, so no dedup is needed after the filter.
+# ---------------------------------------------------------------------------
+RANGE_BIN_SEC = 600
+
+
+def q115_global_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / RANGE_BIN_SEC).cast("bigint")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.explode(F.array(bucket, bucket - 1)).alias("bin"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+        bucket.alias("cbin"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("bin") == F.col("cbin"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("click_id").alias("n_clicks_any_user"))
+    )
+
+
+ORACLE_Q115 = """
+SELECT p.event_id AS purchase_id, COUNT(c.event_id) AS n_clicks_any_user
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
     "q71_sliding_window": q71_sliding_window,
@@ -445,6 +494,7 @@ QUERIES = {
     "q78_retention": q78_retention,
     "q79_variant_props": q79_variant_props,
     "q108_scd2_history": q108_scd2_history,
+    "q115_global_range_join": q115_global_range_join,
 }
 
 ORACLE = {
@@ -459,4 +509,5 @@ ORACLE = {
     "q78_retention": ORACLE_Q78,
     "q79_variant_props": ORACLE_Q79,
     "q108_scd2_history": ORACLE_Q108,
+    "q115_global_range_join": ORACLE_Q115,
 }

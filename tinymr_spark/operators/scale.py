@@ -268,14 +268,135 @@ WHERE tok <> ''
 """
 
 
+# ---------------------------------------------------------------------------
+# q113 — bucketed co-located join: the recurring-join layout decision.
+# Both fact tables are persisted bucketed AND sorted by the join key, so
+# the join planner reads matching buckets pairwise — ZERO exchanges in
+# the join plan (tests/test_scale_patterns.py asserts it on these same
+# staged tables).  At 100 TB this converts every nightly fact-fact join
+# from two full shuffles into a co-located merge; the price is paid once
+# at write time.  Staging is cached per (sf_dir, source file version) —
+# same freshness contract as the stream staging cache.
+# ---------------------------------------------------------------------------
+N_BUCKETS = 8
+
+
+def _bucketed_pair(spark, sf_dir: str) -> tuple[str, str]:
+    """Stage lineitem+orders as bucketed tables; returns their names."""
+    import hashlib
+    import os
+
+    from tinymr_spark.sources import file_version, load_table, session_cache
+
+    cache = session_cache(spark, "_tinymr_bucketed_cache")
+    ver = (
+        sf_dir,
+        file_version(os.path.join(sf_dir, "lineitem.parquet")),
+        file_version(os.path.join(sf_dir, "orders.parquet")),
+    )
+    if ver in cache:
+        return cache[ver]
+    tag = hashlib.md5(repr(ver).encode()).hexdigest()[:10]
+    li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "tinymr_spark_bucketed", tag)
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), li_name, "l_orderkey",
+        N_BUCKETS, os.path.join(base, "lineitem"),
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), o_name, "o_orderkey",
+        N_BUCKETS, os.path.join(base, "orders"),
+    )
+    cache[ver] = (li_name, o_name)
+    return cache[ver]
+
+
+def q113_bucketed_join(spark, sf_dir: str) -> DataFrame:
+    li_name, o_name = _bucketed_pair(spark, sf_dir)
+    li, orders = spark.table(li_name), spark.table(o_name)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_Q113 = """
+SELECT o_orderstatus, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q114 — partition-pruned scan: hive-style directory partitioning as a
+# query-visible contract.  The events table is staged partitioned by
+# event_type; the purchase-only aggregate then never LISTS the other
+# four type directories — the scan shows PartitionFilters and reads ~1/5
+# of the bytes (tests/test_scale_patterns.py asserts the pruning on this
+# same staged layout).  At 100 TB partition pruning is the difference
+# between touching a day and touching the archive; the oracle runs the
+# same aggregate over the unpartitioned source, proving the layout
+# changed nothing but the I/O.
+# ---------------------------------------------------------------------------
+def _partitioned_events(spark, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    from tinymr_spark.sources import file_version, load_table, session_cache
+
+    cache = session_cache(spark, "_tinymr_part_events_cache")
+    ver = (sf_dir, file_version(os.path.join(sf_dir, "events.parquet")))
+    if ver in cache:
+        return cache[ver]
+    tag = hashlib.md5(repr(ver).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), "tinymr_spark_part_events", tag)
+    write_partitioned(
+        load_table(spark, sf_dir, "events"), path, ["event_type"]
+    )
+    cache[ver] = path
+    return path
+
+
+def q114_partition_pruned_scan(spark, sf_dir: str) -> DataFrame:
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_Q114 = """
+SELECT user_id, COUNT(*) AS n_purchases, ROUND(SUM(value), 2) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
     "q112_hll_sketch_merge": q112_hll_sketch_merge,
+    "q113_bucketed_join": q113_bucketed_join,
+    "q114_partition_pruned_scan": q114_partition_pruned_scan,
 }
 
 ORACLE = {
     "q105_compact_small_files": ORACLE_Q105,
     "q110_salted_skew_join": ORACLE_Q110,
     "q112_hll_sketch_merge": ORACLE_Q112,
+    "q113_bucketed_join": ORACLE_Q113,
+    "q114_partition_pruned_scan": ORACLE_Q114,
 }

@@ -820,6 +820,58 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q116 — deterministic train/val/test split: the reproducibility contract
+# of every training-data pipeline.  Assignment is a pure function of the
+# ROW (md5 of doc_id mod 100 -> 80/10/10), not of partitioning, sampling
+# order, or run count — so the split is identical on 1 executor or 1000,
+# survives re-runs and backfills, and a doc never migrates between splits
+# when the corpus grows.  Zero shuffle until the final per-(lang, split)
+# count — the assignment itself is row-local.  Contrast randomSplit(),
+# whose assignment depends on partition layout and is NOT stable across
+# repartitioning.
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+
+
+def q116_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(slot < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(slot < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_Q116 = f"""
+WITH assigned AS (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS slot
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN slot < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN slot < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -838,6 +890,7 @@ QUERIES = {
     "q102_domain_mixture": q102_domain_mixture,
     "q103_vocab_encode": q103_vocab_encode,
     "q109_unigram_logprob": q109_unigram_logprob,
+    "q116_train_val_split": q116_train_val_split,
 }
 
 ORACLE = {
@@ -858,4 +911,5 @@ ORACLE = {
     "q102_domain_mixture": ORACLE_Q102,
     "q103_vocab_encode": ORACLE_Q103,
     "q109_unigram_logprob": ORACLE_Q109,
+    "q116_train_val_split": ORACLE_Q116,
 }
