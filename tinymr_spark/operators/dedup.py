@@ -1055,6 +1055,52 @@ def q104_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q118 — duplicate-group representative selection: the step AFTER
+# clustering that actually edits the corpus.  q46 resolves transitive
+# duplicate groups; this picks each group's canonical survivor by a
+# quality criterion (longest content here; any scalar score plugs in)
+# with a deterministic doc_id tie-break, so re-runs and replicas keep
+# the same documents.  ONE aggregation on group_id does everything: the
+# argmax is a max over (n_chars, -doc_id) structs — struct ordering is
+# lexicographic, so max score wins and the LOWEST doc_id breaks ties —
+# with partial (map-side) aggregation keeping the shuffle at one struct
+# per (partition, group).  No window, no second pass, no join-back.
+# ---------------------------------------------------------------------------
+def q118_group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = q46_dedup_groups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = groups.join(docs, "doc_id")
+    best = F.max(
+        F.struct(F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("nd"))
+    )
+    return (
+        members.groupBy("group_id")
+        .agg(F.count("*").alias("n_members"), best.alias("m"))
+        .select(
+            "group_id",
+            (-F.col("m.nd")).alias("rep_doc_id"),
+            "n_members",
+            F.col("m.c").alias("max_chars"),
+        )
+    )
+
+
+ORACLE_Q118 = f"""
+WITH m AS (
+    SELECT g.group_id, g.doc_id, d.n_chars
+    FROM ({ORACLE_Q46}) g JOIN documents d USING (doc_id)
+),
+mx AS (
+    SELECT group_id, MAX(n_chars) AS max_chars, COUNT(*) AS n_members
+    FROM m GROUP BY group_id
+)
+SELECT mx.group_id, MIN(m.doc_id) AS rep_doc_id, mx.n_members, mx.max_chars
+FROM m JOIN mx ON m.group_id = mx.group_id AND m.n_chars = mx.max_chars
+GROUP BY mx.group_id, mx.n_members, mx.max_chars
+"""
+
+
+# ---------------------------------------------------------------------------
 # q106 — exact-substring (span-level) dedup: which documents CONTAIN long
 # token runs that also appear verbatim in other documents.  This is the
 # span-level counterpart of q40's whole-document dedup: training corpora
@@ -1223,6 +1269,7 @@ QUERIES = {
     "q104_ml_minhash_lsh": q104_ml_minhash_lsh,
     "q106_substring_dedup": q106_substring_dedup,
     "q107_minhash_merge": q107_minhash_merge,
+    "q118_group_representatives": q118_group_representatives,
 }
 
 ORACLE = {
@@ -1238,4 +1285,5 @@ ORACLE = {
     "q48_dedup_cdc_chunks": ORACLE_Q48,
     "q106_substring_dedup": ORACLE_Q106,
     "q107_minhash_merge": ORACLE_Q107,
+    "q118_group_representatives": ORACLE_Q118,
 }

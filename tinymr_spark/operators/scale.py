@@ -385,12 +385,67 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q117 — table content fingerprint: the anti-entropy primitive of a
+# replicated/migrated lake.  Comparing two copies of a 100 TB table
+# row-by-row costs a full cross-cluster join; comparing per-shard
+# (n_rows, XOR-of-row-hashes) costs one scan each side and a KB of
+# output.  XOR is commutative, associative, and self-inverse, so the
+# fingerprint is independent of row order AND partitioning — identical
+# copies agree no matter how they're laid out — and any single-row
+# divergence flips it.  Row hash = md5 over a canonical '|'-joined
+# projection, reduced to a 60-bit int (same cross-engine reduction as
+# the dedup family), so the oracle recomputes the identical fingerprint.
+# ---------------------------------------------------------------------------
+def q117_table_fingerprint(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "text",
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("source", row_hash.alias("rh"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor("rh").alias("xor_fp"),
+        )
+    )
+
+
+ORACLE_Q117 = """
+SELECT source, COUNT(*) AS n_rows,
+       BIT_XOR(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' ||
+           source || '|' || CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_fp
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
     "q112_hll_sketch_merge": q112_hll_sketch_merge,
     "q113_bucketed_join": q113_bucketed_join,
     "q114_partition_pruned_scan": q114_partition_pruned_scan,
+    "q117_table_fingerprint": q117_table_fingerprint,
 }
 
 ORACLE = {
@@ -399,4 +454,5 @@ ORACLE = {
     "q112_hll_sketch_merge": ORACLE_Q112,
     "q113_bucketed_join": ORACLE_Q113,
     "q114_partition_pruned_scan": ORACLE_Q114,
+    "q117_table_fingerprint": ORACLE_Q117,
 }
