@@ -1127,12 +1127,28 @@ SUBSTR_K = 8
 
 
 def q106_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    raw = load_table(spark, sf_dir, "documents")
+    # The span explosion (K element_ats + md5 per position) is the CPU
+    # hotspot and runs in the SCAN stage — whose parallelism is the
+    # parquet split count.  A small corpus in one file yields ONE split,
+    # serializing the whole pipeline on one core (measured 3.0s -> 0.9s
+    # at sf0.1 from this spread).  At 100 TB the scan itself provides
+    # >= cores splits and this is a no-op.
+    if raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    docs = with_tokens(raw)
     # Anonymous array fed straight into explode — naming it trips the
     # InferFiltersFromGenerate O(tokens^2) plan trap (see _hashed_shingles).
+    # n_spans must NOT be size(arr): Generate keeps `toks` in scope and a
+    # sibling size(<gram array>) gets re-evaluated PER EXPLODED ROW —
+    # rebuilding the whole K-gram array once per span, O(tokens^2 * K) per
+    # doc (measured 21s -> 0.9s at sf0.1).  size(toks) is an O(1) length
+    # read, and the span count follows arithmetically.
     arr = ngrams(F.col("toks"), SUBSTR_K)
     spans = docs.select(
-        "doc_id", F.size(arr).alias("n_spans"), F.explode(arr).alias("gram")
+        "doc_id",
+        F.greatest(F.size("toks") - (SUBSTR_K - 1), F.lit(0)).alias("n_spans"),
+        F.explode(arr).alias("gram"),
     ).select(
         "doc_id",
         "n_spans",

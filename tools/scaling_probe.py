@@ -56,6 +56,10 @@ BATTERY = [
     # quadratically, not the engine behavior)
     "q101_sequence_packing",
     "q103_vocab_encode",
+    "q108_scd2_history",      # per-user ordered window, linear in events
+    "q109_unigram_logprob",   # vocab counts shift 5x but work is per-token linear
+    "q116_train_val_split",   # row-pure assignment + tiny agg
+    "q117_table_fingerprint", # one scan, XOR merge
 ]
 
 
