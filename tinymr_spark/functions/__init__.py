@@ -128,14 +128,156 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# q119 — COGROUPED applyInPandas: the fourth pandas-UDF flavor (scalar =
+# q63, grouped map = q64, grouped agg = q100).  cogroup() aligns the two
+# sides' groups by key and hands each pair of pandas frames to Python —
+# the sanctioned escape hatch for per-key MERGE logic Spark can't
+# express, canonical example: pandas-style as-of alignment.  Semantics
+# here mirror q75 exactly (most-recent-prior click per purchase, per
+# user), so the same native DuckDB ASOF JOIN oracle verifies the cogroup
+# plumbing: key alignment, empty-side groups (purchases with no clicks
+# keep NULLs, click-only users yield nothing), Arrow nullable-int
+# transfer.  One shuffle per side on user_id — identical to the join it
+# replaces.
+# ---------------------------------------------------------------------------
+def _asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    if purchases.empty:
+        return pd.DataFrame(
+            {
+                "purchase_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "last_click_id": pd.Series([], dtype="Int64"),
+                "gap_sec": pd.Series([], dtype="Int64"),
+            }
+        )
+    p = purchases.sort_values(["pts", "purchase_id"])
+    out = pd.DataFrame(
+        {
+            "purchase_id": p["purchase_id"].to_numpy(),
+            "user_id": p["user_id"].to_numpy(),
+        }
+    )
+    n = len(p)
+    if clicks.empty:
+        out["last_click_id"] = pd.array([None] * n, dtype="Int64")
+        out["gap_sec"] = pd.array([None] * n, dtype="Int64")
+        return out
+    c = clicks.sort_values(["cts", "click_id"])
+    # exact microsecond <= for the match; floor-second diff for the gap
+    # (unix_timestamp parity with q75)
+    pus = p["pts"].to_numpy().astype("datetime64[us]").astype("int64")
+    cus = c["cts"].to_numpy().astype("datetime64[us]").astype("int64")
+    psec = p["pts"].to_numpy().astype("datetime64[s]").astype("int64")
+    csec = c["cts"].to_numpy().astype("datetime64[s]").astype("int64")
+    idx = np.searchsorted(cus, pus, side="right") - 1
+    cid = c["click_id"].to_numpy()
+    out["last_click_id"] = pd.array(
+        [int(cid[i]) if i >= 0 else None for i in idx], dtype="Int64"
+    )
+    out["gap_sec"] = pd.array(
+        [int(psec[j] - csec[idx[j]]) if idx[j] >= 0 else None for j in range(n)],
+        dtype="Int64",
+    )
+    return out
+
+
+def q119_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _asof_merge,
+            schema="purchase_id long, user_id long, last_click_id long, gap_sec long",
+        )
+    )
+
+
+# Same contract as q75: the cogroup implementation must reproduce the
+# native ASOF JOIN bit-for-bit.
+ORACLE_Q119 = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS last_click_id,
+       date_diff('second', c.ts, p.ts) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q120 — Python UDTF (Spark 3.5+/4): the table-function surface — one
+# input row, many output rows, schema declared on the class.  This is
+# the form the reference's generator MAPPER is (yield 0..n records per
+# item, /root/reference/tinymr.py:39-59), so the UDTF registration +
+# SQL LATERAL call is the reference idiom lifted to SQL.  Arrow
+# evaluation is forced on: the default pickle path plans as
+# BatchEvalPythonUDTF (row-at-a-time, plan-audit RED); with Arrow the
+# node is ArrowEvalPythonUDTF, the sanctioned batched form.
+# ---------------------------------------------------------------------------
+UDTF_LEAD_N = 5
+
+
+def leading_tokens_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, tok: string")
+    class LeadingTokens:
+        def eval(self, doc_id, text: str):
+            for i, t in enumerate(t for t in text.split() if t):
+                if i >= UDTF_LEAD_N:
+                    break
+                yield (doc_id, i, t)
+
+    return LeadingTokens
+
+
+def q120_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("leading_tokens", leading_tokens_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__q120_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.tok "
+        "FROM __q120_docs d, LATERAL leading_tokens(d.doc_id, d.text) t"
+    )
+
+
+ORACLE_Q120 = rf"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+FROM d, UNNEST(range(1, least(len(toks), {UDTF_LEAD_N}) + 1)) AS t(i)
+"""
+
+
 QUERIES = {
     "q63_pandas_udf_scalar": q63_pandas_udf_scalar,
     "q64_apply_in_pandas": q64_apply_in_pandas,
     "q100_pandas_udaf": q100_pandas_udaf,
+    "q119_cogroup_asof": q119_cogroup_asof,
+    "q120_python_udtf": q120_python_udtf,
 }
 
 ORACLE = {
     "q63_pandas_udf_scalar": ORACLE_Q63,
     "q64_apply_in_pandas": ORACLE_Q64,
     "q100_pandas_udaf": ORACLE_Q100,
+    "q119_cogroup_asof": ORACLE_Q119,
+    "q120_python_udtf": ORACLE_Q120,
 }
