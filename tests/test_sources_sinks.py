@@ -71,3 +71,28 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     # ORC scans get the same pushdown/pruning treatment as parquet
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90" in plan
     assert {tuple(r) for r in q.collect()} == {(i, float(i)) for i in range(91, 100)}
+
+
+def test_python_datasource_partition_independent(spark):
+    """The custom synthevents format (Spark 4 Python DataSource) must
+    produce the identical TABLE for any partition count — striped row-id
+    assignment covers every id exactly once."""
+    from tinymr_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def table(parts):
+        df = (
+            spark.read.format("synthevents")
+            .option("rows", "997")  # prime: stripes are uneven on purpose
+            .option("partitions", str(parts))
+            .load()
+        )
+        return {tuple(r) for r in df.collect()}
+
+    t1, t4, t7 = table(1), table(4), table(7)
+    assert t1 == t4 == t7
+    assert len(t1) == 997
+    # spot-check the deterministic formula
+    assert (0, 0, "view", 0) in t1
+    assert (6, (6 * 2_654_435_761) % 1_000, "click", 582) in t1

@@ -439,6 +439,51 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q121 — custom Python DataSource read (Spark 4 pyspark.sql.datasource):
+# `spark.read.format("synthevents")` backed by plain Python, partition-
+# parallel.  The source is deterministic (each row a pure function of
+# its row id — sources/pydatasource.py), so DuckDB reproduces the whole
+# table from generate_series and the oracle verifies the format end to
+# end: registration, partition planning, executor-side generation, and
+# the aggregate over it.  Integer cents keep the money sum exact.
+# ---------------------------------------------------------------------------
+PYDS_ROWS, PYDS_PARTS = 20_000, 8
+
+
+def q121_python_datasource(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    ev = (
+        spark.read.format("synthevents")
+        .option("rows", str(PYDS_ROWS))
+        .option("partitions", str(PYDS_PARTS))
+        .load()
+    )
+    return ev.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_Q121 = f"""
+WITH ev AS (
+    SELECT rid AS row_id,
+           (rid * {2_654_435_761}) % {1_000} AS user_id,
+           ['view', 'click', 'purchase', 'signup', 'error'][rid % 5 + 1] AS kind,
+           (rid * 97) % {10_000} AS amount_cents
+    FROM (SELECT UNNEST(range(0, {PYDS_ROWS})) AS rid)
+)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM ev
+GROUP BY kind
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -446,6 +491,7 @@ QUERIES = {
     "q113_bucketed_join": q113_bucketed_join,
     "q114_partition_pruned_scan": q114_partition_pruned_scan,
     "q117_table_fingerprint": q117_table_fingerprint,
+    "q121_python_datasource": q121_python_datasource,
 }
 
 ORACLE = {
@@ -455,4 +501,5 @@ ORACLE = {
     "q113_bucketed_join": ORACLE_Q113,
     "q114_partition_pruned_scan": ORACLE_Q114,
     "q117_table_fingerprint": ORACLE_Q117,
+    "q121_python_datasource": ORACLE_Q121,
 }
