@@ -165,3 +165,76 @@ def test_connected_components_matches_union_find(spark, name, edges):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["doc_id"]: r["group_id"] for r in connected_components(df).collect()}
     assert got == _uf_groups(edges), name
+
+
+def test_q117_fingerprint_invariant_under_layout(spark, sf_dir):
+    """The XOR fingerprint's whole purpose: identical content in any
+    row order / partitioning produces the identical fingerprint."""
+    import os
+    import tempfile
+
+    from tinymr_spark.operators.scale import q117_table_fingerprint
+
+    base = {tuple(r) for r in q117_table_fingerprint(spark, sf_dir).collect()}
+
+    # restage the same rows shuffled across 7 partitions in scrambled order
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "tinymr_fp_restage")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(out)
+    restaged = spark.read.parquet(out)
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "text",
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    again = {
+        tuple(r)
+        for r in restaged.select("source", row_hash.alias("rh"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_rows"), F.bit_xor("rh").alias("xor_fp"))
+        .collect()
+    }
+    assert again == base
+
+
+def test_q116_split_assignment_stable_under_growth(spark, sf_dir):
+    """A doc's split must not depend on what else is in the corpus: the
+    sf0.001 docs are a subset of sf0.01's id space formula-wise, and the
+    assignment is a pure row function — verify directly that per-doc
+    assignment matches between a full corpus and a filtered half."""
+    from tinymr_spark.operators.text import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    docs = load_table(spark, sf_dir, "documents")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(slot < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(slot < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    full = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r["doc_id"]: r["s"]
+        for r in docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    assert set(full.values()) == {"train", "val", "test"}
