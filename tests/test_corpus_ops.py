@@ -173,7 +173,7 @@ def test_q117_fingerprint_invariant_under_layout(spark, sf_dir):
     import os
     import tempfile
 
-    from tinymr_spark.operators.scale import q117_table_fingerprint
+    from tinymr_spark.operators.scale import doc_row_hash, q117_table_fingerprint
 
     base = {tuple(r) for r in q117_table_fingerprint(spark, sf_dir).collect()}
 
@@ -184,27 +184,9 @@ def test_q117_fingerprint_invariant_under_layout(spark, sf_dir):
         "overwrite"
     ).parquet(out)
     restaged = spark.read.parquet(out)
-    row_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("doc_id").cast("string"),
-                    "text",
-                    "lang",
-                    "source",
-                    F.col("n_chars").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
     again = {
         tuple(r)
-        for r in restaged.select("source", row_hash.alias("rh"))
+        for r in restaged.select("source", doc_row_hash().alias("rh"))
         .groupBy("source")
         .agg(F.count("*").alias("n_rows"), F.bit_xor("rh").alias("xor_fp"))
         .collect()
@@ -238,3 +220,14 @@ def test_q116_split_assignment_stable_under_growth(spark, sf_dir):
     }
     assert all(full[k] == v for k, v in half.items())
     assert set(full.values()) == {"train", "val", "test"}
+
+
+def test_connected_components_self_loops(spark):
+    """Self-loops add no connectivity, and a node whose ONLY edge is a
+    self-loop is its own singleton component (the documented contract)."""
+    from tinymr_spark.operators.dedup import connected_components
+
+    edges = [(5, 5), (1, 2), (2, 2), (9, 9)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["doc_id"]: r["group_id"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 9: 9}

@@ -681,8 +681,9 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
 # ---------------------------------------------------------------------------
 # q24 — approximate distinct (HyperLogLog++).  Raw sketch estimates are
 # engine-specific, so the query emits the EXACT distinct count plus a
-# `within_bound` boolean asserting |approx - exact| / exact <= 5% (the
-# sketch runs at rsd=0.02; HLL++ register updates are max-based and so
+# `within_bound` boolean asserting |approx - exact| <= max(3, 6% of
+# exact) — 3 sigma at the sketch's rsd=0.02, plus an absolute floor for
+# tiny groups (HLL++ register updates are max-based and so
 # deterministic for a fixed dataset regardless of partition order).  The
 # DuckDB twin computes the same exact count and literal TRUE — making the
 # accuracy contract itself hash-checkable by the driver.  At 100 TB
@@ -697,14 +698,18 @@ def q24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n_rows"),
     )
-    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
-        "exact_parts"
-    )
+    # Bound = 3*rsd relative with a small absolute floor (the contract
+    # the accuracy test always used): rsd=0.02 makes 5% only ~2.5 sigma,
+    # and a dataset landing in that tail would deterministically fail the
+    # gate with no actual bug.  3 sigma + floor keeps the hashed claim
+    # honest about what HLL++ guarantees.
+    abs_err = F.abs(F.col("approx_parts") - F.col("exact_parts"))
+    bound = F.greatest(F.lit(3.0), F.col("exact_parts") * F.lit(0.06))
     return agg.select(
         "l_returnflag",
         "exact_parts",
         "n_rows",
-        (rel_err <= F.lit(0.05)).alias("within_bound"),
+        (abs_err <= bound).alias("within_bound"),
     )
 
 

@@ -184,11 +184,19 @@ def q110_salted_skew_join(spark, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALTS - 1))).alias("_salt"),
     )
+    # The fact-side salt must be high-entropy WITHIN a hot key, or the hot
+    # key's rows still land on one reducer: hashing only l_linenumber
+    # (<= 7 distinct values) would defeat the whole pattern.  Hash the
+    # row's non-key attributes — deterministic, and rows of one orderkey
+    # spread across all salts.
     fact = li.select(
         "l_orderkey",
         "l_extendedprice",
         "l_discount",
-        F.pmod(F.xxhash64("l_linenumber"), F.lit(JOIN_SALTS))
+        F.pmod(
+            F.xxhash64("l_partkey", "l_extendedprice", "l_linenumber"),
+            F.lit(JOIN_SALTS),
+        )
         .cast("int")
         .alias("_salt"),
     )
@@ -238,9 +246,7 @@ def q112_hll_sketch_merge(spark, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    shard = toks.groupBy("source").agg(
-        F.hll_sketch_agg("tok").alias("sk"), F.count_distinct("tok").alias("nd")
-    )
+    shard = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
     merged = shard.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
     )
@@ -397,30 +403,32 @@ GROUP BY user_id
 # projection, reduced to a 60-bit int (same cross-engine reduction as
 # the dedup family), so the oracle recomputes the identical fingerprint.
 # ---------------------------------------------------------------------------
+def doc_row_hash() -> Column:
+    """Canonical 60-bit content hash of a documents row.  NULLs serialize
+    as an explicit token: concat_ws SKIPS nulls, which would both diverge
+    from the oracle's NULL-propagating '||' and make (a, NULL, b) collide
+    with (a, b, NULL) — a divergence the fingerprint exists to catch."""
+    fields = [
+        F.coalesce(c.cast("string"), F.lit("\x00NULL"))
+        for c in (
+            F.col("doc_id"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+        )
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *fields)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def q117_table_fingerprint(spark, sf_dir: str) -> DataFrame:
     from tinymr_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    row_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("doc_id").cast("string"),
-                    "text",
-                    "lang",
-                    "source",
-                    F.col("n_chars").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
     return (
-        docs.select("source", row_hash.alias("rh"))
+        docs.select("source", doc_row_hash().alias("rh"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_rows"),
@@ -432,8 +440,11 @@ def q117_table_fingerprint(spark, sf_dir: str) -> DataFrame:
 ORACLE_Q117 = """
 SELECT source, COUNT(*) AS n_rows,
        BIT_XOR(CAST(('0x' || substr(md5(
-           CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' ||
-           source || '|' || CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT)) AS xor_fp
+           COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL') || '|' ||
+           COALESCE(text, chr(0) || 'NULL') || '|' ||
+           COALESCE(lang, chr(0) || 'NULL') || '|' ||
+           COALESCE(source, chr(0) || 'NULL') || '|' ||
+           COALESCE(CAST(n_chars AS VARCHAR), chr(0) || 'NULL')), 1, 15)) AS BIGINT)) AS xor_fp
 FROM documents
 GROUP BY source
 """
