@@ -141,9 +141,18 @@ GROUP BY o_orderpriority
 # transfer.  One shuffle per side on user_id — identical to the join it
 # replaces.
 # ---------------------------------------------------------------------------
-def _asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
-    import numpy as np
+COGROUP_BUCKETS = 64
 
+
+def _asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-level as-of alignment: pandas merge_asof with by=user_id
+    does the per-user matching vectorized inside one call.  Cogrouping on
+    the raw user_id would invoke Python once per user — thousands of
+    micro-batches whose per-call overhead dwarfs the work (measured 7.3s
+    vs 0.9s at sf0.1); the bucket key keeps the SAME per-user semantics
+    at ~batch-sized granularity.  This is the general rule for grouped
+    pandas stages: the cogroup key sets the BATCH size, the by= key sets
+    the semantics."""
     if purchases.empty:
         return pd.DataFrame(
             {
@@ -153,52 +162,71 @@ def _asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
                 "gap_sec": pd.Series([], dtype="Int64"),
             }
         )
+    # The click side ships its user column as `cuser`: both sides naming
+    # it user_id would be the SAME attribute (one scan underneath), and
+    # Spark's cogroup dedups shared attributes out of the right side's
+    # Arrow batches — the column silently vanishes from this frame.
+    clicks = clicks.rename(columns={"cuser": "user_id"})
     p = purchases.sort_values(["pts", "purchase_id"])
-    out = pd.DataFrame(
+    if clicks.empty:
+        merged = p.assign(click_id=pd.array([None] * len(p), dtype="Int64"))
+        merged["cts"] = pd.NaT
+    else:
+        # sort order (cts, click_id) makes the equal-timestamp tie pick
+        # deterministic (merge_asof takes the last row in sort order)
+        c = clicks.sort_values(["cts", "click_id"])
+        merged = pd.merge_asof(
+            p,
+            c,
+            left_on="pts",
+            right_on="cts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+    # floor-second diff for the gap (unix_timestamp parity with q75)
+    psec = merged["pts"].to_numpy().astype("datetime64[s]").astype("int64")
+    have = merged["cts"].notna().to_numpy()
+    csec = (
+        merged["cts"]
+        .to_numpy()
+        .astype("datetime64[s]")
+        .astype("int64", copy=False)
+    )
+    return pd.DataFrame(
         {
-            "purchase_id": p["purchase_id"].to_numpy(),
-            "user_id": p["user_id"].to_numpy(),
+            "purchase_id": merged["purchase_id"].to_numpy(),
+            "user_id": merged["user_id"].to_numpy(),
+            "last_click_id": merged["click_id"].astype("Int64"),
+            "gap_sec": pd.array(
+                [
+                    int(psec[i] - csec[i]) if have[i] else None
+                    for i in range(len(merged))
+                ],
+                dtype="Int64",
+            ),
         }
     )
-    n = len(p)
-    if clicks.empty:
-        out["last_click_id"] = pd.array([None] * n, dtype="Int64")
-        out["gap_sec"] = pd.array([None] * n, dtype="Int64")
-        return out
-    c = clicks.sort_values(["cts", "click_id"])
-    # exact microsecond <= for the match; floor-second diff for the gap
-    # (unix_timestamp parity with q75)
-    pus = p["pts"].to_numpy().astype("datetime64[us]").astype("int64")
-    cus = c["cts"].to_numpy().astype("datetime64[us]").astype("int64")
-    psec = p["pts"].to_numpy().astype("datetime64[s]").astype("int64")
-    csec = c["cts"].to_numpy().astype("datetime64[s]").astype("int64")
-    idx = np.searchsorted(cus, pus, side="right") - 1
-    cid = c["click_id"].to_numpy()
-    out["last_click_id"] = pd.array(
-        [int(cid[i]) if i >= 0 else None for i in idx], dtype="Int64"
-    )
-    out["gap_sec"] = pd.array(
-        [int(psec[j] - csec[idx[j]]) if idx[j] >= 0 else None for j in range(n)],
-        dtype="Int64",
-    )
-    return out
 
 
 def q119_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(COGROUP_BUCKETS)).alias("bkt")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("pts"),
+        bucket,
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        "user_id",
+        F.col("user_id").alias("cuser"),
         F.col("ts").alias("cts"),
+        bucket,
     )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bkt")
+        .cogroup(clicks.groupBy("bkt"))
         .applyInPandas(
             _asof_merge,
             schema="purchase_id long, user_id long, last_click_id long, gap_sec long",
