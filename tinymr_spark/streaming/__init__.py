@@ -515,6 +515,104 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# q122 — streaming UPSERT (CDC latest-state) sink: q96 writes an
+# aggregate by overwriting the whole result per batch; a change-data
+# sink instead MERGES each micro-batch into persistent keyed state —
+# the foreachBatch upsert recipe used wherever MERGE INTO lands on a
+# plain-parquet lake.  Each batch folds into the previous state with an
+# associative combine (per-user update count sums; the latest row wins
+# by (ts, event_id) struct-max), so the final table is independent of
+# how the files were batched.  State versions are written v0, v1, ... —
+# reading vN while overwriting vN would corrupt the very files being
+# scanned (parquet reads are lazy), and the version chain doubles as
+# the idempotence story: a replayed batch k rewrites v{k+1} to the same
+# content.  The oracle computes the same latest-wins state from the
+# batch table, checking the whole multi-batch merge loop.
+# ---------------------------------------------------------------------------
+def q122_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _staged_event_files(spark, sf_dir)
+    out_dir = os.path.join(
+        _staging_root("tinymr_spark_upsert"),
+        hashlib.md5(stage.encode()).hexdigest(),
+    )
+    _pre_stream_cleanup(spark)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .where(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    latest = F.max(F.struct("ts", "event_id", "value")).alias("m")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        inc = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_updates"), latest
+        )
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(out_dir) if d.startswith("v")
+        ) if os.path.isdir(out_dir) else []
+        if versions:
+            prev = sess.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
+            merged = (
+                prev.unionByName(inc)
+                .groupBy("user_id")
+                .agg(F.sum("n_updates").alias("n_updates"), F.max("m").alias("m"))
+            )
+        else:
+            merged = inc
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v{len(versions)}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_no_data = spark.conf.get(no_data_conf)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(no_data_conf, "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(no_data_conf, prev_no_data)
+        _unload_state_stores(spark)
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(out_dir) if d.startswith("v")
+    ) if os.path.isdir(out_dir) else []
+    if not versions:
+        return spark.createDataFrame(
+            [], "user_id bigint, n_updates bigint, last_ts timestamp, last_value double"
+        )
+    state = spark.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
+    return state.select(
+        "user_id",
+        F.col("n_updates").cast("bigint").alias("n_updates"),
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+ORACLE_Q122 = """
+WITH v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT user_id,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_updates,
+       ts AS last_ts,
+       value AS last_value
+FROM v
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4's arbitrary-state v2 API): richer
 # than applyInPandasWithState (q92) — typed ValueState/ListState/MapState
 # handles, timers, TTL.  Its state server speaks protobuf between the JVM
@@ -697,6 +795,7 @@ QUERIES = {
     "q97_stream_incremental": q97_stream_incremental,
     "q98_stream_stream_join": q98_stream_stream_join,
     "q99_stream_dedup_bounded": q99_stream_dedup_bounded,
+    "q122_stream_upsert_sink": q122_stream_upsert_sink,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -709,4 +808,5 @@ ORACLE = {
     "q97_stream_incremental": ORACLE_Q97,
     "q98_stream_stream_join": ORACLE_Q98,
     "q99_stream_dedup_bounded": ORACLE_Q99,
+    "q122_stream_upsert_sink": ORACLE_Q122,
 }
