@@ -1,0 +1,68 @@
+"""Session-cache freshness: a regenerated corpus file at the same path
+must evict (and release) the superseded cached entry — for BOTH the
+connected-components group table (q46/q118) and the ML-LSH index (q104).
+The lake contract is "materialize once per immutable snapshot"; without
+eviction, every regeneration leaks one persisted table for the session's
+lifetime."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+TABLES = "documents".split()
+
+
+def _clone_sf(sf_dir: str, tmp_path) -> str:
+    dst = str(tmp_path / "sf")
+    os.makedirs(dst)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    return dst
+
+
+def _regenerate(path: str) -> None:
+    """Simulate the driver rewriting a testdata file in place: same
+    content, new (mtime_ns, size) version — bump mtime."""
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+
+
+def test_q46_group_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    from tinymr_spark.operators.dedup import q46_dedup_groups
+    from tinymr_spark.sources import session_cache
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    q46_dedup_groups(spark, sf)
+    cache = session_cache(spark, "_tinymr_cc_groups_cache")
+    old_keys = [k for k in cache if k[0] == sf]
+    assert len(old_keys) == 1
+    stale_df = cache[old_keys[0]]
+
+    _regenerate(os.path.join(sf, "documents.parquet"))
+    q46_dedup_groups(spark, sf)
+    keys = [k for k in cache if k[0] == sf]
+    assert len(keys) == 1, f"stale q46 entries retained: {keys}"
+    assert keys[0] != old_keys[0]
+    assert stale_df.storageLevel.useMemory is False, "stale table not unpersisted"
+
+
+def test_ml_lsh_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    from tinymr_spark.operators.dedup import _ml_lsh_index
+    from tinymr_spark.sources import session_cache, table_path
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    _ml_lsh_index(spark, sf)
+    path = table_path(sf, "documents")
+    cache = session_cache(spark, "_tinymr_ml_lsh_cache")
+    old_keys = [k for k in cache if k[0] == path]
+    assert len(old_keys) == 1
+    _, stale_hashed = cache[old_keys[0]]
+
+    _regenerate(path)
+    _ml_lsh_index(spark, sf)
+    keys = [k for k in cache if k[0] == path]
+    assert len(keys) == 1, f"stale LSH entries retained: {keys}"
+    assert keys[0] != old_keys[0]
+    assert stale_hashed.storageLevel.useMemory is False, "stale index not unpersisted"

@@ -231,3 +231,54 @@ def test_connected_components_self_loops(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["doc_id"]: r["group_id"] for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+
+
+def test_q123_incremental_dedup_status_branches(spark, tmp_path):
+    """The driver corpus has no byte-identical duplicates, so the exact
+    branches of the shard-vs-lake verdict never fire there; this synthetic
+    corpus exercises every status with a known answer.  doc_id % 5 == 0 is
+    the shard."""
+    import duckdb
+    import pandas as pd
+
+    from tinymr_spark.operators.dedup import ORACLE_Q123, q123_incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.rsplit(" ", 2)[0] + " MUTATED"  # long shared prefix
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 5, 10, 15, 20, 25], dtype="int64"),
+            "text": [
+                base,                              # lake original
+                "completely different words here entirely unrelated content",
+                base,                              # shard: exact dup of lake 1
+                "one two three four five six seven eight nine ten",  # shard
+                "one two three four five six seven eight nine ten",  # shard: dup of 10
+                "unique shard document with plenty of novel tokens inside",
+                near,                              # shard: near-dup of lake 1
+            ],
+            "lang": ["en"] * 7,
+            "source": ["t"] * 7,
+            "n_chars": pd.Series([0] * 7, dtype="int64"),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    docs.to_parquet(sf + "/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["status"], r["ref_doc_id"])
+        for r in q123_incremental_dedup(spark, sf).collect()
+    }
+    assert got[5] == ("exact_dup_lake", 1)
+    assert got[15] == ("exact_dup_shard", 10)
+    assert got[10][0] == "kept"
+    assert got[20][0] == "kept"
+    assert got[25] == ("near_dup_lake", 1)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS FROM read_parquet('{sf}/documents.parquet')")
+    orows = {
+        r[0]: (r[1], r[2]) for r in con.execute(ORACLE_Q123).fetchall()
+    }
+    assert got == orows

@@ -40,9 +40,12 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 def test_ml_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     """q104 (pyspark.ml MinHashLSH) must recover nearly all pairs the
     exact shingle-Jaccard join (q41) scores well above its similarity
-    cutoff.  With 8 single-hash tables a pair at similarity s is emitted
-    with probability 1-(1-s)^8 (>= 0.98 at s=0.45); the floor allows for
-    HashingTF collisions shifting a few pairs across the boundary."""
+    cutoff.  With ML_LSH_TABLES single-hash tables a pair at similarity
+    s is emitted with probability 1-(1-s)^k (>= 0.97 at s=0.45, k=6);
+    the floor allows for HashingTF collisions shifting a few pairs
+    across the boundary.  Measured 1.0 at k in {4,5,6,8} at sf0.001 and
+    sf0.1 — this gate is what bounds how far the join width can be
+    tuned down."""
     from tinymr_spark.operators.dedup import q41_dedup_jaccard, q104_ml_minhash_lsh
 
     truth = (

@@ -195,3 +195,48 @@ def test_q122_upsert_merges_across_batches(spark, sf_dir):
     first = {r["user_id"]: r["n_updates"] for r in prev.collect()}
     assert all(final[u] >= n for u, n in first.items())
     assert sum(final.values()) > sum(first.values())
+
+
+def test_q124_compaction_fires_and_trailing_deltas_fold(spark, sf_dir):
+    """With N_STAGE_FILES=4 batches and COMPACT_EVERY=3, the standard run
+    must write at least one checkpoint (the LSM compact path is exercised
+    by every run, not just a bigger test) and leave trailing deltas that
+    the final read folds in — i.e. the result must NOT equal the last
+    checkpoint alone."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.streaming import (
+        _staged_event_files,
+        _staging_root,
+        q124_stream_delta_compact,
+    )
+
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in q124_stream_delta_compact(spark, sf_dir).collect()
+    }
+    stage = _staged_event_files(spark, sf_dir)
+    out_dir = os.path.join(
+        _staging_root("tinymr_spark_lsm"), hashlib.md5(stage.encode()).hexdigest()
+    )
+    entries = os.listdir(out_dir)
+    ckpts = sorted(int(d[1:]) for d in entries if d[0] == "c")
+    deltas = sorted(int(d[1:]) for d in entries if d[0] == "d")
+    assert ckpts, "compaction never fired"
+    assert max(deltas) > ckpts[-1], "no trailing delta beyond the checkpoint"
+    ck = spark.read.parquet(os.path.join(out_dir, f"c{ckpts[-1]}"))
+    ck_totals = {r["user_id"]: r["n_events"] for r in ck.collect()}
+    assert sum(final.values()) > sum(ck_totals.values())
+    # checkpoint + every trailing delta account for every event exactly once
+    trailing = [
+        spark.read.parquet(os.path.join(out_dir, f"d{b}"))
+        for b in deltas
+        if b > ckpts[-1]
+    ]
+    n_trailing = sum(
+        t.agg(F.sum("n_events")).collect()[0][0] or 0 for t in trailing
+    )
+    assert sum(final.values()) == sum(ck_totals.values()) + n_trailing

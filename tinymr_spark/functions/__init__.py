@@ -175,6 +175,10 @@ def _asof_merge(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
         # sort order (cts, click_id) makes the equal-timestamp tie pick
         # deterministic (merge_asof takes the last row in sort order)
         c = clicks.sort_values(["cts", "click_id"])
+        # nullable Int64 BEFORE the merge: unmatched purchases would
+        # otherwise upcast int64 click_id through float64 NaN, silently
+        # losing precision above 2^53
+        c["click_id"] = c["click_id"].astype("Int64")
         merged = pd.merge_asof(
             p,
             c,
@@ -265,7 +269,15 @@ def leading_tokens_udtf():
     @udtf(returnType="doc_id: bigint, pos: int, tok: string")
     class LeadingTokens:
         def eval(self, doc_id, text: str):
-            for i, t in enumerate(t for t in text.split() if t):
+            # ASCII-whitespace split, NOT str.split(): the latter also
+            # splits on Unicode whitespace (U+00A0, U+2028, ...), which
+            # the repo's \s+ tokenizer convention and the DuckDB oracle
+            # (RE2 \s = ASCII) do not — a corpus containing any would
+            # silently diverge.
+            import re
+
+            toks = (t for t in re.split(r"[ \t\n\r\f\v]+", text) if t)
+            for i, t in enumerate(toks):
                 if i >= UDTF_LEAD_N:
                     break
                 yield (doc_id, i, t)

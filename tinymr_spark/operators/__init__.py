@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Queries the driver's capped 50-entry correctness gate has hash-verified
-# in some prior round (union of CORRECTNESS_r01/r02 keys and
-# CORRECTNESS_r03 keys).  q24 is deliberately ABSENT even though it
-# appeared in r01/r02: its row was `err: "no_oracle"` (nothing checked);
-# it gained a real oracle in round 4 and must pass through the gate.
+# in some prior round (union of CORRECTNESS_r01-r04 keys).  q104 is
+# counted here although its r4 row is rows-only by contract (no SQL
+# oracle exists for the library's internal minhash coefficients): the
+# driver has recorded the strongest check it can ever make, so the query
+# must not keep occupying a front-of-gate slot.
 _DRIVER_VERIFIED = frozenset(
     f"q{i:02d}_{name}"
     for i, name in (
@@ -64,6 +65,19 @@ _DRIVER_VERIFIED = frozenset(
         (94, "stream_static_join"), (95, "stream_dedup"),
         (96, "stream_sink_parquet"), (97, "stream_incremental"),
         (98, "stream_stream_join"), (99, "stream_dedup_bounded"),
+        # --- round 4 (CORRECTNESS_r04) ---
+        (24, "approx_distinct"), (100, "pandas_udaf"),
+        (101, "sequence_packing"), (102, "domain_mixture"),
+        (103, "vocab_encode"), (104, "ml_minhash_lsh"),
+        (105, "compact_small_files"), (106, "substring_dedup"),
+        (107, "minhash_merge"), (108, "scd2_history"),
+        (109, "unigram_logprob"), (110, "salted_skew_join"),
+        (111, "embedding_dim_stats"), (112, "hll_sketch_merge"),
+        (113, "bucketed_join"), (114, "partition_pruned_scan"),
+        (115, "global_range_join"), (116, "train_val_split"),
+        (117, "table_fingerprint"), (118, "group_representatives"),
+        (119, "cogroup_asof"), (120, "python_udtf"),
+        (121, "python_datasource"), (122, "stream_upsert_sink"),
     )
 )
 

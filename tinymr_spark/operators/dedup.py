@@ -445,8 +445,9 @@ BAND_R = 2
 BAND_B = 4
 
 
-def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signature(spark, sf_dir)
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bandkey) rows from a one-row-per-doc signature —
+    pure per-row array math, no shuffle beyond the signature's own."""
     bandkeys = F.array(
         *[
             F.md5(
@@ -461,7 +462,11 @@ def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(BAND_B)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(bandkeys).alias("band", "bandkey"))
+    return sig.select("doc_id", F.posexplode(bandkeys).alias("band", "bandkey"))
+
+
+def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _band_rows(_minhash_signature(spark, sf_dir))
     a = bands.alias("a")
     b = bands.hint("shuffle_hash").alias("b")
     return (
@@ -631,9 +636,18 @@ def q46_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, file_version(os.path.join(sf_dir, "documents.parquet")))
     if key not in cache:
         pairs = q45_dedup_minhash_banded(spark, sf_dir)
-        cache[key] = connected_components(
+        grp = connected_components(
             pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        )
+        ).persist()
+        # A regenerated corpus file at the same path supersedes the old
+        # snapshot: pop and release its entry (same stale-eviction policy
+        # as the ML-LSH index cache below) so the superseded persisted
+        # partitions — and, once unreferenced, the contraction's
+        # localCheckpoint blocks behind them — don't accumulate for the
+        # session's lifetime.
+        for stale in [k for k in cache if k[0] == sf_dir and k != key]:
+            cache.pop(stale).unpersist()
+        cache[key] = grp
     return cache[key]
 
 
@@ -1016,6 +1030,14 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 # hash coefficients (broadcast-sized).
 # ---------------------------------------------------------------------------
 ML_LSH_DIST_MAX = 0.6  # Jaccard distance cutoff (similarity >= 0.4)
+# OR-amplification width.  Swept 8/6/5/4 at sf0.1 + sf0.001: recall vs
+# exact-Jaccard truth (>= 0.45 sim) was 1.0 at EVERY width and the final
+# pair set identical — the join cost is what varies (k=8: 3.9s, k=6:
+# 1.4s, k=4: 1.0s at sf0.1; candidate volume scales with k).  6 keeps
+# the theoretical per-pair candidacy floor at the gate boundary
+# 1-(1-0.45)^6 = 0.97 (k=4 would thin it to 0.91 — too close to the 0.9
+# recall gate to survive a corpus regeneration).
+ML_LSH_TABLES = 6
 
 def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     """The fitted index (model + persisted hashed corpus), cached on the
@@ -1029,7 +1051,7 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
 
     path = table_path(sf_dir, "documents")
     cache = session_cache(spark, "_tinymr_ml_lsh_cache")
-    key = (path, *file_version(path))
+    key = (path, *file_version(path), ML_LSH_TABLES)
     cached = cache.get(key)
     if cached is not None:
         return cached
@@ -1047,7 +1069,7 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     ).transform(sh)
     model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=ML_LSH_TABLES, seed=42
     ).fit(vec)
     # The self-join consumes the tokenize->shingle->hash pipeline twice;
     # materialize it once (tiny: one sparse vector + 8 hashes per doc).
@@ -1288,6 +1310,210 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q123 — incremental shard-vs-lake dedup: the pattern every production
+# training-data pipeline runs daily.  The corpus lake is immutable and
+# already deduplicated; a NEW shard of documents arrives and each new doc
+# must be admitted or dropped against (a) the lake's exact fingerprints,
+# (b) earlier docs in the same shard, and (c) the lake's near-dup LSH
+# bands — WITHOUT re-deduplicating the lake.  No reference counterpart
+# (the 345-line reference has no dedup at all); extends SURVEY §2.5.
+#
+# Shard split: doc_id % INC_SHARD_MOD == 0 plays the newly-arrived shard
+# (~20% of docs) — a modular split rather than a doc_id cutoff so the
+# definition is scale-invariant across SF dirs and literal in the oracle.
+#
+# Scale shape: the shard is small relative to the lake (a day's crawl vs
+# years of corpus), and every decision is a key join AGAINST the lake,
+# never a lake self-join:
+#   * exact-vs-lake: join on the 16-byte md5 fingerprint — in production
+#     the lake side is a materialized fingerprint table bucketed by fp,
+#     so only the shard shuffles; here it derives inline so the DuckDB
+#     twin can check the whole flow end-to-end.
+#   * exact-within-shard: min-doc_id-per-fp over the shard only (first
+#     arrival wins, deterministic).
+#   * near-vs-lake: q45's banded MinHash buckets (r=2, b=4), shard bands
+#     probing lake bands — the lake band table is likewise a standing
+#     index in production (the same artifact q46's cached group table is
+#     built from); per-band buckets are tiny so the join is an
+#     inverted-index probe, never all-pairs.
+# Verdict precedence: exact_dup_lake > exact_dup_shard > near_dup_lake >
+# kept, with ref_doc_id = the responsible lake/shard doc (min id, so the
+# result is deterministic) and n_near_lake = how many distinct lake docs
+# share a band (the review-queue signal).
+# ---------------------------------------------------------------------------
+INC_SHARD_MOD = 5
+
+
+def q123_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0
+    fps = docs.select("doc_id", F.md5("text").alias("fp"), is_new.alias("is_new"))
+    shard = fps.where("is_new").drop("is_new")
+    lake_fp = (
+        fps.where(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("lake_exact_id"))
+    )
+    shard_first = shard.groupBy("fp").agg(F.min("doc_id").alias("first_new_id"))
+    ex = shard.join(lake_fp.hint("shuffle_hash"), "fp", "left").join(
+        shard_first.hint("shuffle_hash"), "fp"
+    )
+
+    bands = _band_rows(_minhash_signature(spark, sf_dir))
+    new_band = F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0
+    sb = bands.where(new_band).alias("s")
+    lb = bands.where(~new_band).hint("shuffle_hash").alias("l")
+    near = (
+        sb.join(
+            lb,
+            (F.col("s.band") == F.col("l.band"))
+            & (F.col("s.bandkey") == F.col("l.bandkey")),
+        )
+        .groupBy(F.col("s.doc_id").alias("doc_id"))
+        .agg(
+            F.min(F.col("l.doc_id")).alias("near_lake_id"),
+            F.countDistinct(F.col("l.doc_id")).alias("n_near_lake"),
+        )
+    )
+    status = (
+        F.when(F.col("lake_exact_id").isNotNull(), F.lit("exact_dup_lake"))
+        .when(F.col("first_new_id") < F.col("doc_id"), F.lit("exact_dup_shard"))
+        .when(F.col("near_lake_id").isNotNull(), F.lit("near_dup_lake"))
+        .otherwise(F.lit("kept"))
+    )
+    ref = (
+        F.when(F.col("lake_exact_id").isNotNull(), F.col("lake_exact_id"))
+        .when(F.col("first_new_id") < F.col("doc_id"), F.col("first_new_id"))
+        .otherwise(F.col("near_lake_id"))
+    )
+    return ex.join(near, "doc_id", "left").select(
+        "doc_id",
+        status.alias("status"),
+        ref.alias("ref_doc_id"),
+        F.coalesce("n_near_lake", F.lit(0)).alias("n_near_lake"),
+    )
+
+
+ORACLE_Q123 = (
+    _SQL_HASHED
+    + f"""
+    , bands AS (
+        SELECT doc_id, seed // {BAND_R} AS band,
+               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bandkey
+        FROM sigs
+        GROUP BY doc_id, band
+    ),
+    fps AS (
+        SELECT doc_id, md5(text) AS fp, doc_id % {INC_SHARD_MOD} = 0 AS is_new
+        FROM documents
+    ),
+    shard AS (SELECT doc_id, fp FROM fps WHERE is_new),
+    lake_fp AS (
+        SELECT fp, MIN(doc_id) AS lake_exact_id FROM fps WHERE NOT is_new GROUP BY fp
+    ),
+    shard_first AS (SELECT fp, MIN(doc_id) AS first_new_id FROM shard GROUP BY fp),
+    near AS (
+        SELECT s.doc_id, MIN(l.doc_id) AS near_lake_id,
+               COUNT(DISTINCT l.doc_id) AS n_near_lake
+        FROM bands s JOIN bands l ON s.band = l.band AND s.bandkey = l.bandkey
+        WHERE s.doc_id % {INC_SHARD_MOD} = 0 AND l.doc_id % {INC_SHARD_MOD} <> 0
+        GROUP BY s.doc_id
+    )
+SELECT sh.doc_id,
+       CASE WHEN lf.lake_exact_id IS NOT NULL THEN 'exact_dup_lake'
+            WHEN sf.first_new_id < sh.doc_id THEN 'exact_dup_shard'
+            WHEN nr.near_lake_id IS NOT NULL THEN 'near_dup_lake'
+            ELSE 'kept' END AS status,
+       CASE WHEN lf.lake_exact_id IS NOT NULL THEN lf.lake_exact_id
+            WHEN sf.first_new_id < sh.doc_id THEN sf.first_new_id
+            ELSE nr.near_lake_id END AS ref_doc_id,
+       CAST(COALESCE(nr.n_near_lake, 0) AS BIGINT) AS n_near_lake
+FROM shard sh
+JOIN shard_first sf USING (fp)
+LEFT JOIN lake_fp lf USING (fp)
+LEFT JOIN near nr ON nr.doc_id = sh.doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# q127 — cross-source contamination matrix: WHICH sources duplicate each
+# other, not just which documents.  Corpus curation runs this to decide
+# source precedence (keep the canonical source, drop mirrors) and to
+# detect benchmark bleed between crawls; it is the aggregate VIEW over
+# the q45 near-dup pair table.  Pairs are keyed by the unordered source
+# pair (least/greatest, so (A,B) and (B,A) accumulate together) and each
+# cell reports the pair count plus how many distinct documents are
+# entangled.  Scale shape: two small aggregations over the candidate
+# pair table (already inverted-index-bounded); the doc-side distinct
+# count explodes each pair into its two members first — a 2x row factor,
+# not a join.
+# ---------------------------------------------------------------------------
+def q127_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q45_dedup_minhash_banded(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pw = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "source_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    n_pairs = pw.groupBy("source_lo", "source_hi").agg(
+        F.count("*").alias("n_pairs")
+    )
+    n_docs = (
+        pw.select(
+            "source_lo", "source_hi", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["source_lo", "source_hi"])
+
+
+ORACLE_Q127 = f"""
+WITH p AS ({ORACLE_Q45}),
+pw AS (
+    SELECT LEAST(sa.source, sb.source) AS source_lo,
+           GREATEST(sa.source, sb.source) AS source_hi,
+           p.doc_a, p.doc_b
+    FROM p
+    JOIN documents sa ON sa.doc_id = p.doc_a
+    JOIN documents sb ON sb.doc_id = p.doc_b
+),
+np AS (
+    SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+    FROM pw GROUP BY 1, 2
+),
+nd AS (
+    SELECT source_lo, source_hi, COUNT(DISTINCT d) AS n_docs
+    FROM (
+        SELECT source_lo, source_hi, doc_a AS d FROM pw
+        UNION ALL
+        SELECT source_lo, source_hi, doc_b AS d FROM pw
+    )
+    GROUP BY 1, 2
+)
+SELECT np.source_lo, np.source_hi, np.n_pairs, nd.n_docs
+FROM np JOIN nd USING (source_lo, source_hi)
+"""
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -1303,6 +1529,8 @@ QUERIES = {
     "q106_substring_dedup": q106_substring_dedup,
     "q107_minhash_merge": q107_minhash_merge,
     "q118_group_representatives": q118_group_representatives,
+    "q123_incremental_dedup": q123_incremental_dedup,
+    "q127_contamination_matrix": q127_contamination_matrix,
 }
 
 ORACLE = {
@@ -1319,4 +1547,6 @@ ORACLE = {
     "q106_substring_dedup": ORACLE_Q106,
     "q107_minhash_merge": ORACLE_Q107,
     "q118_group_representatives": ORACLE_Q118,
+    "q123_incremental_dedup": ORACLE_Q123,
+    "q127_contamination_matrix": ORACLE_Q127,
 }

@@ -687,12 +687,17 @@ GROUP BY t.source
 # ---------------------------------------------------------------------------
 # q103 — vocabulary encoding: build a top-V vocab by corpus frequency
 # (deterministic tie-break: count desc, token asc) and dictionary-encode
-# every document to id sequences; out-of-vocab -> -1.  The vocab is the
-# output of a full aggregation but is tiny (real tokenizers are ~100k
-# entries), so the encode join broadcasts it and the corpus pass stays
-# shuffle-free; positions are re-assembled order-preservingly with
-# array_sort over (pos, id) structs.  ids_prefix is JSON-canonical (same
-# reason as q56).
+# every document to id sequences; out-of-vocab -> -1.  The top-V selection
+# is DISTRIBUTED: orderBy(...).limit(V) lowers to TakeOrderedAndProject
+# (per-partition top-V heaps merged on one reducer holding only V rows),
+# so no task ever sorts the full distinct-token table — at 100 TB that
+# table is 1e8-1e9 rows and an unpartitioned row_number over it would be
+# a single-executor sort.  Ranks are then assigned by row_number over the
+# V-row result only (V is bounded by design: real tokenizers are ~100k
+# entries, broadcast-sized).  The encode join broadcasts the vocab and
+# the corpus pass stays shuffle-free; positions are re-assembled
+# order-preservingly with array_sort over (pos, id) structs.  ids_prefix
+# is JSON-canonical (same reason as q56).
 # ---------------------------------------------------------------------------
 VOCAB_SIZE = 16
 
@@ -704,16 +709,16 @@ def q103_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
     )
-    vocab = (
+    top_v = (
         toks.groupBy("tok")
         .count()
-        .withColumn(
-            "id",
-            F.row_number().over(Window.orderBy(F.desc("count"), F.asc("tok"))) - 1,
-        )
-        .where(F.col("id") < VOCAB_SIZE)
-        .select("tok", "id")
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(VOCAB_SIZE)  # TakeOrderedAndProject: distributed top-V
     )
+    vocab = top_v.withColumn(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("count"), F.asc("tok"))) - 1,
+    ).select("tok", "id")
     enc = toks.join(F.broadcast(vocab), "tok", "left").select(
         "doc_id", "pos", F.coalesce(F.col("id"), F.lit(-1)).alias("id")
     )
@@ -872,6 +877,179 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q125 — BM25 top-k retrieval: score a fixed query set against the corpus
+# with Okapi BM25 and return each query's top-K documents.  This is the
+# lexical-search operator of the training-data stack (hard-negative
+# mining, benchmark decontamination by retrieval, RAG corpus QA) — q38's
+# tf-idf generalized with document-length normalization and saturating
+# term frequency.
+#
+# Scale shape: the query table broadcasts onto the (doc, term)
+# term-frequency aggregate, so only postings of QUERY terms survive the
+# probe (the inverted-index contract — never a corpus-wide score).  The
+# per-term df table and the one-row (n_docs, avgdl) stats broadcast.
+# Top-K per query is the TWO-STAGE exact pattern: stage 1 ranks within
+# (query_id, physical partition) — each partition sorts only its own
+# slice — and keeps K; stage 2 ranks the surviving K*P rows per query.
+# A single unpartitioned-by-doc window per query would sort each query's
+# ENTIRE candidate set (10^9+ docs at 100 TB) in one task — the q103
+# trap; two stages bound every sort at max(partition-slice, K*P).  The
+# result is partitioning-invariant: every partition's local top-K
+# contains any global top-K member by dominance.
+#
+# Cross-engine determinism: each per-term contribution is rounded to 6
+# decimals and summed as DECIMAL(18,6) (exact, order-independent — the
+# q109 trick), so scores and therefore ranks are bit-identical in Spark
+# and DuckDB; ties break by doc_id.
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+BM25_QUERIES = [
+    (1, "stream"), (1, "window"),
+    (2, "vector"), (2, "fast"),
+    (3, "join"), (3, "merge"),
+]
+
+
+def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("n_df"))
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("n_df") + 0.5) / (F.col("n_df") + 0.5)
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * norm, 6).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(q), tf["tok"] == q["term"])
+        .join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).cast("double").alias("score"))
+    )
+    w_local = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("r1", F.row_number().over(w_local))
+        .where(F.col("r1") <= BM25_TOP_K)
+        .drop("r1", "pid")
+        .withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= BM25_TOP_K)
+    )
+
+
+_BM25_Q_ROWS = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+
+ORACLE_Q125 = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+df AS (SELECT tok, COUNT(*) AS n_df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_BM25_Q_ROWS}),
+terms AS (
+    SELECT q.query_id, t.doc_id,
+           CAST(ROUND(
+               LN(1 + (s.n_docs - d.n_df + 0.5) / (d.n_df + 0.5))
+               * t.tf * ({BM25_K1} + 1)
+               / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+           6) AS DECIMAL(18,6)) AS c
+    FROM q
+    JOIN tf t ON t.tok = q.term
+    JOIN df d ON d.tok = t.tok
+    JOIN dl l ON l.doc_id = t.doc_id, stats s
+),
+scored AS (
+    SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+    FROM terms GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q126 — deterministic shard shuffle manifest: the "write the training
+# shards" stage.  Every document gets a pseudo-random but fully
+# deterministic position key (md5 of its doc_id — row-pure, so the
+# assignment is identical run-to-run and executor-count-invariant, the
+# q116 property) and a shard = position-key mod N_SHARDS; the output is
+# the per-shard MANIFEST (doc count, token mass, position-key range, an
+# order-independent content checksum) a downstream trainer validates
+# before reading.  In production the same keys drive
+# repartition(shard) + sortWithinPartitions(poskey) parquet writes; the
+# manifest here is one map-side-combined aggregation — no windows, no
+# per-shard sort, nothing driver-side.
+# ---------------------------------------------------------------------------
+N_SHARDS = 8
+
+
+def q126_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    poskey = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            F.size("toks").alias("n_tok"),
+            poskey.alias("poskey"),
+        )
+        .withColumn("shard", F.pmod(F.col("poskey"), F.lit(N_SHARDS)).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("poskey").alias("min_poskey"),
+            F.max("poskey").alias("max_poskey"),
+            F.sum(F.col("doc_id") * F.col("doc_id")).cast("bigint").alias("checksum"),
+        )
+    )
+
+
+ORACLE_Q126 = rf"""
+WITH d AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS poskey
+    FROM documents
+)
+SELECT CAST(poskey % {N_SHARDS} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(poskey) AS min_poskey,
+       MAX(poskey) AS max_poskey,
+       CAST(SUM(doc_id * doc_id) AS BIGINT) AS checksum
+FROM d
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -891,6 +1069,8 @@ QUERIES = {
     "q103_vocab_encode": q103_vocab_encode,
     "q109_unigram_logprob": q109_unigram_logprob,
     "q116_train_val_split": q116_train_val_split,
+    "q125_bm25_topk": q125_bm25_topk,
+    "q126_shard_manifest": q126_shard_manifest,
 }
 
 ORACLE = {
@@ -912,4 +1092,6 @@ ORACLE = {
     "q103_vocab_encode": ORACLE_Q103,
     "q109_unigram_logprob": ORACLE_Q109,
     "q116_train_val_split": ORACLE_Q116,
+    "q125_bm25_topk": ORACLE_Q125,
+    "q126_shard_manifest": ORACLE_Q126,
 }

@@ -522,12 +522,15 @@ GROUP BY user_id
 # plain-parquet lake.  Each batch folds into the previous state with an
 # associative combine (per-user update count sums; the latest row wins
 # by (ts, event_id) struct-max), so the final table is independent of
-# how the files were batched.  State versions are written v0, v1, ... —
-# reading vN while overwriting vN would corrupt the very files being
-# scanned (parquet reads are lazy), and the version chain doubles as
-# the idempotence story: a replayed batch k rewrites v{k+1} to the same
-# content.  The oracle computes the same latest-wins state from the
-# batch table, checking the whole multi-batch merge loop.
+# how the files were batched.  State versions are named BY BATCH ID
+# (v{batch_id}, not a directory count): batch k reads the newest version
+# STRICTLY BELOW k and overwrites v{k}, so (a) no read ever overlaps the
+# files being rewritten (parquet reads are lazy), and (b) replay is
+# genuinely idempotent — a batch re-delivered after failure re-reads the
+# same predecessor state and rewrites v{k} to identical content, instead
+# of double-counting itself by reading a version that already contains
+# it.  The oracle computes the same latest-wins state from the batch
+# table, checking the whole multi-batch merge loop.
 # ---------------------------------------------------------------------------
 def q122_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _staged_event_files(spark, sf_dir)
@@ -552,11 +555,14 @@ def q122_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_updates"), latest
         )
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(out_dir) if d.startswith("v")
-        ) if os.path.isdir(out_dir) else []
-        if versions:
-            prev = sess.read.parquet(os.path.join(out_dir, f"v{versions[-1]}"))
+        prev_versions = sorted(
+            v for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+            if d.startswith("v") and (v := int(d[1:])) < batch_id
+        )
+        if prev_versions:
+            prev = sess.read.parquet(
+                os.path.join(out_dir, f"v{prev_versions[-1]}")
+            )
             merged = (
                 prev.unionByName(inc)
                 .groupBy("user_id")
@@ -565,7 +571,7 @@ def q122_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             merged = inc
         merged.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"v{len(versions)}")
+            os.path.join(out_dir, f"v{batch_id}")
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -608,6 +614,133 @@ SELECT user_id,
        ts AS last_ts,
        value AS last_value
 FROM v
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q124 — streaming DELTA-APPEND + COMPACT sink (the LSM answer to q122):
+# q122's MERGE rewrites the full state table every micro-batch — correct,
+# but O(state) per batch, which at 100 TB state is ruinous.  The
+# production pattern is log-structured: each batch appends only its OWN
+# pre-aggregated delta (O(batch)), and a compaction folds
+# checkpoint + pending deltas into a new checkpoint every COMPACT_EVERY
+# batches (amortized O(state / COMPACT_EVERY) per batch); reads merge
+# the newest checkpoint with the trailing deltas.  Every combine in the
+# fold is associative — counts sum, decimal sums are EXACT (value is
+# 2-decimal by construction, so cast-to-decimal(18,2) partial sums are
+# reduction-order-independent, same trick as q109), latest-wins is a
+# (ts, event_id) struct-max — so the final state is independent of both
+# batching AND compaction timing.  Replay-idempotent by construction:
+# delta d{batch_id} and checkpoint c{batch_id} are keyed by batch id and
+# rewritten with identical content on re-delivery.
+# ---------------------------------------------------------------------------
+COMPACT_EVERY = 3
+
+
+def _lsm_fold(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.max("m").alias("m"),
+    )
+
+
+def q124_stream_delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _staged_event_files(spark, sf_dir)
+    out_dir = os.path.join(
+        _staging_root("tinymr_spark_lsm"),
+        hashlib.md5(stage.encode()).hexdigest(),
+    )
+    _pre_stream_cleanup(spark)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def _versions(prefix: str) -> list[int]:
+        if not os.path.isdir(out_dir):
+            return []
+        return sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == prefix)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        inc = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.max(F.struct("ts", "event_id")).alias("m"),
+        )
+        inc.write.mode("overwrite").parquet(os.path.join(out_dir, f"d{batch_id}"))
+        ckpts = _versions("c")
+        last_c = ckpts[-1] if ckpts else -1
+        pending = [b for b in _versions("d") if b > last_c]
+        if len(pending) >= COMPACT_EVERY:
+            parts = [os.path.join(out_dir, f"d{b}") for b in pending]
+            if last_c >= 0:
+                parts.append(os.path.join(out_dir, f"c{last_c}"))
+            _lsm_fold(sess.read.parquet(*parts)).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"c{pending[-1]}")
+            )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    no_data_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_no_data = spark.conf.get(no_data_conf)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(no_data_conf, "false")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(no_data_conf, prev_no_data)
+        _unload_state_stores(spark)
+
+    ckpts = (
+        sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == "c")
+        if os.path.isdir(out_dir)
+        else []
+    )
+    last_c = ckpts[-1] if ckpts else -1
+    parts = [
+        os.path.join(out_dir, f"d{b}")
+        for b in (
+            sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == "d")
+            if os.path.isdir(out_dir)
+            else []
+        )
+        if b > last_c
+    ]
+    if last_c >= 0:
+        parts.append(os.path.join(out_dir, f"c{last_c}"))
+    if not parts:
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
+        )
+    return _lsm_fold(spark.read.parquet(*parts)).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("m.ts").alias("last_ts"),
+    )
+
+
+ORACLE_Q124 = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT user_id,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE) AS sum_value,
+       ts AS last_ts
+FROM c
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """
 
@@ -796,6 +929,7 @@ QUERIES = {
     "q98_stream_stream_join": q98_stream_stream_join,
     "q99_stream_dedup_bounded": q99_stream_dedup_bounded,
     "q122_stream_upsert_sink": q122_stream_upsert_sink,
+    "q124_stream_delta_compact": q124_stream_delta_compact,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -809,4 +943,5 @@ ORACLE = {
     "q98_stream_stream_join": ORACLE_Q98,
     "q99_stream_dedup_bounded": ORACLE_Q99,
     "q122_stream_upsert_sink": ORACLE_Q122,
+    "q124_stream_delta_compact": ORACLE_Q124,
 }
