@@ -161,3 +161,49 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark, sf_dir):
     assert len(compacted) < len(small)
     n_orig = load_table(spark, sf_dir, "documents").count()
     assert spark.read.parquet(os.path.join(base, "compact")).count() == n_orig
+
+
+def test_q130_zorder_pruning_beats_linear(spark, sf_dir):
+    """The point of the Morton layout: a point filter on the SECOND
+    dimension (suppkey) must prune most z-buckets — their min/max
+    suppkey statistics exclude it — while linear partkey-range bucketing
+    leaves suppkey at full range in every bucket, so nothing prunes.
+    (Average rectangle AREA is the wrong metric: a 4x4 z-grid and a
+    16-slice linear layout have the same total area; the difference is
+    fan-out per single-dimension filter.)"""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.operators.scale import Z_BUCKETS, q130_zorder_layout
+    from tinymr_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probe = li.agg(F.min("l_suppkey")).collect()[0][0]  # any existing key
+
+    def hit_buckets(df):
+        return df.where(
+            (F.col("min_supp") <= probe) & (F.col("max_supp") >= probe)
+        ).count()
+
+    zres = q130_zorder_layout(spark, sf_dir)
+    n_z = zres.count()
+    z_hits = hit_buckets(zres)
+
+    mx = li.agg(F.max("l_partkey").alias("mp"))
+    linear = (
+        li.crossJoin(F.broadcast(mx))
+        .select(
+            "l_suppkey",
+            (F.col("l_partkey") * Z_BUCKETS / (F.col("mp") + 1))
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+    lin_hits = hit_buckets(linear)
+    # linear layout cannot prune on suppkey at all; z must prune >= half
+    assert lin_hits == linear.count()
+    assert z_hits <= n_z // 2, (z_hits, n_z, lin_hits)

@@ -451,6 +451,339 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# q130 — Z-order (Morton-curve) layout: multi-dimensional data skipping.
+# A lake sorted linearly on one column bounds min/max file statistics on
+# THAT column only; queries filtering the second dimension still scan
+# everything.  Interleaving the bits of both key columns (the Morton
+# code) and range-bucketing on it gives every file a bounded rectangle
+# in BOTH dimensions — the technique behind Delta/Iceberg OPTIMIZE
+# ZORDER.  The query computes 16-bit-per-dim Morton codes for lineitem
+# (l_partkey x l_suppkey), buckets the curve into Z_BUCKETS equal code
+# ranges, and returns each bucket's rectangle + row count — the min/max
+# file statistics a scan planner would prune on.  Pure integer bit math
+# (shift/and/or), bit-identical across engines; one aggregation, no
+# windows.  tests/test_scale_patterns.py asserts the rectangles are
+# actually TIGHT on both dimensions vs a linear sort's.
+# ---------------------------------------------------------------------------
+Z_BITS = 16
+Z_BUCKETS = 16
+
+
+def morton_code(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the low `bits` bits of a (even positions) and b (odd
+    positions) into a 2*bits-bit Morton code."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def _morton_sql(a: str, b: str, bits: int = Z_BITS) -> str:
+    terms = [f"((({a} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({b} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)
+
+
+def q130_zorder_layout(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Normalize each dimension to the full 2^Z_BITS domain FIRST (the
+    # broadcast 1-row per-column maxes, q38's pattern): raw key domains
+    # are asymmetric and scale with the corpus, and interleaving
+    # un-normalized bits wastes the curve on the wider dimension's high
+    # bits.  Real OPTIMIZE ZORDER implementations do the same via
+    # range-partitioned rank; min-max scaling is the deterministic
+    # oracle-checkable equivalent.
+    dom = (1 << Z_BITS) - 1
+    mx = li.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))
+    a_n = (F.col("l_partkey") * dom / (F.col("mp") + 1)).cast("bigint")
+    b_n = (F.col("l_suppkey") * dom / (F.col("ms") + 1)).cast("bigint")
+    bucket = F.shiftright(morton_code(a_n, b_n), 2 * Z_BITS - 4).cast("int")
+    return (
+        li.crossJoin(F.broadcast(mx))
+        .select("l_partkey", "l_suppkey", bucket.alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+ORACLE_Q130 = f"""
+WITH m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem),
+n AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(l_partkey * {(1 << Z_BITS) - 1} // (mp + 1) AS BIGINT) AS an,
+           CAST(l_suppkey * {(1 << Z_BITS) - 1} // (ms + 1) AS BIGINT) AS bn
+    FROM lineitem, m
+),
+z AS (
+    SELECT l_partkey, l_suppkey, ({_morton_sql("an", "bn")}) AS zval
+    FROM n
+)
+SELECT CAST(zval >> {2 * Z_BITS - 4} AS INT) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM z
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q131 — mergeable HISTOGRAM quantile sketch: the deterministic 100 TB
+# quantile answer.  Exact percentiles (q21) need a global sort or a full
+# value shuffle; percentile_approx's t-digest is engine-internal and not
+# reproducible across engines.  A fixed-width histogram is both: per-
+# shard partial histograms are plain counters, merging is addition
+# (exact, order-independent), and any quantile reads off the cumulative
+# counts with bounded error = bin width.  The query proves the
+# mergeability contract the way q107 does for MinHash and q112 for HLL:
+# shard-partial histograms merged == the direct single-pass histogram,
+# per bin, with the cumulative count alongside (the quantile lookup
+# table).  The cumulative window runs over NBINS=32 rows — bounded by
+# construction, the q103 rule.
+# ---------------------------------------------------------------------------
+HIST_BIN_W = 20.0
+HIST_NBINS = 32
+HIST_SHARDS = 4
+
+
+def q131_histogram_quantiles(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tinymr_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(F.col("value") / HIST_BIN_W), F.lit(HIST_NBINS - 1)
+    ).cast("int")
+    rows = ev.select(
+        bin_.alias("bin"), F.pmod(F.col("event_id"), F.lit(HIST_SHARDS)).alias("shard")
+    )
+    direct = rows.groupBy("bin").agg(F.count("*").alias("n_direct"))
+    merged = (
+        rows.groupBy("shard", "bin")
+        .agg(F.count("*").alias("pn"))
+        .groupBy("bin")
+        .agg(F.sum("pn").alias("n_merged"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        direct.join(merged, "bin")
+        .select(
+            "bin",
+            F.round(F.col("bin") * HIST_BIN_W, 2).alias("lo"),
+            F.round((F.col("bin") + 1) * HIST_BIN_W, 2).alias("hi"),
+            F.col("n_merged").alias("n"),
+            (F.col("n_merged") == F.col("n_direct")).alias("merge_ok"),
+        )
+        .withColumn("cum_n", F.sum("n").over(w))
+    )
+
+
+ORACLE_Q131 = f"""
+WITH rows_ AS (
+    SELECT CAST(LEAST(FLOOR(value / {HIST_BIN_W}), {HIST_NBINS - 1}) AS INT) AS bin,
+           event_id % {HIST_SHARDS} AS shard
+    FROM events
+),
+direct AS (SELECT bin, COUNT(*) AS n_direct FROM rows_ GROUP BY 1),
+merged AS (
+    SELECT bin, SUM(pn) AS n_merged
+    FROM (SELECT shard, bin, COUNT(*) AS pn FROM rows_ GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT d.bin,
+       ROUND(d.bin * CAST({HIST_BIN_W} AS DOUBLE), 2) AS lo,
+       ROUND((d.bin + 1) * CAST({HIST_BIN_W} AS DOUBLE), 2) AS hi,
+       CAST(m.n_merged AS BIGINT) AS n,
+       m.n_merged = d.n_direct AS merge_ok,
+       CAST(SUM(m.n_merged) OVER (ORDER BY d.bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM direct d JOIN merged m USING (bin)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q132 — count-min sketch: mergeable heavy-hitter FREQUENCY estimation,
+# rounding out the sketch family (HLL q112 = cardinality, MinHash q107 =
+# similarity, histogram q131 = quantiles).  D=4 universal hash rows x
+# W=64 counters; every counter is a plain sum, so per-shard sketches
+# merge by addition (exact) and the whole build is one map-side-combined
+# aggregation producing D*W rows — fixed size regardless of corpus
+# scale.  Estimates read min over rows of counter[d][h_d(token)] and are
+# provably >= the true count (collisions only ADD) — the query emits
+# est/exact side by side for every token in the corpus so the
+# overestimate property is hash-checked, not asserted.  Hashes reuse the
+# md5-reduced token value (cross-engine-identical, the dedup-family
+# reduction).
+# ---------------------------------------------------------------------------
+CM_W = 64
+CM_SEEDS = [(1103515245, 12345), (1664525, 1013904223),
+            (22695477, 1), (69069, 362437)]
+_CM_P = 2147483647
+
+
+def q132_countmin_sketch(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.text import _tokens
+    from tinymr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hm = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % _CM_P
+    ).alias("hm")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok")).select(
+        "tok", hm
+    )
+    cols = [
+        ((F.lit(a) * F.col("hm") + F.lit(b)) % _CM_P % CM_W).alias(f"c{d}")
+        for d, (a, b) in enumerate(CM_SEEDS)
+    ]
+    hashed = toks.select("tok", *cols)
+    # the sketch: D parallel (col -> count) aggregations in one pass
+    sketch = [
+        hashed.groupBy(f"c{d}").agg(F.count("*").alias(f"n{d}"))
+        for d in range(len(CM_SEEDS))
+    ]
+    exact = hashed.groupBy("tok", *[f"c{d}" for d in range(len(CM_SEEDS))]).agg(
+        F.count("*").alias("exact_n")
+    )
+    est = exact
+    for d in range(len(CM_SEEDS)):
+        est = est.join(F.broadcast(sketch[d]), f"c{d}")
+    return est.select(
+        "tok",
+        "exact_n",
+        F.least(*[F.col(f"n{d}") for d in range(len(CM_SEEDS))]).alias("est_n"),
+        (
+            F.least(*[F.col(f"n{d}") for d in range(len(CM_SEEDS))])
+            >= F.col("exact_n")
+        ).alias("never_under"),
+    )
+
+
+_CM_COLS_SQL = ", ".join(
+    f"(({a} * hm + {b}) % {_CM_P}) % {CM_W} AS c{d}"
+    for d, (a, b) in enumerate(CM_SEEDS)
+)
+_CM_JOIN_SQL = " ".join(
+    f"JOIN (SELECT c{d}, COUNT(*) AS n{d} FROM hashed GROUP BY 1) s{d} USING (c{d})"
+    for d in range(len(CM_SEEDS))
+)
+
+ORACLE_Q132 = rf"""
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+hm AS (
+    SELECT tok,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_CM_P} AS hm
+    FROM toks
+),
+hashed AS (SELECT tok, {_CM_COLS_SQL} FROM hm),
+exact AS (
+    SELECT tok, c0, c1, c2, c3, COUNT(*) AS exact_n
+    FROM hashed GROUP BY 1, 2, 3, 4, 5
+)
+SELECT e.tok, e.exact_n,
+       LEAST(s0.n0, s1.n1, s2.n2, s3.n3) AS est_n,
+       LEAST(s0.n0, s1.n1, s2.n2, s3.n3) >= e.exact_n AS never_under
+FROM exact e {_CM_JOIN_SQL}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q133 — snapshot diff: q117's fingerprint says two table versions
+# DIVERGED; this localizes the divergence — the added/removed/changed
+# accounting every lake migration and replication job reports.  Two
+# corpus snapshots are derived deterministically from `documents` (the
+# "old" snapshot lacks every 11th doc; the "new" one drops every 17th
+# and carries an edit to every 13th), then diffed by a full-outer join
+# on doc_id comparing the
+# canonical row hash — content comparison costs one 60-bit int per row,
+# not the full row.  Output is the per-status summary (n, id range) a
+# migration report shows; at 100 TB both sides shuffle once on doc_id
+# and everything else is the one aggregation.
+# ---------------------------------------------------------------------------
+def q133_snapshot_diff(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(11)) != 0)
+    new = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 0).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    oh = old.select(F.col("doc_id"), doc_row_hash().alias("old_h"))
+    nh = new.select(F.col("doc_id"), doc_row_hash().alias("new_h"))
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        oh.join(nh, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_Q133_HASH_OLD = ORACLE_Q117[
+    ORACLE_Q117.index("BIT_XOR(") + len("BIT_XOR(") : ORACLE_Q117.index(") AS xor_fp")
+]
+
+ORACLE_Q133 = f"""
+WITH old_ AS (
+    SELECT doc_id, {_Q133_HASH_OLD} AS h
+    FROM documents WHERE doc_id % 11 <> 0
+),
+new_base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' EDITED' ELSE text END AS text,
+           lang, source, n_chars
+    FROM documents WHERE doc_id % 17 <> 0
+),
+new_ AS (
+    SELECT doc_id, {_Q133_HASH_OLD} AS h
+    FROM new_base
+),
+diff AS (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old_ o FULL OUTER JOIN new_ n ON o.doc_id = n.doc_id
+)
+SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM diff
+GROUP BY status
+"""
+
+
+# ---------------------------------------------------------------------------
 # q128 — observe()/Observation metrics: pipeline instrumentation that
 # rides the SAME pass as the work.  A 100 TB job must account for what
 # it scanned and dropped (rows in, value mass, per-class counts) — and a
@@ -585,6 +918,10 @@ QUERIES = {
     "q117_table_fingerprint": q117_table_fingerprint,
     "q121_python_datasource": q121_python_datasource,
     "q128_observe_metrics": q128_observe_metrics,
+    "q130_zorder_layout": q130_zorder_layout,
+    "q131_histogram_quantiles": q131_histogram_quantiles,
+    "q132_countmin_sketch": q132_countmin_sketch,
+    "q133_snapshot_diff": q133_snapshot_diff,
 }
 
 ORACLE = {
@@ -596,4 +933,8 @@ ORACLE = {
     "q117_table_fingerprint": ORACLE_Q117,
     "q121_python_datasource": ORACLE_Q121,
     "q128_observe_metrics": ORACLE_Q128,
+    "q130_zorder_layout": ORACLE_Q130,
+    "q131_histogram_quantiles": ORACLE_Q131,
+    "q132_countmin_sketch": ORACLE_Q132,
+    "q133_snapshot_diff": ORACLE_Q133,
 }

@@ -53,7 +53,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin of two 1-row sketch-estimate aggregates
               "q112_hll_sketch_merge",
               # crossJoin(broadcast(1-row (n_docs, avgdl) BM25 stats))
-              "q125_bm25_topk"}
+              "q125_bm25_topk",
+              # crossJoin(broadcast(1-row max-Morton-code aggregate))
+              "q130_zorder_layout"}
 
 
 def main() -> int:
