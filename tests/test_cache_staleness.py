@@ -10,8 +10,6 @@ from __future__ import annotations
 import os
 import shutil
 
-TABLES = "documents".split()
-
 
 def _clone_sf(sf_dir: str, tmp_path) -> str:
     dst = str(tmp_path / "sf")

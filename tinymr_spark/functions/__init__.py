@@ -269,11 +269,14 @@ def leading_tokens_udtf():
     @udtf(returnType="doc_id: bigint, pos: int, tok: string")
     class LeadingTokens:
         def eval(self, doc_id, text: str):
-            # ASCII-whitespace split, NOT str.split(): the latter also
-            # splits on Unicode whitespace (U+00A0, U+2028, ...), which
-            # the repo's \s+ tokenizer convention and the DuckDB oracle
-            # (RE2 \s = ASCII) do not — a corpus containing any would
-            # silently diverge.
+            # Java-\s whitespace class ([ \t\n\v\f\r]), NOT str.split():
+            # Python's split also breaks on Unicode whitespace (U+00A0,
+            # U+2028, ...), which the repo's Spark-side \s+ tokenizer
+            # convention does not — a corpus containing any would
+            # silently diverge.  (RE2's \s, the DuckDB oracle side,
+            # additionally excludes \v — a corpus-absent residual
+            # divergence shared by every \s+ oracle in the repo, not
+            # introduced here.)
             import re
 
             toks = (t for t in re.split(r"[ \t\n\r\f\v]+", text) if t)

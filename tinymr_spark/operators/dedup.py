@@ -1473,17 +1473,21 @@ def q127_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    n_pairs = pw.groupBy("source_lo", "source_hi").agg(
-        F.count("*").alias("n_pairs")
-    )
-    n_docs = (
+    # ONE aggregation over the exploded members: each pair contributes
+    # exactly two rows, so n_pairs = count/2 (always even — exact), and
+    # the distinct-doc count reads off the same rows.  Two separate
+    # aggregations over the unpersisted pw would run the whole
+    # minhash-band self-join pipeline twice.
+    return (
         pw.select(
             "source_lo", "source_hi", F.explode(F.array("doc_a", "doc_b")).alias("d")
         )
         .groupBy("source_lo", "source_hi")
-        .agg(F.countDistinct("d").alias("n_docs"))
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+        )
     )
-    return n_pairs.join(n_docs, ["source_lo", "source_hi"])
 
 
 ORACLE_Q127 = f"""

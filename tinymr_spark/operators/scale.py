@@ -503,8 +503,12 @@ def q130_zorder_layout(spark, sf_dir: str) -> DataFrame:
     # oracle-checkable equivalent.
     dom = (1 << Z_BITS) - 1
     mx = li.agg(F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms"))
-    a_n = (F.col("l_partkey") * dom / (F.col("mp") + 1)).cast("bigint")
-    b_n = (F.col("l_suppkey") * dom / (F.col("ms") + 1)).cast("bigint")
+    # `div` (integer division), not `/`+cast: double division is only
+    # floor-exact while key * dom stays under 2^53 — at lake-scale key
+    # domains the truncated double quotient can differ by 1 from the
+    # oracle's exact `//`, flipping a coordinate bit and the bucket.
+    a_n = F.expr(f"l_partkey * {dom} div (mp + 1)")
+    b_n = F.expr(f"l_suppkey * {dom} div (ms + 1)")
     bucket = F.shiftright(morton_code(a_n, b_n), 2 * Z_BITS - 4).cast("int")
     return (
         li.crossJoin(F.broadcast(mx))

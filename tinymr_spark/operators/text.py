@@ -1027,7 +1027,11 @@ def q126_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
             F.min("poskey").alias("min_poskey"),
             F.max("poskey").alias("max_poskey"),
-            F.sum(F.col("doc_id") * F.col("doc_id")).cast("bigint").alias("checksum"),
+            # XOR of the 60-bit position keys, NOT a sum of squares: at
+            # 1e9 docs an int64 sum-of-squares overflows (ANSI throws,
+            # DuckDB's hugeint silently diverges); XOR is the q117
+            # overflow-free order-independent membership checksum.
+            F.bit_xor("poskey").alias("checksum"),
         )
     )
 
@@ -1044,7 +1048,7 @@ SELECT CAST(poskey % {N_SHARDS} AS INT) AS shard,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
        MIN(poskey) AS min_poskey,
        MAX(poskey) AS max_poskey,
-       CAST(SUM(doc_id * doc_id) AS BIGINT) AS checksum
+       BIT_XOR(poskey) AS checksum
 FROM d
 GROUP BY 1
 """

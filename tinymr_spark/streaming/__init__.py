@@ -638,10 +638,26 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 COMPACT_EVERY = 3
 
 
+# Every LSM file (delta AND checkpoint) stores sum_value as this one
+# decimal type: Spark's sum widens decimal(18,2) partials to
+# decimal(28,2) and a re-summed checkpoint would widen again to
+# decimal(38,2) — and a reader over MIXED widths only works if schema
+# inference happens to sample the wider file (with mergeSchema off,
+# Spark picks an arbitrary data file).  Pinning the width makes the
+# layout self-describing instead of luck-dependent.
+_LSM_SUM_TYPE = "decimal(38,2)"
+
+
+def _lsm_versions(out_dir: str, prefix: str) -> list[int]:
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == prefix)
+
+
 def _lsm_fold(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").agg(
         F.sum("n_events").alias("n_events"),
-        F.sum("sum_value").alias("sum_value"),
+        F.sum("sum_value").cast(_LSM_SUM_TYPE).alias("sum_value"),
         F.max("m").alias("m"),
     )
 
@@ -663,22 +679,19 @@ def q124_stream_delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "value")
     )
 
-    def _versions(prefix: str) -> list[int]:
-        if not os.path.isdir(out_dir):
-            return []
-        return sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == prefix)
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         inc = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast(_LSM_SUM_TYPE)
+            .alias("sum_value"),
             F.max(F.struct("ts", "event_id")).alias("m"),
         )
         inc.write.mode("overwrite").parquet(os.path.join(out_dir, f"d{batch_id}"))
-        ckpts = _versions("c")
+        ckpts = _lsm_versions(out_dir, "c")
         last_c = ckpts[-1] if ckpts else -1
-        pending = [b for b in _versions("d") if b > last_c]
+        pending = [b for b in _lsm_versions(out_dir, "d") if b > last_c]
         if len(pending) >= COMPACT_EVERY:
             parts = [os.path.join(out_dir, f"d{b}") for b in pending]
             if last_c >= 0:
@@ -705,19 +718,11 @@ def q124_stream_delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(no_data_conf, prev_no_data)
         _unload_state_stores(spark)
 
-    ckpts = (
-        sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == "c")
-        if os.path.isdir(out_dir)
-        else []
-    )
+    ckpts = _lsm_versions(out_dir, "c")
     last_c = ckpts[-1] if ckpts else -1
     parts = [
         os.path.join(out_dir, f"d{b}")
-        for b in (
-            sorted(int(d[1:]) for d in os.listdir(out_dir) if d[0] == "d")
-            if os.path.isdir(out_dir)
-            else []
-        )
+        for b in _lsm_versions(out_dir, "d")
         if b > last_c
     ]
     if last_c >= 0:

@@ -30,8 +30,12 @@ INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # — planned on their RESULT table, so exchange counts reflect the final
 # read, not the pipeline.  q46 runs its star-contraction rounds on
 # construction too, but its returned plan is the real distributed
-# star-forest read and passes the red-flag checks unexempted.
-DYNAMIC = set()
+# star-forest read and passes the red-flag checks unexempted.  The two
+# foreachBatch sinks are here for the same reason the q9x streams are
+# skipped: constructing them replays the whole multi-batch stream, and
+# the returned plan is only the final state-table read — there is no
+# static batch plan to audit, not an unauditable red flag.
+DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact"}
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
 # O(1) rows — then the "nested loop" is a constant-size per-row loop, the
