@@ -207,3 +207,15 @@ def test_q130_zorder_pruning_beats_linear(spark, sf_dir):
     # linear layout cannot prune on suppkey at all; z must prune >= half
     assert lin_hits == linear.count()
     assert z_hits <= n_z // 2, (z_hits, n_z, lin_hits)
+
+
+def test_q134_bloom_never_misses_members(spark, sf_dir):
+    """The bloom contract: a member key can never be pruned ('missed'
+    status must be structurally absent), and the filter must actually
+    prune a majority of the probe side at this selectivity."""
+    from tinymr_spark.operators.scale import q134_bloom_semi_join
+
+    rows = {r["status"]: r["n_keys"] for r in q134_bloom_semi_join(spark, sf_dir).collect()}
+    assert "missed" not in rows, rows
+    total = sum(rows.values())
+    assert rows.get("pruned", 0) > total / 2, rows

@@ -656,25 +656,35 @@ def q132_countmin_sketch(spark, sf_dir: str) -> DataFrame:
         for d, (a, b) in enumerate(CM_SEEDS)
     ]
     hashed = toks.select("tok", *cols)
-    # the sketch: D parallel (col -> count) aggregations in one pass
-    sketch = [
-        hashed.groupBy(f"c{d}").agg(F.count("*").alias(f"n{d}"))
-        for d in range(len(CM_SEEDS))
-    ]
+    # TWO corpus passes total, not 1+D: one pass builds ALL D sketch
+    # rows (explode each token into its (row, counter) coordinates —
+    # the result is D*W <= 256 rows), one pass builds the exact counts.
+    # The estimate then MELTS the exact side into (tok, d, c) rows and
+    # takes the min matched counter in ONE broadcast join + one
+    # vocab-sized aggregation; joining D filtered slices of the sketch
+    # instead would plant the sketch subtree (and its corpus scan) D
+    # times in the plan.
+    coords = F.posexplode(
+        F.array(*[F.col(f"c{d}") for d in range(len(CM_SEEDS))])
+    ).alias("d", "c")
+    sketch = hashed.select(coords).groupBy("d", "c").agg(F.count("*").alias("n"))
     exact = hashed.groupBy("tok", *[f"c{d}" for d in range(len(CM_SEEDS))]).agg(
         F.count("*").alias("exact_n")
     )
-    est = exact
-    for d in range(len(CM_SEEDS)):
-        est = est.join(F.broadcast(sketch[d]), f"c{d}")
-    return est.select(
-        "tok",
-        "exact_n",
-        F.least(*[F.col(f"n{d}") for d in range(len(CM_SEEDS))]).alias("est_n"),
-        (
-            F.least(*[F.col(f"n{d}") for d in range(len(CM_SEEDS))])
-            >= F.col("exact_n")
-        ).alias("never_under"),
+    melted = exact.select("tok", "exact_n", coords)
+    return (
+        melted.join(F.broadcast(sketch), ["d", "c"])
+        .groupBy("tok")
+        .agg(
+            F.min("exact_n").alias("exact_n"),
+            F.min("n").alias("est_n"),
+        )
+        .select(
+            "tok",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("never_under"),
+        )
     )
 
 
@@ -706,6 +716,164 @@ SELECT e.tok, e.exact_n,
        LEAST(s0.n0, s1.n1, s2.n2, s3.n3) AS est_n,
        LEAST(s0.n0, s1.n1, s2.n2, s3.n3) >= e.exact_n AS never_under
 FROM exact e {_CM_JOIN_SQL}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q134 — Bloom-filter semi-join pruning: the runtime-filter pattern that
+# saves a 100 TB shuffle.  A semi join against a selective build side
+# normally shuffles the ENTIRE probe side; shipping a KB-scale bloom
+# filter of the build keys to the probe scan instead prunes most rows
+# before any exchange (what Spark's runtime bloom-filter pushdown and
+# every warehouse's RF do internally — rebuilt here explicitly so the
+# structure itself is oracle-checkable).  Filter = BLOOM_WORDS 64-bit
+# words, K md5-derived universal hashes; build is one aggregation
+# (bit_or of single-bit masks per word), probe checks its K (word, mask)
+# coordinates against the broadcast filter.  Output classifies every
+# probe key: pruned (bloom says definitely-absent), false_positive
+# (bloom passes, true semi join says absent — the measured FP rate), or
+# passes_and_matches.  'missed' (member but pruned) is structurally
+# impossible — no false negatives — and tests assert it never appears.
+# Bit 63 is unused: DuckDB's `<<` throws on 1<<63, so each word carries
+# 63 usable bits and positions range over BLOOM_WORDS*63.
+# ---------------------------------------------------------------------------
+BLOOM_WORDS = 16
+BLOOM_BITS_PER_WORD = 63
+BLOOM_SEEDS = [(1103515245, 12345), (1664525, 1013904223), (22695477, 1)]
+BLOOM_PRICE_MIN = 495000.0  # ~p99 per order -> ~10% of customers are members
+_BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+
+
+def _bloom_hm(key: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+        % _CM_P
+    )
+
+
+def q134_bloom_semi_join(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    build = (
+        orders.where(F.col("o_totalprice") > BLOOM_PRICE_MIN)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def coords(df):
+        pos = [
+            ((F.lit(a) * F.col("hm") + F.lit(b)) % _CM_P % _BLOOM_M).alias(f"p{i}")
+            for i, (a, b) in enumerate(BLOOM_SEEDS)
+        ]
+        structs = F.array(
+            *[
+                F.struct(
+                    F.expr(f"cast(p{i} div {BLOOM_BITS_PER_WORD} as int)").alias(
+                        "word"
+                    ),
+                    # expr form: the shiftleft() Python wrapper only takes a
+                    # literal shift, the SQL builtin takes a column
+                    F.expr(
+                        f"shiftleft(cast(1 as bigint), "
+                        f"cast(p{i} % {BLOOM_BITS_PER_WORD} as int))"
+                    ).alias("mask"),
+                )
+                for i in range(len(BLOOM_SEEDS))
+            ]
+        )
+        return (
+            df.withColumn("hm", _bloom_hm(F.col("k")))
+            .select("k", *pos)
+            .select("k", F.explode(structs).alias("s"))
+            .select("k", F.col("s.word").alias("word"), F.col("s.mask").alias("mask"))
+        )
+
+    bloom = coords(build).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    probe = customer.select(F.col("c_custkey").alias("k"))
+    checked = (
+        coords(probe)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    (
+                        (
+                            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                                F.col("mask")
+                            )
+                        )
+                        == F.col("mask")
+                    ).cast("int")
+                )
+                == len(BLOOM_SEEDS)
+            ).alias("bloom_pass")
+        )
+    )
+    member = build.withColumn("is_member", F.lit(True))
+    status = (
+        F.when(~F.col("bloom_pass") & F.col("is_member"), F.lit("missed"))
+        .when(~F.col("bloom_pass"), F.lit("pruned"))
+        .when(F.col("is_member"), F.lit("passes_and_matches"))
+        .otherwise(F.lit("false_positive"))
+    )
+    return (
+        checked.join(member, "k", "left")
+        .withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+        .groupBy(status.alias("status"))
+        .agg(F.count("*").alias("n_keys"), F.min("k").alias("min_key"))
+    )
+
+
+_BLOOM_POS_SQL = ", ".join(
+    f"(({a} * hm + {b}) % {_CM_P}) % {_BLOOM_M} AS p{i}"
+    for i, (a, b) in enumerate(BLOOM_SEEDS)
+)
+_BLOOM_COORD_UNION = " UNION ALL ".join(
+    f"SELECT k, CAST(p{i} // {BLOOM_BITS_PER_WORD} AS INT) AS word, "
+    f"CAST(1 AS BIGINT) << CAST(p{i} % {BLOOM_BITS_PER_WORD} AS INT) AS mask "
+    f"FROM POSED"
+    for i in range(len(BLOOM_SEEDS))
+)
+
+ORACLE_Q134 = f"""
+WITH build AS (
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
+),
+bhm AS (
+    SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_CM_P} AS hm
+    FROM build
+),
+bpos AS (SELECT k, {_BLOOM_POS_SQL} FROM bhm),
+bcoords AS ({_BLOOM_COORD_UNION.replace("POSED", "bpos")}),
+bloom AS (SELECT word, BIT_OR(mask) AS bits FROM bcoords GROUP BY 1),
+probe AS (SELECT c_custkey AS k FROM customer),
+phm AS (
+    SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_CM_P} AS hm
+    FROM probe
+),
+ppos AS (SELECT k, {_BLOOM_POS_SQL} FROM phm),
+pcoords AS ({_BLOOM_COORD_UNION.replace("POSED", "ppos")}),
+checked AS (
+    SELECT p.k,
+           SUM(CASE WHEN (COALESCE(b.bits, 0) & p.mask) = p.mask THEN 1 ELSE 0 END)
+               = {len(BLOOM_SEEDS)} AS bloom_pass
+    FROM pcoords p LEFT JOIN bloom b USING (word)
+    GROUP BY p.k
+),
+classified AS (
+    SELECT c.k,
+           CASE WHEN NOT c.bloom_pass AND bu.k IS NOT NULL THEN 'missed'
+                WHEN NOT c.bloom_pass THEN 'pruned'
+                WHEN bu.k IS NOT NULL THEN 'passes_and_matches'
+                ELSE 'false_positive' END AS status
+    FROM checked c LEFT JOIN build bu ON c.k = bu.k
+)
+SELECT status, COUNT(*) AS n_keys, MIN(k) AS min_key
+FROM classified
+GROUP BY status
 """
 
 
@@ -926,6 +1094,7 @@ QUERIES = {
     "q131_histogram_quantiles": q131_histogram_quantiles,
     "q132_countmin_sketch": q132_countmin_sketch,
     "q133_snapshot_diff": q133_snapshot_diff,
+    "q134_bloom_semi_join": q134_bloom_semi_join,
 }
 
 ORACLE = {
@@ -941,4 +1110,5 @@ ORACLE = {
     "q131_histogram_quantiles": ORACLE_Q131,
     "q132_countmin_sketch": ORACLE_Q132,
     "q133_snapshot_diff": ORACLE_Q133,
+    "q134_bloom_semi_join": ORACLE_Q134,
 }
