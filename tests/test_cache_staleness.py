@@ -64,3 +64,41 @@ def test_ml_lsh_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
     assert len(keys) == 1, f"stale LSH entries retained: {keys}"
     assert keys[0] != old_keys[0]
     assert stale_hashed.storageLevel.useMemory is False, "stale index not unpersisted"
+
+
+def test_bm25_index_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    from tinymr_spark.operators.text import _bm25_index
+    from tinymr_spark.sources import session_cache
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    _bm25_index(spark, sf)
+    cache = session_cache(spark, "_tinymr_bm25_cache")
+    old_keys = [k for k in cache if k[0] == sf]
+    assert len(old_keys) == 1
+    stale_tf = cache[old_keys[0]]
+
+    _regenerate(os.path.join(sf, "documents.parquet"))
+    _bm25_index(spark, sf)
+    keys = [k for k in cache if k[0] == sf]
+    assert len(keys) == 1, f"stale BM25 entries retained: {keys}"
+    assert keys[0] != old_keys[0]
+    assert stale_tf.storageLevel.useMemory is False, "stale postings not unpersisted"
+
+
+def test_observe_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    from tinymr_spark.operators.scale import q128_observe_metrics
+    from tinymr_spark.sources import session_cache
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    q128_observe_metrics(spark, sf)
+    cache = session_cache(spark, "_tinymr_observe_cache")
+    old_keys = [k for k in cache if k[0] == sf]
+    assert len(old_keys) == 1
+    _, stale_out = cache[old_keys[0]]
+
+    _regenerate(os.path.join(sf, "events.parquet"))
+    q128_observe_metrics(spark, sf)
+    keys = [k for k in cache if k[0] == sf]
+    assert len(keys) == 1, f"stale observe entries retained: {keys}"
+    assert keys[0] != old_keys[0]
+    assert stale_out.storageLevel.useMemory is False, "stale result not unpersisted"

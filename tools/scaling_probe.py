@@ -60,6 +60,18 @@ BATTERY = [
     "q109_unigram_logprob",   # vocab counts shift 5x but work is per-token linear
     "q116_train_val_split",   # row-pure assignment + tiny agg
     "q117_table_fingerprint", # one scan, XOR merge
+    # round-5 linear additions (q123/q127 stay excluded with the rest of
+    # the pair-based dedup family — 5x identical doc copies are
+    # cross-copy near-dups, a semantic blowup not an engine one; q128's
+    # session result cache would make the timed warm run a no-op)
+    "q125_bm25_topk",          # warm probe against the cached index
+    "q126_shard_manifest",     # row-pure keys + one agg
+    "q129_map_in_arrow",       # Arrow batch transform, per-doc linear
+    "q130_zorder_layout",      # per-row bit math + one agg
+    "q131_histogram_quantiles", # per-event counters
+    "q132_countmin_sketch",    # per-token counters
+    "q133_snapshot_diff",      # row-hash full-outer join, per-doc linear
+    "q134_bloom_semi_join",    # build+probe both key-linear
 ]
 
 
