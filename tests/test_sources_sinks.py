@@ -96,3 +96,27 @@ def test_python_datasource_partition_independent(spark):
     # spot-check the deterministic formula
     assert (0, 0, "view", 0) in t1
     assert (6, (6 * 2_654_435_761) % 1_000, "click", 582) in t1
+
+
+def test_stream_reader_replay_matches_original_read():
+    """The streaming face's recovery contract: readBetweenOffsets must
+    reproduce EXACTLY the rows originally served for any committed
+    offset range — checkpoint restart correctness depends on it — and
+    chunked reads must tile the row space without gap or overlap."""
+    from tinymr_spark.sources.pydatasource import SyntheticEventsStreamReader
+
+    r = SyntheticEventsStreamReader({"rows": "100", "chunk": "30"})
+    off = r.initialOffset()
+    served, offsets = [], [off]
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            break
+        served.extend(rows)
+        offsets.append(nxt)
+        off = nxt
+    assert [row[0] for row in served] == list(range(100))  # gapless tiling
+    # replay any committed range
+    replay = list(r.readBetweenOffsets(offsets[1], offsets[3]))
+    assert replay == served[30:90]

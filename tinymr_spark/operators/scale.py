@@ -1037,6 +1037,61 @@ FROM g, m
 
 
 # ---------------------------------------------------------------------------
+# q135 — ORC source/sink round trip: the second columnar format of the
+# lake world (Hive/Trino shops standardize on ORC the way Spark shops
+# do parquet; a migration engine must read both).  The query stages the
+# orders table as ORC once per source version (same freshness keying as
+# every staged artifact), reads it back through Spark's built-in ORC
+# scan — predicate pushdown and column pruning work the same as parquet
+# and the plan tests' assertions apply — and aggregates FROM THE ORC
+# COPY; the oracle computes from the original parquet, so the hash gate
+# proves the format round trip preserved every row and value bit-exactly.
+# ---------------------------------------------------------------------------
+def q135_orc_source(spark, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from tinymr_spark.sources import file_version, load_table, table_path
+
+    src = table_path(sf_dir, "orders")
+    key = f"{src}|{file_version(src)}"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"tinymr_spark_orc_{getattr(os, 'getuid', lambda: 'u')()}",
+        hashlib.md5(key.encode()).hexdigest(),
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
+        open(done, "w").close()
+    orders = spark.read.orc(stage)
+    return (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+ORACLE_Q135 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # q121 — custom Python DataSource read (Spark 4 pyspark.sql.datasource):
 # `spark.read.format("synthevents")` backed by plain Python, partition-
 # parallel.  The source is deterministic (each row a pure function of
@@ -1095,6 +1150,7 @@ QUERIES = {
     "q132_countmin_sketch": q132_countmin_sketch,
     "q133_snapshot_diff": q133_snapshot_diff,
     "q134_bloom_semi_join": q134_bloom_semi_join,
+    "q135_orc_source": q135_orc_source,
 }
 
 ORACLE = {
@@ -1111,4 +1167,5 @@ ORACLE = {
     "q132_countmin_sketch": ORACLE_Q132,
     "q133_snapshot_diff": ORACLE_Q133,
     "q134_bloom_semi_join": ORACLE_Q134,
+    "q135_orc_source": ORACLE_Q135,
 }

@@ -18,7 +18,12 @@ the source end to end.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_KINDS = ("view", "click", "purchase", "signup", "error")
 USER_MOD = 1_000
@@ -40,6 +45,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -55,12 +63,45 @@ class SyntheticEventsReader(DataSourceReader):
         # independent (asserted in tests/test_sources_sinks.py).
         start = partition.value
         for rid in range(start, self.n_rows, self.n_parts):
-            yield (
-                rid,
-                (rid * HASH_MULT) % USER_MOD,
-                EVENT_KINDS[rid % len(EVENT_KINDS)],
-                (rid * 97) % AMOUNT_MOD,
-            )
+            yield _event_row(rid)
+
+
+def _event_row(rid: int) -> tuple:
+    """One deterministic row — shared by the batch and stream readers so
+    both faces of the format produce the identical table."""
+    return (
+        rid,
+        (rid * HASH_MULT) % USER_MOD,
+        EVENT_KINDS[rid % len(EVENT_KINDS)],
+        (rid * 97) % AMOUNT_MOD,
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """The STREAMING face of the same format (Spark 4 Python streaming
+    data source): offsets are plain row positions, each micro-batch
+    emits the next `chunk` rows, and `readBetweenOffsets` replays any
+    committed range exactly — the replayability contract checkpoint
+    recovery depends on.  The generator is the same pure function of
+    row id as the batch reader, so a drained stream equals the batch
+    table and the q136 oracle can hash-check the whole streaming path
+    (offset management, micro-batching, recovery API) against a SQL row
+    sequence."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.chunk = int(options.get("chunk", 250))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = min(i + self.chunk, self.n_rows)
+        return iter([_event_row(r) for r in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_event_row(r) for r in range(int(start["i"]), int(end["i"]))])
 
 
 def register(spark) -> None:

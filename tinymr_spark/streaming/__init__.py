@@ -751,6 +751,77 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 
 
 # ---------------------------------------------------------------------------
+# q136 — STREAMING Python DataSource (the readStream face of q121's
+# custom format): Spark 4 lets a pure-Python source drive Structured
+# Streaming — offsets, micro-batch planning, and replay all implemented
+# in Python (sources/pydatasource.py SyntheticEventsStreamReader).  The
+# stream is drained with processAllAvailable (the reader's offset stops
+# advancing at `rows`, so "available" is finite) through a complete-mode
+# aggregate; because every row is a pure function of its offset
+# position, the drained result equals the batch table and the oracle
+# hash-checks the WHOLE streaming machinery — initialOffset, per-batch
+# read, offset commit — against a SQL row sequence.  COUNT(DISTINCT) is
+# not legal in a streaming aggregate, so the profile differs from q121's
+# (min/max row ids instead).
+# ---------------------------------------------------------------------------
+Q136_ROWS = 20_000
+Q136_CHUNK = 10_000  # -> 2 micro-batches (multi-batch path, minimal fixed cost)
+
+
+def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources.pydatasource import register
+
+    register(spark)
+    _pre_stream_cleanup(spark)
+    stream = (
+        spark.readStream.format("synthevents")
+        .option("rows", str(Q136_ROWS))
+        .option("chunk", str(Q136_CHUNK))
+        .load()
+    )
+    agg = stream.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+        F.min("row_id").alias("first_row"),
+        F.max("row_id").alias("last_row"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _unload_state_stores(spark)
+    return spark.table(name)
+
+
+ORACLE_Q136 = f"""
+WITH ev AS (
+    SELECT rid AS row_id,
+           (rid * {2_654_435_761}) % {1_000} AS user_id,
+           ['view', 'click', 'purchase', 'signup', 'error'][rid % 5 + 1] AS kind,
+           (rid * 97) % {10_000} AS amount_cents
+    FROM (SELECT UNNEST(range(0, {Q136_ROWS})) AS rid)
+)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       MIN(row_id) AS first_row,
+       MAX(row_id) AS last_row
+FROM ev
+GROUP BY kind
+"""
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4's arbitrary-state v2 API): richer
 # than applyInPandasWithState (q92) — typed ValueState/ListState/MapState
 # handles, timers, TTL.  Its state server speaks protobuf between the JVM
@@ -935,6 +1006,7 @@ QUERIES = {
     "q99_stream_dedup_bounded": q99_stream_dedup_bounded,
     "q122_stream_upsert_sink": q122_stream_upsert_sink,
     "q124_stream_delta_compact": q124_stream_delta_compact,
+    "q136_python_stream_source": q136_python_stream_source,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -949,4 +1021,5 @@ ORACLE = {
     "q99_stream_dedup_bounded": ORACLE_Q99,
     "q122_stream_upsert_sink": ORACLE_Q122,
     "q124_stream_delta_compact": ORACLE_Q124,
+    "q136_python_stream_source": ORACLE_Q136,
 }
