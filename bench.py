@@ -91,24 +91,34 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     (tests/test_bench_contract.py)."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    short = {}
-    for name, t in timings.items():
-        k = name.split("_", 1)[0]
-        if k in short:
-            k = name
-        while k in short:  # a full name can equal an earlier short key
-            k = k + "+"
-        short[k] = round(t, 2)
-    return json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": short,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    # Adaptive per-query resolution: 2 decimals normally; if the line
+    # would overflow the driver's 2000-char tail (possible past ~150
+    # queries), fall back to 1 decimal — 100 ms resolution still beats
+    # the run-to-run noise, and a parseable line beats a precise
+    # unparseable one.
+    for ndec in (2, 1):
+        short = {}
+        for name, t in timings.items():
+            k = name.split("_", 1)[0]
+            if k in short:
+                k = name
+            while k in short:  # a full name can equal an earlier short key
+                k = k + "+"
+            # keep the -1.0 failure sentinel exact at any resolution
+            short[k] = -1.0 if t < 0 else round(t, ndec)
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": short,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= 1900:
+            break
+    return line
 
 
 if __name__ == "__main__":

@@ -17,11 +17,11 @@ def _inventory_names():
 
 
 def test_bench_line_fits_driver_tail_and_parses():
-    # Padded to 130 hypothetical queries: headroom for future rounds, so
+    # Padded to 160 hypothetical queries: headroom for future rounds, so
     # growth can't silently reintroduce the round-1 "parsed": null.
     names = _inventory_names()
     names += [
-        f"q{i}_hypothetical_future_query" for i in range(len(names) + 1, 131)
+        f"q{i}_hypothetical_future_query" for i in range(len(names) + 1, 161)
     ]
     timings = {n: round(0.0001 + 11.1111 * (i % 7), 4) for i, n in enumerate(names)}
     timings[names[0]] = -1.0  # a failed query must not break the format
@@ -37,7 +37,8 @@ def test_bench_line_fits_driver_tail_and_parses():
     assert d["value"] == round(
         sum(t for t in timings.values() if t >= 0), 4
     )
-    # per-query values trim to 2 decimals; the -1.0 sentinel survives
+    # per-query values trim to <=2 decimals (1 when the 2-decimal line
+    # would overflow the tail); the -1.0 sentinel survives
     assert all(v == round(v, 2) for v in d["queries"].values())
     assert -1.0 in d["queries"].values()
     # short keys stay unique (fall back to the full name on collision)

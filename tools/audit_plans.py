@@ -35,7 +35,8 @@ INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # skipped: constructing them replays the whole multi-batch stream, and
 # the returned plan is only the final state-table read — there is no
 # static batch plan to audit, not an unauditable red flag.
-DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact"}
+DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact",
+           "q136_python_stream_source"}
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
 # O(1) rows — then the "nested loop" is a constant-size per-row loop, the
