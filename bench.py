@@ -86,9 +86,10 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     qNN -> full-name mapping is the docstring of every queries() entry
     and SURVEY.md §8.  Per-query times are trimmed to 2 decimals (10 ms
     resolution — the driver compares totals and flags -1.0 failures, and
-    run-to-run noise exceeds 10 ms anyway); the total keeps 4.  At 130
-    hypothetical queries the line stays under 1900 chars
-    (tests/test_bench_contract.py)."""
+    run-to-run noise exceeds 10 ms anyway), falling back to 1 decimal if
+    the 2-decimal line would exceed 1900 chars (possible past ~150
+    queries); the total keeps 4.  At 160 hypothetical queries the line
+    stays under 1900 chars (tests/test_bench_contract.py)."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Adaptive per-query resolution: 2 decimals normally; if the line

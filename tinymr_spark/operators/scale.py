@@ -726,22 +726,30 @@ FROM exact e {_CM_JOIN_SQL}
 # filter of the build keys to the probe scan instead prunes most rows
 # before any exchange (what Spark's runtime bloom-filter pushdown and
 # every warehouse's RF do internally — rebuilt here explicitly so the
-# structure itself is oracle-checkable).  Filter = BLOOM_WORDS 64-bit
-# words, K md5-derived universal hashes; build is one aggregation
-# (bit_or of single-bit masks per word), probe checks its K (word, mask)
+# structure itself is oracle-checkable).  The filter is SIZED FROM THE
+# BUILD CARDINALITY — ~10 bits per key via the integer-exact formula
+# nbits = ((n_keys*10) div 63 + 1) * 63, computed in-plan as a 1-row
+# broadcast (a fixed size saturates as the build side grows: at sf0.1's
+# 1393 keys a hard-coded 1008-bit filter is ~98% full and prunes
+# nothing).  K=3 md5-derived universal hashes -> FP ~1.7% at 10
+# bits/key at EVERY scale; build is one aggregation (bit_or of
+# single-bit masks per word), probe checks its K (word, mask)
 # coordinates against the broadcast filter.  Output classifies every
 # probe key: pruned (bloom says definitely-absent), false_positive
 # (bloom passes, true semi join says absent — the measured FP rate), or
 # passes_and_matches.  'missed' (member but pruned) is structurally
 # impossible — no false negatives — and tests assert it never appears.
 # Bit 63 is unused: DuckDB's `<<` throws on 1<<63, so each word carries
-# 63 usable bits and positions range over BLOOM_WORDS*63.
+# 63 usable bits.
 # ---------------------------------------------------------------------------
-BLOOM_WORDS = 16
 BLOOM_BITS_PER_WORD = 63
+BLOOM_BITS_PER_KEY = 10
 BLOOM_SEEDS = [(1103515245, 12345), (1664525, 1013904223), (22695477, 1)]
 BLOOM_PRICE_MIN = 495000.0  # ~p99 per order -> ~10% of customers are members
-_BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+_BLOOM_NBITS = (
+    f"((nk * {BLOOM_BITS_PER_KEY}) div {BLOOM_BITS_PER_WORD} + 1)"
+    f" * {BLOOM_BITS_PER_WORD}"
+)
 
 
 def _bloom_hm(key: Column) -> Column:
@@ -762,9 +770,13 @@ def q134_bloom_semi_join(spark, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    params = build.agg(F.count("*").alias("nk"))
+
     def coords(df):
         pos = [
-            ((F.lit(a) * F.col("hm") + F.lit(b)) % _CM_P % _BLOOM_M).alias(f"p{i}")
+            F.expr(f"(({a} * hm + {b}) % {_CM_P}) % ({_BLOOM_NBITS})").alias(
+                f"p{i}"
+            )
             for i, (a, b) in enumerate(BLOOM_SEEDS)
         ]
         structs = F.array(
@@ -784,7 +796,8 @@ def q134_bloom_semi_join(spark, sf_dir: str) -> DataFrame:
             ]
         )
         return (
-            df.withColumn("hm", _bloom_hm(F.col("k")))
+            df.crossJoin(F.broadcast(params))
+            .withColumn("hm", _bloom_hm(F.col("k")))
             .select("k", *pos)
             .select("k", F.explode(structs).alias("s"))
             .select("k", F.col("s.word").alias("word"), F.col("s.mask").alias("mask"))
@@ -827,8 +840,12 @@ def q134_bloom_semi_join(spark, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_NBITS_SQL = (
+    f"((nk * {BLOOM_BITS_PER_KEY}) // {BLOOM_BITS_PER_WORD} + 1)"
+    f" * {BLOOM_BITS_PER_WORD}"
+)
 _BLOOM_POS_SQL = ", ".join(
-    f"(({a} * hm + {b}) % {_CM_P}) % {_BLOOM_M} AS p{i}"
+    f"(({a} * hm + {b}) % {_CM_P}) % ({_BLOOM_NBITS_SQL}) AS p{i}"
     for i, (a, b) in enumerate(BLOOM_SEEDS)
 )
 _BLOOM_COORD_UNION = " UNION ALL ".join(
@@ -842,11 +859,12 @@ ORACLE_Q134 = f"""
 WITH build AS (
     SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
 ),
+params AS (SELECT COUNT(*) AS nk FROM build),
 bhm AS (
     SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_CM_P} AS hm
     FROM build
 ),
-bpos AS (SELECT k, {_BLOOM_POS_SQL} FROM bhm),
+bpos AS (SELECT k, {_BLOOM_POS_SQL} FROM bhm, params),
 bcoords AS ({_BLOOM_COORD_UNION.replace("POSED", "bpos")}),
 bloom AS (SELECT word, BIT_OR(mask) AS bits FROM bcoords GROUP BY 1),
 probe AS (SELECT c_custkey AS k FROM customer),
@@ -854,7 +872,7 @@ phm AS (
     SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % {_CM_P} AS hm
     FROM probe
 ),
-ppos AS (SELECT k, {_BLOOM_POS_SQL} FROM phm),
+ppos AS (SELECT k, {_BLOOM_POS_SQL} FROM phm, params),
 pcoords AS ({_BLOOM_COORD_UNION.replace("POSED", "ppos")}),
 checked AS (
     SELECT p.k,

@@ -795,9 +795,16 @@ def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("complete")
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
+        # stop() must run even if a micro-batch fails inside
+        # processAllAvailable: unlike the availableNow queries in this
+        # module, the default trigger never self-terminates, and an
+        # orphaned query would keep polling the driver-side Python
+        # reader for the rest of the session.
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _unload_state_stores(spark)

@@ -30,11 +30,12 @@ INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # — planned on their RESULT table, so exchange counts reflect the final
 # read, not the pipeline.  q46 runs its star-contraction rounds on
 # construction too, but its returned plan is the real distributed
-# star-forest read and passes the red-flag checks unexempted.  The two
-# foreachBatch sinks are here for the same reason the q9x streams are
-# skipped: constructing them replays the whole multi-batch stream, and
-# the returned plan is only the final state-table read — there is no
-# static batch plan to audit, not an unauditable red flag.
+# star-forest read and passes the red-flag checks unexempted.  The
+# three entries below (two foreachBatch sinks + the memory-sink
+# Python-source stream) are here for the same reason the q9x streams
+# are skipped: constructing them replays the whole multi-batch stream,
+# and the returned plan is only the final state-table read — there is
+# no static batch plan to audit, not an unauditable red flag.
 DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact",
            "q136_python_stream_source"}
 
@@ -60,7 +61,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin(broadcast(1-row (n_docs, avgdl) BM25 stats))
               "q125_bm25_topk",
               # crossJoin(broadcast(1-row max-Morton-code aggregate))
-              "q130_zorder_layout"}
+              "q130_zorder_layout",
+              # crossJoin(broadcast(1-row bloom-size parameter aggregate))
+              "q134_bloom_semi_join"}
 
 
 def main() -> int:
