@@ -1110,6 +1110,72 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q137 — XML source/sink round trip (Spark 4 ships the former spark-xml
+# as a built-in format): the interchange format of enterprise feeds and
+# document archives.  Same contract as the ORC trip (q135): stage the
+# part table as XML once per source version, read it back through the
+# built-in reader (rowTag row discipline, schema re-declared explicitly
+# — XML carries no types), aggregate FROM THE XML COPY against a
+# parquet-derived oracle, so the hash gate proves parse fidelity —
+# numerics, strings, and escaping — end to end.
+# ---------------------------------------------------------------------------
+def q137_xml_source(spark, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from tinymr_spark.sources import file_version, load_table, table_path
+
+    src = table_path(sf_dir, "part")
+    key = f"{src}|{file_version(src)}"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"tinymr_spark_xml_{getattr(os, 'getuid', lambda: 'u')()}",
+        hashlib.md5(key.encode()).hexdigest(),
+    )
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        (
+            load_table(spark, sf_dir, "part")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "part")
+            .save(stage)
+        )
+        open(done, "w").close()
+    part = (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(
+            "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double"
+        )
+        .load(stage)
+    )
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.min("p_name").alias("first_name"),
+        )
+    )
+
+
+ORACLE_Q137 = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(p_size) AS BIGINT) AS total_size,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(p_name) AS first_name
+FROM part
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # q121 — custom Python DataSource read (Spark 4 pyspark.sql.datasource):
 # `spark.read.format("synthevents")` backed by plain Python, partition-
 # parallel.  The source is deterministic (each row a pure function of
@@ -1169,6 +1235,7 @@ QUERIES = {
     "q133_snapshot_diff": q133_snapshot_diff,
     "q134_bloom_semi_join": q134_bloom_semi_join,
     "q135_orc_source": q135_orc_source,
+    "q137_xml_source": q137_xml_source,
 }
 
 ORACLE = {
@@ -1186,4 +1253,5 @@ ORACLE = {
     "q133_snapshot_diff": ORACLE_Q133,
     "q134_bloom_semi_join": ORACLE_Q134,
     "q135_orc_source": ORACLE_Q135,
+    "q137_xml_source": ORACLE_Q137,
 }

@@ -829,6 +829,71 @@ GROUP BY kind
 
 
 # ---------------------------------------------------------------------------
+# q138 — state-store READER (Spark 4 `spark.read.format("statestore")`):
+# streaming state as a queryable DataFrame — the ops/debug face every
+# production stream eventually needs (is a key stuck? how big is the
+# state really? what does the buffer hold after batch N?), without
+# stopping the stream or writing probe code into it.  A per-user
+# count+sum aggregate runs to completion against an EXPLICIT checkpoint
+# (staged once per events-file version — the state outlives the query,
+# which is the whole point), then the checkpoint's store is read back:
+# key struct = the groupBy columns, value struct = the aggregation
+# buffer in agg-declaration order (count, then the sum with its null
+# flag).  Because the buffer of count/decimal-sum is exact, the state
+# contents hash-match a batch aggregate of the same input — the oracle
+# checks the store's BYTES are the right answer, not just that the
+# query ran.
+# ---------------------------------------------------------------------------
+def q138_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    ckpt = os.path.join(
+        _staging_root("tinymr_spark_ss_ckpt"),
+        hashlib.md5(f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest(),
+    )
+    if not os.path.exists(os.path.join(ckpt, "commits")):
+        _pre_stream_cleanup(spark)
+        stream = stream_events(spark, sf_dir)
+        agg = stream.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            _unload_state_stores(spark)
+    state = spark.read.format("statestore").load(ckpt)
+    # value-struct field ORDER follows the agg declaration (count buffer,
+    # then sum buffer + its null flag); names are engine-internal, so
+    # select positionally.
+    kcol = state.schema["key"].dataType.names[0]
+    vnames = state.schema["value"].dataType.names
+    return state.select(
+        F.col(f"key.{kcol}").alias("user_id"),
+        F.col(f"value.{vnames[0]}").cast("bigint").alias("n_events"),
+        F.col(f"value.{vnames[1]}").cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_Q138 = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4's arbitrary-state v2 API): richer
 # than applyInPandasWithState (q92) — typed ValueState/ListState/MapState
 # handles, timers, TTL.  Its state server speaks protobuf between the JVM
@@ -1014,6 +1079,7 @@ QUERIES = {
     "q122_stream_upsert_sink": q122_stream_upsert_sink,
     "q124_stream_delta_compact": q124_stream_delta_compact,
     "q136_python_stream_source": q136_python_stream_source,
+    "q138_statestore_reader": q138_statestore_reader,
 }
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
@@ -1029,4 +1095,5 @@ ORACLE = {
     "q122_stream_upsert_sink": ORACLE_Q122,
     "q124_stream_delta_compact": ORACLE_Q124,
     "q136_python_stream_source": ORACLE_Q136,
+    "q138_statestore_reader": ORACLE_Q138,
 }

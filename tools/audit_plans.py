@@ -31,13 +31,14 @@ INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 # read, not the pipeline.  q46 runs its star-contraction rounds on
 # construction too, but its returned plan is the real distributed
 # star-forest read and passes the red-flag checks unexempted.  The
-# three entries below (two foreachBatch sinks + the memory-sink
-# Python-source stream) are here for the same reason the q9x streams
+# entries below (two foreachBatch sinks, the memory-sink Python-source
+# stream, and the state-store reader that first drives its checkpointed
+# aggregate) are here for the same reason the q9x streams
 # are skipped: constructing them replays the whole multi-batch stream,
 # and the returned plan is only the final state-table read — there is
 # no static batch plan to audit, not an unauditable red flag.
 DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact",
-           "q136_python_stream_source"}
+           "q136_python_stream_source", "q138_statestore_reader"}
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
 # O(1) rows — then the "nested loop" is a constant-size per-row loop, the
