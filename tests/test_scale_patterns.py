@@ -219,3 +219,38 @@ def test_q134_bloom_never_misses_members(spark, sf_dir):
     assert "missed" not in rows, rows
     total = sum(rows.values())
     assert rows.get("pruned", 0) > total / 2, rows
+
+
+def test_q131_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The sketch's accuracy contract: any quantile read off the
+    cumulative histogram is within one bin width of the exact value —
+    the bound that justifies replacing a global sort with counters at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.operators.scale import (
+        HIST_BIN_W,
+        q131_histogram_quantiles,
+    )
+    from tinymr_spark.sources import load_table
+
+    hist = sorted(
+        (r["bin"], r["hi"], r["cum_n"])
+        for r in q131_histogram_quantiles(spark, sf_dir).collect()
+    )
+    total = hist[-1][2]
+
+    def est(p):
+        target = p * total
+        for _bin, hi, cum in hist:
+            if cum >= target:
+                return hi
+        return hist[-1][1]
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q"))
+        .collect()[0]["q"]
+    )
+    for p, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(est(p) - ex) <= HIST_BIN_W, (p, est(p), ex)
