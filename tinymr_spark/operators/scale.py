@@ -1065,24 +1065,35 @@ FROM g, m
 # COPY; the oracle computes from the original parquet, so the hash gate
 # proves the format round trip preserved every row and value bit-exactly.
 # ---------------------------------------------------------------------------
-def q135_orc_source(spark, sf_dir: str) -> DataFrame:
+def _staged_format_copy(spark, sf_dir: str, table: str, fmt: str, write) -> str:
+    """Stage `table` in a foreign format once per SOURCE VERSION (the
+    freshness key every staged artifact uses) and return the directory;
+    `write(df, dir)` does the format-specific write."""
     import hashlib
     import os
     import tempfile
 
     from tinymr_spark.sources import file_version, load_table, table_path
 
-    src = table_path(sf_dir, "orders")
+    src = table_path(sf_dir, table)
     key = f"{src}|{file_version(src)}"
     stage = os.path.join(
         tempfile.gettempdir(),
-        f"tinymr_spark_orc_{getattr(os, 'getuid', lambda: 'u')()}",
+        f"tinymr_spark_{fmt}_{getattr(os, 'getuid', lambda: 'u')()}",
         hashlib.md5(key.encode()).hexdigest(),
     )
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(stage)
+        write(load_table(spark, sf_dir, table), stage)
         open(done, "w").close()
+    return stage
+
+
+def q135_orc_source(spark, sf_dir: str) -> DataFrame:
+    stage = _staged_format_copy(
+        spark, sf_dir, "orders", "orc",
+        lambda df, d: df.write.mode("overwrite").orc(d),
+    )
     orders = spark.read.orc(stage)
     return (
         orders.where(F.col("o_orderstatus") == "F")
@@ -1120,29 +1131,13 @@ GROUP BY o_orderpriority
 # numerics, strings, and escaping — end to end.
 # ---------------------------------------------------------------------------
 def q137_xml_source(spark, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
-    from tinymr_spark.sources import file_version, load_table, table_path
-
-    src = table_path(sf_dir, "part")
-    key = f"{src}|{file_version(src)}"
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"tinymr_spark_xml_{getattr(os, 'getuid', lambda: 'u')()}",
-        hashlib.md5(key.encode()).hexdigest(),
+    stage = _staged_format_copy(
+        spark, sf_dir, "part", "xml",
+        lambda df, d: df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "part")
+        .save(d),
     )
-    done = os.path.join(stage, "_STAGED")
-    if not os.path.exists(done):
-        (
-            load_table(spark, sf_dir, "part")
-            .write.mode("overwrite")
-            .format("xml")
-            .option("rowTag", "part")
-            .save(stage)
-        )
-        open(done, "w").close()
     part = (
         spark.read.format("xml")
         .option("rowTag", "part")
