@@ -481,15 +481,20 @@ def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q45 = (
-    _SQL_HASHED
-    + f"""
+# DuckDB twin of _band_rows — shared by every oracle that joins on the
+# banded signature (q45/q46-via-replace/q123).
+_SQL_BANDS_CTE = f"""
     , bands AS (
         SELECT doc_id, seed // {BAND_R} AS band,
                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bandkey
         FROM sigs
         GROUP BY doc_id, band
-    )
+    )"""
+
+ORACLE_Q45 = (
+    _SQL_HASHED
+    + _SQL_BANDS_CTE
+    + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
@@ -1397,13 +1402,8 @@ def q123_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q123 = (
     _SQL_HASHED
-    + f"""
-    , bands AS (
-        SELECT doc_id, seed // {BAND_R} AS band,
-               md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS bandkey
-        FROM sigs
-        GROUP BY doc_id, band
-    ),
+    + _SQL_BANDS_CTE
+    + f""",
     fps AS (
         SELECT doc_id, md5(text) AS fp, doc_id % {INC_SHARD_MOD} = 0 AS is_new
         FROM documents

@@ -644,10 +644,10 @@ def q132_countmin_sketch(spark, sf_dir: str) -> DataFrame:
     from tinymr_spark.operators.text import _tokens
     from tinymr_spark.sources import load_table
 
+    from tinymr_spark.operators.text import md5_int60
+
     docs = load_table(spark, sf_dir, "documents")
-    hm = (
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint") % _CM_P
-    ).alias("hm")
+    hm = (md5_int60(F.col("tok")) % _CM_P).alias("hm")
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok")).select(
         "tok", hm
     )
@@ -753,10 +753,9 @@ _BLOOM_NBITS = (
 
 
 def _bloom_hm(key: Column) -> Column:
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
-        % _CM_P
-    )
+    from tinymr_spark.operators.text import md5_int60
+
+    return md5_int60(key.cast("string")) % _CM_P
 
 
 def q134_bloom_semi_join(spark, sf_dir: str) -> DataFrame:

@@ -27,6 +27,14 @@ def _tokens(col):
     return F.filter(F.split(col, _TOKENIZE), lambda x: x != "")
 
 
+def md5_int60(col):
+    """60-bit integer reduction of md5(col) — the repo's cross-engine
+    hash primitive (DuckDB twin:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``, verified
+    bit-identical)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def with_tokens(df, src: str = "text", out: str = "toks"):
     """Materialize the token array as its own projection.
 
@@ -1036,9 +1044,7 @@ N_SHARDS = 8
 
 def q126_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    poskey = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    poskey = md5_int60(F.col("doc_id").cast("string"))
     return (
         docs.select(
             "doc_id",

@@ -130,7 +130,8 @@ def _pre_stream_cleanup(spark: SparkSession) -> None:
 def run_stream_to_table(result: DataFrame, spark: SparkSession,
                         n_state_parts: int = 2,
                         output_mode: str = "complete",
-                        needs_finalize_batch: bool = False) -> DataFrame:
+                        needs_finalize_batch: bool = False,
+                        self_terminating: bool = True) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
     in-memory sink; return the materialized table.
 
@@ -151,7 +152,13 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     — those queries must keep it.  Update/complete-mode queries emit in
     the data batches themselves, so the trailing batch is one full
     state-commit round of pure overhead; skip it (measured at sf0.1:
-    q92 1.68->1.45s, q90 1.01->0.86s, identical results)."""
+    q92 1.68->1.45s, q90 1.01->0.86s, identical results).
+
+    `self_terminating=False`: drive with the default processing-time
+    trigger + processAllAvailable + stop instead of AvailableNow — for
+    sources (the Python SimpleDataSourceStreamReader) where AvailableNow
+    admission control is not available; stop() runs in a finally so a
+    failed micro-batch cannot leak a perpetually polling query."""
     _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -160,14 +167,21 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
     spark.conf.set(no_data_conf, "true" if needs_finalize_batch else "false")
     try:
-        q = (
+        writer = (
             result.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
+        if self_terminating:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set(no_data_conf, prev_no_data)
@@ -772,7 +786,6 @@ def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymr_spark.sources.pydatasource import register
 
     register(spark)
-    _pre_stream_cleanup(spark)
     stream = (
         spark.readStream.format("synthevents")
         .option("rows", str(Q136_ROWS))
@@ -785,30 +798,9 @@ def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").alias("first_row"),
         F.max("row_id").alias("last_row"),
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .start()
-        )
-        # stop() must run even if a micro-batch fails inside
-        # processAllAvailable: unlike the availableNow queries in this
-        # module, the default trigger never self-terminates, and an
-        # orphaned query would keep polling the driver-side Python
-        # reader for the rest of the session.
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        _unload_state_stores(spark)
-    return spark.table(name)
+    # processAllAvailable-driven: the Python simple stream reader has no
+    # AvailableNow admission control
+    return run_stream_to_table(agg, spark, self_terminating=False)
 
 
 ORACLE_Q136 = f"""
