@@ -3,7 +3,8 @@
 entry(spark)  — flagship query (pricing summary, TPC-H Q1 shape) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 extensions); full inventory in SURVEY.md §8: relational
-                q01-q29+q85+q89 (SQL + recursive CTE), text
+                q01-q29+q85+q89+q139 (SQL incl. recursive CTE +
+                SQL-defined scalar/table functions), text
                 q30-q39+q86-q88+q101-q103+q109+q116+q125-q126, dedup
                 q40-q49+q104+q106-q107+q118+q123+q127, similarity
                 q50-q59+q111,

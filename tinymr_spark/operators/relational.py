@@ -1020,6 +1020,59 @@ FROM months LEFT JOIN monthly ON months.m = monthly.m
 """
 
 
+# ---------------------------------------------------------------------------
+# q139 — SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`):
+# reusable user abstractions written IN SQL — a scalar function
+# (discounted price) and a TABLE function (a bucket spine) — that
+# Catalyst INLINES into the plan: unlike any Python UDF tier, the
+# expanded expressions run inside whole-stage codegen at zero calling
+# cost, which is why SQL UDFs are the first abstraction a shared 100 TB
+# warehouse should reach for.  The table function drives a left join so
+# EMPTY quantity buckets surface (the gap-fill idiom, q89's shape), and
+# the scalar function feeds the aggregate — the oracle re-expands both
+# inline, so the hash gate proves the expansion semantics.
+# ---------------------------------------------------------------------------
+def q139_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q139_li")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __q139_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __q139_buckets(maxb INT) "
+        "RETURNS TABLE(qty_bucket INT) RETURN SELECT explode(sequence(0, maxb))"
+    )
+    return spark.sql(
+        """
+        WITH agg AS (
+            SELECT CAST(l_quantity AS INT) div 10 AS qty_bucket,
+                   COUNT(*) AS n,
+                   ROUND(SUM(__q139_disc_price(l_extendedprice, l_discount)), 2)
+                       AS revenue
+            FROM __q139_li
+            GROUP BY 1
+        )
+        SELECT b.qty_bucket, COALESCE(a.n, 0) AS n,
+               COALESCE(a.revenue, 0.0) AS revenue
+        FROM __q139_buckets(5) b LEFT JOIN agg a USING (qty_bucket)
+        """
+    )
+
+
+ORACLE_Q139 = """
+WITH agg AS (
+    SELECT CAST(l_quantity AS INT) // 10 AS qty_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT b.qty_bucket, COALESCE(a.n, 0) AS n, COALESCE(a.revenue, 0.0) AS revenue
+FROM (SELECT UNNEST(range(0, 6)) AS qty_bucket) b
+LEFT JOIN agg a USING (qty_bucket)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1052,6 +1105,7 @@ QUERIES = {
     "q29_unpivot": q29_unpivot,
     "q85_sql_interface": q85_sql_interface,
     "q89_monthly_gapfill": q89_monthly_gapfill,
+    "q139_sql_udf": q139_sql_udf,
 }
 
 ORACLE = {
@@ -1086,4 +1140,5 @@ ORACLE = {
     "q29_unpivot": ORACLE_Q29,
     "q85_sql_interface": ORACLE_Q85,
     "q89_monthly_gapfill": ORACLE_Q89,
+    "q139_sql_udf": ORACLE_Q139,
 }
