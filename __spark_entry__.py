@@ -7,7 +7,7 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 SQL-defined scalar/table functions), text
                 q30-q39+q86-q88+q101-q103+q109+q116+q125-q126, dedup
                 q40-q49+q104+q106-q107+q118+q123+q127, similarity
-                q50-q59+q111,
+                q50-q59+q111+q140,
                 multimodal q60-q62+q65-q69, pandas-UDF/UDTF
                 q63-q64+q100+q119-q120+q129, events q70-q79+q108+q115,
                 MapReduce-face q80-q84, streaming q90-q99+q122+q124+q136+q138,

@@ -663,7 +663,9 @@ def q55_embedding_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q55 = f"""
+# DuckDB twin of the sign-bucketed vector table (q53 buckets joined to
+# the normed embeddings) — shared by every oracle probing the buckets.
+_SQL_BUCKET_VECS = f"""
 WITH flat AS (
     SELECT vec_id,
            CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -692,13 +694,110 @@ vecs AS (
     SELECT e.vec_id, b.bucket, CAST(e.embedding AS DOUBLE[]) AS v,
            SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS norm
     FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
-)
+)"""
+
+ORACLE_Q55 = (
+    _SQL_BUCKET_VECS
+    + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_sim
 FROM vecs a JOIN vecs b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= {SIM_THRESHOLD}
 """
+)
+
+
+# ---------------------------------------------------------------------------
+# q140 — incremental shard-vs-lake EMBEDDING dedup: the vector twin of
+# q123.  A new shard of embeddings (vec_id % 5 == 0) is admitted against
+# the standing corpus: candidates are lake vectors sharing a q53
+# sign-projection bucket (inverted-index probe, never shard x lake), the
+# exact cosine runs only on candidates, and each shard vector reports
+# its verdict with the best-matching lake vector (max cosine, min-id
+# tie-break via the max-struct argmax) and the candidate fan-out.  In
+# production the lake's bucket table is the standing vector index the
+# daily shard probes — the same lifecycle as q123's fingerprint lake.
+# ---------------------------------------------------------------------------
+def q140_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = q53_lsh_buckets(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    vecs = emb.join(buckets, "vec_id")
+    is_new = F.pmod(F.col("vec_id"), F.lit(5)) == 0
+    s = vecs.where(is_new).alias("s")
+    lk = vecs.where(~is_new).hint("shuffle_hash").alias("l")
+    sim = F.round(
+        _dot(F.col("s.embedding"), F.col("l.embedding"))
+        / (F.col("s.norm") * F.col("l.norm")),
+        4,
+    )
+    per = (
+        s.join(lk, F.col("s.bucket") == F.col("l.bucket"))
+        .select(
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("l.vec_id").alias("lake_id"),
+            sim.alias("cos_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max(
+                F.struct(
+                    F.col("cos_sim").alias("c"), (-F.col("lake_id")).alias("ni")
+                )
+            ).alias("m"),
+        )
+        .select(
+            "vec_id",
+            "n_candidates",
+            F.col("m.c").alias("best_cos"),
+            (-F.col("m.ni")).alias("best_lake_id"),
+        )
+    )
+    shard = emb.where(is_new).select("vec_id")
+    status = F.when(
+        F.col("best_cos") >= SIM_THRESHOLD, F.lit("near_dup_lake")
+    ).otherwise(F.lit("kept"))
+    return shard.join(per, "vec_id", "left").select(
+        "vec_id",
+        status.alias("status"),
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        "best_lake_id",
+        "best_cos",
+    )
+
+
+ORACLE_Q140 = (
+    _SQL_BUCKET_VECS
+    + f""",
+cand AS (
+    SELECT s.vec_id, l.vec_id AS lake_id,
+           ROUND(list_dot_product(s.v, l.v) / (s.norm * l.norm), 4) AS cos_sim
+    FROM vecs s JOIN vecs l ON s.bucket = l.bucket
+    WHERE s.vec_id % 5 = 0 AND l.vec_id % 5 <> 0
+),
+per AS (
+    SELECT vec_id, COUNT(*) AS n_candidates, MAX(cos_sim) AS best_cos
+    FROM cand GROUP BY vec_id
+),
+best AS (
+    SELECT c.vec_id, MIN(c.lake_id) AS best_lake_id
+    FROM cand c JOIN per p ON c.vec_id = p.vec_id AND c.cos_sim = p.best_cos
+    GROUP BY c.vec_id
+)
+SELECT sh.vec_id,
+       CASE WHEN p.best_cos >= {SIM_THRESHOLD} THEN 'near_dup_lake'
+            ELSE 'kept' END AS status,
+       COALESCE(p.n_candidates, 0) AS n_candidates,
+       b.best_lake_id, p.best_cos
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) sh
+LEFT JOIN per p USING (vec_id)
+LEFT JOIN best b USING (vec_id)
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -854,6 +953,7 @@ QUERIES = {
     "q58_ann_pq_adc": q58_ann_pq_adc,
     "q59_product_quantization": q59_product_quantization,
     "q111_embedding_dim_stats": q111_embedding_dim_stats,
+    "q140_incremental_embedding_dedup": q140_incremental_embedding_dedup,
 }
 
 ORACLE = {
@@ -868,4 +968,5 @@ ORACLE = {
     "q58_ann_pq_adc": ORACLE_Q58,
     "q59_product_quantization": ORACLE_Q59,
     "q111_embedding_dim_stats": ORACLE_Q111,
+    "q140_incremental_embedding_dedup": ORACLE_Q140,
 }
