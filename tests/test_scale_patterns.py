@@ -252,5 +252,18 @@ def test_q131_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
         .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("q"))
         .collect()[0]["q"]
     )
+    top_bin_hi = hist[-1][1]
+    checked = 0
     for p, ex in zip((0.5, 0.9, 0.99), exact):
-        assert abs(est(p) - ex) <= HIST_BIN_W, (p, est(p), ex)
+        e = est(p)
+        if e >= top_bin_hi:
+            # the clamped overflow bin collapses the tail — no width
+            # bound holds there by construction; skip rather than assert
+            # a falsehood if a regenerated corpus widens the value range
+            continue
+        checked += 1
+        # 2 bins of slack: one for the bin quantization itself, one for
+        # the rank convention (est reads rank ceil(p*n), percentile()
+        # interpolates at p*(n-1)) straddling a bin boundary
+        assert abs(e - ex) <= 2 * HIST_BIN_W, (p, e, ex)
+    assert checked, "every probed quantile fell in the clamped top bin"

@@ -240,3 +240,30 @@ def test_q124_compaction_fires_and_trailing_deltas_fold(spark, sf_dir):
         t.agg(F.sum("n_events")).collect()[0][0] or 0 for t in trailing
     )
     assert sum(final.values()) == sum(ck_totals.values()) + n_trailing
+
+
+def test_q138_recovers_from_crashed_staging(spark, sf_dir):
+    """A first run killed after query start leaves commits/ existing but
+    empty; the staging guard must key on the post-success marker, not
+    the directory, or the checkpoint is permanently broken."""
+    import hashlib
+    import os
+    import shutil
+
+    from tinymr_spark.sources import file_version, table_path
+    from tinymr_spark.streaming import _staging_root, q138_statestore_reader
+
+    n = q138_statestore_reader(spark, sf_dir).count()
+    src = table_path(sf_dir, "events")
+    ckpt = os.path.join(
+        _staging_root("tinymr_spark_ss_ckpt"),
+        hashlib.md5(f"{src}|{file_version(src)}".encode()).hexdigest(),
+    )
+    done = ckpt + "._done"
+    assert os.path.exists(done)
+    # simulate the crash: marker gone, commits/ present but empty
+    os.remove(done)
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    os.makedirs(os.path.join(ckpt, "commits"))
+    assert q138_statestore_reader(spark, sf_dir).count() == n
+    assert os.path.exists(done)

@@ -641,10 +641,8 @@ _CM_P = 2147483647
 
 
 def q132_countmin_sketch(spark, sf_dir: str) -> DataFrame:
-    from tinymr_spark.operators.text import _tokens
+    from tinymr_spark.operators.text import _tokens, md5_int60
     from tinymr_spark.sources import load_table
-
-    from tinymr_spark.operators.text import md5_int60
 
     docs = load_table(spark, sf_dir, "documents")
     hm = (md5_int60(F.col("tok")) % _CM_P).alias("hm")
@@ -1070,15 +1068,18 @@ def _staged_format_copy(spark, sf_dir: str, table: str, fmt: str, write) -> str:
     `write(df, dir)` does the format-specific write."""
     import hashlib
     import os
-    import tempfile
 
-    from tinymr_spark.sources import file_version, load_table, table_path
+    from tinymr_spark.sources import (
+        file_version,
+        load_table,
+        staging_root,
+        table_path,
+    )
 
     src = table_path(sf_dir, table)
     key = f"{src}|{file_version(src)}"
     stage = os.path.join(
-        tempfile.gettempdir(),
-        f"tinymr_spark_{fmt}_{getattr(os, 'getuid', lambda: 'u')()}",
+        staging_root(f"tinymr_spark_{fmt}"),
         hashlib.md5(key.encode()).hexdigest(),
     )
     done = os.path.join(stage, "_STAGED")

@@ -54,6 +54,16 @@ def session_cache(spark: SparkSession, attr: str) -> dict:
     return cache
 
 
+def staging_root(name: str) -> str:
+    """Per-user staging root under the system tmp dir: predictable shared
+    paths would let two users on one host collide (EACCES or silently
+    reading each other's staged data)."""
+    import tempfile
+
+    uid = getattr(os, "getuid", lambda: "u")()
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uid}")
+
+
 def parquet_has_nanos(path: str) -> bool:
     """True when the parquet footer stores TIMESTAMP(NANOS) — the only
     case that needs `spark.sql.legacy.parquet.nanosAsLong`.  Checking the

@@ -19,18 +19,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tinymr_spark.sources import load_table, table_path
+from tinymr_spark.sources import load_table, staging_root, table_path
 
 
 _schema_cache: dict = {}
 
 
-def _staging_root(name: str) -> str:
-    """Per-user staging root under the system tmp dir: predictable shared
-    paths would let two users on one host collide (EACCES or silently
-    reading each other's staged data)."""
-    uid = getattr(os, "getuid", lambda: "u")()
-    return os.path.join(tempfile.gettempdir(), f"{name}_{uid}")
+# staging-root policy lives in sources (shared by the format-staging
+# helper in operators/scale.py); re-exported under the historical name.
+_staging_root = staging_root
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,13 +834,21 @@ GROUP BY kind
 # query ran.
 # ---------------------------------------------------------------------------
 def q138_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import file_version
+
     src = table_path(sf_dir, "events")
-    st = os.stat(src)
     ckpt = os.path.join(
         _staging_root("tinymr_spark_ss_ckpt"),
-        hashlib.md5(f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest(),
+        hashlib.md5(f"{src}|{file_version(src)}".encode()).hexdigest(),
     )
-    if not os.path.exists(os.path.join(ckpt, "commits")):
+    # Completion marker OUTSIDE the checkpoint (Spark owns that dir),
+    # written only after the staging query terminated cleanly: Spark
+    # creates commits/ at query START, so testing the directory would
+    # leave a crashed first run permanently "staged" with an empty
+    # checkpoint that every later read fails on.
+    done = ckpt + "._done"
+    if not os.path.exists(done):
+        shutil.rmtree(ckpt, ignore_errors=True)
         _pre_stream_cleanup(spark)
         stream = stream_events(spark, sf_dir)
         agg = stream.groupBy("user_id").agg(
@@ -864,6 +869,17 @@ def q138_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             _unload_state_stores(spark)
+        open(done, "w").close()
+    # The statestore source reports its read-only providers to the
+    # StateStoreCoordinator, whose RPC endpoint only exists once some
+    # streaming machinery has initialized it in THIS session — a session
+    # that found the checkpoint already staged would otherwise die with
+    # CANNOT_LOAD_STATE_STORE.  streams().stateStoreCoordinator()
+    # creates-or-returns the endpoint idempotently.
+    try:
+        spark._jsparkSession.streams().stateStoreCoordinator()
+    except Exception:
+        pass  # JVM API shape changed; the read may still succeed
     state = spark.read.format("statestore").load(ckpt)
     # value-struct field ORDER follows the agg declaration (count buffer,
     # then sum buffer + its null flag); names are engine-internal, so
