@@ -154,8 +154,9 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
     `self_terminating=False`: drive with the default processing-time
     trigger + processAllAvailable + stop instead of AvailableNow — for
     sources (the Python SimpleDataSourceStreamReader) where AvailableNow
-    admission control is not available; stop() runs in a finally so a
-    failed micro-batch cannot leak a perpetually polling query."""
+    stops after the one prefetched batch and silently under-reads;
+    stop() runs in a finally so a failed micro-batch cannot leak a
+    perpetually polling query."""
     _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -795,8 +796,10 @@ def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").alias("first_row"),
         F.max("row_id").alias("last_row"),
     )
-    # processAllAvailable-driven: the Python simple stream reader has no
-    # AvailableNow admission control
+    # processAllAvailable-driven, NOT AvailableNow: with the simple
+    # Python reader, AvailableNow terminates after the one prefetched
+    # micro-batch and SILENTLY under-reads (measured: 500 of 2000 rows)
+    # — a correctness trap, not just a missing optimization.
     return run_stream_to_table(agg, spark, self_terminating=False)
 
 
