@@ -99,24 +99,88 @@ def test_python_datasource_partition_independent(spark):
 
 
 def test_stream_reader_replay_matches_original_read():
-    """The streaming face's recovery contract: readBetweenOffsets must
-    reproduce EXACTLY the rows originally served for any committed
-    offset range — checkpoint restart correctness depends on it — and
-    chunked reads must tile the row space without gap or overlap."""
+    """The streaming face's recovery contract under the FULL
+    partition-planning reader: a micro-batch is defined by its
+    (start, end] offsets, and partitions()/read() are pure functions of
+    them, so replanning any committed range reproduces exactly the rows
+    originally served — checkpoint restart correctness depends on it —
+    and chunked micro-batches must tile the row space without gap or
+    overlap."""
     from tinymr_spark.sources.pydatasource import SyntheticEventsStreamReader
 
-    r = SyntheticEventsStreamReader({"rows": "100", "chunk": "30"})
-    off = r.initialOffset()
-    served, offsets = [], [off]
-    while True:
-        rows, nxt = r.read(off)
-        rows = list(rows)
-        if not rows:
-            break
-        served.extend(rows)
-        offsets.append(nxt)
-        off = nxt
-    assert [row[0] for row in served] == list(range(100))  # gapless tiling
-    # replay any committed range
-    replay = list(r.readBetweenOffsets(offsets[1], offsets[3]))
-    assert replay == served[30:90]
+    def drain(reader):
+        off = reader.initialOffset()
+        served, offsets = [], [off]
+        while True:
+            nxt = reader.latestOffset()
+            if nxt == off:
+                break
+            batch = [
+                row
+                for p in reader.partitions(off, nxt)
+                for row in reader.read(p)
+            ]
+            served.append(batch)
+            offsets.append(nxt)
+            off = nxt
+        return served, offsets
+
+    r = SyntheticEventsStreamReader({"rows": "100", "chunk": "30", "partitions": "4"})
+    served, offsets = drain(r)
+    flat = [row for batch in served for row in batch]
+    assert [row[0] for row in flat] == list(range(100))  # gapless tiling
+    assert len(served) == 4  # 30+30+30+10
+
+    # Each micro-batch is planned as MULTIPLE executor-side partitions
+    # (the scale property the Simple reader lacked), covering its offset
+    # range contiguously.
+    parts = r.partitions(offsets[0], offsets[1])
+    assert len(parts) == 4
+    assert [(p.start, p.end) for p in parts] == [(0, 8), (8, 16), (16, 24), (24, 30)]
+
+    # Replay: a FRESH reader instance (post-restart state) replans a
+    # committed range to the identical rows.
+    r2 = SyntheticEventsStreamReader({"rows": "100", "chunk": "30", "partitions": "4"})
+    replay = [
+        row
+        for p in r2.partitions(offsets[1], offsets[3])
+        for row in r2.read(p)
+    ]
+    assert replay == flat[30:90]
+    # ... and the restart fast-forward means the recovered reader never
+    # re-announces offsets behind the committed range.
+    assert r2.latestOffset() == {"i": 100}
+
+
+def test_stream_reader_available_now(spark, tmp_path):
+    """AvailableNow semantics, measured: Spark caps the run at the FIRST
+    latestOffset() answer, so a rate-limited Python source (chunk <
+    rows) serves exactly one chunk — while chunk >= rows makes
+    AvailableNow exact.  Pinning both halves keeps the q136 docstring's
+    claim honest if a Spark upgrade changes the interaction."""
+    from tinymr_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def available_now_rows(tag, chunk):
+        out = str(tmp_path / f"an_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        stream = (
+            spark.readStream.format("synthevents")
+            .option("rows", "2000")
+            .option("chunk", str(chunk))
+            .option("partitions", "4")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    assert available_now_rows("capped", 500) == 500  # under-read, by design
+    assert available_now_rows("full", 2000) == 2000  # no rate limit -> exact

@@ -21,8 +21,8 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 EVENT_KINDS = ("view", "click", "purchase", "signup", "error")
@@ -45,7 +45,7 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
-    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+    def streamReader(self, schema) -> "SyntheticEventsStreamReader":
         return SyntheticEventsStreamReader(self.options)
 
 
@@ -77,31 +77,79 @@ def _event_row(rid: int) -> tuple:
     )
 
 
-class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
-    """The STREAMING face of the same format (Spark 4 Python streaming
-    data source): offsets are plain row positions, each micro-batch
-    emits the next `chunk` rows, and `readBetweenOffsets` replays any
-    committed range exactly — the replayability contract checkpoint
-    recovery depends on.  The generator is the same pure function of
-    row id as the batch reader, so a drained stream equals the batch
-    table and the q136 oracle can hash-check the whole streaming path
-    (offset management, micro-batching, recovery API) against a SQL row
+class RangePartition(InputPartition):
+    """One contiguous slice of the offset range; pickled to an executor,
+    where `read()` regenerates exactly the rows [start, end)."""
+
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """The STREAMING face of the same format — the full partition-planning
+    `DataSourceStreamReader`, NOT the driver-side-prefetch
+    `SimpleDataSourceStreamReader`.  The split of responsibilities is the
+    one that survives scale-up: only OFFSET BOOKKEEPING runs on the
+    driver (`latestOffset` advances a row position by at most `chunk`
+    per micro-batch — admission control), while the DATA path is
+    `partitions(start, end)` striping each micro-batch's offset range
+    into up to `partitions` contiguous slices that executors read
+    independently via `read(partition)`.  No streamed byte ever passes
+    through the driver, mirroring the batch reader above.
+
+    Replay/recovery contract: a micro-batch is DEFINED by its
+    (start, end] offset pair, and `partitions`/`read` are pure functions
+    of those offsets, so any committed range replans to the identical
+    rows after restart — the property checkpoint recovery depends on
+    (asserted in tests/test_sources_sinks.py).  `latestOffset` state is
+    only a high-water mark; `partitions()` fast-forwards it past
+    already-committed ranges on restart, so a recovered query never
+    re-announces data behind its checkpoint.
+
+    The generator is the same pure function of row id as the batch
+    reader, so a drained stream equals the batch table and the q136
+    oracle hash-checks the whole streaming path — offset management,
+    micro-batch planning, executor-side reads — against a SQL row
     sequence."""
 
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
         self.chunk = int(options.get("chunk", 250))
+        self.n_parts = int(options.get("partitions", 8))
+        self._pos = 0  # driver-side high-water mark (announced offset)
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
-    def read(self, start: dict):
-        i = int(start["i"])
-        end = min(i + self.chunk, self.n_rows)
-        return iter([_event_row(r) for r in range(i, end)]), {"i": end}
+    def latestOffset(self) -> dict:
+        # Admission control: announce at most `chunk` new rows per
+        # micro-batch.  Offsets stop advancing at n_rows, so
+        # processAllAvailable() drains and returns.
+        self._pos = min(self._pos + self.chunk, self.n_rows)
+        return {"i": self._pos}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter([_event_row(r) for r in range(int(start["i"]), int(end["i"]))])
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["i"]), int(end["i"])
+        # Restart fast-forward: a fresh reader instance must never
+        # announce offsets behind the checkpoint's committed range.
+        self._pos = max(self._pos, hi)
+        n = hi - lo
+        if n <= 0:
+            return [RangePartition(lo, lo)]
+        k = min(self.n_parts, n)
+        step = -(-n // k)  # ceil
+        return [
+            RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: RangePartition):
+        # EXECUTOR-side: regenerate this slice's rows locally.
+        for rid in range(partition.start, partition.end):
+            yield _event_row(rid)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: reads are pure functions of offsets
 
 
 def register(spark) -> None:

@@ -153,10 +153,12 @@ def run_stream_to_table(result: DataFrame, spark: SparkSession,
 
     `self_terminating=False`: drive with the default processing-time
     trigger + processAllAvailable + stop instead of AvailableNow — for
-    sources (the Python SimpleDataSourceStreamReader) where AvailableNow
-    stops after the one prefetched batch and silently under-reads;
-    stop() runs in a finally so a failed micro-batch cannot leak a
-    perpetually polling query."""
+    rate-limited Python stream sources, where AvailableNow caps the run
+    at the first latestOffset() answer and silently under-reads (one
+    chunk; measured under both the Simple and the full partitioned
+    reader — see tests/test_sources_sinks.py::
+    test_stream_reader_available_now); stop() runs in a finally so a
+    failed micro-batch cannot leak a perpetually polling query."""
     _pre_stream_cleanup(spark)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -766,15 +768,20 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 # q136 — STREAMING Python DataSource (the readStream face of q121's
 # custom format): Spark 4 lets a pure-Python source drive Structured
 # Streaming — offsets, micro-batch planning, and replay all implemented
-# in Python (sources/pydatasource.py SyntheticEventsStreamReader).  The
-# stream is drained with processAllAvailable (the reader's offset stops
-# advancing at `rows`, so "available" is finite) through a complete-mode
-# aggregate; because every row is a pure function of its offset
-# position, the drained result equals the batch table and the oracle
-# hash-checks the WHOLE streaming machinery — initialOffset, per-batch
-# read, offset commit — against a SQL row sequence.  COUNT(DISTINCT) is
-# not legal in a streaming aggregate, so the profile differs from q121's
-# (min/max row ids instead).
+# in Python (sources/pydatasource.py SyntheticEventsStreamReader, the
+# full partition-planning `DataSourceStreamReader`: the driver only does
+# offset bookkeeping, each micro-batch's offset range is striped into
+# partitions read EXECUTOR-side — no streamed byte passes through the
+# driver, unlike the `SimpleDataSourceStreamReader` prefetch variant
+# this replaced).  The stream is drained with processAllAvailable (the
+# reader's offset stops advancing at `rows`, so "available" is finite)
+# through a complete-mode aggregate; because every row is a pure
+# function of its offset position, the drained result equals the batch
+# table and the oracle hash-checks the WHOLE streaming machinery —
+# initialOffset, latestOffset admission control, partition planning,
+# executor-side reads, offset commit — against a SQL row sequence.
+# COUNT(DISTINCT) is not legal in a streaming aggregate, so the profile
+# differs from q121's (min/max row ids instead).
 # ---------------------------------------------------------------------------
 Q136_ROWS = 20_000
 Q136_CHUNK = 10_000  # -> 2 micro-batches (multi-batch path, minimal fixed cost)
@@ -796,10 +803,14 @@ def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").alias("first_row"),
         F.max("row_id").alias("last_row"),
     )
-    # processAllAvailable-driven, NOT AvailableNow: with the simple
-    # Python reader, AvailableNow terminates after the one prefetched
-    # micro-batch and SILENTLY under-reads (measured: 500 of 2000 rows)
-    # — a correctness trap, not just a missing optimization.
+    # processAllAvailable-driven, NOT AvailableNow: re-measured under
+    # the full partitioned reader, AvailableNow STILL under-reads
+    # (500 of 2000 rows at chunk=500) — Spark caps the run at the first
+    # latestOffset() answer, so any Python source that rate-limits by
+    # stepping latestOffset serves exactly one chunk.  It is an
+    # admission-control interaction, not a Simple-reader artifact; exact
+    # AvailableNow requires chunk >= rows (no rate limit), verified in
+    # tests/test_sources_sinks.py::test_stream_reader_available_now.
     return run_stream_to_table(agg, spark, self_terminating=False)
 
 
