@@ -67,22 +67,31 @@ def test_ml_lsh_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
 
 
 def test_bm25_index_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    """The BM25 index is now a WRITTEN standing index (three bucketed
+    tables per corpus version); a regenerated corpus must drop the
+    superseded catalog tables and replace the cache entries — the
+    on-disk analog of pop+unpersist (dir pruning is covered by
+    tests/test_standing_index.py)."""
     from tinymr_spark.operators.text import _bm25_index
     from tinymr_spark.sources import session_cache
 
     sf = _clone_sf(sf_dir, tmp_path)
+    src = os.path.join(sf, "documents.parquet")
     _bm25_index(spark, sf)
-    cache = session_cache(spark, "_tinymr_bm25_cache")
-    old_keys = [k for k in cache if k[0] == sf]
-    assert len(old_keys) == 1
-    stale_tf = cache[old_keys[0]]
+    cache = session_cache(spark, "_tinymr_index_cache")
+    old = {k: v for k, v in cache.items() if k[1] == (src,)}
+    assert len(old) == 3  # bm25tf + bm25dl + bm25df
+    assert all(spark.catalog.tableExists(t) for t in old.values())
 
-    _regenerate(os.path.join(sf, "documents.parquet"))
+    _regenerate(src)
     _bm25_index(spark, sf)
-    keys = [k for k in cache if k[0] == sf]
-    assert len(keys) == 1, f"stale BM25 entries retained: {keys}"
-    assert keys[0] != old_keys[0]
-    assert stale_tf.storageLevel.useMemory is False, "stale postings not unpersisted"
+    keys = [k for k in cache if k[1] == (src,)]
+    assert len(keys) == 3, f"stale BM25 entries retained: {keys}"
+    assert not (set(keys) & set(old)), "stale version keys survived"
+    for stale_table in old.values():
+        assert not spark.catalog.tableExists(stale_table), (
+            f"stale catalog table retained: {stale_table}"
+        )
 
 
 def test_observe_cache_evicts_stale_versions(spark, sf_dir, tmp_path):

@@ -78,6 +78,16 @@ _DRIVER_VERIFIED = frozenset(
         (117, "table_fingerprint"), (118, "group_representatives"),
         (119, "cogroup_asof"), (120, "python_udtf"),
         (121, "python_datasource"), (122, "stream_upsert_sink"),
+        # --- round 5 (CORRECTNESS_r05) ---
+        (123, "incremental_dedup"), (124, "stream_delta_compact"),
+        (125, "bm25_topk"), (126, "shard_manifest"),
+        (127, "contamination_matrix"), (128, "observe_metrics"),
+        (129, "map_in_arrow"), (130, "zorder_layout"),
+        (131, "histogram_quantiles"), (132, "countmin_sketch"),
+        (133, "snapshot_diff"), (134, "bloom_semi_join"),
+        (135, "orc_source"), (136, "python_stream_source"),
+        (137, "xml_source"), (138, "statestore_reader"),
+        (139, "sql_udf"), (140, "incremental_embedding_dedup"),
     )
 )
 

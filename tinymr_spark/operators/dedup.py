@@ -1331,17 +1331,19 @@ GROUP BY lang
 # Scale shape: the shard is small relative to the lake (a day's crawl vs
 # years of corpus), and every decision is a key join AGAINST the lake,
 # never a lake self-join:
-#   * exact-vs-lake: join on the 16-byte md5 fingerprint — in production
-#     the lake side is a materialized fingerprint table bucketed by fp,
-#     so only the shard shuffles; here it derives inline so the DuckDB
-#     twin can check the whole flow end-to-end.
+#   * exact-vs-lake: join on the 16-byte md5 fingerprint — the lake side
+#     IS a materialized fingerprint table bucketed by fp
+#     (_lake_doc_index, written once per corpus version), so its scan
+#     carries the hash partitioning and only the shard shuffles.
 #   * exact-within-shard: min-doc_id-per-fp over the shard only (first
 #     arrival wins, deterministic).
 #   * near-vs-lake: q45's banded MinHash buckets (r=2, b=4), shard bands
-#     probing lake bands — the lake band table is likewise a standing
-#     index in production (the same artifact q46's cached group table is
-#     built from); per-band buckets are tiny so the join is an
-#     inverted-index probe, never all-pairs.
+#     probing the lake band table — likewise a WRITTEN standing index
+#     bucketed by (band, bandkey); per-band buckets are tiny so the join
+#     is an inverted-index probe, never all-pairs.
+# The index derivation is oracle-equivalent to deriving inline (same
+# corpus, same expressions), so the DuckDB twin still checks the whole
+# flow end-to-end — now THROUGH the written artifact.
 # Verdict precedence: exact_dup_lake > exact_dup_shard > near_dup_lake >
 # kept, with ref_doc_id = the responsible lake/shard doc (min id, so the
 # result is deterministic) and n_near_lake = how many distinct lake docs
@@ -1350,25 +1352,57 @@ GROUP BY lang
 INC_SHARD_MOD = 5
 
 
+def _lake_doc_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """q123's standing LAKE indexes as WRITTEN bucketed tables (built
+    once per corpus version via sources.standing_index): the exact
+    fingerprint table bucketed by fp, and the LSH band table bucketed by
+    (band, bandkey).  Each daily shard probe then joins against a
+    bucketed SCAN — no exchange on the lake side, only the shard
+    shuffles into the bucket count (plan-asserted in
+    tests/test_scale_patterns.py) — which is the artifact lifecycle a
+    production lake runs: pay the index write once per snapshot, not
+    once per probing query."""
+    from tinymr_spark.sources import standing_index, table_path
+
+    src = table_path(sf_dir, "documents")
+    is_lake = F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) != 0
+
+    def build_fp() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.where(is_lake)
+            .select("doc_id", F.md5("text").alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("lake_exact_id"))
+        )
+
+    def build_bands() -> DataFrame:
+        return _band_rows(_minhash_signature(spark, sf_dir)).where(is_lake)
+
+    lake_fp = standing_index(spark, "lakefp", [src], build_fp, ["fp"])
+    lake_bands = standing_index(
+        spark, "lakebands", [src], build_bands,
+        ["band", "bandkey"], sort_cols=["band", "bandkey", "doc_id"],
+    )
+    return lake_fp, lake_bands
+
+
 def q123_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lake_fp, lake_bands = _lake_doc_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0
-    fps = docs.select("doc_id", F.md5("text").alias("fp"), is_new.alias("is_new"))
-    shard = fps.where("is_new").drop("is_new")
-    lake_fp = (
-        fps.where(~F.col("is_new"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("lake_exact_id"))
-    )
+    shard = docs.where(is_new).select("doc_id", F.md5("text").alias("fp"))
     shard_first = shard.groupBy("fp").agg(F.min("doc_id").alias("first_new_id"))
-    ex = shard.join(lake_fp.hint("shuffle_hash"), "fp", "left").join(
+    ex = shard.join(lake_fp, "fp", "left").join(
         shard_first.hint("shuffle_hash"), "fp"
     )
 
-    bands = _band_rows(_minhash_signature(spark, sf_dir))
-    new_band = F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0
-    sb = bands.where(new_band).alias("s")
-    lb = bands.where(~new_band).hint("shuffle_hash").alias("l")
+    sb = (
+        _band_rows(_minhash_signature(spark, sf_dir))
+        .where(F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0)
+        .alias("s")
+    )
+    lb = lake_bands.alias("l")
     near = (
         sb.join(
             lb,

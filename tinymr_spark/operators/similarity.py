@@ -717,18 +717,43 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= {SIM_THRESHOLD
 # its verdict with the best-matching lake vector (max cosine, min-id
 # tie-break via the max-struct argmax) and the candidate fan-out.  In
 # production the lake's bucket table is the standing vector index the
-# daily shard probes — the same lifecycle as q123's fingerprint lake.
+# daily shard probes — the same lifecycle as q123's fingerprint lake,
+# and like q123's it is a WRITTEN artifact here: _lake_vec_index
+# persists (vec_id, embedding, norm, bucket) as a parquet table
+# bucketed by the sign-projection bucket once per embeddings version,
+# so the probe join reads a bucketed scan with no lake-side exchange —
+# only the shard shuffles (plan-asserted in tests/test_scale_patterns).
 # ---------------------------------------------------------------------------
+def _lake_vec_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import standing_index, table_path
+
+    src = table_path(sf_dir, "embeddings")
+
+    def build() -> DataFrame:
+        buckets = q53_lsh_buckets(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+        return emb.join(buckets, "vec_id").where(
+            F.pmod(F.col("vec_id"), F.lit(5)) != 0
+        )
+
+    return standing_index(
+        spark, "lakevecs", [src], build, ["bucket"],
+        sort_cols=["bucket", "vec_id"],
+    )
+
+
 def q140_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = q53_lsh_buckets(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    vecs = emb.join(buckets, "vec_id")
     is_new = F.pmod(F.col("vec_id"), F.lit(5)) == 0
-    s = vecs.where(is_new).alias("s")
-    lk = vecs.where(~is_new).hint("shuffle_hash").alias("l")
+    s = emb.join(buckets, "vec_id").where(is_new).alias("s")
+    lk = _lake_vec_index(spark, sf_dir).alias("l")
     sim = F.round(
         _dot(F.col("s.embedding"), F.col("l.embedding"))
         / (F.col("s.norm") * F.col("l.norm")),

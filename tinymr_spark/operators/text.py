@@ -922,32 +922,41 @@ BM25_QUERIES = [
 
 
 def _bm25_index(spark: SparkSession, sf_dir: str):
-    """The standing inverted index (persisted tf postings + dl/df/stats
-    derived from them), cached per corpus file version — a search index
-    is built once and probed by every query batch, not recomputed per
-    query (the same build-once lifecycle as the ML-LSH index and the
-    q46 group table, with the same stale-version eviction).  Persisting
-    tf also means dl/stats/df read the 116k-row aggregate from memory
-    instead of each re-running the tokenize+explode corpus pass (the
-    subtrees are identical but sit under different parents, so
-    exchange reuse alone does not collapse them)."""
-    import os
+    """The standing inverted index, WRITTEN once per corpus version as
+    bucketed parquet tables (sources.standing_index — the same
+    write-then-probe lifecycle as q123's fingerprint lake): tf postings
+    bucketed+sorted by tok (so an IN-list of query terms prunes whole
+    buckets at the scan — a search index is probed, not re-derived, per
+    query batch), doc lengths bucketed by doc_id (the score join's key,
+    no dl-side exchange), and per-term document frequencies bucketed by
+    tok.  dl and df build FROM the written postings table, so the
+    tokenize+explode corpus pass runs exactly once per corpus version;
+    the 2-value stats row derives per query (one tiny agg over dl).
+    Stale corpus versions drop their tables and staged directories
+    (tests/test_cache_staleness.py)."""
+    from tinymr_spark.sources import standing_index, table_path
 
-    from tinymr_spark.sources import file_version, session_cache
+    src = table_path(sf_dir, "documents")
 
-    cache = session_cache(spark, "_tinymr_bm25_cache")
-    key = (sf_dir, file_version(os.path.join(sf_dir, "documents.parquet")))
-    if key not in cache:
+    def build_tf() -> DataFrame:
         docs = with_tokens(load_table(spark, sf_dir, "documents"))
         toks = docs.select("doc_id", F.explode("toks").alias("tok"))
-        tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
-        for stale in [k for k in cache if k[0] == sf_dir and k != key]:
-            cache.pop(stale).unpersist()
-        cache[key] = tf
-    tf = cache[key]
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        return toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+
+    tf = standing_index(
+        spark, "bm25tf", [src], build_tf, ["tok"], sort_cols=["tok", "doc_id"]
+    )
+    dl = standing_index(
+        spark, "bm25dl", [src],
+        lambda: tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+        ["doc_id"],
+    )
+    df_ = standing_index(
+        spark, "bm25df", [src],
+        lambda: tf.groupBy("tok").agg(F.count("*").alias("n_df")),
+        ["tok"],
+    )
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("n_df"))
     return tf, dl, stats, df_
 
 
@@ -956,6 +965,14 @@ def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf, dl, stats, df_ = _bm25_index(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
+    # Static IN-list of the batch's terms: redundant with the inner join
+    # on term below, but as a literal filter it reaches the bucketed
+    # postings scan and prunes whole buckets (SelectedBucketsCount,
+    # asserted in tests/test_scale_patterns.py) — at 100 TB the probe
+    # reads only the buckets its terms hash to.
+    terms = sorted({t for _, t in BM25_QUERIES})
+    tf = tf.where(F.col("tok").isin(terms))
+    df_ = df_.where(F.col("tok").isin(terms))
 
     idf = F.log(
         F.lit(1.0)

@@ -64,6 +64,107 @@ def staging_root(name: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"{name}_{uid}")
 
 
+def standing_index(
+    spark: SparkSession,
+    tag: str,
+    source_paths: list[str],
+    build,
+    key_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """A WRITTEN bucketed standing index, built once per source version —
+    the production artifact lifecycle behind every incremental query
+    (daily shard vs standing lake): the index is a parquet table
+    persisted `bucketBy(n_buckets, key_cols)` + sorted, and every probe
+    READS the table, whose scan already carries
+    HashPartitioning(key_cols, n_buckets) — so a shard join against it
+    plans with NO exchange on the index side; only the (small) shard
+    shuffles, into the bucket count.  At 100 TB the index write is paid
+    once per corpus snapshot, not once per probing query, and the table
+    outlives any one session.
+
+    `build` is a zero-arg callable returning the index DataFrame —
+    called only when this (tag, source version) has no written table
+    yet.  Freshness follows the session-cache policy (the q46/BM25
+    lifecycle): a regenerated source file yields a new version hash; the
+    superseded catalog table is dropped and its staged directory
+    removed, so corpus regenerations never leak index copies for the
+    machine's lifetime (on-disk analog of pop+unpersist; see
+    tests/test_cache_staleness.py)."""
+    import hashlib
+    import shutil
+
+    cache = session_cache(spark, "_tinymr_index_cache")
+    srcs = tuple(source_paths)
+    ver = tuple(file_version(p) for p in source_paths)
+    key = (tag, srcs, ver)
+    if key in cache:
+        return spark.table(cache[key])
+    # Two hash levels: same (tag, sources) at different SCALE FACTORS are
+    # independent live indexes (distinct src_h); only superseded VERSIONS
+    # of the same sources (distinct ver_h under one src_h) are pruned.
+    src_h = hashlib.md5(repr((tag, srcs)).encode()).hexdigest()[:10]
+    ver_h = hashlib.md5(repr(ver).encode()).hexdigest()[:10]
+    name = f"idx_{tag}_{src_h}_{ver_h}"
+    root = os.path.join(staging_root("tinymr_spark_index"), tag, src_h)
+    path = os.path.join(root, ver_h)
+    if not spark.catalog.tableExists(name):
+        writer = (
+            build()
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, *key_cols)
+            .sortBy(*(sort_cols or key_cols))
+        )
+        writer.saveAsTable(name)
+        _write_index_marker(os.path.dirname(root), src_h, srcs)
+    # Prune superseded versions: session-cache entries + catalog tables
+    # (external: DROP leaves files) + any sibling staged version dirs,
+    # including ones left by earlier sessions.
+    for stale in [k for k in cache if k[:2] == (tag, srcs) and k != key]:
+        spark.sql(f"DROP TABLE IF EXISTS {cache.pop(stale)}")
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d not in (ver_h, "_sources.json"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    _gc_dead_source_indexes(os.path.dirname(root), keep=src_h)
+    cache[key] = name
+    return spark.table(name)
+
+
+def _write_index_marker(tag_root: str, src_h: str, srcs: tuple) -> None:
+    """Record which source files an index src-dir derives from, so later
+    sessions can garbage-collect indexes whose sources no longer exist
+    (pytest sf-clones under tmp, removed corpora)."""
+    import json
+
+    with open(os.path.join(tag_root, src_h, "_sources.json"), "w") as f:
+        json.dump(list(srcs), f)
+
+
+def _gc_dead_source_indexes(tag_root: str, keep: str) -> None:
+    """Remove sibling src-dirs whose recorded source files are gone —
+    the index outlives a session by design, but must not outlive its
+    corpus."""
+    import json
+    import shutil
+
+    if not os.path.isdir(tag_root):
+        return
+    for d in os.listdir(tag_root):
+        if d == keep:
+            continue
+        marker = os.path.join(tag_root, d, "_sources.json")
+        try:
+            with open(marker) as f:
+                dead = not all(os.path.exists(p) for p in json.load(f))
+        except (OSError, ValueError):
+            dead = True  # unreadable marker: unidentifiable, reclaim
+        if dead:
+            shutil.rmtree(os.path.join(tag_root, d), ignore_errors=True)
+
+
 def parquet_has_nanos(path: str) -> bool:
     """True when the parquet footer stores TIMESTAMP(NANOS) — the only
     case that needs `spark.sql.legacy.parquet.nanosAsLong`.  Checking the
