@@ -73,7 +73,12 @@ def main():
 
     line = format_bench_line(timings, sf_dir)
     if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
-        print(f"# bench warning: JSON line {len(line)} chars", file=sys.stderr)
+        print(
+            f"# bench OVERFLOW: JSON line {len(line)} chars exceeds the "
+            "driver's 2000-char tail even at minimum resolution — the "
+            "driver WILL record a truncated, unparseable line",
+            file=sys.stderr,
+        )
     print(line)
 
 
@@ -94,10 +99,12 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Adaptive per-query resolution: 2 decimals normally; if the line
     # would overflow the driver's 2000-char tail (possible past ~150
-    # queries), fall back to 1 decimal — 100 ms resolution still beats
-    # the run-to-run noise, and a parseable line beats a precise
-    # unparseable one.
-    for ndec in (2, 1):
+    # queries), fall back to 1, then 0 decimals — degraded resolution
+    # still beats an unparseable line.  The final iteration is NOT
+    # guarded by the length check, so an overflow even at 0 decimals
+    # (roughly 300+ queries) returns oversized — main() warns loudly on
+    # stderr in that case rather than truncating silently.
+    for ndec in (2, 1, 0):
         short = {}
         for name, t in timings.items():
             k = name.split("_", 1)[0]

@@ -94,6 +94,30 @@ def test_standing_index_gcs_dead_source_dirs(spark, tmp_path):
     assert len(os.listdir(tag_root)) == 1, "dead-source index dir not reclaimed"
 
 
+def test_versioned_staging_dir_prunes_superseded_versions(tmp_path):
+    """Staged format copies / stream checkpoints keyed by source version
+    must not leak one directory per corpus regeneration: resolving the
+    current version prunes superseded sibling version dirs AND their
+    dot-suffixed marker files."""
+    from tinymr_spark.sources import versioned_staging_dir
+
+    src = str(tmp_path / "src.bin")
+    open(src, "w").write("v1")
+    d1 = versioned_staging_dir("tinymr_test_stage", src)
+    os.makedirs(d1)
+    open(d1 + "._done", "w").close()
+
+    _bump(src)
+    d2 = versioned_staging_dir("tinymr_test_stage", src)
+    assert d2 != d1
+    assert not os.path.exists(d1), "superseded staged dir retained"
+    assert not os.path.exists(d1 + "._done"), "superseded marker retained"
+    # same version again: current dir untouched
+    os.makedirs(d2)
+    assert versioned_staging_dir("tinymr_test_stage", src) == d2
+    assert os.path.isdir(d2)
+
+
 def _assert_index_scans_exchange_free(plan: str) -> int:
     """Walk the physical-plan tree: from every `idx_` table scan upward,
     no SHUFFLE Exchange may appear before the enclosing join — the

@@ -1045,7 +1045,12 @@ def q139_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH agg AS (
-            SELECT CAST(l_quantity AS INT) div 10 AS qty_bucket,
+            -- FLOOR before the INT cast: Spark's double->int cast
+            -- truncates toward zero while DuckDB rounds half-to-even,
+            -- so a fractional-quantity corpus would silently diverge
+            -- without it (the generated corpus is integral-valued, but
+            -- the query must not depend on that).
+            SELECT CAST(FLOOR(l_quantity) AS INT) div 10 AS qty_bucket,
                    COUNT(*) AS n,
                    ROUND(SUM(__q139_disc_price(l_extendedprice, l_discount)), 2)
                        AS revenue
@@ -1061,7 +1066,7 @@ def q139_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q139 = """
 WITH agg AS (
-    SELECT CAST(l_quantity AS INT) // 10 AS qty_bucket,
+    SELECT CAST(FLOOR(l_quantity) AS INT) // 10 AS qty_bucket,
            COUNT(*) AS n,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM lineitem

@@ -467,6 +467,12 @@ GROUP BY source
 # ---------------------------------------------------------------------------
 Z_BITS = 16
 Z_BUCKETS = 16
+# Buckets are the TOP log2(Z_BUCKETS) bits of the 2*Z_BITS-bit Morton
+# code — deriving the shift from the constant keeps the Spark
+# expression, the oracle SQL, and the tests in lock-step if Z_BUCKETS
+# changes.
+Z_BUCKET_SHIFT = 2 * Z_BITS - (Z_BUCKETS - 1).bit_length()
+assert 1 << (2 * Z_BITS - Z_BUCKET_SHIFT) == Z_BUCKETS, "Z_BUCKETS must be a power of two"
 
 
 def morton_code(a: Column, b: Column, bits: int = Z_BITS) -> Column:
@@ -509,7 +515,7 @@ def q130_zorder_layout(spark, sf_dir: str) -> DataFrame:
     # oracle's exact `//`, flipping a coordinate bit and the bucket.
     a_n = F.expr(f"l_partkey * {dom} div (mp + 1)")
     b_n = F.expr(f"l_suppkey * {dom} div (ms + 1)")
-    bucket = F.shiftright(morton_code(a_n, b_n), 2 * Z_BITS - 4).cast("int")
+    bucket = F.shiftright(morton_code(a_n, b_n), Z_BUCKET_SHIFT).cast("int")
     return (
         li.crossJoin(F.broadcast(mx))
         .select("l_partkey", "l_suppkey", bucket.alias("zbucket"))
@@ -536,7 +542,7 @@ z AS (
     SELECT l_partkey, l_suppkey, ({_morton_sql("an", "bn")}) AS zval
     FROM n
 )
-SELECT CAST(zval >> {2 * Z_BITS - 4} AS INT) AS zbucket,
+SELECT CAST(zval >> {Z_BUCKET_SHIFT} AS INT) AS zbucket,
        COUNT(*) AS n_rows,
        MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
        MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
@@ -1065,23 +1071,18 @@ FROM g, m
 def _staged_format_copy(spark, sf_dir: str, table: str, fmt: str, write) -> str:
     """Stage `table` in a foreign format once per SOURCE VERSION (the
     freshness key every staged artifact uses) and return the directory;
-    `write(df, dir)` does the format-specific write."""
-    import hashlib
+    `write(df, dir)` does the format-specific write.  Superseded source
+    versions' staged copies are pruned by versioned_staging_dir."""
     import os
 
     from tinymr_spark.sources import (
-        file_version,
         load_table,
-        staging_root,
         table_path,
+        versioned_staging_dir,
     )
 
     src = table_path(sf_dir, table)
-    key = f"{src}|{file_version(src)}"
-    stage = os.path.join(
-        staging_root(f"tinymr_spark_{fmt}"),
-        hashlib.md5(key.encode()).hexdigest(),
-    )
+    stage = versioned_staging_dir(f"tinymr_spark_{fmt}", src)
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
         write(load_table(spark, sf_dir, table), stage)

@@ -133,6 +133,38 @@ def standing_index(
     return spark.table(name)
 
 
+def versioned_staging_dir(kind: str, src: str) -> str:
+    """A staged-artifact directory keyed by source path THEN source
+    version (`<tmp>/<kind>_<uid>/<md5(src)>/<md5(version)>`); resolving
+    the current version PRUNES sibling version dirs and their
+    `<ver>.*`-suffixed marker files — superseded corpus generations must
+    not leak staged ORC/XML/checkpoint copies for the machine's
+    lifetime (the on-disk analog of the session caches' pop+unpersist).
+    The caller owns creating/filling the returned dir and its own
+    done-marker protocol."""
+    import hashlib
+    import shutil
+
+    root = os.path.join(
+        staging_root(kind), hashlib.md5(src.encode()).hexdigest()[:12]
+    )
+    ver = hashlib.md5(repr(file_version(src)).encode()).hexdigest()[:12]
+    if os.path.isdir(root):
+        for s in os.listdir(root):
+            if s == ver or s.startswith(ver + "."):
+                continue
+            p = os.path.join(root, s)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, ver)
+
+
 def _write_index_marker(tag_root: str, src_h: str, srcs: tuple) -> None:
     """Record which source files an index src-dir derives from, so later
     sessions can garbage-collect indexes whose sources no longer exist

@@ -491,13 +491,10 @@ def _staged_event_files(spark: SparkSession, sf_dir: str) -> str:
     dir outlives the process, and a regenerated events.parquet at the
     same path (the harness refreshes testdata between rounds) must not
     silently serve last round's rows."""
+    from tinymr_spark.sources import versioned_staging_dir
+
     src = table_path(sf_dir, "events")
-    st = os.stat(src)
-    key = f"{src}|{st.st_mtime_ns}|{st.st_size}"
-    stage = os.path.join(
-        _staging_root("tinymr_spark_stage_multi"),
-        hashlib.md5(key.encode()).hexdigest(),
-    )
+    stage = versioned_staging_dir("tinymr_spark_stage_multi", src)
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
         load_table(spark, sf_dir, "events").repartition(N_STAGE_FILES).write.mode(
@@ -848,13 +845,13 @@ GROUP BY kind
 # query ran.
 # ---------------------------------------------------------------------------
 def q138_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tinymr_spark.sources import file_version
+    from tinymr_spark.sources import versioned_staging_dir
 
     src = table_path(sf_dir, "events")
-    ckpt = os.path.join(
-        _staging_root("tinymr_spark_ss_ckpt"),
-        hashlib.md5(f"{src}|{file_version(src)}".encode()).hexdigest(),
-    )
+    # versioned dir: a regenerated events file gets a fresh checkpoint
+    # and the superseded version's checkpoint (and its ._done marker)
+    # are pruned rather than leaking per regeneration.
+    ckpt = versioned_staging_dir("tinymr_spark_ss_ckpt", src)
     # Completion marker OUTSIDE the checkpoint (Spark owns that dir),
     # written only after the staging query terminated cleanly: Spark
     # creates commits/ at query START, so testing the directory would
