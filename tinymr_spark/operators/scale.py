@@ -1172,6 +1172,56 @@ GROUP BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# q141 — AVRO round trip through the `tinyavro` Python DataSource
+# (sources/tinyavro.py): the last mainstream lake format after
+# parquet/ORC/XML, and the only one this environment ships NO engine
+# for (no spark-avro jar, no Python avro lib) — so the engine carries a
+# minimal spec-compliant Object Container File codec behind a custom
+# format that exercises BOTH halves of the Spark 4 Python DataSource
+# API: partition-parallel executor-side writes (one container file per
+# task, driver commit publishes a manifest so failed-task orphans stay
+# invisible) and partition-per-file executor-side reads.  The customer
+# table (all-primitive columns) is staged as Avro once per source
+# version; the aggregate computes FROM THE AVRO COPY while the oracle
+# computes from the original parquet, so the hash gate proves the
+# format round-tripped every row and value bit-exactly.  Decimal-summed
+# acctbal keeps the money total order-independent across engines.
+# ---------------------------------------------------------------------------
+def q141_avro_source(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import tinyavro
+
+    tinyavro.register(spark)
+    stage = _staged_format_copy(
+        spark, sf_dir, "customer", "avro",
+        lambda df, d: df.write.mode("overwrite").format("tinyavro").save(d),
+    )
+    cust = spark.read.format("tinyavro").load(stage)
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.min("c_custkey").alias("first_cust"),
+            F.max("c_custkey").alias("last_cust"),
+        )
+    )
+
+
+ORACLE_Q141 = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       MIN(c_custkey) AS first_cust,
+       MAX(c_custkey) AS last_cust
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # q121 — custom Python DataSource read (Spark 4 pyspark.sql.datasource):
 # `spark.read.format("synthevents")` backed by plain Python, partition-
 # parallel.  The source is deterministic (each row a pure function of
@@ -1232,6 +1282,7 @@ QUERIES = {
     "q134_bloom_semi_join": q134_bloom_semi_join,
     "q135_orc_source": q135_orc_source,
     "q137_xml_source": q137_xml_source,
+    "q141_avro_source": q141_avro_source,
 }
 
 ORACLE = {
@@ -1250,4 +1301,5 @@ ORACLE = {
     "q134_bloom_semi_join": ORACLE_Q134,
     "q135_orc_source": ORACLE_Q135,
     "q137_xml_source": ORACLE_Q137,
+    "q141_avro_source": ORACLE_Q141,
 }

@@ -1,0 +1,383 @@
+"""`tinyavro`: an Avro Object Container File source/sink as a Spark 4
+Python DataSource — batch READ and WRITE, partition-parallel on both
+sides.
+
+Why hand-rolled: this environment ships neither the `spark-avro` JVM
+module (external to the Spark distribution) nor any Python avro
+library, but Avro remains a mainstream lake interchange format, so the
+engine carries a minimal, SPEC-COMPLIANT codec for the null-codec
+container file (magic `Obj\\x01`, metadata map with `avro.schema`,
+sync-marker-delimited blocks; primitives: zigzag-varint int/long,
+little-endian IEEE double, length-prefixed string/bytes, 1-byte
+boolean).  Files written here are readable by any Avro tooling and vice
+versa for files limited to those primitives.
+
+Scale shape — the part that must survive 100 TB — is in the PLUMBING,
+not the codec: the writer runs once per input partition on executors
+(one container file per task, unique names, no coordination), the
+driver `commit()` publishes a `_MANIFEST` naming exactly the files of
+successfully committed tasks (so readers never see orphan output of
+failed/speculative tasks), and the reader plans one input partition per
+manifest file, decoding executor-side.  The per-row Python codec is the
+documented slow path: production swaps it for the JVM `spark-avro`
+scan/write behind the same format string, exactly like the multimodal
+codec seam.
+
+The reference has no I/O at all (/root/reference/tinymr.py:156-230);
+formats are beyond-reference surface (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_BLOCK_ROWS = 4096  # rows per container block: bounded memory either side
+
+# Spark simpleString -> (avro type, encoder, decoder-key)
+_SPARK_TO_AVRO = {
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+_AVRO_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+
+
+# ---------------------------------------------------------------------------
+# Binary primitives (Avro spec "Binary Encoding")
+# ---------------------------------------------------------------------------
+def _write_long(out: io.BytesIO, n: int) -> None:
+    u = (n << 1) ^ (n >> 63)  # zigzag; arbitrary-precision-safe in Python
+    while u > 0x7F:
+        out.write(bytes(((u & 0x7F) | 0x80,)))
+        u >>= 7
+    out.write(bytes((u,)))
+
+
+def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    u = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _read_bytes(buf: memoryview, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+_ENCODERS = {
+    "long": _write_long,
+    "int": _write_long,
+    "double": lambda out, v: out.write(struct.pack("<d", v)),
+    "string": lambda out, v: _write_bytes(out, v.encode("utf-8")),
+    "boolean": lambda out, v: out.write(b"\x01" if v else b"\x00"),
+    "bytes": _write_bytes,
+}
+
+
+def _dec_double(buf: memoryview, pos: int) -> tuple[float, int]:
+    return struct.unpack_from("<d", buf, pos)[0], pos + 8
+
+
+def _dec_string(buf: memoryview, pos: int) -> tuple[str, int]:
+    b, pos = _read_bytes(buf, pos)
+    return b.decode("utf-8"), pos
+
+
+_DECODERS = {
+    "long": _read_long,
+    "int": _read_long,
+    "double": _dec_double,
+    "string": _dec_string,
+    "boolean": lambda buf, pos: (buf[pos] == 1, pos + 1),
+    "bytes": _read_bytes,
+}
+
+
+# ---------------------------------------------------------------------------
+# Container file
+# ---------------------------------------------------------------------------
+def avro_record_schema(spark_schema: StructType, name: str = "row") -> dict:
+    """Map a Spark schema (non-null primitive fields) to the Avro record
+    schema embedded in the file header.  Unsupported types raise loudly:
+    silently coercing a timestamp would corrupt a lake interchange
+    file."""
+    fields = []
+    for f in spark_schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _SPARK_TO_AVRO:
+            raise ValueError(
+                f"tinyavro supports primitive columns {sorted(_SPARK_TO_AVRO)}; "
+                f"column {f.name!r} is {t!r} — cast or project it first"
+            )
+        fields.append({"name": f.name, "type": _SPARK_TO_AVRO[t]})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro_file(path: str, schema_json: str, field_types: list[str], rows) -> int:
+    """One Avro OCF with the null codec; returns rows written."""
+    sync = os.urandom(SYNC_SIZE)
+    encs = [_ENCODERS[t] for t in field_types]
+    n_rows = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        head = io.BytesIO()
+        _write_long(head, 2)  # metadata map: one block of two entries
+        _write_bytes(head, b"avro.schema")
+        _write_bytes(head, schema_json.encode("utf-8"))
+        _write_bytes(head, b"avro.codec")
+        _write_bytes(head, b"null")
+        _write_long(head, 0)  # map terminator
+        f.write(head.getvalue())
+        f.write(sync)
+
+        block = io.BytesIO()
+        count = 0
+
+        def flush():
+            nonlocal count
+            if count == 0:
+                return
+            hdr = io.BytesIO()
+            _write_long(hdr, count)
+            _write_long(hdr, block.tell())
+            f.write(hdr.getvalue())
+            f.write(block.getvalue())
+            f.write(sync)
+            block.seek(0)
+            block.truncate()
+            count = 0
+
+        for row in rows:
+            for enc, v in zip(encs, row):
+                enc(block, v)
+            count += 1
+            n_rows += 1
+            if count >= _BLOCK_ROWS:
+                flush()
+        flush()
+    return n_rows
+
+
+def read_avro_header(path: str) -> tuple[dict, bytes, int]:
+    """(record schema, sync marker, data offset) from a container file —
+    a metadata-only read, the avro analog of a parquet footer probe."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != MAGIC:
+        raise ValueError(f"{path} is not an Avro object container file")
+    buf = memoryview(raw)
+    pos = 4
+    meta: dict[bytes, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count prefixes a block byte size
+            n = -n
+            _, pos = _read_long(buf, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(buf, pos)
+            v, pos = _read_bytes(buf, pos)
+            meta[k] = v
+    codec = meta.get(b"avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(f"unsupported avro codec {codec!r} (null only)")
+    sync = bytes(buf[pos : pos + SYNC_SIZE])
+    return json.loads(meta[b"avro.schema"]), sync, pos + SYNC_SIZE
+
+
+def read_avro_file(path: str):
+    """Yield row tuples; decodes with the file's own embedded writer
+    schema (no external schema needed — reader-side projection happens
+    in Spark above this scan)."""
+    schema, sync, pos = read_avro_header(path)
+    decs = [_DECODERS[f["type"]] for f in schema["fields"]]
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = memoryview(raw)
+    end = len(raw)
+    while pos < end:
+        count, pos = _read_long(buf, pos)
+        _, pos = _read_long(buf, pos)  # block byte size (unused: null codec)
+        for _ in range(count):
+            row = []
+            for dec in decs:
+                v, pos = dec(buf, pos)
+                row.append(v)
+            yield tuple(row)
+        if buf[pos : pos + SYNC_SIZE] != sync:
+            raise ValueError(f"sync marker mismatch in {path} at {pos}")
+        pos += SYNC_SIZE
+
+
+# ---------------------------------------------------------------------------
+# The DataSource
+# ---------------------------------------------------------------------------
+MANIFEST = "_MANIFEST"
+
+
+class _FileCommit(WriterCommitMessage):
+    """Names the one container file a task wrote (picklable)."""
+
+    def __init__(self, value: str):
+        self.value = value
+
+
+class TinyAvroDataSource(DataSource):
+    """`spark.read.format("tinyavro").load(dir)` /
+    `df.write.format("tinyavro").mode(...).save(dir)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tinyavro"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tinyavro requires a path")
+        return path
+
+    def schema(self) -> str:
+        # Schema of record = the embedded writer schema of the first
+        # manifest file — a header-only driver read, same planning-time
+        # cost class as a parquet footer.
+        files = _manifest_files(self._path())
+        if not files:
+            raise ValueError(f"no tinyavro files at {self._path()}")
+        schema, _, _ = read_avro_header(files[0])
+        return ", ".join(
+            f"{f['name']} {_AVRO_TO_SPARK[f['type']]}" for f in schema["fields"]
+        )
+
+    def reader(self, schema) -> "TinyAvroReader":
+        return TinyAvroReader(self._path())
+
+    def writer(self, schema, overwrite: bool) -> "TinyAvroWriter":
+        return TinyAvroWriter(self._path(), schema, overwrite)
+
+
+def _manifest_files(path: str) -> list[str]:
+    """Committed files only: the manifest is written by the driver at
+    commit, so orphan part files from failed/speculative tasks are
+    invisible to readers."""
+    mf = os.path.join(path, MANIFEST)
+    if os.path.exists(mf):
+        with open(mf) as f:
+            return [os.path.join(path, line.strip()) for line in f if line.strip()]
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TinyAvroReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.files = _manifest_files(path)
+
+    def partitions(self):
+        # One partition per container file: reads scale with the writer's
+        # task parallelism, no driver data path.
+        return [_FilePartition(p) for p in self.files]
+
+    def read(self, partition: _FilePartition):
+        yield from read_avro_file(partition.path)
+
+
+class TinyAvroWriter(DataSourceWriter):
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        # avro_record_schema first: it raises the loud unsupported-type
+        # error before the per-field lookup could KeyError opaquely
+        self.schema_json = json.dumps(avro_record_schema(schema))
+        self.field_types = [
+            _SPARK_TO_AVRO[f.dataType.simpleString()] for f in schema.fields
+        ]
+        # Driver-side, before any task runs: clear prior contents on
+        # overwrite (manifest first, so a concurrent reader of a half-
+        # cleared dir sees no manifest rather than a stale one).
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            mf = os.path.join(path, MANIFEST)
+            if os.path.exists(mf):
+                os.remove(mf)
+            for f in os.listdir(path):
+                if f.endswith(".avro"):
+                    os.remove(os.path.join(path, f))
+
+    def write(self, iterator) -> WriterCommitMessage:
+        # Executor-side, once per input partition; unique name, no
+        # coordination with other tasks.
+        fname = f"part-{uuid.uuid4().hex}.avro"
+        write_avro_file(
+            os.path.join(self.path, fname),
+            self.schema_json,
+            self.field_types,
+            (tuple(row) for row in iterator),
+        )
+        return _FileCommit(fname)
+
+    def commit(self, messages) -> None:
+        # Driver-side: publish exactly the committed tasks' files.
+        with open(os.path.join(self.path, MANIFEST), "w") as f:
+            for m in messages:
+                if m is not None:
+                    f.write(m.value + "\n")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.value))
+                except OSError:
+                    pass
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of the format."""
+    if getattr(spark, "_tinymr_tinyavro_registered", False):
+        return
+    spark.dataSource.register(TinyAvroDataSource)
+    spark._tinymr_tinyavro_registered = True
