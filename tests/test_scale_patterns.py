@@ -267,3 +267,47 @@ def test_q131_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
         # interpolates at p*(n-1)) straddling a bin boundary
         assert abs(e - ex) <= 2 * HIST_BIN_W, (p, e, ex)
     assert checked, "every probed quantile fell in the clamped top bin"
+
+
+def test_q142_aqe_skew_join_fires(spark, sf_dir, tmp_path):
+    """The runtime skew path must actually FIRE, not just be enabled:
+    with detection thresholds lowered to local scale (cluster defaults
+    are sized for 256 MB executor partitions) and a MULTI-FILE fact
+    copy (AQE splits a skewed reduce partition by mapper ranges, and
+    the driver's single-row-group parquet yields one mapper — a real
+    cluster has thousands), executing q142 must produce a final
+    adaptive plan whose sort-merge join is marked skew=true — AQE
+    observed the oversized partition (the collapsed key 0 owns ~half of
+    lineitem) and split it across tasks.  Also re-checks result
+    identity against the default run: the split is an execution detail,
+    not a semantics change."""
+    from tinymr_spark.operators.scale import q142_aqe_skew_join
+    from tinymr_spark.sources import load_table
+
+    multi = str(tmp_path / "li_multi")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).repartition(12).write.parquet(multi)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # sized for the test SF (sf0.001: the skewed partition is ~70KB,
+        # uniform ones ~1KB); cluster defaults are 256MB
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q142_aqe_skew_join(spark, sf_dir, fact_source=spark.read.parquet(multi))
+        with_aqe = sorted(map(tuple, df.collect()))
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+    plain = sorted(map(tuple, q142_aqe_skew_join(spark, sf_dir).collect()))
+    assert with_aqe == plain

@@ -225,6 +225,95 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# q142 — AQE-native skew join: the OTHER answer to q110's problem, and
+# the one a 100 TB operator reaches for FIRST.  q110 salts a-priori
+# (correct, but multiplies the dim shuffle by S and needs a skew
+# profile); `spark.sql.adaptive.skewJoin` instead detects an oversized
+# shuffle partition at RUNTIME from actual map-output sizes and splits
+# it across tasks, each re-reading the matching dim partition — no
+# query rewrite, no replication when there is no skew.  The query joins
+# on a deliberately skewed key (every even orderkey collapses to 0, so
+# one key owns ~half of lineitem; the dim keeps odd orders plus one
+# literal HOT row, staying UNIQUE per key) with a merge-join hint
+# (broadcast would bypass the shuffle the demo is about — and at lake
+# scale the dim side wouldn't fit anyway); the skew split is
+# result-invariant, so the oracle runs the PLAIN join.
+#
+# TWO plan-shape constraints learned by measurement (each one a 100 TB
+# operating lesson, both pinned by tests/test_scale_patterns.py):
+#   1. OptimizeSkewedJoin only matches a join whose children are BARE
+#      shuffle stages (Sort over ShuffleQueryStage) — an aggregate
+#      between the shuffle and the join (the first draft deduped the
+#      dim with a groupBy) makes the partition non-splittable and the
+#      rule never fires.  Keep the skewed join's inputs
+#      shuffle-at-the-boundary, or AQE cannot help.
+#   2. AQE splits a skewed REDUCE partition by MAPPER ranges
+#      (PartialReducerPartitionSpec), so with a single map task there
+#      is nothing to split: the driver's one-file single-row-group
+#      parquet yields exactly one mapper and the rule is a no-op
+#      locally no matter the thresholds.  A real cluster has thousands
+#      of mappers, so cluster defaults
+#      (skewedPartitionThresholdInBytes=256M) fire on real skew; the
+#      plan test stages a multi-file fact via `fact_source` to give
+#      AQE mappers to split, lowers the thresholds to local scale,
+#      executes, and asserts the final plan marks the join skew=true —
+#      proof the runtime path actually fires, not just that the flag
+#      is set.
+# ---------------------------------------------------------------------------
+def q142_aqe_skew_join(spark, sf_dir: str, fact_source: DataFrame | None = None) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    li = fact_source if fact_source is not None else load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    skew_key = F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    fact = li.select(
+        skew_key.alias("k"), "l_extendedprice", "l_discount"
+    )
+    hot = spark.createDataFrame([(0, "HOT")], "k bigint, prio string")
+    dim = (
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .unionAll(hot)
+    )
+    contrib = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    return (
+        fact.join(dim.hint("merge"), "k")
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(contrib).cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_Q142 = """
+WITH fact AS (
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS k,
+           l_extendedprice, l_discount
+    FROM lineitem
+),
+dim AS (
+    SELECT o_orderkey AS k, o_orderpriority AS prio
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 0, 'HOT'
+)
+SELECT prio, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM fact JOIN dim USING (k)
+GROUP BY prio
+"""
+
+
+# ---------------------------------------------------------------------------
 # q112 — HyperLogLog sketch merge (Apache DataSketches via Spark 3.5+
 # hll_sketch_agg / hll_union_agg): the mergeable-summary pattern that
 # makes COUNT DISTINCT feasible at 100 TB.  Exact distinct needs a
@@ -1283,6 +1372,7 @@ QUERIES = {
     "q135_orc_source": q135_orc_source,
     "q137_xml_source": q137_xml_source,
     "q141_avro_source": q141_avro_source,
+    "q142_aqe_skew_join": q142_aqe_skew_join,
 }
 
 ORACLE = {
@@ -1302,4 +1392,5 @@ ORACLE = {
     "q135_orc_source": ORACLE_Q135,
     "q137_xml_source": ORACLE_Q137,
     "q141_avro_source": ORACLE_Q141,
+    "q142_aqe_skew_join": ORACLE_Q142,
 }
