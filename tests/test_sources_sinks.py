@@ -290,3 +290,37 @@ def test_tinyavro_rejects_unsupported_types(spark, tmp_path):
     df = spark.range(3).selectExpr("id", "current_timestamp() AS ts")
     with pytest.raises(Exception, match="tinyavro supports primitive"):
         df.write.format("tinyavro").mode("overwrite").save(str(tmp_path / "bad"))
+
+
+def test_tinyavro_stream_writer_replayed_batch_supersedes(spark, tmp_path):
+    """The streaming sink's exactly-once contract: a checkpoint-replayed
+    micro-batch (same batchId, new attempt) must REPLACE the previous
+    attempt's manifest, not append to it — readers see each batch's rows
+    exactly once, and the superseded attempt's part files become
+    invisible orphans."""
+    from pyspark.sql.types import StructType
+
+    from tinymr_spark.sources import tinyavro
+    from tinymr_spark.sources.tinyavro import TinyAvroStreamWriter
+
+    tinyavro.register(spark)
+    d = str(tmp_path / "sink")
+    schema = StructType.fromDDL("id bigint, s string")
+    w = TinyAvroStreamWriter(d, schema)
+
+    def run_batch(batch_id, rows):
+        msg = w.write(iter(rows))
+        w.commit([msg], batch_id)
+
+    run_batch(0, [(1, "a"), (2, "b")])
+    run_batch(1, [(3, "c")])
+    # replay of batch 1 (post-failure attempt with the same data)
+    run_batch(1, [(3, "c")])
+
+    back = spark.read.format("tinyavro").load(d)
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+    import os
+
+    # the superseded attempt's file is orphaned on disk but invisible
+    avro_files = [f for f in os.listdir(d) if f.endswith(".avro")]
+    assert len(avro_files) == 3  # 2 committed + 1 orphan

@@ -38,6 +38,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -292,17 +293,32 @@ class TinyAvroDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "TinyAvroWriter":
         return TinyAvroWriter(self._path(), schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "TinyAvroStreamWriter":
+        return TinyAvroStreamWriter(self._path(), schema)
+
 
 def _manifest_files(path: str) -> list[str]:
-    """Committed files only: the manifest is written by the driver at
-    commit, so orphan part files from failed/speculative tasks are
-    invisible to readers."""
-    mf = os.path.join(path, MANIFEST)
-    if os.path.exists(mf):
-        with open(mf) as f:
-            return [os.path.join(path, line.strip()) for line in f if line.strip()]
+    """Committed files only: manifests are written by the driver at
+    commit (`_MANIFEST` for a batch write, `_MANIFEST-<batchId>` per
+    streaming micro-batch), so orphan part files from failed,
+    speculative, or replayed-then-superseded tasks are invisible to
+    readers.  A manifest-less directory of bare .avro files (foreign
+    tooling's output) is read whole."""
     if not os.path.isdir(path):
         return []
+    manifests = sorted(
+        f
+        for f in os.listdir(path)
+        if f == MANIFEST or f.startswith(MANIFEST + "-")
+    )
+    if manifests:
+        out: list[str] = []
+        for mf in manifests:
+            with open(os.path.join(path, mf)) as f:
+                out.extend(
+                    os.path.join(path, line.strip()) for line in f if line.strip()
+                )
+        return out
     return sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
     )
@@ -340,11 +356,8 @@ class TinyAvroWriter(DataSourceWriter):
         # cleared dir sees no manifest rather than a stale one).
         os.makedirs(path, exist_ok=True)
         if overwrite:
-            mf = os.path.join(path, MANIFEST)
-            if os.path.exists(mf):
-                os.remove(mf)
             for f in os.listdir(path):
-                if f.endswith(".avro"):
+                if f.endswith(".avro") or f.startswith(MANIFEST):
                     os.remove(os.path.join(path, f))
 
     def write(self, iterator) -> WriterCommitMessage:
@@ -367,6 +380,57 @@ class TinyAvroWriter(DataSourceWriter):
                     f.write(m.value + "\n")
 
     def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.value))
+                except OSError:
+                    pass
+
+
+class TinyAvroStreamWriter(DataSourceStreamWriter):
+    """The STREAMING sink face (Spark 4 `streamWriter`) — completes the
+    format's read/write x batch/stream matrix (q121 batch read, q136
+    stream read, q141 batch write, q143 stream write).  Per micro-batch
+    the tasks write container files executor-side exactly like the batch
+    writer; the driver `commit(messages, batchId)` then publishes
+    `_MANIFEST-<batchId>` listing that batch's files — REPLACING any
+    manifest a previous attempt of the same batchId left behind, which
+    is the exactly-once contract: after a failure Spark replays the
+    micro-batch from the checkpoint, the new attempt's manifest
+    supersedes the old one, and the superseded attempt's part files
+    become invisible orphans (readers resolve manifests only).  No
+    coordination beyond the manifest write, so the sink scales with
+    task count."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema_json = json.dumps(avro_record_schema(schema))
+        self.field_types = [
+            _SPARK_TO_AVRO[f.dataType.simpleString()] for f in schema.fields
+        ]
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        fname = f"part-{uuid.uuid4().hex}.avro"
+        write_avro_file(
+            os.path.join(self.path, fname),
+            self.schema_json,
+            self.field_types,
+            (tuple(row) for row in iterator),
+        )
+        return _FileCommit(fname)
+
+    def commit(self, messages, batchId: int) -> None:
+        mf = os.path.join(self.path, f"{MANIFEST}-{batchId}")
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            for m in messages:
+                if m is not None:
+                    f.write(m.value + "\n")
+        os.replace(tmp, mf)  # atomic: a replayed batch swaps, never appends
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None:
                 try:

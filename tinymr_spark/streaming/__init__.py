@@ -913,6 +913,80 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# q143 — streaming WRITE through a Python DataSource (Spark 4
+# `streamWriter`): the last quadrant of the custom-format matrix (q121
+# batch read, q136 stream read, q141 batch write), and the
+# exactly-once sink pattern every custom lake sink needs.  The staged
+# multi-file events source streams through a stateless projection
+# (append-friendly; ts carried as unix_micros since Avro-primitive) into
+# the `tinyavro` streaming sink: per micro-batch, tasks write Avro
+# container files executor-side and the driver commit publishes
+# `_MANIFEST-<batchId>` — ATOMICALLY REPLACING a previous attempt of the
+# same batch, so checkpoint-replayed batches supersede rather than
+# duplicate (the idempotent-by-batch-id contract, unit-tested in
+# tests/test_sources_sinks.py).  The sink runs once per source version;
+# the returned aggregate computes FROM THE AVRO FILES the stream wrote,
+# and the oracle computes from the original events parquet — the hash
+# gate therefore proves the whole loop: micro-batch planning, executor
+# writes, manifest commits, and codec fidelity.
+# ---------------------------------------------------------------------------
+def q143_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import tinyavro, versioned_staging_dir
+
+    tinyavro.register(spark)
+    src = table_path(sf_dir, "events")
+    stage = _staged_event_files(spark, sf_dir)
+    out = versioned_staging_dir("tinymr_spark_avsink", src)
+    done = out + "._done"  # sibling marker, version-prefixed (prune-safe)
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        ckpt = out + "._ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _pre_stream_cleanup(spark)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            )
+        )
+        q = (
+            stream.writeStream.format("tinyavro")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+    back = spark.read.format("tinyavro").load(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.min("ts_us").alias("first_ts_us"),
+    )
+
+
+ORACLE_Q143 = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event,
+       MIN(epoch_us(ts)) AS first_ts_us
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4's arbitrary-state v2 API): richer
 # than applyInPandasWithState (q92) — typed ValueState/ListState/MapState
 # handles, timers, TTL.  Its state server speaks protobuf between the JVM
@@ -1098,6 +1172,7 @@ QUERIES = {
     "q122_stream_upsert_sink": q122_stream_upsert_sink,
     "q124_stream_delta_compact": q124_stream_delta_compact,
     "q136_python_stream_source": q136_python_stream_source,
+    "q143_python_stream_sink": q143_python_stream_sink,
     "q138_statestore_reader": q138_statestore_reader,
 }
 ORACLE = {
@@ -1114,5 +1189,6 @@ ORACLE = {
     "q122_stream_upsert_sink": ORACLE_Q122,
     "q124_stream_delta_compact": ORACLE_Q124,
     "q136_python_stream_source": ORACLE_Q136,
+    "q143_python_stream_sink": ORACLE_Q143,
     "q138_statestore_reader": ORACLE_Q138,
 }
