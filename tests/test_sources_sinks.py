@@ -324,3 +324,46 @@ def test_tinyavro_stream_writer_replayed_batch_supersedes(spark, tmp_path):
     # the superseded attempt's file is orphaned on disk but invisible
     avro_files = [f for f in os.listdir(d) if f.endswith(".avro")]
     assert len(avro_files) == 3  # 2 committed + 1 orphan
+
+
+def test_pushfilters_absorbs_native_predicates_and_returns_rest():
+    """Reader-level pushdown semantics: row_id bounds and kind
+    equality/IN are absorbed (and visibly shrink generation); anything
+    else is returned for Spark to evaluate — and absorbed filters must
+    drop exactly the right rows."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+    )
+
+    from tinymr_spark.sources.pydatasource import (
+        EVENT_KINDS,
+        SyntheticEventsReader,
+        _event_row,
+    )
+
+    r = SyntheticEventsReader({"rows": "1000", "partitions": "4"})
+    pushed = [
+        GreaterThanOrEqual(("row_id",), 100),
+        LessThan(("row_id",), 900),
+        In(("kind",), ("purchase", "error")),
+        EqualTo(("user_id",), 5),  # not natively evaluable
+    ]
+    rest = list(r.pushFilters(pushed))
+    assert rest == [EqualTo(("user_id",), 5)]  # only the residual returned
+
+    got = sorted(row for p in r.partitions() for row in r.read(p))
+    want = sorted(
+        _event_row(rid)
+        for rid in range(100, 900)
+        if EVENT_KINDS[rid % 5] in ("purchase", "error")
+    )
+    assert got == want and len(got) == 320
+
+    # kind EqualTo narrows to a single modulus
+    r2 = SyntheticEventsReader({"rows": "1000", "partitions": "3"})
+    assert list(r2.pushFilters([EqualTo(("kind",), "view")])) == []
+    got2 = {row[2] for p in r2.partitions() for row in r2.read(p)}
+    assert got2 == {"view"}

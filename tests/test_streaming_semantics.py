@@ -246,19 +246,15 @@ def test_q138_recovers_from_crashed_staging(spark, sf_dir):
     """A first run killed after query start leaves commits/ existing but
     empty; the staging guard must key on the post-success marker, not
     the directory, or the checkpoint is permanently broken."""
-    import hashlib
     import os
     import shutil
 
-    from tinymr_spark.sources import file_version, table_path
-    from tinymr_spark.streaming import _staging_root, q138_statestore_reader
+    from tinymr_spark.sources import table_path, versioned_staging_dir
+    from tinymr_spark.streaming import q138_statestore_reader
 
     n = q138_statestore_reader(spark, sf_dir).count()
     src = table_path(sf_dir, "events")
-    ckpt = os.path.join(
-        _staging_root("tinymr_spark_ss_ckpt"),
-        hashlib.md5(f"{src}|{file_version(src)}".encode()).hexdigest(),
-    )
+    ckpt = versioned_staging_dir("tinymr_spark_ss_ckpt", src)
     done = ckpt + "._done"
     assert os.path.exists(done)
     # simulate the crash: marker gone, commits/ present but empty

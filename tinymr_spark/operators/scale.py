@@ -1355,6 +1355,73 @@ GROUP BY kind
 """
 
 
+# ---------------------------------------------------------------------------
+# q144 — FILTER PUSHDOWN into the Python DataSource (Spark 4.1
+# `pushFilters`, gated by spark.sql.python.filterPushdown.enabled —
+# session.py): the reader natively evaluates row_id range bounds and
+# kind equality/IN by inverting its own row->value mapping, so pushed
+# predicates shrink GENERATION (each partition walks only the matching
+# rid range and skips non-matching kinds by modulus before building the
+# row) — the same contract a database/API source implements, here on a
+# source whose pushdown is exactly verifiable.  Residual predicates
+# (user_id math) are returned to Spark per the API.  The oracle applies
+# the same predicates in SQL over the reproduced row sequence, so the
+# hash gate proves the pushed filters DROP exactly the right rows — a
+# wrongly-inverted bound would change the aggregate.
+# tests/test_sources_sinks.py additionally asserts reader-level
+# semantics: which filters are retained vs absorbed, and that read()
+# yields only matching rows.
+# ---------------------------------------------------------------------------
+Q144_LO, Q144_HI = 5_000, 15_000
+
+
+def q144_pushdown_datasource(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    ev = (
+        spark.read.format("synthevents")
+        .option("rows", str(PYDS_ROWS))
+        .option("partitions", str(PYDS_PARTS))
+        .load()
+    )
+    return (
+        ev.where(
+            F.col("kind").isin("purchase", "error")
+            & (F.col("row_id") >= Q144_LO)
+            & (F.col("row_id") < Q144_HI)
+            & (F.col("user_id") % 3 == 0)  # NOT pushable: Spark evaluates
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("amount_cents").cast("bigint").alias("total_cents"),
+            F.min("row_id").alias("first_row"),
+            F.max("row_id").alias("last_row"),
+        )
+    )
+
+
+ORACLE_Q144 = f"""
+WITH ev AS (
+    SELECT rid AS row_id,
+           (rid * {2_654_435_761}) % {1_000} AS user_id,
+           ['view', 'click', 'purchase', 'signup', 'error'][rid % 5 + 1] AS kind,
+           (rid * 97) % {10_000} AS amount_cents
+    FROM (SELECT UNNEST(range(0, {PYDS_ROWS})) AS rid)
+)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       MIN(row_id) AS first_row,
+       MAX(row_id) AS last_row
+FROM ev
+WHERE kind IN ('purchase', 'error')
+  AND row_id >= {Q144_LO} AND row_id < {Q144_HI}
+  AND user_id % 3 = 0
+GROUP BY kind
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -1373,6 +1440,7 @@ QUERIES = {
     "q137_xml_source": q137_xml_source,
     "q141_avro_source": q141_avro_source,
     "q142_aqe_skew_join": q142_aqe_skew_join,
+    "q144_pushdown_datasource": q144_pushdown_datasource,
 }
 
 ORACLE = {
@@ -1393,4 +1461,5 @@ ORACLE = {
     "q137_xml_source": ORACLE_Q137,
     "q141_avro_source": ORACLE_Q141,
     "q142_aqe_skew_join": ORACLE_Q142,
+    "q144_pushdown_datasource": ORACLE_Q144,
 }

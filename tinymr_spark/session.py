@@ -90,6 +90,12 @@ def get_session(app_name: str = "tinymr-spark", cpus: str | None = None) -> Spar
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for pandas UDF / toPandas hot paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (4.1 feature flag, default
+        # off): a reader implementing pushFilters() REFUSES to plan at
+        # all while this is false, so the flag is part of the source's
+        # contract, not an optimization toggle (synthevents pushes
+        # row_id bounds + kind equality into generation).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Default codegen class cache (100 entries) thrashes when ~70
         # distinct query plans run in one session: whole-stage units
         # evicted mid-run recompile multi-second pipelines (janino compile

@@ -22,7 +22,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 EVENT_KINDS = ("view", "click", "purchase", "signup", "error")
@@ -50,9 +56,44 @@ class SyntheticEventsDataSource(DataSource):
 
 
 class SyntheticEventsReader(DataSourceReader):
+    """Batch reader with NATIVE filter pushdown (Spark 4.1
+    `pushFilters`): a generator source can invert its own row->value
+    mapping, so pushed predicates shrink GENERATION, not just
+    post-scan rows — `row_id` bounds narrow the rid range each
+    partition walks, and `kind` equality/IN skips non-matching rids by
+    modulus before building the row (kind is rid % len(EVENT_KINDS) by
+    construction).  This is the same contract a database or API source
+    implements, demonstrated on a source whose pushdown is exactly
+    verifiable; everything else (user_id math, amount ranges) is
+    returned to Spark unhandled, as the API requires.  Accepted filters
+    mutate self before partitions()/read() are called — the documented
+    lifecycle."""
+
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
+        self.rid_lo = 0
+        self.rid_hi = self.n_rows
+        self.kinds: frozenset | None = None  # None = all kinds
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.attribute == ("row_id",):
+                self.rid_lo = max(
+                    self.rid_lo,
+                    f.value + 1 if isinstance(f, GreaterThan) else f.value,
+                )
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and f.attribute == ("row_id",):
+                self.rid_hi = min(
+                    self.rid_hi,
+                    f.value if isinstance(f, LessThan) else f.value + 1,
+                )
+            elif isinstance(f, EqualTo) and f.attribute == ("kind",):
+                self.kinds = frozenset([f.value])
+            elif isinstance(f, In) and f.attribute == ("kind",):
+                self.kinds = frozenset(f.value)
+            else:
+                yield f  # not natively evaluable: Spark keeps it
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.n_parts)]
@@ -61,9 +102,15 @@ class SyntheticEventsReader(DataSourceReader):
         # Striped assignment: row ids i, i+P, i+2P, ... — every id appears
         # exactly once regardless of P, so the TABLE is partition-count
         # independent (asserted in tests/test_sources_sinks.py).
-        start = partition.value
-        for rid in range(start, self.n_rows, self.n_parts):
-            yield _event_row(rid)
+        kind_mods = (
+            None
+            if self.kinds is None
+            else {i for i, k in enumerate(EVENT_KINDS) if k in self.kinds}
+        )
+        start = self.rid_lo + (partition.value - self.rid_lo) % self.n_parts
+        for rid in range(start, self.rid_hi, self.n_parts):
+            if kind_mods is None or rid % len(EVENT_KINDS) in kind_mods:
+                yield _event_row(rid)
 
 
 def _event_row(rid: int) -> tuple:
@@ -153,8 +200,13 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration of the custom format."""
+    """Idempotent per-session registration of the custom format.  Also
+    enables the Python-source pushdown flag: a reader implementing
+    pushFilters() refuses to plan while it is off, so for a session this
+    package did not create (the driver's, a user's) the flag must ride
+    along with registration."""
     if getattr(spark, "_tinymr_pyds_registered", False):
         return
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
     spark._tinymr_pyds_registered = True
