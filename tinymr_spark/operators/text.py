@@ -960,10 +960,13 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
     return tf, dl, stats, df_
 
 
-def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_score_topk(spark: SparkSession, tf, dl, stats, df_) -> DataFrame:
+    """Score BM25_QUERIES against an index (tf/dl/stats/df_) and return
+    the exact two-stage top-K — shared by q125 (standing index) and
+    q145 (incrementally merged index), so 'merged scores == recomputed
+    scores' is a statement about the INDEX, not the scorer."""
     from pyspark.sql import Window
 
-    tf, dl, stats, df_ = _bm25_index(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, "query_id int, term string")
     # Static IN-list of the batch's terms: redundant with the inner join
     # on term below, but as a literal filter it reaches the bucketed
@@ -1007,6 +1010,11 @@ def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf, dl, stats, df_ = _bm25_index(spark, sf_dir)
+    return _bm25_score_topk(spark, tf, dl, stats, df_)
+
+
 _BM25_Q_ROWS = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 
 ORACLE_Q125 = rf"""
@@ -1041,6 +1049,81 @@ SELECT query_id, doc_id, score,
 FROM scored
 QUALIFY rank <= {BM25_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# q145 — INCREMENTAL BM25 index maintenance: the daily production shape
+# for the retrieval index, completing the q123/q140 shard-vs-lake arc
+# for text search.  The corpus lake's postings/doclens/term-dfs are
+# WRITTEN standing indexes built once per corpus version from lake docs
+# only (doc_id % 5 != 0 — the same split as q123); a new shard arrives
+# and ONLY the shard is tokenized.  Because a BM25 index over disjoint
+# doc sets is a mergeable algebra — postings and doclens concatenate,
+# per-term dfs ADD, n_docs/avgdl recompute from the merged doclens —
+# the merged index is assembled with two unions and one small
+# tok-keyed aggregation, never touching lake text.  Scoring the merged
+# index with the SAME scorer as q125 must equal scoring a full
+# recompute, which is exactly what the oracle checks: ORACLE_Q145 is
+# the full-corpus recomputation.  At 100 TB this is the difference
+# between re-tokenizing years of corpus nightly and processing one
+# day's shard.
+# ---------------------------------------------------------------------------
+def _bm25_lake_index(spark: SparkSession, sf_dir: str):
+    """Lake-only postings/doclen/df as written bucketed standing
+    indexes (built once per corpus version, q123's artifact
+    lifecycle)."""
+    from tinymr_spark.sources import standing_index, table_path
+
+    src = table_path(sf_dir, "documents")
+    is_lake = F.pmod(F.col("doc_id"), F.lit(5)) != 0
+
+    def build_tf() -> DataFrame:
+        docs = with_tokens(load_table(spark, sf_dir, "documents").where(is_lake))
+        toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+        return toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+
+    tf = standing_index(
+        spark, "bm25lake_tf", [src], build_tf, ["tok"], sort_cols=["tok", "doc_id"]
+    )
+    dl = standing_index(
+        spark, "bm25lake_dl", [src],
+        lambda: tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+        ["doc_id"],
+    )
+    df_ = standing_index(
+        spark, "bm25lake_df", [src],
+        lambda: tf.groupBy("tok").agg(F.count("*").alias("n_df")),
+        ["tok"],
+    )
+    return tf, dl, df_
+
+
+def q145_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf_lake, dl_lake, df_lake = _bm25_lake_index(spark, sf_dir)
+
+    # only the SHARD is tokenized at query time
+    shard = with_tokens(
+        load_table(spark, sf_dir, "documents").where(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0
+        )
+    )
+    toks_s = shard.select("doc_id", F.explode("toks").alias("tok"))
+    tf_s = toks_s.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl_s = tf_s.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_s = tf_s.groupBy("tok").agg(F.count("*").alias("n_df"))
+
+    # mergeable-index algebra: disjoint docs -> concatenate postings and
+    # doclens; dfs add; corpus stats recompute from merged doclens
+    tf = tf_lake.select("doc_id", "tok", "tf").unionByName(tf_s)
+    dl = dl_lake.select("doc_id", "dl").unionByName(dl_s)
+    df_ = (
+        df_lake.select("tok", "n_df")
+        .unionByName(df_s)
+        .groupBy("tok")
+        .agg(F.sum("n_df").cast("bigint").alias("n_df"))
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    return _bm25_score_topk(spark, tf, dl, stats, df_)
 
 
 # ---------------------------------------------------------------------------
@@ -1122,6 +1205,7 @@ QUERIES = {
     "q109_unigram_logprob": q109_unigram_logprob,
     "q116_train_val_split": q116_train_val_split,
     "q125_bm25_topk": q125_bm25_topk,
+    "q145_incremental_bm25": q145_incremental_bm25,
     "q126_shard_manifest": q126_shard_manifest,
 }
 
@@ -1145,5 +1229,6 @@ ORACLE = {
     "q109_unigram_logprob": ORACLE_Q109,
     "q116_train_val_split": ORACLE_Q116,
     "q125_bm25_topk": ORACLE_Q125,
+    "q145_incremental_bm25": ORACLE_Q125,  # merged index == full recompute
     "q126_shard_manifest": ORACLE_Q126,
 }
