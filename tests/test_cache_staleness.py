@@ -111,3 +111,23 @@ def test_observe_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
     assert len(keys) == 1, f"stale observe entries retained: {keys}"
     assert keys[0] != old_keys[0]
     assert stale_out.storageLevel.useMemory is False, "stale result not unpersisted"
+
+
+def test_graph_edge_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    from tinymr_spark.operators.graph import _edge_cache
+    from tinymr_spark.sources import session_cache
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    _edge_cache(spark, sf)
+    cache = session_cache(spark, "_tinymr_graph_cache")
+    old_keys = [k for k in cache if k[0] == sf]
+    assert len(old_keys) == 1
+    stale_edges, stale_nodes = cache[old_keys[0]]
+
+    _regenerate(os.path.join(sf, "lineitem.parquet"))
+    _edge_cache(spark, sf)
+    keys = [k for k in cache if k[0] == sf]
+    assert len(keys) == 1, f"stale graph entries retained: {keys}"
+    assert keys[0] != old_keys[0]
+    assert stale_edges.storageLevel.useMemory is False, "stale edges not unpersisted"
+    assert stale_nodes.storageLevel.useMemory is False, "stale nodes not unpersisted"

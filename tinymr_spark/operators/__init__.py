@@ -98,6 +98,7 @@ def all_queries() -> dict[str, QueryFn]:
     from tinymr_spark.operators import (
         dedup,
         events,
+        graph,
         multimodal,
         mrface,
         relational,
@@ -107,7 +108,7 @@ def all_queries() -> dict[str, QueryFn]:
     )
 
     merged: dict[str, QueryFn] = {}
-    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale):
+    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale, graph):
         merged.update(mod.QUERIES)
     # The driver's correctness gate checks the FIRST 50 queries() entries
     # per round (CORRECTNESS_r01-r03 each cover exactly the first 50 keys
@@ -128,6 +129,7 @@ def all_oracles() -> dict[str, str]:
     from tinymr_spark.operators import (
         dedup,
         events,
+        graph,
         multimodal,
         mrface,
         relational,
@@ -137,6 +139,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale):
+    for mod in (relational, text, dedup, similarity, multimodal, events, mrface, streaming, fnlib, scale, graph):
         merged.update(mod.ORACLE)
     return merged
