@@ -884,6 +884,153 @@ FROM quant
 
 
 # ---------------------------------------------------------------------------
+# q147 — hybrid rank fusion (RRF): combine a full-precision cosine
+# ranking with an int8-quantized ranking via reciprocal-rank fusion —
+# the standard retrieval pattern for (a) fusing heterogeneous rankers
+# and (b) validating that a quantized index ranks like the exact one.
+# Each ranker contributes its top-RRF_DEPTH per query; the fused score
+# over the union is sum(1e9/(60+rank)) in INTEGER units (every
+# denominator 61..70 rounds away from a .5 boundary, and integers
+# compare identically in both engines — no float-summation hazard by
+# construction), ties broken by neighbor id, final top-RRF_TOP kept.
+# The quantized ranker's dot product is itself exact: int8 x int8 sums
+# stay far under 2^53, so Spark's bigint aggregate and DuckDB's
+# double list_dot_product produce the same integer regardless of
+# order.  Scale shape: both rankers are broadcast-query x corpus scans
+# (no corpus shuffle, q50's shape), the fusion is a self-outer-join of
+# two tiny top-DEPTH tables.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_DEPTH = 10
+RRF_TOP = 5
+
+
+def q147_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / F.col("norm") * 127).cast("int"),
+            ),
+        ),
+    )
+    base = emb.select("vec_id", "embedding", "norm", quant.alias("qe"))
+    queries = base.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("qe").alias("qqe"),
+    )
+    paired = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+
+    dense_sim = F.round(
+        _dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("norm")), 6
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qqe"), F.col("qe"), lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = paired.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dense_sim.alias("dsim"),
+        int_dot.alias("qdot"),
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("dsim").desc(), F.col("neighbor_id").asc()
+    )
+    w_quant = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    top_d = (
+        scored.withColumn("rank_dense", F.row_number().over(w_dense))
+        .where(F.col("rank_dense") <= RRF_DEPTH)
+        .select("query_id", "neighbor_id", "rank_dense")
+    )
+    top_q = (
+        scored.withColumn("rank_quant", F.row_number().over(w_quant))
+        .where(F.col("rank_quant") <= RRF_DEPTH)
+        .select("query_id", "neighbor_id", "rank_quant")
+    )
+    rrf_term = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1_000_000_000) / (F.lit(RRF_K) + r)).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    fused = (
+        top_d.join(top_q, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_dense",
+            "rank_quant",
+            (rrf_term(F.col("rank_dense")) + rrf_term(F.col("rank_quant"))).alias(
+                "rrf_u"
+            ),
+        )
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_fused))
+        .where(F.col("fused_rank") <= RRF_TOP)
+    )
+
+
+ORACLE_Q147 = f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+    FROM embeddings
+),
+qz AS (
+    SELECT vec_id, v, norm,
+           list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, ROUND(x / norm * 127))) AS INT)) AS qe
+    FROM base
+),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, e.v) / (q.norm * e.norm), 6) AS dsim,
+           CAST(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.qe AS DOUBLE[])) AS BIGINT) AS qdot
+    FROM qz q JOIN qz e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERY}
+),
+top_d AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dsim DESC, neighbor_id) AS INT) AS rank_dense
+    FROM scored QUALIFY rank_dense <= {RRF_DEPTH}
+),
+top_q AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT) AS rank_quant
+    FROM scored QUALIFY rank_quant <= {RRF_DEPTH}
+),
+fused AS (
+    SELECT COALESCE(d.query_id, q.query_id) AS query_id,
+           COALESCE(d.neighbor_id, q.neighbor_id) AS neighbor_id,
+           d.rank_dense, q.rank_quant,
+           COALESCE(CAST(ROUND(1000000000.0 / ({RRF_K} + d.rank_dense)) AS BIGINT), 0)
+           + COALESCE(CAST(ROUND(1000000000.0 / ({RRF_K} + q.rank_quant)) AS BIGINT), 0) AS rrf_u
+    FROM top_d d FULL JOIN top_q q
+      ON d.query_id = q.query_id AND d.neighbor_id = q.neighbor_id
+)
+SELECT query_id, neighbor_id, rank_dense, rank_quant, rrf_u,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, neighbor_id) AS INT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q57 — one k-means (Lloyd) iteration: assign every vector to its nearest
 # seed centroid (the q54 assignment — broadcast codebook, no corpus
 # shuffle), then recompute each cell's centroid as the positional mean.
@@ -974,6 +1121,7 @@ QUERIES = {
     "q54_ann_ivf": q54_ann_ivf,
     "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
     "q56_normalize_quantize": q56_normalize_quantize,
+    "q147_hybrid_rrf": q147_hybrid_rrf,
     "q57_kmeans_iteration": q57_kmeans_iteration,
     "q58_ann_pq_adc": q58_ann_pq_adc,
     "q59_product_quantization": q59_product_quantization,
@@ -989,6 +1137,7 @@ ORACLE = {
     "q54_ann_ivf": ORACLE_Q54,
     "q55_embedding_lsh_dedup": ORACLE_Q55,
     "q56_normalize_quantize": ORACLE_Q56,
+    "q147_hybrid_rrf": ORACLE_Q147,
     "q57_kmeans_iteration": ORACLE_Q57,
     "q58_ann_pq_adc": ORACLE_Q58,
     "q59_product_quantization": ORACLE_Q59,
