@@ -5,13 +5,15 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 extensions); full inventory in SURVEY.md §8: relational
                 q01-q29+q85+q89+q139 (SQL incl. recursive CTE +
                 SQL-defined scalar/table functions), text
-                q30-q39+q86-q88+q101-q103+q109+q116+q125-q126, dedup
-                q40-q49+q104+q106-q107+q118+q123+q127, similarity
-                q50-q59+q111+q140,
+                q30-q39+q86-q88+q101-q103+q109+q116+q125-q126+q145,
+                dedup q40-q49+q104+q106-q107+q118+q123+q127, similarity
+                q50-q59+q111+q140+q147, graph q146 (iterative PageRank),
                 multimodal q60-q62+q65-q69, pandas-UDF/UDTF
                 q63-q64+q100+q119-q120+q129, events q70-q79+q108+q115,
-                MapReduce-face q80-q84, streaming q90-q99+q122+q124+q136+q138,
-                storage/scale q105+q110+q112-q114+q117+q121+q128+q130-q135+q137.
+                MapReduce-face q80-q84, streaming
+                q90-q99+q122+q124+q136+q138+q143, storage/scale
+                q105+q110+q112-q114+q117+q121+q128+q130-q135+q137+
+                q141-q142+q144.
 oracle_sql()  — DuckDB twins for all of the above except q104
                 (library-internal MinHashLSH hashes; rows-only with a
                 pytest recall gate).  Not-yet-driver-verified queries are

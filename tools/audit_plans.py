@@ -64,7 +64,15 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin(broadcast(1-row max-Morton-code aggregate))
               "q130_zorder_layout",
               # crossJoin(broadcast(1-row bloom-size parameter aggregate))
-              "q134_bloom_semi_join"}
+              "q134_bloom_semi_join",
+              # crossJoin(broadcast(1-row (n_docs, avgdl))) via the shared
+              # BM25 scorer — same loop as q125
+              "q145_incremental_bm25",
+              # crossJoin(broadcast(1-row node count)) per PageRank round
+              "q146_pagerank",
+              # broadcast(N_QUERY-row query set) joined on vec_id != query_id
+              # — q50's shape for both rankers
+              "q147_hybrid_rrf"}
 
 
 def main() -> int:
