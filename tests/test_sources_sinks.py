@@ -211,9 +211,22 @@ def test_tinyavro_roundtrip_and_manifest(spark, tmp_path):
     open(os.path.join(d, "orphan.avro"), "wb").write(b"Obj\x01junk")
     assert spark.read.format("tinyavro").load(d).count() == 997
 
-    # overwrite replaces contents (and drops the stale manifest first)
+    # overwrite replaces contents atomically (manifest swap, then GC)
     df.limit(10).repartition(1).write.format("tinyavro").mode("overwrite").save(d)
     assert spark.read.format("tinyavro").load(d).count() == 10
+
+    # append accumulates on top of the committed table
+    df.limit(5).repartition(1).write.format("tinyavro").mode("append").save(d)
+    assert spark.read.format("tinyavro").load(d).count() == 15
+
+    # a FAILED overwrite attempt must leave the committed table intact:
+    # nothing is deleted at plan time, abort removes only the new parts
+    from tinymr_spark.sources.tinyavro import TinyAvroWriter
+
+    w = TinyAvroWriter(d, df.schema, overwrite=True)
+    msg = w.write(iter([(999, "x", 1.0, 1, True)]))
+    w.abort([msg])
+    assert spark.read.format("tinyavro").load(d).count() == 15
 
 
 def test_tinyavro_container_format_is_spec_shaped(tmp_path):
@@ -246,9 +259,8 @@ def test_tinyavro_container_format_is_spec_shaped(tmp_path):
     assert raw[-16:] == sync  # every block (incl. last) ends with sync
     assert list(read_avro_file(p)) == rows
 
-    # hand-built golden bytes: zigzag(-1)=1, zigzag(0)=0, zigzag(1)=2;
-    # string = varint len + utf8
-    body = bytes([1]) + bytes([2]) + b"hi"  # a=-1, b="hi" (len 1? no: len 2 -> zz 4)
+    # hand-built golden bytes: a=-1 -> zigzag 1; b="hi" -> length 2 ->
+    # zigzag 4, then utf8 bytes
     body = bytes([1]) + bytes([4]) + b"hi"
     golden = (
         MAGIC
@@ -326,6 +338,42 @@ def test_tinyavro_stream_writer_replayed_batch_supersedes(spark, tmp_path):
     assert len(avro_files) == 3  # 2 committed + 1 orphan
 
 
+def test_stream_reader_restart_is_exactly_once(spark, tmp_path):
+    """Engine-level recovery contract, measured end-to-end: restarting a
+    checkpointed query over the Python stream source neither duplicates
+    nor drops rows — with no new data (the fresh reader's first
+    latestOffset answers BEHIND the checkpoint; Spark must not rewind)
+    and with new data appearing between runs."""
+    from tinymr_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run(rows):
+        stream = (
+            spark.readStream.format("synthevents")
+            .option("rows", str(rows))
+            .option("chunk", "250")
+            .option("partitions", "4")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", out)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        df = spark.read.parquet(out)
+        return df.count(), df.select("row_id").distinct().count()
+
+    assert run(1000) == (1000, 1000)
+    assert run(1000) == (1000, 1000)  # restart, no new data: no rewind
+    assert run(2000) == (2000, 2000)  # restart, new data: exactly once
+
+
 def test_pushfilters_absorbs_native_predicates_and_returns_rest():
     """Reader-level pushdown semantics: row_id bounds and kind
     equality/IN are absorbed (and visibly shrink generation); anything
@@ -367,3 +415,13 @@ def test_pushfilters_absorbs_native_predicates_and_returns_rest():
     assert list(r2.pushFilters([EqualTo(("kind",), "view")])) == []
     got2 = {row[2] for p in r2.partitions() for row in r2.read(p)}
     assert got2 == {"view"}
+
+    # conjunctive kind predicates INTERSECT (Catalyst does not fold
+    # EqualTo with In): accepting both but keeping only the last would
+    # silently widen the result
+    r3 = SyntheticEventsReader({"rows": "1000", "partitions": "3"})
+    assert (
+        list(r3.pushFilters([EqualTo(("kind",), "view"),
+                             In(("kind",), ("purchase", "error"))])) == []
+    )
+    assert [row for p in r3.partitions() for row in r3.read(p)] == []

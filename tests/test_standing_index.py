@@ -69,6 +69,43 @@ def test_standing_index_builds_once_and_prunes_stale_versions(spark, sf_dir, tmp
     assert len(ver_dirs) == 1, f"superseded version dirs retained: {ver_dirs}"
 
 
+def test_standing_index_reregisters_across_sessions_without_rebuild(spark, tmp_path):
+    """The artifact must be build-once per CORPUS SNAPSHOT, not per
+    session: when the (session-scoped, in-memory) catalog lacks the
+    table but the version dir already holds the written files, the
+    index is re-registered as an external CLUSTERED BY table — no
+    rebuild — and the re-registered table still scans with bucket
+    metadata (bucket pruning fires on a key filter)."""
+    import uuid
+
+    tag = f"t_rereg_{uuid.uuid4().hex[:8]}"
+    src = str(tmp_path / "src.parquet")
+    spark.range(100).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.read.parquet(src).groupBy("k").agg(F.count("*").alias("n"))
+
+    standing_index(spark, tag, [src], build, ["k"]).collect()
+    assert builds == [1]
+    cache = session_cache(spark, "_tinymr_index_cache")
+    key = next(k for k in cache if k[0] == tag)
+    name = cache.pop(key)
+    spark.sql(f"DROP TABLE {name}")  # simulate a fresh session's catalog
+
+    idx = standing_index(spark, tag, [src], build, ["k"])
+    assert builds == [1], "index was rebuilt despite existing files"
+    assert idx.count() == 7
+    # bucket metadata survived re-registration: an aggregation on the
+    # bucket key consumes the scan's hash partitioning — no exchange
+    # (a bare filter scan would disable bucketed reading by design)
+    agg_plan = explain_str(idx.groupBy("k").agg(F.sum("n").alias("t")), "simple")
+    assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {cache[key]}").collect()
+    assert any("Num Buckets" in r[0] and "8" in r[1] for r in detail), detail
+
+
 def test_standing_index_gcs_dead_source_dirs(spark, tmp_path):
     """An index whose SOURCE file no longer exists (deleted sf clone) is
     reclaimed on the next build of any index under the same tag."""

@@ -51,8 +51,6 @@ def _edge_cache(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     by src (the per-iteration join key), so each round shuffles only the
     small rank vector; same staleness lifecycle as every session cache
     (tests/test_cache_staleness.py)."""
-    import os
-
     from tinymr_spark.sources import file_version, session_cache, table_path
 
     cache = session_cache(spark, "_tinymr_graph_cache")

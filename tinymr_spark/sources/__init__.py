@@ -110,14 +110,36 @@ def standing_index(
     root = os.path.join(staging_root("tinymr_spark_index"), tag, src_h)
     path = os.path.join(root, ver_h)
     if not spark.catalog.tableExists(name):
-        writer = (
-            build()
-            .write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(n_buckets, *key_cols)
-            .sortBy(*(sort_cols or key_cols))
-        )
-        writer.saveAsTable(name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # A PREVIOUS SESSION already wrote this version: the default
+            # in-memory catalog died with it, but the bucketed files did
+            # not — re-register them as an external CLUSTERED BY table
+            # instead of re-running the build (bucket ids live in the
+            # file names, so the re-registered table scans with the same
+            # hash partitioning and bucket pruning; asserted in
+            # tests/test_standing_index.py).  This is what makes the
+            # index genuinely build-once PER CORPUS SNAPSHOT, not per
+            # session.
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(path).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({', '.join(key_cols)}) "
+                f"SORTED BY ({', '.join(sort_cols or key_cols)}) "
+                f"INTO {n_buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
+            writer = (
+                build()
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(n_buckets, *key_cols)
+                .sortBy(*(sort_cols or key_cols))
+            )
+            writer.saveAsTable(name)
         _write_index_marker(os.path.dirname(root), src_h, srcs)
     # Prune superseded versions: session-cache entries + catalog tables
     # (external: DROP leaves files) + any sibling staged version dirs,

@@ -89,11 +89,19 @@ class SyntheticEventsReader(DataSourceReader):
                     f.value if isinstance(f, LessThan) else f.value + 1,
                 )
             elif isinstance(f, EqualTo) and f.attribute == ("kind",):
-                self.kinds = frozenset([f.value])
+                self._narrow_kinds(frozenset([f.value]))
             elif isinstance(f, In) and f.attribute == ("kind",):
-                self.kinds = frozenset(f.value)
+                self._narrow_kinds(frozenset(f.value))
             else:
                 yield f  # not natively evaluable: Spark keeps it
+
+    def _narrow_kinds(self, new: frozenset) -> None:
+        # INTERSECT, never overwrite: pushed filters are a conjunction,
+        # and Catalyst does not fold `kind = 'x' AND kind IN (...)` into
+        # one predicate — accepting both while keeping only the last
+        # would silently widen the result (two contradictory EqualTo
+        # must yield the empty set).
+        self.kinds = new if self.kinds is None else self.kinds & new
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.n_parts)]
@@ -179,8 +187,14 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["i"]), int(end["i"])
         # Restart fast-forward: a fresh reader instance must never
-        # announce offsets behind the checkpoint's committed range.
-        self._pos = max(self._pos, hi)
+        # announce offsets behind any range it has SEEN — including the
+        # committed START offset Spark passes after recovery (max over
+        # lo as well as hi, so even a degenerate backwards range planned
+        # from a stale first latestOffset() answer snaps the high-water
+        # mark to the checkpoint).  Engine-level restart semantics
+        # (no duplicates, no loss, across restarts with and without new
+        # data) are integration-tested in tests/test_sources_sinks.py.
+        self._pos = max(self._pos, lo, hi)
         n = hi - lo
         if n <= 0:
             return [RangePartition(lo, lo)]

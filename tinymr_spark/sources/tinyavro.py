@@ -318,7 +318,9 @@ def _manifest_files(path: str) -> list[str]:
                 out.extend(
                     os.path.join(path, line.strip()) for line in f if line.strip()
                 )
-        return out
+        # dedupe, order-preserving: an append consolidation briefly lists
+        # a file in both its old batch manifest and the new _MANIFEST
+        return list(dict.fromkeys(out))
     return sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
     )
@@ -343,22 +345,28 @@ class TinyAvroReader(DataSourceReader):
 
 
 class TinyAvroWriter(DataSourceWriter):
+    """Batch writer with ATOMIC publish semantics: tasks write new part
+    files beside the live data, and only the driver-side commit() swaps
+    the manifest (os.replace — readers resolve the old manifest or the
+    new one, never a partial state).  A failed or aborted job therefore
+    leaves the previously committed table fully intact — abort() removes
+    only the new attempt's part files; nothing is deleted at plan time.
+    On overwrite, superseded part files are garbage-collected only AFTER
+    the manifest swap.  (A reader that resolved the old manifest just
+    before the swap can race the GC of old files — the inherent limit of
+    a plain-filesystem table; snapshot isolation needs a versioned
+    manifest log, which is the q124/q133 territory.)"""
+
     def __init__(self, path: str, schema: StructType, overwrite: bool):
         self.path = path
+        self.overwrite = overwrite
         # avro_record_schema first: it raises the loud unsupported-type
         # error before the per-field lookup could KeyError opaquely
         self.schema_json = json.dumps(avro_record_schema(schema))
         self.field_types = [
             _SPARK_TO_AVRO[f.dataType.simpleString()] for f in schema.fields
         ]
-        # Driver-side, before any task runs: clear prior contents on
-        # overwrite (manifest first, so a concurrent reader of a half-
-        # cleared dir sees no manifest rather than a stale one).
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(path):
-                if f.endswith(".avro") or f.startswith(MANIFEST):
-                    os.remove(os.path.join(path, f))
 
     def write(self, iterator) -> WriterCommitMessage:
         # Executor-side, once per input partition; unique name, no
@@ -373,13 +381,39 @@ class TinyAvroWriter(DataSourceWriter):
         return _FileCommit(fname)
 
     def commit(self, messages) -> None:
-        # Driver-side: publish exactly the committed tasks' files.
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
-            for m in messages:
-                if m is not None:
-                    f.write(m.value + "\n")
+        new = [m.value for m in messages if m is not None]
+        # append keeps everything currently committed (consolidating any
+        # streaming batch manifests); overwrite publishes only the new
+        # attempt's files
+        prior = (
+            []
+            if self.overwrite
+            else [os.path.basename(p) for p in _manifest_files(self.path)]
+        )
+        mf = os.path.join(self.path, MANIFEST)
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            for fname in prior + new:
+                f.write(fname + "\n")
+        os.replace(tmp, mf)  # the atomic publish point
+        # post-swap cleanup: superseded batch manifests, and (on
+        # overwrite) the no-longer-referenced part files
+        live = set(prior + new)
+        for fname in os.listdir(self.path):
+            try:
+                if fname.startswith(MANIFEST + "-"):
+                    os.remove(os.path.join(self.path, fname))
+                elif (
+                    self.overwrite
+                    and fname.endswith(".avro")
+                    and fname not in live
+                ):
+                    os.remove(os.path.join(self.path, fname))
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
+        # remove only the failed attempt's files; committed data untouched
         for m in messages:
             if m is not None:
                 try:
