@@ -1066,6 +1066,132 @@ GROUP BY status
 
 
 # ---------------------------------------------------------------------------
+# q148 — declarative data-quality constraint suite (the Deequ/Great-
+# Expectations pattern): a lake ingests nothing without a validation
+# report, and the report must cost ONE aggregation pass per table plus
+# one join per referential rule — never a pass per constraint.  Five
+# constraint families over orders/lineitem, each a row of
+# (constraint, metric, passed): completeness (null fraction),
+# uniqueness (distinct/count on the key), range (l_discount in
+# [0, 0.1]), accepted values (l_returnflag in A/N/R), and referential
+# integrity (every l_orderkey resolves in orders — a LEFT ANTI count,
+# the only rule needing a join).  All metrics are exact ratios of
+# bigint counts (same IEEE division in both engines — no rounding
+# needed); `passed` re-derives from the metric so the report cannot
+# contradict itself.  Scale shape: constraint evaluation COMPOSES into
+# the minimum passes (two table aggs + one anti join) regardless of how
+# many rules are declared per table.
+# ---------------------------------------------------------------------------
+def q148_quality_constraints(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_discount").alias("n_disc"),  # count() skips nulls
+        F.sum(
+            F.when(
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1), 1
+            ).otherwise(0)
+        ).alias("n_disc_in_range"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("n_flag_ok"),
+        # a deliberately violated rule: proves the report carries real
+        # measured fractions and FAILED verdicts, not vacuous 1.0s
+        F.sum(
+            F.when(F.col("l_quantity") <= 25, 1).otherwise(0)
+        ).alias("n_qty_le25"),
+    )
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderkey").alias("n_key"),
+        F.count_distinct("o_orderkey").alias("n_key_distinct"),
+    )
+    n_orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan"))
+    )
+    m = li_agg.crossJoin(o_agg).crossJoin(n_orphans)
+
+    def rule(name, metric, threshold=1.0):
+        return m.select(
+            F.lit(name).alias("rule_name"),
+            metric.cast("double").alias("metric"),
+            (metric >= threshold).alias("passed"),
+        )
+
+    return (
+        rule("completeness(o_orderkey)", F.col("n_key") / F.col("n_orders"))
+        .unionByName(
+            rule("uniqueness(o_orderkey)", F.col("n_key_distinct") / F.col("n_key"))
+        )
+        .unionByName(
+            rule("range(l_discount,[0,0.1])", F.col("n_disc_in_range") / F.col("n_disc"))
+        )
+        .unionByName(
+            rule("accepted(l_returnflag,{A,N,R})", F.col("n_flag_ok") / F.col("n"))
+        )
+        .unionByName(
+            rule("referential(l_orderkey->orders)", 1 - F.col("n_orphan") / F.col("n"))
+        )
+        .unionByName(
+            rule("range(l_quantity,<=25)", F.col("n_qty_le25") / F.col("n"))
+        )
+    )
+
+
+ORACLE_Q148 = """
+WITH li AS (
+    SELECT COUNT(*) AS n,
+           COUNT(l_discount) AS n_disc,
+           SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS n_disc_in_range,
+           SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS n_flag_ok,
+           SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS n_qty_le25
+    FROM lineitem
+),
+o AS (
+    SELECT COUNT(*) AS n_orders, COUNT(o_orderkey) AS n_key,
+           COUNT(DISTINCT o_orderkey) AS n_key_distinct
+    FROM orders
+),
+orph AS (
+    SELECT COUNT(*) AS n_orphan
+    FROM lineitem l LEFT JOIN orders og ON l.l_orderkey = og.o_orderkey
+    WHERE og.o_orderkey IS NULL
+),
+m AS (SELECT * FROM li, o, orph)
+SELECT 'completeness(o_orderkey)' AS rule_name,
+       CAST(n_key AS DOUBLE) / n_orders AS metric,
+       CAST(n_key AS DOUBLE) / n_orders >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'uniqueness(o_orderkey)',
+       CAST(n_key_distinct AS DOUBLE) / n_key,
+       CAST(n_key_distinct AS DOUBLE) / n_key >= 1.0 FROM m
+UNION ALL
+SELECT 'range(l_discount,[0,0.1])',
+       CAST(n_disc_in_range AS DOUBLE) / n_disc,
+       CAST(n_disc_in_range AS DOUBLE) / n_disc >= 1.0 FROM m
+UNION ALL
+SELECT 'accepted(l_returnflag,{A,N,R})',
+       CAST(n_flag_ok AS DOUBLE) / n,
+       CAST(n_flag_ok AS DOUBLE) / n >= 1.0 FROM m
+UNION ALL
+SELECT 'referential(l_orderkey->orders)',
+       1 - CAST(n_orphan AS DOUBLE) / n,
+       1 - CAST(n_orphan AS DOUBLE) / n >= 1.0 FROM m
+UNION ALL
+SELECT 'range(l_quantity,<=25)',
+       CAST(n_qty_le25 AS DOUBLE) / n,
+       CAST(n_qty_le25 AS DOUBLE) / n >= 1.0 FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # q128 — observe()/Observation metrics: pipeline instrumentation that
 # rides the SAME pass as the work.  A 100 TB job must account for what
 # it scanned and dropped (rows in, value mass, per-class counts) — and a
@@ -1441,6 +1567,7 @@ QUERIES = {
     "q141_avro_source": q141_avro_source,
     "q142_aqe_skew_join": q142_aqe_skew_join,
     "q144_pushdown_datasource": q144_pushdown_datasource,
+    "q148_quality_constraints": q148_quality_constraints,
 }
 
 ORACLE = {
@@ -1462,4 +1589,5 @@ ORACLE = {
     "q141_avro_source": ORACLE_Q141,
     "q142_aqe_skew_join": ORACLE_Q142,
     "q144_pushdown_datasource": ORACLE_Q144,
+    "q148_quality_constraints": ORACLE_Q148,
 }
