@@ -987,6 +987,83 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# q149 — streaming shard ingest probing the WRITTEN standing lake index:
+# the live-ingest face of the q123 incremental-dedup pattern, and the
+# round-6 arc tied end to end — the lake fingerprint table is the
+# bucketed standing index _lake_doc_index wrote (built once per corpus
+# version), and new shard documents arrive as a STREAM (staged
+# multi-file, maxFilesPerTrigger-throttled) that stream-static LEFT
+# JOINs the index per micro-batch.  Each document's verdict depends
+# only on (document, standing index) — batch membership is irrelevant —
+# so the drained append-mode output is deterministic and the oracle is
+# the plain batch join.  Stateless: no watermark, no state store; at
+# scale each micro-batch shuffles only its own rows into the index's
+# bucket count while the lake side never re-shuffles (the q123 plan
+# contract, now under a stream).
+# ---------------------------------------------------------------------------
+def _staged_shard_docs(spark: SparkSession, sf_dir: str) -> str:
+    """The day's shard (doc_id % 5 == 0) staged as multiple parquet
+    files once per corpus version — the landing directory a streaming
+    ingest watches."""
+    from tinymr_spark.sources import versioned_staging_dir
+
+    src = table_path(sf_dir, "documents")
+    stage = versioned_staging_dir("tinymr_spark_stage_shard", src)
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        open(done, "w").close()
+    return stage
+
+
+def q149_stream_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.dedup import _lake_doc_index
+
+    lake_fp, _ = _lake_doc_index(spark, sf_dir)
+    stage = _staged_shard_docs(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage)
+    )
+    probed = (
+        stream.select("doc_id", F.md5("text").alias("fp"))
+        .join(lake_fp, "fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("lake_exact_id").isNotNull(), F.lit("exact_dup_lake"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.col("lake_exact_id").alias("ref_doc_id"),
+        )
+    )
+    return run_stream_to_table(probed, spark, output_mode="append")
+
+
+ORACLE_Q149 = """
+WITH lake_fp AS (
+    SELECT md5(text) AS fp, MIN(doc_id) AS lake_exact_id
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+shard AS (
+    SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+)
+SELECT sh.doc_id,
+       CASE WHEN lf.lake_exact_id IS NOT NULL THEN 'exact_dup_lake'
+            ELSE 'kept' END AS status,
+       lf.lake_exact_id AS ref_doc_id
+FROM shard sh LEFT JOIN lake_fp lf USING (fp)
+"""
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4's arbitrary-state v2 API): richer
 # than applyInPandasWithState (q92) — typed ValueState/ListState/MapState
 # handles, timers, TTL.  Its state server speaks protobuf between the JVM
@@ -1173,6 +1250,7 @@ QUERIES = {
     "q124_stream_delta_compact": q124_stream_delta_compact,
     "q136_python_stream_source": q136_python_stream_source,
     "q143_python_stream_sink": q143_python_stream_sink,
+    "q149_stream_index_probe": q149_stream_index_probe,
     "q138_statestore_reader": q138_statestore_reader,
 }
 ORACLE = {
@@ -1190,5 +1268,6 @@ ORACLE = {
     "q124_stream_delta_compact": ORACLE_Q124,
     "q136_python_stream_source": ORACLE_Q136,
     "q143_python_stream_sink": ORACLE_Q143,
+    "q149_stream_index_probe": ORACLE_Q149,
     "q138_statestore_reader": ORACLE_Q138,
 }

@@ -72,7 +72,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               "q146_pagerank",
               # broadcast(N_QUERY-row query set) joined on vec_id != query_id
               # — q50's shape for both rankers
-              "q147_hybrid_rrf"}
+              "q147_hybrid_rrf",
+              # crossJoin of three 1-row constraint-metric aggregates
+              "q148_quality_constraints"}
 
 
 def main() -> int:
