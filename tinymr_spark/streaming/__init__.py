@@ -781,7 +781,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 # differs from q121's (min/max row ids instead).
 # ---------------------------------------------------------------------------
 Q136_ROWS = 20_000
-Q136_CHUNK = 10_000  # -> 2 micro-batches (multi-batch path, minimal fixed cost)
+# Single data micro-batch: the per-batch machinery floor is ~0.4 s
+# (BASELINE.md), so the BENCH query drains in one batch; the
+# multi-micro-batch path through the REAL engine (offset advancement,
+# restart, exactly-once) is covered by
+# tests/test_sources_sinks.py::test_stream_reader_restart_is_exactly_once
+# (chunk=250 over 1000 rows -> 4+ batches) and the reader-level drain
+# test, so the bench row measures the source, not repeated fixed cost.
+Q136_CHUNK = 20_000
 
 
 def q136_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
