@@ -314,6 +314,89 @@ GROUP BY prio
 
 
 # ---------------------------------------------------------------------------
+# q150 — shuffle-skew PROFILE: the diagnostic that decides BETWEEN
+# q110's a-priori salting and q142's AQE splitting.  Before re-keying a
+# 100 TB join you measure how a hash partitioning of the candidate key
+# WOULD distribute: bucket every row by an engine-agnostic uniform hash
+# of the key (the repo's md5-int60 primitive — Spark's own murmur3 is
+# not oracle-reproducible, and a profile needs A uniform hash, not the
+# engine's exact one), aggregate per bucket, and report per key the
+# bucket count, total, max-bucket load, and the imbalance factor
+# max/avg in exact integer permille (uniform ~= 1000; a key where one
+# value owns half the rows profiles at ~16000 over 32 buckets).  Both a
+# healthy key (l_orderkey) and q142's deliberately collapsed key are
+# profiled in one output, so the report demonstrably separates them.
+# Scale shape: one map-side-combined aggregation per profiled key —
+# shuffle carries at most n_buckets rows per executor.
+# ---------------------------------------------------------------------------
+SKEW_PROFILE_BUCKETS = 32
+
+
+def q150_skew_profile(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.text import md5_int60
+    from tinymr_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = {
+        "l_orderkey": F.col("l_orderkey").cast("string"),
+        "collapsed_even": F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .cast("string"),
+    }
+    profiles = []
+    for name, expr in keys.items():
+        bucket = F.pmod(md5_int60(expr), F.lit(SKEW_PROFILE_BUCKETS))
+        per_bucket = (
+            li.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        profiles.append(
+            per_bucket.agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("n").cast("bigint").alias("total_rows"),
+                F.max("n").alias("max_bucket_rows"),
+            ).select(
+                F.lit(name).alias("key_name"),
+                "n_buckets",
+                "total_rows",
+                "max_bucket_rows",
+                F.expr(
+                    "max_bucket_rows * n_buckets * 1000 div total_rows"
+                ).alias("imbalance_permille"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_Q150 = f"""
+WITH k AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS key_str, 'l_orderkey' AS key_name
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS VARCHAR),
+           'collapsed_even'
+    FROM lineitem
+),
+b AS (
+    SELECT key_name,
+           CAST(('0x' || substr(md5(key_str), 1, 15)) AS BIGINT)
+               % {SKEW_PROFILE_BUCKETS} AS bucket,
+           COUNT(*) AS n
+    FROM k GROUP BY 1, 2
+)
+SELECT key_name, COUNT(*) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       MAX(n) AS max_bucket_rows,
+       MAX(n) * COUNT(*) * 1000 // CAST(SUM(n) AS BIGINT) AS imbalance_permille
+FROM b GROUP BY key_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # q112 — HyperLogLog sketch merge (Apache DataSketches via Spark 3.5+
 # hll_sketch_agg / hll_union_agg): the mergeable-summary pattern that
 # makes COUNT DISTINCT feasible at 100 TB.  Exact distinct needs a
@@ -1568,6 +1651,7 @@ QUERIES = {
     "q142_aqe_skew_join": q142_aqe_skew_join,
     "q144_pushdown_datasource": q144_pushdown_datasource,
     "q148_quality_constraints": q148_quality_constraints,
+    "q150_skew_profile": q150_skew_profile,
 }
 
 ORACLE = {
@@ -1590,4 +1674,5 @@ ORACLE = {
     "q142_aqe_skew_join": ORACLE_Q142,
     "q144_pushdown_datasource": ORACLE_Q144,
     "q148_quality_constraints": ORACLE_Q148,
+    "q150_skew_profile": ORACLE_Q150,
 }
