@@ -314,6 +314,156 @@ GROUP BY prio
 
 
 # ---------------------------------------------------------------------------
+# q152 — IQR outlier QUARANTINE: the numeric-cleaning pass every
+# training-data pipeline runs before aggregating a measure column —
+# per-group Tukey fences (p25/p75 +- 1.5*IQR on event value), rows
+# outside the fence quarantined, and the report carries the fences and
+# the kept-range so downstream can audit what was dropped.  Exact
+# (sort-based) percentiles with linear interpolation are arithmetic-
+# identical in Spark (`percentile`) and DuckDB (`quantile_cont`) —
+# pos = p*(n-1), a + (b-a)*frac on the same doubles — so fences,
+# classifications, and counts all hash-match without rounding tricks;
+# interpolated fences never sit on a rounding boundary.  Scale shape:
+# the 5-row fence table broadcasts back onto the fact scan — one
+# sort-based agg + one narrow pass, no fact shuffle beyond the
+# per-group percentile.
+# ---------------------------------------------------------------------------
+IQR_FENCE = 1.5
+
+
+def q152_outlier_quarantine(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+    lo = F.col("p25") - IQR_FENCE * (F.col("p75") - F.col("p25"))
+    hi = F.col("p75") + IQR_FENCE * (F.col("p75") - F.col("p25"))
+    flagged = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "value",
+        ((F.col("value") < lo) | (F.col("value") > hi)).alias("is_outlier"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quarantined"),
+        F.round(F.min("lo"), 6).alias("fence_lo"),
+        F.round(F.max("hi"), 6).alias("fence_hi"),
+        F.round(F.min(F.when(~F.col("is_outlier"), F.col("value"))), 6).alias(
+            "kept_min"
+        ),
+        F.round(F.max(F.when(~F.col("is_outlier"), F.col("value"))), 6).alias(
+            "kept_max"
+        ),
+    )
+
+
+ORACLE_Q152 = f"""
+WITH fences AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.75) AS p75
+    FROM events GROUP BY event_type
+),
+flagged AS (
+    SELECT e.event_type, e.value,
+           (e.value < f.p25 - {IQR_FENCE} * (f.p75 - f.p25)
+            OR e.value > f.p75 + {IQR_FENCE} * (f.p75 - f.p25)) AS is_outlier,
+           f.p25 - {IQR_FENCE} * (f.p75 - f.p25) AS lo,
+           f.p75 + {IQR_FENCE} * (f.p75 - f.p25) AS hi
+    FROM events e JOIN fences f USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       ROUND(MIN(lo), 6) AS fence_lo,
+       ROUND(MAX(hi), 6) AS fence_hi,
+       ROUND(MIN(CASE WHEN NOT is_outlier THEN value END), 6) AS kept_min,
+       ROUND(MAX(CASE WHEN NOT is_outlier THEN value END), 6) AS kept_max
+FROM flagged
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q151 — SCHEMA EVOLUTION read (mergeSchema): the lake reality no
+# static-schema demo covers — a table whose early partitions were
+# written BEFORE a column existed.  Two generations of the orders table
+# are staged once per source version: gen v1 without o_orderpriority,
+# gen v2 with it; `spark.read.option("mergeSchema", true)` reconciles
+# the footers into the union schema and the missing column reads as
+# NULL for v1 rows (never a default, never an error).  The aggregate
+# groups by the evolved column with counts per generation, so the hash
+# gate proves both the NULL semantics and that no rows were dropped or
+# duplicated across generations.  At 100 TB this is why schema changes
+# are append-only column ADDS: readers reconcile footers per file and
+# old data is never rewritten.
+# ---------------------------------------------------------------------------
+def q151_schema_evolution(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src = table_path(sf_dir, "orders")
+    stage = versioned_staging_dir("tinymr_spark_evolve", src)
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(stage, "gen=1"))
+        v2.write.mode("overwrite").parquet(os.path.join(stage, "gen=2"))
+        open(done, "w").close()
+    evolved = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", stage)
+        .parquet(os.path.join(stage, "gen=1"), os.path.join(stage, "gen=2"))
+    )
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("gen").alias("n_generations"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+ORACLE_Q151 = """
+WITH evolved AS (
+    SELECT o_orderkey, o_totalprice, 1 AS gen, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 2, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT gen) AS n_generations,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM evolved
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # q150 — shuffle-skew PROFILE: the diagnostic that decides BETWEEN
 # q110's a-priori salting and q142's AQE splitting.  Before re-keying a
 # 100 TB join you measure how a hash partitioning of the candidate key
@@ -1652,6 +1802,8 @@ QUERIES = {
     "q144_pushdown_datasource": q144_pushdown_datasource,
     "q148_quality_constraints": q148_quality_constraints,
     "q150_skew_profile": q150_skew_profile,
+    "q151_schema_evolution": q151_schema_evolution,
+    "q152_outlier_quarantine": q152_outlier_quarantine,
 }
 
 ORACLE = {
@@ -1675,4 +1827,6 @@ ORACLE = {
     "q144_pushdown_datasource": ORACLE_Q144,
     "q148_quality_constraints": ORACLE_Q148,
     "q150_skew_profile": ORACLE_Q150,
+    "q151_schema_evolution": ORACLE_Q151,
+    "q152_outlier_quarantine": ORACLE_Q152,
 }
