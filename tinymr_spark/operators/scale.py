@@ -314,6 +314,125 @@ GROUP BY prio
 
 
 # ---------------------------------------------------------------------------
+# q153 — PSI distribution drift (population stability index): THE
+# production monitoring metric for "did this feature's distribution
+# move between snapshots" — the check that gates retraining and flags
+# upstream breakage.  Two snapshots of the event value distribution are
+# compared per event type: the observed corpus vs a drifted twin
+# (purchase values scaled 2x — the realistic drift of a price
+# change), binned into fixed-width buckets (no percentile dependence —
+# bin edges must be STABLE across snapshots or the metric measures the
+# binning, not the data).  PSI = sum((p-q) * ln(p/q)) with Laplace
+# smoothing ((n+1)/(N+B) — exact integer ratios, so p and q are
+# identical doubles in both engines); per-bin contributions are rounded
+# to 9 decimals and decimal-summed (the q109 recipe) so the final PSI
+# hash-matches bit-for-bit.  The drifted type reports PSI >> the
+# conventional 0.2 alarm line while undrifted types sit near 0 — the
+# report demonstrably separates them.  Scale shape: two
+# map-side-combined binned aggregations + a broadcast-size join on
+# (event_type, bin).
+# ---------------------------------------------------------------------------
+PSI_BIN_W = 10
+PSI_BINS = 16  # values land in [0, 160); the last bin absorbs overflow
+
+
+def q153_psi_drift(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    drifted = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase", F.col("value") * 2.0
+        ).otherwise(F.col("value")).alias("value"),
+    )
+
+    def binned(df):
+        b = F.least(
+            F.lit(PSI_BINS - 1), F.floor(F.col("value") / PSI_BIN_W)
+        ).cast("int")
+        return df.groupBy("event_type", b.alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    old_b = binned(ev).withColumnRenamed("n", "n_old")
+    new_b = binned(drifted).withColumnRenamed("n", "n_new")
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    # full bin spine per type so empty bins smooth instead of vanishing
+    spine = tot.crossJoin(
+        spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    )
+    j = (
+        spine.join(old_b, ["event_type", "bin"], "left")
+        .join(new_b, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "total",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    p = (F.col("n_old") + 1) / (F.col("total") + PSI_BINS)
+    q = (F.col("n_new") + 1) / (F.col("total") + PSI_BINS)
+    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    return (
+        j.groupBy("event_type")
+        .agg(F.sum(contrib).cast("double").alias("psi"))
+        .select(
+            "event_type", "psi", (F.col("psi") > 0.2).alias("drift_alarm")
+        )
+    )
+
+
+ORACLE_Q153 = f"""
+WITH ev AS (SELECT event_type, value FROM events),
+drifted AS (
+    SELECT event_type,
+           CASE WHEN event_type = 'purchase' THEN value * 2.0 ELSE value END AS value
+    FROM events
+),
+old_b AS (
+    SELECT event_type,
+           LEAST({PSI_BINS - 1}, CAST(FLOOR(value / {PSI_BIN_W}) AS INT)) AS bin,
+           COUNT(*) AS n_old
+    FROM ev GROUP BY 1, 2
+),
+new_b AS (
+    SELECT event_type,
+           LEAST({PSI_BINS - 1}, CAST(FLOOR(value / {PSI_BIN_W}) AS INT)) AS bin,
+           COUNT(*) AS n_new
+    FROM drifted GROUP BY 1, 2
+),
+tot AS (SELECT event_type, COUNT(*) AS total FROM ev GROUP BY 1),
+spine AS (
+    SELECT t.event_type, t.total, CAST(g.bin AS INT) AS bin
+    FROM tot t, generate_series(0, {PSI_BINS - 1}) AS g(bin)
+),
+j AS (
+    SELECT s.event_type, s.total,
+           COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+    FROM spine s
+    LEFT JOIN old_b o ON o.event_type = s.event_type AND o.bin = s.bin
+    LEFT JOIN new_b n ON n.event_type = s.event_type AND n.bin = s.bin
+),
+c AS (
+    SELECT event_type,
+           CAST(ROUND(
+               ((n_old + 1.0) / (total + {PSI_BINS})
+                - (n_new + 1.0) / (total + {PSI_BINS}))
+               * LN(((n_old + 1.0) / (total + {PSI_BINS}))
+                    / ((n_new + 1.0) / (total + {PSI_BINS}))),
+           9) AS DECIMAL(18,9)) AS contrib
+    FROM j
+)
+SELECT event_type, CAST(SUM(contrib) AS DOUBLE) AS psi,
+       CAST(SUM(contrib) AS DOUBLE) > 0.2 AS drift_alarm
+FROM c
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q152 — IQR outlier QUARANTINE: the numeric-cleaning pass every
 # training-data pipeline runs before aggregating a measure column —
 # per-group Tukey fences (p25/p75 +- 1.5*IQR on event value), rows
@@ -1804,6 +1923,7 @@ QUERIES = {
     "q150_skew_profile": q150_skew_profile,
     "q151_schema_evolution": q151_schema_evolution,
     "q152_outlier_quarantine": q152_outlier_quarantine,
+    "q153_psi_drift": q153_psi_drift,
 }
 
 ORACLE = {
@@ -1829,4 +1949,5 @@ ORACLE = {
     "q150_skew_profile": ORACLE_Q150,
     "q151_schema_evolution": ORACLE_Q151,
     "q152_outlier_quarantine": ORACLE_Q152,
+    "q153_psi_drift": ORACLE_Q153,
 }
