@@ -74,7 +74,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # — q50's shape for both rankers
               "q147_hybrid_rrf",
               # crossJoin of three 1-row constraint-metric aggregates
-              "q148_quality_constraints"}
+              "q148_quality_constraints",
+              # crossJoin(5-row per-type totals x 16-row bin spine)
+              "q153_psi_drift"}
 
 
 def main() -> int:
