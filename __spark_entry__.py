@@ -9,7 +9,7 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 dedup q40-q49+q104+q106-q107+q118+q123+q127, similarity
                 q50-q59+q111+q140+q147, graph q146 (iterative PageRank),
                 multimodal q60-q62+q65-q69, pandas-UDF/UDTF
-                q63-q64+q100+q119-q120+q129, events q70-q79+q108+q115,
+                q63-q64+q100+q119-q120+q129, events q70-q79+q108+q115+q154,
                 MapReduce-face q80-q84, streaming
                 q90-q99+q122+q124+q136+q138+q143+q149, storage/scale
                 q105+q110+q112-q114+q117+q121+q128+q130-q135+q137+

@@ -482,8 +482,59 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q154 — OHLC resampling (time-series downsample to open/high/low/close
+# candles): the standard compaction of a high-frequency measure into
+# per-bucket summaries, and the demo of Spark's ordered-selection
+# aggregates `min_by`/`max_by` (DuckDB twins arg_min/arg_max) — the
+# one-pass answer to "the value AT the earliest/latest row per group"
+# that otherwise costs a window + filter.  Selection ORDER is event_id,
+# not ts: the repo's cross-engine playbook forbids ordering by raw ts
+# (DuckDB keeps nanoseconds, Spark truncates to micros, so a µs-tie in
+# Spark may not tie in DuckDB and the two engines would pick different
+# "first" rows); event_id is unique, monotone with arrival in the
+# generator, and identical in both engines.  One map-side-combined
+# aggregation — min_by/max_by partials carry a single (value, key) pair
+# per group per executor, so the shuffle is as small as a plain min's.
+# ---------------------------------------------------------------------------
+OHLC_BUCKET_SEC = 3600  # hourly candles
+
+
+def q154_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{OHLC_BUCKET_SEC} seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_ts"),
+            "event_type", "n", "open", "high", "low", "close",
+        )
+    )
+
+
+ORACLE_Q154 = f"""
+SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / {OHLC_BUCKET_SEC}) AS BIGINT) * {OHLC_BUCKET_SEC}) AS TIMESTAMP) AS bucket_ts,
+       event_type, COUNT(*) AS n,
+       arg_min(value, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, event_id) AS close
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q70_tumbling_window": q70_tumbling_window,
+    "q154_ohlc_resample": q154_ohlc_resample,
     "q71_sliding_window": q71_sliding_window,
     "q72_sessionize": q72_sessionize,
     "q73_pivot": q73_pivot,
@@ -499,6 +550,7 @@ QUERIES = {
 
 ORACLE = {
     "q70_tumbling_window": ORACLE_Q70,
+    "q154_ohlc_resample": ORACLE_Q154,
     "q71_sliding_window": ORACLE_Q71,
     "q72_sessionize": ORACLE_Q72,
     "q73_pivot": ORACLE_Q73,
