@@ -314,6 +314,99 @@ GROUP BY prio
 
 
 # ---------------------------------------------------------------------------
+# q155 — CORRUPT-RECORD ingest (PERMISSIVE mode): real feeds contain
+# malformed rows, and the ingest contract is "quarantine, never crash,
+# never silently drop".  A JSON landing file is staged once per source
+# version with every 7th order emitted as a deliberately broken line
+# (truncated JSON — the classic upstream-writer-died shape); the read
+# declares the schema plus the `_corrupt_record` rescue column, so good
+# rows parse and bad lines land intact in the rescue column for
+# reprocessing.  The aggregate reports per-status order counts from the
+# GOOD rows plus one quarantine row counting the bad — and because the
+# corruption rule is deterministic, the oracle reproduces both halves
+# from the original table, proving no row was lost to either bucket.
+# At 100 TB this is the difference between a nightly feed landing and a
+# nightly feed failing at 3am on one bad line.
+# ---------------------------------------------------------------------------
+def q155_corrupt_ingest(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src = table_path(sf_dir, "orders")
+    stage = versioned_staging_dir("tinymr_spark_corrupt", src)
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        orders = load_table(spark, sf_dir, "orders")
+        # good rows as JSON lines; every 7th line truncated mid-object
+        line = F.concat(
+            F.lit('{"o_orderkey":'), F.col("o_orderkey").cast("string"),
+            F.lit(',"o_orderstatus":"'), F.col("o_orderstatus"),
+            F.lit('","o_totalprice":'), F.col("o_totalprice").cast("string"),
+            F.lit("}"),
+        )
+        broken = F.pmod(F.col("o_orderkey"), F.lit(7)) == 0
+        out = orders.select(
+            F.when(broken, F.substring(line, 1, 20)).otherwise(line).alias("value")
+        )
+        out.write.mode("overwrite").text(os.path.join(stage, "data"))
+        open(done, "w").close()
+    # Spark refuses to answer queries that reference ONLY the rescue
+    # column of an uncached semi-structured parse (the parser prunes the
+    # data columns and the rescue column would be trivially non-null);
+    # its own guidance is to cache the parsed result first — done here
+    # with the standard per-version session-cache lifecycle.
+    from tinymr_spark.sources import file_version, session_cache
+
+    cache = session_cache(spark, "_tinymr_corrupt_cache")
+    ckey = (stage, file_version(src))
+    if ckey not in cache:
+        parsed = (
+            spark.read.schema(
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+                "_corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(os.path.join(stage, "data"))
+            .persist()
+        )
+        for stale in [k for k in cache if k[0] != stage]:
+            cache.pop(stale).unpersist()
+        cache[ckey] = parsed
+    parsed = cache[ckey]
+    good = parsed.where(F.col("_corrupt_record").isNull())
+    bad = parsed.where(F.col("_corrupt_record").isNotNull())
+    report = good.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    quarantine = bad.agg(
+        F.lit("_QUARANTINED").alias("status"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    return report.unionByName(quarantine)
+
+
+ORACLE_Q155 = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY 1
+UNION ALL
+SELECT '_QUARANTINED', COUNT(*), NULL
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # q153 — PSI distribution drift (population stability index): THE
 # production monitoring metric for "did this feature's distribution
 # move between snapshots" — the check that gates retraining and flags
@@ -1924,6 +2017,7 @@ QUERIES = {
     "q151_schema_evolution": q151_schema_evolution,
     "q152_outlier_quarantine": q152_outlier_quarantine,
     "q153_psi_drift": q153_psi_drift,
+    "q155_corrupt_ingest": q155_corrupt_ingest,
 }
 
 ORACLE = {
@@ -1950,4 +2044,5 @@ ORACLE = {
     "q151_schema_evolution": ORACLE_Q151,
     "q152_outlier_quarantine": ORACLE_Q152,
     "q153_psi_drift": ORACLE_Q153,
+    "q155_corrupt_ingest": ORACLE_Q155,
 }
