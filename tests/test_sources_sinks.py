@@ -228,6 +228,15 @@ def test_tinyavro_roundtrip_and_manifest(spark, tmp_path):
     w.abort([msg])
     assert spark.read.format("tinyavro").load(d).count() == 15
 
+    # FIRST-EVER write in append mode to a manifest-less dir: the
+    # committed-prior set is manifest-only, so the new attempt's own
+    # files must not be double-listed (nor aborted orphans enrolled)
+    d2 = str(tmp_path / "av_fresh")
+    df.limit(7).repartition(2).write.format("tinyavro").mode("append").save(d2)
+    manifest = open(os.path.join(d2, "_MANIFEST")).read().split()
+    assert len(manifest) == len(set(manifest)) == 2, manifest
+    assert spark.read.format("tinyavro").load(d2).count() == 7
+
 
 def test_tinyavro_container_format_is_spec_shaped(tmp_path):
     """Byte-level spec conformance of the codec itself (no Spark):

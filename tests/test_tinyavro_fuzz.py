@@ -65,9 +65,12 @@ def test_roundtrip_identity(tmp_path_factory, table):
     for g, w in zip(got, rows):
         for gv, wv in zip(g, w):
             if isinstance(wv, float):
-                # -0.0 == 0.0 is fine; bit-level identity via repr of
-                # the struct round trip
-                assert math.isinf(wv) and math.isinf(gv) and gv == wv or gv == wv
+                # struct.pack/unpack '<d' is bit-transparent, so demand
+                # BIT equality (stricter than ==): distinguishes -0.0
+                # from 0.0, and would catch NaN payloads if they were
+                # ever generated
+                assert math.copysign(1.0, gv) == math.copysign(1.0, wv)
+                assert gv == wv
             else:
                 assert gv == wv
 

@@ -363,7 +363,7 @@ def q155_corrupt_ingest(spark, sf_dir: str) -> DataFrame:
     from tinymr_spark.sources import file_version, session_cache
 
     cache = session_cache(spark, "_tinymr_corrupt_cache")
-    ckey = (stage, file_version(src))
+    ckey = (src, stage)  # stage path embeds the version hash
     if ckey not in cache:
         parsed = (
             spark.read.schema(
@@ -375,7 +375,9 @@ def q155_corrupt_ingest(spark, sf_dir: str) -> DataFrame:
             .json(os.path.join(stage, "data"))
             .persist()
         )
-        for stale in [k for k in cache if k[0] != stage]:
+        # evict only SUPERSEDED versions of this source (the repo's
+        # session-cache convention) — other scale factors stay live
+        for stale in [k for k in cache if k[0] == src and k != ckey]:
             cache.pop(stale).unpersist()
         cache[ckey] = parsed
     parsed = cache[ckey]

@@ -834,21 +834,38 @@ LEFT JOIN best b USING (vec_id)
 # * 127)) matches DuckDB exactly away from .5 boundaries, which the
 # near-orthogonal double values never hit.
 # ---------------------------------------------------------------------------
+def _int8_quantize(vec_col, norm_col):
+    """Symmetric int8 quantization of a unit-normalized vector —
+    clamp(round(x/norm * 127)).  SHARED by q56 (the quantization
+    operator) and q147 (the quantized ranker): the RRF fusion's claim
+    'the quantized ranker matches q56's quantization' is only true
+    while both use this one expression."""
+    return F.transform(
+        vec_col,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") / norm_col * 127).cast("int"),
+            ),
+        ),
+    )
+
+
+# DuckDB twin of _int8_quantize — shared by ORACLE_Q56 and ORACLE_Q147
+# for the same single-source-of-truth reason.
+_SQL_INT8_QUANTIZE = (
+    "list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, "
+    "ROUND(x / norm * 127))) AS INT))"
+)
+
+
 def q56_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    quant = F.transform(
-        F.col("embedding"),
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.round(x.cast("double") / F.col("norm") * 127).cast("int"),
-            ),
-        ),
-    )
+    quant = _int8_quantize(F.col("embedding"), F.col("norm"))
     return emb.select(
         "vec_id",
         F.round("norm", 6).alias("norm"),
@@ -871,14 +888,14 @@ WITH base AS (
 ),
 quant AS (
     SELECT vec_id, norm,
-           list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, ROUND(x / norm * 127))) AS INT)) AS q_embedding
+           {Q} AS q_embedding
     FROM base
 )
 SELECT vec_id, ROUND(norm, 6) AS norm,
        CAST(to_json(q_embedding) AS VARCHAR) AS q_embedding,
        CAST(list_sum(list_transform(q_embedding, x -> ABS(x))) AS BIGINT) AS q_l1
 FROM quant
-"""
+""".replace("{Q}", _SQL_INT8_QUANTIZE)
 
 
 
@@ -912,17 +929,10 @@ def q147_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    quant = F.transform(
-        F.col("embedding"),
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.round(x.cast("double") / F.col("norm") * 127).cast("int"),
-            ),
-        ),
+    base = emb.select(
+        "vec_id", "embedding", "norm",
+        _int8_quantize(F.col("embedding"), F.col("norm")).alias("qe"),
     )
-    base = emb.select("vec_id", "embedding", "norm", quant.alias("qe"))
     queries = base.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -994,7 +1004,7 @@ WITH base AS (
 ),
 qz AS (
     SELECT vec_id, v, norm,
-           list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, ROUND(x / norm * 127))) AS INT)) AS qe
+           {{Q}} AS qe
     FROM base
 ),
 scored AS (
@@ -1027,7 +1037,7 @@ SELECT query_id, neighbor_id, rank_dense, rank_quant, rrf_u,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, neighbor_id) AS INT) AS fused_rank
 FROM fused
 QUALIFY fused_rank <= {RRF_TOP}
-"""
+""".replace("{Q}", _SQL_INT8_QUANTIZE)
 
 
 # ---------------------------------------------------------------------------

@@ -1074,8 +1074,10 @@ def _bm25_lake_index(spark: SparkSession, sf_dir: str):
     lifecycle)."""
     from tinymr_spark.sources import standing_index, table_path
 
+    from tinymr_spark.operators.dedup import INC_SHARD_MOD
+
     src = table_path(sf_dir, "documents")
-    is_lake = F.pmod(F.col("doc_id"), F.lit(5)) != 0
+    is_lake = F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) != 0
 
     def build_tf() -> DataFrame:
         docs = with_tokens(load_table(spark, sf_dir, "documents").where(is_lake))
@@ -1102,9 +1104,11 @@ def q145_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_lake, dl_lake, df_lake = _bm25_lake_index(spark, sf_dir)
 
     # only the SHARD is tokenized at query time
+    from tinymr_spark.operators.dedup import INC_SHARD_MOD
+
     shard = with_tokens(
         load_table(spark, sf_dir, "documents").where(
-            F.pmod(F.col("doc_id"), F.lit(5)) == 0
+            F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0
         )
     )
     toks_s = shard.select("doc_id", F.explode("toks").alias("tok"))

@@ -98,14 +98,21 @@ def standing_index(
     cache = session_cache(spark, "_tinymr_index_cache")
     srcs = tuple(source_paths)
     ver = tuple(file_version(p) for p in source_paths)
-    key = (tag, srcs, ver)
+    # The BUCKET SPEC is part of the version identity: a code change to
+    # n_buckets/key_cols/sort_cols must never re-register a previous
+    # session's files written under the old spec (CLUSTERED BY INTO N
+    # over M-bucket files would silently mis-prune).  Builder-LOGIC
+    # changes are not hashable — bump the tag when a build fn's meaning
+    # changes.
+    spec = (n_buckets, tuple(key_cols), tuple(sort_cols or key_cols))
+    key = (tag, srcs, (ver, spec))
     if key in cache:
         return spark.table(cache[key])
     # Two hash levels: same (tag, sources) at different SCALE FACTORS are
     # independent live indexes (distinct src_h); only superseded VERSIONS
     # of the same sources (distinct ver_h under one src_h) are pruned.
     src_h = hashlib.md5(repr((tag, srcs)).encode()).hexdigest()[:10]
-    ver_h = hashlib.md5(repr(ver).encode()).hexdigest()[:10]
+    ver_h = hashlib.md5(repr((ver, spec)).encode()).hexdigest()[:10]
     name = f"idx_{tag}_{src_h}_{ver_h}"
     root = os.path.join(staging_root("tinymr_spark_index"), tag, src_h)
     path = os.path.join(root, ver_h)

@@ -297,30 +297,35 @@ class TinyAvroDataSource(DataSource):
         return TinyAvroStreamWriter(self._path(), schema)
 
 
+def _committed_files(path: str) -> list[str]:
+    """Basenames listed by manifests only — NO bare-file fallback: the
+    writer's notion of 'already committed' must never include
+    uncommitted part files."""
+    if not os.path.isdir(path):
+        return []
+    out: list[str] = []
+    for mf in sorted(
+        f for f in os.listdir(path)
+        if f == MANIFEST or f.startswith(MANIFEST + "-")
+    ):
+        with open(os.path.join(path, mf)) as f:
+            out.extend(line.strip() for line in f if line.strip())
+    return list(dict.fromkeys(out))
+
+
 def _manifest_files(path: str) -> list[str]:
     """Committed files only: manifests are written by the driver at
     commit (`_MANIFEST` for a batch write, `_MANIFEST-<batchId>` per
     streaming micro-batch), so orphan part files from failed,
     speculative, or replayed-then-superseded tasks are invisible to
     readers.  A manifest-less directory of bare .avro files (foreign
-    tooling's output) is read whole."""
+    tooling's output) is read whole — a READER-only courtesy; the
+    writer's committed-set never uses this fallback."""
+    committed = _committed_files(path)
+    if committed:
+        return [os.path.join(path, f) for f in committed]
     if not os.path.isdir(path):
         return []
-    manifests = sorted(
-        f
-        for f in os.listdir(path)
-        if f == MANIFEST or f.startswith(MANIFEST + "-")
-    )
-    if manifests:
-        out: list[str] = []
-        for mf in manifests:
-            with open(os.path.join(path, mf)) as f:
-                out.extend(
-                    os.path.join(path, line.strip()) for line in f if line.strip()
-                )
-        # dedupe, order-preserving: an append consolidation briefly lists
-        # a file in both its old batch manifest and the new _MANIFEST
-        return list(dict.fromkeys(out))
     return sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
     )
@@ -382,14 +387,13 @@ class TinyAvroWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         new = [m.value for m in messages if m is not None]
-        # append keeps everything currently committed (consolidating any
+        # append keeps everything currently COMMITTED (consolidating any
         # streaming batch manifests); overwrite publishes only the new
-        # attempt's files
-        prior = (
-            []
-            if self.overwrite
-            else [os.path.basename(p) for p in _manifest_files(self.path)]
-        )
+        # attempt's files.  "Committed" means manifest-listed ONLY —
+        # using the reader's bare-.avro fallback here would enroll this
+        # attempt's own just-written part files (listing everything
+        # twice) and any aborted attempts' orphans into the table.
+        prior = [] if self.overwrite else _committed_files(self.path)
         mf = os.path.join(self.path, MANIFEST)
         tmp = mf + ".tmp"
         with open(tmp, "w") as f:

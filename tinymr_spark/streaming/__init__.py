@@ -1018,9 +1018,11 @@ def _staged_shard_docs(spark: SparkSession, sf_dir: str) -> str:
     stage = versioned_staging_dir("tinymr_spark_stage_shard", src)
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
+        from tinymr_spark.operators.dedup import INC_SHARD_MOD
+
         docs = load_table(spark, sf_dir, "documents")
         (
-            docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+            docs.where(F.pmod(F.col("doc_id"), F.lit(INC_SHARD_MOD)) == 0)
             .repartition(4)
             .write.mode("overwrite")
             .parquet(stage)
