@@ -13,7 +13,7 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 MapReduce-face q80-q84, streaming
                 q90-q99+q122+q124+q136+q138+q143+q149, storage/scale
                 q105+q110+q112-q114+q117+q121+q128+q130-q135+q137+
-                q141-q142+q144+q148+q150-q153+q155.
+                q141-q142+q144+q148+q150-q153+q155-q156.
 oracle_sql()  — DuckDB twins for all of the above except q104
                 (library-internal MinHashLSH hashes; rows-only with a
                 pytest recall gate).  Not-yet-driver-verified queries are

@@ -314,6 +314,67 @@ GROUP BY prio
 
 
 # ---------------------------------------------------------------------------
+# q156 — CROSS-FORMAT federated join: one plan over three storage
+# formats — lineitem from PARQUET, orders from the staged ORC copy
+# (q135's artifact), customer from the staged Avro copy (q141's
+# tinyavro artifact) — the migration-era reality where a lake holds
+# last year's ORC next to this year's parquet next to a partner's Avro
+# drop, and the engine must plan across them as one graph.  Format is a
+# scan-level detail: Catalyst broadcasts the small Avro customer side,
+# sort-merge-joins the two big sides, and pushdown/pruning apply per
+# scan exactly as in the single-format queries.  The oracle runs the
+# same join over the original parquet, so the hash gate proves all
+# three format paths byte-preserve their tables inside one composed
+# query, not just in isolation.
+# ---------------------------------------------------------------------------
+def q156_federated_join(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table, tinyavro
+
+    tinyavro.register(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = spark.read.orc(
+        _staged_format_copy(
+            spark, sf_dir, "orders", "orc",
+            lambda df, d: df.write.mode("overwrite").orc(d),
+        )
+    )
+    cust = spark.read.format("tinyavro").load(
+        _staged_format_copy(
+            spark, sf_dir, "customer", "avro",
+            lambda df, d: df.write.mode("overwrite").format("tinyavro").save(d),
+        )
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q156 = """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q155 — CORRUPT-RECORD ingest (PERMISSIVE mode): real feeds contain
 # malformed rows, and the ingest contract is "quarantine, never crash,
 # never silently drop".  A JSON landing file is staged once per source
@@ -2020,6 +2081,7 @@ QUERIES = {
     "q152_outlier_quarantine": q152_outlier_quarantine,
     "q153_psi_drift": q153_psi_drift,
     "q155_corrupt_ingest": q155_corrupt_ingest,
+    "q156_federated_join": q156_federated_join,
 }
 
 ORACLE = {
@@ -2047,4 +2109,5 @@ ORACLE = {
     "q152_outlier_quarantine": ORACLE_Q152,
     "q153_psi_drift": ORACLE_Q153,
     "q155_corrupt_ingest": ORACLE_Q155,
+    "q156_federated_join": ORACLE_Q156,
 }
