@@ -13,15 +13,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Queries the driver's capped 50-entry correctness gate has hash-verified
-# in some prior round (union of CORRECTNESS_r01-r04 keys).  q104 is
-# counted here although its r4 row is rows-only by contract (no SQL
-# oracle exists for the library's internal minhash coefficients): the
-# driver has recorded the strongest check it can ever make, so the query
-# must not keep occupying a front-of-gate slot.
-_DRIVER_VERIFIED = frozenset(
-    f"q{i:02d}_{name}"
-    for i, name in (
+# Queries the driver's capped 50-entry correctness gate has hash-verified,
+# keyed by the MOST RECENT round that verified them (union of
+# CORRECTNESS_r01-r06 keys).  q104 is counted here although its r4 row is
+# rows-only by contract (no SQL oracle exists for the library's internal
+# minhash coefficients): the driver has recorded the strongest check it
+# can ever make, so the query must not keep occupying a front-of-gate
+# slot.  The round number drives the backlog rotation in all_queries():
+# least-recently-verified queries re-enter the gate first, so every query
+# is periodically re-confirmed instead of q01-q31 soaking up the spare
+# slots each round.
+def _verified_rounds() -> dict[str, int]:
+    rounds: dict[str, int] = {}
+    for rnd, entries in _VERIFIED_BY_ROUND:
+        for i, name in entries:
+            rounds[f"q{i:02d}_{name}"] = rnd
+    return rounds
+
+
+_VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
+    (2, (
         # --- rounds 1-2 (CORRECTNESS_r01/r02) ---
         (1, "pricing_summary"), (2, "filter_project"), (3, "join_broadcast"),
         (4, "star_join_revenue"), (5, "semi_join"), (6, "anti_join"),
@@ -41,6 +52,8 @@ _DRIVER_VERIFIED = frozenset(
         (45, "dedup_minhash_banded"), (85, "sql_interface"),
         (86, "sentence_stats"), (87, "repetition_signals"),
         (88, "decontaminate"), (89, "monthly_gapfill"),
+    )),
+    (3, (
         # --- round 3 (CORRECTNESS_r03) ---
         (23, "window_range_frame"),
         (46, "dedup_groups"), (47, "dedup_simhash_banded"),
@@ -65,6 +78,8 @@ _DRIVER_VERIFIED = frozenset(
         (94, "stream_static_join"), (95, "stream_dedup"),
         (96, "stream_sink_parquet"), (97, "stream_incremental"),
         (98, "stream_stream_join"), (99, "stream_dedup_bounded"),
+    )),
+    (4, (
         # --- round 4 (CORRECTNESS_r04) ---
         (24, "approx_distinct"), (100, "pandas_udaf"),
         (101, "sequence_packing"), (102, "domain_mixture"),
@@ -78,6 +93,8 @@ _DRIVER_VERIFIED = frozenset(
         (117, "table_fingerprint"), (118, "group_representatives"),
         (119, "cogroup_asof"), (120, "python_udtf"),
         (121, "python_datasource"), (122, "stream_upsert_sink"),
+    )),
+    (5, (
         # --- round 5 (CORRECTNESS_r05) ---
         (123, "incremental_dedup"), (124, "stream_delta_compact"),
         (125, "bm25_topk"), (126, "shard_manifest"),
@@ -88,8 +105,36 @@ _DRIVER_VERIFIED = frozenset(
         (135, "orc_source"), (136, "python_stream_source"),
         (137, "xml_source"), (138, "statestore_reader"),
         (139, "sql_udf"), (140, "incremental_embedding_dedup"),
-    )
+    )),
+    (6, (
+        # --- round 6 (CORRECTNESS_r06): 16 new + 34 backlog re-confirms ---
+        (141, "avro_source"), (142, "aqe_skew_join"),
+        (143, "python_stream_sink"), (144, "pushdown_datasource"),
+        (145, "incremental_bm25"), (146, "pagerank"),
+        (147, "hybrid_rrf"), (148, "quality_constraints"),
+        (149, "stream_index_probe"), (150, "skew_profile"),
+        (151, "schema_evolution"), (152, "outlier_quarantine"),
+        (153, "psi_drift"), (154, "ohlc_resample"),
+        (155, "corrupt_ingest"), (156, "federated_join"),
+        (1, "pricing_summary"), (2, "filter_project"),
+        (3, "join_broadcast"), (4, "star_join_revenue"),
+        (5, "semi_join"), (6, "anti_join"), (7, "global_topk"),
+        (8, "window_rank"), (9, "window_running_sum"), (10, "rollup"),
+        (11, "cube"), (12, "grouping_sets"), (13, "distinct_agg"),
+        (14, "set_ops"), (15, "scalar_functions"), (16, "case_buckets"),
+        (17, "agg_stats"), (18, "exists_subquery"),
+        (19, "having_scalar_subquery"), (20, "segment_order_value"),
+        (21, "percentiles"), (22, "analytics_battery"),
+        (23, "window_range_frame"), (24, "approx_distinct"),
+        (25, "array_functions"), (26, "salted_agg"),
+        (27, "stratified_sample"), (28, "full_outer_join"),
+        (29, "unpivot"), (30, "wordcount"), (31, "top_words"),
+        (85, "sql_interface"), (89, "monthly_gapfill"), (139, "sql_udf"),
+    )),
 )
+
+_VERIFIED_ROUND = _verified_rounds()
+_DRIVER_VERIFIED = frozenset(_VERIFIED_ROUND)
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -115,11 +160,20 @@ def all_queries() -> dict[str, QueryFn]:
     # in registry order).  Every not-yet-driver-verified query — including
     # anything added THIS round — is listed first so it enters the gate in
     # the round it ships; already-verified backlog fills the remaining
-    # slots (harmless re-confirmation).  Every entry passes the same
-    # oracle check locally regardless of order
+    # slots ordered LEAST-recently-verified first (q32-q84 last saw the
+    # driver in r3/r4 while q01-q31 were re-confirmed in r6 — the rotation
+    # re-gates the stalest queries each round instead of the same prefix).
+    # Every entry passes the same oracle check locally regardless of order
     # (tests/test_oracle_parity.py).
-    front = {n: f for n, f in merged.items() if n not in _DRIVER_VERIFIED}
-    front.update(merged)
+    order = list(merged)
+    idx = {n: i for i, n in enumerate(order)}
+    backlog = sorted(
+        (n for n in order if n in _VERIFIED_ROUND),
+        key=lambda n: (_VERIFIED_ROUND[n], idx[n]),
+    )
+    front = {n: merged[n] for n in order if n not in _VERIFIED_ROUND}
+    for n in backlog:
+        front[n] = merged[n]
     return front
 
 
