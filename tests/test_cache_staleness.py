@@ -46,24 +46,30 @@ def test_q46_group_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
     assert stale_df.storageLevel.useMemory is False, "stale table not unpersisted"
 
 
-def test_ml_lsh_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+def test_ml_lsh_standing_index_evicts_stale_versions(spark, sf_dir, tmp_path):
+    """q104's LSH artifacts are WRITTEN standing indexes since r7: a
+    regenerated corpus must rotate BOTH tables (bands + sets) to a new
+    version, dropping the superseded catalog entries — the on-disk analog
+    of the old session-cache pop+unpersist this test used to assert."""
     from tinymr_spark.operators.dedup import _ml_lsh_index
     from tinymr_spark.sources import session_cache, table_path
 
     sf = _clone_sf(sf_dir, tmp_path)
     _ml_lsh_index(spark, sf)
     path = table_path(sf, "documents")
-    cache = session_cache(spark, "_tinymr_ml_lsh_cache")
-    old_keys = [k for k in cache if k[0] == path]
-    assert len(old_keys) == 1
-    _, stale_hashed = cache[old_keys[0]]
+    cache = session_cache(spark, "_tinymr_index_cache")
+    old = {k: v for k, v in cache.items() if k[1] == (path,) and "mllsh" in k[0]}
+    assert len(old) == 2, f"expected bands+sets entries, got {list(old)}"
 
     _regenerate(path)
     _ml_lsh_index(spark, sf)
-    keys = [k for k in cache if k[0] == path]
-    assert len(keys) == 1, f"stale LSH entries retained: {keys}"
-    assert keys[0] != old_keys[0]
-    assert stale_hashed.storageLevel.useMemory is False, "stale index not unpersisted"
+    new = {k: v for k, v in cache.items() if k[1] == (path,) and "mllsh" in k[0]}
+    assert len(new) == 2, f"stale LSH index entries retained: {list(new)}"
+    assert set(new).isdisjoint(old), "version rotation did not rekey the indexes"
+    for stale_table in old.values():
+        assert not spark.catalog.tableExists(stale_table), (
+            f"superseded index table {stale_table} still registered"
+        )
 
 
 def test_bm25_index_cache_evicts_stale_versions(spark, sf_dir, tmp_path):

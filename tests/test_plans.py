@@ -121,3 +121,20 @@ def test_q76_interval_join_is_hash_not_nested_loop(spark, sf_dir):
 
     plan = explain_str(events.q76_interval_join(spark, sf_dir), "simple")
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q146_checkpoint_bounds_iteration_lineage(spark, sf_dir):
+    """PageRank's per-round lineage must be CUT by localCheckpoint: the
+    final printed plan may contain at most one live round (rounds since
+    the last checkpoint), not the whole 5-round history repeating the
+    persisted edge subtree each time.  Without the cut the sf0.001 plan
+    printed 29 edge-cache scans across 68 exchanges; with
+    PR_CHECKPOINT_EVERY=2 it prints 7 / 33."""
+    from tinymr_spark.operators import graph
+
+    plan = explain_str(graph.q146_pagerank(spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan, "no localCheckpoint cut in the plan"
+    assert plan.count("InMemoryTableScan") <= 10, (
+        f"iteration lineage not truncated: "
+        f"{plan.count('InMemoryTableScan')} cached-subtree scans"
+    )

@@ -212,6 +212,23 @@ def test_incremental_probes_plan_index_side_exchange_free(spark, sf_dir):
     assert _assert_index_scans_exchange_free(p140) >= 1  # lakevecs
 
 
+def test_ml_lsh_probes_plan_index_side_exchange_free(spark, sf_dir):
+    """q104 (r7 migration): the band-table SELF-join must plug both sides
+    in on the (entry, h) bucketing and the two set-table verification
+    joins must scan exchange-free — with broadcast disabled, the only
+    shuffles left are the candidate-pair distinct and the candidate side
+    of the verification joins."""
+    from tinymr_spark.operators.dedup import q104_ml_minhash_lsh
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(q104_ml_minhash_lsh(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert _assert_index_scans_exchange_free(plan) >= 4  # bands x2 + sets x2
+
+
 def test_bm25_postings_scan_prunes_buckets(spark, sf_dir):
     """q125's literal term IN-list must reach the bucketed postings scan
     and select a strict subset of buckets — the probe reads only the

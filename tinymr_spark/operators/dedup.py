@@ -1045,56 +1045,114 @@ ML_LSH_DIST_MAX = 0.6  # Jaccard distance cutoff (similarity >= 0.4)
 ML_LSH_TABLES = 6
 
 def _ml_lsh_index(spark: SparkSession, sf_dir: str):
-    """The fitted index (model + persisted hashed corpus), cached on the
-    session and keyed by the documents file's version — an LSH index is
-    built once and queried many times, but a regenerated file at the same
-    path must rebuild it (and unpersist the stale hashed corpus), same
-    policy as the scan cache in sources/__init__.py."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """The LSH index as two WRITTEN bucketed standing tables (the
+    q123/q125/q140 artifact lifecycle, sources.standing_index) instead of
+    a per-session persisted DataFrame — an LSH index is built once per
+    CORPUS SNAPSHOT and queried many times, across sessions:
 
-    from tinymr_spark.sources import file_version, session_cache, table_path
+      * `mllsh_bands` (doc_id, entry, h) bucketed+sorted by (entry, h) —
+        one row per (doc, hash table) with the pyspark.ml MinHashLSH
+        minhash value (seed=42, the library's own coefficients).  The
+        candidate self-join keys on (entry, h), which the scan already
+        hash-partitions, so BOTH join sides plan with no shuffle
+        exchange.
+      * `mllsh_sets` (doc_id, shset) bucketed by doc_id — the distinct
+        shingle set xxhash64-encoded to fixed 8-byte keys.  Pair
+        verification joins candidates against it twice; the index side
+        scans exchange-free, only the (small) candidate set shuffles
+        into the bucket count.
+
+    Freshness/GC follows standing_index: a regenerated documents file
+    yields a new version hash, superseded versions are dropped from
+    catalog and disk (tests/test_cache_staleness.py)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    from tinymr_spark.sources import standing_index, table_path
 
     path = table_path(sf_dir, "documents")
-    cache = session_cache(spark, "_tinymr_ml_lsh_cache")
-    key = (path, *file_version(path), ML_LSH_TABLES)
-    cached = cache.get(key)
-    if cached is not None:
-        return cached
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    # MinHashLSH rejects all-zero vectors, so empty shingle sets must be
-    # filtered — but on the CHEAP precondition (size(toks) >= 3), not on
-    # size(shingles): a filter naming the shingle array gets pushed below
-    # the projection and re-evaluates the O(tokens^2) ngram expression
-    # per row (the _hashed_shingles plan trap; measured 9.7s -> 1.3s at
-    # sf0.1 for this stage).
-    sh = docs.where(F.size("toks") >= 3).select(
-        "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("shingles")
+
+    def _shingled() -> DataFrame:
+        docs = with_tokens(load_table(spark, sf_dir, "documents"))
+        # MinHashLSH rejects all-zero vectors, so empty shingle sets must
+        # be filtered — but on the CHEAP precondition (size(toks) >= 3),
+        # not on size(shingles): a filter naming the shingle array gets
+        # pushed below the projection and re-evaluates the O(tokens^2)
+        # ngram expression per row (the _hashed_shingles plan trap;
+        # measured 9.7s -> 1.3s at sf0.1 for this stage).
+        return docs.where(F.size("toks") >= 3).select(
+            "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("shingles")
+        )
+
+    def _build_bands() -> DataFrame:
+        vec = HashingTF(
+            inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+        ).transform(_shingled())
+        model = MinHashLSH(
+            inputCol="features", outputCol="hashes", numHashTables=ML_LSH_TABLES, seed=42
+        ).fit(vec)
+        # each hash table emits a length-1 vector; store its value as a
+        # clean int64 join key (minhash values are integral doubles)
+        return (
+            model.transform(vec)
+            .select("doc_id", F.posexplode("hashes").alias("entry", "hv"))
+            .select("doc_id", "entry", vector_to_array("hv")[0].cast("bigint").alias("h"))
+        )
+
+    bands = standing_index(
+        spark,
+        f"mllsh{ML_LSH_TABLES}_bands",
+        [path],
+        _build_bands,
+        key_cols=["entry", "h"],
+        sort_cols=["entry", "h", "doc_id"],
     )
-    vec = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-    ).transform(sh)
-    model = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=ML_LSH_TABLES, seed=42
-    ).fit(vec)
-    # The self-join consumes the tokenize->shingle->hash pipeline twice;
-    # materialize it once (tiny: one sparse vector + 8 hashes per doc).
-    hashed = model.transform(vec).persist()
-    for stale in [k for k in cache if k[0] == path and k != key]:
-        cache.pop(stale)[1].unpersist()
-    cache[key] = (model, hashed)
-    return model, hashed
+    sets = standing_index(
+        spark,
+        "mllsh_sets",
+        [path],
+        lambda: _shingled().select(
+            "doc_id",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shset"),
+        ),
+        key_cols=["doc_id"],
+    )
+    return bands, sets
 
 
 def q104_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    model, hashed = _ml_lsh_index(spark, sf_dir)
-    return (
-        model.approxSimilarityJoin(hashed, hashed, ML_LSH_DIST_MAX, distCol="jdist")
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jdist", 4).alias("jdist"),
+    """pyspark.ml MinHashLSH candidates (band table self-join — the same
+    OR-amplified collision rule approxSimilarityJoin applies) verified by
+    EXACT distinct-shingle Jaccard.  Deviation from the pre-r7 vector
+    path: keyDistance measured Jaccard on the HashingTF index sets, where
+    2^18-feature collisions could nudge a pair across the boundary; the
+    standing-index migration verifies on the exact shingle sets instead —
+    strictly more accurate, same rows-only driver contract, and the
+    recall gate vs q41's exact-Jaccard truth (>= 0.9,
+    tests/test_similarity_recall.py) is unchanged."""
+    bands, sets = _ml_lsh_index(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.entry") == F.col("b.entry"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    jdist = 1.0 - (
+        F.size(F.array_intersect("set_a", "set_b"))
+        / F.size(F.array_union("set_a", "set_b"))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jdist, 4).alias("jdist"))
+        .where(F.col("jdist") <= ML_LSH_DIST_MAX)
     )
 
 
@@ -1552,6 +1610,193 @@ FROM np JOIN nd USING (source_lo, source_hi)
 """
 
 
+# ---------------------------------------------------------------------------
+# q157 — SemDeDup-style semantic dedup (Abbas et al. 2023,
+# arXiv:2303.09540): cluster embeddings, then within each cluster flag
+# cosine-near-duplicates and keep ONE representative.  This is the modern
+# embedding-space dedup used on web-scale pretraining corpora, composed
+# entirely from pieces already in the engine (the reference's own
+# "compose small tasks" ethos, /root/reference/docs.rst idioms):
+#
+#   1. cluster assignment = q54's `_ivf_assigned` (ONE-row broadcast
+#      codebook, narrow map over the corpus — zero corpus shuffle);
+#   2. cluster centroids = q57's positional-mean aggregation (map-side
+#      combined: the shuffle carries k*dim partial sums per executor,
+#      never the corpus), rounded to 6 decimals so both engines dot the
+#      exact same centroid;
+#   3. the intra-cluster pair block is HARD-BOUNDED: cells larger than
+#      SEM_MAX_CLUSTER split into ceil(n/SEM_MAX_CLUSTER) deterministic
+#      shards (vec_id % n_shards) before the self-join, so no all-pairs
+#      block ever exceeds ~SEM_MAX_CLUSTER^2 pairs regardless of skew —
+#      at 100 TB the self-join shuffles a slim (id, vector, norm)
+#      projection on (cell, shard) and every join block is bounded.
+#      Cross-shard near-dups inside one cell are forgone — the same
+#      recall-for-tractability trade SemDeDup itself makes at cluster
+#      granularity (the oracle applies the identical sharding, so the
+#      check is exact);
+#   4. keeper rule = the paper's: within a duplicate pair, KEEP the
+#      vector with the LOWER similarity-to-centroid (it preserves more
+#      diversity), deterministic vec_id tie-break — q118's
+#      any-scalar-plugs-in representative convention with csim as the
+#      scalar.
+#
+# Output: one row per REMOVED vector with its cluster, shard, its
+# similarity to the cluster centroid, the strongest duplicate edge that
+# condemned it, and the keeper hint (lowest winning vec_id).  Pair
+# cosine reuses q44's exact-verdict arithmetic (Arrow-vectorized pair
+# dot, bit-identical to DuckDB's list_dot_product), rounded to 4.
+# ---------------------------------------------------------------------------
+SEM_DUP_THRESHOLD = 0.28  # ~p99 of intra-cell pair cosine on the synthetic
+# near-orthogonal embeddings — non-vacuous at every SF without flagging half
+# the corpus
+SEM_MAX_CLUSTER = 128  # hard cap on any all-pairs block (128^2/2 pairs)
+
+
+def q157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.similarity import _ivf_assigned
+
+    assigned = _ivf_assigned(spark, sf_dir)  # vec_id, embedding, norm2, cell
+    # Exact positional-mean centroids, rounded: k*dim rows after the
+    # map-side-combined aggregation, folded back into one array per cell
+    # (struct sort on pos) — a broadcastable k-row table.
+    cent = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+        .select("cell", "cvec", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"))
+    )
+    # Cell sizes -> shard counts: k rows, broadcast back (no corpus shuffle).
+    sizes = assigned.groupBy("cell").agg(
+        F.ceil(F.count("*") / F.lit(float(SEM_MAX_CLUSTER))).cast("bigint").alias("n_shards")
+    )
+    sharded = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "cell",
+            "vec_id",
+            "embedding",
+            F.sqrt("norm2").alias("norm"),
+            (F.col("vec_id") % F.col("n_shards")).alias("shard"),
+            F.round(
+                _dot(F.col("embedding"), F.col("cvec"))
+                / (F.sqrt("norm2") * F.col("cnorm")),
+                6,
+            ).alias("csim"),
+        )
+    )
+    a, b = sharded.alias("a"), sharded.alias("b")
+    pdot = _pandas_dot()
+    sim = F.round(
+        pdot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        4,
+    )
+    # a.vec_id < b.vec_id generates each pair once; the LOSER (removed
+    # side) is the member with the HIGHER (csim, vec_id) — ties on the
+    # rounded csim fall to the higher vec_id, so with a<b the tie loser
+    # is b and the rule is total and deterministic.
+    a_loses = (F.col("a.csim") > F.col("b.csim")) | (
+        (F.col("a.csim") == F.col("b.csim")) & (F.col("a.vec_id") > F.col("b.vec_id"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.shard").alias("shard"),
+            sim.alias("cos_sim"),
+            F.when(a_loses, F.col("a.vec_id")).otherwise(F.col("b.vec_id")).alias("removed"),
+            F.when(a_loses, F.col("a.csim")).otherwise(F.col("b.csim")).alias("csim"),
+            F.when(a_loses, F.col("b.vec_id")).otherwise(F.col("a.vec_id")).alias("keeper"),
+        )
+        .where(F.col("cos_sim") >= SEM_DUP_THRESHOLD)
+    )
+    return (
+        pairs.groupBy(F.col("removed").alias("vec_id"), "cell", "shard", "csim")
+        .agg(
+            F.min("keeper").alias("keeper_hint"),
+            F.max("cos_sim").alias("max_sim"),
+            F.count("*").alias("n_dup_edges"),
+        )
+    )
+
+
+ORACLE_Q157 = f"""
+WITH emb AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS norm2
+    FROM embeddings
+),
+seed_ids AS (SELECT label, MIN(vec_id) AS seed_id FROM emb GROUP BY label),
+codebook AS (
+    SELECT e.label AS cell, e.v AS cvec, e.norm2 AS cnorm2
+    FROM seed_ids s JOIN emb e ON e.vec_id = s.seed_id
+),
+assigned AS (
+    SELECT vec_id, v, norm2, cell FROM (
+        SELECT e.vec_id, e.v, e.norm2, c.cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY e.norm2 - 2 * list_dot_product(e.v, c.cvec) + c.cnorm2 ASC,
+                            c.cell ASC) AS rn
+        FROM emb e CROSS JOIN codebook c
+    ) WHERE rn = 1
+),
+cents AS (
+    SELECT cell, list(cv ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, ROUND(AVG(x), 6) AS cv FROM (
+            SELECT cell, unnest(v) AS x,
+                   CAST(unnest(range(0, len(v))) AS INT) AS pos
+            FROM assigned)
+        GROUP BY cell, pos)
+    GROUP BY cell
+),
+cent_n AS (
+    SELECT cell, cvec, SQRT(list_dot_product(cvec, cvec)) AS cnorm FROM cents
+),
+sizes AS (
+    SELECT cell, CAST(CEIL(COUNT(*) / {float(SEM_MAX_CLUSTER)}) AS BIGINT) AS n_shards
+    FROM assigned GROUP BY cell
+),
+sharded AS (
+    SELECT a.cell, a.vec_id, a.v, SQRT(a.norm2) AS norm,
+           a.vec_id % s.n_shards AS shard,
+           ROUND(list_dot_product(a.v, c.cvec) / (SQRT(a.norm2) * c.cnorm), 6) AS csim
+    FROM assigned a JOIN sizes s USING (cell) JOIN cent_n c USING (cell)
+),
+pairs AS (
+    SELECT a.cell, a.shard,
+           ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_sim,
+           CASE WHEN (a.csim > b.csim) OR (a.csim = b.csim AND a.vec_id > b.vec_id)
+                THEN a.vec_id ELSE b.vec_id END AS removed,
+           CASE WHEN (a.csim > b.csim) OR (a.csim = b.csim AND a.vec_id > b.vec_id)
+                THEN a.csim ELSE b.csim END AS csim,
+           CASE WHEN (a.csim > b.csim) OR (a.csim = b.csim AND a.vec_id > b.vec_id)
+                THEN b.vec_id ELSE a.vec_id END AS keeper
+    FROM sharded a JOIN sharded b
+      ON a.cell = b.cell AND a.shard = b.shard AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= {SEM_DUP_THRESHOLD}
+)
+SELECT removed AS vec_id, cell, shard, csim,
+       MIN(keeper) AS keeper_hint,
+       MAX(cos_sim) AS max_sim,
+       COUNT(*) AS n_dup_edges
+FROM pairs
+GROUP BY removed, cell, shard, csim
+"""
+
+
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
@@ -1569,6 +1814,7 @@ QUERIES = {
     "q118_group_representatives": q118_group_representatives,
     "q123_incremental_dedup": q123_incremental_dedup,
     "q127_contamination_matrix": q127_contamination_matrix,
+    "q157_semdedup": q157_semdedup,
 }
 
 ORACLE = {
@@ -1587,4 +1833,5 @@ ORACLE = {
     "q118_group_representatives": ORACLE_Q118,
     "q123_incremental_dedup": ORACLE_Q123,
     "q127_contamination_matrix": ORACLE_Q127,
+    "q157_semdedup": ORACLE_Q157,
 }

@@ -26,10 +26,9 @@ both engines; irrelevant to ranking).
 
 100 TB notes: edges are computed once and persisted (each iteration
 re-reads the edge table, not the fact scan); contributions shuffle on
-dst (one hash shuffle per iteration — inherent to the algorithm); the
-iteration count is fixed and small, and at cluster scale each round is
-checkpointed to cut lineage (here the 5-round plan is shallow enough to
-leave to Catalyst).
+dst (one hash shuffle per iteration — inherent to the algorithm); and
+the rank lineage is cut by localCheckpoint every PR_CHECKPOINT_EVERY
+rounds so plan depth stays O(K) no matter the iteration count.
 """
 
 from __future__ import annotations
@@ -42,6 +41,21 @@ from tinymr_spark.sources import load_table
 N_PAGERANK_ITERS = 5
 PR_UNIT = 10**12  # fixed-point scale: 1.0 == 1e12 units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+# Truncate the iteration lineage every K rounds: each round's plan embeds
+# the previous round's whole subtree, so an L-round loop compiles an
+# O(L)-deep (and, printed, O(L)-times-repeated-edge-scan) plan — the
+# classic iterative-Spark failure at real iteration depth (optimizer time
+# grows superlinearly; task binaries bloat).  localCheckpoint materializes
+# the rank vector (ONE small row per node — exact bigints, so the cut
+# cannot perturb the fixed-point arithmetic) and restarts the lineage
+# from it.  Measured at sf0.001: K=None prints 68 exchanges / 29
+# repeated edge-cache scans, K=2 prints 33 / 7 (one live round).  0/None
+# disables for A/B-ing plans.  The checkpointed RDD is
+# executor-local (non-reliable) — acceptable: losing an executor mid-loop
+# recomputes from the persisted edge table, and the ContextCleaner
+# reclaims it once the result DataFrame is dropped.
+PR_CHECKPOINT_EVERY: int | None = 2
 
 
 def _edge_cache(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -90,7 +104,7 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "outdeg", F.expr(f"{PR_UNIT} div n").alias("rank_u")
     )
     base_num = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM)  # (1-d) * UNIT * DEN
-    for _ in range(N_PAGERANK_ITERS):
+    for it in range(1, N_PAGERANK_ITERS + 1):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -112,6 +126,8 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank_u"),
             )
         )
+        if PR_CHECKPOINT_EVERY and it % PR_CHECKPOINT_EVERY == 0 and it < N_PAGERANK_ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
     is_part = F.pmod(F.col("node"), F.lit(2)) == 0
     return ranks.select(
         "node",

@@ -76,7 +76,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin of three 1-row constraint-metric aggregates
               "q148_quality_constraints",
               # crossJoin(5-row per-type totals x 16-row bin spine)
-              "q153_psi_drift"}
+              "q153_psi_drift",
+              # same folded-codebook assignment as q54 (via _ivf_assigned)
+              "q157_semdedup"}
 
 
 def main() -> int:
