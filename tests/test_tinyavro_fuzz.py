@@ -107,3 +107,90 @@ def test_schema_mapping_matches_fuzzed_types(spark):
     assert [f["type"] for f in rec["fields"]] == [
         "long", "double", "string", "boolean", "bytes", "int"
     ]
+
+
+def test_null_value_raises_naming_column(tmp_path):
+    """A None in a non-nullable column must fail with a ValueError naming
+    the column (the loud-failure contract), not an opaque encoder
+    TypeError/struct.error."""
+    import pytest
+
+    schema = json.dumps(
+        {"type": "record", "name": "row",
+         "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    )
+    p = str(tmp_path / "n.avro")
+    with pytest.raises(ValueError, match="NULL in column 'b'"):
+        write_avro_file(p, schema, ["long", "string"], [(1, "x"), (2, None)],
+                        field_names=["a", "b"])
+
+
+def test_header_read_touches_only_header_bytes(tmp_path):
+    """read_avro_header is the planning-time probe: it must not slurp the
+    data blocks.  Prove it by truncating a written file to just past its
+    header — the header still parses; the (now amputated) data does
+    not."""
+    from tinymr_spark.sources.tinyavro import read_avro_header
+
+    schema = json.dumps(
+        {"type": "record", "name": "row", "fields": [{"name": "a", "type": "long"}]}
+    )
+    p = str(tmp_path / "h.avro")
+    write_avro_file(p, schema, ["long"], [(i,) for i in range(10_000)])
+    _, _, data_off = read_avro_header(p)
+    raw = open(p, "rb").read()
+    assert data_off < len(raw) // 4, "header offset should be tiny vs data"
+    trunc = str(tmp_path / "trunc.avro")
+    open(trunc, "wb").write(raw[:data_off])
+    got_schema, sync, off = read_avro_header(trunc)
+    assert got_schema["fields"][0]["name"] == "a" and off == data_off
+
+
+def test_negative_block_count_reads_as_abs(tmp_path):
+    """Foreign writers may emit array-style negative block counts
+    (abs(count) rows, byte size follows) — the data-block loop must
+    mirror the header parser's tolerance instead of failing on the sync
+    check."""
+    import io as _io
+
+    from tinymr_spark.sources.tinyavro import (
+        MAGIC, SYNC_SIZE, _write_bytes, _write_long, read_avro_file,
+    )
+
+    schema = json.dumps(
+        {"type": "record", "name": "row", "fields": [{"name": "a", "type": "long"}]}
+    )
+    sync = b"\x07" * SYNC_SIZE
+    body = _io.BytesIO()
+    for v in (10, 20, 30):
+        _write_long(body, v)
+    out = _io.BytesIO()
+    out.write(MAGIC)
+    _write_long(out, 2)
+    _write_bytes(out, b"avro.schema")
+    _write_bytes(out, schema.encode())
+    _write_bytes(out, b"avro.codec")
+    _write_bytes(out, b"null")
+    _write_long(out, 0)
+    out.write(sync)
+    _write_long(out, -3)  # negative count: 3 rows
+    _write_long(out, body.tell())
+    out.write(body.getvalue())
+    out.write(sync)
+    p = str(tmp_path / "neg.avro")
+    open(p, "wb").write(out.getvalue())
+    assert list(read_avro_file(p)) == [(10,), (20,), (30,)]
+
+
+def test_manifest_consolidation_orders_batches_numerically(tmp_path):
+    """_MANIFEST-10 must consolidate AFTER _MANIFEST-2 (numeric batchId
+    order, not lexicographic), with the base _MANIFEST first."""
+    from tinymr_spark.sources.tinyavro import _committed_files
+
+    d = str(tmp_path)
+    open(f"{d}/_MANIFEST", "w").write("base.avro\n")
+    for b in (10, 2, 1):
+        open(f"{d}/_MANIFEST-{b}", "w").write(f"batch{b}.avro\n")
+    assert _committed_files(d) == [
+        "base.avro", "batch1.avro", "batch2.avro", "batch10.avro",
+    ]

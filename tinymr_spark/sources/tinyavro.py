@@ -151,8 +151,20 @@ def avro_record_schema(spark_schema: StructType, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def write_avro_file(path: str, schema_json: str, field_types: list[str], rows) -> int:
-    """One Avro OCF with the null codec; returns rows written."""
+def write_avro_file(
+    path: str,
+    schema_json: str,
+    field_types: list[str],
+    rows,
+    field_names: list[str] | None = None,
+) -> int:
+    """One Avro OCF with the null codec; returns rows written.
+
+    NULLs fail LOUDLY: the declared schema is non-null primitives
+    (avro_record_schema), so a None anywhere would otherwise surface as
+    an opaque executor-side TypeError/struct.error deep in an encoder —
+    instead the first null raises a ValueError naming the column, the
+    same loud-failure contract as the schema-level type check."""
     sync = os.urandom(SYNC_SIZE)
     encs = [_ENCODERS[t] for t in field_types]
     n_rows = 0
@@ -186,7 +198,14 @@ def write_avro_file(path: str, schema_json: str, field_types: list[str], rows) -
             count = 0
 
         for row in rows:
-            for enc, v in zip(encs, row):
+            for i, (enc, v) in enumerate(zip(encs, row)):
+                if v is None:
+                    col = field_names[i] if field_names else f"#{i}"
+                    raise ValueError(
+                        f"tinyavro: NULL in column {col!r} (row {n_rows} of "
+                        f"this partition) but the avro schema declares "
+                        f"non-null primitives — filter or fill nulls first"
+                    )
                 enc(block, v)
             count += 1
             n_rows += 1
@@ -196,32 +215,64 @@ def write_avro_file(path: str, schema_json: str, field_types: list[str], rows) -
     return n_rows
 
 
+class _FileCursor:
+    """Incremental reads straight off the file handle — the header parse
+    touches ONLY header bytes (important on the driver: schema() probes a
+    part file's header at planning time, and a slurp would make planning
+    cost O(first file size) instead of O(header), breaking the
+    parquet-footer cost-class contract)."""
+
+    def __init__(self, f):
+        self.f = f
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.f.read(n)
+        if len(b) < n:
+            raise ValueError("truncated Avro header")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        u = 0
+        shift = 0
+        while True:
+            b = self.read(1)[0]
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (u >> 1) ^ -(u & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+
 def read_avro_header(path: str) -> tuple[dict, bytes, int]:
     """(record schema, sync marker, data offset) from a container file —
-    a metadata-only read, the avro analog of a parquet footer probe."""
+    a metadata-only read, the avro analog of a parquet footer probe:
+    only header bytes are read, never the data blocks."""
     with open(path, "rb") as f:
-        raw = f.read()
-    if raw[:4] != MAGIC:
-        raise ValueError(f"{path} is not an Avro object container file")
-    buf = memoryview(raw)
-    pos = 4
-    meta: dict[bytes, bytes] = {}
-    while True:
-        n, pos = _read_long(buf, pos)
-        if n == 0:
-            break
-        if n < 0:  # spec: negative count prefixes a block byte size
-            n = -n
-            _, pos = _read_long(buf, pos)
-        for _ in range(n):
-            k, pos = _read_bytes(buf, pos)
-            v, pos = _read_bytes(buf, pos)
-            meta[k] = v
-    codec = meta.get(b"avro.codec", b"null")
-    if codec != b"null":
-        raise ValueError(f"unsupported avro codec {codec!r} (null only)")
-    sync = bytes(buf[pos : pos + SYNC_SIZE])
-    return json.loads(meta[b"avro.schema"]), sync, pos + SYNC_SIZE
+        cur = _FileCursor(f)
+        if cur.read(4) != MAGIC:
+            raise ValueError(f"{path} is not an Avro object container file")
+        meta: dict[bytes, bytes] = {}
+        while True:
+            n = cur.read_long()
+            if n == 0:
+                break
+            if n < 0:  # spec: negative count prefixes a block byte size
+                n = -n
+                cur.read_long()
+            for _ in range(n):
+                k = cur.read_bytes()
+                v = cur.read_bytes()
+                meta[k] = v
+        codec = meta.get(b"avro.codec", b"null")
+        if codec != b"null":
+            raise ValueError(f"unsupported avro codec {codec!r} (null only)")
+        sync = cur.read(SYNC_SIZE)
+        return json.loads(meta[b"avro.schema"]), sync, cur.pos
 
 
 def read_avro_file(path: str):
@@ -236,6 +287,11 @@ def read_avro_file(path: str):
     end = len(raw)
     while pos < end:
         count, pos = _read_long(buf, pos)
+        if count < 0:
+            # OCF data blocks are spec'd count-then-size, but mirror the
+            # header map's negative-count tolerance for foreign writers
+            # that emit array-style blocks: abs(count) rows follow.
+            count = -count
         _, pos = _read_long(buf, pos)  # block byte size (unused: null codec)
         for _ in range(count):
             row = []
@@ -304,9 +360,21 @@ def _committed_files(path: str) -> list[str]:
     if not os.path.isdir(path):
         return []
     out: list[str] = []
+
+    def _order(name: str):
+        # base manifest (prior consolidated data) first, then streaming
+        # batch manifests in NUMERIC batchId order — lexicographic would
+        # consolidate _MANIFEST-10 before _MANIFEST-2, scrambling batch
+        # order in the merged file list.
+        if name == MANIFEST:
+            return (0, 0, name)
+        suffix = name[len(MANIFEST) + 1 :]
+        return (1, int(suffix), name) if suffix.isdigit() else (2, 0, name)
+
     for mf in sorted(
-        f for f in os.listdir(path)
-        if f == MANIFEST or f.startswith(MANIFEST + "-")
+        (f for f in os.listdir(path)
+         if f == MANIFEST or f.startswith(MANIFEST + "-")),
+        key=_order,
     ):
         with open(os.path.join(path, mf)) as f:
             out.extend(line.strip() for line in f if line.strip())
@@ -371,6 +439,7 @@ class TinyAvroWriter(DataSourceWriter):
         self.field_types = [
             _SPARK_TO_AVRO[f.dataType.simpleString()] for f in schema.fields
         ]
+        self.field_names = [f.name for f in schema.fields]
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator) -> WriterCommitMessage:
@@ -382,6 +451,7 @@ class TinyAvroWriter(DataSourceWriter):
             self.schema_json,
             self.field_types,
             (tuple(row) for row in iterator),
+            field_names=self.field_names,
         )
         return _FileCommit(fname)
 
@@ -447,6 +517,7 @@ class TinyAvroStreamWriter(DataSourceStreamWriter):
         self.field_types = [
             _SPARK_TO_AVRO[f.dataType.simpleString()] for f in schema.fields
         ]
+        self.field_names = [f.name for f in schema.fields]
         os.makedirs(path, exist_ok=True)
 
     def write(self, iterator) -> WriterCommitMessage:
@@ -456,6 +527,7 @@ class TinyAvroStreamWriter(DataSourceStreamWriter):
             self.schema_json,
             self.field_types,
             (tuple(row) for row in iterator),
+            field_names=self.field_names,
         )
         return _FileCommit(fname)
 
