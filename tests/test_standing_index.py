@@ -229,6 +229,22 @@ def test_ml_lsh_probes_plan_index_side_exchange_free(spark, sf_dir):
     assert _assert_index_scans_exchange_free(plan) >= 4  # bands x2 + sets x2
 
 
+def test_semdedup_probe_plans_index_side_exchange_free(spark, sf_dir):
+    """q157: the (cell, shard)-bucketed assignment table must plug BOTH
+    sides of the intra-cluster self-join in on its bucketing — the only
+    shuffle left in the probe is the final removed-vector aggregation."""
+    from tinymr_spark.operators.dedup import q157_semdedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(q157_semdedup(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert _assert_index_scans_exchange_free(plan) >= 2  # both self-join sides
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_bm25_postings_scan_prunes_buckets(spark, sf_dir):
     """q125's literal term IN-list must reach the bucketed postings scan
     and select a strict subset of buckets — the probe reads only the

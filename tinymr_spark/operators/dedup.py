@@ -1628,8 +1628,10 @@ FROM np JOIN nd USING (source_lo, source_hi)
 #      SEM_MAX_CLUSTER split into ceil(n/SEM_MAX_CLUSTER) deterministic
 #      shards (vec_id % n_shards) before the self-join, so no all-pairs
 #      block ever exceeds ~SEM_MAX_CLUSTER^2 pairs regardless of skew —
-#      at 100 TB the self-join shuffles a slim (id, vector, norm)
-#      projection on (cell, shard) and every join block is bounded.
+#      and the sharded assignment table is a WRITTEN standing index
+#      bucketed by (cell, shard) (_semdedup_index), so the probe
+#      self-join plans with NO shuffle exchange on either side and every
+#      join block is bounded.
 #      Cross-shard near-dups inside one cell are forgone — the same
 #      recall-for-tractability trade SemDeDup itself makes at cluster
 #      granularity (the oracle applies the identical sharding, so the
@@ -1652,45 +1654,76 @@ SEM_DUP_THRESHOLD = 0.28  # ~p99 of intra-cell pair cosine on the synthetic
 SEM_MAX_CLUSTER = 128  # hard cap on any all-pairs block (128^2/2 pairs)
 
 
-def q157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-assignment table as a WRITTEN bucketed standing index
+    (the q104/q123/q125 artifact lifecycle): (cell, shard, vec_id,
+    embedding, norm, csim) bucketed+sorted by (cell, shard), built once
+    per corpus snapshot.  The build pays the corpus passes (assignment,
+    centroid aggregation, size counting); every probe SELF-JOINS the
+    written table on exactly its bucketing, so both join sides plan with
+    no shuffle exchange and the per-query cost drops from three corpus
+    scans + 13 exchanges to two bucket scans + the final aggregation.
+    Parquet round-trips float arrays and rounded doubles bit-exactly, so
+    probing the copy is hash-identical to recomputing."""
     from tinymr_spark.operators.similarity import _ivf_assigned
+    from tinymr_spark.sources import standing_index, table_path
 
-    assigned = _ivf_assigned(spark, sf_dir)  # vec_id, embedding, norm2, cell
-    # Exact positional-mean centroids, rounded: k*dim rows after the
-    # map-side-combined aggregation, folded back into one array per cell
-    # (struct sort on pos) — a broadcastable k-row table.
-    cent = (
-        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
-            ).alias("cvec")
+    def _build() -> DataFrame:
+        assigned = _ivf_assigned(spark, sf_dir)  # vec_id, embedding, norm2, cell
+        # Exact positional-mean centroids, rounded: k*dim rows after the
+        # map-side-combined aggregation, folded back into one array per
+        # cell (struct sort on pos) — a broadcastable k-row table.
+        cent = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cvec")
+            )
+            .select(
+                "cell", "cvec", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm")
+            )
         )
-        .select("cell", "cvec", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"))
-    )
-    # Cell sizes -> shard counts: k rows, broadcast back (no corpus shuffle).
-    sizes = assigned.groupBy("cell").agg(
-        F.ceil(F.count("*") / F.lit(float(SEM_MAX_CLUSTER))).cast("bigint").alias("n_shards")
-    )
-    sharded = (
-        assigned.join(F.broadcast(sizes), "cell")
-        .join(F.broadcast(cent), "cell")
-        .select(
-            "cell",
-            "vec_id",
-            "embedding",
-            F.sqrt("norm2").alias("norm"),
-            (F.col("vec_id") % F.col("n_shards")).alias("shard"),
-            F.round(
-                _dot(F.col("embedding"), F.col("cvec"))
-                / (F.sqrt("norm2") * F.col("cnorm")),
-                6,
-            ).alias("csim"),
+        # Cell sizes -> shard counts: k rows, broadcast back (no corpus
+        # shuffle).
+        sizes = assigned.groupBy("cell").agg(
+            F.ceil(F.count("*") / F.lit(float(SEM_MAX_CLUSTER)))
+            .cast("bigint")
+            .alias("n_shards")
         )
+        return (
+            assigned.join(F.broadcast(sizes), "cell")
+            .join(F.broadcast(cent), "cell")
+            .select(
+                "cell",
+                "vec_id",
+                "embedding",
+                F.sqrt("norm2").alias("norm"),
+                (F.col("vec_id") % F.col("n_shards")).alias("shard"),
+                F.round(
+                    _dot(F.col("embedding"), F.col("cvec"))
+                    / (F.sqrt("norm2") * F.col("cnorm")),
+                    6,
+                ).alias("csim"),
+            )
+        )
+
+    return standing_index(
+        spark,
+        "semdedup",
+        [table_path(sf_dir, "embeddings")],
+        _build,
+        key_cols=["cell", "shard"],
+        sort_cols=["cell", "shard", "vec_id"],
     )
+
+
+def q157_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sharded = _semdedup_index(spark, sf_dir)
     a, b = sharded.alias("a"), sharded.alias("b")
     pdot = _pandas_dot()
     sim = F.round(

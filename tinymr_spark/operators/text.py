@@ -1189,6 +1189,132 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q158 — BPE tokenizer TRAINING iterations (Sennrich et al. 2016): learn
+# the first K merge rules from the corpus — the learning-side counterpart
+# of q37's fixed-ruleset token counting, and (with q146) the second
+# iterative driver-loop operator family.  Classic BPE: words become
+# character sequences; each round counts adjacent symbol pairs weighted
+# by word frequency (with multiplicity, overlapping occurrences included
+# — the standard implementation's counting), merges the most frequent
+# pair corpus-wide, repeats.
+#
+# Scale shape — why this works at 100 TB: the corpus is touched ONCE (the
+# word-frequency aggregation, map-side combined); every iteration after
+# that runs on the DISTINCT-WORD table (vocab-sized — ~1e6 rows no matter
+# the corpus size), so K merges cost K vocab-table passes + K one-row
+# argmax collects (the per-iteration driver collect is a single
+# aggregate row, the same pattern as k-means/PageRank convergence
+# checks, not a data path).
+#
+# Cross-engine determinism: symbol sequences are encoded as
+# '|sym1||sym2||...|' strings (words containing '|' are excluded from
+# training in both engines), a merge of pair (a,b) is the plain-string
+# replace of '|a||b|' with '|ab|' — leftmost non-overlapping in Spark,
+# DuckDB, and Python alike, which IS greedy BPE merge order — and the
+# per-round argmax tie-breaks deterministically by (count, a, b)
+# descending.  Counts are exact bigints.
+# ---------------------------------------------------------------------------
+BPE_MERGES = 5
+
+
+def q158_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode("toks").alias("w"))
+        .where(~F.col("w").contains("|"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc0 = words.select(
+        F.concat(
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.col("w").substr(i, F.lit(1)),
+                ),
+                "||",
+            ),
+            F.lit("|"),
+        ).alias("enc"),
+        "freq",
+    ).persist()  # the one corpus pass; iterations re-read this vocab table
+    cur = enc0
+    merges: list[tuple] = []
+    try:
+        for step in range(1, BPE_MERGES + 1):
+            syms = F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\|\|")
+            n = F.size(syms)
+            pairs = cur.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, n - 1),
+                        F.slice(syms, 2, n - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            row = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .agg(F.max(F.struct("cnt", "a", "b")).alias("m"))
+            ).collect()[0]["m"]
+            if row is None:  # degenerate corpus: nothing left to merge
+                break
+            cnt, a, b = int(row["cnt"]), row["a"], row["b"]
+            merges.append((step, a, b, cnt, a + b))
+            cur = cur.withColumn(
+                "enc",
+                F.replace(F.col("enc"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+            )
+    finally:
+        enc0.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, pair_count bigint, merged string"
+    )
+
+
+def _oracle_bpe() -> str:
+    sql = r"""
+WITH words AS (
+    SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+    WHERE w <> '' AND w NOT LIKE '%|%'
+    GROUP BY w
+),
+enc0 AS (
+    SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '||') || '|' AS enc,
+           freq
+    FROM words
+)"""
+    prev = "enc0"
+    selects = []
+    for step in range(1, BPE_MERGES + 1):
+        sql += f""",
+p{step} AS (
+    SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (SELECT freq, string_split(substr(enc, 2, length(enc) - 2), '||') AS syms FROM {prev}),
+         UNNEST(range(1, len(syms))) AS t(i)
+    GROUP BY 1, 2
+),
+t{step} AS (SELECT a, b, cnt FROM p{step} ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
+enc{step} AS (
+    SELECT replace(enc, '|' || a || '||' || b || '|', '|' || a || b || '|') AS enc, freq
+    FROM {prev}, t{step}
+)"""
+        selects.append(
+            f"SELECT {step} AS step, a AS sym_a, b AS sym_b, cnt AS pair_count, "
+            f"a || b AS merged FROM t{step}"
+        )
+        prev = f"enc{step}"
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE_Q158 = _oracle_bpe()
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -1211,6 +1337,7 @@ QUERIES = {
     "q125_bm25_topk": q125_bm25_topk,
     "q145_incremental_bm25": q145_incremental_bm25,
     "q126_shard_manifest": q126_shard_manifest,
+    "q158_bpe_merges": q158_bpe_merges,
 }
 
 ORACLE = {
@@ -1235,4 +1362,5 @@ ORACLE = {
     "q125_bm25_topk": ORACLE_Q125,
     "q145_incremental_bm25": ORACLE_Q125,  # merged index == full recompute
     "q126_shard_manifest": ORACLE_Q126,
+    "q158_bpe_merges": ORACLE_Q158,
 }
