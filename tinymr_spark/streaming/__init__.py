@@ -1073,6 +1073,176 @@ FROM shard sh LEFT JOIN lake_fp lf USING (fp)
 
 
 # ---------------------------------------------------------------------------
+# q159 — STREAMING semantic dedup: the vector-tier twin of q149, closing
+# the incremental-dedup matrix (q123 batch docs / q149 streamed docs /
+# q140 batch vectors / q159 streamed vectors).  New embeddings arrive as
+# a throttled multi-file stream; each row's q53 sign-projection bucket is
+# computed ROW-LOCALLY (the hyperplane weights are md5-deterministic, so
+# they fold into literal arrays at plan time — the stream side needs NO
+# groupBy, hence no streaming state), and foreachBatch probes the
+# WRITTEN bucket-bucketed lake vector index (q140's standing index) with
+# the exact-cosine verdict aggregation.
+#
+# Determinism & exactly-once: every shard vector lives in exactly one
+# staged file, so its whole candidate fan-out and argmax complete inside
+# one micro-batch (batch-membership-invariant, like q149); each batch
+# writes its verdicts to a `batch=<id>` partition with overwrite, so a
+# checkpoint-replayed batch supersedes rather than duplicates.  The
+# result equals the batch face exactly — the oracle IS q140's
+# (ORACLE_Q140, registered under this key too).
+#
+# Scale: per micro-batch the shard rows shuffle once into the index's
+# bucket count; the lake side never re-shuffles (written bucketing); the
+# row-local bucket fold is O(planes*dim) inside codegen.
+# ---------------------------------------------------------------------------
+def _staged_shard_vecs(spark: SparkSession, sf_dir: str) -> str:
+    """The day's vector shard (vec_id % 5 == 0) staged as multiple
+    parquet files once per corpus version — the landing directory a
+    streaming embedding ingest watches."""
+    from tinymr_spark.sources import versioned_staging_dir
+
+    src = table_path(sf_dir, "embeddings")
+    stage = versioned_staging_dir("tinymr_spark_stage_shardvec", src)
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        emb = load_table(spark, sf_dir, "embeddings")
+        (
+            emb.where(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        open(done, "w").close()
+    return stage
+
+
+def _row_local_bucket(dim: int):
+    """q53's sign-projection bucket as a pure per-row expression: the
+    +-1 hyperplane weights are md5((plane,pos))-derived — computed here
+    with hashlib (bit-identical to the engines' md5) and embedded as
+    literal arrays; per plane one zip_with/aggregate fold whose strict
+    pos-0..dim-1 addition order reproduces the q53 groupBy sum exactly
+    (asserted 0 mismatches over the corpus before this shipped)."""
+    from tinymr_spark.operators.similarity import N_PLANES
+
+    total = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        weights = [
+            1.0
+            if int(hashlib.md5(f"{p}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        wlit = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), wlit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        total = total + (
+            F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return total
+
+
+def q159_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.similarity import (
+        SIM_THRESHOLD,
+        _dot,
+        _lake_vec_index,
+    )
+    from tinymr_spark.sources import versioned_staging_dir
+
+    lake = _lake_vec_index(spark, sf_dir).alias("l")
+    stage = _staged_shard_vecs(spark, sf_dir)
+    src = table_path(sf_dir, "embeddings")
+    out = versioned_staging_dir("tinymr_spark_semstream", src)
+    done = out + "._done"  # sibling marker, version-prefixed (prune-safe)
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        ckpt = out + "._ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _pre_stream_cleanup(spark)
+        schema = spark.read.parquet(stage).schema
+        # embedding dim isn't in the schema (array<float> is unsized);
+        # peek one row's length — a planning-time probe, like q149's
+        # schema peek.
+        dim = len(spark.read.parquet(stage).select("embedding").first()["embedding"])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+            .select(
+                "vec_id",
+                "embedding",
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+                _row_local_bucket(dim).alias("bucket"),
+            )
+        )
+
+        def probe(batch_df: DataFrame, batch_id: int) -> None:
+            s = batch_df.alias("s")
+            sim = F.round(
+                _dot(F.col("s.embedding"), F.col("l.embedding"))
+                / (F.col("s.norm") * F.col("l.norm")),
+                4,
+            )
+            per = (
+                s.join(lake, F.col("s.bucket") == F.col("l.bucket"))
+                .select(
+                    F.col("s.vec_id").alias("vec_id"),
+                    F.col("l.vec_id").alias("lake_id"),
+                    sim.alias("cos_sim"),
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.count("*").alias("n_candidates"),
+                    F.max(
+                        F.struct(
+                            F.col("cos_sim").alias("c"),
+                            (-F.col("lake_id")).alias("ni"),
+                        )
+                    ).alias("m"),
+                )
+                .select(
+                    "vec_id",
+                    "n_candidates",
+                    F.col("m.c").alias("best_cos"),
+                    (-F.col("m.ni")).alias("best_lake_id"),
+                )
+            )
+            status = F.when(
+                F.col("best_cos") >= SIM_THRESHOLD, F.lit("near_dup_lake")
+            ).otherwise(F.lit("kept"))
+            verdict = (
+                batch_df.select("vec_id")
+                .join(per, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    status.alias("status"),
+                    F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                    "best_lake_id",
+                    "best_cos",
+                )
+            )
+            # batch-id partition + overwrite = replay-idempotent append
+            verdict.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+    back = spark.read.option("basePath", out).parquet(out)
+    return back.drop("batch")
+
+
+# ---------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4's arbitrary-state v2 API): richer
 # than applyInPandasWithState (q92) — typed ValueState/ListState/MapState
 # handles, timers, TTL.  Its state server speaks protobuf between the JVM
@@ -1260,8 +1430,11 @@ QUERIES = {
     "q136_python_stream_source": q136_python_stream_source,
     "q143_python_stream_sink": q143_python_stream_sink,
     "q149_stream_index_probe": q149_stream_index_probe,
+    "q159_stream_semantic_dedup": q159_stream_semantic_dedup,
     "q138_statestore_reader": q138_statestore_reader,
 }
+from tinymr_spark.operators.similarity import ORACLE_Q140 as _SIM_ORACLE_Q140  # noqa: E402
+
 ORACLE = {
     "q90_stream_tumbling": ORACLE_Q90,
     "q91_stream_sliding": ORACLE_Q91,
@@ -1278,5 +1451,7 @@ ORACLE = {
     "q136_python_stream_source": ORACLE_Q136,
     "q143_python_stream_sink": ORACLE_Q143,
     "q149_stream_index_probe": ORACLE_Q149,
+    # q159 must equal the batch face exactly — the oracle IS q140's.
+    "q159_stream_semantic_dedup": _SIM_ORACLE_Q140,
     "q138_statestore_reader": ORACLE_Q138,
 }
