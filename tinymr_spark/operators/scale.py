@@ -2056,6 +2056,109 @@ GROUP BY kind
 """
 
 
+# ---------------------------------------------------------------------------
+# q160 — deterministic WEIGHTED sampling (PPS systematic sampling):
+# draw ~K documents with probability proportional to size (n_chars),
+# the curation step behind quality-weighted subsampling of a corpus.
+# Unlike rand()-based sampling this is row-pure and replica-identical
+# (q116's determinism argument), and unlike q27/q102's hash-threshold
+# draws the inclusion probability here is WEIGHT-proportional: lay the
+# documents end to end on the cumulative-weight axis (doc_id order),
+# drop a grid of K evenly spaced points (step = total div K, first point
+# at step div 2), and select every document whose weight interval
+# contains a grid point — a document with w > step is selected with
+# multiplicity (n_hits), the classic PPS-with-replacement accounting.
+#
+# Scale shape: the global cumulative sum is TWO-PHASE (q101's pattern
+# generalized to a global axis): a within-shard window over contiguous
+# doc_id ranges (doc_id div 1024) plus a shard-offset window over the
+# SHARD COUNT (thousands of rows at 100 TB, never the corpus), with
+# offsets and the 1-row total broadcast back — one corpus pass, no
+# global sort.  EVERY quantity is exact int64 and every division is on
+# provably non-negative operands, sidestepping the Spark-trunc vs
+# DuckDB-floor integer-division divergence on negatives: the grid-count
+# function g(x) = (x - offset + step) div step is written so its
+# argument stays positive for all x >= 0 (offset < step).
+# ---------------------------------------------------------------------------
+PPS_K = 37  # target sample size (grid points)
+PPS_SPAN = 1024  # contiguous doc_id range per cumsum shard
+
+
+def q160_weighted_sample(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql import SparkSession, Window  # noqa: F401
+
+    from tinymr_spark.sources import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("w"))
+        .where(F.col("w") > 0)
+    )
+    part = docs.withColumn("shard", F.floor(F.col("doc_id") / PPS_SPAN))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("cum_in", F.sum("w").over(w_in))
+    offs = (
+        part.groupBy("shard")
+        .agg(F.sum("w").alias("stot"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("stot").over(
+                    Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "off")
+    )
+    tot = docs.agg(F.sum("w").alias("total"))
+    return (
+        local.join(F.broadcast(offs), "shard")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("step", F.greatest(F.expr(f"total div {PPS_K}"), F.lit(1)))
+        .withColumn("offset", F.expr("step div 2"))
+        .withColumn("cum_hi", F.col("off") + F.col("cum_in"))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("w"))
+        .withColumn(
+            "n_hits",
+            F.expr(
+                "(cum_hi - offset + step) div step - (cum_lo - offset + step) div step"
+            ),
+        )
+        .where(F.col("n_hits") > 0)
+        .select("doc_id", "w", "cum_lo", "n_hits")
+    )
+
+
+ORACLE_Q160 = f"""
+WITH base AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents WHERE n_chars > 0
+),
+cum AS (
+    SELECT doc_id, w,
+           CAST(SUM(w) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hi
+    FROM base
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM base),
+par AS (
+    SELECT GREATEST(total // {PPS_K}, 1) AS step,
+           GREATEST(total // {PPS_K}, 1) // 2 AS "offset"
+    FROM tot
+)
+SELECT doc_id, w, cum_hi - w AS cum_lo,
+       CAST((cum_hi - "offset" + step) // step
+            - (cum_hi - w - "offset" + step) // step AS BIGINT) AS n_hits
+FROM cum, par
+WHERE (cum_hi - "offset" + step) // step
+      - (cum_hi - w - "offset" + step) // step > 0
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2082,6 +2185,7 @@ QUERIES = {
     "q153_psi_drift": q153_psi_drift,
     "q155_corrupt_ingest": q155_corrupt_ingest,
     "q156_federated_join": q156_federated_join,
+    "q160_weighted_sample": q160_weighted_sample,
 }
 
 ORACLE = {
@@ -2110,4 +2214,5 @@ ORACLE = {
     "q153_psi_drift": ORACLE_Q153,
     "q155_corrupt_ingest": ORACLE_Q155,
     "q156_federated_join": ORACLE_Q156,
+    "q160_weighted_sample": ORACLE_Q160,
 }

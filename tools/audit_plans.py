@@ -76,7 +76,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin of three 1-row constraint-metric aggregates
               "q148_quality_constraints",
               # crossJoin(5-row per-type totals x 16-row bin spine)
-              "q153_psi_drift"}
+              "q153_psi_drift",
+              # crossJoin(broadcast(1-row total-weight aggregate))
+              "q160_weighted_sample"}
 # (q157's folded-codebook crossJoin lives in its standing-index BUILD,
 # which runs once per corpus version during construction; the audited
 # probe plan is the bucketed self-join and needs no allowance.)
