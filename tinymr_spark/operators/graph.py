@@ -50,8 +50,12 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 # the rank vector (ONE small row per node — exact bigints, so the cut
 # cannot perturb the fixed-point arithmetic) and restarts the lineage
 # from it.  Measured at sf0.001: K=None prints 68 exchanges / 29
-# repeated edge-cache scans, K=2 prints 33 / 7 (one live round).  0/None
-# disables for A/B-ing plans.  The checkpointed RDD is
+# repeated edge-cache scans, K=2 prints 33 / 7 (one live round).  Local
+# cost of the cut: ~+0.35s per run at sf0.1 (two eager materialization
+# jobs' launch overhead; interleaved min-of-4: 1.8s uncut vs 2.2s cut)
+# — the price of bounding plan growth, which at real iteration depth
+# inverts hard in the cut's favor (optimizer time grows superlinearly
+# uncut).  0/None disables for A/B-ing plans.  The checkpointed RDD is
 # executor-local (non-reliable) — acceptable: losing an executor mid-loop
 # recomputes from the persisted edge table, and the ContextCleaner
 # reclaims it once the result DataFrame is dropped.
