@@ -282,3 +282,89 @@ def test_q123_incremental_dedup_status_branches(spark, tmp_path):
         r[0]: (r[1], r[2]) for r in con.execute(ORACLE_Q123).fetchall()
     }
     assert got == orows
+
+
+def test_q158_bpe_matches_pure_python_reference(spark, sf_dir):
+    """Differential check of the distributed BPE learner against a
+    straight-line pure-Python implementation (tuple-list symbol
+    sequences, dict pair counting with multiplicity, greedy leftmost
+    merge) on the real corpus — the same strategy the MapReduce face
+    uses against the reference library.  This pins the SEMANTICS (the
+    oracle twin pins only cross-engine agreement)."""
+    from collections import Counter
+
+    from tinymr_spark.operators.text import BPE_MERGES, q158_bpe_merges, with_tokens
+
+    words = Counter()
+    for row in (
+        with_tokens(load_table(spark, sf_dir, "documents"))
+        .select(F.explode("toks").alias("w"))
+        .where(~F.col("w").contains("|"))
+        .collect()
+    ):
+        words[row["w"]] += 1
+    seqs = {w: tuple(w) for w in words}
+    expected = []
+    for step in range(1, BPE_MERGES + 1):
+        counts: Counter = Counter()
+        for w, syms in seqs.items():
+            f = words[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        # argmax with the engine's tie-break: max count, then max (a, b)
+        cnt, (a, b) = max((c, p) for p, c in counts.items())
+        expected.append((step, a, b, cnt, a + b))
+        merged = {}
+        for w, syms in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[w] = tuple(out)
+        seqs = merged
+    got = [
+        (r["step"], r["sym_a"], r["sym_b"], r["pair_count"], r["merged"])
+        for r in q158_bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == expected
+
+
+def test_q160_pps_sample_hits_every_grid_point_exactly_once(spark, sf_dir):
+    """The PPS sample must place exactly the grid's points: sum(n_hits)
+    equals the number of grid points inside (0, total], and every
+    selected document's weight interval contains its claimed number of
+    points (recomputed independently in Python integers)."""
+    from tinymr_spark.operators.scale import PPS_K, q160_weighted_sample
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("w"))
+        .where(F.col("w") > 0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    total = sum(r["w"] for r in rows)
+    step = max(total // PPS_K, 1)
+    offset = step // 2
+    n_grid = (total - offset) // step + 1  # points offset + j*step <= total
+    got = {r["doc_id"]: r for r in q160_weighted_sample(spark, sf_dir).collect()}
+    assert sum(r["n_hits"] for r in got.values()) == n_grid
+    cum = 0
+    for r in rows:
+        lo, hi = cum, cum + r["w"]
+        cum = hi
+        hits = sum(
+            1 for j in range((hi - offset) // step + 2) if lo < offset + j * step <= hi
+        )
+        if hits:
+            sel = got.get(r["doc_id"])
+            assert sel is not None and sel["n_hits"] == hits and sel["cum_lo"] == lo
+        else:
+            assert r["doc_id"] not in got
