@@ -353,7 +353,12 @@ def test_q160_pps_sample_hits_every_grid_point_exactly_once(spark, sf_dir):
     total = sum(r["w"] for r in rows)
     step = max(total // PPS_K, 1)
     offset = step // 2
-    n_grid = (total - offset) // step + 1  # points offset + j*step <= total
+    # Count grid points the ENGINE can attribute — coordinates in
+    # (0, total], via the engine's own g(x) = (x-offset+step) div step:
+    # when step==1 (offset==0) the j=0 point sits at coordinate 0,
+    # outside every half-open (cum_lo, cum_hi] interval, and must not be
+    # counted.
+    n_grid = (total - offset + step) // step - (0 - offset + step) // step
     got = {r["doc_id"]: r for r in q160_weighted_sample(spark, sf_dir).collect()}
     assert sum(r["n_hits"] for r in got.values()) == n_grid
     cum = 0

@@ -134,7 +134,6 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
 )
 
 _VERIFIED_ROUND = _verified_rounds()
-_DRIVER_VERIFIED = frozenset(_VERIFIED_ROUND)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1072,22 +1072,24 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
 
     path = table_path(sf_dir, "documents")
 
-    def _shingled() -> DataFrame:
-        docs = with_tokens(load_table(spark, sf_dir, "documents"))
-        # MinHashLSH rejects all-zero vectors, so empty shingle sets must
-        # be filtered — but on the CHEAP precondition (size(toks) >= 3),
-        # not on size(shingles): a filter naming the shingle array gets
-        # pushed below the projection and re-evaluates the O(tokens^2)
-        # ngram expression per row (the _hashed_shingles plan trap;
-        # measured 9.7s -> 1.3s at sf0.1 for this stage).
-        return docs.where(F.size("toks") >= 3).select(
-            "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("shingles")
-        )
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # MinHashLSH rejects all-zero vectors, so empty shingle sets must
+    # be filtered — but on the CHEAP precondition (size(toks) >= 3),
+    # not on size(shingles): a filter naming the shingle array gets
+    # pushed below the projection and re-evaluates the O(tokens^2)
+    # ngram expression per row (the _hashed_shingles plan trap;
+    # measured 9.7s -> 1.3s at sf0.1 for this stage).  Persisted (lazily
+    # — costs nothing when both tables already exist) so a fresh-version
+    # rebuild pays the shingling corpus pass ONCE across the two
+    # builders, not once each; released after both tables resolve.
+    shingled = docs.where(F.size("toks") >= 3).select(
+        "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("shingles")
+    ).persist()
 
     def _build_bands() -> DataFrame:
         vec = HashingTF(
             inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-        ).transform(_shingled())
+        ).transform(shingled)
         model = MinHashLSH(
             inputCol="features", outputCol="hashes", numHashTables=ML_LSH_TABLES, seed=42
         ).fit(vec)
@@ -1099,24 +1101,27 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
             .select("doc_id", "entry", vector_to_array("hv")[0].cast("bigint").alias("h"))
         )
 
-    bands = standing_index(
-        spark,
-        f"mllsh{ML_LSH_TABLES}_bands",
-        [path],
-        _build_bands,
-        key_cols=["entry", "h"],
-        sort_cols=["entry", "h", "doc_id"],
-    )
-    sets = standing_index(
-        spark,
-        "mllsh_sets",
-        [path],
-        lambda: _shingled().select(
-            "doc_id",
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias("shset"),
-        ),
-        key_cols=["doc_id"],
-    )
+    try:
+        bands = standing_index(
+            spark,
+            f"mllsh{ML_LSH_TABLES}_bands",
+            [path],
+            _build_bands,
+            key_cols=["entry", "h"],
+            sort_cols=["entry", "h", "doc_id"],
+        )
+        sets = standing_index(
+            spark,
+            "mllsh_sets",
+            [path],
+            lambda: shingled.select(
+                "doc_id",
+                F.transform("shingles", lambda s: F.xxhash64(s)).alias("shset"),
+            ),
+            key_cols=["doc_id"],
+        )
+    finally:
+        shingled.unpersist()
     return bands, sets
 
 

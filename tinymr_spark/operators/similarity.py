@@ -174,6 +174,28 @@ GROUP BY label, pos
 N_PLANES = 8
 
 
+def lsh_plane_weights(dim: int) -> list[list[float]]:
+    """The q53 hyperplane weights as plain Python floats — THE single
+    home of the weight rule (+1 if the first md5 nibble of "plane-pos"
+    is even, else -1; hashlib.md5 is bit-identical to Spark's and
+    DuckDB's md5).  q53's column expression, its oracle, and q159's
+    stream-side literal arrays all follow this rule; change it here and
+    in the two SQL renderings together.
+    tests/test_similarity_recall.py::test_row_local_bucket_matches_q53
+    pins the three-way agreement over the real corpus."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
 def q53_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     expanded = emb.select(

@@ -1118,22 +1118,18 @@ def _staged_shard_vecs(spark: SparkSession, sf_dir: str) -> str:
 
 def _row_local_bucket(dim: int):
     """q53's sign-projection bucket as a pure per-row expression: the
-    +-1 hyperplane weights are md5((plane,pos))-derived — computed here
-    with hashlib (bit-identical to the engines' md5) and embedded as
-    literal arrays; per plane one zip_with/aggregate fold whose strict
-    pos-0..dim-1 addition order reproduces the q53 groupBy sum exactly
-    (asserted 0 mismatches over the corpus before this shipped)."""
-    from tinymr_spark.operators.similarity import N_PLANES
+    +-1 hyperplane weights come from the rule's single home
+    (similarity.lsh_plane_weights) embedded as literal arrays; per plane
+    one zip_with/aggregate fold whose strict pos-0..dim-1 addition order
+    reproduces the q53 groupBy sum exactly (three-way agreement pinned
+    over the real corpus by tests/test_similarity_recall.py::
+    test_row_local_bucket_matches_q53)."""
+    from tinymr_spark.operators.similarity import N_PLANES, lsh_plane_weights
 
+    all_weights = lsh_plane_weights(dim)
     total = F.lit(0).cast("long")
     for p in range(N_PLANES):
-        weights = [
-            1.0
-            if int(hashlib.md5(f"{p}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
-            else -1.0
-            for i in range(dim)
-        ]
-        wlit = F.array(*[F.lit(w) for w in weights])
+        wlit = F.array(*[F.lit(w) for w in all_weights[p]])
         dot = F.aggregate(
             F.zip_with(F.col("embedding"), wlit, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
