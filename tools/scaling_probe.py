@@ -72,6 +72,13 @@ BATTERY = [
     "q132_countmin_sketch",    # per-token counters
     "q133_snapshot_diff",      # row-hash full-outer join, per-doc linear
     "q134_bloom_semi_join",    # build+probe both key-linear
+    # round-7 linear additions (q157/q159 stay excluded with the
+    # pair-based dedup family)
+    "q158_bpe_merges",         # corpus pass linear; iterations run on the
+                               # distinct-word table, which 5x IDENTICAL
+                               # copies leave unchanged — expect strongly
+                               # sub-linear (the design claim itself)
+    "q160_weighted_sample",    # two-phase cumsum, per-doc linear
 ]
 
 
