@@ -1145,6 +1145,107 @@ GROUP BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# q161 — the embedding GRAM/COVARIANCE matrix: the distributed
+# linear-algebra pass behind whitening, PCA, and ZCA preprocessing of an
+# embedding corpus (q111's per-dimension stats generalized to pairwise).
+# One narrow corpus pass expands each vector into its dim*(dim+1)/2
+# upper-triangle products INSIDE codegen (nested HOF transform — no
+# join, no per-row Python) and ONE map-side-combined aggregation keys on
+# (i, j): every executor's contribution collapses to 2080 partial rows,
+# so at 100 TB the shuffle carries n_executors * 2080 rows no matter the
+# corpus size — the same partial-aggregation argument as q111/q109.
+# Per-dim sums join back broadcast (64 rows) to center the covariance.
+#
+# Cross-engine exactness: products round to 6 decimals and sum as
+# DECIMAL(18,6) (reduction-order-independent — the established recipe);
+# the final covariance divides full-precision doubles and rounds to 6
+# (boundaries measure-zero).  `+ 0.0` normalizes IEEE -0.0 — Spark's
+# and DuckDB's ROUND can disagree on the ZERO SIGN for tiny negative
+# covariances (measured: DuckDB ROUND(-1e-9, 6) = -0.0), which is
+# numerically equal but hash-distinct.
+# ---------------------------------------------------------------------------
+EMB_DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+def q161_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(EMB_DIM - 1)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        F.round(x[i].cast("double") * x[j].cast("double"), 6)
+                        .cast("decimal(18,6)")
+                        .alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    gram = (
+        emb.select(pairs.alias("pr"))
+        .select("pr.i", "pr.j", "pr.p")
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("sp"))
+    )
+    dims = (
+        emb.select(F.posexplode("embedding").alias("d", "xv"))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.round(F.col("xv").cast("double"), 6).cast("decimal(18,6)")
+            ).alias("s")
+        )
+    )
+    di = dims.select(F.col("d").alias("i"), F.col("s").alias("si"))
+    dj = dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))
+    cov = (
+        F.col("sp").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double") / F.col("n")
+    ) / F.col("n")
+    return (
+        gram.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            F.col("sp").cast("double").alias("sum_xy"),
+            (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+ORACLE_Q161 = f"""
+WITH flat AS (
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(ROUND(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS p
+    FROM embeddings,
+         UNNEST(range(0, {EMB_DIM})) t1(i), UNNEST(range(0, {EMB_DIM})) t2(j)
+    WHERE j >= i
+),
+gram AS (SELECT i, j, COUNT(*) AS n, SUM(p) AS sp FROM flat GROUP BY 1, 2),
+dims AS (
+    SELECT CAST(d AS INT) AS d,
+           SUM(CAST(ROUND(CAST(embedding[d+1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS s
+    FROM embeddings, UNNEST(range(0, {EMB_DIM})) t(d)
+    GROUP BY 1
+)
+SELECT g.i, g.j, g.n, CAST(g.sp AS DOUBLE) AS sum_xy,
+       ROUND((CAST(g.sp AS DOUBLE)
+              - CAST(di.s AS DOUBLE) * CAST(dj.s AS DOUBLE) / g.n) / g.n, 6)
+       + 0.0 AS cov
+FROM gram g JOIN dims di ON di.d = g.i JOIN dims dj ON dj.d = g.j
+"""
+
+
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
     "q51_ann_bucketed": q51_ann_bucketed,
@@ -1155,6 +1256,7 @@ QUERIES = {
     "q56_normalize_quantize": q56_normalize_quantize,
     "q147_hybrid_rrf": q147_hybrid_rrf,
     "q57_kmeans_iteration": q57_kmeans_iteration,
+    "q161_embedding_covariance": q161_embedding_covariance,
     "q58_ann_pq_adc": q58_ann_pq_adc,
     "q59_product_quantization": q59_product_quantization,
     "q111_embedding_dim_stats": q111_embedding_dim_stats,
@@ -1171,6 +1273,7 @@ ORACLE = {
     "q56_normalize_quantize": ORACLE_Q56,
     "q147_hybrid_rrf": ORACLE_Q147,
     "q57_kmeans_iteration": ORACLE_Q57,
+    "q161_embedding_covariance": ORACLE_Q161,
     "q58_ann_pq_adc": ORACLE_Q58,
     "q59_product_quantization": ORACLE_Q59,
     "q111_embedding_dim_stats": ORACLE_Q111,
