@@ -434,3 +434,86 @@ def test_pushfilters_absorbs_native_predicates_and_returns_rest():
                              In(("kind",), ("purchase", "error"))])) == []
     )
     assert [row for p in r3.partitions() for row in r3.read(p)] == []
+
+
+def test_minitable_commit_claim_is_exclusive(tmp_path, monkeypatch):
+    """Optimistic concurrency: a writer whose log read went stale (a
+    concurrent commit landed between its versions() read and its O_EXCL
+    claim) must get CommitConflict, never a silent overwrite of the
+    winner's record."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    assert minitable.commit(path, "overwrite", ["a.parquet"]) == 0
+
+    real_versions = minitable.versions
+
+    def stale_then_concurrent(p):
+        vs = real_versions(p)
+        # the concurrent writer lands ITS commit right after our read
+        open(minitable._version_file(p, vs[-1] + 1), "w").write(
+            '{"version": %d, "action": "append", "added": []}' % (vs[-1] + 1)
+        )
+        return vs
+
+    monkeypatch.setattr(minitable, "versions", stale_then_concurrent)
+    with pytest.raises(minitable.CommitConflict):
+        minitable.commit(path, "append", ["b.parquet"])
+    monkeypatch.undo()
+    # the winner's record is intact and the loser can rebase+retry
+    assert minitable.versions(path) == [0, 1]
+    assert minitable.commit(path, "append", ["b.parquet"]) == 2
+
+
+def test_minitable_snapshot_replay_and_overwrite(tmp_path):
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.commit(path, "overwrite", ["a.parquet"])         # v0
+    minitable.commit(path, "append", ["b.parquet"])            # v1
+    minitable.commit(path, "overwrite", ["c.parquet"])         # v2 (compaction)
+    minitable.commit(path, "append", ["d.parquet"])            # v3
+    base = str(tmp_path / "t")
+    assert [p.split("/")[-1] for p in minitable.snapshot(base, 0)] == ["a.parquet"]
+    assert [p.split("/")[-1] for p in minitable.snapshot(base, 1)] == ["a.parquet", "b.parquet"]
+    assert [p.split("/")[-1] for p in minitable.snapshot(base, 2)] == ["c.parquet"]
+    assert [p.split("/")[-1] for p in minitable.snapshot(base)] == ["c.parquet", "d.parquet"]
+
+
+def test_minitable_vacuum_respects_retention(spark, tmp_path):
+    """vacuum(retain_from) deletes only files no retained version
+    references; retained versions keep reading identically."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(5, 8).withColumnRenamed("id", "x")
+    minitable.write(spark, df1, path, "overwrite")              # v0
+    minitable.write(spark, minitable.read(spark, path, 0), path, "overwrite")  # v1 compaction
+    minitable.write(spark, df2, path, "append")                 # v2
+    deleted = minitable.vacuum(path, retain_from_version=1)
+    assert deleted, "v0's superseded files should be vacuumable"
+    # v1 and v2 still read fully
+    assert minitable.read(spark, path, 1).count() == 5
+    assert minitable.read(spark, path, 2).count() == 8
+    import pytest
+
+    with pytest.raises(Exception):
+        minitable.read(spark, path, 0).count()  # history destroyed, loudly
+
+
+def test_minitable_orphan_files_invisible(spark, tmp_path):
+    """Part files written without a commit record (crashed writer) never
+    appear in any snapshot."""
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(spark, spark.range(4).withColumnRenamed("id", "x"), path, "overwrite")
+    orphan_dir = os.path.join(path, "part-deadbeef")
+    os.makedirs(orphan_dir)
+    spark.range(100).withColumnRenamed("id", "x").write.mode("overwrite").parquet(orphan_dir)
+    assert minitable.read(spark, path).count() == 4

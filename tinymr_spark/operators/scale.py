@@ -2159,6 +2159,89 @@ WHERE (cum_hi - "offset" + step) // step
 """
 
 
+# ---------------------------------------------------------------------------
+# q162 — snapshot-isolation TIME TRAVEL over a versioned table
+# (sources/minitable.py, the lakehouse commit-log primitive): a four-
+# commit history of orders — v0 initial load (overwrite), v1 daily
+# append, v2 COMPACTION (overwrite with identical rows, rewritten from
+# an AS-OF read of v1), v3 second append — read back AS OF every
+# version and aggregated per version in one result.
+#
+# What the hash gate proves: (a) AS-OF resolution replays the log
+# correctly (each version's aggregate matches the oracle's membership
+# rule); (b) compaction is INVISIBLE to readers (the v2 row equals the
+# v1 row despite every underlying file changing); (c) appends never
+# perturb history (v0/v1 rows are computed from the SAME log after v3
+# exists).  Builds once per corpus version (versioned staging + done
+# marker); the per-version reads are ordinary parquet scans over the
+# resolved file lists, so pushdown/pruning are intact at any scale and
+# the log itself stays O(commits) driver-side JSON.
+# ---------------------------------------------------------------------------
+def q162_time_travel(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable", src)
+    done = table + "._done"  # sibling marker, version-prefixed (prune-safe)
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey") % 3
+        minitable.write(spark, orders.where(k == 0), table, "overwrite")  # v0
+        minitable.write(spark, orders.where(k == 1), table, "append")  # v1
+        # v2: compaction — same rows as v1, rewritten into fresh files
+        minitable.write(spark, minitable.read(spark, table, 1), table, "overwrite")
+        minitable.write(spark, orders.where(k == 2), table, "append")  # v3
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in minitable.versions(table)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q162 = """
+WITH v AS (
+    SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(version)
+),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON (v.version = 0 AND o.o_orderkey % 3 = 0)
+      OR (v.version IN (1, 2) AND o.o_orderkey % 3 IN (0, 1))
+      OR (v.version = 3)
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2186,6 +2269,7 @@ QUERIES = {
     "q155_corrupt_ingest": q155_corrupt_ingest,
     "q156_federated_join": q156_federated_join,
     "q160_weighted_sample": q160_weighted_sample,
+    "q162_time_travel": q162_time_travel,
 }
 
 ORACLE = {
@@ -2215,4 +2299,5 @@ ORACLE = {
     "q155_corrupt_ingest": ORACLE_Q155,
     "q156_federated_join": ORACLE_Q156,
     "q160_weighted_sample": ORACLE_Q160,
+    "q162_time_travel": ORACLE_Q162,
 }
