@@ -263,3 +263,29 @@ def test_q138_recovers_from_crashed_staging(spark, sf_dir):
     os.makedirs(os.path.join(ckpt, "commits"))
     assert q138_statestore_reader(spark, sf_dir).count() == n
     assert os.path.exists(done)
+
+
+def test_q163_replayed_batch_commits_exactly_once(spark, tmp_path):
+    """The minitable txn protocol must suppress a checkpoint-replayed
+    micro-batch: landing the same (app, batchId) twice yields ONE
+    committed version and no duplicate rows — then the next batch id
+    commits normally."""
+    from tinymr_spark.sources import minitable
+
+    table = str(tmp_path / "lake")
+    app = "test_replay_app"
+    batch = spark.range(10).withColumnRenamed("id", "x")
+
+    def land(batch_df, batch_id):
+        applied = minitable.last_txn_version(table, app)
+        if applied is not None and applied >= batch_id:
+            return
+        minitable.write(spark, batch_df, table, "append", txn=(app, batch_id))
+
+    land(batch, 0)
+    land(batch, 0)  # replay of batch 0
+    assert minitable.versions(table) == [0]
+    assert minitable.read(spark, table).count() == 10
+    land(batch, 1)  # the NEXT batch still lands
+    assert minitable.versions(table) == [0, 1]
+    assert minitable.read(spark, table).count() == 20

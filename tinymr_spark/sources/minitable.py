@@ -96,20 +96,34 @@ def snapshot(path: str, version: int | None = None) -> list[str]:
     return [os.path.join(path, f) for f in live]
 
 
-def commit(path: str, action: str, added: list[str]) -> int:
+def commit(
+    path: str,
+    action: str,
+    added: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
     """Publish the next version atomically; returns its number.
 
     The O_CREAT|O_EXCL open is the publish point: if another writer
     claimed the same number between our log read and our claim, the
     open fails and we surface CommitConflict — the caller rebases
     (its `added` files are already on disk and stay valid for the
-    retry, so rebase cost is one more commit attempt, not a rewrite)."""
+    retry, so rebase cost is one more commit attempt, not a rewrite).
+
+    `txn=(app_id, txn_version)` records an idempotence token in the
+    commit (Delta's txnAppId/txnVersion pattern): a replaying writer
+    checks `last_txn_version(path, app_id)` before committing and skips
+    already-applied work — how a streaming micro-batch sink stays
+    exactly-once across checkpoint replays (q163)."""
     if action not in ("append", "overwrite"):
         raise ValueError(f"unknown minitable action {action!r}")
     os.makedirs(_log_dir(path), exist_ok=True)
     vs = versions(path)
     version = (vs[-1] + 1) if vs else 0
-    rec = json.dumps({"version": version, "action": action, "added": added})
+    body = {"version": version, "action": action, "added": added}
+    if txn is not None:
+        body["txn"] = {"app": txn[0], "version": txn[1]}
+    rec = json.dumps(body)
     try:
         fd = os.open(
             _version_file(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -123,8 +137,25 @@ def commit(path: str, action: str, added: list[str]) -> int:
     return version
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest txn_version this app has committed, or None — the
+    replay-detection read half of the txn idempotence protocol."""
+    best: int | None = None
+    for v in versions(path):
+        with open(_version_file(path, v)) as f:
+            rec = json.load(f)
+        t = rec.get("txn")
+        if t and t.get("app") == app_id:
+            best = t["version"] if best is None else max(best, t["version"])
+    return best
+
+
 def write(
-    spark: SparkSession, df: DataFrame, path: str, action: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    action: str = "append",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
     Files land under a unique attempt prefix BEFORE the commit record
@@ -138,7 +169,7 @@ def write(
         for f in os.listdir(staging)
         if f.endswith(".parquet") or f.endswith(".snappy.parquet")
     )
-    return commit(path, action, added)
+    return commit(path, action, added, txn=txn)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

@@ -1410,6 +1410,85 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q163 — streaming LAKEHOUSE ingest: each micro-batch lands as one
+# ATOMIC VERSION of a minitable (sources/minitable.py), closing the
+# sink arc (q96 files / q122 upsert / q124 LSM / q143 custom-format
+# manifests) with the commit-log table the other sinks approximate.
+# Exactly-once across checkpoint replays via the txn idempotence
+# protocol (Delta's txnAppId/txnVersion): every commit records
+# (app, batchId), and a replayed batch sees last_txn_version >= its id
+# and SKIPS — no duplicate version, no duplicate rows (unit-tested by
+# calling the sink twice with the same batch id).
+#
+# The returned aggregate reads the FINAL table back through the same
+# AS-OF machinery and is hash-proven against the source parquet, so the
+# gate covers: micro-batch planning, per-batch parquet writes, atomic
+# version claims, txn replay suppression, and log-replay reads.  Scale:
+# each batch is an ordinary executor-parallel parquet write + one
+# driver-side O(1) JSON commit; the log stays O(batches).
+# ---------------------------------------------------------------------------
+Q163_TXN_APP = "q163_stream_ingest"
+
+
+def q163_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable, versioned_staging_dir
+
+    stage = _staged_event_files(spark, sf_dir)
+    src = table_path(sf_dir, "events")
+    table = versioned_staging_dir("tinymr_spark_lakehouse", src)
+    done = table + "._done"  # sibling marker, version-prefixed (prune-safe)
+    if not os.path.exists(done):
+        shutil.rmtree(table, ignore_errors=True)
+        ckpt = table + "._ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _pre_stream_cleanup(spark)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+            .select("event_id", "user_id", "event_type", "value")
+        )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            applied = minitable.last_txn_version(table, Q163_TXN_APP)
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: already committed, exactly-once
+            minitable.write(
+                spark, batch_df, table, "append", txn=(Q163_TXN_APP, batch_id)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+    from tinymr_spark.sources import minitable as mt
+
+    back = mt.read(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+ORACLE_Q163 = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM events
+GROUP BY event_type
+"""
+
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
@@ -1427,6 +1506,7 @@ QUERIES = {
     "q143_python_stream_sink": q143_python_stream_sink,
     "q149_stream_index_probe": q149_stream_index_probe,
     "q159_stream_semantic_dedup": q159_stream_semantic_dedup,
+    "q163_stream_lakehouse_ingest": q163_stream_lakehouse_ingest,
     "q138_statestore_reader": q138_statestore_reader,
 }
 from tinymr_spark.operators.similarity import ORACLE_Q140 as _SIM_ORACLE_Q140  # noqa: E402
@@ -1449,5 +1529,6 @@ ORACLE = {
     "q149_stream_index_probe": ORACLE_Q149,
     # q159 must equal the batch face exactly — the oracle IS q140's.
     "q159_stream_semantic_dedup": _SIM_ORACLE_Q140,
+    "q163_stream_lakehouse_ingest": ORACLE_Q163,
     "q138_statestore_reader": ORACLE_Q138,
 }
