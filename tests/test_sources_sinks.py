@@ -517,3 +517,21 @@ def test_minitable_orphan_files_invisible(spark, tmp_path):
     os.makedirs(orphan_dir)
     spark.range(100).withColumnRenamed("id", "x").write.mode("overwrite").parquet(orphan_dir)
     assert minitable.read(spark, path).count() == 4
+
+
+def test_minitable_change_feed_and_overwrite_guard(spark, tmp_path):
+    """changes(a, b) returns exactly the appended rows; a range spanning
+    an overwrite raises instead of returning a wrong feed."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(spark, spark.range(5).withColumnRenamed("id", "x"), path, "overwrite")   # v0
+    minitable.write(spark, spark.range(5, 8).withColumnRenamed("id", "x"), path, "append")   # v1
+    minitable.write(spark, minitable.read(spark, path, 1), path, "overwrite")                # v2 compaction
+    minitable.write(spark, spark.range(8, 10).withColumnRenamed("id", "x"), path, "append")  # v3
+    assert sorted(r["x"] for r in minitable.changes(spark, path, 0, 1).collect()) == [5, 6, 7]
+    assert sorted(r["x"] for r in minitable.changes(spark, path, 2, 3).collect()) == [8, 9]
+    with pytest.raises(ValueError, match="overwrite"):
+        minitable.changes(spark, path, 0, 3)

@@ -2242,6 +2242,47 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q164 — CHANGE DATA FEED between versions of the q162 table: what a
+# downstream incremental consumer (index maintainer, replica, CDC
+# pipeline) reads instead of re-scanning the table.  For append commits
+# the log's added files ARE the delta, so the feed for (v2, v3] is a
+# parquet scan of exactly v3's files — O(delta), never O(table) — and
+# an intervening overwrite raises loudly instead of yielding a wrong
+# feed (minitable.changes; guard unit-tested).  The gate proves the
+# feed equals the committed slice exactly (v3 appended the
+# o_orderkey%3==2 partition of orders).
+# ---------------------------------------------------------------------------
+def q164_change_feed(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable, table_path, versioned_staging_dir
+
+    q162_time_travel(spark, sf_dir)  # ensure the versioned table exists
+    table = versioned_staging_dir(
+        "tinymr_spark_minitable", table_path(sf_dir, "orders")
+    )
+    feed = minitable.changes(spark, table, 2, 3)
+    return feed.agg(
+        F.count("*").alias("n_changed"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_Q164 = """
+SELECT COUNT(*) AS n_changed,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_orderkey % 3 = 2
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2270,6 +2311,7 @@ QUERIES = {
     "q156_federated_join": q156_federated_join,
     "q160_weighted_sample": q160_weighted_sample,
     "q162_time_travel": q162_time_travel,
+    "q164_change_feed": q164_change_feed,
 }
 
 ORACLE = {
@@ -2300,4 +2342,5 @@ ORACLE = {
     "q156_federated_join": ORACLE_Q156,
     "q160_weighted_sample": ORACLE_Q160,
     "q162_time_travel": ORACLE_Q162,
+    "q164_change_feed": ORACLE_Q164,
 }

@@ -181,6 +181,42 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.parquet(*files)
 
 
+def changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CHANGE DATA FEED: the rows added in versions (from_version,
+    to_version] — for append commits the added files ARE the delta, so
+    the feed is a plain parquet scan of exactly those files (no diffing
+    join, no full-table read; the q133 row-hash diff is the fallback
+    when history spans a rewrite).  An intervening `overwrite` breaks
+    the append-only delta semantics and raises LOUDLY rather than
+    returning a wrong feed — Delta's own CDF restriction."""
+    vs = versions(path)
+    for bound in (from_version, to_version):
+        if bound not in vs:
+            raise ValueError(f"minitable {path} has no version {bound} (log: {vs})")
+    if to_version <= from_version:
+        raise ValueError("changes() needs from_version < to_version")
+    added: list[str] = []
+    for v in vs:
+        if v <= from_version or v > to_version:
+            continue
+        with open(_version_file(path, v)) as f:
+            rec = json.load(f)
+        if rec["action"] == "overwrite":
+            raise ValueError(
+                f"version {v} is an overwrite — the ({from_version}, "
+                f"{to_version}] range has no append-only change feed; "
+                "use a snapshot diff instead"
+            )
+        added.extend(rec["added"])
+    if not added:
+        raise ValueError(
+            f"no rows added in ({from_version}, {to_version}] of {path}"
+        )
+    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+
+
 def vacuum(path: str, retain_from_version: int) -> list[str]:
     """Delete part files unreferenced by EVERY version >=
     `retain_from_version`; versions before it become unreadable (their
