@@ -134,21 +134,29 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Adaptive per-query resolution: 2 decimals normally; if the line
     # would overflow the driver's 2000-char tail (possible past ~150
-    # queries), fall back to 1, then 0 decimals — degraded resolution
-    # still beats an unparseable line.  The final iteration is NOT
-    # guarded by the length check, so an overflow even at 0 decimals
-    # (roughly 300+ queries) returns oversized — main() warns loudly on
-    # stderr in that case rather than truncating silently.
-    for ndec in (2, 1, 0):
+    # queries), fall back to 1, then 0 decimals (INTS — round(x, 0)
+    # returns a float and json prints "11.0", saving nothing), then drop
+    # the "q" key prefix (bare digits are still unambiguously the query
+    # number; ~1 char per row, the difference between ~195- and
+    # ~215-query capacity) — degraded resolution still beats an
+    # unparseable line.  The final iteration is NOT guarded by the
+    # length check, so an overflow even at the last stage (roughly 220+
+    # queries) returns oversized — main() warns loudly on stderr in
+    # that case rather than truncating silently.
+    for ndec, strip_q in ((2, False), (1, False), (0, False), (0, True)):
         short = {}
         for name, t in timings.items():
             k = name.split("_", 1)[0]
+            if strip_q and k.startswith("q"):
+                k = k[1:]
             if k in short:
                 k = name
             while k in short:  # a full name can equal an earlier short key
                 k = k + "+"
             # keep the -1.0 failure sentinel exact at any resolution
-            short[k] = -1.0 if t < 0 else round(t, ndec)
+            short[k] = (
+                -1.0 if t < 0 else (int(round(t)) if ndec == 0 else round(t, ndec))
+            )
         line = json.dumps(
             {
                 "metric": "total_query_wall_sec",

@@ -17,11 +17,11 @@ def _inventory_names():
 
 
 def test_bench_line_fits_driver_tail_and_parses():
-    # Padded to 160 hypothetical queries: headroom for future rounds, so
+    # Padded to 200 hypothetical queries: headroom for future rounds, so
     # growth can't silently reintroduce the round-1 "parsed": null.
     names = _inventory_names()
     names += [
-        f"q{i}_hypothetical_future_query" for i in range(len(names) + 1, 161)
+        f"q{i}_hypothetical_future_query" for i in range(len(names) + 1, 201)
     ]
     timings = {n: round(0.0001 + 11.1111 * (i % 7), 4) for i, n in enumerate(names)}
     timings[names[0]] = -1.0  # a failed query must not break the format

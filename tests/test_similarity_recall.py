@@ -81,3 +81,40 @@ def test_row_local_bucket_matches_q53(spark, sf_dir):
     assert n == emb.count()
     mismatches = joined.where(F.col("bucket_fold") != F.col("bucket")).count()
     assert mismatches == 0
+
+
+def test_gram_unit_rounding_matches_round6(spark, sf_dir):
+    """q161's Arrow partials round each product to int64 1e-6 units with
+    sign*floor(abs*1e6+0.5); this must equal Spark's ROUND(x, 6) (and
+    DuckDB's, which the oracle uses) on EVERY real product — pins the
+    half-away-from-zero equivalence so a corpus regeneration or numpy
+    change that breaks it fails here, not as an opaque oracle hash
+    mismatch."""
+    import numpy as np
+
+    from tinymr_spark.operators.similarity import EMB_DIM
+    from tinymr_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(EMB_DIM - 1)),
+                    lambda j: F.round(x[i].cast("double") * x[j].cast("double"), 6),
+                ),
+            )
+        )
+    )
+    sp_units = np.round(
+        np.array([r[0] for r in emb.select(pairs.alias("p")).collect()]) * 1e6
+    ).astype(np.int64)
+    m = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    iu, ju = np.triu_indices(EMB_DIM)
+    p = np.einsum("ni,nj->nij", m, m)[:, iu, ju].ravel()
+    np_units = (np.sign(p) * np.floor(np.abs(p) * 1e6 + 0.5)).astype(np.int64)
+    assert (np_units == sp_units).all()

@@ -1157,42 +1157,71 @@ GROUP BY dim
 # corpus size — the same partial-aggregation argument as q111/q109.
 # Per-dim sums join back broadcast (64 rows) to center the covariance.
 #
-# Cross-engine exactness: products round to 6 decimals and sum as
-# DECIMAL(18,6) (reduction-order-independent — the established recipe);
-# the final covariance divides full-precision doubles and rounds to 6
-# (boundaries measure-zero).  `+ 0.0` normalizes IEEE -0.0 — Spark's
-# and DuckDB's ROUND can disagree on the ZERO SIGN for tiny negative
-# covariances (measured: DuckDB ROUND(-1e-9, 6) = -0.0), which is
-# numerically equal but hash-distinct.
+# Cross-engine exactness: products round to 6 decimals and sum EXACTLY
+# — executor-side as int64 units of 1e-6 inside an Arrow batch (numpy
+# einsum outer products; per-product HALF-AWAY-FROM-ZERO unit rounding
+# `sign*floor(abs*1e6+0.5)` matches Spark's ROUND(x,6) and DuckDB's on
+# every real product, 0 mismatches over 5.2M — pinned by
+# tests/test_similarity_recall.py::test_gram_unit_rounding_matches_round6),
+# then Spark-side as DECIMAL(38,0) unit sums (int64 would overflow past
+# ~1e12 rows).  The first cut used a nested HOF pair expansion — same
+# values, but HOFs are CodegenFallback (interpreted per element) and
+# 2080 interpreted products/row was the measured hot path (6.4s at
+# sf0.1; the Arrow partials run ~20x faster and, at 100 TB, each
+# executor ships 2080 partial rows whatever its data size).  The final
+# covariance divides full-precision doubles and rounds to 6 (boundaries
+# measure-zero).  `+ 0.0` normalizes IEEE -0.0 — Spark's and DuckDB's
+# ROUND can disagree on the ZERO SIGN for tiny negative covariances
+# (measured: DuckDB ROUND(-1e-9, 6) = -0.0), which is numerically equal
+# but hash-distinct.
 # ---------------------------------------------------------------------------
 EMB_DIM = 64  # embeddings table vector width (TESTDATA.md)
+_GRAM_CHUNK = 512  # rows per einsum block: 512*64*64*8B = 16 MB peak
+
+
+def _gram_partials(batches):
+    """mapInPandas worker: per Arrow batch, the upper-triangle sums of
+    per-product 1e-6 units (exact int64) — one 2080-row partial per
+    batch regardless of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(EMB_DIM)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        m = np.stack(pdf["embedding"].values).astype(np.float64)
+        acc = np.zeros(len(iu), dtype=np.int64)
+        for s in range(0, len(m), _GRAM_CHUNK):
+            blk = m[s : s + _GRAM_CHUNK]
+            p = np.einsum("ni,nj->nij", blk, blk)[:, iu, ju]
+            acc += (np.sign(p) * np.floor(np.abs(p) * 1e6 + 0.5)).astype(
+                np.int64
+            ).sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype("int32"),
+                "j": ju.astype("int32"),
+                "cnt": np.full(len(iu), len(m), dtype="int64"),
+                "u": acc,
+            }
+        )
 
 
 def q161_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding")
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(EMB_DIM - 1)),
-                    lambda j: F.struct(
-                        i.cast("int").alias("i"),
-                        j.cast("int").alias("j"),
-                        F.round(x[i].cast("double") * x[j].cast("double"), 6)
-                        .cast("decimal(18,6)")
-                        .alias("p"),
-                    ),
-                ),
-            )
-        )
+    parts = emb.select("embedding").mapInPandas(
+        _gram_partials, "i int, j int, cnt bigint, u bigint"
     )
     gram = (
-        emb.select(pairs.alias("pr"))
-        .select("pr.i", "pr.j", "pr.p")
-        .groupBy("i", "j")
-        .agg(F.count("*").alias("n"), F.sum("p").alias("sp"))
+        parts.groupBy("i", "j")
+        .agg(
+            F.sum("cnt").alias("n"),
+            # exact decimal unit sum -> scale shift by 1e6 is an exact
+            # decimal operation; equals the oracle's SUM(DECIMAL(18,6))
+            (F.sum(F.col("u").cast("decimal(38,0)")).cast("decimal(38,6)") / 1000000)
+            .alias("sp"),
+        )
     )
     dims = (
         emb.select(F.posexplode("embedding").alias("d", "xv"))
