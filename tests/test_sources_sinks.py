@@ -535,3 +535,32 @@ def test_minitable_change_feed_and_overwrite_guard(spark, tmp_path):
     assert sorted(r["x"] for r in minitable.changes(spark, path, 2, 3).collect()) == [8, 9]
     with pytest.raises(ValueError, match="overwrite"):
         minitable.changes(spark, path, 0, 3)
+
+
+def test_minitable_vacuum_refuses_uncommitted_retention_bound(spark, tmp_path):
+    """A retain_from_version that is not a committed version (e.g. a
+    typo above the head) must refuse rather than retain nothing and
+    delete the live snapshot's files."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(spark, spark.range(3).withColumnRenamed("id", "x"), path, "overwrite")
+    with pytest.raises(ValueError, match="refusing"):
+        minitable.vacuum(path, retain_from_version=99)
+    assert minitable.read(spark, path).count() == 3  # nothing was deleted
+
+
+def test_minitable_empty_change_feed_is_empty_not_error(spark, tmp_path):
+    """A version range whose appends added no files is a legitimate
+    quiet period: the feed is an EMPTY DataFrame typed like the table,
+    not an exception."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(spark, spark.range(3).withColumnRenamed("id", "x"), path, "overwrite")  # v0
+    minitable.commit(path, "append", [])  # v1: empty micro-batch
+    feed = minitable.changes(spark, path, 0, 1)
+    assert feed.count() == 0
+    assert feed.schema.fieldNames() == ["x"]

@@ -123,31 +123,42 @@ def commit(
     body = {"version": version, "action": action, "added": added}
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": txn[1]}
-    rec = json.dumps(body)
+    # Write the FULL record to a private temp name first, then publish
+    # via os.link — link both fails atomically if the version was
+    # claimed concurrently (EXCL semantics) AND makes the name visible
+    # only with its complete body (a bare O_EXCL open would let readers
+    # see an empty v{N}.json in the create-to-write window, and a writer
+    # crash there would brick the log with a permanently empty record).
+    tmp = _version_file(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(body))
     try:
-        fd = os.open(
-            _version_file(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
+        os.link(tmp, _version_file(path, version))
     except FileExistsError as e:
         raise CommitConflict(
             f"version {version} of {path} was claimed concurrently"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        f.write(rec)
+    finally:
+        os.remove(tmp)
     return version
 
 
 def last_txn_version(path: str, app_id: str) -> int | None:
     """Highest txn_version this app has committed, or None — the
     replay-detection read half of the txn idempotence protocol."""
-    best: int | None = None
-    for v in versions(path):
+    # Newest-first scan, first match wins: one app's txn versions are
+    # monotone (the idempotence protocol skips anything <= the last
+    # applied id), so this is O(1) amortized per call instead of
+    # re-parsing the whole log — q163 calls it once per micro-batch,
+    # which would otherwise make a long-lived stream O(batches^2) in
+    # driver JSON reads.
+    for v in reversed(versions(path)):
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
         t = rec.get("txn")
         if t and t.get("app") == app_id:
-            best = t["version"] if best is None else max(best, t["version"])
-    return best
+            return t["version"]
+    return None
 
 
 def write(
@@ -165,9 +176,7 @@ def write(
     staging = os.path.join(path, attempt)
     df.write.mode("overwrite").parquet(staging)
     added = sorted(
-        f"{attempt}/{f}"
-        for f in os.listdir(staging)
-        if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+        f"{attempt}/{f}" for f in os.listdir(staging) if f.endswith(".parquet")
     )
     return commit(path, action, added, txn=txn)
 
@@ -211,9 +220,16 @@ def changes(
             )
         added.extend(rec["added"])
     if not added:
-        raise ValueError(
-            f"no rows added in ({from_version}, {to_version}] of {path}"
-        )
+        # A quiet period (empty append commits) is a legitimate EMPTY
+        # delta, not an error — a polling CDF consumer must get an empty
+        # feed (Delta's behavior), typed like the table itself.
+        base = snapshot(path, to_version)
+        if not base:
+            raise ValueError(
+                f"minitable {path} is empty at version {to_version} — "
+                "no schema to type an empty change feed"
+            )
+        return spark.read.parquet(*base).limit(0)
     return spark.read.parquet(*[os.path.join(path, f) for f in added])
 
 
@@ -223,6 +239,15 @@ def vacuum(path: str, retain_from_version: int) -> list[str]:
     log records remain for audit).  Returns the deleted files.  This is
     the only operation that destroys history — explicit by design."""
     vs = versions(path)
+    if retain_from_version not in vs:
+        # A typo'd bound above the head would retain NOTHING and delete
+        # every data file including the live version's — refuse instead
+        # (Delta's vacuum can never drop current-snapshot files).
+        raise ValueError(
+            f"retain_from_version {retain_from_version} is not a committed "
+            f"version of {path} (log: {vs}) — refusing a vacuum that could "
+            "drop the live snapshot"
+        )
     keep: set[str] = set()
     for v in vs:
         if v >= retain_from_version:

@@ -1467,9 +1467,7 @@ def q163_stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         open(done, "w").close()
-    from tinymr_spark.sources import minitable as mt
-
-    back = mt.read(spark, table)
+    back = minitable.read(spark, table)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
