@@ -2283,6 +2283,69 @@ WHERE o_orderkey % 3 = 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q165 — INCREMENTAL MATERIALIZED-VIEW maintenance over the change feed:
+# the consumer q164 exists for.  A per-priority aggregate MV over the
+# versioned orders table is advanced from v2 to v3 by applying ONLY the
+# delta — MV(v3) = MV(v2) ⊕ agg(changes(2,3]) with the additive merge
+# (counts add, decimal sums add, mins/maxes combine) — never re-reading
+# the base table.  The oracle recomputes the v3 aggregate from scratch,
+# so the hash gate IS the "incremental == rebuild" proof (q145's
+# merge-algebra argument applied to view maintenance; valid because the
+# (2,3] range is append-only — the q164 overwrite guard is exactly what
+# protects this consumer).  At scale: the base MV is a tiny standing
+# aggregate and each advance costs O(delta), the whole point of CDF.
+# ---------------------------------------------------------------------------
+def q165_incremental_mv(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable, table_path, versioned_staging_dir
+
+    q162_time_travel(spark, sf_dir)  # ensure the versioned table exists
+    table = versioned_staging_dir(
+        "tinymr_spark_minitable", table_path(sf_dir, "orders")
+    )
+
+    def mv(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price_d"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    base = mv(minitable.read(spark, table, 2)).alias("b")
+    delta = mv(minitable.changes(spark, table, 2, 3)).alias("d")
+    merged = base.join(delta, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce("b.n_orders", F.lit(0)) + F.coalesce("d.n_orders", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (
+            F.coalesce(F.col("b.sum_price_d"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("d.sum_price_d"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("sum_price"),
+        F.least(
+            F.coalesce("b.min_key", "d.min_key"), F.coalesce("d.min_key", "b.min_key")
+        ).alias("min_key"),
+        F.greatest(
+            F.coalesce("b.max_key", "d.max_key"), F.coalesce("d.max_key", "b.max_key")
+        ).alias("max_key"),
+    )
+    return merged
+
+
+ORACLE_Q165 = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2312,6 +2375,7 @@ QUERIES = {
     "q160_weighted_sample": q160_weighted_sample,
     "q162_time_travel": q162_time_travel,
     "q164_change_feed": q164_change_feed,
+    "q165_incremental_mv": q165_incremental_mv,
 }
 
 ORACLE = {
@@ -2343,4 +2407,5 @@ ORACLE = {
     "q160_weighted_sample": ORACLE_Q160,
     "q162_time_travel": ORACLE_Q162,
     "q164_change_feed": ORACLE_Q164,
+    "q165_incremental_mv": ORACLE_Q165,
 }
