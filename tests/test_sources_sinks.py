@@ -564,3 +564,98 @@ def test_minitable_empty_change_feed_is_empty_not_error(spark, tmp_path):
     feed = minitable.changes(spark, path, 0, 1)
     assert feed.count() == 0
     assert feed.schema.fieldNames() == ["x"]
+
+
+def _clustered_table(spark, tmp_path, n=1000, files=4):
+    """A key-clustered minitable with per-file o-key stats: k 0..n-1
+    range-partitioned into `files` parts, columns (k, v, name)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("name"),
+    )
+    minitable.write(
+        spark,
+        df.repartitionByRange(files, "k"),
+        path,
+        "overwrite",
+        stats_cols=["k", "name"],
+    )
+    return path
+
+
+def test_minitable_scan_prunes_files(spark, tmp_path):
+    """Data skipping: a narrow range predicate keeps only the files
+    whose commit-log [min,max] admit matches, and the scan's values
+    equal the unpruned filter exactly (pruning is an optimization,
+    never the correctness boundary).  String-column stats prune too."""
+    from tinymr_spark.sources import minitable
+
+    path = _clustered_table(spark, tmp_path)
+    kept, total = minitable.prune(path, [("k", "<=", 100)])
+    assert total == 4 and len(kept) == 1, (kept, total)
+    got = sorted(r["k"] for r in minitable.scan(spark, path, [("k", "<=", 100)]).collect())
+    assert got == list(range(101))
+    # provably-empty scan: zero files, typed like the table
+    empty = minitable.scan(spark, path, [("k", ">", 10**6)])
+    assert empty.count() == 0 and empty.columns == ["k", "v", "name"]
+    # string stats: names are zero-padded so lexicographic == numeric order
+    kept_s, _ = minitable.prune(path, [("name", ">=", "s0750")])
+    assert len(kept_s) == 1
+    # a column with no recorded stats keeps every file (conservative)
+    kept_v, _ = minitable.prune(path, [("v", "<=", 0)])
+    assert len(kept_v) == 4
+
+
+def test_minitable_merge_upsert_delete_insert(spark, tmp_path):
+    """MERGE three-clause semantics plus the two-phase file pruning:
+    only files holding MATCHED rows are rewritten (out-of-range inserts
+    force no rewrite), history stays time-travelable, and the merge
+    commit re-records stats so later scans still skip."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = _clustered_table(spark, tmp_path)
+    src = spark.range(10, 21).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v"), F.lit("upd").alias("name")
+    ).union(
+        spark.range(2000, 2003).select(
+            F.col("id").alias("k"), F.lit(9).alias("v"), F.lit("new").alias("name")
+        )
+    )
+    mv = minitable.merge(spark, src, path, "k", delete_where="k = 15")
+    rec = json.load(open(minitable._version_file(path, mv)))
+    # keys 10..20 live in ONE of the four range files; the 2000+ inserts
+    # match nothing — exactly one file is rewritten
+    assert len(rec["removed"]) == 1, rec["removed"]
+    out = minitable.read(spark, path)
+    assert out.count() == 1000 - 1 + 3
+    assert out.filter("k = 15").count() == 0  # matched + delete_where
+    assert out.filter("name = 'upd'").count() == 10  # matched -> source row
+    assert out.filter("k >= 2000").count() == 3  # not matched -> insert
+    assert out.filter("k = 500").select("name").first()[0] == "s0500"  # untouched
+    assert minitable.read(spark, path, 0).count() == 1000  # time travel intact
+    # merge commits carry stats: post-merge scans keep pruning
+    kept, total = minitable.prune(path, [("k", ">=", 750)])
+    assert len(kept) < total
+    # a pure-insert merge (all keys beyond range) rewrites nothing
+    src2 = spark.range(5000, 5002).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("x").alias("name")
+    )
+    rec2 = json.load(open(minitable._version_file(path, minitable.merge(spark, src2, path, "k"))))
+    assert rec2["removed"] == []
+    # change feed refuses to span a merge (its files carry old rows)
+    with pytest.raises(ValueError, match="merge"):
+        minitable.changes(spark, path, 0, mv)
+    # duplicate source keys are an ambiguous upsert: refuse loudly
+    with pytest.raises(ValueError, match="duplicate"):
+        minitable.merge(spark, src2.union(src2), path, "k")

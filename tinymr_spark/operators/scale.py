@@ -2346,6 +2346,174 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# q166 — MERGE INTO (declarative upsert) on the versioned minitable: the
+# lakehouse write primitive q162/q164 were building toward.  One merge
+# applies all three clauses at once against a key-clustered orders
+# table: WHEN MATCHED AND source priority is 1-URGENT THEN DELETE, WHEN
+# MATCHED THEN UPDATE (price + 100), WHEN NOT MATCHED THEN INSERT
+# (key-shifted copies beyond the table's key range).
+#
+# What the hash gate proves: the three-clause row algebra is exact —
+# the post-merge per-priority aggregate equals the oracle's from-scratch
+# reconstruction (survivors with CASE'd prices UNION ALL the inserts).
+# Scale shape (sources/minitable.py merge): two-phase file pruning —
+# commit-log key stats bound the candidate files for free, then a
+# find-touched-files probe (key column only, parquet-pruned) joins
+# against source keys so ONLY files holding matched rows are rewritten;
+# the out-of-range inserts match nothing and force no rewrite.  Here the
+# update predicate (%7) touches every file by design — the narrow-merge
+# pruning path is pinned by tests/test_sources_sinks.py instead.
+# ---------------------------------------------------------------------------
+def q166_merge_upsert(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_merge", src_path)
+    done = table + "._done"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        minitable.write(
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        maxk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        updates = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        inserts = orders.where(F.col("o_orderkey") % 11 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(int(maxk))
+        )
+        minitable.merge(
+            spark,
+            updates.unionByName(inserts),
+            table,
+            "o_orderkey",
+            delete_where="o_orderpriority = '1-URGENT'",
+        )
+        open(done, "w").close()
+    return (
+        minitable.read(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+ORACLE_Q166 = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+survivors AS (
+    SELECT o_orderkey AS key, o_orderpriority,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0 AND o_orderpriority = '1-URGENT')
+),
+inserted AS (
+    SELECT o.o_orderkey + mx.m AS key, o.o_orderpriority,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o, mx
+    WHERE o.o_orderkey % 11 = 3
+),
+merged AS (
+    SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       MIN(key) AS min_key,
+       MAX(key) AS max_key
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q167 — DATA-SKIPPING scan over commit-log file stats: the planning-time
+# half of the lakehouse story (Delta/Iceberg min-max skipping).  The
+# orders table is written key-clustered (repartitionByRange on
+# o_orderkey, 8 files) with per-file [min,max] key stats in the commit
+# record; a range predicate (first quarter of the key space) then plans
+# a parquet scan over ONLY the files whose stats admit matches — file
+# pruning happens in the log, before Spark ever lists a path, and the
+# residual filter + parquet row-group pushdown still run inside the kept
+# files.  At 100 TB this is THE scan lever: predicate selectivity turns
+# into proportional I/O instead of a full-table scan.
+#
+# The hash gate proves pruning never changes results (the oracle filters
+# the raw table); the "fewer files actually scanned" half is pinned by
+# tests/test_sources_sinks.py::test_minitable_scan_prunes_files.
+# ---------------------------------------------------------------------------
+def q167_data_skipping(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_skip", src_path)
+    done = table + "._done"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        minitable.write(
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        open(done, "w").close()
+    maxk = load_table(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    cut = int(maxk) // 4  # both engines: floor div of non-negative ints
+    return minitable.scan(spark, table, [("o_orderkey", "<=", cut)]).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_Q167 = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2376,6 +2544,8 @@ QUERIES = {
     "q162_time_travel": q162_time_travel,
     "q164_change_feed": q164_change_feed,
     "q165_incremental_mv": q165_incremental_mv,
+    "q166_merge_upsert": q166_merge_upsert,
+    "q167_data_skipping": q167_data_skipping,
 }
 
 ORACLE = {
@@ -2408,4 +2578,6 @@ ORACLE = {
     "q162_time_travel": ORACLE_Q162,
     "q164_change_feed": ORACLE_Q164,
     "q165_incremental_mv": ORACLE_Q165,
+    "q166_merge_upsert": ORACLE_Q166,
+    "q167_data_skipping": ORACLE_Q167,
 }

@@ -5,11 +5,15 @@ at the smallest size that preserves its guarantees.
 A table directory holds immutable parquet part files plus a `_log/`
 commit log of JSON records `v{N}.json`:
 
-    {"version": N, "action": "append"|"overwrite", "added": [...]}
+    {"version": N, "action": "append"|"overwrite"|"merge",
+     "added": [...], "removed": [...],            # merge only
+     "stats": {"file": {"col": [min, max]}}}      # optional, data skipping
 
 The LIVE FILE SET of version V is derived by replaying the log to V:
 `append` unions its files in; `overwrite` replaces the whole set (a
-compaction is an overwrite whose rows are unchanged).  Readers resolve a
+compaction is an overwrite whose rows are unchanged); `merge` swaps the
+touched files out for their rewritten replacements (`live - removed +
+added` — Delta's remove/add action pair).  Readers resolve a
 version (latest by default, or AS OF any past version) to a file list
 and read exactly those parquet files — a reader never sees a partial
 commit, because:
@@ -73,9 +77,11 @@ def versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def snapshot(path: str, version: int | None = None) -> list[str]:
-    """The live file list AS OF `version` (latest when None), absolute
-    paths, in commit-then-manifest order (deterministic)."""
+def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict | None]]:
+    """Replay the log to `version`: the live `(relpath, stats)` pairs in
+    commit-then-manifest order.  `stats` is the per-file column min/max
+    map recorded by the commit that added the file (None when the writer
+    skipped stats collection — readers must treat that conservatively)."""
     vs = versions(path)
     if not vs:
         return []
@@ -83,17 +89,29 @@ def snapshot(path: str, version: int | None = None) -> list[str]:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
-    live: list[str] = []
+    live: list[tuple[str, dict | None]] = []
     for v in vs:
         if v > version:
             break
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
+        stats = rec.get("stats", {})
+        fresh = [(f, stats.get(f)) for f in rec["added"]]
         if rec["action"] == "overwrite":
-            live = list(rec["added"])
+            live = fresh
+        elif rec["action"] == "merge":
+            dropped = set(rec["removed"])
+            live = [e for e in live if e[0] not in dropped]
+            live.extend(fresh)
         else:
-            live.extend(rec["added"])
-    return [os.path.join(path, f) for f in live]
+            live.extend(fresh)
+    return live
+
+
+def snapshot(path: str, version: int | None = None) -> list[str]:
+    """The live file list AS OF `version` (latest when None), absolute
+    paths, in commit-then-manifest order (deterministic)."""
+    return [os.path.join(path, f) for f, _ in _live_entries(path, version)]
 
 
 def commit(
@@ -101,6 +119,8 @@ def commit(
     action: str,
     added: list[str],
     txn: tuple[str, int] | None = None,
+    removed: list[str] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -114,13 +134,23 @@ def commit(
     commit (Delta's txnAppId/txnVersion pattern): a replaying writer
     checks `last_txn_version(path, app_id)` before committing and skips
     already-applied work — how a streaming micro-batch sink stays
-    exactly-once across checkpoint replays (q163)."""
-    if action not in ("append", "overwrite"):
+    exactly-once across checkpoint replays (q163).
+
+    `removed` (merge only) lists the live files this commit supersedes;
+    `stats` maps added relpaths to per-column `[min, max]` pairs for
+    data-skipping reads (`scan`) and merge file pruning."""
+    if action not in ("append", "overwrite", "merge"):
         raise ValueError(f"unknown minitable action {action!r}")
+    if (removed is not None) != (action == "merge"):
+        raise ValueError("`removed` is required for merge commits and only them")
     os.makedirs(_log_dir(path), exist_ok=True)
     vs = versions(path)
     version = (vs[-1] + 1) if vs else 0
     body = {"version": version, "action": action, "added": added}
+    if removed is not None:
+        body["removed"] = removed
+    if stats:
+        body["stats"] = stats
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": txn[1]}
     # Write the FULL record to a private temp name first, then publish
@@ -161,24 +191,75 @@ def last_txn_version(path: str, app_id: str) -> int | None:
     return None
 
 
+def _stage(df: DataFrame, path: str) -> list[str]:
+    """Write `df` as new part files under a unique attempt prefix BEFORE
+    any commit record exists, so a crash between write and commit leaves
+    only invisible orphans (the q141 manifest argument).  Returns the
+    staged relpaths in sorted (deterministic) order."""
+    attempt = f"part-{uuid.uuid4().hex[:12]}"
+    staging = os.path.join(path, attempt)
+    df.write.mode("overwrite").parquet(staging)
+    return sorted(
+        f"{attempt}/{f}" for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+
+
+def _collect_stats(
+    path: str, added: list[str], cols: list[str]
+) -> dict[str, dict]:
+    """Per-file `[min, max]` for `cols`, read from the parquet FOOTERS of
+    the staged files — O(files) driver-side metadata reads, never data
+    (the same cost class as Delta's stats collection; at cluster scale
+    this would ride the write job's task results instead).  Columns whose
+    footer statistics are absent or non-JSON-typed are skipped — readers
+    treat a missing entry as "could contain anything" (conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    want = set(cols)
+    for rel in added:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        per_col: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci, name in enumerate(names):
+                if name not in want:
+                    continue
+                if name in per_col and per_col[name] is None:
+                    continue  # already poisoned by a stats-less chunk
+                st = row_group.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    per_col[name] = None  # a chunk without stats poisons the column
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+                if not isinstance(lo, (int, float, str, bool)):
+                    per_col[name] = None  # dates/decimals: not JSON-portable here
+                    continue
+                cur = per_col.get(name)
+                per_col[name] = (
+                    [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+                )
+        out[rel] = {k: v for k, v in per_col.items() if v is not None}
+    return out
+
+
 def write(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     action: str = "append",
     txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
-    Files land under a unique attempt prefix BEFORE the commit record
-    exists, so a crash between write and commit leaves only invisible
-    orphans (the q141 manifest argument)."""
-    attempt = f"part-{uuid.uuid4().hex[:12]}"
-    staging = os.path.join(path, attempt)
-    df.write.mode("overwrite").parquet(staging)
-    added = sorted(
-        f"{attempt}/{f}" for f in os.listdir(staging) if f.endswith(".parquet")
-    )
-    return commit(path, action, added, txn=txn)
+    `stats_cols` opts the commit into per-file min/max stats on those
+    columns, enabling `scan()` data skipping and `merge()` file pruning."""
+    added = _stage(df, path)
+    stats = _collect_stats(path, added, stats_cols) if stats_cols else None
+    return commit(path, action, added, txn=txn, stats=stats)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -190,6 +271,170 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.parquet(*files)
 
 
+# A `where` clause for scan()/prune() is a CONJUNCTION of simple
+# predicates `(col, op, literal)` with op in _OPS — the shape file-level
+# min/max stats can decide.  Anything richer belongs in the residual
+# Spark filter, which scan() always applies anyway (pruning is an
+# optimization, never the correctness boundary).
+_OPS = ("<", "<=", ">", ">=", "=")
+
+
+def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
+    """False only when the file's stats PROVE no row can satisfy the
+    conjunction.  Missing stats (None, or an absent column) keep the
+    file — conservative, like Delta/Iceberg skipping."""
+    if stats is None:
+        return True
+    for col, op, val in where:
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        lo, hi = rng
+        if (
+            (op == "<" and lo >= val)
+            or (op == "<=" and lo > val)
+            or (op == ">" and hi <= val)
+            or (op == ">=" and hi < val)
+            or (op == "=" and (val < lo or val > hi))
+        ):
+            return False
+    return True
+
+
+def prune(
+    path: str, where: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """DATA SKIPPING: the live files that could hold rows matching
+    `where`, decided from commit-log stats alone (no file I/O).  Returns
+    `(kept_abs_paths, total_live_files)`.  This is the 100 TB scan
+    lever: a predicate on a clustered column plans O(matching files)
+    instead of O(table), before Spark ever sees a path."""
+    for col, op, _val in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported data-skipping op {op!r} (use {_OPS})")
+    entries = _live_entries(path, version)
+    kept = [
+        os.path.join(path, f) for f, st in entries if _file_survives(st, where)
+    ]
+    return kept, len(entries)
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned AS-OF read: plan a parquet scan over only the files
+    `prune()` keeps, then apply `where` as a real Spark filter too —
+    file skipping is coarse (min/max ranges), the residual filter is
+    exact, and parquet row-group pushdown still applies inside each
+    kept file."""
+    from pyspark.sql import functions as F
+
+    kept, total = prune(path, where, version)
+    if not kept:
+        # Provably-empty scan: type it like the table without reading data.
+        return read(spark, path, version).limit(0).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    for col, op, val in where:
+        c = F.col(col)
+        df = df.filter(
+            {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val}[op]
+        )
+    return df
+
+
+def merge(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str,
+    delete_where: str | None = None,
+    stats_cols: list[str] | None = None,
+    check_duplicate_keys: bool = True,
+) -> int:
+    """MERGE INTO (Delta-style declarative upsert), whole-row semantics:
+
+    * WHEN MATCHED AND `delete_where` (a SQL boolean over SOURCE
+      columns) THEN DELETE;
+    * WHEN MATCHED THEN UPDATE (the source row replaces the target row);
+    * WHEN NOT MATCHED THEN INSERT.
+
+    Scale shape — the reason this is file-level, not table-level
+    (Delta's two-phase merge): (1) the commit-log stats on `key` bound
+    which live files COULD contain matched rows (coarse, free — no file
+    I/O); (2) a find-touched-files probe inner-joins the candidates'
+    key column (parquet column pruning: one column read) against the
+    source keys, recording `input_file_name()` — exact, O(candidate
+    files).  ONLY touched files are read in full and rewritten, and the
+    commit swaps them atomically (`action=merge`, removed+added).  A
+    narrow merge into a key-clustered 100 TB table costs O(touched
+    files + source), which is the entire point of MERGE over
+    read-modify-overwrite — and inserts with out-of-range keys don't
+    force a rewrite (phase 2 matches nothing for them).  Correctness:
+    any target row matching a source key is in a touched file by
+    construction, so the full-outer join below sees every possible
+    match, and source rows unmatched there are unmatched in the whole
+    table.
+
+    The source must be key-unique (Delta raises on multiple matches for
+    the same target row; `check_duplicate_keys` performs that O(source)
+    guard here — disable it only when uniqueness is structural)."""
+    from pyspark.sql import functions as F
+
+    if check_duplicate_keys:
+        dup = source.groupBy(key).count().filter(F.col("count") > 1)
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"merge source has duplicate {key!r} values — a target row "
+                "would match more than one source row (ambiguous upsert)"
+            )
+    bounds = source.agg(F.min(key), F.max(key)).collect()[0]
+    if bounds[0] is None:
+        raise ValueError("merge source is empty — nothing to upsert")
+    smin, smax = bounds[0], bounds[1]
+    entries = _live_entries(path)
+    if not entries:
+        raise ValueError(f"minitable {path} is empty — write() the initial version")
+    key_range = [(key, ">=", smin), (key, "<=", smax)]
+    candidates = [f for f, st in entries if _file_survives(st, key_range)]
+    touched: list[str] = []
+    if candidates:
+        probe = (
+            spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+            .select(key, F.input_file_name().alias("__file"))
+            .join(source.select(key), key, "inner")
+            .select("__file")
+            .distinct()
+        )
+        uris = [r[0] for r in probe.collect()]  # O(touched files) names
+        touched = [f for f in candidates if any(u.endswith("/" + f) for u in uris)]
+    cols = read(spark, path).columns
+    src = source.select(*cols).withColumn(
+        "__delete", F.expr(delete_where) if delete_where else F.lit(False)
+    )
+    if touched:
+        tgt = spark.read.parquet(*[os.path.join(path, f) for f in touched])
+        t, s = tgt.alias("t"), src.alias("s")
+        joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+        matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+        merged = joined.filter(~(matched & F.col("s.__delete"))).select(
+            *[
+                F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+    else:
+        merged = src.select(*cols)  # nothing can match: pure insert
+    added = _stage(merged, path)
+    want_stats = sorted({key, *(stats_cols or [])})
+    stats = _collect_stats(path, added, want_stats)
+    return commit(path, "merge", added, removed=touched, stats=stats)
+
+
 def changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
@@ -197,9 +442,10 @@ def changes(
     to_version] — for append commits the added files ARE the delta, so
     the feed is a plain parquet scan of exactly those files (no diffing
     join, no full-table read; the q133 row-hash diff is the fallback
-    when history spans a rewrite).  An intervening `overwrite` breaks
-    the append-only delta semantics and raises LOUDLY rather than
-    returning a wrong feed — Delta's own CDF restriction."""
+    when history spans a rewrite).  An intervening `overwrite` or
+    `merge` breaks the append-only delta semantics (their added files
+    carry pre-existing rows) and raises LOUDLY rather than returning a
+    wrong feed — Delta's own CDF restriction for rewrites."""
     vs = versions(path)
     for bound in (from_version, to_version):
         if bound not in vs:
@@ -212,9 +458,9 @@ def changes(
             continue
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
-        if rec["action"] == "overwrite":
+        if rec["action"] != "append":
             raise ValueError(
-                f"version {v} is an overwrite — the ({from_version}, "
+                f"version {v} is a {rec['action']} — the ({from_version}, "
                 f"{to_version}] range has no append-only change feed; "
                 "use a snapshot diff instead"
             )
