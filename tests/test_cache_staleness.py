@@ -137,3 +137,25 @@ def test_graph_edge_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
     assert keys[0] != old_keys[0]
     assert stale_edges.storageLevel.useMemory is False, "stale edges not unpersisted"
     assert stale_nodes.storageLevel.useMemory is False, "stale nodes not unpersisted"
+
+
+def test_copurchase_cache_coexists_and_evicts(spark, sf_dir, tmp_path):
+    """The two graph kinds (bipartite PageRank edges, co-purchase
+    triangle edges) share one session cache without evicting each other;
+    regenerating the corpus evicts only the stale generation of each."""
+    from tinymr_spark.operators.graph import _copurchase_cache, _edge_cache
+    from tinymr_spark.sources import session_cache
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    _edge_cache(spark, sf)
+    _copurchase_cache(spark, sf)
+    cache = session_cache(spark, "_tinymr_graph_cache")
+    kinds = sorted(k[2] for k in cache if k[0] == sf)
+    assert kinds == ["bipartite", "copurchase"], kinds
+    old = [k for k in cache if k[0] == sf and k[2] == "copurchase"][0]
+
+    _regenerate(os.path.join(sf, "lineitem.parquet"))
+    _copurchase_cache(spark, sf)
+    assert old not in cache, "stale copurchase generation retained"
+    # the bipartite entry (other kind) was NOT collaterally evicted
+    assert any(k[0] == sf and k[2] == "bipartite" for k in cache)

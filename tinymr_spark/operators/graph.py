@@ -72,7 +72,7 @@ def _edge_cache(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     from tinymr_spark.sources import file_version, session_cache, table_path
 
     cache = session_cache(spark, "_tinymr_graph_cache")
-    key = (sf_dir, file_version(table_path(sf_dir, "lineitem")))
+    key = (sf_dir, file_version(table_path(sf_dir, "lineitem")), "bipartite")
     if key not in cache:
         li = load_table(spark, sf_dir, "lineitem")
         pairs = li.select(
@@ -93,11 +93,18 @@ def _edge_cache(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             .select(F.col("src").alias("node"), "outdeg")
             .persist()
         )
-        for stale in [k for k in cache if k[0] == sf_dir and k != key]:
-            for df in cache.pop(stale):
-                df.unpersist()
+        _evict_stale(cache, key)
         cache[key] = (edges, nodes)
     return cache[key]
+
+
+def _evict_stale(cache: dict, key: tuple) -> None:
+    """Pop+unpersist superseded corpus generations of the SAME graph
+    kind (key = (sf_dir, version, kind)) — the established session-cache
+    lifecycle; other kinds sharing the dict are untouched."""
+    for stale in [k for k in cache if k[0] == key[0] and k[2] == key[2] and k != key]:
+        for df in cache.pop(stale):
+            df.unpersist()
 
 
 def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,10 +191,210 @@ FROM r{N_PAGERANK_ITERS}
 
 ORACLE_Q146 = _oracle_pagerank()
 
+
+# ---------------------------------------------------------------------------
+# q168 — TRIANGLE COUNTING over the part co-purchase graph: the classic
+# non-iterative distributed graph analytic (Suri & Vassilvitskii 2011,
+# "Counting Triangles and the Curse of the Last Reducer"), completing the
+# graph family next to q146 (iterative fixed-point) and q46 (connected
+# components).  Graph: parts in the sampled decile family (l_partkey % 4
+# == 0) are nodes; two parts are adjacent iff some order contains both
+# (distinct canonical a<b pairs).
+#
+# Scale design — DEGREE ORIENTATION, the whole point: enumerating wedges
+# on the undirected graph explodes as sum(deg^2) (the "last reducer"
+# holds the hub).  Orienting every edge from its (degree, id)-smaller
+# endpoint bounds out-degrees by O(sqrt(m)), so the wedge join is
+# sum(outdeg^2) = O(m^1.5) worst-case and far less in practice; each
+# triangle is then found EXACTLY once (the acyclic orientation has one
+# node with two out-edges).  The hash gate proves orientation
+# independence: the oracle counts on the canonical (a<b) form with no
+# orientation trick, and every output metric — including per-node
+# participation — must agree bit-for-bit.
+#
+# The edge set is built once per corpus version and persisted
+# (_copurchase_cache, same lifecycle as q146's edges); the wedge metric
+# is computed as the per-middle-node product aggregate hi(b)*lo(b) —
+# one groupBy, NO join — rather than materializing wedges.
+# ---------------------------------------------------------------------------
+TRI_PART_MOD = 4  # sampled part family: l_partkey % TRI_PART_MOD == 0
+
+
+def _copurchase_cache(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(edges, deg, ed) persisted once per lineitem version: canonical
+    (a < b) co-purchase edges between sampled parts, per-node degrees,
+    and the degree-ORIENTED edge table.  `ed` is the triangle join's hot
+    table — it is probed three times per run (two wedge sides + the
+    closing-edge semi join), so deriving it lazily would compile and
+    execute its two degree joins three times over."""
+    from tinymr_spark.sources import file_version, session_cache, table_path
+
+    cache = session_cache(spark, "_tinymr_graph_cache")
+    key = (sf_dir, file_version(table_path(sf_dir, "lineitem")), "copurchase")
+    if key not in cache:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_partkey") % TRI_PART_MOD == 0)
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        x, y = li.alias("x"), li.alias("y")
+        edges = (
+            x.join(
+                y,
+                (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+            )
+            .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionByName(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        # Orient each edge from its (deg, id)-lexicographically smaller
+        # endpoint: out-degree is O(sqrt(m))-bounded, so the out-edge
+        # self-join cannot hit the undirected sum(deg^2) blowup.
+        ed = (
+            edges.join(
+                deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a"
+            )
+            .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(
+                        F.col("a").alias("src"),
+                        F.col("b").alias("dst"),
+                        F.col("db").alias("ddst"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.col("b").alias("src"),
+                        F.col("a").alias("dst"),
+                        F.col("da").alias("ddst"),
+                    )
+                )
+                .alias("o")
+            )
+            .select("o.src", "o.dst", "o.ddst")
+            .repartition("src")  # the wedge self-join key: co-located probes
+            # localCheckpoint, not bare persist: ed's lineage nests the
+            # edge self-join + two degree joins, and the triangle query
+            # scans ed three times — uncut, the PRINTED plan repeats that
+            # subtree per scan (the q146 lineage-inflation case).  The cut
+            # materializes once at build and bounds plan depth; exact
+            # bigint columns, so it cannot perturb results.
+            .localCheckpoint(eager=True)
+        )
+        _evict_stale(cache, key)
+        cache[key] = (edges, deg, ed)
+    return cache[key]
+
+
+def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, deg, ed = _copurchase_cache(spark, sf_dir)
+    # Each triangle appears exactly once: the orientation-minimal node u
+    # has out-edges to both v and w ((deg,id)-ordered v < w), and the
+    # closing edge v -> w is itself oriented.
+    p, q = ed.alias("p"), ed.alias("q")
+    cand = p.join(q, F.col("p.src") == F.col("q.src")).where(
+        (F.col("p.ddst") < F.col("q.ddst"))
+        | ((F.col("p.ddst") == F.col("q.ddst")) & (F.col("p.dst") < F.col("q.dst")))
+    )
+    tri = cand.join(
+        ed.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        (F.col("p.dst") == F.col("v")) & (F.col("q.dst") == F.col("w")),
+        "left_semi",
+    ).select(
+        F.col("p.src").alias("u"), F.col("p.dst").alias("v"), F.col("q.dst").alias("w")
+    )
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    # Canonical wedge count (a<b<c paths) via the middle-node product —
+    # lo(m) edges where m is the smaller endpoint, hi(m) where larger:
+    # one aggregation, no wedge materialization.
+    wedges = (
+        e.select(F.col("a").alias("node"), F.lit(1).alias("lo"), F.lit(0).alias("hi"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.lit(0).alias("lo"), F.lit(1).alias("hi"))
+        )
+        .groupBy("node")
+        .agg((F.sum("lo") * F.sum("hi")).alias("w"))
+        .agg(F.sum("w").cast("bigint").alias("n_wedges"))
+    )
+    globals_ = (
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.expr("sum(deg) div 2").alias("n_edges"),  # exact: each edge counted twice
+        )
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(
+            F.broadcast(
+                per_node.agg(
+                    F.count("*").cast("bigint").alias("n_tri_nodes"),
+                    F.max("t").alias("max_node_triangles"),
+                    # each triangle contributes 3 participation rows; exact
+                    # integer div, coalesced so a triangle-free graph is 0
+                    F.expr("coalesce(sum(t), 0L) div 3").alias("n_triangles"),
+                )
+            )
+        )
+    )
+    return globals_.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles", "n_tri_nodes",
+        "max_node_triangles",
+    )
+
+
+ORACLE_Q168 = f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_partkey % {TRI_PART_MOD} = 0
+),
+e AS (
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM li x JOIN li y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+tri AS (SELECT w.a, w.b, w.c FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+pern AS (
+    SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+)
+SELECT (SELECT COUNT(DISTINCT node)
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM w) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles,
+       (SELECT COUNT(*) FROM pern) AS n_tri_nodes,
+       (SELECT MAX(t) FROM pern) AS max_node_triangles
+"""
+
+
 QUERIES = {
     "q146_pagerank": q146_pagerank,
+    "q168_triangle_count": q168_triangle_count,
 }
 
 ORACLE = {
     "q146_pagerank": ORACLE_Q146,
+    "q168_triangle_count": ORACLE_Q168,
 }

@@ -78,7 +78,9 @@ ALLOW_BNLJ = {"q38_tfidf", "q50_ann_bruteforce", "q54_ann_ivf",
               # crossJoin(5-row per-type totals x 16-row bin spine)
               "q153_psi_drift",
               # crossJoin(broadcast(1-row total-weight aggregate))
-              "q160_weighted_sample"}
+              "q160_weighted_sample",
+              # crossJoin of three 1-row graph-metric aggregates
+              "q168_triangle_count"}
 # (q157's folded-codebook crossJoin lives in its standing-index BUILD,
 # which runs once per corpus version during construction; the audited
 # probe plan is the bucketed self-join and needs no allowance.)
