@@ -159,3 +159,24 @@ def test_copurchase_cache_coexists_and_evicts(spark, sf_dir, tmp_path):
     assert old not in cache, "stale copurchase generation retained"
     # the bipartite entry (other kind) was NOT collaterally evicted
     assert any(k[0] == sf and k[2] == "bipartite" for k in cache)
+
+
+def test_bpe_cache_evicts_stale_versions(spark, sf_dir, tmp_path):
+    """The trained BPE artifact (merge rules + encoded vocab) is rebuilt
+    when the documents table regenerates; the stale encoded table is
+    unpersisted."""
+    from tinymr_spark.operators.text import _bpe_cache
+    from tinymr_spark.sources import session_cache
+
+    sf = _clone_sf(sf_dir, tmp_path)
+    merges, encoded = _bpe_cache(spark, sf)
+    assert merges and encoded.columns == ["w", "enc", "freq"]
+    cache = session_cache(spark, "_tinymr_bpe_cache")
+    old_keys = [k for k in cache if k[0] == sf]
+    assert len(old_keys) == 1
+
+    _regenerate(os.path.join(sf, "documents.parquet"))
+    _bpe_cache(spark, sf)
+    keys = [k for k in cache if k[0] == sf]
+    assert len(keys) == 1 and keys[0] != old_keys[0], keys
+    assert encoded.storageLevel.useMemory is False, "stale encoding not unpersisted"

@@ -1218,59 +1218,83 @@ GROUP BY 1
 BPE_MERGES = 5
 
 
-def q158_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    words = (
-        docs.select(F.explode("toks").alias("w"))
-        .where(~F.col("w").contains("|"))
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
-    enc0 = words.select(
-        F.concat(
-            F.lit("|"),
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("w")),
-                    lambda i: F.col("w").substr(i, F.lit(1)),
+def _bpe_cache(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
+    """(merges, encoded) trained once per corpus version: `merges` is the
+    learned rule list [(step, a, b, count, merged)], `encoded` the
+    distinct-word table (w, enc, freq) AFTER all merges — i.e. the
+    trained tokenizer APPLIED to the whole vocabulary, which is what the
+    training loop's final state is for free.  q158 reports the rules;
+    q169 consumes the encoding.  The table is localCheckpointed (strings
+    + bigints, exact) so both consumers and repeated bench passes reuse
+    one materialization; stale corpus generations pop+unpersist like
+    every session cache (tests/test_cache_staleness.py)."""
+    from tinymr_spark.sources import file_version, session_cache, table_path
+
+    cache = session_cache(spark, "_tinymr_bpe_cache")
+    key = (sf_dir, file_version(table_path(sf_dir, "documents")))
+    if key not in cache:
+        docs = with_tokens(load_table(spark, sf_dir, "documents"))
+        words = (
+            docs.select(F.explode("toks").alias("w"))
+            .where(~F.col("w").contains("|"))
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+        )
+        enc0 = words.select(
+            "w",
+            F.concat(
+                F.lit("|"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.col("w").substr(i, F.lit(1)),
+                    ),
+                    "||",
                 ),
-                "||",
-            ),
-            F.lit("|"),
-        ).alias("enc"),
-        "freq",
-    ).persist()  # the one corpus pass; iterations re-read this vocab table
-    cur = enc0
-    merges: list[tuple] = []
-    try:
-        for step in range(1, BPE_MERGES + 1):
-            syms = F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\|\|")
-            n = F.size(syms)
-            pairs = cur.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(syms, 1, n - 1),
-                        F.slice(syms, 2, n - 1),
-                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                    )
-                ).alias("p"),
-            )
-            row = (
-                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("freq").alias("cnt"))
-                .agg(F.max(F.struct("cnt", "a", "b")).alias("m"))
-            ).collect()[0]["m"]
-            if row is None:  # degenerate corpus: nothing left to merge
-                break
-            cnt, a, b = int(row["cnt"]), row["a"], row["b"]
-            merges.append((step, a, b, cnt, a + b))
-            cur = cur.withColumn(
-                "enc",
-                F.replace(F.col("enc"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
-            )
-    finally:
-        enc0.unpersist()
+                F.lit("|"),
+            ).alias("enc"),
+            "freq",
+        ).persist()  # the one corpus pass; iterations re-read this vocab table
+        cur = enc0
+        merges: list[tuple] = []
+        try:
+            for step in range(1, BPE_MERGES + 1):
+                syms = F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\|\|")
+                n = F.size(syms)
+                pairs = cur.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(syms, 1, n - 1),
+                            F.slice(syms, 2, n - 1),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        )
+                    ).alias("p"),
+                )
+                row = (
+                    pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                    .agg(F.sum("freq").alias("cnt"))
+                    .agg(F.max(F.struct("cnt", "a", "b")).alias("m"))
+                ).collect()[0]["m"]
+                if row is None:  # degenerate corpus: nothing left to merge
+                    break
+                cnt, a, b = int(row["cnt"]), row["a"], row["b"]
+                merges.append((step, a, b, cnt, a + b))
+                cur = cur.withColumn(
+                    "enc",
+                    F.replace(F.col("enc"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")),
+                )
+            encoded = cur.localCheckpoint(eager=True)
+        finally:
+            enc0.unpersist()
+        for stale in [k for k in cache if k[0] == sf_dir and k != key]:
+            cache.pop(stale)[1].unpersist()
+        cache[key] = (merges, encoded)
+    return cache[key]
+
+
+def q158_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _encoded = _bpe_cache(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, pair_count bigint, merged string"
     )
@@ -1315,6 +1339,84 @@ enc{step} AS (
 ORACLE_Q158 = _oracle_bpe()
 
 
+# ---------------------------------------------------------------------------
+# q169 — BPE tokenizer APPLICATION: encode the corpus vocabulary with the
+# q158-trained merge rules and report the token-length distribution —
+# the inference-side counterpart of q158's training (together they are
+# the full tokenizer lifecycle: learn rules -> encode corpus).  Because
+# greedy BPE applies merges in training order, the training loop's final
+# vocab state IS the encoding, so the trained artifact is shared
+# (_bpe_cache) and this query costs one aggregation over the
+# vocab-sized table — no corpus re-read, no re-training.
+#
+# Output: for each post-BPE token count, how many distinct words, their
+# corpus occurrences (weighting by word frequency = the corpus-level
+# token statistics a tokenizer eval reports), and total characters.
+# All exact bigints; the oracle re-trains AND re-encodes from scratch in
+# generated SQL (the q158 CTE chain with the word column threaded
+# through), so the hash gate proves train+apply end-to-end.
+# ---------------------------------------------------------------------------
+def q169_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, encoded = _bpe_cache(spark, sf_dir)
+    n_tok = F.size(F.split(F.expr("substring(enc, 2, length(enc) - 2)"), r"\|\|"))
+    return (
+        encoded.select(
+            n_tok.alias("n_tokens"), "freq", (F.length("w") * F.col("freq")).alias("wchars")
+        )
+        .groupBy("n_tokens")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.sum("wchars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    sql = r"""
+WITH words AS (
+    SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+    WHERE w <> '' AND w NOT LIKE '%|%'
+    GROUP BY w
+),
+enc0 AS (
+    SELECT w,
+           '|' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), '||') || '|' AS enc,
+           freq
+    FROM words
+)"""
+    prev = "enc0"
+    for step in range(1, BPE_MERGES + 1):
+        sql += f""",
+p{step} AS (
+    SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (SELECT freq, string_split(substr(enc, 2, length(enc) - 2), '||') AS syms FROM {prev}),
+         UNNEST(range(1, len(syms))) AS t(i)
+    GROUP BY 1, 2
+),
+t{step} AS (SELECT a, b, cnt FROM p{step} ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
+enc{step} AS (
+    SELECT w, replace(enc, '|' || a || '||' || b || '|', '|' || a || b || '|') AS enc, freq
+    FROM {prev}, t{step}
+)"""
+        prev = f"enc{step}"
+    return (
+        sql
+        + f"""
+SELECT CAST(len(string_split(substr(enc, 2, length(enc) - 2), '||')) AS INT) AS n_tokens,
+       COUNT(*) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       CAST(SUM(length(w) * freq) AS BIGINT) AS total_chars
+FROM {prev}
+GROUP BY 1
+"""
+    )
+
+
+ORACLE_Q169 = _oracle_bpe_encode()
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -1338,6 +1440,7 @@ QUERIES = {
     "q145_incremental_bm25": q145_incremental_bm25,
     "q126_shard_manifest": q126_shard_manifest,
     "q158_bpe_merges": q158_bpe_merges,
+    "q169_bpe_encode": q169_bpe_encode,
 }
 
 ORACLE = {
@@ -1363,4 +1466,5 @@ ORACLE = {
     "q145_incremental_bm25": ORACLE_Q125,  # merged index == full recompute
     "q126_shard_manifest": ORACLE_Q126,
     "q158_bpe_merges": ORACLE_Q158,
+    "q169_bpe_encode": ORACLE_Q169,
 }
