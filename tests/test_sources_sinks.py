@@ -659,3 +659,44 @@ def test_minitable_merge_upsert_delete_insert(spark, tmp_path):
     # duplicate source keys are an ambiguous upsert: refuse loudly
     with pytest.raises(ValueError, match="duplicate"):
         minitable.merge(spark, src2.union(src2), path, "k")
+
+
+def test_minitable_bloom_skipping_on_unclustered_column(spark, tmp_path):
+    """Per-file bloom filters skip point lookups on a column the file
+    clustering scatters (range stats keep everything there); results
+    stay exact because blooms are false-positive-only."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    # cluster by k; g is k itself on a few sparse rows and -1 elsewhere,
+    # so any specific positive g lives in exactly one file while every
+    # file's g-range spans [-1, ...] uselessly for point lookups
+    path2 = str(tmp_path / "t2")
+    df2 = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 500 == 0, F.col("id")).otherwise(F.lit(-1)).alias("g"),
+    )
+    minitable.write(
+        spark,
+        df2.repartitionByRange(8, "k"),
+        path2,
+        "overwrite",
+        bloom_cols=["g"],
+    )
+    # g=1500 exists in exactly one file (k=1500's); every file's bloom
+    # contains -1 and its own sparse values only
+    kept, total = minitable.prune(path2, [("g", "=", 1500)])
+    assert total == 8 and len(kept) == 1, (kept, total)
+    got = [r["k"] for r in minitable.scan(spark, path2, [("g", "=", 1500)]).collect()]
+    assert got == [1500]
+    # absent value: bloom proves absence everywhere -> zero files, empty
+    kept0, _ = minitable.prune(path2, [("g", "=", 1501)])
+    assert kept0 == []
+    assert minitable.scan(spark, path2, [("g", "=", 1501)]).count() == 0
+    # bloom columns carry footer range stats too: g >= 0 range-prunes
+    # the files whose every g is -1 (blooms themselves only serve "=")
+    kept_r, _ = minitable.prune(path2, [("g", ">=", 0)])
+    assert len(kept_r) == 4
+    got_r = sorted(r["k"] for r in minitable.scan(spark, path2, [("g", ">=", 0)]).collect())
+    assert got_r == [0, 500, 1000, 1500]

@@ -2514,6 +2514,72 @@ WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
 """
 
 
+# ---------------------------------------------------------------------------
+# q170 — BLOOM-FILTER file skipping on an UNCLUSTERED column: the data-
+# skipping gap q167's min/max ranges cannot close.  The table is
+# clustered by o_orderkey (32 range files), so o_custkey is scattered —
+# every file's custkey range spans the whole domain and range stats
+# prune NOTHING for a customer point-lookup.  The commit log therefore
+# carries a small per-file bloom filter on o_custkey
+# (sources/minitable.py, blake2b double-hashing, ~10 bits/row): the
+# point predicate skips every file whose bloom proves absence, reading
+# only the handful of files that hold the customer's orders (a
+# ~13-order customer touches <=13 of 32 files).  This is Delta/Iceberg's
+# secondary-key skipping story: point-lookup I/O proportional to the
+# entity's footprint, not the table — at 100 TB the difference between
+# a seconds lookup and a full scan.  Hash gate: the oracle filters the
+# raw table, proving bloom skipping (false-positive-only by
+# construction) never changes results.
+# ---------------------------------------------------------------------------
+def q170_bloom_skipping(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_bloom", src_path)
+    done = table + "._done"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        minitable.write(
+            spark,
+            orders.repartitionByRange(32, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+            bloom_cols=["o_custkey"],
+        )
+        open(done, "w").close()
+    maxc = load_table(spark, sf_dir, "orders").agg(F.max("o_custkey")).collect()[0][0]
+    probe = int(maxc) // 3  # deterministic mid-domain customer, both engines
+    return minitable.scan(spark, table, [("o_custkey", "=", probe)]).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE_Q170 = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_custkey = (SELECT MAX(o_custkey) // 3 FROM orders)
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2546,6 +2612,7 @@ QUERIES = {
     "q165_incremental_mv": q165_incremental_mv,
     "q166_merge_upsert": q166_merge_upsert,
     "q167_data_skipping": q167_data_skipping,
+    "q170_bloom_skipping": q170_bloom_skipping,
 }
 
 ORACLE = {
@@ -2580,4 +2647,5 @@ ORACLE = {
     "q165_incremental_mv": ORACLE_Q165,
     "q166_merge_upsert": ORACLE_Q166,
     "q167_data_skipping": ORACLE_Q167,
+    "q170_bloom_skipping": ORACLE_Q170,
 }

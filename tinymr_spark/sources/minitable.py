@@ -7,7 +7,8 @@ commit log of JSON records `v{N}.json`:
 
     {"version": N, "action": "append"|"overwrite"|"merge",
      "added": [...], "removed": [...],            # merge only
-     "stats": {"file": {"col": [min, max]}}}      # optional, data skipping
+     "stats": {"file": {"col": [min, max]                      # range stats
+                        | {"range": [...], "bloom": {...}}}}}  # + bloom
 
 The LIVE FILE SET of version V is derived by replaying the log to V:
 `append` unions its files in; `overwrite` replaces the whole set (a
@@ -204,19 +205,76 @@ def _stage(df: DataFrame, path: str) -> list[str]:
     )
 
 
+# --- per-file BLOOM FILTERS for point-lookup skipping -----------------------
+# Min/max ranges only skip on CLUSTERED columns; a point predicate on a
+# column scattered across every file (the usual case for a second key)
+# prunes nothing by range.  Delta/Iceberg answer: a small per-file bloom
+# filter in the metadata — `col = v` skips every file whose bloom proves
+# absence.  Hashing is engine-independent (blake2b over a typed repr,
+# double hashing h1 + i*h2), so the filter is portable metadata, not a
+# parquet-internal structure.
+_BLOOM_K = 7  # hash count; with m ~= 10 bits/value -> ~1% false positives
+
+
+def _bloom_bit_positions(val, m: int):
+    import hashlib
+
+    norm = f"i:{val}" if isinstance(val, int) and not isinstance(val, bool) else f"s:{val}"
+    d = hashlib.blake2b(norm.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    for i in range(_BLOOM_K):
+        yield (h1 + i * h2) % m
+
+
+def _bloom_build(values, n_hint: int) -> dict:
+    """{"m": bits, "k": hashes, "bits": base64} sized ~10 bits/value
+    (power of two, 1 KiB..1 MiB)."""
+    import base64
+
+    m = 1024
+    while m < 10 * max(n_hint, 1) and m < (1 << 20):
+        m *= 2
+    bits = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_bit_positions(v, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": _BLOOM_K, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe_contains(bloom: dict, val) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_bit_positions(val, bloom["m"])
+    )
+
+
 def _collect_stats(
-    path: str, added: list[str], cols: list[str]
+    path: str,
+    added: list[str],
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> dict[str, dict]:
     """Per-file `[min, max]` for `cols`, read from the parquet FOOTERS of
     the staged files — O(files) driver-side metadata reads, never data
     (the same cost class as Delta's stats collection; at cluster scale
     this would ride the write job's task results instead).  Columns whose
     footer statistics are absent or non-JSON-typed are skipped — readers
-    treat a missing entry as "could contain anything" (conservative)."""
+    treat a missing entry as "could contain anything" (conservative).
+
+    `bloom_cols` additionally builds a per-file bloom filter per column;
+    unlike range stats this reads the column's DATA (one column per
+    file) — locally a pyarrow columnar read, at cluster scale the bloom
+    would be folded in the write job's tasks like Delta's."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
-    want = set(cols)
+    want = set(cols) | set(bloom_cols or ())
     for rel in added:
         md = pq.ParquetFile(os.path.join(path, rel)).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
@@ -242,7 +300,14 @@ def _collect_stats(
                 per_col[name] = (
                     [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
                 )
-        out[rel] = {k: v for k, v in per_col.items() if v is not None}
+        entry: dict = {k: v for k, v in per_col.items() if v is not None}
+        for bc in bloom_cols or ():
+            vals = pq.read_table(os.path.join(path, rel), columns=[bc]).column(0).to_pylist()
+            entry[bc] = {
+                "range": entry.pop(bc, None),
+                "bloom": _bloom_build(vals, len(vals)),
+            }
+        out[rel] = entry
     return out
 
 
@@ -253,12 +318,19 @@ def write(
     action: str = "append",
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
     `stats_cols` opts the commit into per-file min/max stats on those
-    columns, enabling `scan()` data skipping and `merge()` file pruning."""
+    columns, enabling `scan()` data skipping and `merge()` file pruning;
+    `bloom_cols` adds per-file bloom filters so point predicates skip
+    files on UNCLUSTERED columns too."""
     added = _stage(df, path)
-    stats = _collect_stats(path, added, stats_cols) if stats_cols else None
+    stats = (
+        _collect_stats(path, added, stats_cols or [], bloom_cols)
+        if (stats_cols or bloom_cols)
+        else None
+    )
     return commit(path, action, added, txn=txn, stats=stats)
 
 
@@ -286,17 +358,25 @@ def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
     if stats is None:
         return True
     for col, op, val in where:
-        rng = stats.get(col)
-        if rng is None:
+        entry = stats.get(col)
+        if entry is None:
             continue
-        lo, hi = rng
-        if (
-            (op == "<" and lo >= val)
-            or (op == "<=" and lo > val)
-            or (op == ">" and hi <= val)
-            or (op == ">=" and hi < val)
-            or (op == "=" and (val < lo or val > hi))
-        ):
+        rng, bloom = (
+            (entry.get("range"), entry.get("bloom"))
+            if isinstance(entry, dict)
+            else (entry, None)
+        )
+        if rng is not None:
+            lo, hi = rng
+            if (
+                (op == "<" and lo >= val)
+                or (op == "<=" and lo > val)
+                or (op == ">" and hi <= val)
+                or (op == ">=" and hi < val)
+                or (op == "=" and (val < lo or val > hi))
+            ):
+                return False
+        if op == "=" and bloom is not None and not _bloom_maybe_contains(bloom, val):
             return False
     return True
 
@@ -352,6 +432,7 @@ def merge(
     key: str,
     delete_where: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     check_duplicate_keys: bool = True,
 ) -> int:
     """MERGE INTO (Delta-style declarative upsert), whole-row semantics:
@@ -431,7 +512,7 @@ def merge(
         merged = src.select(*cols)  # nothing can match: pure insert
     added = _stage(merged, path)
     want_stats = sorted({key, *(stats_cols or [])})
-    stats = _collect_stats(path, added, want_stats)
+    stats = _collect_stats(path, added, want_stats, bloom_cols)
     return commit(path, "merge", added, removed=touched, stats=stats)
 
 
