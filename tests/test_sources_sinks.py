@@ -700,3 +700,54 @@ def test_minitable_bloom_skipping_on_unclustered_column(spark, tmp_path):
     assert len(kept_r) == 4
     got_r = sorted(r["k"] for r in minitable.scan(spark, path2, [("g", ">=", 0)]).collect())
     assert got_r == [0, 500, 1000, 1500]
+
+
+def test_minitable_stream_source_restart_streams_only_delta(spark, tmp_path):
+    """The minitable streaming source's checkpoint-replay contract:
+    run 1 drains the current snapshot (versions up to the head); after
+    new append commits, a restart from the SAME checkpoint streams ONLY
+    the delta versions — no duplicates, no loss.  An overwrite in the
+    un-consumed range fails loudly instead of replaying rewritten rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    minitable.write(spark, spark.range(0, 5).select(F.col("id").alias("k")), path, "append")
+    minitable.write(spark, spark.range(5, 8).select(F.col("id").alias("k")), path, "append")
+
+    got: list[int] = []
+
+    def drain() -> list[int]:
+        batch_rows: list[int] = []
+
+        def sink(df, _bid):
+            batch_rows.extend(r["k"] for r in df.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path)
+            .option("columns", "k")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return batch_rows
+
+    got = drain()
+    assert sorted(got) == list(range(8))  # initial snapshot: both commits
+    # quiet restart: nothing new, nothing replayed
+    assert drain() == []
+    # delta restart: only the new commit's rows stream
+    minitable.write(spark, spark.range(8, 10).select(F.col("id").alias("k")), path, "append")
+    assert sorted(drain()) == [8, 9]
+    # an overwrite poisons the un-consumed range loudly
+    minitable.write(spark, minitable.read(spark, path), path, "overwrite")
+    with pytest.raises(Exception, match="overwrite"):
+        drain()

@@ -1,0 +1,169 @@
+"""Streaming SOURCE over a minitable's append commits — the "table as a
+stream" face of the lakehouse primitive (Delta's streaming source
+semantics), the read-side complement of q163's streaming ingest sink.
+
+Offsets are COMMITTED VERSION NUMBERS: `latestOffset` answers the log
+head (a driver-side directory listing, O(commits)), and a micro-batch
+(start, end] is DEFINED as the files added by the append commits in
+that version range — exactly the change-feed contract of
+`minitable.changes()`, so a batch never re-reads table history and an
+overwrite/merge in range raises loudly instead of streaming rewritten
+rows as if they were new.  `initialOffset` of -1 makes the first batch
+the full current snapshot (Delta's startingVersion=0), after which the
+query is purely incremental: each new append commit streams once, by
+construction of the offset algebra.
+
+Scale split (the q136 rework's lesson, pydatasource.py:144): the driver
+does OFFSET BOOKKEEPING ONLY; `partitions()` maps the version range to
+one InputPartition per committed file, and executors read their file
+directly with pyarrow — no table byte ever passes through the driver.
+Restart recovery needs no reader state at all: partitions/read are pure
+functions of the committed (start, end] offsets and the immutable log,
+so any replayed range re-plans to the identical rows
+(tests/test_sources_sinks.py pins replay purity and
+restart-streams-only-the-delta).
+
+The reference has no streams and no I/O (/root/reference/tinymr.py);
+this is SURVEY §2.3/§2.4 beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_ARROW_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+    "string": "string",
+    "large_string": "string",
+    "date32[day]": "date",
+}
+
+
+def _table_ddl(path: str, cols: list[str]) -> str:
+    """Planning-time schema: the requested columns' types from the FIRST
+    live file's parquet footer (metadata-only, like a parquet scan's
+    inference).  Timestamps map to microsecond `timestamp` regardless of
+    storage unit — Spark's own parquet reader semantics."""
+    import pyarrow.parquet as pq
+
+    from tinymr_spark.sources import minitable
+
+    files = minitable.snapshot(path)
+    if not files:
+        raise ValueError(f"minitable {path} is empty — no schema to stream")
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    parts = []
+    for c in cols:
+        if c not in schema.names:
+            raise ValueError(f"column {c!r} not in minitable schema {schema.names}")
+        t = str(schema.field(c).type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        else:
+            ddl = _ARROW_DDL.get(t)
+        if ddl is None:
+            raise ValueError(f"unsupported stream column type {t!r} for {c!r}")
+        parts.append(f"{c} {ddl}")
+    return ", ".join(parts)
+
+
+class _FilePartition(InputPartition):
+    """One committed parquet file of the micro-batch's version range;
+    pickled to an executor, which reads it directly."""
+
+    def __init__(self, path: str | None, cols: list[str]):
+        self.path = path
+        self.cols = cols
+
+
+class MinitableStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.cols = [c.strip() for c in options["columns"].split(",")]
+
+    def initialOffset(self) -> dict:
+        return {"v": -1}  # first batch = everything committed so far
+
+    def latestOffset(self) -> dict:
+        from tinymr_spark.sources import minitable
+
+        vs = minitable.versions(self.path)
+        return {"v": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        import json
+
+        from tinymr_spark.sources import minitable
+
+        lo, hi = int(start["v"]), int(end["v"])
+        parts: list[_FilePartition] = []
+        for v in minitable.versions(self.path):
+            if v <= lo or v > hi:
+                continue
+            with open(minitable._version_file(self.path, v)) as f:
+                rec = json.load(f)
+            if rec["action"] != "append":
+                raise ValueError(
+                    f"minitable version {v} is a {rec['action']} — a stream "
+                    "over rewritten files would replay pre-existing rows; "
+                    "restart the stream from a fresh checkpoint instead"
+                )
+            parts.extend(
+                _FilePartition(os.path.join(self.path, f), self.cols)
+                for f in rec["added"]
+            )
+        # Spark requires >= 1 partition; an empty range plans a no-op.
+        return parts or [_FilePartition(None, self.cols)]
+
+    def read(self, partition: _FilePartition):
+        # EXECUTOR-side: scan exactly this committed file, projected to
+        # the requested columns (parquet column pruning), in arrow
+        # batches — O(file), no driver involvement.
+        if partition.path is None:
+            return
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches(columns=partition.cols):
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the source of truth; nothing to clean up
+
+
+class MinitableStreamDataSource(DataSource):
+    """`spark.readStream.format("tinymr_minitable_stream")
+    .option("path", dir).option("columns", "a,b,c").load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tinymr_minitable_stream"
+
+    def schema(self) -> str:
+        return _table_ddl(self.options["path"], [
+            c.strip() for c in self.options["columns"].split(",")
+        ])
+
+    def streamReader(self, schema) -> MinitableStreamReader:
+        return MinitableStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    if getattr(spark, "_tinymr_minitable_stream_registered", False):
+        return
+    spark.dataSource.register(MinitableStreamDataSource)
+    spark._tinymr_minitable_stream_registered = True

@@ -1487,6 +1487,84 @@ GROUP BY event_type
 
 
 
+# ---------------------------------------------------------------------------
+# q171 — the minitable AS A STREAMING SOURCE (Delta's "table as a
+# stream", the read-side complement of q163's streaming ingest): an
+# append-only versioned orders table is consumed by a Structured
+# Streaming query through the custom `tinymr_minitable_stream` format
+# (sources/minitable_stream.py).  Offsets are commit-log VERSIONS; the
+# first batch is the current snapshot (initialOffset -1), and each later
+# append commit streams exactly once — partitions map (start, end] to
+# the committed files, executors read them directly (no table byte
+# through the driver), and an overwrite/merge in range raises instead of
+# replaying rewritten rows.  The drained stream is landed in a memory
+# sink and aggregated; the oracle recomputes from the raw orders table,
+# so the hash gate proves the whole path — version offsets, per-file
+# partition planning, executor pyarrow reads — loses and duplicates
+# nothing.  Restart-streams-only-the-delta is pinned in
+# tests/test_sources_sinks.py (the checkpoint replay contract).
+# ---------------------------------------------------------------------------
+def q171_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import (
+        minitable,
+        minitable_stream,
+        versioned_staging_dir,
+    )
+
+    src = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_cdf", src)
+    done = table + "._done"
+    if not os.path.exists(done):
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        for r in range(3):  # three append commits: a growing live table
+            minitable.write(
+                spark, orders.where(F.col("o_orderkey") % 3 == r), table, "append"
+            )
+        open(done, "w").close()
+    minitable_stream.register(spark)
+    _pre_stream_cleanup(spark)
+    view = f"q171_feed_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", table)
+        .option("columns", "o_orderkey,o_custkey,o_orderpriority,o_totalprice")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(view)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(view)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+ORACLE_Q171 = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sliding": q91_stream_sliding,
@@ -1505,6 +1583,7 @@ QUERIES = {
     "q149_stream_index_probe": q149_stream_index_probe,
     "q159_stream_semantic_dedup": q159_stream_semantic_dedup,
     "q163_stream_lakehouse_ingest": q163_stream_lakehouse_ingest,
+    "q171_stream_table_source": q171_stream_table_source,
     "q138_statestore_reader": q138_statestore_reader,
 }
 from tinymr_spark.operators.similarity import ORACLE_Q140 as _SIM_ORACLE_Q140  # noqa: E402
@@ -1528,5 +1607,6 @@ ORACLE = {
     # q159 must equal the batch face exactly — the oracle IS q140's.
     "q159_stream_semantic_dedup": _SIM_ORACLE_Q140,
     "q163_stream_lakehouse_ingest": ORACLE_Q163,
+    "q171_stream_table_source": ORACLE_Q171,
     "q138_statestore_reader": ORACLE_Q138,
 }
