@@ -389,12 +389,141 @@ SELECT (SELECT COUNT(DISTINCT node)
 """
 
 
+# ---------------------------------------------------------------------------
+# q172 — K-CORE PEELING on the co-purchase graph: the third distributed
+# graph-analytics shape next to q146 (fixed-point iteration) and q168
+# (multi-way join) — iterative SUBGRAPH CONTRACTION, where each round's
+# input is the previous round's filtered output.  Classic k-core: drop
+# every node of degree < K, recompute degrees on the induced subgraph,
+# repeat; survivors form the k-core (community cores / spam-farm
+# detection in web graphs).  K=20, four peel rounds (a FIXED round count
+# so both engines execute the identical computation; true cores converge
+# by fixed-point, and round 4's removals here are already near zero).
+#
+# Scale shape: each round is one degree aggregation + two anti-joins on
+# the shrinking edge set — O(surviving edges) per round, monotonically
+# cheaper.  Each round's edge set is localCheckpoint-ed (lazily, so the
+# next round's aggregate is still the only job): persist() alone keeps
+# the full nested anti-join lineage, whose *plan tree* grows ~6x per
+# round — at round 4 even printing it OOMs the driver (measured; the
+# q146 lesson at higher fan-out).  Checkpointing truncates the tree to
+# a leaf per round.  Superseded degree tables are unpersisted one round
+# later; checkpointed edge generations are freed by the ContextCleaner
+# when the loop drops its references.  Per-round metrics are single-row
+# aggregates (the k-means/BPE convergence-check pattern), not data
+# collects.  The oracle replays the
+# peel in MATERIALIZED CTEs — without materialization the recursive
+# reference chain re-inlines exponentially (measured: the un-hinted
+# 4-round chain does not finish; materialized it runs in milliseconds).
+# ---------------------------------------------------------------------------
+KCORE_K = 20
+KCORE_ROUNDS = 4
+
+
+def q172_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, _deg, _ed = _copurchase_cache(spark, sf_dir)
+    cur = e
+    rows: list[tuple] = []
+    prev: tuple[int, int] | None = None  # (n_removed, n_remaining) of round i-1
+    # ONE driver job per round: iteration i's degree aggregate yields
+    # round i's removal stats AND round i-1's surviving edge count (sum
+    # of degrees div 2), so the loop runs ROUNDS+1 aggregates total —
+    # driver round-trips dominate at this size, not data.  Each round
+    # persists its degree table (the weak set feeds TWO anti-join
+    # probes) and edge set (next round's input); both retire one round
+    # later, after the following aggregate has materialized everything
+    # derived from them — the working set is never more than two graph
+    # generations.
+    retired: list[DataFrame] = []
+    for i in range(1, KCORE_ROUNDS + 2):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .persist()
+        )
+        s = deg.agg(
+            F.expr("coalesce(sum(d), 0L) div 2").alias("m"),
+            F.sum(F.when(F.col("d") < KCORE_K, 1).otherwise(0)).alias("rm"),
+            F.sum(F.when(F.col("d") >= KCORE_K, 1).otherwise(0)).alias("keep"),
+        ).collect()[0]
+        # this aggregate materialized deg AND cur: last round's tables
+        # have no un-materialized dependents left — retire them
+        for df in retired:
+            df.unpersist()
+        retired = []
+        if prev is not None:
+            rows.append((i - 1, prev[0], prev[1], int(s["m"])))
+        if i > KCORE_ROUNDS:
+            deg.unpersist()
+            break
+        prev = (int(s["rm"] or 0), int(s["keep"] or 0))
+        weak = deg.where(F.col("d") < KCORE_K).select("node")
+        nxt = (
+            cur.join(weak.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            # lineage cut + cache in one: materializes inside the NEXT
+            # round's aggregate job (eager=False), then reads back as a
+            # leaf — the plan tree stays O(1) per round instead of ~6^i
+            .localCheckpoint(eager=False)
+        )
+        retired.append(deg)
+        cur = nxt
+    return spark.createDataFrame(
+        rows, "round int, n_removed bigint, n_remaining bigint, n_edges bigint"
+    )
+
+
+def _oracle_kcore() -> str:
+    sql = f"""
+WITH li AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    WHERE l_partkey % {TRI_PART_MOD} = 0
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM li x JOIN li y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+)"""
+    sels = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+deg{r} AS MATERIALIZED (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY node
+),
+weak{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE d < {KCORE_K}),
+e{r} AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    LEFT JOIN weak{r} wa ON e.a = wa.node
+    LEFT JOIN weak{r} wb ON e.b = wb.node
+    WHERE wa.node IS NULL AND wb.node IS NULL
+)"""
+        sels.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT COUNT(*) FROM weak{r}) AS n_removed,"
+            f" (SELECT COUNT(*) FROM deg{r} WHERE d >= {KCORE_K}) AS n_remaining,"
+            f" (SELECT COUNT(*) FROM e{r}) AS n_edges"
+        )
+        prev = f"e{r}"
+    return sql + "\n" + "\nUNION ALL\n".join(sels)
+
+
+ORACLE_Q172 = _oracle_kcore()
+
+
 QUERIES = {
     "q146_pagerank": q146_pagerank,
     "q168_triangle_count": q168_triangle_count,
+    "q172_kcore_peel": q172_kcore_peel,
 }
 
 ORACLE = {
     "q146_pagerank": ORACLE_Q146,
     "q168_triangle_count": ORACLE_Q168,
+    "q172_kcore_peel": ORACLE_Q172,
 }
