@@ -751,3 +751,44 @@ def test_minitable_stream_source_restart_streams_only_delta(spark, tmp_path):
     minitable.write(spark, minitable.read(spark, path), path, "overwrite")
     with pytest.raises(Exception, match="overwrite"):
         drain()
+
+
+def test_minitable_optimize_binpacks_only_small_files(spark, tmp_path):
+    """optimize() rewrites only sub-threshold files (bin-packed, one
+    merge commit), leaves healthy files untouched, preserves rows and
+    history, and no-ops (None) when fewer than two small files exist."""
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    big = spark.range(20000).withColumnRenamed("id", "x").coalesce(1)
+    minitable.write(spark, big, path, "overwrite", stats_cols=["x"])   # v0
+    for i in range(5):                                                  # v1..v5
+        small = spark.range(20000 + 40 * i, 20040 + 40 * i).withColumnRenamed("id", "x")
+        minitable.write(spark, small.coalesce(1), path, "append", stats_cols=["x"])
+    pre = minitable.snapshot(path)
+    sizes = {f: os.path.getsize(f) for f in pre}
+    cut = max(sizes.values()) // 2
+    small_total = sum(sz for sz in sizes.values() if sz < cut)
+    res = minitable.optimize(
+        spark, path, small_bytes=cut, target_bytes=(small_total * 11) // 20,
+        stats_cols=["x"],
+    )
+    assert res is not None and res["n_small"] == 5 and res["n_bins"] >= 2
+    post = minitable.snapshot(path)
+    healthy = {f for f in pre if sizes[f] >= cut}
+    assert healthy <= set(post), "optimize rewrote a healthy file"
+    assert not (set(pre) - healthy) & set(post), "a small file survived"
+    assert len(post) == len(healthy) + res["n_bins"]
+    # rows identical before/after; history (v5) still plans the originals
+    assert minitable.read(spark, path).count() == 20200
+    assert sorted(r["x"] for r in minitable.changes(spark, path, 0, 5).collect()) == \
+        list(range(20000, 20200))
+    assert set(minitable.snapshot(path, 5)) == set(pre)
+    # packed files carry stats: a point scan beyond the big range prunes it
+    kept, total = minitable.prune(path, [("x", ">=", 20150)])
+    assert total == len(post) and len(kept) < len(post)
+    # idempotent-ish: everything is now healthy or a lone bin -> no-op
+    sizes2 = [os.path.getsize(f) for f in minitable.snapshot(path)]
+    assert minitable.optimize(spark, path, small_bytes=min(sizes2), target_bytes=1 << 30) is None

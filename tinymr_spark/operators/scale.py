@@ -2580,6 +2580,117 @@ WHERE o_custkey = (SELECT MAX(o_custkey) // 3 FROM orders)
 """
 
 
+# ---------------------------------------------------------------------------
+# q173 — OPTIMIZE (bin-packing compaction) on the versioned minitable:
+# the maintenance operation the q163 streaming sink makes necessary.  A
+# table built as one healthy initial load (2 range files, half the
+# rows) plus six dribbled appends (1 small file each — the small-file
+# problem) is optimized: only files under the size threshold are
+# bin-packed into ~target-size files and swapped in ONE atomic merge
+# commit; the healthy initial files are never read or rewritten
+# (O(small bytes), not O(table) — the difference from q162's
+# read-everything compaction, and from q105 which compacts an
+# UNVERSIONED directory with no history).  Thresholds derive from the
+# live files' actual sizes (half the largest / half the small total),
+# so the same structure falls out at every SF.
+#
+# What the hash gate proves: optimize is INVISIBLE to readers — the
+# post-optimize per-version aggregate row equals the pre-optimize row —
+# and history stays exact (v0..v6 are computed from the same log AFTER
+# the optimize commit exists).  The structural claims (initial files
+# untouched, small files all replaced by fewer packed files) are
+# asserted in-function and unit-pinned in tests/test_sources_sinks.py.
+# ---------------------------------------------------------------------------
+def q173_optimize_binpack(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_opt", src_path)
+    done = table + "._done"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        m = F.col("o_orderkey") % 16
+        minitable.write(  # v0: healthy initial load, 2 range files
+            spark,
+            orders.where(m <= 7).repartitionByRange(2, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        for s in range(8, 14):  # v1..v6: six small appends
+            minitable.write(
+                spark,
+                orders.where(m == s).coalesce(1),
+                table,
+                "append",
+                stats_cols=["o_orderkey"],
+            )
+        pre = minitable.snapshot(table)
+        sizes = [os.path.getsize(f) for f in pre]
+        small_cut = max(sizes) // 2  # appends are ~1/4 the initial files
+        small_total = sum(sz for sz in sizes if sz < small_cut)
+        res = minitable.optimize(  # v7: pack the six appends into ~2 bins
+            spark,
+            table,
+            small_bytes=small_cut,
+            target_bytes=(small_total * 11) // 20,
+            stats_cols=["o_orderkey"],
+        )
+        post = minitable.snapshot(table)
+        initial = set(minitable.snapshot(table, 0))
+        assert res is not None and res["n_small"] == 6, res
+        assert initial <= set(post), "optimize rewrote healthy files"
+        assert not (set(pre) - initial) & set(post), "a small file survived"
+        assert len(post) < len(pre), (len(post), len(pre))
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in minitable.versions(table)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q173 = """
+WITH v AS (
+    SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) AS t(version)
+),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON o.o_orderkey % 16 <= 7 + LEAST(v.version, 6)
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2613,6 +2724,7 @@ QUERIES = {
     "q166_merge_upsert": q166_merge_upsert,
     "q167_data_skipping": q167_data_skipping,
     "q170_bloom_skipping": q170_bloom_skipping,
+    "q173_optimize_binpack": q173_optimize_binpack,
 }
 
 ORACLE = {
@@ -2648,4 +2760,5 @@ ORACLE = {
     "q166_merge_upsert": ORACLE_Q166,
     "q167_data_skipping": ORACLE_Q167,
     "q170_bloom_skipping": ORACLE_Q170,
+    "q173_optimize_binpack": ORACLE_Q173,
 }

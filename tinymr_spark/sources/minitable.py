@@ -516,6 +516,69 @@ def merge(
     return commit(path, "merge", added, removed=touched, stats=stats)
 
 
+def optimize(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int,
+    target_bytes: int,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> dict | None:
+    """OPTIMIZE (Delta-style bin-packing compaction): rewrite only the
+    live files SMALLER than `small_bytes`, first-fit bin-packed in
+    commit-log order into ~`target_bytes` output files, and swap them in
+    one atomic `merge` commit (removed = the small files, added = the
+    packed ones).  Files already at healthy size are never read or
+    rewritten — the cost is O(small bytes), not O(table), which is what
+    separates OPTIMIZE from q162's read-everything-overwrite compaction
+    and is the only affordable shape when a streaming sink (q163) has
+    dribbled thousands of per-batch files into a 100 TB table.  History
+    stays readable: AS-OF reads before the optimize version still plan
+    the original small files (vacuum() is the explicit destruction
+    step).  Returns None (no commit) when fewer than two small files
+    exist; otherwise a summary dict.
+
+    Each bin is rewritten by its own executor job here (bins are few and
+    the loop is driver-cheap); at cluster scale the bins are independent
+    and would be submitted concurrently — Delta runs them as parallel
+    rewrite tasks inside one job."""
+    entries = _live_entries(path)
+    small: list[tuple[str, int]] = []
+    for rel, _st in entries:
+        sz = os.path.getsize(os.path.join(path, rel))
+        if sz < small_bytes:
+            small.append((rel, sz))
+    if len(small) < 2:
+        return None
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_sz = 0
+    for rel, sz in small:  # commit-log order: deterministic packing
+        if cur and cur_sz + sz > target_bytes:
+            bins.append(cur)
+            cur, cur_sz = [], 0
+        cur.append(rel)
+        cur_sz += sz
+    bins.append(cur)
+    added: list[str] = []
+    stats: dict[str, dict] = {}
+    for b in bins:
+        packed = spark.read.parquet(*[os.path.join(path, r) for r in b]).coalesce(1)
+        rels = _stage(packed, path)
+        added.extend(rels)
+        if stats_cols or bloom_cols:
+            stats.update(_collect_stats(path, rels, stats_cols or [], bloom_cols))
+    version = commit(
+        path, "merge", added, removed=[r for r, _ in small], stats=stats or None
+    )
+    return {
+        "version": version,
+        "n_small": len(small),
+        "n_bins": len(bins),
+        "added": added,
+    }
+
+
 def changes(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
