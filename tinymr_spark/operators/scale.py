@@ -2691,6 +2691,110 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q174 — OPTIMIZE ZORDER on the versioned minitable: q130's Morton curve
+# doing its actual production job.  q130 proves the curve yields bounded
+# rectangles; here the table is REWRITTEN clustered by the curve and the
+# commit log's per-file min/max stats (q167) turn those rectangles into
+# file skipping on BOTH key columns — Delta/Iceberg's OPTIMIZE ZORDER BY.
+# v0 is the classic linear layout (range-clustered by l_partkey, 16
+# files): a second-dimension predicate prunes NOTHING (every file's
+# l_suppkey range spans the domain).  v1 is the Z-order rewrite
+# (range-partitioned on the interleaved code, helper columns dropped
+# before the write): the SAME commit-log stats machinery now prunes
+# most files for a range predicate on EITHER column — asserted
+# in-function at build time (linear keeps 16/16 on suppkey; Z keeps
+# <=half on each dimension).  Unlike q173's incremental bin-pack this
+# is a deliberate O(table) rewrite — the once-per-corpus layout
+# investment that buys every later scan its skipping.
+#
+# The hash gate proves skipping never changes results: both pruned
+# scans (one per dimension) aggregate identically to the oracle's raw
+# filters over lineitem.
+# ---------------------------------------------------------------------------
+def q174_optimize_zorder(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "lineitem")
+    table = versioned_staging_dir("tinymr_spark_minitable_zorder", src_path)
+    done = table + "._done"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    mp, ms = (r := li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0])[0], r[1]
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: linear layout, clustered on l_partkey only
+            spark,
+            li.repartitionByRange(16, "l_partkey"),
+            table,
+            "overwrite",
+            stats_cols=["l_partkey", "l_suppkey"],
+        )
+        dom = (1 << Z_BITS) - 1
+        zed = (
+            li.withColumn("an", F.expr(f"l_partkey * {dom} div ({int(mp)} + 1)"))
+            .withColumn("bn", F.expr(f"l_suppkey * {dom} div ({int(ms)} + 1)"))
+            .withColumn("zval", morton_code(F.col("an"), F.col("bn")))
+        )
+        minitable.write(  # v1: OPTIMIZE ZORDER — full rewrite along the curve
+            spark,
+            zed.repartitionByRange(16, "zval").drop("an", "bn", "zval"),
+            table,
+            "overwrite",
+            stats_cols=["l_partkey", "l_suppkey"],
+        )
+        sk = [("l_suppkey", "<=", int(ms) // 5)]
+        pk = [("l_partkey", "<=", int(mp) // 5)]
+        kept_lin, tot = minitable.prune(table, sk, version=0)
+        kept_z_sk, _ = minitable.prune(table, sk, version=1)
+        kept_z_pk, _ = minitable.prune(table, pk, version=1)
+        assert len(kept_lin) == tot, "linear layout should not prune dim 2"
+        assert len(kept_z_sk) <= tot // 2, (len(kept_z_sk), tot)
+        assert len(kept_z_pk) <= tot // 2, (len(kept_z_pk), tot)
+        open(done, "w").close()
+
+    def pruned_agg(where: list[tuple], dim: str, other: str) -> DataFrame:
+        return minitable.scan(spark, table, where).agg(
+            F.lit(dim).alias("dim"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min(other).alias("min_other"),
+            F.max(other).alias("max_other"),
+        )
+
+    return pruned_agg(
+        [("l_partkey", "<=", int(mp) // 5)], "partkey", "l_suppkey"
+    ).unionByName(
+        pruned_agg([("l_suppkey", "<=", int(ms) // 5)], "suppkey", "l_partkey")
+    )
+
+
+ORACLE_Q174 = """
+WITH m AS (SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem)
+SELECT 'partkey' AS dim, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_suppkey) AS min_other, MAX(l_suppkey) AS max_other
+FROM lineitem, m WHERE l_partkey <= mp // 5
+UNION ALL
+SELECT 'suppkey', COUNT(*),
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+       MIN(l_partkey), MAX(l_partkey)
+FROM lineitem, m WHERE l_suppkey <= ms // 5
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2725,6 +2829,7 @@ QUERIES = {
     "q167_data_skipping": q167_data_skipping,
     "q170_bloom_skipping": q170_bloom_skipping,
     "q173_optimize_binpack": q173_optimize_binpack,
+    "q174_optimize_zorder": q174_optimize_zorder,
 }
 
 ORACLE = {
@@ -2761,4 +2866,5 @@ ORACLE = {
     "q167_data_skipping": ORACLE_Q167,
     "q170_bloom_skipping": ORACLE_Q170,
     "q173_optimize_binpack": ORACLE_Q173,
+    "q174_optimize_zorder": ORACLE_Q174,
 }
