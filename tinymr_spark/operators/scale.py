@@ -2795,6 +2795,117 @@ FROM lineitem, m WHERE l_suppkey <= ms // 5
 """
 
 
+# ---------------------------------------------------------------------------
+# q175 — distributed ORDINARY LEAST SQUARES by the normal equations: the
+# classic "ML training as one aggregation" shape.  Fit document length
+# structure over the corpus — n_chars ~ b0 + b1*n_words + b2*n_e (word
+# count from the literal-space split, 'e'-occurrence count as the
+# second text feature; R² ≈ 0.99, a real fit): ONE narrow map-side-
+# combined pass computes the ten moment sums (n, Σx, Σxx', Σxy, Σyy —
+# X'X and X'y for the 3-param model), then the 3x3 system solves in
+# closed form (Cramer) on the one-row aggregate — no iteration, no
+# second data pass; even R² falls out of the same moments
+# (SSE = Σyy - 2b·X'y + b'X'Xb).  At 100 TB the shuffle carries one
+# 10-number partial per task, the textbook mergeable-statistic argument
+# (q109/q111/q161) applied to model fitting; this is exactly how
+# MLlib's normal-equation solver (WeightedLeastSquares) structures the
+# computation.
+#
+# Cross-engine exactness: the features are INTEGERS (codepoint-count
+# arithmetic over literal replace — no regex, no case mapping), so
+# every moment is an exact DECIMAL(38,0) sum in both engines; the solve
+# arithmetic is generated ONCE as shared formula text over the
+# double-cast sums, so both engines evaluate the same IEEE expression
+# tree, and final coefficients round to 6 (full-precision doubles:
+# boundary risk measure-zero).
+# ---------------------------------------------------------------------------
+_OLS_FEATURES = {  # engine-shared SQL text over `documents`
+    "x1": "length(text) - length(replace(text, ' ', '')) + 1",  # words
+    "x2": "length(text) - length(replace(text, 'e', ''))",  # 'e' count
+    "y": "n_chars",
+}
+_OLS_TERMS = {  # moment name -> product expression over the features
+    "s1": "x1",
+    "s2": "x2",
+    "sy": "y",
+    "s11": "x1*x1",
+    "s12": "x1*x2",
+    "s22": "x2*x2",
+    "s1y": "x1*y",
+    "s2y": "x2*y",
+    "syy": "y*y",
+}
+
+
+def _ols_formulas() -> dict[str, str]:
+    """Closed-form solve of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b =
+    [sy,s1y,s2y] by Cramer's rule, plus R²; one string per output so the
+    Spark projection and the oracle SQL share identical expression text."""
+    det = "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+    d0 = "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+    d1 = "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+    d2 = "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+    b0, b1, b2 = f"({d0}/{det})", f"({d1}/{det})", f"({d2}/{det})"
+    sse = (
+        f"(syy - 2*({b0}*sy + {b1}*s1y + {b2}*s2y)"
+        f" + ({b0}*(n*{b0} + s1*{b1} + s2*{b2})"
+        f" + {b1}*(s1*{b0} + s11*{b1} + s12*{b2})"
+        f" + {b2}*(s2*{b0} + s12*{b1} + s22*{b2})))"
+    )
+    sst = "(syy - sy*sy/n)"
+    return {
+        "beta0": f"round({b0}, 6) + 0.0",
+        "beta1": f"round({b1}, 6) + 0.0",
+        "beta2": f"round({b2}, 6) + 0.0",
+        "r2": f"round(1 - {sse}/{sst}, 6) + 0.0",
+    }
+
+
+def q175_linear_regression(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        *[F.expr(sql).alias(name) for name, sql in _OLS_FEATURES.items()]
+    )
+    moments = feats.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.expr(f"cast({expr} as decimal(38,0))")).alias(name)
+            for name, expr in _OLS_TERMS.items()
+        ],
+    )
+    doubles = moments.select(
+        "n_rows",
+        F.col("n_rows").cast("double").alias("n"),
+        *[F.col(c).cast("double").alias(c) for c in _OLS_TERMS],
+    )
+    return doubles.select(
+        "n_rows",
+        *[F.expr(sql).alias(name) for name, sql in _ols_formulas().items()],
+    )
+
+
+ORACLE_Q175 = f"""
+WITH f AS (
+    SELECT {", ".join(f"{sql} AS {name}" for name, sql in _OLS_FEATURES.items())}
+    FROM documents
+),
+s AS (
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           {", ".join(
+               f"CAST(SUM(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE) AS {name}"
+               for name, expr in _OLS_TERMS.items()
+           )}
+    FROM f
+)
+SELECT n_rows,
+       {", ".join(f"{sql} AS {name}" for name, sql in _ols_formulas().items())}
+FROM s
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2830,6 +2941,7 @@ QUERIES = {
     "q170_bloom_skipping": q170_bloom_skipping,
     "q173_optimize_binpack": q173_optimize_binpack,
     "q174_optimize_zorder": q174_optimize_zorder,
+    "q175_linear_regression": q175_linear_regression,
 }
 
 ORACLE = {
@@ -2867,4 +2979,5 @@ ORACLE = {
     "q170_bloom_skipping": ORACLE_Q170,
     "q173_optimize_binpack": ORACLE_Q173,
     "q174_optimize_zorder": ORACLE_Q174,
+    "q175_linear_regression": ORACLE_Q175,
 }
