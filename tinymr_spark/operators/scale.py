@@ -2906,6 +2906,70 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# q176 — GROUPED OLS: one model per segment from ONE aggregation.  The
+# q175 moment recipe with a groupBy("lang") key fits an independent
+# n_chars ~ words + 'e'-count regression per language — the "thousands
+# of per-segment models in a single pass" shape (per-store demand
+# curves, per-tenant capacity fits): the shuffle still carries one
+# 10-number partial per (task, group), the Cramer solve runs rowwise on
+# the tiny grouped aggregate, and adding groups never adds passes.
+# Languages whose letter mix starves a feature (e.g. few 'e's) just get
+# different — still exactly determined — coefficients; a singular
+# system would surface as NULL betas in both engines identically.
+# Exactness story identical to q175: integer features, DECIMAL(38,0)
+# moments, shared formula text, round-to-6 on full-precision doubles.
+# ---------------------------------------------------------------------------
+def q176_grouped_regression(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "lang", *[F.expr(sql).alias(name) for name, sql in _OLS_FEATURES.items()]
+    )
+    moments = feats.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.expr(f"cast({expr} as decimal(38,0))")).alias(name)
+            for name, expr in _OLS_TERMS.items()
+        ],
+    )
+    doubles = moments.select(
+        "lang",
+        "n_rows",
+        F.col("n_rows").cast("double").alias("n"),
+        *[F.col(c).cast("double").alias(c) for c in _OLS_TERMS],
+    )
+    return doubles.select(
+        "lang",
+        "n_rows",
+        *[F.expr(sql).alias(name) for name, sql in _ols_formulas().items()],
+    )
+
+
+ORACLE_Q176 = f"""
+WITH f AS (
+    SELECT lang,
+           {", ".join(f"{sql} AS {name}" for name, sql in _OLS_FEATURES.items())}
+    FROM documents
+),
+s AS (
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           {", ".join(
+               f"CAST(SUM(CAST({expr} AS DECIMAL(38,0))) AS DOUBLE) AS {name}"
+               for name, expr in _OLS_TERMS.items()
+           )}
+    FROM f
+    GROUP BY lang
+)
+SELECT lang, n_rows,
+       {", ".join(f"{sql} AS {name}" for name, sql in _ols_formulas().items())}
+FROM s
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -2942,6 +3006,7 @@ QUERIES = {
     "q173_optimize_binpack": q173_optimize_binpack,
     "q174_optimize_zorder": q174_optimize_zorder,
     "q175_linear_regression": q175_linear_regression,
+    "q176_grouped_regression": q176_grouped_regression,
 }
 
 ORACLE = {
@@ -2980,4 +3045,5 @@ ORACLE = {
     "q173_optimize_binpack": ORACLE_Q173,
     "q174_optimize_zorder": ORACLE_Q174,
     "q175_linear_regression": ORACLE_Q175,
+    "q176_grouped_regression": ORACLE_Q176,
 }
