@@ -792,3 +792,38 @@ def test_minitable_optimize_binpacks_only_small_files(spark, tmp_path):
     # idempotent-ish: everything is now healthy or a lone bin -> no-op
     sizes2 = [os.path.getsize(f) for f in minitable.snapshot(path)]
     assert minitable.optimize(spark, path, small_bytes=min(sizes2), target_bytes=1 << 30) is None
+
+
+def test_minitable_delete_three_cost_tiers(spark, tmp_path):
+    """delete() drops provably-all-matching files whole (no rewrite),
+    rewrites only straddling files that actually hold matches, leaves
+    provably-unmatching files untouched, keeps history, and no-ops
+    (None, no version) when nothing can match."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).withColumnRenamed("id", "x").withColumn("y", F.col("x") * 2)
+    minitable.write(
+        spark, df.repartitionByRange(10, "x"), path, "overwrite", stats_cols=["x"]
+    )  # v0: files cover x ranges of ~100 each
+    pre = minitable.snapshot(path)
+    res = minitable.delete(spark, path, [("x", "<", 250)], stats_cols=["x"])
+    assert res is not None
+    v, s = res
+    assert v == 1
+    assert s["dropped_whole"] >= 1, s          # files fully under 250
+    assert s["rewritten"] == 1, s              # exactly the straddling file
+    assert s["untouched"] >= 7, s
+    assert len(minitable.snapshot(path)) == s["untouched"] + s["rewritten"]
+    got = sorted(r["x"] for r in minitable.read(spark, path).collect())
+    assert got == list(range(250, 1000))
+    # row payloads survive the rewrite intact
+    assert minitable.read(spark, path).where("y != x * 2").count() == 0
+    # history: v0 still reads the full original file set
+    assert set(minitable.snapshot(path, 0)) == set(pre)
+    assert minitable.read(spark, path, 0).count() == 1000
+    # nothing-can-match predicates commit nothing
+    assert minitable.delete(spark, path, [("x", ">=", 10_000)], stats_cols=["x"]) is None
+    assert minitable.versions(path) == [0, 1]

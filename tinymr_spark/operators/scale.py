@@ -2970,6 +2970,92 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# q177 — predicate DELETE on the versioned minitable, completing the DML
+# triad (q162 append/overwrite, q166 keyed MERGE, q177 DELETE WHERE):
+# the retention / right-to-erasure verb.  DELETE WHERE o_orderkey <= cut
+# against the key-clustered table exercises all three of Delta's file
+# cost tiers in one commit — files provably all-matching drop WHOLE
+# (commit-log removes: no read, no write — why a retention delete on a
+# clustered 100 TB table is O(1) I/O), the one straddling boundary file
+# is probed (predicate column only) and rewritten with the inverse
+# filter, and provably-unmatching files are untouched.  Build-time
+# asserts pin the tier split (>=1 whole drop, <=2 rewrites, >=1
+# untouched, post-file-count arithmetic).  The hash gate proves v0
+# still reads complete AFTER the delete commit exists (history) and v1
+# equals the oracle's surviving-rows aggregate (exactness).
+# ---------------------------------------------------------------------------
+def q177_delete_where(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_del", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders")
+    maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    cut = maxk // 3
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: 8 key-range files
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        pre = minitable.snapshot(table)
+        res = minitable.delete(  # v1
+            spark, table, [("o_orderkey", "<=", cut)], stats_cols=["o_orderkey"]
+        )
+        assert res is not None
+        _v, s = res
+        assert s["dropped_whole"] >= 1 and s["rewritten"] <= 2 and s["untouched"] >= 1, s
+        assert len(minitable.snapshot(table)) == s["untouched"] + s["rewritten"]
+        assert set(minitable.snapshot(table, 0)) == set(pre)  # history intact
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in minitable.versions(table)
+    ]
+    return per_version[0].unionByName(per_version[1])
+
+
+ORACLE_Q177 = """
+WITH v AS (SELECT * FROM (VALUES (0), (1)) AS t(version)),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON v.version = 0
+      OR o.o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3007,6 +3093,7 @@ QUERIES = {
     "q174_optimize_zorder": q174_optimize_zorder,
     "q175_linear_regression": q175_linear_regression,
     "q176_grouped_regression": q176_grouped_regression,
+    "q177_delete_where": q177_delete_where,
 }
 
 ORACLE = {
@@ -3046,4 +3133,5 @@ ORACLE = {
     "q174_optimize_zorder": ORACLE_Q174,
     "q175_linear_regression": ORACLE_Q175,
     "q176_grouped_regression": ORACLE_Q176,
+    "q177_delete_where": ORACLE_Q177,
 }

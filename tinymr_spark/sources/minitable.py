@@ -516,6 +516,103 @@ def merge(
     return commit(path, "merge", added, removed=touched, stats=stats)
 
 
+def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
+    """True only when the file's stats PROVE every row satisfies the
+    conjunction — the whole-file-drop fast path of delete().  Missing
+    stats always return False (conservative: the file gets the exact
+    rewrite path instead)."""
+    if stats is None:
+        return False
+    for col, op, val in where:
+        entry = stats.get(col)
+        rng = entry.get("range") if isinstance(entry, dict) else entry
+        if rng is None:
+            return False
+        lo, hi = rng
+        ok = (
+            (op == "<" and hi < val)
+            or (op == "<=" and hi <= val)
+            or (op == ">" and lo > val)
+            or (op == ">=" and lo >= val)
+            or (op == "=" and lo == val and hi == val)
+        )
+        if not ok:
+            return False
+    return True
+
+
+def delete(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> tuple[int, dict] | None:
+    """DELETE FROM ... WHERE (Delta-style predicate delete), the DML
+    verb between merge()'s keyed upsert and a blunt overwrite.  `where`
+    is the scan()/prune() conjunction shape.  Three file tiers, exactly
+    Delta's cost model:
+
+    * files whose stats PROVE no row matches are untouched (free);
+    * files whose stats prove EVERY row matches are dropped whole — a
+      commit-log remove with no read and no write (how a partition-
+      aligned retention delete on a 100 TB table costs O(1) I/O);
+    * only genuinely straddling files take the exact path — a probe
+      confirms they hold matching rows (predicate columns only, so
+      parquet column pruning applies), and just those are rewritten
+      with the inverse filter.
+
+    One atomic merge commit swaps removed+rewritten; history stays
+    readable (vacuum is the destruction step).  Returns
+    (version, {"dropped_whole", "rewritten", "untouched"}) or None when
+    nothing can match (no commit — deleting nothing is not a version)."""
+    from pyspark.sql import functions as F
+
+    for col, op, _val in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
+    entries = _live_entries(path)
+    candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
+    whole = [f for f, st in candidates if _file_fully_matches(st, where)]
+    straddle = [f for f, st in candidates if f not in whole]
+
+    def cond(df):
+        c = None
+        for col, op, val in where:
+            x = F.col(col)
+            term = {"<": x < val, "<=": x <= val, ">": x > val, ">=": x >= val, "=": x == val}[op]
+            c = term if c is None else (c & term)
+        return c
+
+    touched: list[str] = []
+    if straddle:
+        probe = (
+            spark.read.parquet(*[os.path.join(path, f) for f in straddle])
+            .select(*{col for col, _o, _v in where}, F.input_file_name().alias("__file"))
+        )
+        probe = probe.where(cond(probe)).select("__file").distinct()
+        uris = [r[0] for r in probe.collect()]  # O(touched files) names
+        touched = [f for f in straddle if any(u.endswith("/" + f) for u in uris)]
+    if not whole and not touched:
+        return None
+    added: list[str] = []
+    if touched:
+        survivors = spark.read.parquet(*[os.path.join(path, f) for f in touched])
+        survivors = survivors.where(~cond(survivors))
+        added = _stage(survivors, path)
+    stats = (
+        _collect_stats(path, added, stats_cols or [], bloom_cols)
+        if added and (stats_cols or bloom_cols)
+        else None
+    )
+    version = commit(path, "merge", added, removed=whole + touched, stats=stats)
+    return version, {
+        "dropped_whole": len(whole),
+        "rewritten": len(touched),
+        "untouched": len(entries) - len(whole) - len(touched),
+    }
+
+
 def optimize(
     spark: SparkSession,
     path: str,
