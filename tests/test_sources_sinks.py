@@ -827,3 +827,45 @@ def test_minitable_delete_three_cost_tiers(spark, tmp_path):
     # nothing-can-match predicates commit nothing
     assert minitable.delete(spark, path, [("x", ">=", 10_000)], stats_cols=["x"]) is None
     assert minitable.versions(path) == [0, 1]
+
+
+def test_minitable_skipping_invariants_fuzzed():
+    """Property-pin the two stats deciders against brute force: a file
+    pruned by _file_survives holds NO matching row (skipping is never a
+    correctness boundary), and a file passed by _file_fully_matches
+    holds ONLY matching rows (the whole-drop fast path never deletes a
+    survivor).  Both one-sided: conservatism (keeping/rewriting too
+    much) is allowed, wrongness is not."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tinymr_spark.sources.minitable import _file_fully_matches, _file_survives
+
+    ops = st.sampled_from(["<", "<=", ">", ">=", "="])
+    pred = st.tuples(st.just("x"), ops, st.integers(-20, 20))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-20, 20), min_size=1, max_size=12),
+        where=st.lists(pred, min_size=1, max_size=4),
+    )
+    def check(vals, where):
+        stats = {"x": [min(vals), max(vals)]}
+
+        def row_matches(v):
+            return all(
+                {"<": v < c, "<=": v <= c, ">": v > c, ">=": v >= c, "=": v == c}[op]
+                for _col, op, c in where
+            )
+
+        any_match = any(row_matches(v) for v in vals)
+        all_match = all(row_matches(v) for v in vals)
+        if not _file_survives(stats, where):
+            assert not any_match, (vals, where)
+        if _file_fully_matches(stats, where):
+            assert all_match, (vals, where)
+        # missing stats must stay conservative on both sides
+        assert _file_survives(None, where) is True
+        assert _file_fully_matches(None, where) is False
+
+    check()
