@@ -846,13 +846,23 @@ def test_minitable_skipping_invariants_fuzzed():
 
     @settings(max_examples=300, deadline=None)
     @given(
-        vals=st.lists(st.integers(-20, 20), min_size=1, max_size=12),
+        vals=st.lists(
+            st.one_of(st.integers(-20, 20), st.none()), min_size=1, max_size=12
+        ).filter(lambda vs: any(v is not None for v in vs)),
         where=st.lists(pred, min_size=1, max_size=4),
+        legacy=st.booleans(),
     )
-    def check(vals, where):
-        stats = {"x": [min(vals), max(vals)]}
+    def check(vals, where, legacy):
+        nonnull = [v for v in vals if v is not None]
+        n_null = len(vals) - len(nonnull)
+        rng = [min(nonnull), max(nonnull)]
+        # legacy commits wrote bare [lo, hi]; current ones add the null
+        # count — both shapes must stay one-sided correct
+        stats = {"x": rng if legacy else {"range": rng, "nulls": n_null}}
 
         def row_matches(v):
+            if v is None:
+                return False  # SQL: NULL never matches a comparison
             return all(
                 {"<": v < c, "<=": v <= c, ">": v > c, ">=": v >= c, "=": v == c}[op]
                 for _col, op, c in where
@@ -863,9 +873,179 @@ def test_minitable_skipping_invariants_fuzzed():
         if not _file_survives(stats, where):
             assert not any_match, (vals, where)
         if _file_fully_matches(stats, where):
-            assert all_match, (vals, where)
+            assert all_match, (vals, where, legacy)
         # missing stats must stay conservative on both sides
         assert _file_survives(None, where) is True
         assert _file_fully_matches(None, where) is False
 
     check()
+
+def test_minitable_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE WHERE does not match NULL-predicate rows, so they must
+    survive BOTH delete paths: the whole-file drop (parquet min/max
+    ignore nulls — only a proven null_count == 0 allows the drop) and
+    the straddle rewrite (~cond must coalesce NULL to 'keep')."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    # x in 0..99 plus NULL rows carried as y-only markers in every file:
+    # nullify x on multiples of 10 so each range file holds NULLs.
+    df = (
+        spark.range(100)
+        .select(
+            F.when(F.col("id") % 10 != 0, F.col("id")).alias("x"),
+            F.col("id").alias("y"),
+        )
+        .repartitionByRange(5, "y")
+    )
+    minitable.write(spark, df, path, "overwrite", stats_cols=["x"])
+    res = minitable.delete(spark, path, [("x", "<", 50)], stats_cols=["x"])
+    assert res is not None
+    got = minitable.read(spark, path)
+    # survivors: x >= 50, plus EVERY NULL-x row (ids 0,10,...,90)
+    assert got.where(F.col("x").isNull()).count() == 10
+    ys = sorted(r["y"] for r in got.collect())
+    assert ys == sorted(
+        [i for i in range(100) if i % 10 == 0] + [i for i in range(50, 100) if i % 10 != 0]
+    )
+
+
+def test_minitable_delete_whole_drop_still_fires_without_nulls(spark, tmp_path):
+    """The null guard must not tax the common case: a null-free clustered
+    delete still drops whole files with no rewrite."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).withColumnRenamed("id", "x")
+    minitable.write(
+        spark, df.repartitionByRange(10, "x"), path, "overwrite", stats_cols=["x"]
+    )
+    res = minitable.delete(spark, path, [("x", "<", 200)], stats_cols=["x"])
+    assert res is not None
+    _v, s = res
+    assert s["dropped_whole"] >= 1, s
+    assert minitable.read(spark, path).count() == 800
+
+
+def test_minitable_merge_null_delete_where_updates(spark, tmp_path):
+    """A NULL delete_where on a matched row falls through to UPDATE
+    (Delta semantics) — the row must not vanish."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    tgt = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double")
+    minitable.write(spark, tgt, path, "overwrite", stats_cols=["k"])
+    # source: k=1 flag NULL (update), k=2 flag true (delete), k=4 insert
+    src = spark.createDataFrame(
+        [(1, 11.0), (2, 22.0), (4, 44.0)], "k int, v double"
+    )
+    minitable.merge(
+        spark,
+        src,
+        path,
+        "k",
+        delete_where="CASE WHEN k = 1 THEN CAST(NULL AS BOOLEAN) ELSE k = 2 END",
+    )
+    rows = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert rows == {1: 11.0, 3: 30.0, 4: 44.0}  # 1 updated, 2 deleted, 4 inserted
+
+
+def test_minitable_bloom_and_range_literal_type_coercion(spark, tmp_path):
+    """Numerically-equal literals of different Python types must not
+    prove absence: a float/Decimal 5.0 probe against an int column keeps
+    (and finds) the matching file; an incomparable str literal keeps the
+    file conservatively instead of raising TypeError."""
+    from decimal import Decimal
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).withColumnRenamed("id", "x")
+    minitable.write(
+        spark, df.repartitionByRange(4, "x"), path, "overwrite",
+        stats_cols=["x"], bloom_cols=["x"],
+    )
+    for probe in (5, 5.0, Decimal("5.0")):
+        kept, total = minitable.prune(path, [("x", "=", probe)])
+        assert len(kept) == 1, (probe, len(kept), total)
+        assert minitable.scan(spark, path, [("x", "=", probe)]).count() == 1, probe
+    # incomparable literal: conservative (all files kept), not TypeError
+    kept, total = minitable.prune(path, [("x", "<", "zzz")])
+    assert len(kept) == total
+
+
+def test_minitable_vacuum_spares_recent_unreferenced_files(spark, tmp_path):
+    """vacuum must not destroy a concurrent writer's staged-but-not-yet-
+    committed files (write-before-commit barrier): never-referenced
+    parquet younger than the grace window survives; a stale crash orphan
+    and superseded COMMITTED files are still collected."""
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(spark, spark.range(5).withColumnRenamed("id", "x"), path, "overwrite")  # v0
+    minitable.write(spark, minitable.read(spark, path, 0), path, "overwrite")  # v1 compaction
+    # simulate an in-flight writer: staged files, commit not yet published
+    staged = minitable._stage(spark.range(3).withColumnRenamed("id", "x"), path)
+    # and a stale crash orphan from long ago
+    orphan_dir = os.path.join(path, "part-stale")
+    os.makedirs(orphan_dir)
+    spark.range(2).withColumnRenamed("id", "x").write.mode("overwrite").parquet(orphan_dir)
+    old = 0
+    for root, _d, files in os.walk(orphan_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(root, f), (1, 1))
+                old += 1
+    assert old >= 1
+    deleted = minitable.vacuum(path, retain_from_version=1, orphan_grace_seconds=3600)
+    assert all(not d.startswith(staged[0].split("/")[0]) for d in deleted), deleted
+    assert any(d.startswith("part-stale/") for d in deleted), deleted
+    assert deleted, "v0's superseded committed files must still be vacuumed"
+    for rel in staged:
+        assert os.path.exists(os.path.join(path, rel))  # retry still valid
+    # the in-flight writer can now land its commit and be read
+    v = minitable.commit(path, "append", staged)
+    assert minitable.read(spark, path, v).count() == 8
+
+
+def test_minitable_stream_source_snapshot_over_rewritten_history(spark, tmp_path):
+    """A table initialized by an OVERWRITE (q162/q167's init pattern)
+    must stream: the initial batch is the snapshot at the current head —
+    even across a pre-subscription compaction — then purely incremental."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    minitable.write(spark, spark.range(0, 6).select(F.col("id").alias("k")), path, "overwrite")
+    minitable.write(spark, minitable.read(spark, path, 0), path, "overwrite")  # compaction
+
+    def drain() -> list[int]:
+        rows: list[int] = []
+
+        def sink(df, _bid):
+            rows.extend(r["k"] for r in df.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path)
+            .option("columns", "k")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    assert sorted(drain()) == list(range(6))  # snapshot despite overwrites
+    assert drain() == []
+    minitable.write(spark, spark.range(6, 9).select(F.col("id").alias("k")), path, "append")
+    assert sorted(drain()) == [6, 7, 8]  # incremental from then on

@@ -3056,6 +3056,108 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q178 — DELETE with NULLs in the predicate column: the correctness
+# boundary data skipping must never cross.  Parquet min/max stats IGNORE
+# nulls, so a file whose non-null values all satisfy `ck <= cut` looks
+# "fully matching" by range alone — whole-dropping it would delete NULL
+# rows that SQL's `WHERE ck <= cut` does NOT match; and the straddle
+# rewrite's `~cond` evaluates to NULL (not TRUE) on those rows, silently
+# filtering them out of the rewrite.  The fixed tiers (minitable.delete)
+# require a proven null_count == 0 for a whole drop and coalesce the
+# rewrite's keep-filter, so NULL rows survive both paths.  The table
+# range-partitions on the nullified column — Spark clusters the NULLs
+# into the lowest file, exactly the file the buggy fast path would have
+# dropped.  The hash gate proves v1 == the oracle's
+# `NOT coalesce(ck <= cut, false)` survivors, NULL rows included, and v0
+# still reads complete.  Build-time asserts pin that NULL rows survived
+# and at least one whole-drop still fired on a null-free file.
+# ---------------------------------------------------------------------------
+def q178_delete_null_safety(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_delnull", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders")
+    maxck = int(orders.agg(F.max("o_custkey")).collect()[0][0])
+    cut = maxck // 2
+    n_null_expected = orders.where(F.col("o_orderkey") % 7 == 0).count()
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        base = orders.select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey")).alias("ck"),
+            "o_totalprice",
+        )
+        minitable.write(  # v0: ck-range files; NULL ck rows cluster lowest
+            spark,
+            base.repartitionByRange(8, "ck"),
+            table,
+            "overwrite",
+            stats_cols=["ck"],
+        )
+        res = minitable.delete(spark, table, [("ck", "<=", cut)], stats_cols=["ck"])
+        assert res is not None
+        _v, s = res
+        # the null-free low-range files still whole-drop; the NULL file
+        # takes the rewrite path instead of being wrongly dropped
+        assert s["dropped_whole"] >= 1, s
+        assert s["rewritten"] >= 1, s
+        survivors = minitable.read(spark, table)
+        assert survivors.where(F.col("ck").isNull()).count() == n_null_expected
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("ck").isNull(), 1)).alias("n_null"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in minitable.versions(table)
+    ]
+    return per_version[0].unionByName(per_version[1])
+
+
+ORACLE_Q178 = """
+WITH base AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END AS ck,
+           o_totalprice
+    FROM orders
+),
+v AS (SELECT * FROM (VALUES (0), (1)) AS t(version)),
+member AS (
+    SELECT v.version, b.o_orderkey, b.ck, b.o_totalprice
+    FROM v JOIN base b
+      ON v.version = 0
+      OR NOT COALESCE(b.ck <= (SELECT MAX(o_custkey) // 2 FROM orders), FALSE)
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN ck IS NULL THEN 1 END) AS n_null,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3094,6 +3196,7 @@ QUERIES = {
     "q175_linear_regression": q175_linear_regression,
     "q176_grouped_regression": q176_grouped_regression,
     "q177_delete_where": q177_delete_where,
+    "q178_delete_null_safety": q178_delete_null_safety,
 }
 
 ORACLE = {
@@ -3134,4 +3237,5 @@ ORACLE = {
     "q175_linear_regression": ORACLE_Q175,
     "q176_grouped_regression": ORACLE_Q176,
     "q177_delete_where": ORACLE_Q177,
+    "q178_delete_null_safety": ORACLE_Q178,
 }

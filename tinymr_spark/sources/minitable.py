@@ -216,11 +216,35 @@ def _stage(df: DataFrame, path: str) -> list[str]:
 _BLOOM_K = 7  # hash count; with m ~= 10 bits/value -> ~1% false positives
 
 
+def _bloom_norm(val) -> str:
+    """Canonical typed repr so NUMERICALLY-EQUAL values hash identically
+    regardless of Python type: a scan literal `5.0` (float, or Decimal)
+    against an int column must probe the same bits the build hashed for
+    `5` — otherwise the bloom "proves" absence and wrongly prunes a file
+    that holds matches.  Integral numerics all normalize to `i:{n}`
+    (bit-identical to the historical int form, so persisted blooms stay
+    valid); non-integral floats keep their own tag; bools are NOT ints
+    here (`True != 1` for skipping purposes, matching the historical
+    string form)."""
+    if isinstance(val, bool):
+        return f"s:{val}"
+    if isinstance(val, int):
+        return f"i:{val}"
+    if isinstance(val, float):
+        return f"i:{int(val)}" if val.is_integer() else f"f:{val!r}"
+    import decimal
+
+    if isinstance(val, decimal.Decimal):
+        if val == val.to_integral_value():
+            return f"i:{int(val)}"
+        return f"f:{float(val)!r}"
+    return f"s:{val}"
+
+
 def _bloom_bit_positions(val, m: int):
     import hashlib
 
-    norm = f"i:{val}" if isinstance(val, int) and not isinstance(val, bool) else f"s:{val}"
-    d = hashlib.blake2b(norm.encode("utf-8"), digest_size=16).digest()
+    d = hashlib.blake2b(_bloom_norm(val).encode("utf-8"), digest_size=16).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
     for i in range(_BLOOM_K):
@@ -279,14 +303,25 @@ def _collect_stats(
         md = pq.ParquetFile(os.path.join(path, rel)).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         per_col: dict[str, list] = {}
+        # Parquet min/max IGNORE nulls, so a range alone can never prove
+        # "every row matches" — delete()'s whole-file drop needs a proven
+        # null_count == 0.  Track it per column; any chunk that doesn't
+        # record one degrades the count to unknown (None), which readers
+        # treat as "may contain nulls" (conservative).
+        nulls: dict[str, int | None] = {}
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci, name in enumerate(names):
                 if name not in want:
                     continue
+                st = row_group.column(ci).statistics
+                if name not in nulls or nulls[name] is not None:
+                    if st is None or not st.has_null_count:
+                        nulls[name] = None
+                    else:
+                        nulls[name] = (nulls.get(name) or 0) + st.null_count
                 if name in per_col and per_col[name] is None:
                     continue  # already poisoned by a stats-less chunk
-                st = row_group.column(ci).statistics
                 if st is None or not st.has_min_max:
                     per_col[name] = None  # a chunk without stats poisons the column
                     continue
@@ -300,13 +335,25 @@ def _collect_stats(
                 per_col[name] = (
                     [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
                 )
-        entry: dict = {k: v for k, v in per_col.items() if v is not None}
+        entry: dict = {
+            k: ({"range": v, "nulls": nulls[k]} if nulls.get(k) is not None else v)
+            for k, v in per_col.items()
+            if v is not None
+        }
         for bc in bloom_cols or ():
             vals = pq.read_table(os.path.join(path, rel), columns=[bc]).column(0).to_pylist()
+            prev = entry.pop(bc, None)
+            rng, nc = (
+                (prev.get("range"), prev.get("nulls"))
+                if isinstance(prev, dict)
+                else (prev, nulls.get(bc))
+            )
             entry[bc] = {
-                "range": entry.pop(bc, None),
+                "range": rng,
                 "bloom": _bloom_build(vals, len(vals)),
             }
+            if nc is not None:
+                entry[bc]["nulls"] = nc
         out[rel] = entry
     return out
 
@@ -368,14 +415,20 @@ def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
         )
         if rng is not None:
             lo, hi = rng
-            if (
-                (op == "<" and lo >= val)
-                or (op == "<=" and lo > val)
-                or (op == ">" and hi <= val)
-                or (op == ">=" and hi < val)
-                or (op == "=" and (val < lo or val > hi))
-            ):
-                return False
+            try:
+                if (
+                    (op == "<" and lo >= val)
+                    or (op == "<=" and lo > val)
+                    or (op == ">" and hi <= val)
+                    or (op == ">=" and hi < val)
+                    or (op == "=" and (val < lo or val > hi))
+                ):
+                    return False
+            except TypeError:
+                # Literal type incomparable with the stored stats type
+                # (str vs int, ...): stats can prove nothing — keep the
+                # file and let the exact Spark filter decide.
+                continue
         if op == "=" and bloom is not None and not _bloom_maybe_contains(bloom, val):
             return False
     return True
@@ -492,8 +545,13 @@ def merge(
         uris = [r[0] for r in probe.collect()]  # O(touched files) names
         touched = [f for f in candidates if any(u.endswith("/" + f) for u in uris)]
     cols = read(spark, path).columns
+    # NULL delete_where falls through to UPDATE (Delta's semantics): an
+    # un-coalesced NULL flag would make ~(matched & NULL) = NULL and the
+    # filter below would silently drop the row — neither deleted nor
+    # updated (ADVICE r7).
     src = source.select(*cols).withColumn(
-        "__delete", F.expr(delete_where) if delete_where else F.lit(False)
+        "__delete",
+        F.coalesce(F.expr(delete_where), F.lit(False)) if delete_where else F.lit(False),
     )
     if touched:
         tgt = spark.read.parquet(*[os.path.join(path, f) for f in touched])
@@ -520,22 +578,35 @@ def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
     """True only when the file's stats PROVE every row satisfies the
     conjunction — the whole-file-drop fast path of delete().  Missing
     stats always return False (conservative: the file gets the exact
-    rewrite path instead)."""
+    rewrite path instead).
+
+    NULL semantics: parquet min/max ignore nulls, so the range alone can
+    never prove a total match — a file whose every NON-NULL value matches
+    may still hold NULL rows, and `WHERE col < v` does NOT match NULLs (a
+    whole-file drop would wrongly delete them).  The proof therefore also
+    requires a recorded `null_count == 0` for every predicate column;
+    legacy `[lo, hi]` entries (no null count) and unknown counts take the
+    exact rewrite path instead."""
     if stats is None:
         return False
     for col, op, val in where:
         entry = stats.get(col)
-        rng = entry.get("range") if isinstance(entry, dict) else entry
+        if not (isinstance(entry, dict) and entry.get("nulls") == 0):
+            return False  # null count unproven -> no whole-file drop
+        rng = entry.get("range")
         if rng is None:
             return False
         lo, hi = rng
-        ok = (
-            (op == "<" and hi < val)
-            or (op == "<=" and hi <= val)
-            or (op == ">" and lo > val)
-            or (op == ">=" and lo >= val)
-            or (op == "=" and lo == val and hi == val)
-        )
+        try:
+            ok = (
+                (op == "<" and hi < val)
+                or (op == "<=" and hi <= val)
+                or (op == ">" and lo > val)
+                or (op == ">=" and lo >= val)
+                or (op == "=" and lo == val and hi == val)
+            )
+        except TypeError:
+            return False  # incomparable literal type: nothing is proven
         if not ok:
             return False
     return True
@@ -598,7 +669,11 @@ def delete(
     added: list[str] = []
     if touched:
         survivors = spark.read.parquet(*[os.path.join(path, f) for f in touched])
-        survivors = survivors.where(~cond(survivors))
+        # ~cond is NULL (not True) on rows where a predicate column is
+        # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
+        # and NULL doesn't match.  Coalesce so NULL-predicate rows
+        # survive the rewrite (ADVICE r7).
+        survivors = survivors.where(~F.coalesce(cond(survivors), F.lit(False)))
         added = _stage(survivors, path)
     stats = (
         _collect_stats(path, added, stats_cols or [], bloom_cols)
@@ -720,11 +795,24 @@ def changes(
     return spark.read.parquet(*[os.path.join(path, f) for f in added])
 
 
-def vacuum(path: str, retain_from_version: int) -> list[str]:
+def vacuum(
+    path: str, retain_from_version: int, orphan_grace_seconds: float = 3600.0
+) -> list[str]:
     """Delete part files unreferenced by EVERY version >=
     `retain_from_version`; versions before it become unreadable (their
     log records remain for audit).  Returns the deleted files.  This is
-    the only operation that destroys history — explicit by design."""
+    the only operation that destroys history — explicit by design.
+
+    Concurrency: a file referenced by NO commit record is either a crash
+    orphan or an IN-FLIGHT write staged ahead of its commit (the
+    write-before-commit ordering barrier; a CommitConflict loser's staged
+    files must stay valid for its retry).  Vacuum cannot tell the two
+    apart by name, so it only deletes never-referenced files older than
+    `orphan_grace_seconds` (Delta's vacuum retention window, mtime-based)
+    — superseded files that some commit DID reference carry no such risk
+    and are deleted regardless of age (ADVICE r7)."""
+    import time
+
     vs = versions(path)
     if retain_from_version not in vs:
         # A typo'd bound above the head would retain NOTHING and delete
@@ -736,9 +824,13 @@ def vacuum(path: str, retain_from_version: int) -> list[str]:
             "drop the live snapshot"
         )
     keep: set[str] = set()
+    ever_referenced: set[str] = set()
     for v in vs:
         if v >= retain_from_version:
             keep.update(os.path.relpath(p, path) for p in snapshot(path, v))
+        with open(_version_file(path, v)) as f:
+            ever_referenced.update(json.load(f)["added"])
+    cutoff = time.time() - orphan_grace_seconds
     deleted = []
     for root, _dirs, files in os.walk(path):
         if os.path.basename(root) == "_log":
@@ -746,7 +838,10 @@ def vacuum(path: str, retain_from_version: int) -> list[str]:
         for f in files:
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
-            if rel.endswith(".parquet") and rel not in keep:
-                os.remove(full)
-                deleted.append(rel)
+            if not rel.endswith(".parquet") or rel in keep:
+                continue
+            if rel not in ever_referenced and os.path.getmtime(full) >= cutoff:
+                continue  # possibly a concurrent writer's staged files
+            os.remove(full)
+            deleted.append(rel)
     return deleted

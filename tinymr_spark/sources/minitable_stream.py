@@ -8,10 +8,14 @@ head (a driver-side directory listing, O(commits)), and a micro-batch
 that version range — exactly the change-feed contract of
 `minitable.changes()`, so a batch never re-reads table history and an
 overwrite/merge in range raises loudly instead of streaming rewritten
-rows as if they were new.  `initialOffset` of -1 makes the first batch
-the full current snapshot (Delta's startingVersion=0), after which the
-query is purely incremental: each new append commit streams once, by
-construction of the offset algebra.
+rows as if they were new.  The INITIAL batch is special-cased: start
+offset -1 plans the table's full SNAPSHOT at the batch's end version
+(Delta's startingVersion semantics) — so a table initialized by an
+overwrite, or one whose history holds pre-subscription rewrites,
+streams its current rows once and then goes purely incremental: each
+new append commit streams exactly once, by construction of the offset
+algebra.  Only a rewrite LANDING MID-STREAM (inside a start >= 0
+range) raises.
 
 Scale split (the q136 rework's lesson, pydatasource.py:144): the driver
 does OFFSET BOOKKEEPING ONLY; `partitions()` maps the version range to
@@ -108,6 +112,17 @@ class MinitableStreamReader(DataSourceStreamReader):
         from tinymr_spark.sources import minitable
 
         lo, hi = int(start["v"]), int(end["v"])
+        # The INITIAL batch (start = -1) is the table's full snapshot at
+        # `hi` — Delta's startingVersion semantics — so a table whose v0
+        # is an overwrite (the common init pattern) streams its current
+        # rows once and then goes incremental.  Snapshot resolution is a
+        # pure function of the immutable log, so a checkpoint replay of
+        # the (-1, hi] range re-plans the identical rows.
+        if lo < 0:
+            files = minitable.snapshot(self.path, hi) if hi >= 0 else []
+            return [
+                _FilePartition(p, self.cols) for p in files
+            ] or [_FilePartition(None, self.cols)]
         parts: list[_FilePartition] = []
         for v in minitable.versions(self.path):
             if v <= lo or v > hi:
