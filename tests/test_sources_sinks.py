@@ -1049,3 +1049,124 @@ def test_minitable_stream_source_snapshot_over_rewritten_history(spark, tmp_path
     assert drain() == []
     minitable.write(spark, spark.range(6, 9).select(F.col("id").alias("k")), path, "append")
     assert sorted(drain()) == [6, 7, 8]  # incremental from then on
+
+
+def test_minitable_log_checkpoint_bounds_replay(spark, tmp_path):
+    """Commit-log checkpointing: after K appends, a read replays O(tail)
+    version records from the newest checkpoint, not O(K) from v0;
+    auto-checkpoints land every AUTO_CHECKPOINT_INTERVAL commits; AS-OF
+    reads before the first checkpoint (and checkpointed reads) resolve
+    the EXACT same file lists as a from-scratch replay."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    for i in range(25):  # v0..v24
+        minitable.write(
+            spark,
+            spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "x").coalesce(1),
+            path,
+            "append",
+        )
+    assert minitable.checkpoint_versions(path) == [10, 20]
+
+    before = minitable._replay_opens
+    live = minitable._live_entries(path)
+    opens = minitable._replay_opens - before
+    assert opens == 4, opens  # ckpt at 20 + tail v21..v24
+    assert len(live) == 25
+
+    # from-scratch replay (checkpoints hidden) must agree exactly,
+    # for the head AND for historical versions on both sides of a ckpt
+    real = minitable.checkpoint_versions
+    try:
+        minitable.checkpoint_versions = lambda _p: []
+        scratch = {v: minitable._live_entries(path, v) for v in (5, 10, 17, 24)}
+    finally:
+        minitable.checkpoint_versions = real
+    for v, want in scratch.items():
+        assert minitable._live_entries(path, v) == want, v
+
+    # AS-OF before the first checkpoint replays v0..v5 (6 opens), exact
+    before = minitable._replay_opens
+    assert minitable.read(spark, path, 5).count() == 60
+    assert minitable._replay_opens - before == 6
+
+    # an overwrite AFTER a checkpoint replaces the checkpointed set
+    minitable.write(spark, minitable.read(spark, path).limit(7), path, "overwrite")
+    assert minitable.read(spark, path).count() == 7
+
+    # explicit checkpoint at the new head; reads now open 0 records
+    minitable.checkpoint(path)
+    before = minitable._replay_opens
+    assert minitable.read(spark, path).count() == 7
+    assert minitable._replay_opens - before == 0
+
+    # a checkpoint at an unknown version refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="no version"):
+        minitable.checkpoint(path, 99)
+
+
+def test_minitable_schema_evolution_add_column(spark, tmp_path):
+    """ADD COLUMN as a commit-log action: an additive append with
+    merge_schema=True establishes the union schema; old files serve NULL
+    for the new column; AS-OF reads before the change serve the OLD
+    schema; merge/delete rewrites preserve the union; non-additive or
+    unflagged mismatches raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    minitable.write(spark, v0, path, "overwrite", stats_cols=["k"])
+
+    # unflagged mismatch refuses
+    with_flag = spark.createDataFrame([(3, 30.0, "x")], "k int, v double, tag string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        minitable.write(spark, with_flag, path, "append")
+    # type change refuses even with the flag
+    bad = spark.createDataFrame([(3, "oops")], "k int, v string")
+    with pytest.raises(ValueError, match="ADD COLUMN"):
+        minitable.write(spark, bad, path, "append", merge_schema=True)
+
+    minitable.write(spark, with_flag, path, "append", merge_schema=True)  # v1
+    head = minitable.read(spark, path)
+    assert head.columns == ["k", "v", "tag"]
+    rows = {r["k"]: (r["v"], r["tag"]) for r in head.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "x")}
+    # AS-OF before the evolution serves the old two-column schema
+    old = minitable.read(spark, path, 0)
+    assert old.columns == ["k", "v"]
+
+    # an append MISSING the new column still lands (nulls fill on read)
+    minitable.write(
+        spark,
+        spark.createDataFrame([(4, 40.0)], "k int, v double"),
+        path,
+        "append",
+        merge_schema=True,
+    )  # v2
+    assert minitable.read(spark, path).where(F.col("tag").isNull()).count() == 3
+
+    # MERGE preserves the union schema across pre-evolution target files
+    src = spark.createDataFrame([(1, 11.0, "y"), (5, 50.0, None)], "k int, v double, tag string")
+    minitable.merge(spark, src, path, "k")  # v3
+    merged = {r["k"]: (r["v"], r["tag"]) for r in minitable.read(spark, path).collect()}
+    assert merged == {
+        1: (11.0, "y"), 2: (20.0, None), 3: (30.0, "x"), 4: (40.0, None), 5: (50.0, None)
+    }
+    # DELETE's rewrite keeps the evolved column
+    minitable.delete(spark, path, [("k", "<=", 2)], stats_cols=["k"])  # v4
+    after = minitable.read(spark, path)
+    assert after.columns == ["k", "v", "tag"]
+    assert sorted(r["k"] for r in after.collect()) == [3, 4, 5]
+    # history before the delete still serves all five with union schema
+    assert minitable.read(spark, path, 3).count() == 5
+    # a checkpoint folds the schema and reads stay identical through it
+    minitable.checkpoint(path)
+    again = minitable.read(spark, path)
+    assert again.columns == ["k", "v", "tag"]
+    assert sorted(r["k"] for r in again.collect()) == [3, 4, 5]

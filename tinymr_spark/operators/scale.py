@@ -3158,6 +3158,203 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q179 — COMMIT-LOG CHECKPOINTING, the metadata-scale lever of the
+# lakehouse tier: a long-lived table (q163's streaming ingest commits
+# once per micro-batch) would otherwise make EVERY read replay every
+# version JSON — O(commits) driver file-opens that grow without bound.
+# minitable folds the live file list into `ckpt-v{N}.json` every 10th
+# commit (Delta's `_last_checkpoint` pattern); readers start at the
+# newest checkpoint <= the requested version and replay only the tail.
+# This table: 24 append commits (auto-checkpoints land at v10, v20).
+# Build-time asserts pin the replay bound — the head read opens ckpt@20
+# + 4 tail records, never 25 — and that a checkpoint-hidden from-scratch
+# replay resolves the IDENTICAL file list.  The hash gate proves both
+# read paths stay exact: the head read (through ckpt@20) equals the
+# oracle's full table, and the AS-OF v11 read (through ckpt@10 + tail)
+# equals the oracle's first-12-slices membership rule.
+# ---------------------------------------------------------------------------
+def q179_log_checkpoint(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_ckpt", src_path)
+    done = table + "._done"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        for i in range(24):  # v0..v23; auto-checkpoints at v10, v20
+            minitable.write(
+                spark,
+                orders.where(F.col("o_orderkey") % 24 == i).coalesce(1),
+                table,
+                "append",
+            )
+        assert minitable.checkpoint_versions(table) == [10, 20]
+        before = minitable._replay_opens
+        assert len(minitable._live_entries(table)) == 24
+        assert minitable._replay_opens - before == 3  # tail v21..v23 only
+        hidden = minitable.checkpoint_versions
+        try:  # from-scratch replay must resolve the identical snapshot
+            minitable.checkpoint_versions = lambda _p: []
+            scratch = minitable._live_entries(table)
+        finally:
+            minitable.checkpoint_versions = hidden
+        assert minitable._live_entries(table) == scratch
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in (11, 23)  # through ckpt@10 + tail, and through ckpt@20
+    ]
+    return per_version[0].unionByName(per_version[1])
+
+
+ORACLE_Q179 = """
+WITH v AS (SELECT * FROM (VALUES (11), (23)) AS t(version)),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o ON o.o_orderkey % 24 <= v.version
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
+# ---------------------------------------------------------------------------
+# q180 — SCHEMA EVOLUTION as a commit-log action (ADD COLUMN), the last
+# everyday Delta verb the lakehouse tier lacked: v0 writes the base
+# three-column table; v1 appends a slice carrying a NEW column with
+# merge_schema=True, which commits the UNION schema to the log; v2's
+# DELETE rewrites straddling files — including pre-evolution ones — and
+# must preserve the union.  Readers type the scan from the LOG's schema
+# record (never footer sniffing, Delta's model): files written before
+# the evolution serve NULL for the new column by Spark's name-based
+# parquet reconciliation, and the AS-OF v0 read serves the OLD schema
+# (asserted at build).  The hash gate proves all three versions: v0 ==
+# the oracle's base slice with zero flags, v1 == union rows where ONLY
+# post-evolution rows carry flags, v2 == the surviving rows with flags
+# intact through the rewrite.
+# ---------------------------------------------------------------------------
+def q180_table_evolution(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_evo", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    cut = maxk // 4
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: base schema
+            spark,
+            base.where(F.col("o_orderkey") % 3 == 0).repartitionByRange(4, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        minitable.write(  # v1: ADD COLUMN ofl via additive append
+            spark,
+            base.where(F.col("o_orderkey") % 3 == 1)
+            .withColumn("ofl", F.col("o_orderkey") % 5)
+            .repartitionByRange(4, "o_orderkey"),
+            table,
+            "append",
+            stats_cols=["o_orderkey"],
+            merge_schema=True,
+        )
+        assert minitable.read(spark, table, 0).columns == ["o_orderkey", "o_totalprice"]
+        assert minitable.read(spark, table, 1).columns == [
+            "o_orderkey", "o_totalprice", "ofl",
+        ]
+        res = minitable.delete(  # v2: rewrite straddlers, union preserved
+            spark, table, [("o_orderkey", "<=", cut)], stats_cols=["o_orderkey"]
+        )
+        assert res is not None
+        open(done, "w").close()
+
+    def agg(v: int) -> DataFrame:
+        df = minitable.read(spark, table, v)
+        has = "ofl" in df.columns
+        return df.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            (F.count("ofl") if has else F.lit(0).cast("long")).alias("n_flag"),
+            (
+                F.coalesce(F.sum("ofl"), F.lit(0)).cast("long")
+                if has
+                else F.lit(0).cast("long")
+            ).alias("sum_flag"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    out = agg(0)
+    for v in (1, 2):
+        out = out.unionByName(agg(v))
+    return out
+
+
+ORACLE_Q180 = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey % 5 END AS ofl,
+           o_orderkey % 3 AS slice
+    FROM orders
+),
+v AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(version)),
+member AS (
+    SELECT v.version, b.o_orderkey, b.o_totalprice, b.ofl
+    FROM v JOIN base b
+      ON (v.version = 0 AND b.slice = 0)
+      OR (v.version = 1 AND b.slice IN (0, 1))
+      OR (v.version = 2 AND b.slice IN (0, 1)
+          AND b.o_orderkey > (SELECT MAX(o_orderkey) // 4 FROM orders))
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_rows,
+       COUNT(ofl) AS n_flag,
+       CAST(COALESCE(SUM(ofl), 0) AS BIGINT) AS sum_flag,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3197,6 +3394,8 @@ QUERIES = {
     "q176_grouped_regression": q176_grouped_regression,
     "q177_delete_where": q177_delete_where,
     "q178_delete_null_safety": q178_delete_null_safety,
+    "q179_log_checkpoint": q179_log_checkpoint,
+    "q180_table_evolution": q180_table_evolution,
 }
 
 ORACLE = {
@@ -3238,4 +3437,6 @@ ORACLE = {
     "q176_grouped_regression": ORACLE_Q176,
     "q177_delete_where": ORACLE_Q177,
     "q178_delete_null_safety": ORACLE_Q178,
+    "q179_log_checkpoint": ORACLE_Q179,
+    "q180_table_evolution": ORACLE_Q180,
 }

@@ -34,7 +34,12 @@ commit, because:
 Scale: the log is O(commits) driver-side JSON (Delta's exact shape —
 table data never flows through it), reads plan the resolved file list
 as an ordinary parquet scan (pushdown/pruning intact), and writes are
-executor-parallel parquet jobs.  The reference has no I/O at all
+executor-parallel parquet jobs.  Every 10th commit folds the live file
+list into a `ckpt-v{N}.json` LOG CHECKPOINT (Delta's `_last_checkpoint`
+pattern), so reader planning opens O(1) checkpoint + O(tail) records —
+not O(commits) — however many micro-batches a streaming ingest has
+committed; version records are never removed, so AS-OF reads before any
+checkpoint stay exact.  The reference has no I/O at all
 (/root/reference/tinymr.py:156-230); versioned tables are
 beyond-reference surface (SURVEY.md §2.3), the snapshot-isolation
 follow-on the q141/q124 manifest commits pointed at.
@@ -62,6 +67,66 @@ def _version_file(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"v{version}.json")
 
 
+def _checkpoint_file(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"ckpt-v{version}.json")
+
+
+# Every AUTO_CHECKPOINT_INTERVAL-th commit folds the live file list into a
+# checkpoint (Delta's every-10-commits parquet checkpoint): without one,
+# _live_entries replays EVERY version record on EVERY read — O(commits)
+# driver file-opens, unbounded for a long-running streaming ingest that
+# commits once per micro-batch (q163).  With it, a read opens one
+# checkpoint + the tail since (<= interval records), O(1) amortized.
+AUTO_CHECKPOINT_INTERVAL = 10
+
+# Replay-cost instrumentation: version-record opens performed by
+# _live_entries since process start.  Tests assert a post-checkpoint read
+# opens O(tail), not O(commits); not part of the public API.
+_replay_opens = 0
+
+
+def checkpoint_versions(path: str) -> list[int]:
+    """Versions with a published log checkpoint, ascending."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("ckpt-v") and f.endswith(".json"):
+            try:
+                out.append(int(f[6:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def checkpoint(path: str, version: int | None = None) -> int:
+    """Fold the live `(relpath, stats)` list AS OF `version` (latest when
+    None) into `_log/ckpt-v{N}.json`, the replay shortcut `_live_entries`
+    starts from.  Content is a pure function of the immutable log, so
+    concurrent checkpointers racing on the same version write identical
+    bodies — `os.replace` publishes whichever lands last, atomically.
+    History stays exact: version records are never removed, so AS-OF
+    reads BEFORE any checkpoint still replay from v0 (or from an older
+    checkpoint)."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits to checkpoint")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
+    entries, schema = _replay(path, version)
+    body = {"version": version, "entries": [[f, st] for f, st in entries]}
+    if schema is not None:
+        body["schema"] = schema
+    tmp = _checkpoint_file(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(body))
+    os.replace(tmp, _checkpoint_file(path, version))
+    return version
+
+
 def versions(path: str) -> list[int]:
     """All committed versions, ascending.  Only fully-published records
     appear: the O_CREAT|O_EXCL claim makes file EXISTENCE the commit."""
@@ -78,22 +143,47 @@ def versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict | None]]:
-    """Replay the log to `version`: the live `(relpath, stats)` pairs in
-    commit-then-manifest order.  `stats` is the per-file column min/max
-    map recorded by the commit that added the file (None when the writer
-    skipped stats collection — readers must treat that conservatively)."""
+def _replay(
+    path: str, version: int | None = None
+) -> tuple[list[tuple[str, dict | None]], dict | None]:
+    """Replay the log to `version`: `(live_entries, schema)` where
+    live_entries is the `(relpath, stats)` pairs in commit-then-manifest
+    order (`stats` is the per-file column min/max map recorded by the
+    commit that added the file; None when the writer skipped stats —
+    readers must treat that conservatively) and schema is the LATEST
+    table-schema record at <= version (Spark StructType jsonValue; None
+    on legacy logs whose commits never recorded one).
+
+    Starts from the NEWEST checkpoint <= `version` and replays only the
+    tail records after it — O(1) + O(tail) file opens instead of
+    O(commits), the metadata bottleneck Delta's `_last_checkpoint`
+    solves for long-lived tables (a per-micro-batch streaming ingest
+    otherwise makes every later read's planning cost grow without
+    bound)."""
+    global _replay_opens
     vs = versions(path)
     if not vs:
-        return []
+        return [], None
     if version is None:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
     live: list[tuple[str, dict | None]] = []
+    schema: dict | None = None
+    start = 0
+    cks = [c for c in checkpoint_versions(path) if c <= version]
+    if cks:
+        with open(_checkpoint_file(path, max(cks))) as f:
+            body = json.load(f)
+        live = [(e[0], e[1]) for e in body["entries"]]
+        schema = body.get("schema")
+        start = max(cks) + 1
     for v in vs:
+        if v < start:
+            continue
         if v > version:
             break
+        _replay_opens += 1
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
         stats = rec.get("stats", {})
@@ -106,7 +196,23 @@ def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict
             live.extend(fresh)
         else:
             live.extend(fresh)
-    return live
+        if rec.get("schema") is not None:
+            schema = rec["schema"]
+    return live, schema
+
+
+def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict | None]]:
+    """The live `(relpath, stats)` pairs AS OF `version` — see _replay."""
+    return _replay(path, version)[0]
+
+
+def table_schema(path: str, version: int | None = None) -> dict | None:
+    """The committed table schema AS OF `version` (StructType jsonValue),
+    or None when no commit <= version recorded one (legacy logs) — the
+    schema-evolution timeline: an AS-OF read before an ADD COLUMN commit
+    serves the OLD schema, reads at/after it serve the new one with
+    nulls for files written before the change."""
+    return _replay(path, version)[1]
 
 
 def snapshot(path: str, version: int | None = None) -> list[str]:
@@ -122,6 +228,9 @@ def commit(
     txn: tuple[str, int] | None = None,
     removed: list[str] | None = None,
     stats: dict[str, dict] | None = None,
+    schema: dict | None = None,
+    predicate: list | None = None,
+    cdf: list[str] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -139,7 +248,13 @@ def commit(
 
     `removed` (merge only) lists the live files this commit supersedes;
     `stats` maps added relpaths to per-column `[min, max]` pairs for
-    data-skipping reads (`scan`) and merge file pruning."""
+    data-skipping reads (`scan`) and merge file pruning; `schema`
+    records the table schema this commit establishes (StructType
+    jsonValue — the schema-evolution timeline readers resolve against);
+    `predicate` records a DELETE commit's conjunction so the change
+    feed can reconstruct deleted rows from the removed files;
+    `cdf` lists staged change-data files (merge commits) carrying
+    explicit `_change_type` rows for the feed."""
     if action not in ("append", "overwrite", "merge"):
         raise ValueError(f"unknown minitable action {action!r}")
     if (removed is not None) != (action == "merge"):
@@ -154,6 +269,12 @@ def commit(
         body["stats"] = stats
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": txn[1]}
+    if schema is not None:
+        body["schema"] = schema
+    if predicate is not None:
+        body["predicate"] = [list(p) for p in predicate]
+    if cdf is not None:
+        body["cdf"] = cdf
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -171,6 +292,12 @@ def commit(
         ) from e
     finally:
         os.remove(tmp)
+    # Every Nth commit folds the log into a checkpoint so reader planning
+    # cost stays O(tail) however long the table lives (Delta's
+    # every-10-commits checkpoint).  Amortized O(1): the fold itself
+    # replays from the PREVIOUS checkpoint.
+    if AUTO_CHECKPOINT_INTERVAL and version and version % AUTO_CHECKPOINT_INTERVAL == 0:
+        checkpoint(path, version)
     return version
 
 
@@ -358,6 +485,27 @@ def _collect_stats(
     return out
 
 
+def _merge_schemas(prev: dict, cur: dict) -> dict:
+    """SCHEMA EVOLUTION (ADD COLUMN): the union schema — prev's fields in
+    their order, then cur's new fields appended.  A column present in
+    both with a different type raises (only additive evolution is
+    supported, Delta's mergeSchema contract); either side may omit the
+    other's columns (reads fill nulls from the log schema)."""
+    prev_types = {f["name"]: f["type"] for f in prev["fields"]}
+    for f in cur["fields"]:
+        if f["name"] in prev_types and f["type"] != prev_types[f["name"]]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} from "
+                f"{prev_types[f['name']]!r} to {f['type']!r} — only ADD COLUMN "
+                "is supported"
+            )
+    merged = dict(prev)
+    merged["fields"] = list(prev["fields"]) + [
+        f for f in cur["fields"] if f["name"] not in prev_types
+    ]
+    return merged
+
+
 def write(
     spark: SparkSession,
     df: DataFrame,
@@ -366,28 +514,81 @@ def write(
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
     `stats_cols` opts the commit into per-file min/max stats on those
     columns, enabling `scan()` data skipping and `merge()` file pruning;
     `bloom_cols` adds per-file bloom filters so point predicates skip
-    files on UNCLUSTERED columns too."""
+    files on UNCLUSTERED columns too.
+
+    Every commit records the table schema (the evolution timeline).  An
+    append whose columns differ from the table's requires
+    `merge_schema=True` and must be purely ADDITIVE (new columns append;
+    shared columns keep their type); the union becomes the table schema
+    — old files serve NULL for the new columns, AS-OF reads before the
+    change serve the old schema (Delta's mergeSchema).  Without the
+    flag a differing append raises instead of silently committing files
+    a reader can't reconcile.  An overwrite always resets the schema to
+    `df`'s."""
+    # Record all fields nullable: schema evolution itself introduces
+    # nulls (old files lack new columns), and writer-side nullability is
+    # an artifact of how the DataFrame was derived, not a table contract.
+    cur = df.schema.jsonValue()
+    for f in cur["fields"]:
+        f["nullable"] = True
+    schema = cur
+    if action == "append":
+        prev = table_schema(path)
+        if prev is not None and prev != cur:
+            cur_names = {f["name"] for f in cur["fields"]}
+            prev_names = {f["name"] for f in prev["fields"]}
+            if not merge_schema and (
+                cur_names != prev_names
+                or _merge_schemas(prev, cur)["fields"] != prev["fields"]
+            ):
+                raise ValueError(
+                    f"append schema {sorted(cur_names)} differs from table "
+                    f"schema {sorted(prev_names)} — pass merge_schema=True "
+                    "for additive evolution"
+                )
+            schema = _merge_schemas(prev, cur)
     added = _stage(df, path)
     stats = (
         _collect_stats(path, added, stats_cols or [], bloom_cols)
         if (stats_cols or bloom_cols)
         else None
     )
-    return commit(path, action, added, txn=txn, stats=stats)
+    return commit(path, action, added, txn=txn, stats=stats, schema=schema)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """AS-OF read: resolve the snapshot to a file list, plan an ordinary
-    parquet scan over exactly those files."""
-    files = snapshot(path, version)
-    if not files:
+    """AS-OF read: resolve the snapshot to a file list and plan a parquet
+    scan over exactly those files, typed by the LOG's schema record at
+    that version (never footer sniffing — Delta's model): files written
+    before an ADD COLUMN serve NULL for it by Spark's name-based parquet
+    reconciliation, and an AS-OF read before the evolution serves the
+    old schema.  Legacy logs without schema records fall back to
+    inference."""
+    entries, schema = _replay(path, version)
+    if not entries:
         raise ValueError(f"minitable {path} is empty at version {version}")
-    return spark.read.parquet(*files)
+    files = [os.path.join(path, f) for f, _ in entries]
+    return _read_files(spark, files, schema)
+
+
+def _read_files(spark: SparkSession, files: list[str], schema: dict | None) -> DataFrame:
+    """Parquet scan typed by the log's schema record (None -> inference):
+    every internal path that reads a subset of live files (scan's pruned
+    set, merge/delete's touched set, optimize's bins) must plan with the
+    TABLE schema, or a rewrite touching pre-evolution files would drop
+    the evolved columns."""
+    reader = spark.read
+    if schema is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(schema))
+    return reader.parquet(*files)
 
 
 # A `where` clause for scan()/prune() is a CONJUNCTION of simple
@@ -469,7 +670,7 @@ def scan(
     if not kept:
         # Provably-empty scan: type it like the table without reading data.
         return read(spark, path, version).limit(0).filter(F.lit(False))
-    df = spark.read.parquet(*kept)
+    df = _read_files(spark, kept, table_schema(path, version))
     for col, op, val in where:
         c = F.col(col)
         df = df.filter(
@@ -528,7 +729,7 @@ def merge(
     if bounds[0] is None:
         raise ValueError("merge source is empty — nothing to upsert")
     smin, smax = bounds[0], bounds[1]
-    entries = _live_entries(path)
+    entries, schema = _replay(path)
     if not entries:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     key_range = [(key, ">=", smin), (key, "<=", smax)]
@@ -536,7 +737,7 @@ def merge(
     touched: list[str] = []
     if candidates:
         probe = (
-            spark.read.parquet(*[os.path.join(path, f) for f in candidates])
+            _read_files(spark, [os.path.join(path, f) for f in candidates], schema)
             .select(key, F.input_file_name().alias("__file"))
             .join(source.select(key), key, "inner")
             .select("__file")
@@ -554,7 +755,7 @@ def merge(
         F.coalesce(F.expr(delete_where), F.lit(False)) if delete_where else F.lit(False),
     )
     if touched:
-        tgt = spark.read.parquet(*[os.path.join(path, f) for f in touched])
+        tgt = _read_files(spark, [os.path.join(path, f) for f in touched], schema)
         t, s = tgt.alias("t"), src.alias("s")
         joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
         matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
@@ -642,7 +843,7 @@ def delete(
     for col, op, _val in where:
         if op not in _OPS:
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
-    entries = _live_entries(path)
+    entries, schema = _replay(path)
     candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
     whole = [f for f, st in candidates if _file_fully_matches(st, where)]
     straddle = [f for f, st in candidates if f not in whole]
@@ -658,7 +859,7 @@ def delete(
     touched: list[str] = []
     if straddle:
         probe = (
-            spark.read.parquet(*[os.path.join(path, f) for f in straddle])
+            _read_files(spark, [os.path.join(path, f) for f in straddle], schema)
             .select(*{col for col, _o, _v in where}, F.input_file_name().alias("__file"))
         )
         probe = probe.where(cond(probe)).select("__file").distinct()
@@ -668,7 +869,7 @@ def delete(
         return None
     added: list[str] = []
     if touched:
-        survivors = spark.read.parquet(*[os.path.join(path, f) for f in touched])
+        survivors = _read_files(spark, [os.path.join(path, f) for f in touched], schema)
         # ~cond is NULL (not True) on rows where a predicate column is
         # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
         # and NULL doesn't match.  Coalesce so NULL-predicate rows
@@ -714,7 +915,7 @@ def optimize(
     the loop is driver-cheap); at cluster scale the bins are independent
     and would be submitted concurrently — Delta runs them as parallel
     rewrite tasks inside one job."""
-    entries = _live_entries(path)
+    entries, schema = _replay(path)
     small: list[tuple[str, int]] = []
     for rel, _st in entries:
         sz = os.path.getsize(os.path.join(path, rel))
@@ -735,7 +936,9 @@ def optimize(
     added: list[str] = []
     stats: dict[str, dict] = {}
     for b in bins:
-        packed = spark.read.parquet(*[os.path.join(path, r) for r in b]).coalesce(1)
+        packed = _read_files(
+            spark, [os.path.join(path, r) for r in b], schema
+        ).coalesce(1)
         rels = _stage(packed, path)
         added.extend(rels)
         if stats_cols or bloom_cols:
