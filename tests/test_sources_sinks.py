@@ -1170,3 +1170,164 @@ def test_minitable_schema_evolution_add_column(spark, tmp_path):
     again = minitable.read(spark, path)
     assert again.columns == ["k", "v", "tag"]
     assert sorted(r["k"] for r in again.collect()) == [3, 4, 5]
+
+
+def test_minitable_change_feed_with_removes(spark, tmp_path):
+    """change_feed() emits row-level _change_type rows across the full
+    DML surface: appends -> inserts; CDF-opted merges -> explicit
+    update pre/post images + deletes + inserts; predicate DELETEs ->
+    deletes reconstructed from the removed files; OPTIMIZE
+    (data_change=false) -> nothing; and replaying the feed over the
+    starting snapshot reproduces the ending snapshot exactly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(k, k * 10.0) for k in range(1, 7)], "k int, v double")
+    minitable.write(spark, base, path, "overwrite", stats_cols=["k"])            # v0
+    minitable.write(
+        spark,
+        spark.createDataFrame([(7, 70.0), (8, 80.0)], "k int, v double"),
+        path, "append", stats_cols=["k"],
+    )                                                                             # v1
+    src = spark.createDataFrame([(1, 999.0), (2, 20.0), (9, 90.0)], "k int, v double")
+    minitable.merge(spark, src, path, "k", delete_where="k = 2", collect_cdf=True)  # v2
+    minitable.delete(spark, path, [("k", "<=", 3)], stats_cols=["k"])             # v3
+    minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)    # v4
+
+    feed = minitable.change_feed(spark, path, 0, 4)
+    assert set(feed.columns) == {"k", "v", "_change_type", "_commit_version"}
+    by = {
+        (r["_commit_version"], r["_change_type"], r["k"]): r["v"]
+        for r in feed.collect()
+    }
+    assert by == {
+        (1, "insert", 7): 70.0, (1, "insert", 8): 80.0,
+        (2, "update_preimage", 1): 10.0, (2, "update_postimage", 1): 999.0,
+        (2, "delete", 2): 20.0, (2, "insert", 9): 90.0,
+        (3, "delete", 1): 999.0, (3, "delete", 3): 30.0,
+    }
+
+    # feed-replay invariant: v0 snapshot + ordered feed == v4 snapshot
+    state = {r["k"]: r["v"] for r in minitable.read(spark, path, 0).collect()}
+    for (cv, ct, k), v in sorted(by.items()):
+        if ct in ("insert", "update_postimage"):
+            state[k] = v
+        elif ct == "delete":
+            state.pop(k)
+    want = {r["k"]: r["v"] for r in minitable.read(spark, path, 4).collect()}
+    assert state == want
+
+    # a partial range sees only its versions
+    assert {r["_commit_version"] for r in minitable.change_feed(spark, path, 2, 4).collect()} == {3}
+
+    # legacy changes() keeps its append-only restriction
+    with pytest.raises(ValueError, match="merge"):
+        minitable.changes(spark, path, 0, 4)
+    # an overwrite in range still refuses
+    minitable.write(spark, minitable.read(spark, path), path, "overwrite")        # v5
+    with pytest.raises(ValueError, match="overwrite"):
+        minitable.change_feed(spark, path, 4, 5)
+    # a legacy merge without predicate/cdf refuses
+    path2 = str(tmp_path / "t2")
+    minitable.write(spark, base, path2, "overwrite", stats_cols=["k"])
+    minitable.merge(spark, src, path2, "k")  # no collect_cdf
+    with pytest.raises(ValueError, match="neither"):
+        minitable.change_feed(spark, path2, 0, 1)
+
+
+def test_minitable_concurrent_writers_serializable(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency under real contention (Delta's conflict
+    rules): merge/delete claim readVersion+1, so an interleaved commit
+    is NEVER silently absorbed.  Disjoint-scope writers auto-rebase and
+    both land; a concurrent append that may hold rows in our scope, a
+    write-write on the same files, and an overwrite all raise
+    CommitConflict deterministically."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    def fresh(path):
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        minitable.write(
+            spark, df.repartitionByRange(10, "k"), path, "overwrite", stats_cols=["k"]
+        )
+        return path
+
+    real_commit = minitable.commit
+
+    def interleave(builder):
+        """Patch commit so the FIRST merge-claim is preceded by another
+        writer's commit landing — the claimed slot is taken."""
+        state = {"fired": False}
+
+        def racing(path, action, added, **kw):
+            if not state["fired"] and kw.get("expected_version") is not None:
+                state["fired"] = True
+                builder(path)
+            return real_commit(path, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing)
+
+    def unpatch():
+        monkeypatch.setattr(minitable, "commit", real_commit)
+
+    # 1. DISJOINT writers both land: intervening append covers k >= 5000,
+    #    our merge touches k < 100 — auto-rebase, no error.
+    path = fresh(str(tmp_path / "t1"))
+
+    def other_append(p):
+        df = spark.range(5000, 5100).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("v")
+        )
+        minitable.write(spark, df.coalesce(1), p, "append", stats_cols=["k"])
+
+    interleave(other_append)
+    src = spark.createDataFrame([(1, 111.0), (50, 555.0)], "k bigint, v double")
+    v = minitable.merge(spark, src, path, "k")
+    unpatch()
+    # v0 table; interloper took v1; merge's claim of v1 conflicted,
+    # rebase found the scopes disjoint and landed at v2
+    assert v == 2
+    got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert got[1] == 111.0 and got[50] == 555.0 and got[5050] == 0.0
+    assert len(got) == 1100  # 1000 base + 100 interloper; merges updated in place
+
+    # 2. OVERLAPPING append conflicts deterministically.
+    path = fresh(str(tmp_path / "t2"))
+
+    def overlapping_append(p):
+        df = spark.range(40, 60).select(F.col("id").alias("k"), F.lit(9.0).alias("v"))
+        minitable.write(spark, df.coalesce(1), p, "append", stats_cols=["k"])
+
+    interleave(overlapping_append)
+    with pytest.raises(minitable.CommitConflict, match="concurrent append"):
+        minitable.merge(spark, src, path, "k")
+    unpatch()
+
+    # 3. WRITE-WRITE on the same files conflicts.
+    path = fresh(str(tmp_path / "t3"))
+
+    def other_delete(p):
+        minitable.delete(spark, p, [("k", "<", 30)], stats_cols=["k"])
+
+    interleave(other_delete)
+    with pytest.raises(minitable.CommitConflict, match="write-write|touched files"):
+        minitable.merge(spark, src, path, "k")
+    unpatch()
+
+    # 4. OVERWRITE in between conflicts.
+    path = fresh(str(tmp_path / "t4"))
+
+    def other_overwrite(p):
+        minitable.write(spark, minitable.read(spark, p), p, "overwrite")
+
+    interleave(other_overwrite)
+    with pytest.raises(minitable.CommitConflict, match="overwrite"):
+        minitable.delete(spark, path, [("k", "<", 10)], stats_cols=["k"])
+    unpatch()

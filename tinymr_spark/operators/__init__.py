@@ -131,6 +131,34 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (29, "unpivot"), (30, "wordcount"), (31, "top_words"),
         (85, "sql_interface"), (89, "monthly_gapfill"), (139, "sql_udf"),
     )),
+    (7, (
+        # --- round 7 (CORRECTNESS_r07): 21 new + 29 stalest re-confirms ---
+        (32, "token_stats"), (33, "quality_score"),
+        (34, "lang_id"), (35, "fingerprint"),
+        (36, "bigram_freq"), (37, "bpe_token_count"),
+        (38, "tfidf"), (39, "prep_pipeline"),
+        (40, "dedup_exact"), (41, "dedup_jaccard"),
+        (42, "dedup_minhash"), (43, "dedup_simhash"),
+        (44, "dedup_embedding"), (45, "dedup_minhash_banded"),
+        (46, "dedup_groups"), (47, "dedup_simhash_banded"),
+        (48, "dedup_cdc_chunks"), (49, "corpus_pipeline"),
+        (50, "ann_bruteforce"), (51, "ann_bucketed"),
+        (52, "label_centroids"), (53, "lsh_buckets"),
+        (54, "ann_ivf"), (55, "embedding_lsh_dedup"),
+        (56, "normalize_quantize"), (57, "kmeans_iteration"),
+        (86, "sentence_stats"), (87, "repetition_signals"),
+        (88, "decontaminate"), (157, "semdedup"),
+        (158, "bpe_merges"), (159, "stream_semantic_dedup"),
+        (160, "weighted_sample"), (161, "embedding_covariance"),
+        (162, "time_travel"), (163, "stream_lakehouse_ingest"),
+        (164, "change_feed"), (165, "incremental_mv"),
+        (166, "merge_upsert"), (167, "data_skipping"),
+        (168, "triangle_count"), (169, "bpe_encode"),
+        (170, "bloom_skipping"), (171, "stream_table_source"),
+        (172, "kcore_peel"), (173, "optimize_binpack"),
+        (174, "optimize_zorder"), (175, "linear_regression"),
+        (176, "grouped_regression"), (177, "delete_where"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()

@@ -3355,6 +3355,242 @@ GROUP BY version
 """
 
 
+def _cdf_demo_table(spark, sf_dir: str) -> tuple[str, int, int]:
+    """The shared q181/q182 table: a full-DML history with row-level
+    change tracking.  v0 overwrites the %4 in (0,1,2) slice of orders
+    (key, price); v1 appends the %4==3 slice; v2 is a MERGE with
+    collect_cdf=True — updates %10==0 rows to 2x price, deletes %10==5
+    rows via delete_where, inserts shifted keys (o_orderkey + 2*maxk)
+    for %10==1 rows at price+1; v3 is a predicate DELETE of
+    o_orderkey <= maxk//4 (its commit records the predicate, so the
+    feed reconstructs deletes from the removed files — no change data
+    written).  Returns (table_path, maxk, cut)."""
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_cdf", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders")
+    maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    cut = maxk // 4
+    # rebuild on a missing marker OR a short log (a crashed/raced build
+    # must never be trusted: the feed below addresses version 3)
+    if not os.path.exists(done) or len(minitable.versions(table)) < 4:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        base = orders.select("o_orderkey", "o_totalprice")
+        k = F.col("o_orderkey")
+        minitable.write(  # v0
+            spark,
+            base.where(k % 4 != 3).repartitionByRange(6, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        minitable.write(  # v1
+            spark,
+            base.where(k % 4 == 3).repartitionByRange(2, "o_orderkey"),
+            table,
+            "append",
+            stats_cols=["o_orderkey"],
+        )
+        source = (
+            base.where(k % 10 == 0)
+            .select(k.alias("o_orderkey"), (F.col("o_totalprice") * 2).alias("o_totalprice"))
+            .unionByName(base.where(k % 10 == 5))
+            .unionByName(
+                base.where(k % 10 == 1).select(
+                    (k + 2 * maxk).alias("o_orderkey"),
+                    (F.col("o_totalprice") + 1).alias("o_totalprice"),
+                )
+            )
+        )
+        minitable.merge(  # v2: CDF-opted upsert+delete
+            spark,
+            source,
+            table,
+            "o_orderkey",
+            delete_where="o_orderkey % 10 = 5",
+            stats_cols=["o_orderkey"],
+            collect_cdf=True,
+        )
+        res = minitable.delete(  # v3: predicate delete, feed from removes
+            spark, table, [("o_orderkey", "<=", cut)], stats_cols=["o_orderkey"]
+        )
+        assert res is not None
+        open(done, "w").close()
+    return table, maxk, cut
+
+
+# ---------------------------------------------------------------------------
+# q181 — CHANGE DATA FEED over the full DML surface (Delta CDF semantics,
+# closing changes()'s append-only restriction): one feed query returns
+# row-level `_change_type` records for an append (insert), a CDF-opted
+# MERGE (update_preimage/update_postimage/delete/insert — change rows
+# staged alongside the rewrite, O(touched+source)), and a predicate
+# DELETE whose deletes are RECONSTRUCTED by reading the commit's removed
+# files filtered to the recorded predicate — O(touched files), nothing
+# extra written.  OPTIMIZE commits are data_change=false and emit
+# nothing.  The hash gate proves every (version, change_type) class —
+# counts, price sums, key bounds — against the oracle's from-first-
+# principles reconstruction of each class.
+# ---------------------------------------------------------------------------
+def q181_change_feed_dml(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable
+
+    table, _maxk, _cut = _cdf_demo_table(spark, sf_dir)
+    feed = minitable.change_feed(spark, table, 0, 3)
+    return (
+        feed.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .select(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "sum_price",
+            "min_key",
+            "max_key",
+        )
+    )
+
+
+ORACLE_Q181 = """
+WITH mk AS (SELECT MAX(o_orderkey) AS maxk, MAX(o_orderkey) // 4 AS cut FROM orders),
+ev AS (
+    SELECT 1 AS commit_version, 'insert' AS change_type,
+           o_orderkey AS k, o_totalprice AS p
+    FROM orders WHERE o_orderkey % 4 = 3
+    UNION ALL
+    SELECT 2, 'update_preimage', o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 2, 'update_postimage', o_orderkey, o_totalprice * 2
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 2, 'delete', o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 5
+    UNION ALL
+    SELECT 2, 'insert', o_orderkey + 2 * (SELECT maxk FROM mk), o_totalprice + 1
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT 3, 'delete', o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+    FROM orders
+    WHERE o_orderkey <= (SELECT cut FROM mk) AND o_orderkey % 10 <> 5
+)
+SELECT CAST(commit_version AS INT) AS commit_version,
+       change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(k) AS min_key,
+       MAX(k) AS max_key
+FROM ev
+GROUP BY commit_version, change_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q182 — INCREMENTAL MATERIALIZED VIEW over the FULL DML feed: q165's
+# append-only delta-merge generalized to updates and deletes.  The MV
+# (per-bucket count + price sum) advances from its v0 base by one pass
+# over change_feed(0, 3): insert/update_postimage rows add, delete/
+# update_preimage rows subtract — the classic counting-algebra MV
+# maintenance (each aggregate a commutative group, so one signed
+# aggregation applies the whole delta; O(delta), never O(table)).
+# Build asserts pin incremental == full rebuild row-for-row; the hash
+# gate proves the incremental result equals the oracle's from-scratch
+# final state.
+# ---------------------------------------------------------------------------
+def q182_incremental_mv_dml(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable
+
+    table, _maxk, _cut = _cdf_demo_table(spark, sf_dir)
+    bucket = (F.col("o_orderkey") % 7).alias("bucket")
+
+    def mv(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_p"),
+        )
+
+    base = mv(minitable.read(spark, table, 0)).alias("b")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        minitable.change_feed(spark, table, 0, 3)
+        .groupBy(bucket)
+        .agg(
+            F.sum(sign).alias("n_d"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * sign).alias("s_d"),
+        )
+        .alias("d")
+    )
+    inc = (
+        base.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))).alias("n_orders"),
+            (
+                F.coalesce(F.col("sum_p"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("sum_p"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+    check = table + "._mv_checked"  # version-prefixed marker: prune-safe
+    import os
+
+    if not os.path.exists(check):
+        rebuilt = mv(minitable.read(spark, table, 3))
+        a = inc.select("bucket", "n_orders", F.col("sum_p").cast("decimal(18,2)"))
+        b = rebuilt.select("bucket", "n_orders", F.col("sum_p").cast("decimal(18,2)"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+            "incremental MV diverged from full rebuild"
+        )
+        open(check, "w").close()
+    return inc.select(
+        "bucket",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_p").cast("double").alias("sum_price"),
+    )
+
+
+ORACLE_Q182 = """
+WITH mk AS (SELECT MAX(o_orderkey) AS maxk, MAX(o_orderkey) // 4 AS cut FROM orders),
+final AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS p
+    FROM orders
+    WHERE o_orderkey % 10 <> 5 AND o_orderkey > (SELECT cut FROM mk)
+    UNION ALL
+    SELECT o_orderkey + 2 * (SELECT maxk FROM mk), o_totalprice + 1
+    FROM orders WHERE o_orderkey % 10 = 1
+)
+SELECT k % 7 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM final
+GROUP BY k % 7
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3396,6 +3632,8 @@ QUERIES = {
     "q178_delete_null_safety": q178_delete_null_safety,
     "q179_log_checkpoint": q179_log_checkpoint,
     "q180_table_evolution": q180_table_evolution,
+    "q181_change_feed_dml": q181_change_feed_dml,
+    "q182_incremental_mv_dml": q182_incremental_mv_dml,
 }
 
 ORACLE = {
@@ -3439,4 +3677,6 @@ ORACLE = {
     "q178_delete_null_safety": ORACLE_Q178,
     "q179_log_checkpoint": ORACLE_Q179,
     "q180_table_evolution": ORACLE_Q180,
+    "q181_change_feed_dml": ORACLE_Q181,
+    "q182_incremental_mv_dml": ORACLE_Q182,
 }

@@ -231,6 +231,8 @@ def commit(
     schema: dict | None = None,
     predicate: list | None = None,
     cdf: list[str] | None = None,
+    data_change: bool = True,
+    expected_version: int | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -254,14 +256,26 @@ def commit(
     `predicate` records a DELETE commit's conjunction so the change
     feed can reconstruct deleted rows from the removed files;
     `cdf` lists staged change-data files (merge commits) carrying
-    explicit `_change_type` rows for the feed."""
+    explicit `_change_type` rows for the feed; `data_change=False`
+    marks a pure REORGANIZATION (compaction/clustering) whose rows are
+    unchanged — the change feed skips it (Delta's dataChange flag)."""
     if action not in ("append", "overwrite", "merge"):
         raise ValueError(f"unknown minitable action {action!r}")
     if (removed is not None) != (action == "merge"):
         raise ValueError("`removed` is required for merge commits and only them")
     os.makedirs(_log_dir(path), exist_ok=True)
-    vs = versions(path)
-    version = (vs[-1] + 1) if vs else 0
+    if expected_version is not None:
+        # Transactional claim (Delta's readVersion+1 protocol): the
+        # caller PLANNED against a specific snapshot and must land
+        # exactly after it — claiming head+1 here would silently absorb
+        # an intervening commit the plan never saw (a serializability
+        # hole for merge/delete, whose rewrites depend on what was
+        # live).  A taken slot surfaces as CommitConflict and the caller
+        # runs its conflict check + rebase.
+        version = expected_version
+    else:
+        vs = versions(path)
+        version = (vs[-1] + 1) if vs else 0
     body = {"version": version, "action": action, "added": added}
     if removed is not None:
         body["removed"] = removed
@@ -275,6 +289,8 @@ def commit(
         body["predicate"] = [list(p) for p in predicate]
     if cdf is not None:
         body["cdf"] = cdf
+    if not data_change:
+        body["data_change"] = False
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -319,12 +335,13 @@ def last_txn_version(path: str, app_id: str) -> int | None:
     return None
 
 
-def _stage(df: DataFrame, path: str) -> list[str]:
+def _stage(df: DataFrame, path: str, kind: str = "part") -> list[str]:
     """Write `df` as new part files under a unique attempt prefix BEFORE
     any commit record exists, so a crash between write and commit leaves
     only invisible orphans (the q141 manifest argument).  Returns the
-    staged relpaths in sorted (deterministic) order."""
-    attempt = f"part-{uuid.uuid4().hex[:12]}"
+    staged relpaths in sorted (deterministic) order.  `kind` names the
+    prefix ("part" data, "cdf" change-data)."""
+    attempt = f"{kind}-{uuid.uuid4().hex[:12]}"
     staging = os.path.join(path, attempt)
     df.write.mode("overwrite").parquet(staging)
     return sorted(
@@ -679,6 +696,78 @@ def scan(
     return df
 
 
+def _commit_serializable(
+    path: str,
+    added: list[str],
+    removed: list[str],
+    read_version: int,
+    guard_where: list[tuple],
+    stats: dict | None = None,
+    predicate: list | None = None,
+    cdf: list[str] | None = None,
+) -> int:
+    """Commit a merge/delete planned against snapshot `read_version`
+    under SERIALIZABLE-style optimistic concurrency (Delta's conflict
+    protocol): claim exactly read_version+1; when another writer got
+    there first, examine every intervening commit and AUTO-REBASE (retry
+    at the new head, staged files unchanged) only when the plan provably
+    still holds —
+
+    * an intervening `overwrite` always conflicts (the snapshot is gone);
+    * an intervening commit touching ANY of our removed files conflicts
+      (write-write: both plans rewrite the same data);
+    * an intervening commit ADDING a file whose stats cannot rule out
+      rows matching `guard_where` (the merge's source key range / the
+      delete's predicate) conflicts — our probe never saw those rows
+      (Delta's ConcurrentAppendException); stats-less files conflict
+      conservatively.
+
+    Disjoint writers (different key ranges, different files) therefore
+    both land without coordination; overlapping ones get a deterministic
+    CommitConflict naming the blocking version."""
+    while True:
+        try:
+            return commit(
+                path,
+                "merge",
+                added,
+                removed=removed,
+                stats=stats,
+                predicate=predicate,
+                cdf=cdf,
+                expected_version=read_version + 1,
+            )
+        except CommitConflict:
+            head = versions(path)[-1]
+            ours = set(removed)
+            for v in range(read_version + 1, head + 1):
+                with open(_version_file(path, v)) as f:
+                    rec = json.load(f)
+                if rec["action"] == "overwrite":
+                    raise CommitConflict(
+                        f"version {v} of {path} is an overwrite — the snapshot "
+                        f"this merge/delete planned against (v{read_version}) "
+                        "no longer exists"
+                    )
+                inter = set(rec["added"]) | set(rec.get("removed", ()))
+                if inter & ours:
+                    raise CommitConflict(
+                        f"version {v} of {path} touched files this operation "
+                        f"rewrites ({sorted(inter & ours)[:3]}...) — "
+                        "write-write conflict, replan against the new head"
+                    )
+                rec_stats = rec.get("stats", {})
+                for fname in rec["added"]:
+                    if _file_survives(rec_stats.get(fname), guard_where):
+                        raise CommitConflict(
+                            f"version {v} of {path} added {fname!r} which may "
+                            "contain rows matching this operation's scope — "
+                            "concurrent append conflict, replan against the "
+                            "new head"
+                        )
+            read_version = head  # provably disjoint: rebase and retry
+
+
 def merge(
     spark: SparkSession,
     source: DataFrame,
@@ -688,6 +777,7 @@ def merge(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     check_duplicate_keys: bool = True,
+    collect_cdf: bool = False,
 ) -> int:
     """MERGE INTO (Delta-style declarative upsert), whole-row semantics:
 
@@ -715,7 +805,13 @@ def merge(
 
     The source must be key-unique (Delta raises on multiple matches for
     the same target row; `check_duplicate_keys` performs that O(source)
-    guard here — disable it only when uniqueness is structural)."""
+    guard here — disable it only when uniqueness is structural).
+
+    `collect_cdf=True` additionally stages explicit change-data rows
+    (Delta's merge CDF): `_change_type` in insert / delete /
+    update_preimage / update_postimage, recorded in the commit's `cdf`
+    field and served by `change_feed()` — O(touched + source) extra
+    write, nothing at read time."""
     from pyspark.sql import functions as F
 
     if check_duplicate_keys:
@@ -729,7 +825,11 @@ def merge(
     if bounds[0] is None:
         raise ValueError("merge source is empty — nothing to upsert")
     smin, smax = bounds[0], bounds[1]
-    entries, schema = _replay(path)
+    all_versions = versions(path)
+    if not all_versions:
+        raise ValueError(f"minitable {path} is empty — write() the initial version")
+    read_version = all_versions[-1]
+    entries, schema = _replay(path, read_version)
     if not entries:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     key_range = [(key, ">=", smin), (key, "<=", smax)]
@@ -754,6 +854,7 @@ def merge(
         "__delete",
         F.coalesce(F.expr(delete_where), F.lit(False)) if delete_where else F.lit(False),
     )
+    cdf_df = None
     if touched:
         tgt = _read_files(spark, [os.path.join(path, f) for f in touched], schema)
         t, s = tgt.alias("t"), src.alias("s")
@@ -767,12 +868,47 @@ def merge(
                 for c in cols
             ]
         )
+        if collect_cdf:
+            # Delta's merge CDF: explicit change rows written alongside
+            # the rewrite (O(touched + source), same as the merge itself).
+            # Untouched target rows emit nothing.
+            t_row = [F.col(f"t.{c}").alias(c) for c in cols]
+            s_row = [F.col(f"s.{c}").alias(c) for c in cols]
+            updated = matched & ~F.col("s.__delete")
+            ct = "_change_type"
+            cdf_df = (
+                joined.filter(matched & F.col("s.__delete"))
+                .select(*t_row).withColumn(ct, F.lit("delete"))
+                .unionByName(
+                    joined.filter(updated).select(*t_row)
+                    .withColumn(ct, F.lit("update_preimage"))
+                )
+                .unionByName(
+                    joined.filter(updated).select(*s_row)
+                    .withColumn(ct, F.lit("update_postimage"))
+                )
+                .unionByName(
+                    joined.filter(F.col(f"t.{key}").isNull()).select(*s_row)
+                    .withColumn(ct, F.lit("insert"))
+                )
+            )
     else:
         merged = src.select(*cols)  # nothing can match: pure insert
+        if collect_cdf:
+            cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
     added = _stage(merged, path)
+    cdf_files = _stage(cdf_df, path, kind="cdf") if cdf_df is not None else None
     want_stats = sorted({key, *(stats_cols or [])})
     stats = _collect_stats(path, added, want_stats, bloom_cols)
-    return commit(path, "merge", added, removed=touched, stats=stats)
+    return _commit_serializable(
+        path,
+        added,
+        touched,
+        read_version,
+        key_range,
+        stats=stats,
+        cdf=cdf_files,
+    )
 
 
 def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
@@ -843,7 +979,9 @@ def delete(
     for col, op, _val in where:
         if op not in _OPS:
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
-    entries, schema = _replay(path)
+    all_versions = versions(path)
+    read_version = all_versions[-1] if all_versions else None
+    entries, schema = _replay(path, read_version)
     candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
     whole = [f for f, st in candidates if _file_fully_matches(st, where)]
     straddle = [f for f, st in candidates if f not in whole]
@@ -881,7 +1019,15 @@ def delete(
         if added and (stats_cols or bloom_cols)
         else None
     )
-    version = commit(path, "merge", added, removed=whole + touched, stats=stats)
+    version = _commit_serializable(
+        path,
+        added,
+        whole + touched,
+        read_version,
+        where,
+        stats=stats,
+        predicate=where,
+    )
     return version, {
         "dropped_whole": len(whole),
         "rewritten": len(touched),
@@ -944,7 +1090,12 @@ def optimize(
         if stats_cols or bloom_cols:
             stats.update(_collect_stats(path, rels, stats_cols or [], bloom_cols))
     version = commit(
-        path, "merge", added, removed=[r for r, _ in small], stats=stats or None
+        path,
+        "merge",
+        added,
+        removed=[r for r, _ in small],
+        stats=stats or None,
+        data_change=False,  # a compaction rewrites, it changes nothing
     )
     return {
         "version": version,
@@ -952,6 +1103,113 @@ def optimize(
         "n_bins": len(bins),
         "added": added,
     }
+
+
+def change_feed(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """CHANGE DATA FEED with removes: the row-level changes committed in
+    versions (from_version, to_version], typed as the table's columns
+    plus `_change_type` (insert / delete / update_preimage /
+    update_postimage) and `_commit_version` — Delta's CDF contract,
+    extended past `changes()`'s append-only restriction:
+
+    * `append` commits: the added files ARE the inserts — a plain scan
+      of exactly those files, O(delta);
+    * DELETE commits (merge records carrying the `predicate` the delete
+      ran with): deleted rows are RECONSTRUCTED by reading the commit's
+      REMOVED files filtered to the predicate — O(touched files), no
+      change data was ever written (rewritten survivors are not
+      changes);
+    * upsert MERGE commits that opted into `collect_cdf=True`: their
+      staged change-data files carry explicit `_change_type` rows
+      (update pre/post images, deletes, inserts);
+    * reorganizations (`data_change: false`, e.g. OPTIMIZE) changed
+      nothing and emit nothing;
+    * an `overwrite` in range, or a merge with neither predicate nor
+      change data, raises LOUDLY rather than returning a wrong feed
+      (use a snapshot diff instead).
+
+    Reading a delete's removed files requires them un-vacuumed —
+    vacuum's retention bound is also the feed's horizon (Delta's CDF
+    retention).  Schema evolution composes: pieces union by name, so
+    pre-evolution changes serve NULL for later columns."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    for bound in (from_version, to_version):
+        if bound not in vs:
+            raise ValueError(f"minitable {path} has no version {bound} (log: {vs})")
+    if to_version <= from_version:
+        raise ValueError("change_feed() needs from_version < to_version")
+    schema = table_schema(path, to_version)
+    pieces: list[DataFrame] = []
+    for v in vs:
+        if v <= from_version or v > to_version:
+            continue
+        with open(_version_file(path, v)) as f:
+            rec = json.load(f)
+        if rec.get("data_change") is False:
+            continue  # compaction/clustering: rows unchanged
+        if rec["action"] == "append":
+            if rec["added"]:
+                pieces.append(
+                    _read_files(
+                        spark, [os.path.join(path, f) for f in rec["added"]], schema
+                    )
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+        elif rec["action"] == "merge":
+            if rec.get("cdf") is not None:
+                if rec["cdf"]:
+                    pieces.append(
+                        spark.read.parquet(
+                            *[os.path.join(path, f) for f in rec["cdf"]]
+                        ).withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+            elif rec.get("predicate") is not None:
+                removed = rec.get("removed", [])
+                if removed:
+                    df = _read_files(
+                        spark, [os.path.join(path, f) for f in removed], schema
+                    )
+                    cond = None
+                    for col, op, val in rec["predicate"]:
+                        c = F.col(col)
+                        term = {
+                            "<": c < val, "<=": c <= val, ">": c > val,
+                            ">=": c >= val, "=": c == val,
+                        }[op]
+                        cond = term if cond is None else (cond & term)
+                    pieces.append(
+                        df.where(F.coalesce(cond, F.lit(False)))
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+            else:
+                raise ValueError(
+                    f"version {v} is a merge with neither a recorded predicate "
+                    "nor change data — no row-level feed exists for it; "
+                    "use a snapshot diff instead"
+                )
+        else:
+            raise ValueError(
+                f"version {v} is an overwrite — the ({from_version}, "
+                f"{to_version}] range has no row-level change feed; "
+                "use a snapshot diff instead"
+            )
+    if not pieces:
+        return (
+            read(spark, path, to_version)
+            .limit(0)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("int"))
+        )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece, allowMissingColumns=True)
+    return out
 
 
 def changes(
@@ -1032,7 +1290,13 @@ def vacuum(
         if v >= retain_from_version:
             keep.update(os.path.relpath(p, path) for p in snapshot(path, v))
         with open(_version_file(path, v)) as f:
-            ever_referenced.update(json.load(f)["added"])
+            rec = json.load(f)
+        ever_referenced.update(rec["added"])
+        ever_referenced.update(rec.get("cdf", ()))
+        if v >= retain_from_version:
+            # retained versions keep their change-data files too, so the
+            # feed over the retained range stays queryable
+            keep.update(rec.get("cdf", ()))
     cutoff = time.time() - orphan_grace_seconds
     deleted = []
     for root, _dirs, files in os.walk(path):
