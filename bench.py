@@ -124,26 +124,37 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
     "parsed": null).  Short keys (the spec's own example format,
     {"q1": sec}) with compact separators keep it inside the window; the
     qNN -> full-name mapping is the docstring of every queries() entry
-    and SURVEY.md §8.  Per-query times are trimmed to 2 decimals (10 ms
-    resolution — the driver compares totals and flags -1.0 failures, and
-    run-to-run noise exceeds 10 ms anyway), falling back to 1 decimal if
-    the 2-decimal line would exceed 1900 chars (possible past ~150
-    queries); the total keeps 4.  At 160 hypothetical queries the line
-    stays under 1900 chars (tests/test_bench_contract.py)."""
+    and SURVEY.md §8.
+
+    MIXED per-row resolution (the r7 lesson: a flat ladder degraded ALL
+    177 rows to integers, costing the round report its ability to verify
+    per-query perf targets): rows >= 0.45s — the ones regression
+    tracking needs — hold 2 decimals through every realistic stage;
+    only sub-half-second rows (which round-to-int loses nothing material
+    on: their run-to-run noise exceeds their value) degrade, then the
+    q-prefix drops.  The ladder:
+
+      (hot 2dec, cold 1dec, q kept)  -> ~150-query capacity
+      (hot 2dec, cold 1dec, q bare)  -> ~165
+      (hot 2dec, cold INT,  q bare)  -> ~195   <- the realistic landing
+      (hot 1dec, cold INT,  q bare)  -> ~230   (still >= 0.1s on hot rows)
+      (hot INT,  cold INT,  q bare)  -> last resort, past ~240 queries
+
+    The final stage is NOT length-guarded: main() warns loudly on stderr
+    instead of truncating silently.  The -1.0 failure sentinel and the
+    4-decimal total survive every stage."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Adaptive per-query resolution: 2 decimals normally; if the line
-    # would overflow the driver's 2000-char tail (possible past ~150
-    # queries), fall back to 1, then 0 decimals (INTS — round(x, 0)
-    # returns a float and json prints "11.0", saving nothing), then drop
-    # the "q" key prefix (bare digits are still unambiguously the query
-    # number; ~1 char per row, the difference between ~195- and
-    # ~215-query capacity) — degraded resolution still beats an
-    # unparseable line.  The final iteration is NOT guarded by the
-    # length check, so an overflow even at the last stage (roughly 220+
-    # queries) returns oversized — main() warns loudly on stderr in
-    # that case rather than truncating silently.
-    for ndec, strip_q in ((2, False), (1, False), (0, False), (0, True)):
+    HOT = 0.45  # anything that could print >= 0.5 keeps fine resolution
+
+    def _fmt(t: float, ndec: int):
+        if t < 0:
+            return -1.0  # failure sentinel, exact at any resolution
+        return int(round(t)) if ndec == 0 else round(t, ndec)
+
+    for hot_dec, cold_dec, strip_q in (
+        (2, 1, False), (2, 1, True), (2, 0, True), (1, 0, True), (0, 0, True)
+    ):
         short = {}
         for name, t in timings.items():
             k = name.split("_", 1)[0]
@@ -153,10 +164,7 @@ def format_bench_line(timings: dict[str, float], sf_dir: str) -> str:
                 k = name
             while k in short:  # a full name can equal an earlier short key
                 k = k + "+"
-            # keep the -1.0 failure sentinel exact at any resolution
-            short[k] = (
-                -1.0 if t < 0 else (int(round(t)) if ndec == 0 else round(t, ndec))
-            )
+            short[k] = _fmt(t, hot_dec if t >= HOT else cold_dec)
         line = json.dumps(
             {
                 "metric": "total_query_wall_sec",

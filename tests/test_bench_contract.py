@@ -45,6 +45,35 @@ def test_bench_line_fits_driver_tail_and_parses():
     assert len(set(d["queries"])) == len(names)
 
 
+def test_bench_hot_rows_keep_resolution_at_realistic_scale():
+    """The r7 regression this format fixes: rows >= 0.5s must keep
+    >= 0.1s resolution (2 decimals here) at the real inventory's
+    distribution — BENCH_r07's flat ladder degraded all 177 rows to
+    integers and the round report could no longer verify per-query perf
+    targets.  Modeled on the r7 driver run (116 sub-half-second rows,
+    61 hot rows) padded to 190 queries."""
+    names = _inventory_names()
+    names += [f"q{i}_hypothetical_future_query" for i in range(len(names) + 1, 191)]
+    timings = {}
+    for i, n in enumerate(names):
+        if i % 3 == 0:  # ~63 hot rows, awkward 2-decimal values
+            timings[n] = round(0.51 + (i % 25) * 0.1003, 4)
+        else:  # cold rows: the 0.1-0.4s band
+            timings[n] = round(0.1 + (i % 4) * 0.09, 4)
+    timings[names[5]] = -1.0
+    line = format_bench_line(timings, "/root/testdata/sf0.1")
+    assert len(line) <= 1900, f"{len(line)} chars overflows the driver tail"
+    d = json.loads(line)
+    assert len(d["queries"]) == len(names)
+    short = {n.split("_", 1)[0].lstrip("q"): t for n, t in timings.items()}
+    for k, v in d["queries"].items():
+        t = short[k.lstrip("q").split("_", 1)[0]] if k.lstrip("q").split("_", 1)[0] in short else None
+        if v == -1.0:
+            continue
+        if t is not None and t >= 0.5:
+            assert v == round(t, 2), (k, t, v)  # hot rows: full 2-decimal fidelity
+
+
 def test_bench_short_key_collision_falls_back_to_full_name():
     line = format_bench_line({"q01_a": 1.0, "q01_b": 2.0}, "sf0.01")
     d = json.loads(line)

@@ -3375,7 +3375,7 @@ def _cdf_demo_table(spark, sf_dir: str) -> tuple[str, int, int]:
     )
 
     src_path = table_path(sf_dir, "orders")
-    table = versioned_staging_dir("tinymr_spark_minitable_cdf", src_path)
+    table = versioned_staging_dir("tinymr_spark_minitable_dml", src_path)
     done = table + "._done"
     orders = load_table(spark, sf_dir, "orders")
     maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])

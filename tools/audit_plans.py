@@ -40,6 +40,25 @@ INFO = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact",
            "q136_python_stream_source", "q138_statestore_reader"}
 
+# Queries whose CONSTRUCTION executes one-time BUILD jobs (a versioned
+# table / DML history staged under a done marker, or an iterative
+# algorithm driven to convergence): the audited plan below is the final
+# summary READ — real, and still red-flag-checked — but its exchange
+# count does not describe the build's work (k-core peel rounds,
+# OPTIMIZE bin-pack rewrites, ZORDER clustering, MERGE/DELETE rewrite
+# jobs, commit-log checkpoint folds).  Those are scale-audited by the
+# build-time asserts inside each query (tier splits, O(small-bytes)
+# contracts, replay-open bounds) — the `build-once` tag here marks that
+# `exchanges=N` is the read, not the pipeline.
+BUILD_ONCE = {
+    "q162_time_travel", "q164_change_feed", "q165_incremental_mv",
+    "q166_merge_upsert", "q167_data_skipping", "q170_bloom_skipping",
+    "q172_kcore_peel", "q173_optimize_binpack", "q174_optimize_zorder",
+    "q177_delete_where", "q178_delete_null_safety", "q179_log_checkpoint",
+    "q180_table_evolution", "q181_change_feed_dml",
+    "q182_incremental_mv_dml",
+}
+
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
 # O(1) rows — then the "nested loop" is a constant-size per-row loop, the
 # intended plan, not a blowup:
@@ -106,7 +125,7 @@ def main() -> int:
         nex = plan.count("Exchange hashpartitioning") + plan.count(
             "Exchange rangepartitioning"
         )
-        tag = " dynamic" if dynamic else ""
+        tag = " dynamic" if dynamic else (" build-once" if name in BUILD_ONCE else "")
         notes = (" RED:" + ",".join(reds)) if reds else ""
         if infos:
             notes += " arrow:" + ",".join(infos)
