@@ -1331,3 +1331,46 @@ def test_minitable_concurrent_writers_serializable(spark, tmp_path, monkeypatch)
     with pytest.raises(minitable.CommitConflict, match="overwrite"):
         minitable.delete(spark, path, [("k", "<", 10)], stats_cols=["k"])
     unpatch()
+
+
+def test_minitable_stream_source_serves_evolved_schema(spark, tmp_path):
+    """Streaming an evolved table: the source's planning schema comes
+    from the LOG's schema record, so an evolved column types correctly
+    even though the first live file predates it, and pre-evolution files
+    serve NULL for it."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.range(3).select(F.col("id").alias("k")),
+        path,
+        "append",
+    )
+    minitable.write(
+        spark,
+        spark.range(3, 5).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("w")),
+        path,
+        "append",
+        merge_schema=True,
+    )
+    rows: list[tuple] = []
+
+    def sink(df, _bid):
+        rows.extend((r["k"], r["w"]) for r in df.collect())
+
+    q = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", path)
+        .option("columns", "k,w")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(rows) == [(0, None), (1, None), (2, None), (3, 4.5), (4, 6.0)]

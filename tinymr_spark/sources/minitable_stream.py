@@ -56,13 +56,30 @@ _ARROW_DDL = {
 
 
 def _table_ddl(path: str, cols: list[str]) -> str:
-    """Planning-time schema: the requested columns' types from the FIRST
-    live file's parquet footer (metadata-only, like a parquet scan's
-    inference).  Timestamps map to microsecond `timestamp` regardless of
-    storage unit — Spark's own parquet reader semantics."""
-    import pyarrow.parquet as pq
-
+    """Planning-time schema: the requested columns' types from the LOG's
+    schema record when one exists (the authoritative evolution timeline
+    — an evolved column is typed correctly even though the FIRST live
+    file predates it), else from the first live file's parquet footer
+    (legacy logs; metadata-only, like a parquet scan's inference).
+    Timestamps map to microsecond `timestamp` regardless of storage
+    unit — Spark's own parquet reader semantics."""
     from tinymr_spark.sources import minitable
+
+    log_schema = minitable.table_schema(path)
+    if log_schema is not None:
+        types = {f["name"]: f["type"] for f in log_schema["fields"]}
+        parts = []
+        for c in cols:
+            if c not in types:
+                raise ValueError(
+                    f"column {c!r} not in minitable schema {sorted(types)}"
+                )
+            t = types[c]
+            if not isinstance(t, str):
+                raise ValueError(f"unsupported stream column type {t!r} for {c!r}")
+            parts.append(f"{c} {t}")
+        return ", ".join(parts)
+    import pyarrow.parquet as pq
 
     files = minitable.snapshot(path)
     if not files:
@@ -145,14 +162,21 @@ class MinitableStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         # EXECUTOR-side: scan exactly this committed file, projected to
         # the requested columns (parquet column pruning), in arrow
-        # batches — O(file), no driver involvement.
+        # batches — O(file), no driver involvement.  A requested column
+        # a PRE-EVOLUTION file lacks serves NULL (the same name-based
+        # reconciliation batch reads get from the log schema).
         if partition.path is None:
             return
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches(columns=partition.cols):
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        present = [c for c in partition.cols if c in pf.schema_arrow.names]
+        for batch in pf.iter_batches(columns=present):
+            data = {
+                c: batch.column(present.index(c)).to_pylist() for c in present
+            }
+            nulls = [None] * batch.num_rows
+            cols = [data.get(c, nulls) for c in partition.cols]
             yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
