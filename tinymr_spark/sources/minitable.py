@@ -1256,6 +1256,36 @@ def changes(
     return spark.read.parquet(*[os.path.join(path, f) for f in added])
 
 
+def restore(path: str, to_version: int) -> int:
+    """RESTORE TABLE ... TO VERSION (Delta's rollback verb): commit a
+    new OVERWRITE whose file list IS the old version's — a pure
+    commit-log operation that moves ZERO data bytes (part files are
+    immutable and never deleted by commits, so the old snapshot's files
+    are still on disk; only vacuum can invalidate a restore target).
+    History stays intact: the bad versions remain readable AS-OF, the
+    restore is itself a new version (auditable, and itself restorable —
+    restoring a restore round-trips).  The restored commit re-records
+    the old version's schema, so a rollback across an ADD COLUMN also
+    rolls the schema timeline back.  Returns the new version number."""
+    entries, schema = _replay(path, to_version)  # raises on unknown version
+    if not entries:
+        raise ValueError(f"minitable {path} is empty at version {to_version}")
+    missing = [f for f, _st in entries if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to version {to_version}: {len(missing)} "
+            f"of its files were vacuumed (e.g. {missing[0]!r})"
+        )
+    stats = {f: st for f, st in entries if st is not None}
+    return commit(
+        path,
+        "overwrite",
+        [f for f, _st in entries],
+        stats=stats or None,
+        schema=schema,
+    )
+
+
 def vacuum(
     path: str, retain_from_version: int, orphan_grace_seconds: float = 3600.0
 ) -> list[str]:

@@ -56,7 +56,7 @@ BUILD_ONCE = {
     "q172_kcore_peel", "q173_optimize_binpack", "q174_optimize_zorder",
     "q177_delete_where", "q178_delete_null_safety", "q179_log_checkpoint",
     "q180_table_evolution", "q181_change_feed_dml",
-    "q182_incremental_mv_dml",
+    "q182_incremental_mv_dml", "q183_restore_version",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
