@@ -1417,3 +1417,141 @@ def test_minitable_restore_rolls_back_schema_and_refuses_vacuumed(spark, tmp_pat
         minitable.restore(path, 0)
     # the live snapshot still reads
     assert minitable.read(spark, path).where(F.col("k") == 9).count() == 1
+
+
+def test_minitable_optimize_is_serializable_and_stream_survives_it(spark, tmp_path, monkeypatch):
+    """Review findings r8: (a) OPTIMIZE claims readVersion+1 — a
+    concurrent DELETE landing mid-compaction conflicts instead of having
+    its deleted rows resurrected by the packed bins; a concurrent APPEND
+    auto-rebases (row-invariant reorganizations commute).  (b) A
+    data_change=false commit must not kill a live stream or an
+    append-only changes() feed — both skip it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    real_commit = minitable.commit
+
+    def interleave(builder):
+        state = {"fired": False}
+
+        def racing(path, action, added, **kw):
+            if not state["fired"] and kw.get("expected_version") is not None:
+                state["fired"] = True
+                builder(path)
+            return real_commit(path, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing)
+
+    def fresh(path):
+        for i in range(4):  # four small files
+            minitable.write(
+                spark,
+                spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k").coalesce(1),
+                path, "append", stats_cols=["k"],
+            )
+        return path
+
+    # (a1) concurrent DELETE conflicts: it removed a file optimize rewrites
+    path = fresh(str(tmp_path / "t1"))
+    interleave(lambda p: minitable.delete(spark, p, [("k", "<", 5)], stats_cols=["k"]))
+    with pytest.raises(minitable.CommitConflict, match="touched files"):
+        minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    # the delete's result is intact — nothing resurrected
+    assert minitable.read(spark, path).count() == 35
+
+    # (a2) concurrent APPEND auto-rebases; optimize lands after it
+    path = fresh(str(tmp_path / "t2"))
+    interleave(lambda p: minitable.write(
+        spark, spark.range(100, 105).withColumnRenamed("id", "k").coalesce(1),
+        p, "append", stats_cols=["k"],
+    ))
+    res = minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert res is not None
+    assert minitable.read(spark, path).count() == 45  # 40 packed + 5 appended
+
+    # (b) a live stream and changes() both skip the optimize commit
+    minitable_stream.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    rows: list[int] = []
+
+    def drain():
+        batch: list[int] = []
+
+        def sink(df, _bid):
+            batch.extend(r["k"] for r in df.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path).option("columns", "k").load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return batch
+
+    assert len(drain()) == 45  # initial snapshot
+    opt_v = minitable.versions(path)[-1]
+    minitable.write(
+        spark, spark.range(200, 203).withColumnRenamed("id", "k").coalesce(1),
+        path, "append", stats_cols=["k"],
+    )
+    got = drain()  # range spans the post-optimize append only
+    assert sorted(got) == [200, 201, 202]
+    # changes() over a range spanning the optimize also skips it
+    feed = minitable.changes(spark, path, opt_v - 1, opt_v + 1)
+    assert sorted(r["k"] for r in feed.collect()) == [200, 201, 202]
+
+
+def test_minitable_restore_resets_preschema_era_and_conflicts(spark, tmp_path, monkeypatch):
+    """Review findings r8: restoring to a pre-schema-era version records
+    an EXPLICIT null schema (reads fall back to inference over the old
+    files instead of resolving a later record over them and returning
+    all-NULL rows), and a commit racing in during restore surfaces as
+    CommitConflict rather than being silently erased."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    # v0: LEGACY commit (raw _stage+commit — no schema record)
+    staged = minitable._stage(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "a int, b double"), path
+    )
+    minitable.commit(path, "overwrite", staged)
+    assert minitable.table_schema(path) is None
+    # v1: modern write with DIFFERENT columns records a schema
+    minitable.write(
+        spark, spark.createDataFrame([(5, "x")], "c int, d string"), path, "overwrite"
+    )
+    # v2: restore to the pre-schema era — reads must serve (a, b) data
+    minitable.restore(path, 0)
+    got = {tuple(r) for r in minitable.read(spark, path).collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+    assert minitable.read(spark, path).columns == ["a", "b"]
+
+    # racing commit during restore -> CommitConflict, nothing erased
+    real_commit = minitable.commit
+    state = {"fired": False}
+
+    def racing(p, action, added, **kw):
+        if not state["fired"] and kw.get("expected_version") is not None:
+            state["fired"] = True
+            minitable.write(
+                spark,
+                spark.createDataFrame([(9, 90.0)], "a int, b double"),
+                p, "append",
+            )
+        return real_commit(p, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing)
+    with pytest.raises(minitable.CommitConflict):
+        minitable.restore(path, 1)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    # the racing append survived
+    assert minitable.read(spark, path).where(F.col("a") == 9).count() == 1

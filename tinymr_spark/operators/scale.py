@@ -3087,13 +3087,15 @@ def q178_delete_null_safety(spark, sf_dir: str) -> DataFrame:
     table = versioned_staging_dir("tinymr_spark_minitable_delnull", src_path)
     done = table + "._done"
     orders = load_table(spark, sf_dir, "orders")
-    maxck = int(orders.agg(F.max("o_custkey")).collect()[0][0])
-    cut = maxck // 2
-    n_null_expected = orders.where(F.col("o_orderkey") % 7 == 0).count()
     if not os.path.exists(done):
         import shutil
 
         shutil.rmtree(table, ignore_errors=True)
+        # build-only driver aggregates: inside the marker so steady-state
+        # (benchmarked) invocations pay zero extra scans
+        maxck = int(orders.agg(F.max("o_custkey")).collect()[0][0])
+        cut = maxck // 2
+        n_null_expected = orders.where(F.col("o_orderkey") % 7 == 0).count()
         base = orders.select(
             "o_orderkey",
             F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey")).alias("ck"),
@@ -3273,12 +3275,11 @@ def q180_table_evolution(spark, sf_dir: str) -> DataFrame:
     done = table + "._done"
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_totalprice")
-    maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
-    cut = maxk // 4
     if not os.path.exists(done):
         import shutil
 
         shutil.rmtree(table, ignore_errors=True)
+        cut = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 4
         minitable.write(  # v0: base schema
             spark,
             base.where(F.col("o_orderkey") % 3 == 0).repartitionByRange(4, "o_orderkey"),
@@ -3378,14 +3379,14 @@ def _cdf_demo_table(spark, sf_dir: str) -> tuple[str, int, int]:
     table = versioned_staging_dir("tinymr_spark_minitable_dml", src_path)
     done = table + "._done"
     orders = load_table(spark, sf_dir, "orders")
-    maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
-    cut = maxk // 4
     # rebuild on a missing marker OR a short log (a crashed/raced build
     # must never be trusted: the feed below addresses version 3)
     if not os.path.exists(done) or len(minitable.versions(table)) < 4:
         import shutil
 
         shutil.rmtree(table, ignore_errors=True)
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        cut = maxk // 4
         base = orders.select("o_orderkey", "o_totalprice")
         k = F.col("o_orderkey")
         minitable.write(  # v0
@@ -3427,7 +3428,7 @@ def _cdf_demo_table(spark, sf_dir: str) -> tuple[str, int, int]:
         )
         assert res is not None
         open(done, "w").close()
-    return table, maxk, cut
+    return table
 
 
 # ---------------------------------------------------------------------------
@@ -3446,7 +3447,7 @@ def _cdf_demo_table(spark, sf_dir: str) -> tuple[str, int, int]:
 def q181_change_feed_dml(spark, sf_dir: str) -> DataFrame:
     from tinymr_spark.sources import minitable
 
-    table, _maxk, _cut = _cdf_demo_table(spark, sf_dir)
+    table = _cdf_demo_table(spark, sf_dir)
     feed = minitable.change_feed(spark, table, 0, 3)
     return (
         feed.groupBy("_commit_version", "_change_type")
@@ -3519,7 +3520,7 @@ GROUP BY commit_version, change_type
 def q182_incremental_mv_dml(spark, sf_dir: str) -> DataFrame:
     from tinymr_spark.sources import minitable
 
-    table, _maxk, _cut = _cdf_demo_table(spark, sf_dir)
+    table = _cdf_demo_table(spark, sf_dir)
     bucket = (F.col("o_orderkey") % 7).alias("bucket")
 
     def mv(df: DataFrame) -> DataFrame:

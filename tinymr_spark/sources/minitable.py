@@ -196,7 +196,7 @@ def _replay(
             live.extend(fresh)
         else:
             live.extend(fresh)
-        if rec.get("schema") is not None:
+        if "schema" in rec:  # explicit null resets (restore to pre-schema era)
             schema = rec["schema"]
     return live, schema
 
@@ -233,6 +233,7 @@ def commit(
     cdf: list[str] | None = None,
     data_change: bool = True,
     expected_version: int | None = None,
+    record_null_schema: bool = False,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -283,7 +284,10 @@ def commit(
         body["stats"] = stats
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": txn[1]}
-    if schema is not None:
+    if schema is not None or record_null_schema:
+        # an EXPLICIT null schema record resets the evolution timeline
+        # (restore to a pre-schema-era version): replay must not fall
+        # through to a later record
         body["schema"] = schema
     if predicate is not None:
         body["predicate"] = [list(p) for p in predicate]
@@ -616,6 +620,23 @@ def _read_files(spark: SparkSession, files: list[str], schema: dict | None) -> D
 _OPS = ("<", "<=", ">", ">=", "=")
 
 
+def _where_cond(where: list[tuple]):
+    """The where-conjunction as ONE Spark Column (SQL three-valued
+    semantics: NULL predicate columns make the conjunction NULL, i.e.
+    not matched).  The single translation shared by scan()'s residual
+    filter, delete()'s probe/rewrite, and change_feed()'s delete
+    reconstruction — one definition, so a predicate can never match
+    different rows in the delete than in its feed."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, op, val in where:
+        c = F.col(col)
+        term = {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val}[op]
+        cond = term if cond is None else (cond & term)
+    return cond
+
+
 def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
     """False only when the file's stats PROVE no row can satisfy the
     conjunction.  Missing stats (None, or an absent column) keep the
@@ -688,12 +709,7 @@ def scan(
         # Provably-empty scan: type it like the table without reading data.
         return read(spark, path, version).limit(0).filter(F.lit(False))
     df = _read_files(spark, kept, table_schema(path, version))
-    for col, op, val in where:
-        c = F.col(col)
-        df = df.filter(
-            {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val}[op]
-        )
-    return df
+    return df.filter(_where_cond(where))
 
 
 def _commit_serializable(
@@ -701,10 +717,11 @@ def _commit_serializable(
     added: list[str],
     removed: list[str],
     read_version: int,
-    guard_where: list[tuple],
+    guard_where: list[tuple] | None,
     stats: dict | None = None,
     predicate: list | None = None,
     cdf: list[str] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit a merge/delete planned against snapshot `read_version`
     under SERIALIZABLE-style optimistic concurrency (Delta's conflict
@@ -720,7 +737,9 @@ def _commit_serializable(
       rows matching `guard_where` (the merge's source key range / the
       delete's predicate) conflicts — our probe never saw those rows
       (Delta's ConcurrentAppendException); stats-less files conflict
-      conservatively.
+      conservatively.  `guard_where=None` SKIPS this check: a
+      row-invariant reorganization (OPTIMIZE) commutes with appends it
+      never read — only file-level overlap or an overwrite conflicts.
 
     Disjoint writers (different key ranges, different files) therefore
     both land without coordination; overlapping ones get a deterministic
@@ -735,6 +754,7 @@ def _commit_serializable(
                 stats=stats,
                 predicate=predicate,
                 cdf=cdf,
+                data_change=data_change,
                 expected_version=read_version + 1,
             )
         except CommitConflict:
@@ -757,7 +777,7 @@ def _commit_serializable(
                         "write-write conflict, replan against the new head"
                     )
                 rec_stats = rec.get("stats", {})
-                for fname in rec["added"]:
+                for fname in rec["added"] if guard_where is not None else ():
                     if _file_survives(rec_stats.get(fname), guard_where):
                         raise CommitConflict(
                             f"version {v} of {path} added {fname!r} which may "
@@ -845,7 +865,15 @@ def merge(
         )
         uris = [r[0] for r in probe.collect()]  # O(touched files) names
         touched = [f for f in candidates if any(u.endswith("/" + f) for u in uris)]
-    cols = read(spark, path).columns
+    # column list from the PLANNED snapshot's schema record — a second
+    # head read here would both re-replay the log and race our own
+    # read_version (a schema-evolving append in between would bind cols
+    # the plan never saw)
+    cols = (
+        [f["name"] for f in schema["fields"]]
+        if schema is not None
+        else read(spark, path, read_version).columns
+    )
     # NULL delete_where falls through to UPDATE (Delta's semantics): an
     # un-coalesced NULL flag would make ~(matched & NULL) = NULL and the
     # filter below would silently drop the row — neither deleted nor
@@ -855,10 +883,16 @@ def merge(
         F.coalesce(F.expr(delete_where), F.lit(False)) if delete_where else F.lit(False),
     )
     cdf_df = None
+    joined = None
     if touched:
         tgt = _read_files(spark, [os.path.join(path, f) for f in touched], schema)
         t, s = tgt.alias("t"), src.alias("s")
         joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+        if collect_cdf:
+            # merged + four cdf classes below all derive from this join:
+            # persist it so the touched-file scan and join execute once,
+            # keeping the advertised O(touched + source) cost
+            joined = joined.persist()
         matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
         merged = joined.filter(~(matched & F.col("s.__delete"))).select(
             *[
@@ -898,6 +932,8 @@ def merge(
             cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
     added = _stage(merged, path)
     cdf_files = _stage(cdf_df, path, kind="cdf") if cdf_df is not None else None
+    if joined is not None and collect_cdf:
+        joined.unpersist()
     want_stats = sorted({key, *(stats_cols or [])})
     stats = _collect_stats(path, added, want_stats, bloom_cols)
     return _commit_serializable(
@@ -986,21 +1022,13 @@ def delete(
     whole = [f for f, st in candidates if _file_fully_matches(st, where)]
     straddle = [f for f, st in candidates if f not in whole]
 
-    def cond(df):
-        c = None
-        for col, op, val in where:
-            x = F.col(col)
-            term = {"<": x < val, "<=": x <= val, ">": x > val, ">=": x >= val, "=": x == val}[op]
-            c = term if c is None else (c & term)
-        return c
-
     touched: list[str] = []
     if straddle:
         probe = (
             _read_files(spark, [os.path.join(path, f) for f in straddle], schema)
             .select(*{col for col, _o, _v in where}, F.input_file_name().alias("__file"))
         )
-        probe = probe.where(cond(probe)).select("__file").distinct()
+        probe = probe.where(_where_cond(where)).select("__file").distinct()
         uris = [r[0] for r in probe.collect()]  # O(touched files) names
         touched = [f for f in straddle if any(u.endswith("/" + f) for u in uris)]
     if not whole and not touched:
@@ -1012,7 +1040,7 @@ def delete(
         # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
         # and NULL doesn't match.  Coalesce so NULL-predicate rows
         # survive the rewrite (ADVICE r7).
-        survivors = survivors.where(~F.coalesce(cond(survivors), F.lit(False)))
+        survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
         added = _stage(survivors, path)
     stats = (
         _collect_stats(path, added, stats_cols or [], bloom_cols)
@@ -1060,8 +1088,17 @@ def optimize(
     Each bin is rewritten by its own executor job here (bins are few and
     the loop is driver-cheap); at cluster scale the bins are independent
     and would be submitted concurrently — Delta runs them as parallel
-    rewrite tasks inside one job."""
-    entries, schema = _replay(path)
+    rewrite tasks inside one job.
+
+    Concurrency: the commit claims readVersion+1 like merge/delete — a
+    concurrent DELETE/MERGE landing mid-compaction would otherwise be
+    silently absorbed (its removed rows resurrected by the packed bins).
+    Being row-invariant, OPTIMIZE auto-rebases over concurrent APPENDS
+    (they commute — guard_where=None) and conflicts only on file-level
+    overlap or an overwrite."""
+    all_versions = versions(path)
+    read_version = all_versions[-1] if all_versions else None
+    entries, schema = _replay(path, read_version)
     small: list[tuple[str, int]] = []
     for rel, _st in entries:
         sz = os.path.getsize(os.path.join(path, rel))
@@ -1089,11 +1126,12 @@ def optimize(
         added.extend(rels)
         if stats_cols or bloom_cols:
             stats.update(_collect_stats(path, rels, stats_cols or [], bloom_cols))
-    version = commit(
+    version = _commit_serializable(
         path,
-        "merge",
         added,
-        removed=[r for r, _ in small],
+        [r for r, _ in small],
+        read_version,
+        None,  # row-invariant: concurrent appends commute
         stats=stats or None,
         data_change=False,  # a compaction rewrites, it changes nothing
     )
@@ -1174,16 +1212,10 @@ def change_feed(
                     df = _read_files(
                         spark, [os.path.join(path, f) for f in removed], schema
                     )
-                    cond = None
-                    for col, op, val in rec["predicate"]:
-                        c = F.col(col)
-                        term = {
-                            "<": c < val, "<=": c <= val, ">": c > val,
-                            ">=": c >= val, "=": c == val,
-                        }[op]
-                        cond = term if cond is None else (cond & term)
                     pieces.append(
-                        df.where(F.coalesce(cond, F.lit(False)))
+                        df.where(
+                            F.coalesce(_where_cond(rec["predicate"]), F.lit(False))
+                        )
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
@@ -1235,6 +1267,8 @@ def changes(
             continue
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
+        if rec.get("data_change") is False:
+            continue  # OPTIMIZE etc.: rows provably unchanged, no delta
         if rec["action"] != "append":
             raise ValueError(
                 f"version {v} is a {rec['action']} — the ({from_version}, "
@@ -1267,6 +1301,7 @@ def restore(path: str, to_version: int) -> int:
     restoring a restore round-trips).  The restored commit re-records
     the old version's schema, so a rollback across an ADD COLUMN also
     rolls the schema timeline back.  Returns the new version number."""
+    head = versions(path)[-1]
     entries, schema = _replay(path, to_version)  # raises on unknown version
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {to_version}")
@@ -1277,12 +1312,20 @@ def restore(path: str, to_version: int) -> int:
             f"of its files were vacuumed (e.g. {missing[0]!r})"
         )
     stats = {f: st for f, st in entries if st is not None}
+    # Claim exactly head+1: a commit racing in after the head read must
+    # surface as CommitConflict (the operator re-decides against the new
+    # head), never be silently erased by the rollback overwrite.  The
+    # schema is recorded even when None — an EXPLICIT null resets the
+    # evolution timeline, so a rollback past the first schema record
+    # doesn't fall through to a later one.
     return commit(
         path,
         "overwrite",
         [f for f, _st in entries],
         stats=stats or None,
         schema=schema,
+        record_null_schema=schema is None,
+        expected_version=head + 1,
     )
 
 

@@ -146,6 +146,9 @@ class MinitableStreamReader(DataSourceStreamReader):
                 continue
             with open(minitable._version_file(self.path, v)) as f:
                 rec = json.load(f)
+            if rec.get("data_change") is False:
+                continue  # OPTIMIZE etc.: rows provably unchanged — a
+                # maintenance compaction must not kill a live stream
             if rec["action"] != "append":
                 raise ValueError(
                     f"minitable version {v} is a {rec['action']} — a stream "
