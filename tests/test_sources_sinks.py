@@ -1555,3 +1555,81 @@ def test_minitable_restore_resets_preschema_era_and_conflicts(spark, tmp_path, m
     monkeypatch.setattr(minitable, "commit", real_commit)
     # the racing append survived
     assert minitable.read(spark, path).where(F.col("a") == 9).count() == 1
+
+
+def test_minitable_deletion_vectors_lifecycle(spark, tmp_path):
+    """delete_dv: merge-on-read DELETE — zero data files rewritten,
+    matched rows recorded in a sidecar vector applied by readers as a
+    broadcast anti join.  Covers: tier split (whole drops still fire,
+    straddlers vectorize), read/scan correctness, AS-OF history,
+    cumulative overlapping deletes, exact change-feed DIFF (no
+    double-reporting), OPTIMIZE materializing the vectors, restore
+    carrying DV state, checkpoint folding it, and vacuum retention."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).withColumnRenamed("id", "x").withColumn("y", F.col("x") * 3)
+    minitable.write(
+        spark, df.repartitionByRange(10, "x"), path, "overwrite", stats_cols=["x"]
+    )  # v0: ~100-row range files
+    data_files_v0 = set(minitable.snapshot(path))
+
+    res = minitable.delete_dv(spark, path, [("x", "<", 250)])  # v1
+    assert res is not None
+    v, st = res
+    assert v == 1
+    assert st["dropped_whole"] >= 1, st
+    assert st["vectorized"] == 1, st          # exactly the straddling file
+    assert 0 < st["rows_marked"] < 100, st
+    # zero data files rewritten: live set = v0 minus whole drops
+    assert set(minitable.snapshot(path)) <= data_files_v0
+    got = sorted(r["x"] for r in minitable.read(spark, path).collect())
+    assert got == list(range(250, 1000))
+    assert minitable.read(spark, path).where("y != x * 3").count() == 0
+    # AS-OF v0 still reads everything
+    assert minitable.read(spark, path, 0).count() == 1000
+    # scan applies the vector too
+    assert minitable.scan(spark, path, [("x", "<", 400)]).count() == 150
+
+    # overlapping second delete accumulates (and re-marks nothing twice)
+    res2 = minitable.delete_dv(spark, path, [("x", "<", 280)])  # v2
+    assert res2 is not None
+    assert sorted(r["x"] for r in minitable.read(spark, path).collect()) == list(range(280, 1000))
+
+    # change feed: exact per-commit deletes, no double-report of overlap
+    feed = minitable.change_feed(spark, path, 0, 2)
+    by_v = {}
+    for r in feed.collect():
+        assert r["_change_type"] == "delete"
+        by_v.setdefault(r["_commit_version"], []).append(r["x"])
+    assert sorted(by_v[1]) == list(range(0, 250))
+    assert sorted(by_v[2]) == list(range(250, 280))
+
+    # OPTIMIZE materializes the vectors: rows unchanged, DVs gone
+    assert minitable._replay(path)[2], "vectors live before optimize"
+    minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)  # v3
+    assert not minitable._replay(path)[2], "optimize must drop materialized DVs"
+    assert sorted(r["x"] for r in minitable.read(spark, path).collect()) == list(range(280, 1000))
+
+    # restore to v1 brings the v1 vector state back
+    minitable.restore(path, 1)  # v4
+    assert sorted(r["x"] for r in minitable.read(spark, path).collect()) == list(range(250, 1000))
+    assert minitable._replay(path)[2], "restore must carry DV state"
+
+    # a checkpoint folds DV state; reads stay identical through it
+    minitable.checkpoint(path)
+    assert sorted(r["x"] for r in minitable.read(spark, path).collect()) == list(range(250, 1000))
+
+    # vacuum keeps the live vector files (they ARE the read path)
+    deleted = minitable.vacuum(path, retain_from_version=4)
+    assert sorted(r["x"] for r in minitable.read(spark, path).collect()) == list(range(250, 1000))
+
+    # merge/delete on a DV'd table must not resurrect deleted rows
+    src = spark.createDataFrame([(100, -1.0), (300, -2.0)], "x bigint, y double")
+    # x=100 is DV-deleted: merge treats it as NOT MATCHED -> insert
+    minitable.merge(spark, src.withColumn("y", F.col("y").cast("bigint")), path, "x")
+    rows = {r["x"]: r["y"] for r in minitable.read(spark, path).collect()}
+    assert rows[100] == -1 and rows[300] == -2
+    assert 99 not in rows and 249 not in rows

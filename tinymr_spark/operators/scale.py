@@ -3682,6 +3682,107 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q184 — DELETE via DELETION VECTORS (Delta 3.x merge-on-read), the
+# write-cheap sibling of q177's copy-on-write delete: matched rows are
+# recorded as (file, row_index) pairs in a sidecar parquet and the
+# commit points at it — ZERO data files rewritten (asserted at build:
+# the live file set after both deletes is a SUBSET of v0's), write cost
+# O(matched rows), readers apply the vector as a broadcast anti join on
+# the `_metadata` columns.  Two OVERLAPPING deletes prove the cumulative
+# union (a newer vector replaces the older; re-deleted rows count once)
+# and the change feed's DV-DIFF reconstruction (each commit reports only
+# ITS rows — the overlap is not double-reported; asserted at build).
+# The hash gate proves all three version reads: v0 complete, v1 and v2
+# serving exactly the anti-joined survivors.
+# ---------------------------------------------------------------------------
+def q184_deletion_vectors(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_dv", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        cut1, cut2 = maxk // 3, maxk // 2
+        minitable.write(  # v0: 8 key-range files
+            spark,
+            orders.select("o_orderkey", "o_totalprice").repartitionByRange(8, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        files_v0 = set(minitable.snapshot(table))
+        res1 = minitable.delete_dv(spark, table, [("o_orderkey", "<=", cut1)])  # v1
+        assert res1 is not None
+        _v1, s1 = res1
+        assert s1["dropped_whole"] >= 1 and s1["vectorized"] >= 1, s1
+        res2 = minitable.delete_dv(spark, table, [("o_orderkey", "<=", cut2)])  # v2
+        assert res2 is not None
+        # ZERO data files rewritten across both deletes
+        assert set(minitable.snapshot(table)) <= files_v0
+        # the feed reports each commit's own rows exactly once
+        feed = minitable.change_feed(spark, table, 0, 2)
+        n1 = feed.where("_commit_version = 1").count()
+        n2 = feed.where("_commit_version = 2").count()
+        total = int(orders.count())
+        le1 = int(orders.where(F.col("o_orderkey") <= cut1).count())
+        le2 = int(orders.where(F.col("o_orderkey") <= cut2).count())
+        assert n1 == le1 and n2 == le2 - le1, (n1, n2, le1, le2)
+        assert minitable.read(spark, table).count() == total - le2
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in minitable.versions(table)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q184 = """
+WITH mk AS (
+    SELECT MAX(o_orderkey) // 3 AS cut1, MAX(o_orderkey) // 2 AS cut2 FROM orders
+),
+v AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(version)),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON v.version = 0
+      OR (v.version = 1 AND o.o_orderkey > (SELECT cut1 FROM mk))
+      OR (v.version = 2 AND o.o_orderkey > (SELECT cut2 FROM mk))
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3726,6 +3827,7 @@ QUERIES = {
     "q181_change_feed_dml": q181_change_feed_dml,
     "q182_incremental_mv_dml": q182_incremental_mv_dml,
     "q183_restore_version": q183_restore_version,
+    "q184_deletion_vectors": q184_deletion_vectors,
 }
 
 ORACLE = {
@@ -3772,4 +3874,5 @@ ORACLE = {
     "q181_change_feed_dml": ORACLE_Q181,
     "q182_incremental_mv_dml": ORACLE_Q182,
     "q183_restore_version": ORACLE_Q183,
+    "q184_deletion_vectors": ORACLE_Q184,
 }

@@ -116,10 +116,12 @@ def checkpoint(path: str, version: int | None = None) -> int:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
-    entries, schema = _replay(path, version)
+    entries, schema, dvs = _replay(path, version)
     body = {"version": version, "entries": [[f, st] for f, st in entries]}
     if schema is not None:
         body["schema"] = schema
+    if dvs:
+        body["dvs"] = dvs
     tmp = _checkpoint_file(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         f.write(json.dumps(body))
@@ -145,14 +147,18 @@ def versions(path: str) -> list[int]:
 
 def _replay(
     path: str, version: int | None = None
-) -> tuple[list[tuple[str, dict | None]], dict | None]:
-    """Replay the log to `version`: `(live_entries, schema)` where
+) -> tuple[list[tuple[str, dict | None]], dict | None, dict[str, str]]:
+    """Replay the log to `version`: `(live_entries, schema, dvs)` where
     live_entries is the `(relpath, stats)` pairs in commit-then-manifest
     order (`stats` is the per-file column min/max map recorded by the
     commit that added the file; None when the writer skipped stats —
-    readers must treat that conservatively) and schema is the LATEST
+    readers must treat that conservatively), schema is the LATEST
     table-schema record at <= version (Spark StructType jsonValue; None
-    on legacy logs whose commits never recorded one).
+    on legacy logs whose commits never recorded one), and dvs maps a
+    live relpath to its current DELETION-VECTOR file (delete_dv's
+    sidecar of logically-deleted (file, row_index) rows; a newer DV for
+    the same file REPLACES the older — it carries the cumulative union —
+    and a rewrite/removal of the base file drops its DV).
 
     Starts from the NEWEST checkpoint <= `version` and replays only the
     tail records after it — O(1) + O(tail) file opens instead of
@@ -163,13 +169,14 @@ def _replay(
     global _replay_opens
     vs = versions(path)
     if not vs:
-        return [], None
+        return [], None, {}
     if version is None:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
     live: list[tuple[str, dict | None]] = []
     schema: dict | None = None
+    dvs: dict[str, str] = {}
     start = 0
     cks = [c for c in checkpoint_versions(path) if c <= version]
     if cks:
@@ -177,6 +184,7 @@ def _replay(
             body = json.load(f)
         live = [(e[0], e[1]) for e in body["entries"]]
         schema = body.get("schema")
+        dvs = dict(body.get("dvs", {}))
         start = max(cks) + 1
     for v in vs:
         if v < start:
@@ -190,15 +198,26 @@ def _replay(
         fresh = [(f, stats.get(f)) for f in rec["added"]]
         if rec["action"] == "overwrite":
             live = fresh
+            # an overwrite resets DV state; a restore carries the target
+            # version's DV map through its record
+            dvs = dict(rec.get("dv", {}))
         elif rec["action"] == "merge":
             dropped = set(rec["removed"])
             live = [e for e in live if e[0] not in dropped]
             live.extend(fresh)
+            for r in dropped:
+                dvs.pop(r, None)  # the rewrite materialized the deletes
+        elif rec["action"] == "dv":
+            dropped = set(rec.get("removed", ()))
+            live = [e for e in live if e[0] not in dropped]
+            for r in dropped:
+                dvs.pop(r, None)
+            dvs.update(rec.get("dv") or {})  # newer DV replaces (cumulative)
         else:
             live.extend(fresh)
         if "schema" in rec:  # explicit null resets (restore to pre-schema era)
             schema = rec["schema"]
-    return live, schema
+    return live, schema, dvs
 
 
 def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict | None]]:
@@ -234,6 +253,7 @@ def commit(
     data_change: bool = True,
     expected_version: int | None = None,
     record_null_schema: bool = False,
+    dv: dict[str, str] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -260,10 +280,14 @@ def commit(
     explicit `_change_type` rows for the feed; `data_change=False`
     marks a pure REORGANIZATION (compaction/clustering) whose rows are
     unchanged — the change feed skips it (Delta's dataChange flag)."""
-    if action not in ("append", "overwrite", "merge"):
+    if action not in ("append", "overwrite", "merge", "dv"):
         raise ValueError(f"unknown minitable action {action!r}")
-    if (removed is not None) != (action == "merge"):
-        raise ValueError("`removed` is required for merge commits and only them")
+    if action in ("append", "overwrite") and removed is not None:
+        raise ValueError(f"`removed` is not valid on {action} commits")
+    if action == "merge" and removed is None:
+        raise ValueError("`removed` is required for merge commits")
+    if action == "dv" and not (dv or removed):
+        raise ValueError("a dv commit needs a deletion-vector map or removed files")
     os.makedirs(_log_dir(path), exist_ok=True)
     if expected_version is not None:
         # Transactional claim (Delta's readVersion+1 protocol): the
@@ -295,6 +319,8 @@ def commit(
         body["cdf"] = cdf
     if not data_change:
         body["data_change"] = False
+    if dv is not None:
+        body["dv"] = dv
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -591,11 +617,50 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     reconciliation, and an AS-OF read before the evolution serves the
     old schema.  Legacy logs without schema records fall back to
     inference."""
-    entries, schema = _replay(path, version)
+    entries, schema, dvs = _replay(path, version)
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {version}")
-    files = [os.path.join(path, f) for f, _ in entries]
-    return _read_files(spark, files, schema)
+    return _read_files_dv(spark, path, [f for f, _ in entries], schema, dvs)
+
+
+def _read_files_dv(
+    spark: SparkSession,
+    path: str,
+    rels: list[str],
+    schema: dict | None,
+    dvs: dict[str, str],
+) -> DataFrame:
+    """Schema-typed scan of `rels` with DELETION VECTORS applied: rows
+    whose (file, row_index) appear in a live DV are filtered out by a
+    broadcast LEFT ANTI join on `_metadata` columns — the Spark-idiomatic
+    equivalent of Delta's per-task roaring-bitmap skip (the DV side is
+    O(logically-deleted rows in these files), tiny next to the data).
+    File identity is the part-file BASENAME (globally unique: Spark part
+    names embed the write job's UUID), so the join is immune to table
+    relocation and URI-scheme differences in `_metadata.file_path`."""
+    from pyspark.sql import functions as F
+
+    df = _read_files(spark, [os.path.join(path, r) for r in rels], schema)
+    want = {r for r in rels}
+    dv_files = sorted({dv for r, dv in dvs.items() if r in want})
+    if not dv_files:
+        return df
+    out_cols = df.columns
+    dv_df = spark.read.parquet(*[os.path.join(path, d) for d in dv_files]).select(
+        F.col("fname").alias("__dv_fname"), F.col("row_index").alias("__dv_ri")
+    )
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.withColumn("__fname", fname)
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dv_df),
+            (F.col("__fname") == F.col("__dv_fname"))
+            & (F.col("__ri") == F.col("__dv_ri")),
+            "left_anti",
+        )
+        .select(*out_cols)
+    )
 
 
 def _read_files(spark: SparkSession, files: list[str], schema: dict | None) -> DataFrame:
@@ -708,7 +773,9 @@ def scan(
     if not kept:
         # Provably-empty scan: type it like the table without reading data.
         return read(spark, path, version).limit(0).filter(F.lit(False))
-    df = _read_files(spark, kept, table_schema(path, version))
+    _entries, schema, dvs = _replay(path, version)
+    rels = [os.path.relpath(f, path) for f in kept]
+    df = _read_files_dv(spark, path, rels, schema, dvs)
     return df.filter(_where_cond(where))
 
 
@@ -722,6 +789,8 @@ def _commit_serializable(
     predicate: list | None = None,
     cdf: list[str] | None = None,
     data_change: bool = True,
+    action: str = "merge",
+    dv: dict[str, str] | None = None,
 ) -> int:
     """Commit a merge/delete planned against snapshot `read_version`
     under SERIALIZABLE-style optimistic concurrency (Delta's conflict
@@ -748,7 +817,7 @@ def _commit_serializable(
         try:
             return commit(
                 path,
-                "merge",
+                action,
                 added,
                 removed=removed,
                 stats=stats,
@@ -756,10 +825,13 @@ def _commit_serializable(
                 cdf=cdf,
                 data_change=data_change,
                 expected_version=read_version + 1,
+                dv=dv,
             )
         except CommitConflict:
             head = versions(path)[-1]
-            ours = set(removed)
+            # files we rewrite, drop whole, OR mark rows deleted in — a
+            # concurrent touch of any of them invalidates our plan
+            ours = set(removed) | set(dv or {})
             for v in range(read_version + 1, head + 1):
                 with open(_version_file(path, v)) as f:
                     rec = json.load(f)
@@ -769,7 +841,11 @@ def _commit_serializable(
                         f"this merge/delete planned against (v{read_version}) "
                         "no longer exists"
                     )
-                inter = set(rec["added"]) | set(rec.get("removed", ()))
+                inter = (
+                    set(rec["added"])
+                    | set(rec.get("removed", ()))
+                    | set(rec.get("dv", {}))
+                )
                 if inter & ours:
                     raise CommitConflict(
                         f"version {v} of {path} touched files this operation "
@@ -849,7 +925,7 @@ def merge(
     if not all_versions:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     read_version = all_versions[-1]
-    entries, schema = _replay(path, read_version)
+    entries, schema, dvs = _replay(path, read_version)
     if not entries:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     key_range = [(key, ">=", smin), (key, "<=", smax)]
@@ -885,7 +961,9 @@ def merge(
     cdf_df = None
     joined = None
     if touched:
-        tgt = _read_files(spark, [os.path.join(path, f) for f in touched], schema)
+        # DV-aware: a logically-deleted row must not resurrect through
+        # the rewrite (the merge commit drops the touched files' DVs)
+        tgt = _read_files_dv(spark, path, touched, schema, dvs)
         t, s = tgt.alias("t"), src.alias("s")
         joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
         if collect_cdf:
@@ -1017,7 +1095,7 @@ def delete(
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema = _replay(path, read_version)
+    entries, schema, dvs = _replay(path, read_version)
     candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
     whole = [f for f, st in candidates if _file_fully_matches(st, where)]
     straddle = [f for f, st in candidates if f not in whole]
@@ -1025,7 +1103,7 @@ def delete(
     touched: list[str] = []
     if straddle:
         probe = (
-            _read_files(spark, [os.path.join(path, f) for f in straddle], schema)
+            _read_files_dv(spark, path, straddle, schema, dvs)
             .select(*{col for col, _o, _v in where}, F.input_file_name().alias("__file"))
         )
         probe = probe.where(_where_cond(where)).select("__file").distinct()
@@ -1035,7 +1113,7 @@ def delete(
         return None
     added: list[str] = []
     if touched:
-        survivors = _read_files(spark, [os.path.join(path, f) for f in touched], schema)
+        survivors = _read_files_dv(spark, path, touched, schema, dvs)
         # ~cond is NULL (not True) on rows where a predicate column is
         # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
         # and NULL doesn't match.  Coalesce so NULL-predicate rows
@@ -1060,6 +1138,103 @@ def delete(
         "dropped_whole": len(whole),
         "rewritten": len(touched),
         "untouched": len(entries) - len(whole) - len(touched),
+    }
+
+
+def delete_dv(
+    spark: SparkSession,
+    path: str,
+    where: list[tuple],
+) -> tuple[int, dict] | None:
+    """DELETE via DELETION VECTORS (Delta 3.x's merge-on-read DELETE):
+    instead of rewriting straddling files, record the matching rows'
+    (file basename, row_index) pairs in a sidecar parquet and point the
+    commit log at it — the write cost is O(matched rows), ZERO data
+    files are rewritten, and readers apply the vector as a broadcast
+    anti join.  The trade against delete()'s copy-on-write: cheaper
+    deletes, slightly costlier reads until an OPTIMIZE materializes the
+    vectors (its packed rewrite applies DVs and the commit drops them).
+    Delete tiers still apply: provably-unmatching files are untouched
+    and provably-all-matching NULL-free files drop whole (a log remove
+    beats a DV covering every row); only genuine straddlers get vector
+    entries.  Repeated delete_dv calls accumulate: the new vector is the
+    UNION of the old rows and the new matches (a newer DV replaces the
+    older in the log).  One atomic `dv` commit carries whole-drops +
+    vector pointers + the predicate (the change feed reconstructs this
+    commit's deletes as the DV DIFF applied to the base files).
+    Serializable like merge/delete: claims readVersion+1, conflicts on
+    any concurrent touch of the affected files or an in-scope append.
+    Returns (version, {"dropped_whole", "vectorized", "rows_marked",
+    "untouched"}) or None when nothing can match."""
+    from pyspark.sql import functions as F
+
+    for col, op, _val in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
+    all_versions = versions(path)
+    read_version = all_versions[-1] if all_versions else None
+    entries, schema, dvs = _replay(path, read_version)
+    candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
+    whole = [f for f, st in candidates if _file_fully_matches(st, where)]
+    straddle = [f for f, st in candidates if f not in whole]
+    new_dv_map: dict[str, str] = {}
+    rows_marked = 0
+    vectorized: list[str] = []
+    if straddle:
+        base = _read_files(
+            spark, [os.path.join(path, f) for f in straddle], schema
+        )
+        fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        matches = (
+            base.where(F.coalesce(_where_cond(where), F.lit(False)))
+            .select(
+                fname.alias("fname"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        # cumulative union with the straddlers' EXISTING vectors (a
+        # row deleted twice is deleted once; the new file replaces)
+        old_dv_files = sorted({dvs[r] for r in straddle if r in dvs})
+        if old_dv_files:
+            prior = spark.read.parquet(
+                *[os.path.join(path, d) for d in old_dv_files]
+            ).select("fname", "row_index")
+            # keep only rows belonging to the straddlers being re-vectored
+            basenames = [r.rsplit("/", 1)[-1] for r in straddle]
+            prior = prior.where(F.col("fname").isin(basenames))
+            matches = matches.unionByName(prior).distinct()
+        else:
+            matches = matches.distinct()
+        marked = matches.persist()
+        per_file = {r["fname"]: r["n"] for r in marked.groupBy("fname").agg(F.count("*").alias("n")).collect()}
+        rows_marked = sum(per_file.values())
+        if rows_marked:
+            staged = _stage(marked.coalesce(1), path, kind="dv")
+            marked.unpersist()
+            if len(staged) != 1:
+                raise RuntimeError("dv stage must produce exactly one file")
+            by_base = {r.rsplit("/", 1)[-1]: r for r in straddle}
+            vectorized = sorted(by_base[b] for b in per_file if b in by_base)
+            new_dv_map = {rel: staged[0] for rel in vectorized}
+        else:
+            marked.unpersist()
+    if not whole and not new_dv_map:
+        return None
+    version = _commit_serializable(
+        path,
+        [],
+        whole,
+        read_version,
+        where,
+        predicate=where,
+        action="dv",
+        dv=new_dv_map or None,
+    )
+    return version, {
+        "dropped_whole": len(whole),
+        "vectorized": len(vectorized),
+        "rows_marked": rows_marked,
+        "untouched": len(entries) - len(whole) - len(vectorized),
     }
 
 
@@ -1098,7 +1273,7 @@ def optimize(
     overlap or an overwrite."""
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema = _replay(path, read_version)
+    entries, schema, dvs = _replay(path, read_version)
     small: list[tuple[str, int]] = []
     for rel, _st in entries:
         sz = os.path.getsize(os.path.join(path, rel))
@@ -1119,9 +1294,7 @@ def optimize(
     added: list[str] = []
     stats: dict[str, dict] = {}
     for b in bins:
-        packed = _read_files(
-            spark, [os.path.join(path, r) for r in b], schema
-        ).coalesce(1)
+        packed = _read_files_dv(spark, path, b, schema, dvs).coalesce(1)
         rels = _stage(packed, path)
         added.extend(rels)
         if stats_cols or bloom_cols:
@@ -1196,6 +1369,55 @@ def change_feed(
                         spark, [os.path.join(path, f) for f in rec["added"]], schema
                     )
                     .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+        elif rec["action"] == "dv":
+            # a deletion-vector DELETE: whole-dropped files' live rows
+            # plus the DV DIFF (rows this commit marked, excluding rows
+            # an earlier vector already deleted) applied to base files —
+            # O(touched files + marked rows), nothing was ever written
+            # beyond the sidecar
+            prev_dvs = _replay(path, v - 1)[2] if v > 0 else {}
+            whole = list(rec.get("removed", ()))
+            if whole:
+                pieces.append(
+                    _read_files_dv(spark, path, whole, schema, prev_dvs)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+            dv_map = rec.get("dv") or {}
+            if dv_map:
+                rels = sorted(dv_map)
+                basenames = [r.rsplit("/", 1)[-1] for r in rels]
+                new_rows = spark.read.parquet(
+                    *[os.path.join(path, d) for d in sorted(set(dv_map.values()))]
+                ).where(F.col("fname").isin(basenames))
+                old_files = sorted({prev_dvs[r] for r in rels if r in prev_dvs})
+                if old_files:
+                    old_rows = spark.read.parquet(
+                        *[os.path.join(path, d) for d in old_files]
+                    ).where(F.col("fname").isin(basenames))
+                    new_rows = new_rows.exceptAll(old_rows)
+                base = _read_files(
+                    spark, [os.path.join(path, r) for r in rels], schema
+                )
+                fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                out_cols = base.columns
+                pieces.append(
+                    base.withColumn("__fname", fname)
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(
+                            new_rows.select(
+                                F.col("fname").alias("__fname"),
+                                F.col("row_index").alias("__ri"),
+                            )
+                        ),
+                        ["__fname", "__ri"],
+                        "left_semi",
+                    )
+                    .select(*out_cols)
+                    .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("int"))
                 )
         elif rec["action"] == "merge":
@@ -1302,10 +1524,14 @@ def restore(path: str, to_version: int) -> int:
     the old version's schema, so a rollback across an ADD COLUMN also
     rolls the schema timeline back.  Returns the new version number."""
     head = versions(path)[-1]
-    entries, schema = _replay(path, to_version)  # raises on unknown version
+    entries, schema, dvs = _replay(path, to_version)  # raises on unknown version
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {to_version}")
-    missing = [f for f, _st in entries if not os.path.exists(os.path.join(path, f))]
+    missing = [
+        f
+        for f in [r for r, _st in entries] + sorted(set(dvs.values()))
+        if not os.path.exists(os.path.join(path, f))
+    ]
     if missing:
         raise ValueError(
             f"cannot restore {path} to version {to_version}: {len(missing)} "
@@ -1326,6 +1552,7 @@ def restore(path: str, to_version: int) -> int:
         schema=schema,
         record_null_schema=schema is None,
         expected_version=head + 1,
+        dv=dvs or None,
     )
 
 
@@ -1366,10 +1593,16 @@ def vacuum(
             rec = json.load(f)
         ever_referenced.update(rec["added"])
         ever_referenced.update(rec.get("cdf", ()))
+        ever_referenced.update((rec.get("dv") or {}).values())
         if v >= retain_from_version:
             # retained versions keep their change-data files too, so the
             # feed over the retained range stays queryable
             keep.update(rec.get("cdf", ()))
+    # live DELETION VECTORS of every retained version must survive —
+    # they are part of the snapshot's read path, not history
+    for v in vs:
+        if v >= retain_from_version:
+            keep.update(_replay(path, v)[2].values())
     cutoff = time.time() - orphan_grace_seconds
     deleted = []
     for root, _dirs, files in os.walk(path):
