@@ -1633,3 +1633,64 @@ def test_minitable_deletion_vectors_lifecycle(spark, tmp_path):
     rows = {r["x"]: r["y"] for r in minitable.read(spark, path).collect()}
     assert rows[100] == -1 and rows[300] == -2
     assert 99 not in rows and 249 not in rows
+
+
+def test_minitable_check_constraints(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT CHECK semantics: existing-data
+    validation at add time, loud write/merge rejection of violating
+    batches (SQL three-valued logic — NULL passes, FALSE violates),
+    delete-flagged merge rows exempt, drop_constraint lifts the
+    contract, restore rolls the constraint map back, and meta commits
+    are invisible to streams/feeds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 5.0), (2, 7.5)], "k int, v double"),
+        path, "overwrite",
+    )  # v0
+    minitable.add_constraint(spark, path, "v_positive", "v > 0")  # v1 (meta)
+    # a constraint current rows violate refuses
+    with pytest.raises(ValueError, match="existing rows violate"):
+        minitable.add_constraint(spark, path, "v_big", "v > 6")
+    # violating append rejected loudly, nothing committed
+    with pytest.raises(ValueError, match="v_positive"):
+        minitable.write(
+            spark, spark.createDataFrame([(3, -1.0)], "k int, v double"), path, "append"
+        )
+    assert minitable.versions(path) == [0, 1]
+    # NULL passes (SQL CHECK), valid rows land
+    minitable.write(
+        spark, spark.createDataFrame([(3, None), (4, 1.0)], "k int, v double"),
+        path, "append",
+    )  # v2
+    assert minitable.read(spark, path).count() == 4
+    # merge: violating UPDATE rejected; delete-flagged rows exempt
+    bad = spark.createDataFrame([(1, -9.0)], "k int, v double")
+    with pytest.raises(ValueError, match="v_positive"):
+        minitable.merge(spark, bad, path, "k")
+    ok = spark.createDataFrame([(1, -9.0), (4, 2.0)], "k int, v double")
+    minitable.merge(spark, ok, path, "k", delete_where="v < 0")  # v3: k=1 deleted
+    rows = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert rows == {2: 7.5, 3: None, 4: 2.0}
+    # restore to before the constraint -> contract gone, bad rows land
+    minitable.restore(path, 0)  # v4
+    assert minitable.table_constraints(path) == {}
+    minitable.write(
+        spark, spark.createDataFrame([(9, -1.0)], "k int, v double"), path, "append"
+    )  # v5
+    assert minitable.read(spark, path).where(F.col("v") < 0).count() == 1
+    # re-add after cleaning, then drop lifts it
+    res = minitable.delete(spark, path, [("v", "<", 0.0)])
+    assert res is not None  # v6
+    minitable.add_constraint(spark, path, "v_positive", "v > 0")  # v7
+    minitable.drop_constraint(path, "v_positive")  # v8
+    minitable.write(
+        spark, spark.createDataFrame([(10, -2.0)], "k int, v double"), path, "append"
+    )  # v9: allowed again
+    # meta commits never surface in the append-only feed
+    feed = minitable.changes(spark, path, 6, 9)
+    assert sorted(r["k"] for r in feed.collect()) == [10]

@@ -3783,6 +3783,77 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q185 — CHECK CONSTRAINTS as a commit-log contract (Delta's ALTER TABLE
+# ADD CONSTRAINT): the write-time data-quality gate the q148 suite
+# measures after the fact, enforced BEFORE any byte lands.  v0 writes
+# half of orders; v1 records `o_totalprice > 0` in a data_change=false
+# `meta` commit (add-time validation scans the existing table once and
+# refuses if current rows violate); a corrupted batch (negated prices)
+# is REJECTED loudly with zero commits (asserted at build, log length
+# unchanged); the clean second half then lands.  SQL three-valued
+# semantics — NULL passes, only FALSE violates.  The hash gate proves
+# the final table is exactly both clean halves and nothing of the
+# rejected batch.
+# ---------------------------------------------------------------------------
+def q185_check_constraints(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_check", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select("o_orderkey", "o_totalprice")
+        k = F.col("o_orderkey")
+        minitable.write(spark, base.where(k % 2 == 0), table, "overwrite")  # v0
+        minitable.add_constraint(spark, table, "price_positive", "o_totalprice > 0")
+        corrupted = base.where(k % 2 == 1).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        )
+        try:
+            minitable.write(spark, corrupted, table, "append")
+            raise AssertionError("corrupted batch must be rejected")
+        except ValueError as e:
+            assert "price_positive" in str(e)
+        assert len(minitable.versions(table)) == 2  # nothing committed
+        minitable.write(spark, base.where(k % 2 == 1), table, "append")  # v2
+        open(done, "w").close()
+    return (
+        minitable.read(spark, table)
+        .groupBy((F.col("o_orderkey") % 4).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+ORACLE_Q185 = """
+SELECT o_orderkey % 4 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderkey % 4
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3828,6 +3899,7 @@ QUERIES = {
     "q182_incremental_mv_dml": q182_incremental_mv_dml,
     "q183_restore_version": q183_restore_version,
     "q184_deletion_vectors": q184_deletion_vectors,
+    "q185_check_constraints": q185_check_constraints,
 }
 
 ORACLE = {
@@ -3875,4 +3947,5 @@ ORACLE = {
     "q182_incremental_mv_dml": ORACLE_Q182,
     "q183_restore_version": ORACLE_Q183,
     "q184_deletion_vectors": ORACLE_Q184,
+    "q185_check_constraints": ORACLE_Q185,
 }

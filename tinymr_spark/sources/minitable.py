@@ -116,12 +116,14 @@ def checkpoint(path: str, version: int | None = None) -> int:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
-    entries, schema, dvs = _replay(path, version)
+    entries, schema, dvs, constraints = _replay(path, version)
     body = {"version": version, "entries": [[f, st] for f, st in entries]}
     if schema is not None:
         body["schema"] = schema
     if dvs:
         body["dvs"] = dvs
+    if constraints:
+        body["constraints"] = constraints
     tmp = _checkpoint_file(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         f.write(json.dumps(body))
@@ -147,7 +149,7 @@ def versions(path: str) -> list[int]:
 
 def _replay(
     path: str, version: int | None = None
-) -> tuple[list[tuple[str, dict | None]], dict | None, dict[str, str]]:
+) -> tuple[list[tuple[str, dict | None]], dict | None, dict[str, str], dict[str, str]]:
     """Replay the log to `version`: `(live_entries, schema, dvs)` where
     live_entries is the `(relpath, stats)` pairs in commit-then-manifest
     order (`stats` is the per-file column min/max map recorded by the
@@ -169,7 +171,7 @@ def _replay(
     global _replay_opens
     vs = versions(path)
     if not vs:
-        return [], None, {}
+        return [], None, {}, {}
     if version is None:
         version = vs[-1]
     if version not in vs:
@@ -177,6 +179,7 @@ def _replay(
     live: list[tuple[str, dict | None]] = []
     schema: dict | None = None
     dvs: dict[str, str] = {}
+    constraints: dict[str, str] = {}
     start = 0
     cks = [c for c in checkpoint_versions(path) if c <= version]
     if cks:
@@ -185,6 +188,7 @@ def _replay(
         live = [(e[0], e[1]) for e in body["entries"]]
         schema = body.get("schema")
         dvs = dict(body.get("dvs", {}))
+        constraints = dict(body.get("constraints", {}))
         start = max(cks) + 1
     for v in vs:
         if v < start:
@@ -213,16 +217,97 @@ def _replay(
             for r in dropped:
                 dvs.pop(r, None)
             dvs.update(rec.get("dv") or {})  # newer DV replaces (cumulative)
+        elif rec["action"] == "meta":
+            pass  # table metadata only; constraints handled below
         else:
             live.extend(fresh)
         if "schema" in rec:  # explicit null resets (restore to pre-schema era)
             schema = rec["schema"]
-    return live, schema, dvs
+        if "constraints" in rec:  # full map, last record wins
+            constraints = dict(rec["constraints"])
+    return live, schema, dvs, constraints
 
 
 def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict | None]]:
     """The live `(relpath, stats)` pairs AS OF `version` — see _replay."""
     return _replay(path, version)[0]
+
+
+def table_constraints(path: str, version: int | None = None) -> dict[str, str]:
+    """The CHECK-constraint map {name: sql_boolean_expr} AS OF `version`
+    — write()/merge() enforce these on every new-row batch."""
+    return _replay(path, version)[3]
+
+
+def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's write-time
+    data-quality contract.  Validates the EXISTING table first (a
+    constraint that current rows violate refuses — one scan, the price
+    Delta pays too), then records the full constraint map in a `meta`
+    commit (data_change=false: no rows changed, streams and feeds skip
+    it).  From then on every write()/merge() batch is rejected LOUDLY if
+    any new row violates any constraint; SQL CHECK semantics — NULL
+    passes, only FALSE violates."""
+    from pyspark.sql import functions as F
+
+    cur = table_constraints(path)
+    if name in cur:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    bad = (
+        read(spark, path)
+        .where(F.coalesce(F.expr(expr), F.lit(True)) == False)  # noqa: E712
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot add constraint {name!r} ({expr}): existing rows violate it"
+        )
+    return commit(
+        path, "meta", [], constraints={**cur, name: expr}, data_change=False
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT — records the map without `name`."""
+    cur = table_constraints(path)
+    if name not in cur:
+        raise ValueError(f"no constraint {name!r} on {path} (have {sorted(cur)})")
+    return commit(
+        path,
+        "meta",
+        [],
+        constraints={k: v for k, v in cur.items() if k != name},
+        data_change=False,
+    )
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str], what: str) -> None:
+    """Reject `df` if any row violates any CHECK constraint (one
+    aggregate pass counting violations per constraint; SQL semantics —
+    NULL passes, FALSE violates)."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    names = sorted(constraints)
+    counts = df.agg(
+        *[
+            F.count(
+                F.when(
+                    F.coalesce(F.expr(constraints[n]), F.lit(True)) == False,  # noqa: E712
+                    1,
+                )
+            ).alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    violated = {n: counts[n] for n in names if counts[n]}
+    if violated:
+        raise ValueError(
+            f"{what} violates CHECK constraint(s) {violated} — "
+            f"definitions: { {n: constraints[n] for n in violated} }"
+        )
 
 
 def table_schema(path: str, version: int | None = None) -> dict | None:
@@ -254,6 +339,7 @@ def commit(
     expected_version: int | None = None,
     record_null_schema: bool = False,
     dv: dict[str, str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -280,9 +366,9 @@ def commit(
     explicit `_change_type` rows for the feed; `data_change=False`
     marks a pure REORGANIZATION (compaction/clustering) whose rows are
     unchanged — the change feed skips it (Delta's dataChange flag)."""
-    if action not in ("append", "overwrite", "merge", "dv"):
+    if action not in ("append", "overwrite", "merge", "dv", "meta"):
         raise ValueError(f"unknown minitable action {action!r}")
-    if action in ("append", "overwrite") and removed is not None:
+    if action in ("append", "overwrite", "meta") and removed is not None:
         raise ValueError(f"`removed` is not valid on {action} commits")
     if action == "merge" and removed is None:
         raise ValueError("`removed` is required for merge commits")
@@ -321,6 +407,8 @@ def commit(
         body["data_change"] = False
     if dv is not None:
         body["dv"] = dv
+    if constraints is not None:
+        body["constraints"] = constraints
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -581,6 +669,7 @@ def write(
     # Record all fields nullable: schema evolution itself introduces
     # nulls (old files lack new columns), and writer-side nullability is
     # an artifact of how the DataFrame was derived, not a table contract.
+    _enforce_constraints(df, table_constraints(path), f"{action} batch")
     cur = df.schema.jsonValue()
     for f in cur["fields"]:
         f["nullable"] = True
@@ -617,7 +706,7 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     reconciliation, and an AS-OF read before the evolution serves the
     old schema.  Legacy logs without schema records fall back to
     inference."""
-    entries, schema, dvs = _replay(path, version)
+    entries, schema, dvs, _c = _replay(path, version)
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {version}")
     return _read_files_dv(spark, path, [f for f, _ in entries], schema, dvs)
@@ -773,7 +862,7 @@ def scan(
     if not kept:
         # Provably-empty scan: type it like the table without reading data.
         return read(spark, path, version).limit(0).filter(F.lit(False))
-    _entries, schema, dvs = _replay(path, version)
+    _entries, schema, dvs, _c = _replay(path, version)
     rels = [os.path.relpath(f, path) for f in kept]
     df = _read_files_dv(spark, path, rels, schema, dvs)
     return df.filter(_where_cond(where))
@@ -840,6 +929,12 @@ def _commit_serializable(
                         f"version {v} of {path} is an overwrite — the snapshot "
                         f"this merge/delete planned against (v{read_version}) "
                         "no longer exists"
+                    )
+                if rec["action"] == "meta":
+                    raise CommitConflict(
+                        f"version {v} of {path} changed table metadata "
+                        "(constraints) — this operation's rows were validated "
+                        "against the old contract; replan against the new head"
                     )
                 inter = (
                     set(rec["added"])
@@ -925,7 +1020,7 @@ def merge(
     if not all_versions:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     read_version = all_versions[-1]
-    entries, schema, dvs = _replay(path, read_version)
+    entries, schema, dvs, constraints = _replay(path, read_version)
     if not entries:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     key_range = [(key, ">=", smin), (key, "<=", smax)]
@@ -1008,6 +1103,13 @@ def merge(
         merged = src.select(*cols)  # nothing can match: pure insert
         if collect_cdf:
             cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
+    # only rows that LAND (updates + inserts) are checked — a
+    # delete-flagged source row never materializes; carried-over target
+    # rows passed at their own write time (add_constraint validates the
+    # existing table)
+    _enforce_constraints(
+        src.filter(~F.col("__delete")).drop("__delete"), constraints, "merge source"
+    )
     added = _stage(merged, path)
     cdf_files = _stage(cdf_df, path, kind="cdf") if cdf_df is not None else None
     if joined is not None and collect_cdf:
@@ -1095,7 +1197,7 @@ def delete(
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema, dvs = _replay(path, read_version)
+    entries, schema, dvs, _c = _replay(path, read_version)
     candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
     whole = [f for f, st in candidates if _file_fully_matches(st, where)]
     straddle = [f for f, st in candidates if f not in whole]
@@ -1173,7 +1275,7 @@ def delete_dv(
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema, dvs = _replay(path, read_version)
+    entries, schema, dvs, _c = _replay(path, read_version)
     candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
     whole = [f for f, st in candidates if _file_fully_matches(st, where)]
     straddle = [f for f, st in candidates if f not in whole]
@@ -1273,7 +1375,7 @@ def optimize(
     overlap or an overwrite."""
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema, dvs = _replay(path, read_version)
+    entries, schema, dvs, _c = _replay(path, read_version)
     small: list[tuple[str, int]] = []
     for rel, _st in entries:
         sz = os.path.getsize(os.path.join(path, rel))
@@ -1524,7 +1626,7 @@ def restore(path: str, to_version: int) -> int:
     the old version's schema, so a rollback across an ADD COLUMN also
     rolls the schema timeline back.  Returns the new version number."""
     head = versions(path)[-1]
-    entries, schema, dvs = _replay(path, to_version)  # raises on unknown version
+    entries, schema, dvs, constraints = _replay(path, to_version)  # raises on unknown version
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {to_version}")
     missing = [
@@ -1553,6 +1655,7 @@ def restore(path: str, to_version: int) -> int:
         record_null_schema=schema is None,
         expected_version=head + 1,
         dv=dvs or None,
+        constraints=constraints,  # {} is an explicit reset, like schema
     )
 
 
