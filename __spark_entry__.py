@@ -13,12 +13,12 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 MapReduce-face q80-q84, streaming
                 q90-q99+q122+q124+q136+q138+q143+q149+q159+q163+q171,
                 graph/iterative q146+q157-q158+q168-q169+q172+q175-q176,
-                lakehouse (minitable) q162-q167+q170+q173-q174+q177-q185
+                lakehouse (minitable) q162-q167+q170+q173-q174+q177-q186
                 (time travel, MERGE, DELETE incl. NULL-safe tiers,
                 OPTIMIZE/ZORDER, data skipping + blooms, commit-log
                 checkpoints, schema evolution, change feed with removes,
                 incremental MV over the DML feed, zero-copy RESTORE,
-                deletion-vector DELETE, CHECK constraints), storage/scale
+                deletion-vector DELETE, CHECK constraints, shallow clone), storage/scale
                 q105+q110+q112-q114+q117+q121+q128+q130-q135+q137+
                 q141-q142+q144+q148+q150-q153+q155-q156+q160-q161.
 oracle_sql()  — DuckDB twins for all of the above except q104

@@ -1694,3 +1694,56 @@ def test_minitable_check_constraints(spark, tmp_path):
     # meta commits never surface in the append-only feed
     feed = minitable.changes(spark, path, 6, 9)
     assert sorted(r["k"] for r in feed.collect()) == [10]
+
+
+def test_minitable_shallow_clone_copy_on_write(spark, tmp_path):
+    """clone(): zero-copy fork — the clone's v0 references the source's
+    files absolutely; DML on the clone stages its own files and swaps
+    borrowed refs out (copy-on-write divergence); the source is never
+    touched; schema + constraints + deletion vectors carry over; the
+    clone's own vacuum can never delete borrowed files; OPTIMIZE
+    un-shares."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    minitable.write(spark, df.repartitionByRange(4, "k"), src, "overwrite", stats_cols=["k"])
+    minitable.add_constraint(spark, src, "v_nonneg", "v >= 0")
+    minitable.delete_dv(spark, src, [("k", "<", 50)])  # source has a DV
+
+    minitable.clone(src, dst)
+    # zero data files under the clone dir
+    local = [
+        f for r, _d, fs in os.walk(dst) for f in fs
+        if f.endswith(".parquet") and "_log" not in r
+    ]
+    assert local == []
+    assert sorted(r["k"] for r in minitable.read(spark, dst).collect()) == list(range(50, 400))
+    assert minitable.table_constraints(dst) == {"v_nonneg": "v >= 0"}
+    # constraint enforced on the clone
+    with pytest.raises(ValueError, match="v_nonneg"):
+        minitable.write(spark, spark.createDataFrame([(999, -1.0)], "k bigint, v double"), dst, "append")
+
+    # copy-on-write: delete on the clone rewrites locally, source untouched
+    res = minitable.delete(spark, dst, [("k", "<", 150)], stats_cols=["k"])
+    assert res is not None
+    assert sorted(r["k"] for r in minitable.read(spark, dst).collect()) == list(range(150, 400))
+    assert sorted(r["k"] for r in minitable.read(spark, src).collect()) == list(range(50, 400))
+    # the clone's vacuum never touches borrowed (source) files
+    minitable.vacuum(dst, retain_from_version=minitable.versions(dst)[-1])
+    assert sorted(r["k"] for r in minitable.read(spark, src).collect()) == list(range(50, 400))
+
+    # OPTIMIZE on the clone un-shares: all live files become local
+    minitable.optimize(spark, dst, small_bytes=1 << 20, target_bytes=1 << 22)
+    live = minitable.snapshot(dst)
+    assert all(p.startswith(dst + os.sep) for p in live), live
+    assert sorted(r["k"] for r in minitable.read(spark, dst).collect()) == list(range(150, 400))
+    # cloning a non-empty target refuses
+    with pytest.raises(ValueError, match="already has commits"):
+        minitable.clone(src, dst)

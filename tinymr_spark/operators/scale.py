@@ -3854,6 +3854,94 @@ GROUP BY o_orderkey % 4
 """
 
 
+# ---------------------------------------------------------------------------
+# q186 — SHALLOW CLONE (Delta's zero-copy table fork): the clone's v0 is
+# one commit record referencing the source's live files by absolute
+# path — no data moves (asserted at build: zero parquet under the clone
+# before its own DML) — after which the tables diverge COPY-ON-WRITE: a
+# predicate DELETE on the clone whole-drops/rewrites only its own view,
+# staging rewritten survivors locally and swapping the borrowed refs
+# out, while the source remains byte-identical (asserted).  This is the
+# dev/test-against-production-data verb: fork a 100 TB table for one
+# commit record, experiment destructively, throw it away.  The hash
+# gate proves both heads: the source still the full table, the clone
+# exactly the post-delete survivors.
+# ---------------------------------------------------------------------------
+def q186_shallow_clone(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_clonesrc", src_path)
+    fork = versioned_staging_dir("tinymr_spark_minitable_clonedst", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or not minitable.versions(fork):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(fork, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        cut = maxk // 3
+        minitable.write(
+            spark,
+            orders.select("o_orderkey", "o_totalprice").repartitionByRange(6, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        n_src = minitable.read(spark, table).count()
+        minitable.clone(table, fork)
+        local = [
+            f for r, _d, fs in os.walk(fork) for f in fs
+            if f.endswith(".parquet") and "_log" not in r
+        ]
+        assert local == [], "a shallow clone must move zero data bytes"
+        res = minitable.delete(  # diverge: delete on the CLONE only
+            spark, fork, [("o_orderkey", "<=", cut)], stats_cols=["o_orderkey"]
+        )
+        assert res is not None
+        assert minitable.read(spark, table).count() == n_src  # source untouched
+        open(done, "w").close()
+
+    def agg(path: str, tag: str) -> DataFrame:
+        return minitable.read(spark, path).agg(
+            F.lit(tag).alias("side"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+
+    return agg(table, "source").unionByName(agg(fork, "clone"))
+
+
+ORACLE_Q186 = """
+WITH v AS (SELECT * FROM (VALUES ('source'), ('clone')) AS t(side)),
+member AS (
+    SELECT v.side, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON v.side = 'source'
+      OR o.o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
+)
+SELECT side,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY side
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3900,6 +3988,7 @@ QUERIES = {
     "q183_restore_version": q183_restore_version,
     "q184_deletion_vectors": q184_deletion_vectors,
     "q185_check_constraints": q185_check_constraints,
+    "q186_shallow_clone": q186_shallow_clone,
 }
 
 ORACLE = {
@@ -3948,4 +4037,5 @@ ORACLE = {
     "q183_restore_version": ORACLE_Q183,
     "q184_deletion_vectors": ORACLE_Q184,
     "q185_check_constraints": ORACLE_Q185,
+    "q186_shallow_clone": ORACLE_Q186,
 }

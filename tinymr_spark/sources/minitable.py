@@ -1659,6 +1659,44 @@ def restore(path: str, to_version: int) -> int:
     )
 
 
+def clone(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's zero-copy table fork): commit v0 of `dst`
+    referencing `src`'s live files — AS OF `version` — by ABSOLUTE path.
+    No data moves; the clone costs one commit record.  From then on the
+    tables diverge copy-on-write: DML on the clone stages ITS OWN files
+    (a rewrite of a borrowed file swaps the absolute ref out for a local
+    one; OPTIMIZE on the clone un-shares by materializing borrowed bytes
+    locally), and the source never sees any of it.  Schema, CHECK
+    constraints, and deletion vectors are carried at their AS-OF state.
+
+    The shared-storage caveat is Delta's own: `vacuum` on the SOURCE can
+    delete files the clone still references (the clone's own vacuum
+    walks only its own directory and can never touch borrowed files) —
+    retention policy on a cloned-from table must outlive its clones."""
+    entries, schema, dvs, constraints = _replay(src, version)
+    if not entries:
+        raise ValueError(f"minitable {src} is empty at version {version}")
+    if versions(dst):
+        raise ValueError(f"clone target {dst} already has commits — it must be new")
+
+    def _abs(rel_or_abs: str) -> str:
+        return rel_or_abs if os.path.isabs(rel_or_abs) else os.path.join(src, rel_or_abs)
+
+    added = [_abs(f) for f, _st in entries]
+    stats = {_abs(f): st for f, st in entries if st is not None}
+    dv = {_abs(f): _abs(d) for f, d in dvs.items()}
+    return commit(
+        dst,
+        "overwrite",
+        added,
+        stats=stats or None,
+        schema=schema,
+        record_null_schema=schema is None,
+        dv=dv or None,
+        constraints=constraints,
+    )
+
+
 def vacuum(
     path: str, retain_from_version: int, orphan_grace_seconds: float = 3600.0
 ) -> list[str]:

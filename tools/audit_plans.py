@@ -57,7 +57,7 @@ BUILD_ONCE = {
     "q177_delete_where", "q178_delete_null_safety", "q179_log_checkpoint",
     "q180_table_evolution", "q181_change_feed_dml",
     "q182_incremental_mv_dml", "q183_restore_version",
-    "q184_deletion_vectors", "q185_check_constraints",
+    "q184_deletion_vectors", "q185_check_constraints", "q186_shallow_clone",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
