@@ -5,7 +5,7 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 extensions); full inventory in SURVEY.md §8: relational
                 q01-q29+q85+q89+q139 (SQL incl. recursive CTE +
                 SQL-defined scalar/table functions), text
-                q30-q39+q86-q88+q101-q103+q109+q116+q125-q126+q145,
+                q30-q39+q86-q88+q101-q103+q109+q116+q125-q126+q145+q187,
                 dedup q40-q49+q104+q106-q107+q118+q123+q127, similarity
                 q50-q59+q111+q140+q147, graph q146 (iterative PageRank),
                 multimodal q60-q62+q65-q69, pandas-UDF/UDTF

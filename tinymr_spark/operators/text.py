@@ -1417,6 +1417,81 @@ GROUP BY 1
 ORACLE_Q169 = _oracle_bpe_encode()
 
 
+
+# ---------------------------------------------------------------------------
+# q187 — RAG sliding-window chunking: the retrieval-prep counterpart of
+# q101's training-side sequence packing.  Every document splits into
+# overlapping W=64-token windows on a S=48 stride (16-token overlap, the
+# standard recipe so no answer span straddles a chunk boundary unseen),
+# each chunk carrying a stable (doc_id, chunk_id) identity and an
+# md5 content fingerprint (the dedup/index key a vector store would
+# use).  Shape: one posexplode over a per-row `sequence(0, n-1, S)` —
+# pure JVM codegen, no Python — then ONE map-side-combined aggregation
+# by chunk ordinal; at 100 TB the explode is embarrassingly parallel
+# and the groupBy carries max-chunks-per-doc rows per task.  The gate
+# proves the window algebra (counts, token sums, full-window tallies)
+# and the fingerprints (distinct-chunk counts) against DuckDB's
+# list-slice reconstruction.
+# ---------------------------------------------------------------------------
+def q187_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = 64, 48
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    n = F.size("toks")
+    chunks = (
+        docs.where(n > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n - 1, F.lit(S))).alias(
+                "chunk_id", "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice("toks", F.col("start") + 1, W).alias("ctoks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ctoks").alias("clen"),
+            F.md5(F.concat_ws(" ", "ctoks")).alias("fp"),
+        )
+    )
+    return chunks.groupBy("chunk_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("clen").cast("bigint").alias("sum_tokens"),
+        F.count(F.when(F.col("clen") == W, 1)).alias("n_full"),
+        F.countDistinct("fp").alias("n_unique_chunks"),
+    )
+
+
+ORACLE_Q187 = r"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s
+    FROM d WHERE len(toks) > 0
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(s // 48 AS INT) AS chunk_id,
+           toks[s + 1 : s + 64] AS ctoks
+    FROM starts
+)
+SELECT chunk_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(len(ctoks)) AS BIGINT) AS sum_tokens,
+       COUNT(CASE WHEN len(ctoks) = 64 THEN 1 END) AS n_full,
+       COUNT(DISTINCT md5(array_to_string(ctoks, ' '))) AS n_unique_chunks
+FROM chunks
+GROUP BY chunk_id
+"""
+
+
 QUERIES = {
     "q30_wordcount": q30_wordcount,
     "q31_top_words": q31_top_words,
@@ -1441,6 +1516,7 @@ QUERIES = {
     "q126_shard_manifest": q126_shard_manifest,
     "q158_bpe_merges": q158_bpe_merges,
     "q169_bpe_encode": q169_bpe_encode,
+    "q187_rag_chunking": q187_rag_chunking,
 }
 
 ORACLE = {
@@ -1467,4 +1543,5 @@ ORACLE = {
     "q126_shard_manifest": ORACLE_Q126,
     "q158_bpe_merges": ORACLE_Q158,
     "q169_bpe_encode": ORACLE_Q169,
+    "q187_rag_chunking": ORACLE_Q187,
 }
