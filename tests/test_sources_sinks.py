@@ -1747,3 +1747,106 @@ def test_minitable_shallow_clone_copy_on_write(spark, tmp_path):
     # cloning a non-empty target refuses
     with pytest.raises(ValueError, match="already has commits"):
         minitable.clone(src, dst)
+
+
+def test_minitable_review2_regressions(spark, tmp_path, monkeypatch):
+    """Second review pass (r8): scan() applies a clone's borrowed
+    deletion vectors; a copy-on-write delete after a delete_dv does not
+    double-report the overlap in the feed; delete_dv re-running the same
+    predicate is a no-op (None); add_constraint works on a zero-live-
+    file table; a constraint added concurrently with an in-flight write
+    re-validates the staged batch (rejecting it); optimize rebases over
+    an intervening meta commit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    # -- scan() on a clone with a borrowed DV
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    minitable.write(spark, df.repartitionByRange(2, "k"), src, "overwrite", stats_cols=["k"])
+    minitable.delete_dv(spark, src, [("k", "<", 30)])
+    minitable.clone(src, dst)
+    got = sorted(r["k"] for r in minitable.scan(spark, dst, [("k", "<", 60)]).collect())
+    assert got == list(range(30, 60)), "clone scan must apply the borrowed vector"
+
+    # -- delete_dv then copy-on-write delete: feed reports each row once
+    p2 = str(tmp_path / "t2")
+    minitable.write(
+        spark,
+        spark.range(100).withColumnRenamed("id", "x").repartitionByRange(2, "x"),
+        p2, "overwrite", stats_cols=["x"],
+    )
+    minitable.delete_dv(spark, p2, [("x", "<", 30)])   # v1: rows 0-29
+    minitable.delete(spark, p2, [("x", "<", 60)], stats_cols=["x"])  # v2: rows 30-59
+    feed = minitable.change_feed(spark, p2, 0, 2)
+    by_v = {}
+    for r in feed.collect():
+        by_v.setdefault(r["_commit_version"], []).append(r["x"])
+    assert sorted(by_v[1]) == list(range(30))
+    assert sorted(by_v[2]) == list(range(30, 60)), "v1's rows must not re-report"
+
+    # -- repeating the same dv predicate is a no-op
+    p3 = str(tmp_path / "t3")
+    minitable.write(
+        spark,
+        spark.range(100).withColumnRenamed("id", "x").repartitionByRange(2, "x"),
+        p3, "overwrite", stats_cols=["x"],
+    )
+    r1 = minitable.delete_dv(spark, p3, [("x", "<", 30)])
+    assert r1 is not None and r1[1]["rows_marked"] == 30
+    assert minitable.delete_dv(spark, p3, [("x", "<", 30)]) is None
+    assert minitable.versions(p3) == [0, 1]
+    # a wider predicate marks only the NEW rows
+    r2 = minitable.delete_dv(spark, p3, [("x", "<", 40)])
+    assert r2 is not None and r2[1]["rows_marked"] == 10
+
+    # -- add_constraint on a zero-live-file table
+    p4 = str(tmp_path / "t4")
+    minitable.write(spark, spark.range(5).withColumnRenamed("id", "x"), p4, "overwrite", stats_cols=["x"])
+    minitable.delete(spark, p4, [("x", "<", 100)], stats_cols=["x"])  # drops everything
+    minitable.add_constraint(spark, p4, "x_pos", "x >= 0")  # vacuously satisfied
+    with pytest.raises(ValueError, match="x_pos"):
+        minitable.write(spark, spark.createDataFrame([(-1,)], "x bigint"), p4, "append")
+
+    # -- concurrent add_constraint vs in-flight write: staged batch
+    #    re-validated on rebase and rejected
+    p5 = str(tmp_path / "t5")
+    minitable.write(spark, spark.createDataFrame([(1, 1.0)], "k int, v double"), p5, "overwrite")
+    real_commit = minitable.commit
+    state = {"fired": False}
+
+    def racing(path, action, added, **kw):
+        if not state["fired"] and kw.get("expected_version") is not None and action == "append":
+            state["fired"] = True
+            minitable.add_constraint(spark, path, "v_pos", "v > 0")
+        return real_commit(path, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing)
+    with pytest.raises(ValueError, match="v_pos"):
+        minitable.write(spark, spark.createDataFrame([(2, -5.0)], "k int, v double"), p5, "append")
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert minitable.read(spark, p5).count() == 1  # nothing landed
+
+    # -- optimize rebases over an intervening meta commit (row-invariant)
+    p6 = str(tmp_path / "t6")
+    for i in range(3):
+        minitable.write(
+            spark, spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "x").coalesce(1),
+            p6, "append", stats_cols=["x"],
+        )
+    state = {"fired": False}
+
+    def racing_meta(path, action, added, **kw):
+        if not state["fired"] and kw.get("expected_version") is not None and action == "merge":
+            state["fired"] = True
+            minitable.add_constraint(spark, path, "x_pos", "x >= 0")
+        return real_commit(path, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_meta)
+    res = minitable.optimize(spark, p6, small_bytes=1 << 20, target_bytes=1 << 22)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert res is not None  # rebased over the meta commit, not conflicted
+    assert minitable.read(spark, p6).count() == 30

@@ -253,12 +253,14 @@ def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
     cur = table_constraints(path)
     if name in cur:
         raise ValueError(f"constraint {name!r} already exists on {path}")
-    bad = (
-        read(spark, path)
-        .where(F.coalesce(F.expr(expr), F.lit(True)) == False)  # noqa: E712
-        .limit(1)
-        .count()
-    )
+    bad = 0
+    if _live_entries(path):  # zero live files: vacuously satisfied
+        bad = (
+            read(spark, path)
+            .where(F.coalesce(F.expr(expr), F.lit(True)) == False)  # noqa: E712
+            .limit(1)
+            .count()
+        )
     if bad:
         raise ValueError(
             f"cannot add constraint {name!r} ({expr}): existing rows violate it"
@@ -665,37 +667,84 @@ def write(
     change serve the old schema (Delta's mergeSchema).  Without the
     flag a differing append raises instead of silently committing files
     a reader can't reconcile.  An overwrite always resets the schema to
-    `df`'s."""
+    `df`'s.
+
+    CHECK constraints are validated against the STAGED parquet — the
+    exact bytes that will commit — not the incoming DataFrame (a
+    nondeterministic df would otherwise stage a different
+    materialization than the one validated).  The commit claims
+    readVersion+1; on a lost race the rebase re-resolves the table
+    contract at the new head — a concurrently-added constraint
+    re-validates the staged batch, a concurrent schema evolution
+    re-merges the recorded union (last-record-wins would otherwise let
+    this commit silently roll the schema back) — and retries; appends
+    commute with everything else."""
+
+    def _merged_schema(prev: dict | None, cur: dict) -> dict:
+        if action != "append" or prev is None or prev == cur:
+            return cur
+        cur_names = {f["name"] for f in cur["fields"]}
+        prev_names = {f["name"] for f in prev["fields"]}
+        if not merge_schema and (
+            cur_names != prev_names
+            or _merge_schemas(prev, cur)["fields"] != prev["fields"]
+        ):
+            raise ValueError(
+                f"append schema {sorted(cur_names)} differs from table "
+                f"schema {sorted(prev_names)} — pass merge_schema=True "
+                "for additive evolution"
+            )
+        return _merge_schemas(prev, cur)
+
     # Record all fields nullable: schema evolution itself introduces
     # nulls (old files lack new columns), and writer-side nullability is
     # an artifact of how the DataFrame was derived, not a table contract.
-    _enforce_constraints(df, table_constraints(path), f"{action} batch")
     cur = df.schema.jsonValue()
     for f in cur["fields"]:
         f["nullable"] = True
-    schema = cur
-    if action == "append":
-        prev = table_schema(path)
-        if prev is not None and prev != cur:
-            cur_names = {f["name"] for f in cur["fields"]}
-            prev_names = {f["name"] for f in prev["fields"]}
-            if not merge_schema and (
-                cur_names != prev_names
-                or _merge_schemas(prev, cur)["fields"] != prev["fields"]
-            ):
-                raise ValueError(
-                    f"append schema {sorted(cur_names)} differs from table "
-                    f"schema {sorted(prev_names)} — pass merge_schema=True "
-                    "for additive evolution"
-                )
-            schema = _merge_schemas(prev, cur)
+    vs0 = versions(path)
+    read_version = vs0[-1] if vs0 else None
+    constraints = table_constraints(path, read_version) if vs0 else {}
+    schema = _merged_schema(table_schema(path, read_version) if vs0 else None, cur)
     added = _stage(df, path)
+    if constraints:
+        _enforce_constraints(
+            _read_files(spark, [os.path.join(path, a) for a in added], None),
+            constraints,
+            f"{action} batch",
+        )
     stats = (
         _collect_stats(path, added, stats_cols or [], bloom_cols)
         if (stats_cols or bloom_cols)
         else None
     )
-    return commit(path, action, added, txn=txn, stats=stats, schema=schema)
+    expected = (read_version + 1) if read_version is not None else 0
+    while True:
+        try:
+            return commit(
+                path,
+                action,
+                added,
+                txn=txn,
+                stats=stats,
+                schema=schema,
+                expected_version=expected,
+            )
+        except CommitConflict:
+            head = versions(path)[-1]
+            new_constraints = table_constraints(path, head)
+            if new_constraints != constraints:
+                constraints = new_constraints
+                if constraints:
+                    _enforce_constraints(
+                        _read_files(
+                            spark, [os.path.join(path, a) for a in added], None
+                        ),
+                        constraints,
+                        f"{action} batch",
+                    )
+            schema = _merged_schema(table_schema(path, head), cur)
+            expected = head + 1
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -862,9 +911,12 @@ def scan(
     if not kept:
         # Provably-empty scan: type it like the table without reading data.
         return read(spark, path, version).limit(0).filter(F.lit(False))
-    _entries, schema, dvs, _c = _replay(path, version)
-    rels = [os.path.relpath(f, path) for f in kept]
-    df = _read_files_dv(spark, path, rels, schema, dvs)
+    entries, schema, dvs, _c = _replay(path, version)
+    # map pruned ABS paths back to their entry identifiers — a shallow
+    # clone's borrowed entries are already absolute, and a relpath
+    # round-trip would miss their DV-map keys
+    by_abs = {os.path.join(path, f): f for f, _st in entries}
+    df = _read_files_dv(spark, path, [by_abs[f] for f in kept], schema, dvs)
     return df.filter(_where_cond(where))
 
 
@@ -880,6 +932,7 @@ def _commit_serializable(
     data_change: bool = True,
     action: str = "merge",
     dv: dict[str, str] | None = None,
+    constraint_sensitive: bool = True,
 ) -> int:
     """Commit a merge/delete planned against snapshot `read_version`
     under SERIALIZABLE-style optimistic concurrency (Delta's conflict
@@ -931,11 +984,15 @@ def _commit_serializable(
                         "no longer exists"
                     )
                 if rec["action"] == "meta":
-                    raise CommitConflict(
-                        f"version {v} of {path} changed table metadata "
-                        "(constraints) — this operation's rows were validated "
-                        "against the old contract; replan against the new head"
-                    )
+                    if constraint_sensitive:
+                        raise CommitConflict(
+                            f"version {v} of {path} changed table metadata "
+                            "(constraints) — this operation's rows were "
+                            "validated against the old contract; replan "
+                            "against the new head"
+                        )
+                    continue  # row-invariant/-removing ops can't violate
+                              # a new constraint: rebase over it
                 inter = (
                     set(rec["added"])
                     | set(rec.get("removed", ()))
@@ -1103,14 +1160,18 @@ def merge(
         merged = src.select(*cols)  # nothing can match: pure insert
         if collect_cdf:
             cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
-    # only rows that LAND (updates + inserts) are checked — a
-    # delete-flagged source row never materializes; carried-over target
-    # rows passed at their own write time (add_constraint validates the
-    # existing table)
-    _enforce_constraints(
-        src.filter(~F.col("__delete")).drop("__delete"), constraints, "merge source"
-    )
     added = _stage(merged, path)
+    # CHECK constraints validate the STAGED bytes (the exact rows that
+    # will commit): staged merge output holds only landing rows —
+    # delete-flagged source rows never materialize, and carried-over
+    # target rows passed at their own write time (add_constraint
+    # validates the existing table)
+    if constraints:
+        _enforce_constraints(
+            _read_files(spark, [os.path.join(path, a) for a in added], None),
+            constraints,
+            "merge output",
+        )
     cdf_files = _stage(cdf_df, path, kind="cdf") if cdf_df is not None else None
     if joined is not None and collect_cdf:
         joined.unpersist()
@@ -1235,6 +1296,7 @@ def delete(
         where,
         stats=stats,
         predicate=where,
+        constraint_sensitive=False,  # a delete only removes rows
     )
     return version, {
         "dropped_whole": len(whole),
@@ -1267,7 +1329,10 @@ def delete_dv(
     Serializable like merge/delete: claims readVersion+1, conflicts on
     any concurrent touch of the affected files or an in-scope append.
     Returns (version, {"dropped_whole", "vectorized", "rows_marked",
-    "untouched"}) or None when nothing can match."""
+    "untouched"}) — `rows_marked` counts NEWLY marked rows — or None
+    when nothing NEW can match (a predicate covering only
+    already-deleted rows, with no whole-file drop, is a no-op, not a
+    version)."""
     from pyspark.sql import functions as F
 
     for col, op, _val in where:
@@ -1294,32 +1359,43 @@ def delete_dv(
                 F.col("_metadata.row_index").alias("row_index"),
             )
         )
-        # cumulative union with the straddlers' EXISTING vectors (a
-        # row deleted twice is deleted once; the new file replaces)
+        matches = matches.distinct()
+        # rows an EXISTING vector already deleted are not deleted again:
+        # only genuinely-new matches count (and a predicate matching
+        # nothing new is a no-op, not a new version); the staged vector
+        # is still the cumulative union, since a newer DV REPLACES the
+        # older for its files
         old_dv_files = sorted({dvs[r] for r in straddle if r in dvs})
+        basenames = [r.rsplit("/", 1)[-1] for r in straddle]
+        prior = None
         if old_dv_files:
-            prior = spark.read.parquet(
-                *[os.path.join(path, d) for d in old_dv_files]
-            ).select("fname", "row_index")
-            # keep only rows belonging to the straddlers being re-vectored
-            basenames = [r.rsplit("/", 1)[-1] for r in straddle]
-            prior = prior.where(F.col("fname").isin(basenames))
-            matches = matches.unionByName(prior).distinct()
+            prior = (
+                spark.read.parquet(*[os.path.join(path, d) for d in old_dv_files])
+                .select("fname", "row_index")
+                .where(F.col("fname").isin(basenames))
+                .distinct()
+            )
+            fresh = matches.join(prior, ["fname", "row_index"], "left_anti")
         else:
-            matches = matches.distinct()
-        marked = matches.persist()
-        per_file = {r["fname"]: r["n"] for r in marked.groupBy("fname").agg(F.count("*").alias("n")).collect()}
-        rows_marked = sum(per_file.values())
+            fresh = matches
+        fresh = fresh.persist()
+        rows_marked = fresh.count()
         if rows_marked:
-            staged = _stage(marked.coalesce(1), path, kind="dv")
-            marked.unpersist()
+            cumulative = (
+                fresh.unionByName(prior) if prior is not None else fresh
+            ).persist()
+            per_file = {
+                r["fname"]: r["n"]
+                for r in cumulative.groupBy("fname").agg(F.count("*").alias("n")).collect()
+            }
+            staged = _stage(cumulative.coalesce(1), path, kind="dv")
+            cumulative.unpersist()
             if len(staged) != 1:
                 raise RuntimeError("dv stage must produce exactly one file")
             by_base = {r.rsplit("/", 1)[-1]: r for r in straddle}
             vectorized = sorted(by_base[b] for b in per_file if b in by_base)
             new_dv_map = {rel: staged[0] for rel in vectorized}
-        else:
-            marked.unpersist()
+        fresh.unpersist()
     if not whole and not new_dv_map:
         return None
     version = _commit_serializable(
@@ -1331,6 +1407,7 @@ def delete_dv(
         predicate=where,
         action="dv",
         dv=new_dv_map or None,
+        constraint_sensitive=False,  # a delete only removes rows
     )
     return version, {
         "dropped_whole": len(whole),
@@ -1409,6 +1486,7 @@ def optimize(
         None,  # row-invariant: concurrent appends commute
         stats=stats or None,
         data_change=False,  # a compaction rewrites, it changes nothing
+        constraint_sensitive=False,  # row-invariant: no new rows to check
     )
     return {
         "version": version,
@@ -1533,9 +1611,10 @@ def change_feed(
             elif rec.get("predicate") is not None:
                 removed = rec.get("removed", [])
                 if removed:
-                    df = _read_files(
-                        spark, [os.path.join(path, f) for f in removed], schema
-                    )
+                    # rows an EARLIER deletion vector already removed are
+                    # not deleted again by this commit — apply v-1's DVs
+                    prev_dvs = _replay(path, v - 1)[2] if v > 0 else {}
+                    df = _read_files_dv(spark, path, removed, schema, prev_dvs)
                     pieces.append(
                         df.where(
                             F.coalesce(_where_cond(rec["predicate"]), F.lit(False))
@@ -1729,7 +1808,11 @@ def vacuum(
     ever_referenced: set[str] = set()
     for v in vs:
         if v >= retain_from_version:
-            keep.update(os.path.relpath(p, path) for p in snapshot(path, v))
+            # one replay per retained version: live files AND the live
+            # DELETION VECTORS (part of the snapshot's read path)
+            entries, _sch, dvs, _c = _replay(path, v)
+            keep.update(f for f, _st in entries)
+            keep.update(dvs.values())
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
         ever_referenced.update(rec["added"])
@@ -1739,11 +1822,6 @@ def vacuum(
             # retained versions keep their change-data files too, so the
             # feed over the retained range stays queryable
             keep.update(rec.get("cdf", ()))
-    # live DELETION VECTORS of every retained version must survive —
-    # they are part of the snapshot's read path, not history
-    for v in vs:
-        if v >= retain_from_version:
-            keep.update(_replay(path, v)[2].values())
     cutoff = time.time() - orphan_grace_seconds
     deleted = []
     for root, _dirs, files in os.walk(path):
