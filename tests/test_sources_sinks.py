@@ -1850,3 +1850,112 @@ def test_minitable_review2_regressions(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(minitable, "commit", real_commit)
     assert res is not None  # rebased over the meta commit, not conflicted
     assert minitable.read(spark, p6).count() == 30
+
+
+def test_minitable_dml_model_fuzz(spark, tmp_path):
+    """Model-based differential fuzz over the whole DML surface: a
+    random sequence of append / copy-on-write delete / deletion-vector
+    delete / merge upsert+delete / optimize / restore / checkpoint is
+    applied both to a minitable and to a pure-Python dict model; after
+    every step the live read must equal the model, and at the end EVERY
+    recorded version must still read as its as-of state — the
+    interaction coverage (DV x restore x optimize x merge x checkpoint)
+    no enumerated test has."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    rng = random.Random(80801)
+
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        next_key = [0]
+
+        def fresh_batch(n):
+            rows = [(k, float(k * 7 % 101)) for k in range(next_key[0], next_key[0] + n)]
+            next_key[0] += n
+            return rows
+
+        def to_df(rows):
+            return spark.createDataFrame(rows, "k bigint, v double").coalesce(1)
+
+        rows0 = fresh_batch(30)
+        minitable.write(
+            spark, to_df(rows0).repartitionByRange(3, "k"), path, "overwrite",
+            stats_cols=["k"],
+        )
+        model = dict(rows0)
+        states = {0: dict(model)}
+
+        def sync_and_check(tag):
+            head = minitable.versions(path)[-1]
+            states[head] = dict(model)
+            if model:
+                got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+                assert got == model, (trial, tag, head)
+            else:
+                assert minitable.snapshot(path) == [], (trial, tag, head)
+
+        for step in range(8):
+            op = rng.choice(
+                ["append", "delete", "delete_dv", "merge", "optimize", "restore", "checkpoint"]
+            )
+            if op == "append":
+                rows = fresh_batch(rng.randint(5, 15))
+                minitable.write(spark, to_df(rows), path, "append", stats_cols=["k"])
+                model.update(rows)
+                sync_and_check(op)
+            elif op in ("delete", "delete_dv"):
+                if not model:
+                    continue
+                cut = rng.choice(sorted(model))  # delete a prefix of live keys
+                fn = minitable.delete if op == "delete" else minitable.delete_dv
+                args = ([("k", "<", cut)],)
+                kw = {"stats_cols": ["k"]} if op == "delete" else {}
+                res = fn(spark, path, *args, **kw)
+                expect = {k: v for k, v in model.items() if not k < cut}
+                if expect == model:
+                    # no LIVE rows matched: either a no-op (None) or a
+                    # legitimate physical-only cleanup (whole-dropping a
+                    # file whose rows an earlier DV already deleted) —
+                    # the live read must be unperturbed either way
+                    if res is not None:
+                        sync_and_check(op)
+                else:
+                    assert res is not None, (trial, op, cut)
+                    model = expect
+                    sync_and_check(op)
+            elif op == "merge":
+                if not model:
+                    continue
+                upd = rng.sample(sorted(model), min(3, len(model)))
+                ins = fresh_batch(3)
+                src = [(k, model[k] + 1000.0) for k in upd] + ins
+                minitable.merge(spark, to_df(src), path, "k", stats_cols=["k"])
+                model.update({k: v for k, v in src})
+                sync_and_check(op)
+            elif op == "optimize":
+                res = minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)
+                if res is not None:
+                    sync_and_check(op)
+            elif op == "restore":
+                target = rng.choice(sorted(states))
+                if not states[target]:
+                    continue
+                minitable.restore(path, target)
+                model = dict(states[target])
+                sync_and_check(op)
+            elif op == "checkpoint":
+                minitable.checkpoint(path)
+                # no new version; live read must be unperturbed
+                got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+                assert got == model, (trial, "checkpoint")
+
+        # every recorded version still reads as its AS-OF state
+        for v, want in states.items():
+            if not want:
+                continue
+            got = {r["k"]: r["v"] for r in minitable.read(spark, path, v).collect()}
+            assert got == want, (trial, "as-of", v)
