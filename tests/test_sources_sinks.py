@@ -1959,3 +1959,163 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 continue
             got = {r["k"]: r["v"] for r in minitable.read(spark, path, v).collect()}
             assert got == want, (trial, "as-of", v)
+
+
+def test_minitable_stream_snapshot_applies_deletion_vectors(spark, tmp_path):
+    """ADVICE r8: a table that took delete_dv deletes BEFORE a stream
+    subscribes must not stream the logically-deleted rows — the initial
+    snapshot batch ships each file's live deletion vector to its
+    executor partition, matching minitable.read's DV semantics."""
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    minitable.write(
+        spark,
+        spark.range(0, 20).select(F.col("id").alias("k")).repartitionByRange(2, "k"),
+        path,
+        "overwrite",
+        stats_cols=["k"],
+    )
+    res = minitable.delete_dv(spark, path, [("k", "<", 5)])
+    assert res is not None and res[1]["rows_marked"] > 0
+
+    def drain() -> list[int]:
+        rows: list[int] = []
+
+        def sink(df, _bid):
+            rows.extend(r["k"] for r in df.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path)
+            .option("columns", "k")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    assert sorted(drain()) == list(range(5, 20))  # DV rows never streamed
+    minitable.write(spark, spark.range(20, 23).select(F.col("id").alias("k")), path, "append")
+    assert sorted(drain()) == [20, 21, 22]  # then purely incremental
+
+
+def test_minitable_add_constraint_claims_validated_head(spark, tmp_path, monkeypatch):
+    """ADVICE r8 TOCTOU: a write landing between add_constraint's
+    validation scan and its meta commit was validated against the
+    pre-constraint contract — the meta commit must claim head+1 and
+    surface CommitConflict, never absorb the race silently."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 10.0)], "k bigint, v double"), path, "overwrite"
+    )
+
+    real_read = minitable.read
+    raced = []
+
+    def racing_read(spark_, path_, version=None):
+        if not raced:
+            raced.append(True)
+            # a concurrent writer lands a VIOLATING batch after the
+            # validation snapshot was pinned but before the meta commit
+            minitable.write(
+                spark,
+                spark.createDataFrame([(2, -1.0)], "k bigint, v double"),
+                path,
+                "append",
+            )
+        return real_read(spark_, path_, version)
+
+    monkeypatch.setattr(minitable, "read", racing_read)
+    import pytest
+
+    with pytest.raises(minitable.CommitConflict):
+        minitable.add_constraint(spark, path, "v_pos", "v > 0")
+    # the constraint was NOT recorded over a violating table
+    assert minitable.table_constraints(path) == {}
+
+
+def test_minitable_constraint_resolves_absent_evolved_column_as_null(spark, tmp_path):
+    """ADVICE r8: a merge_schema append that legitimately omits an
+    evolved column referenced by a CHECK constraint must get SQL
+    semantics (absent -> NULL -> passes), not an AnalysisException from
+    schema inference over the staged files."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 5.0)], "k bigint, v double"), path, "overwrite"
+    )
+    minitable.write(  # ADD COLUMN w
+        spark,
+        spark.createDataFrame([(2, 6.0, 99.0)], "k bigint, v double, w double"),
+        path,
+        "append",
+        merge_schema=True,
+    )
+    minitable.add_constraint(spark, path, "w_big", "w > 10")
+    # a producer still writing the PRE-evolution shape: w absent -> NULL
+    # -> constraint passes (Delta/SQL CHECK semantics)
+    minitable.write(
+        spark,
+        spark.createDataFrame([(3, 7.0)], "k bigint, v double"),
+        path,
+        "append",
+        merge_schema=True,
+    )
+    got = {r["k"]: r["w"] for r in minitable.read(spark, path).collect()}
+    assert got == {1: None, 2: 99.0, 3: None}
+    # while a PRESENT violating value still rejects loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="w_big"):
+        minitable.write(
+            spark,
+            spark.createDataFrame([(4, 8.0, 1.0)], "k bigint, v double, w double"),
+            path,
+            "append",
+        )
+
+
+def test_minitable_legacy_bloom_is_ignored_not_misprobed(spark, tmp_path):
+    """ADVICE r8: blooms persisted under an older hash normalization
+    must degrade to "no bloom" (file kept), never be probed with the new
+    normalization (which could wrongly prune a file holding matches)."""
+    import json
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame([(1, 10.0), (5, 20.0)], "k bigint, v double").coalesce(1),
+        path,
+        "overwrite",
+        bloom_cols=["k"],
+    )
+    # current-norm bloom: an IN-RANGE absent key prunes the file (the
+    # range [1, 5] alone cannot)
+    kept, total = minitable.prune(path, [("k", "=", 3)])
+    assert kept == [] and total == 1
+
+    # simulate a legacy log: strip the norm tag from the persisted bloom
+    vf = minitable._version_file(path, 0)
+    rec = json.loads(open(vf).read())
+    for st in rec["stats"].values():
+        st["k"]["bloom"].pop("norm")
+    os.remove(vf)
+    with open(vf, "w") as f:
+        f.write(json.dumps(rec))
+
+    kept, total = minitable.prune(path, [("k", "=", 3)])
+    assert len(kept) == 1 and total == 1  # legacy bloom ignored: kept
+    # and real matches are (of course) still served
+    assert minitable.scan(spark, path, [("k", "=", 5)]).count() == 1

@@ -247,16 +247,27 @@ def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
     commit (data_change=false: no rows changed, streams and feeds skip
     it).  From then on every write()/merge() batch is rejected LOUDLY if
     any new row violates any constraint; SQL CHECK semantics — NULL
-    passes, only FALSE violates."""
+    passes, only FALSE violates.
+
+    The meta commit claims head+1 where head is the version the
+    validation scan ran against (restore()'s protocol): a write landing
+    BETWEEN the scan and the commit was validated against the
+    pre-constraint contract, so absorbing it silently could record the
+    constraint as valid over a table that already violates it (TOCTOU —
+    ADVICE r8).  The race surfaces as CommitConflict; the caller
+    re-invokes against the new head."""
     from pyspark.sql import functions as F
 
-    cur = table_constraints(path)
+    vs0 = versions(path)
+    head = vs0[-1] if vs0 else None
+    cur = table_constraints(path, head)
     if name in cur:
         raise ValueError(f"constraint {name!r} already exists on {path}")
     bad = 0
-    if _live_entries(path):  # zero live files: vacuously satisfied
+    if head is not None and _live_entries(path, head):
+        # zero live files: vacuously satisfied
         bad = (
-            read(spark, path)
+            read(spark, path, head)
             .where(F.coalesce(F.expr(expr), F.lit(True)) == False)  # noqa: E712
             .limit(1)
             .count()
@@ -266,7 +277,12 @@ def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
             f"cannot add constraint {name!r} ({expr}): existing rows violate it"
         )
     return commit(
-        path, "meta", [], constraints={**cur, name: expr}, data_change=False
+        path,
+        "meta",
+        [],
+        constraints={**cur, name: expr},
+        data_change=False,
+        expected_version=(head + 1) if head is not None else 0,
     )
 
 
@@ -479,15 +495,27 @@ def _stage(df: DataFrame, path: str, kind: str = "part") -> list[str]:
 # parquet-internal structure.
 _BLOOM_K = 7  # hash count; with m ~= 10 bits/value -> ~1% false positives
 
+# The bloom HASH-NORMALIZATION format version.  The r8 literal-coercion
+# fix changed the hash form of float/Decimal values ("s:5.5" -> "f:5.5",
+# "s:5.0" -> "i:5"), so a bloom persisted by older code over a
+# float-valued column would be MIS-PROBED by the new normalization and
+# could wrongly prune a file that holds matches (ADVICE r8).  Blooms now
+# record `"norm": 2`; probes ignore any bloom without the current norm
+# tag — legacy filters degrade to "no bloom" (conservative: the file is
+# kept), never to a wrong prune.
+_BLOOM_NORM_VERSION = 2
+
 
 def _bloom_norm(val) -> str:
     """Canonical typed repr so NUMERICALLY-EQUAL values hash identically
     regardless of Python type: a scan literal `5.0` (float, or Decimal)
     against an int column must probe the same bits the build hashed for
     `5` — otherwise the bloom "proves" absence and wrongly prunes a file
-    that holds matches.  Integral numerics all normalize to `i:{n}`
-    (bit-identical to the historical int form, so persisted blooms stay
-    valid); non-integral floats keep their own tag; bools are NOT ints
+    that holds matches.  Integral numerics all normalize to `i:{n}`;
+    blooms record the normalization version (`_BLOOM_NORM_VERSION`) and
+    probes ignore filters built under any other version, so persisted
+    blooms from older code degrade conservatively instead of being
+    mis-probed; non-integral floats keep their own tag; bools are NOT ints
     here (`True != 1` for skipping purposes, matching the historical
     string form)."""
     if isinstance(val, bool):
@@ -529,7 +557,12 @@ def _bloom_build(values, n_hint: int) -> dict:
             continue
         for pos in _bloom_bit_positions(v, m):
             bits[pos >> 3] |= 1 << (pos & 7)
-    return {"m": m, "k": _BLOOM_K, "bits": base64.b64encode(bytes(bits)).decode()}
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "norm": _BLOOM_NORM_VERSION,
+        "bits": base64.b64encode(bytes(bits)).decode(),
+    }
 
 
 def _bloom_maybe_contains(bloom: dict, val) -> bool:
@@ -558,7 +591,13 @@ def _collect_stats(
     `bloom_cols` additionally builds a per-file bloom filter per column;
     unlike range stats this reads the column's DATA (one column per
     file) — locally a pyarrow columnar read, at cluster scale the bloom
-    would be folded in the write job's tasks like Delta's."""
+    would be folded in the write job's tasks like Delta's.
+
+    `exact` maps column names to a known constant value per file (a
+    partition column's value): recorded as a `[v, v]` range with
+    `nulls: 0` — PERFECT stats, so every existing pruning path
+    (`_file_survives`, `_file_fully_matches`) treats a partition
+    predicate as provable without ever opening the file."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -708,8 +747,12 @@ def write(
     schema = _merged_schema(table_schema(path, read_version) if vs0 else None, cur)
     added = _stage(df, path)
     if constraints:
+        # typed by the MERGED log schema, not inference: a merge_schema
+        # append that legitimately omits an evolved column referenced by
+        # a constraint must resolve it as NULL (SQL CHECK passes), not
+        # fail analysis (ADVICE r8)
         _enforce_constraints(
-            _read_files(spark, [os.path.join(path, a) for a in added], None),
+            _read_files(spark, [os.path.join(path, a) for a in added], schema),
             constraints,
             f"{action} batch",
         )
@@ -732,18 +775,18 @@ def write(
             )
         except CommitConflict:
             head = versions(path)[-1]
+            schema = _merged_schema(table_schema(path, head), cur)
             new_constraints = table_constraints(path, head)
             if new_constraints != constraints:
                 constraints = new_constraints
                 if constraints:
                     _enforce_constraints(
                         _read_files(
-                            spark, [os.path.join(path, a) for a in added], None
+                            spark, [os.path.join(path, a) for a in added], schema
                         ),
                         constraints,
                         f"{action} batch",
                     )
-            schema = _merged_schema(table_schema(path, head), cur)
             expected = head + 1
 
 
@@ -871,7 +914,14 @@ def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
                 # (str vs int, ...): stats can prove nothing — keep the
                 # file and let the exact Spark filter decide.
                 continue
-        if op == "=" and bloom is not None and not _bloom_maybe_contains(bloom, val):
+        if (
+            op == "="
+            and bloom is not None
+            # a bloom built under an older hash normalization proves
+            # nothing under the current one — skip it (keep the file)
+            and bloom.get("norm") == _BLOOM_NORM_VERSION
+            and not _bloom_maybe_contains(bloom, val)
+        ):
             return False
     return True
 
@@ -1168,7 +1218,7 @@ def merge(
     # validates the existing table)
     if constraints:
         _enforce_constraints(
-            _read_files(spark, [os.path.join(path, a) for a in added], None),
+            _read_files(spark, [os.path.join(path, a) for a in added], schema),
             constraints,
             "merge output",
         )

@@ -102,11 +102,18 @@ def _table_ddl(path: str, cols: list[str]) -> str:
 
 class _FilePartition(InputPartition):
     """One committed parquet file of the micro-batch's version range;
-    pickled to an executor, which reads it directly."""
+    pickled to an executor, which reads it directly.  `dv_path` is the
+    file's live DELETION-VECTOR sidecar (initial snapshot batches only):
+    the executor anti-filters its rows by (file, row_index) so a table
+    that took `delete_dv` deletes before the stream started never
+    streams logically-deleted rows (ADVICE r8 — the snapshot path must
+    match `minitable.read`'s DV semantics, not silently emit raw
+    files)."""
 
-    def __init__(self, path: str | None, cols: list[str]):
+    def __init__(self, path: str | None, cols: list[str], dv_path: str | None = None):
         self.path = path
         self.cols = cols
+        self.dv_path = dv_path
 
 
 class MinitableStreamReader(DataSourceStreamReader):
@@ -136,10 +143,22 @@ class MinitableStreamReader(DataSourceStreamReader):
         # pure function of the immutable log, so a checkpoint replay of
         # the (-1, hi] range re-plans the identical rows.
         if lo < 0:
-            files = minitable.snapshot(self.path, hi) if hi >= 0 else []
-            return [
-                _FilePartition(p, self.cols) for p in files
-            ] or [_FilePartition(None, self.cols)]
+            parts0: list[_FilePartition] = []
+            if hi >= 0:
+                entries, _schema, dvs, _c = minitable._replay(self.path, hi)
+                for rel, _st in entries:
+                    parts0.append(
+                        _FilePartition(
+                            os.path.join(self.path, rel),
+                            self.cols,
+                            dv_path=(
+                                os.path.join(self.path, dvs[rel])
+                                if rel in dvs
+                                else None
+                            ),
+                        )
+                    )
+            return parts0 or [_FilePartition(None, self.cols)]
         parts: list[_FilePartition] = []
         for v in minitable.versions(self.path):
             if v <= lo or v > hi:
@@ -172,15 +191,37 @@ class MinitableStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
+        # live deletion vector for this file: the set of row positions
+        # the snapshot must skip (row_index is file row order, exactly
+        # Spark's `_metadata.row_index` identity the batch reader joins
+        # on) — read executor-side, O(deleted rows in this file)
+        dv_idx: set[int] = set()
+        if partition.dv_path is not None:
+            t = pq.read_table(partition.dv_path, columns=["fname", "row_index"])
+            base = os.path.basename(partition.path)
+            dv_idx = {
+                ri
+                for fn, ri in zip(
+                    t.column(0).to_pylist(), t.column(1).to_pylist()
+                )
+                if fn == base
+            }
         pf = pq.ParquetFile(partition.path)
         present = [c for c in partition.cols if c in pf.schema_arrow.names]
+        offset = 0
         for batch in pf.iter_batches(columns=present):
             data = {
                 c: batch.column(present.index(c)).to_pylist() for c in present
             }
             nulls = [None] * batch.num_rows
             cols = [data.get(c, nulls) for c in partition.cols]
-            yield from zip(*cols)
+            if dv_idx:
+                for i, row in enumerate(zip(*cols)):
+                    if (offset + i) not in dv_idx:
+                        yield row
+            else:
+                yield from zip(*cols)
+            offset += batch.num_rows
 
     def commit(self, end: dict) -> None:
         pass  # the log is the source of truth; nothing to clean up
