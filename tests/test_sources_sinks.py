@@ -1900,7 +1900,8 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
 
         for step in range(8):
             op = rng.choice(
-                ["append", "delete", "delete_dv", "merge", "optimize", "restore", "checkpoint"]
+                ["append", "delete", "delete_dv", "merge", "update",
+                 "optimize", "restore", "checkpoint"]
             )
             if op == "append":
                 rows = fresh_batch(rng.randint(5, 15))
@@ -1935,6 +1936,19 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 src = [(k, model[k] + 1000.0) for k in upd] + ins
                 minitable.merge(spark, to_df(src), path, "k", stats_cols=["k"])
                 model.update({k: v for k, v in src})
+                sync_and_check(op)
+            elif op == "update":
+                if not model:
+                    continue
+                cut = rng.choice(sorted(model))  # update a prefix of live keys
+                res = minitable.update(
+                    spark, path, {"v": "v + 1000"}, [("k", "<=", cut)],
+                    stats_cols=["k"],
+                )
+                assert res is not None, (trial, op, cut)  # cut itself matches
+                model = {
+                    k: (v + 1000.0 if k <= cut else v) for k, v in model.items()
+                }
                 sync_and_check(op)
             elif op == "optimize":
                 res = minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)
@@ -2119,3 +2133,158 @@ def test_minitable_legacy_bloom_is_ignored_not_misprobed(spark, tmp_path):
     assert len(kept) == 1 and total == 1  # legacy bloom ignored: kept
     # and real matches are (of course) still served
     assert minitable.scan(spark, path, [("k", "=", 5)]).count() == 1
+
+
+def test_minitable_update_tiers_and_null_semantics(spark, tmp_path):
+    """UPDATE's cost tiers (untouched via stats / rewritten via probe)
+    and SQL semantics: SET expressions evaluate against the OLD row
+    (a swap works), NULL predicate rows don't match, casts preserve the
+    table's column types, and AS-OF reads still serve the pre-update
+    state."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    rows = [(k, float(k), float(100 - k) if k % 4 else None) for k in range(20)]
+    minitable.write(
+        spark,
+        spark.createDataFrame(rows, "k bigint, a double, b double")
+        .repartitionByRange(4, "k"),
+        path,
+        "overwrite",
+        stats_cols=["k"],
+    )
+    n_files = len(minitable.snapshot(path))
+    # swap a/b where b < 95 — k in (5..19, b non-null); NULL b never matches
+    res = minitable.update(
+        spark,
+        path,
+        {"a": "b", "b": "a"},
+        [("b", "<", 95.0)],
+        stats_cols=["k"],
+    )
+    assert res is not None
+    _v, summary = res
+    assert summary["untouched"] >= 1  # the low-k file range-pruned out
+    assert summary["rewritten"] + summary["untouched"] == n_files
+    got = {r["k"]: (r["a"], r["b"]) for r in minitable.read(spark, path).collect()}
+    for k, a, b in rows:
+        if b is not None and b < 95.0:
+            assert got[k] == (b, a), k  # swapped from OLD row values
+        else:
+            assert got[k] == (a, b), k  # NULL/unmatched rows untouched
+    # AS-OF v0 is the pre-update state
+    v0 = {r["k"]: (r["a"], r["b"]) for r in minitable.read(spark, path, 0).collect()}
+    assert v0 == {k: (a, b) for k, a, b in rows}
+    assert summary["rows_updated"] == sum(
+        1 for _k, _a, b in rows if b is not None and b < 95.0
+    )
+    # int expr into a double column keeps the table type (cast back)
+    minitable.update(spark, path, {"a": "7"}, [("k", "=", 0)])
+    sch = dict(minitable.read(spark, path).dtypes)
+    assert sch["a"] == "double"
+    # a no-match predicate commits nothing
+    head = minitable.versions(path)[-1]
+    assert minitable.update(spark, path, {"a": "0"}, [("k", ">", 999)]) is None
+    assert minitable.versions(path)[-1] == head
+
+
+def test_minitable_update_respects_dvs_constraints_and_cdf(spark, tmp_path):
+    """UPDATE must not resurrect or update DV-deleted rows, must reject
+    an update that moves rows into CHECK violation, and collect_cdf
+    stages pre/post images the change feed serves."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k bigint, v double"
+        ).repartitionByRange(2, "k"),
+        path,
+        "overwrite",
+        stats_cols=["k"],
+    )
+    res = minitable.delete_dv(spark, path, [("k", "=", 3)])  # v1
+    assert res is not None
+    res = minitable.update(  # v2: touches the DV'd file's range
+        spark, path, {"v": "v + 100"}, [("k", "<=", 4)], collect_cdf=True
+    )
+    assert res is not None
+    v2, summary = res
+    assert summary["rows_updated"] == 4  # k in 0,1,2,4 — 3 is DV-deleted
+    got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert 3 not in got  # not resurrected by the rewrite
+    assert got[2] == 102.0 and got[5] == 5.0
+    feed = minitable.change_feed(spark, path, 1, v2)
+    imgs = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in feed.collect()
+    }
+    assert imgs[("update_preimage", 2)] == 2.0
+    assert imgs[("update_postimage", 2)] == 102.0
+    assert ("update_preimage", 3) not in imgs  # DV'd row not an image
+    assert len(imgs) == 8  # 4 pre + 4 post
+    # constraint: an update INTO violation is rejected with no commit
+    minitable.add_constraint(spark, path, "v_small", "v < 1000")
+    head = minitable.versions(path)[-1]
+    with pytest.raises(ValueError, match="v_small"):
+        minitable.update(spark, path, {"v": "v + 5000"}, [("k", "=", 5)])
+    assert minitable.versions(path)[-1] == head
+    # copy-on-write delete whose probe reads THROUGH a live DV anti-join
+    # (regression: input_file_name() refuses multi-source plans)
+    res = minitable.delete_dv(spark, path, [("k", "=", 7)])
+    assert res is not None
+    res = minitable.delete(spark, path, [("k", ">=", 6)])
+    assert res is not None
+    got = sorted(r["k"] for r in minitable.read(spark, path).collect())
+    assert got == [0, 1, 2, 4, 5]
+
+
+def test_minitable_update_serializable_conflicts(spark, tmp_path, monkeypatch):
+    """UPDATE claims readVersion+1: an in-scope concurrent append
+    conflicts (its rows should have been updated); a provably-disjoint
+    append auto-rebases.  An UNFILTERED update conflicts with ANY
+    concurrent append."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+
+    def df(lo, hi):
+        return spark.createDataFrame(
+            [(k, float(k)) for k in range(lo, hi)], "k bigint, v double"
+        ).coalesce(1)
+
+    minitable.write(spark, df(0, 10), path, "overwrite", stats_cols=["k"])
+
+    real_commit = minitable.commit
+    raced = {}
+
+    def racing_commit(path_, action, added, **kw):
+        if raced.get("spec") and kw.get("expected_version") is not None and action == "merge":
+            spec = raced.pop("spec")
+            minitable.write(spark, df(*spec), path, "append", stats_cols=["k"])
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_commit)
+
+    # disjoint concurrent append (keys 100..105, update scope k < 5): rebases
+    raced["spec"] = (100, 105)
+    res = minitable.update(spark, path, {"v": "v + 1"}, [("k", "<", 5)])
+    assert res is not None
+    got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert got[0] == 1.0 and got[100] == 100.0  # both commits landed
+
+    # in-scope concurrent append (keys 0..2 land inside k < 5): loud conflict
+    raced["spec"] = (0, 3)
+    with pytest.raises(minitable.CommitConflict):
+        minitable.update(spark, path, {"v": "v + 1"}, [("k", "<", 5)])
+    raced.clear()
+
+    # unfiltered update vs ANY concurrent append: loud conflict
+    raced["spec"] = (2000, 2002)
+    with pytest.raises(minitable.CommitConflict):
+        minitable.update(spark, path, {"v": "v + 1"})

@@ -3942,6 +3942,118 @@ GROUP BY side
 """
 
 
+# ---------------------------------------------------------------------------
+# q188 — UPDATE ... SET ... WHERE (Delta's UPDATE verb), the last
+# everyday DML verb: previously only expressible as a self-MERGE.  Two-
+# phase touched-file shape (minitable.update): stats bound the candidate
+# files, a probe (predicate columns only) confirms and counts matches
+# per file, and ONLY matching files are rewritten with the per-row
+# `CASE WHEN matched THEN expr ELSE old END` projection — O(touched
+# files) on a clustered 100 TB table, never O(table).  The build drives
+# it through a live DELETION VECTOR (v1's delete_dv): the update neither
+# updates nor resurrects logically-deleted rows, and collect_cdf stages
+# update_preimage/update_postimage rows the change feed serves (both
+# asserted at build).  The hash gate proves the three-version timeline:
+# v0 complete, v1 post-DV, v2 with exactly the in-scope rows updated by
+# the SQL expression evaluated over OLD values.
+# ---------------------------------------------------------------------------
+def q188_update_where(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_upd", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        cut1, cut2 = maxk // 5, maxk // 2
+        minitable.write(  # v0: 6 key-range files
+            spark,
+            orders.select("o_orderkey", "o_totalprice").repartitionByRange(6, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        res = minitable.delete_dv(spark, table, [("o_orderkey", "<=", cut1)])  # v1
+        assert res is not None
+        res = minitable.update(  # v2: exact-IEEE expression over OLD values
+            spark,
+            table,
+            {"o_totalprice": "o_totalprice * 2 + 1"},
+            [("o_orderkey", "<=", cut2)],
+            stats_cols=["o_orderkey"],
+            collect_cdf=True,
+        )
+        assert res is not None
+        v2, summary = res
+        # stats kept the high-key files out of the rewrite entirely
+        assert summary["untouched"] >= 1, summary
+        n_scope = int(
+            orders.where(
+                (F.col("o_orderkey") > cut1) & (F.col("o_orderkey") <= cut2)
+            ).count()
+        )
+        # DV-deleted rows (<= cut1) are not updated
+        assert summary["rows_updated"] == n_scope, (summary, n_scope)
+        # the feed serves one pre + one post image per updated row
+        feed = minitable.change_feed(spark, table, 1, v2)
+        assert feed.count() == 2 * n_scope
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q188 = """
+WITH mk AS (
+    SELECT MAX(o_orderkey) // 5 AS cut1, MAX(o_orderkey) // 2 AS cut2 FROM orders
+),
+v AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(version)),
+member AS (
+    SELECT v.version, o.o_orderkey,
+           CASE
+               WHEN v.version = 2 AND o.o_orderkey <= (SELECT cut2 FROM mk)
+               THEN o.o_totalprice * 2 + 1
+               ELSE o.o_totalprice
+           END AS p
+    FROM v JOIN orders o
+      ON v.version = 0
+      OR o.o_orderkey > (SELECT cut1 FROM mk)
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -3989,6 +4101,7 @@ QUERIES = {
     "q184_deletion_vectors": q184_deletion_vectors,
     "q185_check_constraints": q185_check_constraints,
     "q186_shallow_clone": q186_shallow_clone,
+    "q188_update_where": q188_update_where,
 }
 
 ORACLE = {
@@ -4038,4 +4151,5 @@ ORACLE = {
     "q184_deletion_vectors": ORACLE_Q184,
     "q185_check_constraints": ORACLE_Q185,
     "q186_shallow_clone": ORACLE_Q186,
+    "q188_update_where": ORACLE_Q188,
 }

@@ -810,6 +810,7 @@ def _read_files_dv(
     rels: list[str],
     schema: dict | None,
     dvs: dict[str, str],
+    keep_fname: str | None = None,
 ) -> DataFrame:
     """Schema-typed scan of `rels` with DELETION VECTORS applied: rows
     whose (file, row_index) appear in a live DV are filtered out by a
@@ -818,23 +819,30 @@ def _read_files_dv(
     O(logically-deleted rows in these files), tiny next to the data).
     File identity is the part-file BASENAME (globally unique: Spark part
     names embed the write job's UUID), so the join is immune to table
-    relocation and URI-scheme differences in `_metadata.file_path`."""
+    relocation and URI-scheme differences in `_metadata.file_path`.
+
+    `keep_fname` names an extra output column carrying each row's file
+    BASENAME, captured from `_metadata` BEFORE the anti join — the
+    touched-file probes (update/delete) need per-row file identity, and
+    `input_file_name()` refuses to plan over the joined (multi-source)
+    result."""
     from pyspark.sql import functions as F
 
     df = _read_files(spark, [os.path.join(path, r) for r in rels], schema)
     want = {r for r in rels}
     dv_files = sorted({dv for r, dv in dvs.items() if r in want})
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     if not dv_files:
-        return df
-    out_cols = df.columns
+        return df.withColumn(keep_fname, fname) if keep_fname else df
+    out_cols = df.columns + ([keep_fname] if keep_fname else [])
     dv_df = spark.read.parquet(*[os.path.join(path, d) for d in dv_files]).select(
         F.col("fname").alias("__dv_fname"), F.col("row_index").alias("__dv_ri")
     )
-    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    df = df.withColumn("__fname", fname).withColumn("__ri", F.col("_metadata.row_index"))
+    if keep_fname:
+        df = df.withColumn(keep_fname, F.col("__fname"))
     return (
-        df.withColumn("__fname", fname)
-        .withColumn("__ri", F.col("_metadata.row_index"))
-        .join(
+        df.join(
             F.broadcast(dv_df),
             (F.col("__fname") == F.col("__dv_fname"))
             & (F.col("__ri") == F.col("__dv_ri")),
@@ -1238,6 +1246,156 @@ def merge(
     )
 
 
+def update(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    where: list[tuple] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    collect_cdf: bool = False,
+) -> tuple[int, dict] | None:
+    """UPDATE ... SET col = expr [WHERE pred] — the everyday DML verb
+    between delete()'s row removal and merge()'s keyed upsert (Delta's
+    UPDATE).  `set_exprs` maps target columns to SQL expressions; every
+    expression is evaluated against the OLD row (SQL UPDATE semantics —
+    `{"a": "b", "b": "a"}` swaps), and the result is cast back to the
+    column's table type.  `where` is the scan()/prune() conjunction
+    shape (None updates every row); NULL predicate rows don't match and
+    are left untouched (q178's three-valued rules).
+
+    Cost model is delete()'s, minus the whole-drop tier (an update must
+    rewrite whatever it touches):
+
+    * files whose stats PROVE no row matches are untouched (free);
+    * a probe confirms which candidates hold matching rows (predicate
+      columns only — parquet column pruning), counting matches per file;
+    * ONLY files with matches are read in full and rewritten with the
+      per-row `CASE WHEN matched THEN expr ELSE old END` projection, and
+      one atomic merge commit swaps them.
+
+    A narrow update on a clustered 100 TB table therefore costs
+    O(touched files), the same two-phase shape as merge()
+    (minitable.py merge docstring).  DV-aware: rewrites read through
+    live deletion vectors (a logically-deleted row neither resurrects
+    nor gets updated) and the commit drops the touched files' DVs (the
+    rewrite materialized them).  CHECK constraints are re-validated on
+    the staged output — an update CAN move rows into violation and must
+    be rejected (Delta enforces constraints on UPDATE too).  CDF:
+    `collect_cdf=True` stages explicit update_preimage/update_postimage
+    rows for change_feed(), exactly merge()'s contract; without it an
+    update commit has no row-level feed (the feed raises loudly for it,
+    like a CDF-less merge).
+
+    Serializable like merge/delete: claims readVersion+1 and auto-
+    rebases only over provably-disjoint commits; an unfiltered update
+    (where=None) conflicts with ANY concurrent append — those rows
+    should have been updated.  Returns (version, {"rewritten",
+    "rows_updated", "untouched"}) or None when no row matches (no
+    commit — updating nothing is not a version)."""
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError("update() needs at least one SET column")
+    where = list(where or [])
+    for col, op, _val in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported update op {op!r} (use {_OPS})")
+    all_versions = versions(path)
+    if not all_versions:
+        raise ValueError(f"minitable {path} is empty — write() the initial version")
+    read_version = all_versions[-1]
+    entries, schema, dvs, constraints = _replay(path, read_version)
+    if not entries:
+        raise ValueError(f"minitable {path} is empty — write() the initial version")
+    cols = (
+        [f["name"] for f in schema["fields"]]
+        if schema is not None
+        else read(spark, path, read_version).columns
+    )
+    unknown = sorted(set(set_exprs) - set(cols))
+    if unknown:
+        raise ValueError(f"UPDATE SET targets unknown column(s) {unknown}")
+    candidates = [f for f, st in entries if _file_survives(st, where)]
+    if not candidates:
+        return None
+    cond = F.coalesce(_where_cond(where), F.lit(False)) if where else F.lit(True)
+    # probe: which candidate files hold matching LIVE rows, and how many
+    # (predicate columns + file basename only — parquet column pruning)
+    probe_cols = {col for col, _o, _v in where}
+    per_file = {
+        r["__file"]: r["n"]
+        for r in (
+            _read_files_dv(spark, path, candidates, schema, dvs, keep_fname="__file")
+            .select(*probe_cols, "__file")
+            .where(cond)
+            .groupBy("__file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    by_base = {r.rsplit("/", 1)[-1]: r for r in candidates}
+    touched = [by_base[b] for b in per_file if b in by_base]
+    touched = [f for f in candidates if f in set(touched)]  # log order
+    if not touched:
+        return None
+    rows_updated = sum(per_file.values())
+    base = _read_files_dv(spark, path, touched, schema, dvs)
+    tgt_types = {f.name: f.dataType for f in base.schema.fields}
+    upd = [
+        (
+            F.when(cond, F.expr(set_exprs[c]).cast(tgt_types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+        )
+        for c in cols
+    ]
+    if collect_cdf:
+        # pre/post images and the rewrite all derive from the same
+        # touched-file scan: persist it so the files are read once
+        base = base.persist()
+    added = _stage(base.select(*upd), path)
+    if constraints:
+        _enforce_constraints(
+            _read_files(spark, [os.path.join(path, a) for a in added], schema),
+            constraints,
+            "update output",
+        )
+    cdf_files = None
+    if collect_cdf:
+        ct = "_change_type"
+        matched = base.where(cond)
+        cdf_df = (
+            matched.select(*cols).withColumn(ct, F.lit("update_preimage"))
+            .unionByName(
+                matched.select(*upd).withColumn(ct, F.lit("update_postimage"))
+            )
+        )
+        cdf_files = _stage(cdf_df, path, kind="cdf")
+        base.unpersist()
+    stats = (
+        _collect_stats(path, added, stats_cols or [], bloom_cols)
+        if (stats_cols or bloom_cols)
+        else None
+    )
+    version = _commit_serializable(
+        path,
+        added,
+        touched,
+        read_version,
+        where,  # [] = unfiltered: ANY concurrent append conflicts
+        stats=stats,
+        cdf=cdf_files,
+    )
+    return version, {
+        "rewritten": len(touched),
+        "rows_updated": rows_updated,
+        "untouched": len(entries) - len(touched),
+    }
+
+
 def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
     """True only when the file's stats PROVE every row satisfies the
     conjunction — the whole-file-drop fast path of delete().  Missing
@@ -1315,13 +1473,15 @@ def delete(
 
     touched: list[str] = []
     if straddle:
+        # file identity via the pre-join basename column: input_file_name()
+        # refuses to plan over the DV anti-joined (multi-source) result
         probe = (
-            _read_files_dv(spark, path, straddle, schema, dvs)
-            .select(*{col for col, _o, _v in where}, F.input_file_name().alias("__file"))
+            _read_files_dv(spark, path, straddle, schema, dvs, keep_fname="__file")
+            .select(*{col for col, _o, _v in where}, "__file")
         )
         probe = probe.where(_where_cond(where)).select("__file").distinct()
-        uris = [r[0] for r in probe.collect()]  # O(touched files) names
-        touched = [f for f in straddle if any(u.endswith("/" + f) for u in uris)]
+        bases = {r[0] for r in probe.collect()}  # O(touched files) names
+        touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
     if not whole and not touched:
         return None
     added: list[str] = []
