@@ -2288,3 +2288,80 @@ def test_minitable_update_serializable_conflicts(spark, tmp_path, monkeypatch):
     raced["spec"] = (2000, 2002)
     with pytest.raises(minitable.CommitConflict):
         minitable.update(spark, path, {"v": "v + 1"})
+
+
+def test_minitable_partition_columns_metadata_only_ops(spark, tmp_path, monkeypatch):
+    """write(partition_by=...): hive-style layout, partition values
+    recorded as exact [v, v] stats — scan prunes to the partition's
+    files from the log alone, and a partition-aligned DELETE drops
+    whole partitions as PURE metadata (pinned: any data-file read
+    during the delete trips the monkeypatch)."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 4, float(k)) for k in range(40)], "k bigint, om bigint, v double"
+    )
+    minitable.write(
+        spark, df.repartition("om"), path, "overwrite",
+        partition_by=["om"], stats_cols=["k"],
+    )
+    rels = [r for r, _st in minitable._live_entries(path)]
+    assert len(rels) == 4 and all("__p_om=" in r for r in rels)
+    back = {(r["k"], r["om"], r["v"]) for r in minitable.read(spark, path).collect()}
+    assert back == {(k, k % 4, float(k)) for k in range(40)}
+
+    # partition-pruned scan: exactly one file planned, decided log-only
+    kept, total = minitable.prune(path, [("om", "=", 2)])
+    assert len(kept) == 1 and total == 4
+    assert minitable.scan(spark, path, [("om", "=", 2)]).count() == 10
+
+    # retention delete: whole-partition drops with ZERO data-file I/O
+    with monkeypatch.context() as m:
+        def _no_reads(*_a, **_k):
+            raise AssertionError("data file read during partition-drop delete")
+
+        m.setattr(minitable, "_read_files_dv", _no_reads)
+        m.setattr(minitable, "_read_files", _no_reads)
+        res = minitable.delete(spark, path, [("om", "<=", 1)])
+    assert res is not None
+    assert res[1] == {"dropped_whole": 2, "rewritten": 0, "untouched": 2}
+    assert {r["om"] for r in minitable.read(spark, path).collect()} == {2, 3}
+
+
+def test_minitable_optimize_partition_aligned(spark, tmp_path):
+    """OPTIMIZE(partition_by=...) bins never span partitions and packed
+    outputs keep the exact [v, v] partition stats, so pruning and
+    metadata-only partition drops survive compaction."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(k, k % 2, float(k)) for k in range(lo, hi)],
+            "k bigint, om bigint, v double",
+        ).repartition("om")
+
+    minitable.write(spark, batch(0, 20), path, "overwrite", partition_by=["om"])
+    minitable.write(spark, batch(20, 40), path, "append", partition_by=["om"])
+    assert len(minitable.snapshot(path)) == 4  # 2 small files per partition
+
+    res = minitable.optimize(
+        spark, path, small_bytes=1 << 20, target_bytes=1 << 22, partition_by=["om"]
+    )
+    assert res is not None
+    assert res["n_small"] == 4 and res["n_bins"] == 2  # one bin per partition
+    entries = dict(minitable._live_entries(path))
+    assert len(entries) == 2
+    vals = sorted(
+        minitable._exact_stat_value(st, "om") for st in entries.values()
+    )
+    assert vals == [0, 1]  # exact partition stats preserved through packing
+    assert all("__p_om=" in r for r in entries)  # hive layout preserved
+
+    # partition drop still pure metadata after compaction
+    res = minitable.delete(spark, path, [("om", "=", 0)])
+    assert res is not None and res[1]["rewritten"] == 0 and res[1]["dropped_whole"] == 1
+    got = {r["k"] for r in minitable.read(spark, path).collect()}
+    assert got == {k for k in range(40) if k % 2 == 1}

@@ -4054,6 +4054,105 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q189 — PARTITION COLUMNS (the hive/Delta layout idiom): write(...,
+# partition_by=["om"]) stages orders hive-style (one directory per
+# order month) and records each file's partition value as an EXACT
+# [v, v] range with proven zero nulls — partition values AS perfect
+# stats (Delta's partitionValues add-action metadata, expressed through
+# the existing skipping machinery, zero new read logic).  The build
+# pins the two 100 TB payoffs: a partition-pruned scan plans exactly
+# the partition's files from the log alone (no storage I/O), and the
+# retention DELETE (`om <= 2`) drops whole partitions as PURE commit-
+# log removes — dropped_whole == 3, rewritten == 0, the O(1)-I/O
+# `DELETE WHERE ds < X` every large lake relies on.  The hash gate
+# proves the timeline: v0 the full table, v1 the post-retention state,
+# plus a partition-pruned scan of one month.
+# ---------------------------------------------------------------------------
+def q189_partition_retention(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_part", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 2:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        minitable.write(  # v0: hive-partitioned by order month
+            spark,
+            orders.select(
+                "o_orderkey",
+                "o_totalprice",
+                F.month("o_orderdate").cast("int").alias("om"),
+            ).repartition("om"),
+            table,
+            "overwrite",
+            partition_by=["om"],
+            stats_cols=["o_orderkey"],
+        )
+        n_parts = len(minitable.snapshot(table))
+        # partition-pruned scan: exactly the month's files, log-decided
+        kept, total = minitable.prune(table, [("om", "=", 5)])
+        assert total == n_parts and 1 <= len(kept) < total, (len(kept), total)
+        res = minitable.delete(spark, table, [("om", "<=", 2)])  # v1: retention
+        assert res is not None
+        _v, summary = res
+        # whole-partition drops, ZERO rewrites — pure metadata I/O
+        assert summary["rewritten"] == 0 and summary["dropped_whole"] >= 1, summary
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("om").alias("min_month"),
+            F.max("om").alias("max_month"),
+        )
+
+    return (
+        agg(minitable.read(spark, table, 0), "v0")
+        .unionByName(agg(minitable.read(spark, table, 1), "v1_retention"))
+        .unionByName(
+            agg(minitable.scan(spark, table, [("om", "=", 5)], 1), "scan_m5")
+        )
+    )
+
+
+ORACLE_Q189 = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice, CAST(MONTH(o_orderdate) AS INT) AS om
+    FROM orders
+),
+v AS (SELECT * FROM (VALUES ('v0'), ('v1_retention'), ('scan_m5')) AS t(phase)),
+member AS (
+    SELECT v.phase, b.o_totalprice, b.om
+    FROM v JOIN base b
+      ON v.phase = 'v0'
+      OR (v.phase = 'v1_retention' AND b.om > 2)
+      OR (v.phase = 'scan_m5' AND b.om = 5)
+)
+SELECT phase,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(om) AS min_month,
+       MAX(om) AS max_month
+FROM member
+GROUP BY phase
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4102,6 +4201,7 @@ QUERIES = {
     "q185_check_constraints": q185_check_constraints,
     "q186_shallow_clone": q186_shallow_clone,
     "q188_update_where": q188_update_where,
+    "q189_partition_retention": q189_partition_retention,
 }
 
 ORACLE = {
@@ -4152,4 +4252,5 @@ ORACLE = {
     "q185_check_constraints": ORACLE_Q185,
     "q186_shallow_clone": ORACLE_Q186,
     "q188_update_where": ORACLE_Q188,
+    "q189_partition_retention": ORACLE_Q189,
 }

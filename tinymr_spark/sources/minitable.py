@@ -358,6 +358,7 @@ def commit(
     record_null_schema: bool = False,
     dv: dict[str, str] | None = None,
     constraints: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -427,6 +428,12 @@ def commit(
         body["dv"] = dv
     if constraints is not None:
         body["constraints"] = constraints
+    if partition_by:
+        # informational: the layout this commit's files were staged
+        # under (partition VALUES live in the per-file stats as exact
+        # [v, v] ranges — this is just the column list for OPTIMIZE's
+        # partition-aligned binning and for introspection)
+        body["partition_by"] = list(partition_by)
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -471,14 +478,52 @@ def last_txn_version(path: str, app_id: str) -> int | None:
     return None
 
 
-def _stage(df: DataFrame, path: str, kind: str = "part") -> list[str]:
+def _stage(
+    df: DataFrame,
+    path: str,
+    kind: str = "part",
+    partition_by: list[str] | None = None,
+) -> list[str]:
     """Write `df` as new part files under a unique attempt prefix BEFORE
     any commit record exists, so a crash between write and commit leaves
     only invisible orphans (the q141 manifest argument).  Returns the
     staged relpaths in sorted (deterministic) order.  `kind` names the
-    prefix ("part" data, "cdf" change-data)."""
+    prefix ("part" data, "cdf" change-data).
+
+    `partition_by` lays the files out hive-style (`__p_{col}={val}/`
+    directories) by writing a DUPLICATE of each partition column: the
+    copy becomes the directory name (Spark drops it from the data), the
+    REAL column stays in the data files — so every read path (schema-
+    typed scans, `_metadata` DV joins, footer stats) works unchanged,
+    with no basePath reconstruction and no partition-value parsing.
+    Each staged file then holds exactly one value per partition column,
+    which makes its footer min/max an EXACT `[v, v]` range — the
+    commit-log stats ARE the partition values (Delta records
+    partitionValues in its add actions; this is the same metadata,
+    expressed as perfect stats), so partition pruning and whole-
+    partition drops ride the existing skipping machinery with zero new
+    read logic.  Leaf-file reads never resurrect the directory column
+    (verified: Spark only infers partition columns under a basePath)."""
+    from pyspark.sql import functions as F
+
     attempt = f"{kind}-{uuid.uuid4().hex[:12]}"
     staging = os.path.join(path, attempt)
+    if partition_by:
+        missing = sorted(set(partition_by) - set(df.columns))
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in DataFrame")
+        out = df
+        dirs = []
+        for c in partition_by:
+            out = out.withColumn(f"__p_{c}", F.col(c))
+            dirs.append(f"__p_{c}")
+        out.write.mode("overwrite").partitionBy(*dirs).parquet(staging)
+        rels = []
+        for root, _dirs, files in os.walk(staging):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rels.append(os.path.relpath(os.path.join(root, f), path))
+        return sorted(rels)
     df.write.mode("overwrite").parquet(staging)
     return sorted(
         f"{attempt}/{f}" for f in os.listdir(staging) if f.endswith(".parquet")
@@ -691,12 +736,26 @@ def write(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
     `stats_cols` opts the commit into per-file min/max stats on those
     columns, enabling `scan()` data skipping and `merge()` file pruning;
     `bloom_cols` adds per-file bloom filters so point predicates skip
     files on UNCLUSTERED columns too.
+
+    `partition_by` lays the batch out hive-style (see _stage) and
+    force-includes the partition columns in `stats_cols`: each staged
+    file holds exactly one value per partition column, so its recorded
+    range is the EXACT `[v, v]` with a proven zero null count — the
+    partition values as perfect metadata.  From there the standard lake
+    idioms are free, with no partition-specific read logic anywhere:
+    `scan([("ds", "=", X)])` prunes to the partition's files without
+    touching storage, and `delete([("ds", "<", X)])` drops whole
+    partitions as PURE commit-log removes (the `_file_fully_matches`
+    proof holds by construction) — the O(1)-I/O retention delete that
+    is the standard 100 TB idiom.  The commit records `partition_by`
+    so OPTIMIZE can keep its bins partition-aligned.
 
     Every commit records the table schema (the evolution timeline).  An
     append whose columns differ from the table's requires
@@ -745,7 +804,9 @@ def write(
     read_version = vs0[-1] if vs0 else None
     constraints = table_constraints(path, read_version) if vs0 else {}
     schema = _merged_schema(table_schema(path, read_version) if vs0 else None, cur)
-    added = _stage(df, path)
+    if partition_by:
+        stats_cols = sorted(set(stats_cols or []) | set(partition_by))
+    added = _stage(df, path, partition_by=partition_by)
     if constraints:
         # typed by the MERGED log schema, not inference: a merge_schema
         # append that legitimately omits an evolved column referenced by
@@ -772,6 +833,7 @@ def write(
                 stats=stats,
                 schema=schema,
                 expected_version=expected,
+                partition_by=partition_by,
             )
         except CommitConflict:
             head = versions(path)[-1]
@@ -1627,6 +1689,22 @@ def delete_dv(
     }
 
 
+def _exact_stat_value(st: dict | None, col: str):
+    """The single value `col` provably takes in a file — recorded range
+    `[v, v]` with a proven zero null count (exactly what write(...,
+    partition_by=[col]) records for every staged file).  None when the
+    stats can't prove single-valuedness."""
+    if not isinstance(st, dict):
+        return None
+    entry = st.get(col)
+    if not isinstance(entry, dict) or entry.get("nulls") != 0:
+        return None
+    rng = entry.get("range")
+    if rng is None or rng[0] != rng[1]:
+        return None
+    return rng[0]
+
+
 def optimize(
     spark: SparkSession,
     path: str,
@@ -1634,6 +1712,7 @@ def optimize(
     target_bytes: int,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict | None:
     """OPTIMIZE (Delta-style bin-packing compaction): rewrite only the
     live files SMALLER than `small_bytes`, first-fit bin-packed in
@@ -1659,32 +1738,55 @@ def optimize(
     silently absorbed (its removed rows resurrected by the packed bins).
     Being row-invariant, OPTIMIZE auto-rebases over concurrent APPENDS
     (they commute — guard_where=None) and conflicts only on file-level
-    overlap or an overwrite."""
+    overlap or an overwrite.
+
+    `partition_by` keeps bins PARTITION-ALIGNED: small files are
+    grouped by their exact per-file partition values (the `[v, v]`
+    stats write(partition_by=...) records) before packing, bins never
+    span partitions, packed outputs are staged back under the hive
+    layout with the partition columns force-included in `stats_cols` —
+    so compaction preserves the exact stats that make partition pruning
+    and whole-partition drops metadata-only.  A partition with a single
+    small file is left alone (nothing to pack with)."""
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
     entries, schema, dvs, _c = _replay(path, read_version)
-    small: list[tuple[str, int]] = []
+    if partition_by:
+        stats_cols = sorted(set(stats_cols or []) | set(partition_by))
+    by_stats = dict(entries)
+    groups: dict[tuple, list[tuple[str, int]]] = {}
     for rel, _st in entries:
         sz = os.path.getsize(os.path.join(path, rel))
-        if sz < small_bytes:
-            small.append((rel, sz))
-    if len(small) < 2:
+        if sz >= small_bytes:
+            continue
+        key = (
+            tuple(_exact_stat_value(by_stats[rel], c) for c in partition_by)
+            if partition_by
+            else ()
+        )
+        groups.setdefault(key, []).append((rel, sz))
+    # singleton groups have nothing to pack with — leave them alone
+    groups = {k: g for k, g in groups.items() if len(g) >= 2}
+    if not groups:
         return None
     bins: list[list[str]] = []
-    cur: list[str] = []
-    cur_sz = 0
-    for rel, sz in small:  # commit-log order: deterministic packing
-        if cur and cur_sz + sz > target_bytes:
-            bins.append(cur)
-            cur, cur_sz = [], 0
-        cur.append(rel)
-        cur_sz += sz
-    bins.append(cur)
+    small: list[tuple[str, int]] = []
+    for key in sorted(groups, key=lambda k: tuple(map(repr, k))):
+        small.extend(groups[key])
+        cur: list[str] = []
+        cur_sz = 0
+        for rel, sz in groups[key]:  # commit-log order: deterministic packing
+            if cur and cur_sz + sz > target_bytes:
+                bins.append(cur)
+                cur, cur_sz = [], 0
+            cur.append(rel)
+            cur_sz += sz
+        bins.append(cur)
     added: list[str] = []
     stats: dict[str, dict] = {}
     for b in bins:
         packed = _read_files_dv(spark, path, b, schema, dvs).coalesce(1)
-        rels = _stage(packed, path)
+        rels = _stage(packed, path, partition_by=partition_by)
         added.extend(rels)
         if stats_cols or bloom_cols:
             stats.update(_collect_stats(path, rels, stats_cols or [], bloom_cols))
