@@ -1855,12 +1855,13 @@ def test_minitable_review2_regressions(spark, tmp_path, monkeypatch):
 def test_minitable_dml_model_fuzz(spark, tmp_path):
     """Model-based differential fuzz over the whole DML surface: a
     random sequence of append / copy-on-write delete / deletion-vector
-    delete / merge upsert+delete / optimize / restore / checkpoint is
-    applied both to a minitable and to a pure-Python dict model; after
-    every step the live read must equal the model, and at the end EVERY
-    recorded version must still read as its as-of state — the
-    interaction coverage (DV x restore x optimize x merge x checkpoint)
-    no enumerated test has."""
+    delete / merge upsert+delete / update / rename-column / optimize /
+    restore / checkpoint is applied both to a minitable and to a
+    pure-Python dict model; after every step the live read must equal
+    the model, and at the end EVERY recorded version must still read as
+    its as-of state UNDER ITS OWN column names — the interaction
+    coverage (DV x restore x optimize x merge x update x rename x
+    checkpoint) no enumerated test has."""
     import random
 
     from pyspark.sql import functions as F
@@ -1872,6 +1873,7 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
     for trial in range(3):
         path = str(tmp_path / f"t{trial}")
         next_key = [0]
+        vcol = ["v"]  # current LOGICAL name of the value column
 
         def fresh_batch(n):
             rows = [(k, float(k * 7 % 101)) for k in range(next_key[0], next_key[0] + n)]
@@ -1879,7 +1881,9 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
             return rows
 
         def to_df(rows):
-            return spark.createDataFrame(rows, "k bigint, v double").coalesce(1)
+            return spark.createDataFrame(
+                rows, f"k bigint, {vcol[0]} double"
+            ).coalesce(1)
 
         rows0 = fresh_batch(30)
         minitable.write(
@@ -1887,20 +1891,23 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
             stats_cols=["k"],
         )
         model = dict(rows0)
-        states = {0: dict(model)}
+        states = {0: (dict(model), vcol[0])}
 
         def sync_and_check(tag):
             head = minitable.versions(path)[-1]
-            states[head] = dict(model)
+            states[head] = (dict(model), vcol[0])
             if model:
-                got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+                got = {
+                    r["k"]: r[vcol[0]]
+                    for r in minitable.read(spark, path).collect()
+                }
                 assert got == model, (trial, tag, head)
             else:
                 assert minitable.snapshot(path) == [], (trial, tag, head)
 
         for step in range(8):
             op = rng.choice(
-                ["append", "delete", "delete_dv", "merge", "update",
+                ["append", "delete", "delete_dv", "merge", "update", "rename",
                  "optimize", "restore", "checkpoint"]
             )
             if op == "append":
@@ -1942,7 +1949,8 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                     continue
                 cut = rng.choice(sorted(model))  # update a prefix of live keys
                 res = minitable.update(
-                    spark, path, {"v": "v + 1000"}, [("k", "<=", cut)],
+                    spark, path,
+                    {vcol[0]: f"{vcol[0]} + 1000"}, [("k", "<=", cut)],
                     stats_cols=["k"],
                 )
                 assert res is not None, (trial, op, cut)  # cut itself matches
@@ -1950,28 +1958,40 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                     k: (v + 1000.0 if k <= cut else v) for k, v in model.items()
                 }
                 sync_and_check(op)
+            elif op == "rename":
+                other = "v2" if vcol[0] == "v" else "v"
+                minitable.rename_column(path, vcol[0], other)
+                vcol[0] = other
+                sync_and_check(op)  # rows unchanged under the new name
             elif op == "optimize":
                 res = minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)
                 if res is not None:
                     sync_and_check(op)
             elif op == "restore":
                 target = rng.choice(sorted(states))
-                if not states[target]:
+                if not states[target][0]:
                     continue
                 minitable.restore(path, target)
-                model = dict(states[target])
+                model = dict(states[target][0])
+                vcol[0] = states[target][1]  # names roll back with the data
                 sync_and_check(op)
             elif op == "checkpoint":
                 minitable.checkpoint(path)
                 # no new version; live read must be unperturbed
-                got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+                got = {
+                    r["k"]: r[vcol[0]]
+                    for r in minitable.read(spark, path).collect()
+                }
                 assert got == model, (trial, "checkpoint")
 
-        # every recorded version still reads as its AS-OF state
-        for v, want in states.items():
+        # every recorded version still reads as its AS-OF state, under
+        # the column names it had THEN (rename x restore x time travel)
+        for v, (want, name) in states.items():
             if not want:
                 continue
-            got = {r["k"]: r["v"] for r in minitable.read(spark, path, v).collect()}
+            df = minitable.read(spark, path, v)
+            assert name in df.columns, (trial, "as-of-name", v, name, df.columns)
+            got = {r["k"]: r[name] for r in df.collect()}
             assert got == want, (trial, "as-of", v)
 
 
@@ -2365,3 +2385,168 @@ def test_minitable_optimize_partition_aligned(spark, tmp_path):
     assert res is not None and res[1]["rewritten"] == 0 and res[1]["dropped_whole"] == 1
     got = {r["k"] for r in minitable.read(spark, path).collect()}
     assert got == {k for k in range(40) if k % 2 == 1}
+
+
+def test_minitable_rename_column_is_pure_metadata(spark, tmp_path):
+    """RENAME COLUMN via column mapping: zero data files change, reads
+    serve the new logical name, AS-OF reads before the rename serve the
+    old one, appends after the rename land under the stable physical
+    name, and stats-based pruning still works through the map."""
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k bigint, v double"
+        ).repartitionByRange(2, "k"),
+        path,
+        "overwrite",
+        stats_cols=["k", "v"],
+    )
+    files_before = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    v_rename = minitable.rename_column(path, "v", "val")
+    files_after = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_after == files_before  # pure metadata
+    assert minitable.read(spark, path).columns == ["k", "val"]
+    assert minitable.read(spark, path, v_rename - 1).columns == ["k", "v"]
+    got = {r["k"]: r["val"] for r in minitable.read(spark, path).collect()}
+    assert got == {k: float(k) for k in range(20)}
+
+    # append with the NEW logical name: stages under the stable physical
+    minitable.write(
+        spark,
+        spark.createDataFrame([(100, 100.0)], "k bigint, val double").coalesce(1),
+        path,
+        "append",
+        stats_cols=["k", "val"],
+    )
+    assert minitable.read(spark, path).count() == 21
+
+    # pruning through the map: stats recorded under physical 'v' (old
+    # files) and under the same physical for new files
+    kept, total = minitable.prune(path, [("val", ">=", 100.0)])
+    assert total == 3 and len(kept) == 1
+    assert minitable.scan(spark, path, [("val", ">=", 100.0)]).count() == 1
+
+    # DML through the map: update + predicate delete on the logical name
+    res = minitable.update(
+        spark, path, {"val": "val + 0.5"}, [("k", "=", 0)], collect_cdf=True
+    )
+    assert res is not None
+    res = minitable.delete(spark, path, [("val", ">=", 100.0)])
+    assert res is not None
+    got = {r["k"]: r["val"] for r in minitable.read(spark, path).collect()}
+    assert got[0] == 0.5 and 100 not in got and len(got) == 20
+
+    # feed across the whole history serves the CURRENT logical names
+    feed = minitable.change_feed(spark, path, v_rename, minitable.versions(path)[-1])
+    assert set(feed.columns) == {"k", "val", "_change_type", "_commit_version"}
+    by_type = {
+        (r["_change_type"], r["k"]) for r in feed.collect()
+    }
+    assert ("insert", 100) in by_type and ("delete", 100) in by_type
+    assert ("update_preimage", 0) in by_type and ("update_postimage", 0) in by_type
+
+
+def test_minitable_drop_column_and_fresh_readd(spark, tmp_path):
+    """DROP COLUMN is metadata-only; a later re-ADD of the same logical
+    name gets a fresh physical name, so the dropped data never
+    resurrects — while AS-OF reads before the drop still serve it."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b")], "k bigint, v double, w string"
+        ).coalesce(1),
+        path,
+        "overwrite",
+    )
+    v_drop = minitable.drop_column(path, "w")
+    assert minitable.read(spark, path).columns == ["k", "v"]
+    assert minitable.read(spark, path, v_drop - 1).columns == ["k", "v", "w"]
+    # re-ADD the same logical name: values must be NULL, never 'a'/'b'
+    minitable.write(
+        spark,
+        spark.createDataFrame([(3, 30.0, "NEW")], "k bigint, v double, w string").coalesce(1),
+        path,
+        "append",
+        merge_schema=True,
+    )
+    got = {r["k"]: r["w"] for r in minitable.read(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: "NEW"}
+    # the physical name is fresh (mapping no longer identity for w)
+    cm = minitable.table_colmap(path)
+    assert cm["w"] != "w" and cm["k"] == "k"
+    # last column refuses to drop; constrained column refuses to rename
+    minitable.add_constraint(spark, path, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        minitable.rename_column(path, "v", "value")
+    with pytest.raises(ValueError, match="v_pos"):
+        minitable.drop_column(path, "v")
+
+
+def test_minitable_colmap_restore_clone_and_stream(spark, tmp_path):
+    """Mapping composes with the rest of the lakehouse: RESTORE to a
+    pre-rename version rolls the logical names back (explicit reset),
+    a clone carries the mapping state, and the stream source serves
+    renamed columns by their stable physical names."""
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    fork = str(tmp_path / "fork")
+    ckpt = str(tmp_path / "ckpt")
+    minitable.write(
+        spark,
+        spark.createDataFrame([(k, float(k)) for k in range(5)], "k bigint, v double").coalesce(1),
+        path,
+        "overwrite",
+    )
+    minitable.rename_column(path, "v", "val")  # v1
+    minitable.clone(path, fork)
+    assert minitable.read(spark, fork).columns == ["k", "val"]
+    assert minitable.table_colmap(fork) == {"k": "k", "val": "v"}
+
+    # restore to the pre-rename version: names AND mapping roll back
+    minitable.restore(path, 0)
+    assert minitable.read(spark, path).columns == ["k", "v"]
+    assert minitable.table_colmap(path) == {}
+    # and the rename is itself restorable (round-trip)
+    minitable.restore(path, 1)
+    assert minitable.read(spark, path).columns == ["k", "val"]
+
+    # stream the renamed column through its physical name
+    rows = []
+
+    def sink(df, _bid):
+        rows.extend((r["k"], r["val"]) for r in df.collect())
+
+    q = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", path)
+        .option("columns", "k,val")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(rows) == [(k, float(k)) for k in range(5)]

@@ -4153,6 +4153,119 @@ GROUP BY phase
 """
 
 
+# ---------------------------------------------------------------------------
+# q190 — RENAME/DROP COLUMN via COLUMN MAPPING (Delta's column-mapping
+# mode), completing q180's ADD-only evolution story: the commit log
+# carries a {logical: physical} map, data files always hold the stable
+# PHYSICAL names, so a rename is one meta commit that re-points the map
+# (zero bytes move — asserted: the parquet file set is unchanged across
+# both ALTERs) and a drop narrows the logical schema while time travel
+# before the change still serves the old names (asserted).  Appends
+# after the rename stage under the stable physical name; stats pruning,
+# DML predicates, and the change feed all translate through the map.
+# The hash gate proves the three-phase timeline: v0 under the original
+# names, the post-rename/append state under the new name, and the
+# post-drop head where the dropped column is gone.
+# ---------------------------------------------------------------------------
+def q190_column_mapping(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_colmap", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 4:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        minitable.write(  # v0: even keys, original names
+            spark,
+            orders.where(k % 2 == 0).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ).repartitionByRange(3, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        def parquets():
+            return {
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(table)
+                for f in fs
+                if f.endswith(".parquet")
+            }
+        before = parquets()
+        minitable.rename_column(table, "o_totalprice", "price")      # v1
+        assert parquets() == before  # rename moved ZERO data bytes
+        assert minitable.read(spark, table, 0).columns == [
+            "o_orderkey", "o_totalprice", "o_orderpriority",
+        ]
+        minitable.write(  # v2: odd keys appended under the NEW name
+            spark,
+            orders.where(k % 2 == 1).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                "o_orderpriority",
+            ).repartitionByRange(3, "o_orderkey"),
+            table,
+            "append",
+            stats_cols=["o_orderkey"],
+        )
+        before = parquets()
+        minitable.drop_column(table, "o_orderpriority")               # v3
+        assert parquets() == before  # drop moved ZERO data bytes
+        assert minitable.read(spark, table).columns == ["o_orderkey", "price"]
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str, price_col: str, has_prio: bool) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col(price_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            (
+                F.count_distinct("o_orderpriority")
+                if has_prio
+                else F.lit(0).cast("long")
+            ).alias("n_prio"),
+        )
+
+    return (
+        agg(minitable.read(spark, table, 0), "v0_original", "o_totalprice", True)
+        .unionByName(agg(minitable.read(spark, table, 2), "v2_renamed", "price", True))
+        .unionByName(agg(minitable.read(spark, table, 3), "v3_dropped", "price", False))
+    )
+
+
+ORACLE_Q190 = """
+WITH v AS (
+    SELECT * FROM (VALUES ('v0_original'), ('v2_renamed'), ('v3_dropped')) AS t(phase)
+),
+member AS (
+    SELECT v.phase, o.o_totalprice, o.o_orderpriority
+    FROM v JOIN orders o
+      ON (v.phase = 'v0_original' AND o.o_orderkey % 2 = 0)
+      OR v.phase IN ('v2_renamed', 'v3_dropped')
+)
+SELECT phase,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CASE WHEN phase = 'v3_dropped' THEN 0
+            ELSE COUNT(DISTINCT o_orderpriority) END AS n_prio
+FROM member
+GROUP BY phase
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4202,6 +4315,7 @@ QUERIES = {
     "q186_shallow_clone": q186_shallow_clone,
     "q188_update_where": q188_update_where,
     "q189_partition_retention": q189_partition_retention,
+    "q190_column_mapping": q190_column_mapping,
 }
 
 ORACLE = {
@@ -4253,4 +4367,5 @@ ORACLE = {
     "q186_shallow_clone": ORACLE_Q186,
     "q188_update_where": ORACLE_Q188,
     "q189_partition_retention": ORACLE_Q189,
+    "q190_column_mapping": ORACLE_Q190,
 }

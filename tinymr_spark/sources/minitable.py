@@ -116,7 +116,7 @@ def checkpoint(path: str, version: int | None = None) -> int:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
-    entries, schema, dvs, constraints = _replay(path, version)
+    entries, schema, dvs, constraints, colmap = _replay(path, version)
     body = {"version": version, "entries": [[f, st] for f, st in entries]}
     if schema is not None:
         body["schema"] = schema
@@ -124,6 +124,8 @@ def checkpoint(path: str, version: int | None = None) -> int:
         body["dvs"] = dvs
     if constraints:
         body["constraints"] = constraints
+    if colmap:
+        body["colmap"] = colmap
     tmp = _checkpoint_file(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         f.write(json.dumps(body))
@@ -149,18 +151,30 @@ def versions(path: str) -> list[int]:
 
 def _replay(
     path: str, version: int | None = None
-) -> tuple[list[tuple[str, dict | None]], dict | None, dict[str, str], dict[str, str]]:
-    """Replay the log to `version`: `(live_entries, schema, dvs)` where
-    live_entries is the `(relpath, stats)` pairs in commit-then-manifest
-    order (`stats` is the per-file column min/max map recorded by the
-    commit that added the file; None when the writer skipped stats —
-    readers must treat that conservatively), schema is the LATEST
-    table-schema record at <= version (Spark StructType jsonValue; None
-    on legacy logs whose commits never recorded one), and dvs maps a
-    live relpath to its current DELETION-VECTOR file (delete_dv's
-    sidecar of logically-deleted (file, row_index) rows; a newer DV for
-    the same file REPLACES the older — it carries the cumulative union —
-    and a rewrite/removal of the base file drops its DV).
+) -> tuple[
+    list[tuple[str, dict | None]],
+    dict | None,
+    dict[str, str],
+    dict[str, str],
+    dict[str, str],
+]:
+    """Replay the log to `version`: `(live_entries, schema, dvs,
+    constraints, colmap)` where live_entries is the `(relpath, stats)`
+    pairs in commit-then-manifest order (`stats` is the per-file column
+    min/max map recorded by the commit that added the file; None when
+    the writer skipped stats — readers must treat that conservatively),
+    schema is the LATEST table-schema record at <= version (Spark
+    StructType jsonValue; None on legacy logs whose commits never
+    recorded one), dvs maps a live relpath to its current
+    DELETION-VECTOR file (delete_dv's sidecar of logically-deleted
+    (file, row_index) rows; a newer DV for the same file REPLACES the
+    older — it carries the cumulative union — and a rewrite/removal of
+    the base file drops its DV), and colmap is the COLUMN-MAPPING table
+    {logical_name: physical_name} (Delta's column-mapping mode: RENAME
+    and DROP COLUMN are pure metadata because data files always carry
+    the stable PHYSICAL names; an empty map means mapping was never
+    activated and physical == logical).  The schema record always holds
+    LOGICAL names; stats/footers hold physical.
 
     Starts from the NEWEST checkpoint <= `version` and replays only the
     tail records after it — O(1) + O(tail) file opens instead of
@@ -171,7 +185,7 @@ def _replay(
     global _replay_opens
     vs = versions(path)
     if not vs:
-        return [], None, {}, {}
+        return [], None, {}, {}, {}
     if version is None:
         version = vs[-1]
     if version not in vs:
@@ -180,6 +194,7 @@ def _replay(
     schema: dict | None = None
     dvs: dict[str, str] = {}
     constraints: dict[str, str] = {}
+    colmap: dict[str, str] = {}
     start = 0
     cks = [c for c in checkpoint_versions(path) if c <= version]
     if cks:
@@ -189,6 +204,7 @@ def _replay(
         schema = body.get("schema")
         dvs = dict(body.get("dvs", {}))
         constraints = dict(body.get("constraints", {}))
+        colmap = dict(body.get("colmap", {}))
         start = max(cks) + 1
     for v in vs:
         if v < start:
@@ -225,7 +241,9 @@ def _replay(
             schema = rec["schema"]
         if "constraints" in rec:  # full map, last record wins
             constraints = dict(rec["constraints"])
-    return live, schema, dvs, constraints
+        if "colmap" in rec:  # full map, last record wins ({} = explicit reset)
+            colmap = dict(rec["colmap"])
+    return live, schema, dvs, constraints, colmap
 
 
 def _live_entries(path: str, version: int | None = None) -> list[tuple[str, dict | None]]:
@@ -337,6 +355,157 @@ def table_schema(path: str, version: int | None = None) -> dict | None:
     return _replay(path, version)[1]
 
 
+def table_colmap(path: str, version: int | None = None) -> dict[str, str]:
+    """The column-mapping table {logical: physical} AS OF `version`;
+    empty when mapping was never activated (physical == logical)."""
+    return _replay(path, version)[4]
+
+
+def _physical_schema(schema: dict, colmap: dict[str, str]) -> dict:
+    """The schema with field names mapped logical -> physical — the
+    shape the parquet files actually carry."""
+    out = dict(schema)
+    out["fields"] = [
+        {**f, "name": colmap.get(f["name"], f["name"])} for f in schema["fields"]
+    ]
+    return out
+
+
+def _full_colmap(schema: dict, colmap: dict[str, str]) -> dict[str, str]:
+    """`colmap` completed with identity entries for every schema field —
+    the shape rename/drop meta commits record (a complete map, so later
+    readers never have to guess which columns predate activation)."""
+    return {f["name"]: colmap.get(f["name"], f["name"]) for f in schema["fields"]}
+
+
+def _phys_where(where: list[tuple], colmap: dict[str, str]) -> list[tuple]:
+    """A where-conjunction translated logical -> physical for consulting
+    commit-log stats (which are keyed by the files' physical names)."""
+    if not colmap:
+        return where
+    return [(colmap.get(c, c), op, v) for c, op, v in where]
+
+
+def _to_physical(df: DataFrame, colmap: dict[str, str]) -> DataFrame:
+    """Rename a logical-named DataFrame to physical names for staging —
+    data files ALWAYS carry physical names (Delta's column-mapping
+    invariant: rename/drop never rewrite data because the files' names
+    never change).  Columns without a map entry (e.g. `_change_type` on
+    staged change-data) pass through."""
+    from pyspark.sql import functions as F
+
+    if not colmap or all(colmap.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+    )
+
+
+def _constraint_mentions(constraints: dict[str, str], col: str) -> list[str]:
+    """Constraint names whose SQL expression mentions `col` as a word —
+    conservative (a string literal containing the name also matches):
+    renaming/dropping a constrained column is refused rather than
+    silently breaking the recorded expression."""
+    import re
+
+    pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+    return sorted(n for n, e in constraints.items() if pat.search(e))
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — pure metadata via COLUMN MAPPING
+    (Delta's column-mapping mode): the meta commit records the renamed
+    LOGICAL schema plus the full {logical: physical} map, where the new
+    logical name keeps the OLD physical name — data files are untouched
+    (they always carry physical names), and AS-OF reads before this
+    commit still serve the old logical name because they resolve the
+    map as of their version.  Refused when the column is referenced by
+    a CHECK constraint (the recorded expression would silently break).
+    Claims head+1: racing a schema-evolving append must conflict, not
+    silently drop its column from the recorded map."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits")
+    head = vs[-1]
+    _e, schema, _d, constraints, colmap = _replay(path, head)
+    if schema is None:
+        raise ValueError(
+            f"minitable {path} has no recorded schema — column mapping "
+            "needs the schema timeline (write with this library first)"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {names}")
+    blocked = _constraint_mentions(constraints, old)
+    if blocked:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by CHECK constraint(s) "
+            f"{blocked} — drop them first"
+        )
+    full = _full_colmap(schema, colmap)
+    full[new] = full.pop(old)  # the new logical keeps the old physical
+    new_schema = dict(schema)
+    new_schema["fields"] = [
+        ({**f, "name": new} if f["name"] == old else f) for f in schema["fields"]
+    ]
+    return commit(
+        path,
+        "meta",
+        [],
+        schema=new_schema,
+        colmap=full,
+        data_change=False,
+        expected_version=head + 1,
+    )
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — pure metadata via COLUMN MAPPING: the
+    meta commit records the narrowed LOGICAL schema and the map without
+    the dropped entry; data files keep the physical column (unreadable
+    through the table — time travel before the drop still serves it).
+    A later re-ADD of the same logical name gets a FRESH physical name
+    (write() assigns one when mapping is active), so the dropped data
+    never resurrects.  Refused for the last column or a constrained
+    column."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits")
+    head = vs[-1]
+    _e, schema, _d, constraints, colmap = _replay(path, head)
+    if schema is None:
+        raise ValueError(
+            f"minitable {path} has no recorded schema — column mapping "
+            "needs the schema timeline (write with this library first)"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the last column of a table")
+    blocked = _constraint_mentions(constraints, name)
+    if blocked:
+        raise ValueError(
+            f"cannot drop {name!r}: referenced by CHECK constraint(s) "
+            f"{blocked} — drop them first"
+        )
+    full = _full_colmap(schema, colmap)
+    full.pop(name)
+    new_schema = dict(schema)
+    new_schema["fields"] = [f for f in schema["fields"] if f["name"] != name]
+    return commit(
+        path,
+        "meta",
+        [],
+        schema=new_schema,
+        colmap=full,
+        data_change=False,
+        expected_version=head + 1,
+    )
+
+
 def snapshot(path: str, version: int | None = None) -> list[str]:
     """The live file list AS OF `version` (latest when None), absolute
     paths, in commit-then-manifest order (deterministic)."""
@@ -359,6 +528,7 @@ def commit(
     dv: dict[str, str] | None = None,
     constraints: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
+    colmap: dict[str, str] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -428,6 +598,10 @@ def commit(
         body["dv"] = dv
     if constraints is not None:
         body["constraints"] = constraints
+    if colmap is not None:
+        # full logical->physical map, last record wins; {} is an
+        # explicit reset (restore to a pre-mapping era)
+        body["colmap"] = colmap
     if partition_by:
         # informational: the layout this commit's files were staged
         # under (partition VALUES live in the per-file stats as exact
@@ -802,23 +976,58 @@ def write(
         f["nullable"] = True
     vs0 = versions(path)
     read_version = vs0[-1] if vs0 else None
-    constraints = table_constraints(path, read_version) if vs0 else {}
-    schema = _merged_schema(table_schema(path, read_version) if vs0 else None, cur)
+    if vs0:
+        _e0, prev_schema, _d0, constraints, colmap = _replay(path, read_version)
+    else:
+        prev_schema, constraints, colmap = None, {}, {}
+    schema = _merged_schema(prev_schema, cur)
+
+    def _evolve_colmap(base_cm: dict, stage_cm: dict | None = None):
+        """With mapping active, every schema field needs a physical
+        name; a field the map has never seen gets a FRESH one (a
+        re-added logical name must not resurrect a dropped column's
+        physical data).  Returns (stage_map, colmap_to_record)."""
+        if not base_cm:
+            return {}, None
+        newmap = dict(base_cm)
+        changed = False
+        for f in schema["fields"]:
+            if f["name"] not in newmap:
+                newmap[f["name"]] = (stage_cm or {}).get(
+                    f["name"], f"{f['name']}_{uuid.uuid4().hex[:6]}"
+                )
+                changed = True
+        return newmap, (newmap if changed else None)
+
+    stage_map, colmap_out = _evolve_colmap(colmap)
     if partition_by:
         stats_cols = sorted(set(stats_cols or []) | set(partition_by))
-    added = _stage(df, path, partition_by=partition_by)
+    added = _stage(
+        _to_physical(df, stage_map),
+        path,
+        partition_by=(
+            [stage_map.get(c, c) for c in partition_by] if partition_by else None
+        ),
+    )
     if constraints:
         # typed by the MERGED log schema, not inference: a merge_schema
         # append that legitimately omits an evolved column referenced by
         # a constraint must resolve it as NULL (SQL CHECK passes), not
         # fail analysis (ADVICE r8)
         _enforce_constraints(
-            _read_files(spark, [os.path.join(path, a) for a in added], schema),
+            _read_files(
+                spark, [os.path.join(path, a) for a in added], schema, stage_map
+            ),
             constraints,
             f"{action} batch",
         )
     stats = (
-        _collect_stats(path, added, stats_cols or [], bloom_cols)
+        _collect_stats(
+            path,
+            added,
+            [stage_map.get(c, c) for c in (stats_cols or [])],
+            [stage_map.get(c, c) for c in bloom_cols] if bloom_cols else None,
+        )
         if (stats_cols or bloom_cols)
         else None
     )
@@ -834,17 +1043,26 @@ def write(
                 schema=schema,
                 expected_version=expected,
                 partition_by=partition_by,
+                colmap=colmap_out,
             )
         except CommitConflict:
             head = versions(path)[-1]
             schema = _merged_schema(table_schema(path, head), cur)
+            # staged files are physical-named and stay valid across a
+            # concurrent rename (physical names never change); re-derive
+            # the recorded map against the head, keeping our already-
+            # staged physical assignments for evolved columns
+            _sm, colmap_out = _evolve_colmap(table_colmap(path, head), stage_map)
             new_constraints = table_constraints(path, head)
             if new_constraints != constraints:
                 constraints = new_constraints
                 if constraints:
                     _enforce_constraints(
                         _read_files(
-                            spark, [os.path.join(path, a) for a in added], schema
+                            spark,
+                            [os.path.join(path, a) for a in added],
+                            schema,
+                            stage_map,
                         ),
                         constraints,
                         f"{action} batch",
@@ -860,10 +1078,10 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     reconciliation, and an AS-OF read before the evolution serves the
     old schema.  Legacy logs without schema records fall back to
     inference."""
-    entries, schema, dvs, _c = _replay(path, version)
+    entries, schema, dvs, _c, colmap = _replay(path, version)
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {version}")
-    return _read_files_dv(spark, path, [f for f, _ in entries], schema, dvs)
+    return _read_files_dv(spark, path, [f for f, _ in entries], schema, dvs, colmap=colmap)
 
 
 def _read_files_dv(
@@ -873,6 +1091,7 @@ def _read_files_dv(
     schema: dict | None,
     dvs: dict[str, str],
     keep_fname: str | None = None,
+    colmap: dict[str, str] | None = None,
 ) -> DataFrame:
     """Schema-typed scan of `rels` with DELETION VECTORS applied: rows
     whose (file, row_index) appear in a live DV are filtered out by a
@@ -890,7 +1109,7 @@ def _read_files_dv(
     result."""
     from pyspark.sql import functions as F
 
-    df = _read_files(spark, [os.path.join(path, r) for r in rels], schema)
+    df = _read_files(spark, [os.path.join(path, r) for r in rels], schema, colmap)
     want = {r for r in rels}
     dv_files = sorted({dv for r, dv in dvs.items() if r in want})
     fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
@@ -914,18 +1133,44 @@ def _read_files_dv(
     )
 
 
-def _read_files(spark: SparkSession, files: list[str], schema: dict | None) -> DataFrame:
+def _read_files(
+    spark: SparkSession,
+    files: list[str],
+    schema: dict | None,
+    colmap: dict[str, str] | None = None,
+) -> DataFrame:
     """Parquet scan typed by the log's schema record (None -> inference):
     every internal path that reads a subset of live files (scan's pruned
     set, merge/delete's touched set, optimize's bins) must plan with the
     TABLE schema, or a rewrite touching pre-evolution files would drop
-    the evolved columns."""
+    the evolved columns.
+
+    With an active COLUMN MAPPING the files carry physical names: the
+    scan plans with the physical schema (same types), then a projection
+    aliases physical -> logical — a rename/drop is visible to readers
+    purely through this map, the bytes never move.  `_metadata` access
+    survives the aliasing projection (verified), so DV joins stay
+    valid."""
+    from pyspark.sql import functions as F
+
     reader = spark.read
+    mapped = bool(colmap) and schema is not None and any(
+        colmap.get(f["name"], f["name"]) != f["name"] for f in schema["fields"]
+    )
     if schema is not None:
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(schema))
-    return reader.parquet(*files)
+        phys = _physical_schema(schema, colmap) if mapped else schema
+        reader = reader.schema(StructType.fromJson(phys))
+    df = reader.parquet(*files)
+    if mapped:
+        df = df.select(
+            *[
+                F.col(colmap.get(f["name"], f["name"])).alias(f["name"])
+                for f in schema["fields"]
+            ]
+        )
+    return df
 
 
 # A `where` clause for scan()/prune() is a CONJUNCTION of simple
@@ -1007,9 +1252,10 @@ def prune(
     for col, op, _val in where:
         if op not in _OPS:
             raise ValueError(f"unsupported data-skipping op {op!r} (use {_OPS})")
-    entries = _live_entries(path, version)
+    entries, _sch, _dv, _c, colmap = _replay(path, version)
+    pw = _phys_where(where, colmap)  # stats are keyed by physical names
     kept = [
-        os.path.join(path, f) for f, st in entries if _file_survives(st, where)
+        os.path.join(path, f) for f, st in entries if _file_survives(st, pw)
     ]
     return kept, len(entries)
 
@@ -1031,12 +1277,14 @@ def scan(
     if not kept:
         # Provably-empty scan: type it like the table without reading data.
         return read(spark, path, version).limit(0).filter(F.lit(False))
-    entries, schema, dvs, _c = _replay(path, version)
+    entries, schema, dvs, _c, colmap = _replay(path, version)
     # map pruned ABS paths back to their entry identifiers — a shallow
     # clone's borrowed entries are already absolute, and a relpath
     # round-trip would miss their DV-map keys
     by_abs = {os.path.join(path, f): f for f, _st in entries}
-    df = _read_files_dv(spark, path, [by_abs[f] for f in kept], schema, dvs)
+    df = _read_files_dv(
+        spark, path, [by_abs[f] for f in kept], schema, dvs, colmap=colmap
+    )
     return df.filter(_where_cond(where))
 
 
@@ -1197,15 +1445,18 @@ def merge(
     if not all_versions:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     read_version = all_versions[-1]
-    entries, schema, dvs, constraints = _replay(path, read_version)
+    entries, schema, dvs, constraints, colmap = _replay(path, read_version)
     if not entries:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     key_range = [(key, ">=", smin), (key, "<=", smax)]
-    candidates = [f for f, st in entries if _file_survives(st, key_range)]
+    pk_range = _phys_where(key_range, colmap)  # stats are physical-named
+    candidates = [f for f, st in entries if _file_survives(st, pk_range)]
     touched: list[str] = []
     if candidates:
         probe = (
-            _read_files(spark, [os.path.join(path, f) for f in candidates], schema)
+            _read_files(
+                spark, [os.path.join(path, f) for f in candidates], schema, colmap
+            )
             .select(key, F.input_file_name().alias("__file"))
             .join(source.select(key), key, "inner")
             .select("__file")
@@ -1235,7 +1486,7 @@ def merge(
     if touched:
         # DV-aware: a logically-deleted row must not resurrect through
         # the rewrite (the merge commit drops the touched files' DVs)
-        tgt = _read_files_dv(spark, path, touched, schema, dvs)
+        tgt = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
         t, s = tgt.alias("t"), src.alias("s")
         joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
         if collect_cdf:
@@ -1280,7 +1531,7 @@ def merge(
         merged = src.select(*cols)  # nothing can match: pure insert
         if collect_cdf:
             cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
-    added = _stage(merged, path)
+    added = _stage(_to_physical(merged, colmap), path)
     # CHECK constraints validate the STAGED bytes (the exact rows that
     # will commit): staged merge output holds only landing rows —
     # delete-flagged source rows never materialize, and carried-over
@@ -1288,21 +1539,33 @@ def merge(
     # validates the existing table)
     if constraints:
         _enforce_constraints(
-            _read_files(spark, [os.path.join(path, a) for a in added], schema),
+            _read_files(
+                spark, [os.path.join(path, a) for a in added], schema, colmap
+            ),
             constraints,
             "merge output",
         )
-    cdf_files = _stage(cdf_df, path, kind="cdf") if cdf_df is not None else None
+    cdf_files = (
+        _stage(_to_physical(cdf_df, colmap), path, kind="cdf")
+        if cdf_df is not None
+        else None
+    )
     if joined is not None and collect_cdf:
         joined.unpersist()
-    want_stats = sorted({key, *(stats_cols or [])})
-    stats = _collect_stats(path, added, want_stats, bloom_cols)
+    want_stats = sorted(
+        {colmap.get(c, c) for c in {key, *(stats_cols or [])}} if colmap
+        else {key, *(stats_cols or [])}
+    )
+    phys_blooms = (
+        [colmap.get(c, c) for c in bloom_cols] if (bloom_cols and colmap) else bloom_cols
+    )
+    stats = _collect_stats(path, added, want_stats, phys_blooms)
     return _commit_serializable(
         path,
         added,
         touched,
         read_version,
-        key_range,
+        pk_range,  # guard consults intervening commits' (physical) stats
         stats=stats,
         cdf=cdf_files,
     )
@@ -1367,7 +1630,7 @@ def update(
     if not all_versions:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     read_version = all_versions[-1]
-    entries, schema, dvs, constraints = _replay(path, read_version)
+    entries, schema, dvs, constraints, colmap = _replay(path, read_version)
     if not entries:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
     cols = (
@@ -1378,7 +1641,8 @@ def update(
     unknown = sorted(set(set_exprs) - set(cols))
     if unknown:
         raise ValueError(f"UPDATE SET targets unknown column(s) {unknown}")
-    candidates = [f for f, st in entries if _file_survives(st, where)]
+    pw = _phys_where(where, colmap)  # stats are keyed by physical names
+    candidates = [f for f, st in entries if _file_survives(st, pw)]
     if not candidates:
         return None
     cond = F.coalesce(_where_cond(where), F.lit(False)) if where else F.lit(True)
@@ -1388,7 +1652,10 @@ def update(
     per_file = {
         r["__file"]: r["n"]
         for r in (
-            _read_files_dv(spark, path, candidates, schema, dvs, keep_fname="__file")
+            _read_files_dv(
+                spark, path, candidates, schema, dvs,
+                keep_fname="__file", colmap=colmap,
+            )
             .select(*probe_cols, "__file")
             .where(cond)
             .groupBy("__file")
@@ -1402,7 +1669,7 @@ def update(
     if not touched:
         return None
     rows_updated = sum(per_file.values())
-    base = _read_files_dv(spark, path, touched, schema, dvs)
+    base = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
     tgt_types = {f.name: f.dataType for f in base.schema.fields}
     upd = [
         (
@@ -1418,10 +1685,12 @@ def update(
         # pre/post images and the rewrite all derive from the same
         # touched-file scan: persist it so the files are read once
         base = base.persist()
-    added = _stage(base.select(*upd), path)
+    added = _stage(_to_physical(base.select(*upd), colmap), path)
     if constraints:
         _enforce_constraints(
-            _read_files(spark, [os.path.join(path, a) for a in added], schema),
+            _read_files(
+                spark, [os.path.join(path, a) for a in added], schema, colmap
+            ),
             constraints,
             "update output",
         )
@@ -1435,10 +1704,15 @@ def update(
                 matched.select(*upd).withColumn(ct, F.lit("update_postimage"))
             )
         )
-        cdf_files = _stage(cdf_df, path, kind="cdf")
+        cdf_files = _stage(_to_physical(cdf_df, colmap), path, kind="cdf")
         base.unpersist()
     stats = (
-        _collect_stats(path, added, stats_cols or [], bloom_cols)
+        _collect_stats(
+            path,
+            added,
+            [colmap.get(c, c) for c in (stats_cols or [])],
+            [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+        )
         if (stats_cols or bloom_cols)
         else None
     )
@@ -1447,7 +1721,7 @@ def update(
         added,
         touched,
         read_version,
-        where,  # [] = unfiltered: ANY concurrent append conflicts
+        pw,  # [] = unfiltered: ANY concurrent append conflicts
         stats=stats,
         cdf=cdf_files,
     )
@@ -1528,9 +1802,10 @@ def delete(
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema, dvs, _c = _replay(path, read_version)
-    candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
-    whole = [f for f, st in candidates if _file_fully_matches(st, where)]
+    entries, schema, dvs, _c, colmap = _replay(path, read_version)
+    pw = _phys_where(where, colmap)  # stats are keyed by physical names
+    candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
+    whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
     straddle = [f for f, st in candidates if f not in whole]
 
     touched: list[str] = []
@@ -1538,7 +1813,10 @@ def delete(
         # file identity via the pre-join basename column: input_file_name()
         # refuses to plan over the DV anti-joined (multi-source) result
         probe = (
-            _read_files_dv(spark, path, straddle, schema, dvs, keep_fname="__file")
+            _read_files_dv(
+                spark, path, straddle, schema, dvs,
+                keep_fname="__file", colmap=colmap,
+            )
             .select(*{col for col, _o, _v in where}, "__file")
         )
         probe = probe.where(_where_cond(where)).select("__file").distinct()
@@ -1548,15 +1826,20 @@ def delete(
         return None
     added: list[str] = []
     if touched:
-        survivors = _read_files_dv(spark, path, touched, schema, dvs)
+        survivors = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
         # ~cond is NULL (not True) on rows where a predicate column is
         # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
         # and NULL doesn't match.  Coalesce so NULL-predicate rows
         # survive the rewrite (ADVICE r7).
         survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
-        added = _stage(survivors, path)
+        added = _stage(_to_physical(survivors, colmap), path)
     stats = (
-        _collect_stats(path, added, stats_cols or [], bloom_cols)
+        _collect_stats(
+            path,
+            added,
+            [colmap.get(c, c) for c in (stats_cols or [])],
+            [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+        )
         if added and (stats_cols or bloom_cols)
         else None
     )
@@ -1565,9 +1848,9 @@ def delete(
         added,
         whole + touched,
         read_version,
-        where,
+        pw,
         stats=stats,
-        predicate=where,
+        predicate=pw,  # recorded PHYSICAL: rename-proof feed reconstruction
         constraint_sensitive=False,  # a delete only removes rows
     )
     return version, {
@@ -1612,16 +1895,17 @@ def delete_dv(
             raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema, dvs, _c = _replay(path, read_version)
-    candidates = [(f, st) for f, st in entries if _file_survives(st, where)]
-    whole = [f for f, st in candidates if _file_fully_matches(st, where)]
+    entries, schema, dvs, _c, colmap = _replay(path, read_version)
+    pw = _phys_where(where, colmap)  # stats are keyed by physical names
+    candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
+    whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
     straddle = [f for f, st in candidates if f not in whole]
     new_dv_map: dict[str, str] = {}
     rows_marked = 0
     vectorized: list[str] = []
     if straddle:
         base = _read_files(
-            spark, [os.path.join(path, f) for f in straddle], schema
+            spark, [os.path.join(path, f) for f in straddle], schema, colmap
         )
         fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         matches = (
@@ -1675,8 +1959,8 @@ def delete_dv(
         [],
         whole,
         read_version,
-        where,
-        predicate=where,
+        pw,
+        predicate=pw,  # recorded PHYSICAL: rename-proof feed reconstruction
         action="dv",
         dv=new_dv_map or None,
         constraint_sensitive=False,  # a delete only removes rows
@@ -1750,9 +2034,12 @@ def optimize(
     small file is left alone (nothing to pack with)."""
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
-    entries, schema, dvs, _c = _replay(path, read_version)
+    entries, schema, dvs, _c, colmap = _replay(path, read_version)
     if partition_by:
         stats_cols = sorted(set(stats_cols or []) | set(partition_by))
+    phys_parts = (
+        [colmap.get(c, c) for c in partition_by] if partition_by else None
+    )
     by_stats = dict(entries)
     groups: dict[tuple, list[tuple[str, int]]] = {}
     for rel, _st in entries:
@@ -1760,8 +2047,8 @@ def optimize(
         if sz >= small_bytes:
             continue
         key = (
-            tuple(_exact_stat_value(by_stats[rel], c) for c in partition_by)
-            if partition_by
+            tuple(_exact_stat_value(by_stats[rel], c) for c in phys_parts)
+            if phys_parts
             else ()
         )
         groups.setdefault(key, []).append((rel, sz))
@@ -1785,11 +2072,20 @@ def optimize(
     added: list[str] = []
     stats: dict[str, dict] = {}
     for b in bins:
-        packed = _read_files_dv(spark, path, b, schema, dvs).coalesce(1)
-        rels = _stage(packed, path, partition_by=partition_by)
+        packed = _read_files_dv(
+            spark, path, b, schema, dvs, colmap=colmap
+        ).coalesce(1)
+        rels = _stage(_to_physical(packed, colmap), path, partition_by=phys_parts)
         added.extend(rels)
         if stats_cols or bloom_cols:
-            stats.update(_collect_stats(path, rels, stats_cols or [], bloom_cols))
+            stats.update(
+                _collect_stats(
+                    path,
+                    rels,
+                    [colmap.get(c, c) for c in (stats_cols or [])],
+                    [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+                )
+            )
     version = _commit_serializable(
         path,
         added,
@@ -1845,7 +2141,25 @@ def change_feed(
             raise ValueError(f"minitable {path} has no version {bound} (log: {vs})")
     if to_version <= from_version:
         raise ValueError("change_feed() needs from_version < to_version")
-    schema = table_schema(path, to_version)
+    _e, schema, _d, _c, colmap = _replay(path, to_version)
+    # logical view helpers: data/cdf files carry PHYSICAL names; delete
+    # predicates are recorded physical (rename-proof), so reconstruction
+    # filters the physical view and aliases to logical afterwards
+    phys_schema = (
+        _physical_schema(schema, colmap) if (schema and colmap) else schema
+    )
+
+    def _to_logical(df: DataFrame, extra: list[str] = []) -> DataFrame:
+        if not (schema and colmap):
+            return df
+        return df.select(
+            *[
+                F.col(colmap.get(f["name"], f["name"])).alias(f["name"])
+                for f in schema["fields"]
+            ],
+            *extra,
+        )
+
     pieces: list[DataFrame] = []
     for v in vs:
         if v <= from_version or v > to_version:
@@ -1858,7 +2172,10 @@ def change_feed(
             if rec["added"]:
                 pieces.append(
                     _read_files(
-                        spark, [os.path.join(path, f) for f in rec["added"]], schema
+                        spark,
+                        [os.path.join(path, f) for f in rec["added"]],
+                        schema,
+                        colmap,
                     )
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("int"))
@@ -1873,7 +2190,7 @@ def change_feed(
             whole = list(rec.get("removed", ()))
             if whole:
                 pieces.append(
-                    _read_files_dv(spark, path, whole, schema, prev_dvs)
+                    _read_files_dv(spark, path, whole, schema, prev_dvs, colmap=colmap)
                     .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("int"))
                 )
@@ -1891,7 +2208,7 @@ def change_feed(
                     ).where(F.col("fname").isin(basenames))
                     new_rows = new_rows.exceptAll(old_rows)
                 base = _read_files(
-                    spark, [os.path.join(path, r) for r in rels], schema
+                    spark, [os.path.join(path, r) for r in rels], schema, colmap
                 )
                 fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
                 out_cols = base.columns
@@ -1915,21 +2232,30 @@ def change_feed(
         elif rec["action"] == "merge":
             if rec.get("cdf") is not None:
                 if rec["cdf"]:
+                    cdf_df = spark.read.parquet(
+                        *[os.path.join(path, f) for f in rec["cdf"]]
+                    )
                     pieces.append(
-                        spark.read.parquet(
-                            *[os.path.join(path, f) for f in rec["cdf"]]
-                        ).withColumn("_commit_version", F.lit(v).cast("int"))
+                        _to_logical(cdf_df, extra=["_change_type"]).withColumn(
+                            "_commit_version", F.lit(v).cast("int")
+                        )
                     )
             elif rec.get("predicate") is not None:
                 removed = rec.get("removed", [])
                 if removed:
                     # rows an EARLIER deletion vector already removed are
-                    # not deleted again by this commit — apply v-1's DVs
+                    # not deleted again by this commit — apply v-1's DVs.
+                    # The predicate is recorded PHYSICAL (stable across
+                    # renames): filter the physical view, then alias.
                     prev_dvs = _replay(path, v - 1)[2] if v > 0 else {}
-                    df = _read_files_dv(spark, path, removed, schema, prev_dvs)
+                    df = _read_files_dv(spark, path, removed, phys_schema, prev_dvs)
                     pieces.append(
-                        df.where(
-                            F.coalesce(_where_cond(rec["predicate"]), F.lit(False))
+                        _to_logical(
+                            df.where(
+                                F.coalesce(
+                                    _where_cond(rec["predicate"]), F.lit(False)
+                                )
+                            )
                         )
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
@@ -1991,18 +2317,22 @@ def changes(
                 "use a snapshot diff instead"
             )
         added.extend(rec["added"])
+    entries, schema, _dv, _c, colmap = _replay(path, to_version)
     if not added:
         # A quiet period (empty append commits) is a legitimate EMPTY
         # delta, not an error — a polling CDF consumer must get an empty
         # feed (Delta's behavior), typed like the table itself.
-        base = snapshot(path, to_version)
-        if not base:
+        if not entries:
             raise ValueError(
                 f"minitable {path} is empty at version {to_version} — "
                 "no schema to type an empty change feed"
             )
-        return spark.read.parquet(*base).limit(0)
-    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+        return _read_files_dv(
+            spark, path, [f for f, _st in entries], schema, {}, colmap=colmap
+        ).limit(0)
+    return _read_files(
+        spark, [os.path.join(path, f) for f in added], schema, colmap
+    )
 
 
 def restore(path: str, to_version: int) -> int:
@@ -2017,7 +2347,7 @@ def restore(path: str, to_version: int) -> int:
     the old version's schema, so a rollback across an ADD COLUMN also
     rolls the schema timeline back.  Returns the new version number."""
     head = versions(path)[-1]
-    entries, schema, dvs, constraints = _replay(path, to_version)  # raises on unknown version
+    entries, schema, dvs, constraints, colmap = _replay(path, to_version)  # raises on unknown version
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {to_version}")
     missing = [
@@ -2047,6 +2377,7 @@ def restore(path: str, to_version: int) -> int:
         expected_version=head + 1,
         dv=dvs or None,
         constraints=constraints,  # {} is an explicit reset, like schema
+        colmap=colmap,  # {} is an explicit reset too (pre-mapping era)
     )
 
 
@@ -2064,7 +2395,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
     delete files the clone still references (the clone's own vacuum
     walks only its own directory and can never touch borrowed files) —
     retention policy on a cloned-from table must outlive its clones."""
-    entries, schema, dvs, constraints = _replay(src, version)
+    entries, schema, dvs, constraints, colmap = _replay(src, version)
     if not entries:
         raise ValueError(f"minitable {src} is empty at version {version}")
     if versions(dst):
@@ -2085,6 +2416,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         record_null_schema=schema is None,
         dv=dv or None,
         constraints=constraints,
+        colmap=colmap,  # the clone starts at the source's mapping state
     )
 
 
@@ -2122,7 +2454,7 @@ def vacuum(
         if v >= retain_from_version:
             # one replay per retained version: live files AND the live
             # DELETION VECTORS (part of the snapshot's read path)
-            entries, _sch, dvs, _c = _replay(path, v)
+            entries, _sch, dvs, _c, _cm = _replay(path, v)
             keep.update(f for f, _st in entries)
             keep.update(dvs.values())
         with open(_version_file(path, v)) as f:

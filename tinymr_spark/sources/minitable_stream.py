@@ -110,9 +110,19 @@ class _FilePartition(InputPartition):
     match `minitable.read`'s DV semantics, not silently emit raw
     files)."""
 
-    def __init__(self, path: str | None, cols: list[str], dv_path: str | None = None):
+    def __init__(
+        self,
+        path: str | None,
+        cols: list[str],
+        dv_path: str | None = None,
+        phys: list[str] | None = None,
+    ):
         self.path = path
         self.cols = cols
+        # physical file-column name per requested (logical) column — the
+        # table's column mapping resolved at planning time, so a renamed
+        # column streams correctly (executors read by physical name)
+        self.phys = phys or cols
         self.dv_path = dv_path
 
 
@@ -145,7 +155,8 @@ class MinitableStreamReader(DataSourceStreamReader):
         if lo < 0:
             parts0: list[_FilePartition] = []
             if hi >= 0:
-                entries, _schema, dvs, _c = minitable._replay(self.path, hi)
+                entries, _schema, dvs, _c, colmap = minitable._replay(self.path, hi)
+                phys = [colmap.get(c, c) for c in self.cols]
                 for rel, _st in entries:
                     parts0.append(
                         _FilePartition(
@@ -156,10 +167,13 @@ class MinitableStreamReader(DataSourceStreamReader):
                                 if rel in dvs
                                 else None
                             ),
+                            phys=phys,
                         )
                     )
             return parts0 or [_FilePartition(None, self.cols)]
         parts: list[_FilePartition] = []
+        colmap = minitable._replay(self.path, hi)[4]
+        phys = [colmap.get(c, c) for c in self.cols]
         for v in minitable.versions(self.path):
             if v <= lo or v > hi:
                 continue
@@ -175,7 +189,7 @@ class MinitableStreamReader(DataSourceStreamReader):
                     "restart the stream from a fresh checkpoint instead"
                 )
             parts.extend(
-                _FilePartition(os.path.join(self.path, f), self.cols)
+                _FilePartition(os.path.join(self.path, f), self.cols, phys=phys)
                 for f in rec["added"]
             )
         # Spark requires >= 1 partition; an empty range plans a no-op.
@@ -207,14 +221,15 @@ class MinitableStreamReader(DataSourceStreamReader):
                 if fn == base
             }
         pf = pq.ParquetFile(partition.path)
-        present = [c for c in partition.cols if c in pf.schema_arrow.names]
+        phys = getattr(partition, "phys", None) or partition.cols
+        present = [p for p in phys if p in pf.schema_arrow.names]
         offset = 0
         for batch in pf.iter_batches(columns=present):
             data = {
-                c: batch.column(present.index(c)).to_pylist() for c in present
+                p: batch.column(present.index(p)).to_pylist() for p in present
             }
             nulls = [None] * batch.num_rows
-            cols = [data.get(c, nulls) for c in partition.cols]
+            cols = [data.get(p, nulls) for p in phys]
             if dv_idx:
                 for i, row in enumerate(zip(*cols)):
                     if (offset + i) not in dv_idx:
