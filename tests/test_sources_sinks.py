@@ -2550,3 +2550,105 @@ def test_minitable_colmap_restore_clone_and_stream(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(rows) == [(k, float(k)) for k in range(5)]
+
+
+def test_minitable_dv_size_gate_and_materialization(spark, tmp_path, monkeypatch):
+    """Deletion-vector scale valves: (1) past DV_BROADCAST_MAX_BYTES the
+    anti join drops the forced broadcast hint (reads stay correct under
+    a plain join); (2) delete_dv(materialize_fraction=f) rewrites files
+    whose cumulative deleted fraction crosses f — survivors staged, the
+    vector retired — and the change feed still reports exactly each
+    commit's own rows."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(20)], "k bigint, v double"
+        ).repartitionByRange(2, "k"),
+        path,
+        "overwrite",
+        stats_cols=["k"],
+    )
+    files_v0 = set(minitable.snapshot(path))
+    res = minitable.delete_dv(spark, path, [("k", "<=", 3)])  # v1: 4/10 dead
+    assert res is not None and res[1]["vectorized"] == 1 and res[1]["materialized"] == 0
+
+    # (1) size-gated read: force the no-broadcast path, same rows
+    with monkeypatch.context() as m:
+        m.setattr(minitable, "DV_BROADCAST_MAX_BYTES", 0)
+        got = sorted(r["k"] for r in minitable.read(spark, path).collect())
+    assert got == list(range(4, 20))
+
+    # (2) second delete crosses 0.5 cumulative on the low file: 7/10
+    res = minitable.delete_dv(
+        spark, path, [("k", "<=", 6)], materialize_fraction=0.5
+    )
+    assert res is not None
+    v2, summary = res
+    assert summary["materialized"] == 1 and summary["vectorized"] == 0
+    assert summary["rows_marked"] == 3 and summary["dropped_whole"] == 0
+    # the crossed file was REWRITTEN: a new staged file replaced it and
+    # no vector remains live
+    assert not minitable._replay(path)[2], "vector must be retired"
+    new_files = set(minitable.snapshot(path))
+    assert new_files - files_v0, "survivors staged as a new file"
+    got = sorted(r["k"] for r in minitable.read(spark, path).collect())
+    assert got == list(range(7, 20))
+    # history intact
+    assert sorted(r["k"] for r in minitable.read(spark, path, 1).collect()) == list(range(4, 20))
+    assert minitable.read(spark, path, 0).count() == 20
+    # the feed reports exactly THIS commit's rows for the materialization
+    feed = minitable.change_feed(spark, path, 1, v2)
+    assert sorted(r["k"] for r in feed.collect()) == [4, 5, 6]
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+
+
+def test_minitable_parquet_checkpoint_dataframe_readable_and_legacy(spark, tmp_path):
+    """Checkpoints are now PARQUET (one row per live file, table state in
+    the footer metadata): readable as an ordinary DataFrame — the
+    metadata-scale property Delta's parquet checkpoints exist for — and
+    legacy single-JSON-document checkpoints are still honored on read."""
+    import json
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        minitable.write(
+            spark,
+            spark.createDataFrame([(i, float(i))], "k bigint, v double").coalesce(1),
+            path,
+            "append" if i else "overwrite",
+            stats_cols=["k"],
+        )
+    v = minitable.checkpoint(path)
+    ck = minitable._checkpoint_parquet(path, v)
+    assert os.path.exists(ck)
+    # readable as a plain DataFrame: one row per live file
+    df = spark.read.parquet(ck)
+    assert df.count() == len(minitable.snapshot(path))
+    assert set(df.columns) == {"f", "stats", "dv"}
+    # replay plans from it (O(1) + O(tail))
+    assert {r["k"] for r in minitable.read(spark, path).collect()} == {0, 1, 2}
+
+    # legacy JSON checkpoint (the pre-r9 format) still honored: translate
+    # the parquet one back to the old shape at a LATER version and make
+    # sure replay prefers/parses it correctly
+    minitable.write(
+        spark,
+        spark.createDataFrame([(9, 9.0)], "k bigint, v double").coalesce(1),
+        path,
+        "append",
+    )
+    entries, schema, dvs, constraints, colmap = minitable._replay(path)
+    body = {"version": 3, "entries": [[f, st] for f, st in entries]}
+    if schema is not None:
+        body["schema"] = schema
+    with open(minitable._checkpoint_file(path, 3), "w") as f:
+        f.write(json.dumps(body))
+    os.remove(ck)  # only the legacy document remains
+    assert minitable.checkpoint_versions(path) == [3]
+    assert {r["k"] for r in minitable.read(spark, path).collect()} == {0, 1, 2, 9}

@@ -68,7 +68,12 @@ def _version_file(path: str, version: int) -> str:
 
 
 def _checkpoint_file(path: str, version: int) -> str:
+    """Legacy JSON checkpoint name — still read, no longer written."""
     return os.path.join(_log_dir(path), f"ckpt-v{version}.json")
+
+
+def _checkpoint_parquet(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"ckpt-v{version}.parquet")
 
 
 # Every AUTO_CHECKPOINT_INTERVAL-th commit folds the live file list into a
@@ -84,17 +89,36 @@ AUTO_CHECKPOINT_INTERVAL = 10
 # opens O(tail), not O(commits); not part of the public API.
 _replay_opens = 0
 
+# Deletion-vector read strategy gate: while the live vectors for the
+# planned files total at most this many bytes, the anti join broadcasts
+# the DV side (one tiny table to every executor — Delta's per-task
+# bitmap shape).  A table that takes millions of delete_dv rows without
+# an OPTIMIZE would eventually push a broadcast past executor memory,
+# so past the bound the hint is dropped and the anti join plans as an
+# ordinary shuffle join (AQE still free to pick broadcast if the
+# runtime size allows).  Sized under Spark's 10 MB default
+# autoBroadcastJoinThreshold.
+DV_BROADCAST_MAX_BYTES = 8 << 20
+
 
 def checkpoint_versions(path: str) -> list[int]:
-    """Versions with a published log checkpoint, ascending."""
+    """Versions with a published log checkpoint, ascending (parquet
+    checkpoints plus legacy JSON ones)."""
     d = _log_dir(path)
     if not os.path.isdir(d):
         return []
-    out = []
+    out = set()
     for f in os.listdir(d):
-        if f.startswith("ckpt-v") and f.endswith(".json"):
+        if not f.startswith("ckpt-v"):
+            continue
+        stem = None
+        if f.endswith(".json"):
+            stem = f[6:-5]
+        elif f.endswith(".parquet"):
+            stem = f[6:-8]
+        if stem is not None:
             try:
-                out.append(int(f[6:-5]))
+                out.add(int(stem))
             except ValueError:
                 continue
     return sorted(out)
@@ -102,13 +126,23 @@ def checkpoint_versions(path: str) -> list[int]:
 
 def checkpoint(path: str, version: int | None = None) -> int:
     """Fold the live `(relpath, stats)` list AS OF `version` (latest when
-    None) into `_log/ckpt-v{N}.json`, the replay shortcut `_live_entries`
-    starts from.  Content is a pure function of the immutable log, so
-    concurrent checkpointers racing on the same version write identical
-    bodies — `os.replace` publishes whichever lands last, atomically.
-    History stays exact: version records are never removed, so AS-OF
-    reads BEFORE any checkpoint still replay from v0 (or from an older
-    checkpoint)."""
+    None) into `_log/ckpt-v{N}.parquet`, the replay shortcut
+    `_live_entries` starts from.  One ROW PER LIVE FILE (columns: `f`,
+    `stats` as a JSON string, `dv`) with the table-level state (schema /
+    constraints / colmap) in the parquet schema metadata — Delta's
+    parquet-checkpoint shape: at metadata scale (millions of live files)
+    the checkpoint is READABLE AS A DATAFRAME and streams in batches,
+    where the old single-JSON-document form forced an O(live-files)
+    driver `json.load` per read.  Legacy JSON checkpoints are still
+    honored on read.  Content is a pure function of the immutable log,
+    so concurrent checkpointers racing on the same version write
+    identical bodies — `os.replace` publishes whichever lands last,
+    atomically.  History stays exact: version records are never removed,
+    so AS-OF reads BEFORE any checkpoint still replay from v0 (or from
+    an older checkpoint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     vs = versions(path)
     if not vs:
         raise ValueError(f"minitable {path} has no commits to checkpoint")
@@ -117,19 +151,26 @@ def checkpoint(path: str, version: int | None = None) -> int:
     if version not in vs:
         raise ValueError(f"minitable {path} has no version {version} (log: {vs})")
     entries, schema, dvs, constraints, colmap = _replay(path, version)
-    body = {"version": version, "entries": [[f, st] for f, st in entries]}
+    meta = {"version": version}
     if schema is not None:
-        body["schema"] = schema
-    if dvs:
-        body["dvs"] = dvs
+        meta["schema"] = schema
     if constraints:
-        body["constraints"] = constraints
+        meta["constraints"] = constraints
     if colmap:
-        body["colmap"] = colmap
-    tmp = _checkpoint_file(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        f.write(json.dumps(body))
-    os.replace(tmp, _checkpoint_file(path, version))
+        meta["colmap"] = colmap
+    table = pa.table(
+        {
+            "f": pa.array([f for f, _st in entries], pa.string()),
+            "stats": pa.array(
+                [None if st is None else json.dumps(st) for _f, st in entries],
+                pa.string(),
+            ),
+            "dv": pa.array([dvs.get(f) for f, _st in entries], pa.string()),
+        }
+    ).replace_schema_metadata({"minitable_meta": json.dumps(meta)})
+    tmp = _checkpoint_parquet(path, version) + f".{uuid.uuid4().hex[:8]}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, _checkpoint_parquet(path, version))
     return version
 
 
@@ -198,13 +239,38 @@ def _replay(
     start = 0
     cks = [c for c in checkpoint_versions(path) if c <= version]
     if cks:
-        with open(_checkpoint_file(path, max(cks))) as f:
-            body = json.load(f)
-        live = [(e[0], e[1]) for e in body["entries"]]
-        schema = body.get("schema")
-        dvs = dict(body.get("dvs", {}))
-        constraints = dict(body.get("constraints", {}))
-        colmap = dict(body.get("colmap", {}))
+        pq_ckpt = _checkpoint_parquet(path, max(cks))
+        if os.path.exists(pq_ckpt):
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(pq_ckpt)
+            live = [
+                (f, None if st is None else json.loads(st))
+                for f, st in zip(
+                    table.column("f").to_pylist(), table.column("stats").to_pylist()
+                )
+            ]
+            dvs = {
+                f: d
+                for f, d in zip(
+                    table.column("f").to_pylist(), table.column("dv").to_pylist()
+                )
+                if d is not None
+            }
+            meta = json.loads(
+                (table.schema.metadata or {}).get(b"minitable_meta", b"{}")
+            )
+            schema = meta.get("schema")
+            constraints = dict(meta.get("constraints", {}))
+            colmap = dict(meta.get("colmap", {}))
+        else:  # legacy single-JSON-document checkpoint
+            with open(_checkpoint_file(path, max(cks))) as f:
+                body = json.load(f)
+            live = [(e[0], e[1]) for e in body["entries"]]
+            schema = body.get("schema")
+            dvs = dict(body.get("dvs", {}))
+            constraints = dict(body.get("constraints", {}))
+            colmap = dict(body.get("colmap", {}))
         start = max(cks) + 1
     for v in vs:
         if v < start:
@@ -230,6 +296,7 @@ def _replay(
         elif rec["action"] == "dv":
             dropped = set(rec.get("removed", ()))
             live = [e for e in live if e[0] not in dropped]
+            live.extend(fresh)  # materialization rewrites land here
             for r in dropped:
                 dvs.pop(r, None)
             dvs.update(rec.get("dv") or {})  # newer DV replaces (cumulative)
@@ -243,6 +310,9 @@ def _replay(
             constraints = dict(rec["constraints"])
         if "colmap" in rec:  # full map, last record wins ({} = explicit reset)
             colmap = dict(rec["colmap"])
+    if dvs:
+        alive = {f for f, _st in live}
+        dvs = {r: d for r, d in dvs.items() if r in alive}
     return live, schema, dvs, constraints, colmap
 
 
@@ -1119,12 +1189,22 @@ def _read_files_dv(
     dv_df = spark.read.parquet(*[os.path.join(path, d) for d in dv_files]).select(
         F.col("fname").alias("__dv_fname"), F.col("row_index").alias("__dv_ri")
     )
+    # size-gate the broadcast (ADVICE r8 follow-on): vectors accumulate
+    # across delete_dv calls until an OPTIMIZE materializes them, and a
+    # forced broadcast of an unbounded side is the one way this read
+    # could fall over at scale — past the bound, plan a plain anti join
+    # and let Catalyst/AQE pick the strategy from the runtime size
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(path, d)) for d in dv_files
+    )
+    if dv_bytes <= DV_BROADCAST_MAX_BYTES:
+        dv_df = F.broadcast(dv_df)
     df = df.withColumn("__fname", fname).withColumn("__ri", F.col("_metadata.row_index"))
     if keep_fname:
         df = df.withColumn(keep_fname, F.col("__fname"))
     return (
         df.join(
-            F.broadcast(dv_df),
+            dv_df,
             (F.col("__fname") == F.col("__dv_fname"))
             & (F.col("__ri") == F.col("__dv_ri")),
             "left_anti",
@@ -1864,6 +1944,7 @@ def delete_dv(
     spark: SparkSession,
     path: str,
     where: list[tuple],
+    materialize_fraction: float | None = None,
 ) -> tuple[int, dict] | None:
     """DELETE via DELETION VECTORS (Delta 3.x's merge-on-read DELETE):
     instead of rewriting straddling files, record the matching rows'
@@ -1952,12 +2033,46 @@ def delete_dv(
             vectorized = sorted(by_base[b] for b in per_file if b in by_base)
             new_dv_map = {rel: staged[0] for rel in vectorized}
         fresh.unpersist()
-    if not whole and not new_dv_map:
+    # OPPORTUNISTIC MATERIALIZATION (Delta's tombstone-compaction
+    # heuristic, opt-in): a file whose CUMULATIVE deleted fraction
+    # crosses the bound is rewritten now — its survivors staged minus
+    # the vector — instead of dragging an ever-larger DV through every
+    # read.  Footer num_rows is an O(touched files) driver metadata
+    # read; the rewrite cost is O(surviving rows of crossed files).
+    materialized: list[str] = []
+    added: list[str] = []
+    if materialize_fraction is not None and new_dv_map:
+        import pyarrow.parquet as pq
+
+        by_base = {r.rsplit("/", 1)[-1]: r for r in straddle}
+        for rel in sorted(new_dv_map):
+            n_total = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+            n_dead = per_file.get(rel.rsplit("/", 1)[-1], 0)
+            if n_total and n_dead / n_total > materialize_fraction:
+                materialized.append(rel)
+        if materialized:
+            dv_file = next(iter(new_dv_map.values()))
+            survivors = _read_files_dv(
+                spark,
+                path,
+                materialized,
+                schema,
+                {rel: dv_file for rel in materialized},
+                colmap=colmap,
+            )
+            added = _stage(_to_physical(survivors, colmap), path)
+            # materialized rels STAY in the recorded map even though the
+            # commit removes them: "removed AND mapped" is how the change
+            # feed tells a materialization (deletes = the DV diff) from a
+            # whole-drop (deletes = every live row); replay filters the
+            # dead map entries back out of the live DV state
+            vectorized = [r for r in vectorized if r not in set(materialized)]
+    if not whole and not new_dv_map and not materialized:
         return None
     version = _commit_serializable(
         path,
-        [],
-        whole,
+        added,
+        whole + materialized,
         read_version,
         pw,
         predicate=pw,  # recorded PHYSICAL: rename-proof feed reconstruction
@@ -1968,8 +2083,9 @@ def delete_dv(
     return version, {
         "dropped_whole": len(whole),
         "vectorized": len(vectorized),
+        "materialized": len(materialized),
         "rows_marked": rows_marked,
-        "untouched": len(entries) - len(whole) - len(vectorized),
+        "untouched": len(entries) - len(whole) - len(vectorized) - len(materialized),
     }
 
 
@@ -2187,14 +2303,17 @@ def change_feed(
             # O(touched files + marked rows), nothing was ever written
             # beyond the sidecar
             prev_dvs = _replay(path, v - 1)[2] if v > 0 else {}
-            whole = list(rec.get("removed", ()))
+            dv_map = rec.get("dv") or {}
+            # a file both removed AND mapped was MATERIALIZED (rewritten
+            # minus its vector): its deletes are the DV diff below, not
+            # an all-rows piece
+            whole = [r for r in rec.get("removed", ()) if r not in dv_map]
             if whole:
                 pieces.append(
                     _read_files_dv(spark, path, whole, schema, prev_dvs, colmap=colmap)
                     .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_version", F.lit(v).cast("int"))
                 )
-            dv_map = rec.get("dv") or {}
             if dv_map:
                 rels = sorted(dv_map)
                 basenames = [r.rsplit("/", 1)[-1] for r in rels]
