@@ -2652,3 +2652,62 @@ def test_minitable_parquet_checkpoint_dataframe_readable_and_legacy(spark, tmp_p
     os.remove(ck)  # only the legacy document remains
     assert minitable.checkpoint_versions(path) == [3]
     assert {r["k"] for r in minitable.read(spark, path).collect()} == {0, 1, 2, 9}
+
+
+def test_minitable_two_process_commit_race(tmp_path):
+    """True multiprocess race on the commit log: two independent Python
+    processes hammer commit() on one table concurrently.  The
+    O_CREAT|O_EXCL (os.link) claim must yield exactly one winner per
+    version — after both finish, the log is contiguous, every payload
+    landed exactly once, and no commit was lost or duplicated.  (The
+    in-process serializable tests monkeypatch interleavings; this is
+    the end-to-end proof of the atomic-publish claim itself.)"""
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "t")
+    os.makedirs(path, exist_ok=True)
+    n_each = 20
+    worker = r"""
+import sys
+from tinymr_spark.sources import minitable
+
+path, wid, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+for i in range(n):
+    while True:
+        vs = minitable.versions(path)
+        expected = (vs[-1] + 1) if vs else 0
+        try:
+            minitable.commit(
+                path, "append", [f"{wid}-{i}.parquet"],
+                expected_version=expected,
+            )
+            break
+        except minitable.CommitConflict:
+            continue  # rebase: re-read the head, try the next slot
+"""
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, path, wid, str(n_each)], env=env
+        )
+        for wid in ("a", "b")
+    ]
+    for pr in procs:
+        assert pr.wait(timeout=120) == 0
+
+    from tinymr_spark.sources import minitable
+
+    vs = minitable.versions(path)
+    assert vs == list(range(2 * n_each))  # contiguous, no lost slots
+    import json
+
+    payloads = []
+    for v in vs:
+        with open(minitable._version_file(path, v)) as f:
+            rec = json.load(f)
+        assert rec["version"] == v and len(rec["added"]) == 1
+        payloads.extend(rec["added"])
+    want = {f"{w}-{i}.parquet" for w in ("a", "b") for i in range(n_each)}
+    assert sorted(payloads) == sorted(want)  # exactly once each
