@@ -2711,3 +2711,50 @@ for i in range(n):
         payloads.extend(rec["added"])
     want = {f"{w}-{i}.parquet" for w in ("a", "b") for i in range(n_each)}
     assert sorted(payloads) == sorted(want)  # exactly once each
+
+
+def test_minitable_null_and_in_skipping_ops(spark, tmp_path):
+    """IS NULL / IS NOT NULL / IN in the skipping conjunction: a
+    null-scrub DELETE gets all three cost tiers (a proven-all-null file
+    drops whole via nulls == rows, proven null-free files are untouched,
+    straddlers rewrite), and an IN-list predicate prunes per member."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    # three hand-shaped files: all-null v / mixed / null-free
+    def df(rows):
+        return spark.createDataFrame(rows, "k bigint, v double").coalesce(1)
+
+    minitable.write(spark, df([(0, None), (1, None)]), path, "overwrite", stats_cols=["k", "v"])
+    minitable.write(spark, df([(10, None), (11, 5.0)]), path, "append", stats_cols=["k", "v"])
+    minitable.write(spark, df([(20, 7.0), (21, 9.0)]), path, "append", stats_cols=["k", "v"])
+
+    # pruning: IS NULL skips the null-free file, IS NOT NULL skips the
+    # all-null file, IN prunes by member ranges
+    kept, total = minitable.prune(path, [("v", "is_null", None)])
+    assert total == 3 and len(kept) == 2
+    kept, _t = minitable.prune(path, [("v", "is_not_null", None)])
+    assert len(kept) == 2
+    kept, _t = minitable.prune(path, [("k", "in", [20, 21])])
+    assert len(kept) == 1
+    assert minitable.scan(spark, path, [("k", "in", [1, 11, 99])]).count() == 2
+
+    # null-scrub DELETE: all three tiers in one commit
+    res = minitable.delete(spark, path, [("v", "is_null", None)], stats_cols=["k", "v"])
+    assert res is not None
+    _v, summary = res
+    assert summary == {"dropped_whole": 1, "rewritten": 1, "untouched": 1}
+    got = {(r["k"], r["v"]) for r in minitable.read(spark, path).collect()}
+    assert got == {(11, 5.0), (20, 7.0), (21, 9.0)}
+
+    # IN-list DELETE with an exact single-value file: whole-drop proof
+    res = minitable.delete(spark, path, [("k", "in", [11, 99])])
+    assert res is not None
+    got = {r["k"] for r in minitable.read(spark, path).collect()}
+    assert got == {20, 21}
+    # and the feed reconstructs both predicate deletes exactly
+    feed = minitable.change_feed(spark, path, 2, minitable.versions(path)[-1])
+    deletes = sorted(
+        r["k"] for r in feed.collect() if r["_change_type"] == "delete"
+    )
+    assert deletes == [0, 1, 10, 11]

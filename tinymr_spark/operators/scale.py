@@ -4266,6 +4266,109 @@ GROUP BY phase
 """
 
 
+# ---------------------------------------------------------------------------
+# q191 — NULL-SCRUB and IN-LIST DELETE through the skipping algebra:
+# `is_null` / `is_not_null` decide against the commit log's per-file
+# null counts (with `rows` making `nulls == rows` an all-null proof)
+# and `in` decides per member like `=` (range + bloom) — so the two
+# everyday cleanup deletes get the full three-tier cost model:
+# provably-null-free files are UNTOUCHED by the scrub, an all-null file
+# DROPS WHOLE as a pure log remove, and only straddlers rewrite
+# (tiers asserted at build).  This is the data-cleaning idiom of every
+# training pipeline — `DELETE WHERE label IS NULL` /
+# `DELETE WHERE source IN (banned...)` — at O(affected files) cost.
+# The hash gate proves the three-version timeline against the oracle's
+# CASE/NOT-IN reconstruction.
+# ---------------------------------------------------------------------------
+def q191_null_scrub_delete(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_scrub", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        cut = maxk // 3
+        k = F.col("o_orderkey")
+        minitable.write(  # v0: price NULLed on the low-key third
+            spark,
+            orders.select(
+                "o_orderkey",
+                F.when(k <= cut, F.lit(None).cast("double"))
+                .otherwise(F.col("o_totalprice"))
+                .alias("p"),
+                "o_orderpriority",
+            ).repartitionByRange(6, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey", "p"],
+        )
+        res = minitable.delete(  # v1: the NULL scrub — all three tiers
+            spark, table, [("p", "is_null", None)], stats_cols=["o_orderkey", "p"]
+        )
+        assert res is not None
+        _v, summary = res
+        assert summary["dropped_whole"] >= 1, summary  # all-null files: log-only
+        assert summary["untouched"] >= 1, summary      # proven null-free: free
+        res = minitable.delete(  # v2: IN-list retention
+            spark, table, [("o_orderpriority", "in", ["1-URGENT", "5-LOW"])]
+        )
+        assert res is not None
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.count(F.when(F.col("p").isNull(), 1)).alias("n_null"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q191 = """
+WITH mk AS (SELECT MAX(o_orderkey) // 3 AS cut FROM orders),
+base AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= (SELECT cut FROM mk) THEN NULL
+                ELSE o_totalprice END AS p,
+           o_orderpriority
+    FROM orders
+),
+v AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(version)),
+member AS (
+    SELECT v.version, b.p
+    FROM v JOIN base b
+      ON v.version = 0
+      OR (v.version = 1 AND b.p IS NOT NULL)
+      OR (v.version = 2 AND b.p IS NOT NULL
+          AND b.o_orderpriority NOT IN ('1-URGENT', '5-LOW'))
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(CASE WHEN p IS NULL THEN 1 END) AS n_null
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4316,6 +4419,7 @@ QUERIES = {
     "q188_update_where": q188_update_where,
     "q189_partition_retention": q189_partition_retention,
     "q190_column_mapping": q190_column_mapping,
+    "q191_null_scrub_delete": q191_null_scrub_delete,
 }
 
 ORACLE = {
@@ -4368,4 +4472,5 @@ ORACLE = {
     "q188_update_where": ORACLE_Q188,
     "q189_partition_retention": ORACLE_Q189,
     "q190_column_mapping": ORACLE_Q190,
+    "q191_null_scrub_delete": ORACLE_Q191,
 }

@@ -927,11 +927,22 @@ def _collect_stats(
                 per_col[name] = (
                     [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
                 )
-        entry: dict = {
-            k: ({"range": v, "nulls": nulls[k]} if nulls.get(k) is not None else v)
-            for k, v in per_col.items()
-            if v is not None
-        }
+        # One entry per column with ANY provable fact: a known range, a
+        # known null count, or both.  A proven null count without a range
+        # (all-null chunks have no min/max) still decides is_null /
+        # is_not_null predicates, and `rows` (the file's exact row count)
+        # is what lets `nulls == rows` prove an all-null whole-file match.
+        file_rows = md.num_rows
+        entry: dict = {}
+        for k in set(per_col) | {k2 for k2, n in nulls.items() if n is not None}:
+            rng = per_col.get(k)
+            nc = nulls.get(k)
+            if rng is None and nc is None:
+                continue
+            if nc is not None:
+                entry[k] = {"range": rng, "nulls": nc, "rows": file_rows}
+            else:
+                entry[k] = rng  # legacy bare range: nulls unknown
         for bc in bloom_cols or ():
             vals = pq.read_table(os.path.join(path, rel), columns=[bc]).column(0).to_pylist()
             prev = entry.pop(bc, None)
@@ -946,6 +957,7 @@ def _collect_stats(
             }
             if nc is not None:
                 entry[bc]["nulls"] = nc
+                entry[bc]["rows"] = file_rows
         out[rel] = entry
     return out
 
@@ -1255,10 +1267,15 @@ def _read_files(
 
 # A `where` clause for scan()/prune() is a CONJUNCTION of simple
 # predicates `(col, op, literal)` with op in _OPS — the shape file-level
-# min/max stats can decide.  Anything richer belongs in the residual
-# Spark filter, which scan() always applies anyway (pruning is an
-# optimization, never the correctness boundary).
-_OPS = ("<", "<=", ">", ">=", "=")
+# stats can decide.  Range ops compare against per-file min/max; `in`
+# takes a list literal (each member decided like `=`, range + bloom);
+# `is_null`/`is_not_null` take a None literal and decide against the
+# per-file null counts (`is_null` prunes files with a PROVEN zero null
+# count — the data-scrub idiom; `is_not_null` prunes all-null files).
+# Anything richer belongs in the residual Spark filter, which scan()
+# always applies anyway (pruning is an optimization, never the
+# correctness boundary).
+_OPS = ("<", "<=", ">", ">=", "=", "in", "is_null", "is_not_null")
 
 
 def _where_cond(where: list[tuple]):
@@ -1273,7 +1290,17 @@ def _where_cond(where: list[tuple]):
     cond = None
     for col, op, val in where:
         c = F.col(col)
-        term = {"<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val, "=": c == val}[op]
+        if op == "in":
+            term = c.isin(*list(val))
+        elif op == "is_null":
+            term = c.isNull()
+        elif op == "is_not_null":
+            term = c.isNotNull()
+        else:
+            term = {
+                "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+                "=": c == val,
+            }[op]
         cond = term if cond is None else (cond & term)
     return cond
 
@@ -1293,6 +1320,41 @@ def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
             if isinstance(entry, dict)
             else (entry, None)
         )
+        nulls = entry.get("nulls") if isinstance(entry, dict) else None
+        rows = entry.get("rows") if isinstance(entry, dict) else None
+        if op == "is_null":
+            if nulls == 0:
+                return False  # proven null-free: IS NULL matches nothing
+            continue
+        if op == "is_not_null":
+            if nulls is not None and rows is not None and nulls == rows:
+                return False  # proven all-null
+            continue
+        if op == "in":
+            # survives if ANY member could be present (each decided like `=`)
+            members = list(val)
+            alive = []
+            for m in members:
+                ok = True
+                if rng is not None:
+                    lo, hi = rng
+                    try:
+                        if m < lo or m > hi:
+                            ok = False
+                    except TypeError:
+                        pass  # incomparable: stats prove nothing for m
+                if (
+                    ok
+                    and bloom is not None
+                    and bloom.get("norm") == _BLOOM_NORM_VERSION
+                    and not _bloom_maybe_contains(bloom, m)
+                ):
+                    ok = False
+                if ok:
+                    alive.append(m)
+            if not alive:
+                return False
+            continue
         if rng is not None:
             lo, hi = rng
             try:
@@ -1829,8 +1891,18 @@ def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
         return False
     for col, op, val in where:
         entry = stats.get(col)
-        if not (isinstance(entry, dict) and entry.get("nulls") == 0):
+        if not isinstance(entry, dict):
+            return False  # legacy bare range: null count unproven
+        nulls, rows = entry.get("nulls"), entry.get("rows")
+        if op == "is_null":
+            # every row matches only when every row is proven NULL
+            if not (nulls is not None and rows is not None and nulls == rows and rows > 0):
+                return False
+            continue
+        if nulls != 0:
             return False  # null count unproven -> no whole-file drop
+        if op == "is_not_null":
+            continue  # zero nulls: every row matches
         rng = entry.get("range")
         if rng is None:
             return False
@@ -1842,6 +1914,7 @@ def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
                 or (op == ">" and lo > val)
                 or (op == ">=" and lo >= val)
                 or (op == "=" and lo == val and hi == val)
+                or (op == "in" and lo == hi and lo in list(val))
             )
         except TypeError:
             return False  # incomparable literal type: nothing is proven
