@@ -2758,3 +2758,48 @@ def test_minitable_null_and_in_skipping_ops(spark, tmp_path):
         r["k"] for r in feed.collect() if r["_change_type"] == "delete"
     )
     assert deletes == [0, 1, 10, 11]
+
+
+def test_minitable_merge_update_set_accumulates(spark, tmp_path):
+    """Column-level MERGE update sets: WHEN MATCHED THEN UPDATE SET
+    col = expr over the t/s aliases (the accumulate-merge), unlisted
+    columns keep their target values, inserts take the whole source
+    row, and the CDF post-image reflects the SET expressions."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, total double, n bigint, tag string"
+        ).coalesce(1)
+
+    minitable.write(
+        spark, df([(1, 10.0, 1, "a"), (2, 20.0, 2, "b")]), path, "overwrite",
+        stats_cols=["k"],
+    )
+    v = minitable.merge(
+        spark,
+        df([(2, 5.0, 1, "IGNORED"), (3, 7.0, 1, "c")]),
+        path,
+        "k",
+        update_set={"total": "t.total + s.total", "n": "t.n + s.n"},
+        collect_cdf=True,
+        stats_cols=["k"],
+    )
+    got = {r["k"]: (r["total"], r["n"], r["tag"]) for r in minitable.read(spark, path).collect()}
+    assert got == {
+        1: (10.0, 1, "a"),        # untouched file... or carried row
+        2: (25.0, 3, "b"),        # accumulated; unlisted `tag` kept
+        3: (7.0, 1, "c"),         # insert takes the whole source row
+    }
+    feed = minitable.change_feed(spark, path, v - 1, v)
+    post = {r["k"]: r["total"] for r in feed.collect() if r["_change_type"] == "update_postimage"}
+    assert post == {2: 25.0}  # post-image honors the SET expression
+
+    with pytest.raises(ValueError, match="merge key"):
+        minitable.merge(spark, df([(9, 1.0, 1, "x")]), path, "k", update_set={"k": "s.k + 1"})
+    with pytest.raises(ValueError, match="unknown column"):
+        minitable.merge(spark, df([(9, 1.0, 1, "x")]), path, "k", update_set={"zzz": "1"})

@@ -4369,6 +4369,97 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q192 — ACCUMULATE-MERGE via column-level UPDATE SET (Delta's `WHEN
+# MATCHED THEN UPDATE SET col = expr`): a per-customer rollup table is
+# maintained incrementally — the day's delta rollup merges in with
+# `total = t.total + s.total, n = t.n + s.n` — the canonical
+# incremental-aggregation pattern for a 100 TB fact stream (merge cost
+# O(touched files + delta), never a table rebuild).  Exactness: the
+# accumulated column is DECIMAL(18,2), so half+half == whole by
+# associativity (doubles would drift).  Build asserts incremental ==
+# from-scratch rebuild row-for-row; the hash gate proves the final
+# per-bucket state against the oracle's whole-table rollup.
+# ---------------------------------------------------------------------------
+def q192_merge_accumulate(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_accum", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+            F.count("*").alias("n"),
+        )
+
+    if not os.path.exists(done) or len(minitable.versions(table)) < 2:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        half = maxk // 2
+        k = F.col("o_orderkey")
+        minitable.write(  # v0: first-half rollup
+            spark,
+            rollup(orders.where(k <= half)).repartitionByRange(4, "o_custkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_custkey"],
+        )
+        minitable.merge(  # v1: second-half delta accumulates in
+            spark,
+            rollup(orders.where(k > half)),
+            table,
+            "o_custkey",
+            update_set={"total": "t.total + s.total", "n": "t.n + s.n"},
+            stats_cols=["o_custkey"],
+        )
+        inc = minitable.read(spark, table)
+        full = rollup(orders)
+        assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0, (
+            "accumulate-merge diverged from the from-scratch rollup"
+        )
+        open(done, "w").close()
+    return (
+        minitable.read(spark, table)
+        .groupBy((F.col("o_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("n").alias("n_orders"),
+            F.sum("total").cast("double").alias("sum_total"),
+        )
+    )
+
+
+ORACLE_Q192 = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT o_custkey % 10 AS bucket,
+       COUNT(*) AS n_cust,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(total) AS DOUBLE) AS sum_total
+FROM per_cust
+GROUP BY o_custkey % 10
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4420,6 +4511,7 @@ QUERIES = {
     "q189_partition_retention": q189_partition_retention,
     "q190_column_mapping": q190_column_mapping,
     "q191_null_scrub_delete": q191_null_scrub_delete,
+    "q192_merge_accumulate": q192_merge_accumulate,
 }
 
 ORACLE = {
@@ -4473,4 +4565,5 @@ ORACLE = {
     "q189_partition_retention": ORACLE_Q189,
     "q190_column_mapping": ORACLE_Q190,
     "q191_null_scrub_delete": ORACLE_Q191,
+    "q192_merge_accumulate": ORACLE_Q192,
 }

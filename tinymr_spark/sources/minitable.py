@@ -1536,13 +1536,24 @@ def merge(
     bloom_cols: list[str] | None = None,
     check_duplicate_keys: bool = True,
     collect_cdf: bool = False,
+    update_set: dict[str, str] | None = None,
 ) -> int:
-    """MERGE INTO (Delta-style declarative upsert), whole-row semantics:
+    """MERGE INTO (Delta-style declarative upsert), whole-row semantics
+    by default:
 
     * WHEN MATCHED AND `delete_where` (a SQL boolean over SOURCE
       columns) THEN DELETE;
     * WHEN MATCHED THEN UPDATE (the source row replaces the target row);
     * WHEN NOT MATCHED THEN INSERT.
+
+    `update_set` switches the MATCHED-update clause to COLUMN-LEVEL SET
+    expressions (Delta's `WHEN MATCHED THEN UPDATE SET col = expr`):
+    each value is a SQL expression over the aliases `t` (the matched
+    target row) and `s` (the source row) — `{"qty": "t.qty + s.qty"}`
+    is the classic accumulate-merge — evaluated against the OLD target
+    row and cast back to the column's table type; columns not listed
+    keep their target values.  INSERTs still take the whole source row.
+    The merge key cannot be SET (it defines the match).
 
     Scale shape — the reason this is file-level, not table-level
     (Delta's two-phase merge): (1) the commit-log stats on `key` bound
@@ -1615,6 +1626,14 @@ def merge(
         if schema is not None
         else read(spark, path, read_version).columns
     )
+    if update_set is not None:
+        bad = sorted(set(update_set) - set(cols))
+        if bad:
+            raise ValueError(f"update_set targets unknown column(s) {bad}")
+        if key in update_set:
+            raise ValueError(
+                f"update_set cannot SET the merge key {key!r} — it defines the match"
+            )
     # NULL delete_where falls through to UPDATE (Delta's semantics): an
     # un-coalesced NULL flag would make ~(matched & NULL) = NULL and the
     # filter below would silently drop the row — neither deleted nor
@@ -1637,13 +1656,29 @@ def merge(
             # keeping the advertised O(touched + source) cost
             joined = joined.persist()
         matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-        merged = joined.filter(~(matched & F.col("s.__delete"))).select(
-            *[
-                F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
+        tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+
+        def _out_col(c):
+            """The landing value for column `c`: matched rows take the
+            UPDATE clause (whole source row, or the update_set
+            expression over the t/s aliases cast to the table type),
+            inserts take the source row, carried-over target rows keep
+            theirs."""
+            if update_set is None:
+                upd = F.col(f"s.{c}")
+            elif c in update_set:
+                upd = F.expr(update_set[c]).cast(tgt_types[c])
+            else:
+                upd = F.col(f"t.{c}")
+            return (
+                F.when(matched, upd)
+                .when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
-                for c in cols
-            ]
+            )
+
+        merged = joined.filter(~(matched & F.col("s.__delete"))).select(
+            *[_out_col(c) for c in cols]
         )
         if collect_cdf:
             # Delta's merge CDF: explicit change rows written alongside
@@ -1651,6 +1686,8 @@ def merge(
             # Untouched target rows emit nothing.
             t_row = [F.col(f"t.{c}").alias(c) for c in cols]
             s_row = [F.col(f"s.{c}").alias(c) for c in cols]
+            # the post-image is the MERGED landing row (honors update_set)
+            post_row = [_out_col(c) for c in cols]
             updated = matched & ~F.col("s.__delete")
             ct = "_change_type"
             cdf_df = (
@@ -1661,7 +1698,7 @@ def merge(
                     .withColumn(ct, F.lit("update_preimage"))
                 )
                 .unionByName(
-                    joined.filter(updated).select(*s_row)
+                    joined.filter(updated).select(*post_row)
                     .withColumn(ct, F.lit("update_postimage"))
                 )
                 .unionByName(

@@ -59,7 +59,7 @@ BUILD_ONCE = {
     "q182_incremental_mv_dml", "q183_restore_version",
     "q184_deletion_vectors", "q185_check_constraints", "q186_shallow_clone",
     "q188_update_where", "q189_partition_retention", "q190_column_mapping",
-    "q191_null_scrub_delete",
+    "q191_null_scrub_delete", "q192_merge_accumulate",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
