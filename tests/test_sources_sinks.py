@@ -2803,3 +2803,49 @@ def test_minitable_merge_update_set_accumulates(spark, tmp_path):
         minitable.merge(spark, df([(9, 1.0, 1, "x")]), path, "k", update_set={"k": "s.k + 1"})
     with pytest.raises(ValueError, match="unknown column"):
         minitable.merge(spark, df([(9, 1.0, 1, "x")]), path, "k", update_set={"zzz": "1"})
+
+
+def test_minitable_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: every commit records its wall clock; reads
+    resolve the newest version at-or-before the asked instant, with
+    mtime fallback for legacy records and a loud error before the
+    first commit."""
+    import json
+    import os
+
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    clock = [100.0]
+    monkeypatch.setattr(minitable, "_now", lambda: clock[0])
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k bigint").coalesce(1)
+
+    minitable.write(spark, df([(0,)]), path, "overwrite")   # v0 @ 100
+    clock[0] = 200.0
+    minitable.write(spark, df([(1,)]), path, "append")      # v1 @ 200
+    clock[0] = 300.0
+    minitable.write(spark, df([(2,)]), path, "append")      # v2 @ 300
+
+    assert minitable.version_at_timestamp(path, 150.0) == 0
+    assert minitable.version_at_timestamp(path, 200.0) == 1
+    assert minitable.version_at_timestamp(path, 1e18) == 2
+    got = {r["k"] for r in minitable.read_at_timestamp(spark, path, 250.0).collect()}
+    assert got == {0, 1}
+    with pytest.raises(ValueError, match="no commit at or before"):
+        minitable.version_at_timestamp(path, 99.0)
+
+    # legacy record without ts: mtime fallback (real wall clock, i.e.
+    # far in the future of the pinned timeline) — v1 drops out of the
+    # <=250 window, resolution stays correct in commit order
+    vf = minitable._version_file(path, 1)
+    rec = json.loads(open(vf).read())
+    rec.pop("ts")
+    os.remove(vf)
+    with open(vf, "w") as f:
+        f.write(json.dumps(rec))
+    assert minitable.version_at_timestamp(path, 250.0) == 0
+    assert minitable.version_at_timestamp(path, 1e18) == 2

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -188,6 +189,41 @@ def versions(path: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(out)
+
+
+# Commit wall-clock source — module-level indirection so tests can pin it.
+_now = time.time
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta's `versionAtTimestamp`): the
+    newest committed version whose recorded commit time is <= `ts`.
+    Commit times are the writer's wall clock recorded in each version
+    record (legacy records without one fall back to the record file's
+    mtime); like Delta, ordering assumes reasonably-monotonic writer
+    clocks — version numbers, not timestamps, are the source of truth,
+    so the scan keeps the LAST qualifying version in commit order.
+    Raises when `ts` predates the first commit."""
+    best = None
+    for v in versions(path):
+        f = _version_file(path, v)
+        with open(f) as fh:
+            rec = json.load(fh)
+        eff = rec.get("ts")
+        if eff is None:
+            eff = os.path.getmtime(f)
+        if eff <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"minitable {path} has no commit at or before timestamp {ts}"
+        )
+    return best
+
+
+def read_at_timestamp(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """AS-OF-TIMESTAMP read: `read` at `version_at_timestamp(ts)`."""
+    return read(spark, path, version_at_timestamp(path, ts))
 
 
 def _replay(
@@ -646,7 +682,7 @@ def commit(
     else:
         vs = versions(path)
         version = (vs[-1] + 1) if vs else 0
-    body = {"version": version, "action": action, "added": added}
+    body = {"version": version, "action": action, "added": added, "ts": _now()}
     if removed is not None:
         body["removed"] = removed
     if stats:
