@@ -2849,3 +2849,44 @@ def test_minitable_timestamp_time_travel(spark, tmp_path, monkeypatch):
         f.write(json.dumps(rec))
     assert minitable.version_at_timestamp(path, 250.0) == 0
     assert minitable.version_at_timestamp(path, 1e18) == 2
+
+
+def test_minitable_vacuum_dry_run_and_convert_guards(spark, tmp_path):
+    """vacuum_dry_run lists exactly what vacuum would delete without
+    touching a byte; convert_parquet_dir adopts a plain directory
+    in-place and refuses non-empty targets / empty sources."""
+    import os
+
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k bigint").coalesce(1)
+
+    minitable.write(spark, df([(0,)]), path, "overwrite")
+    minitable.write(spark, df([(1,)]), path, "overwrite")  # supersedes v0
+    plan = minitable.vacuum_dry_run(path, retain_from_version=1)
+    assert len(plan) == 1
+    assert os.path.exists(os.path.join(path, plan[0]))  # nothing deleted
+    deleted = minitable.vacuum(path, retain_from_version=1)
+    assert deleted == plan  # the dry run WAS the plan
+    assert not os.path.exists(os.path.join(path, plan[0]))
+
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string").coalesce(
+        1
+    ).write.parquet(plain)
+    conv = str(tmp_path / "conv")
+    minitable.convert_parquet_dir(spark, plain, conv, stats_cols=["k"])
+    got = {(r["k"], r["s"]) for r in minitable.read(spark, conv).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # stats were collected from the borrowed absolute paths
+    kept, total = minitable.prune(conv, [("k", "=", 99)])
+    assert kept == [] and total == 1
+    with pytest.raises(ValueError, match="already has commits"):
+        minitable.convert_parquet_dir(spark, plain, conv)
+    with pytest.raises(ValueError, match="no parquet files"):
+        minitable.convert_parquet_dir(spark, str(tmp_path / "empty"), str(tmp_path / "c2"))

@@ -4460,6 +4460,168 @@ GROUP BY o_custkey % 10
 """
 
 
+# ---------------------------------------------------------------------------
+# q193 — DESCRIBE HISTORY: the audit face of the commit log — one row
+# per version with its action and data_change flag (Delta's DESCRIBE
+# HISTORY), joined against AS-OF row counts so the hash gate proves the
+# whole q181 DML timeline (overwrite -> append -> CDF merge -> predicate
+# delete) as DATA, not just metadata: each version's recorded action
+# matches the row count the snapshot actually serves.  History is a
+# driver-side O(commits) metadata read returned as a DataFrame, so it
+# composes with ordinary queries.
+# ---------------------------------------------------------------------------
+def q193_table_history(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable
+
+    table = _cdf_demo_table(spark, sf_dir)
+    hist = minitable.history(spark, table).select(
+        "version", "action", "data_change"
+    )
+    counts = None
+    for v in minitable.versions(table):
+        c = minitable.read(spark, table, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return (
+        hist.join(counts, "version")
+        .select("version", "action", "data_change", "n_rows")
+    )
+
+
+ORACLE_Q193 = """
+WITH mk AS (SELECT MAX(o_orderkey) AS maxk, MAX(o_orderkey) // 4 AS cut FROM orders),
+n AS (
+    SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)) AS n0,
+        (SELECT COUNT(*) FROM orders) AS nall,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 5) AS n5,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1) AS n1,
+        (SELECT COUNT(*) FROM orders
+         WHERE o_orderkey > (SELECT cut FROM mk) AND o_orderkey % 10 <> 5) AS nkeep
+)
+SELECT * FROM (
+    SELECT CAST(0 AS INT) AS version, 'overwrite' AS action, TRUE AS data_change,
+           n0 AS n_rows FROM n
+    UNION ALL
+    SELECT 1, 'append', TRUE, nall FROM n
+    UNION ALL
+    SELECT 2, 'merge', TRUE, nall - n5 + n1 FROM n
+    UNION ALL
+    SELECT 3, 'merge', TRUE, nkeep + n1 FROM n
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q194 — CONVERT TO minitable (Delta's CONVERT TO DELTA): an existing
+# plain-parquet directory becomes a versioned table for the cost of ONE
+# commit record referencing its files in place by absolute path — zero
+# bytes move (asserted: the table dir holds no parquet after convert),
+# the inferred schema is recorded so reads are log-typed, and every DML
+# verb works from then on with copy-on-write: the append stages locally,
+# the predicate delete whole-drops/rewrites only the table's view while
+# the ORIGINAL directory's file set stays byte-identical (asserted).
+# This is the migration story for a 100 TB raw lake — adopt the log
+# without a rewrite.  The hash gate proves the three-phase timeline.
+# ---------------------------------------------------------------------------
+def q194_convert_in_place(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    plain = versioned_staging_dir("tinymr_spark_plainlake", src_path)
+    table = versioned_staging_dir("tinymr_spark_minitable_convert", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(plain, ignore_errors=True)
+        shutil.rmtree(table, ignore_errors=True)
+        maxk = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        cut = maxk // 3
+        (
+            orders.where(k % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .repartitionByRange(4, "o_orderkey")
+            .write.parquet(plain)
+        )  # the pre-existing PLAIN lake directory
+
+        def listing(d):
+            return sorted(
+                os.path.join(r, f)
+                for r, _dd, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        before = listing(plain)
+        minitable.convert_parquet_dir(  # v0: one commit, zero copies
+            spark, plain, table, stats_cols=["o_orderkey"]
+        )
+        assert listing(table) == []  # borrowed refs only, no local bytes
+        minitable.write(  # v1: append lands locally
+            spark,
+            orders.where(k % 2 == 1).select("o_orderkey", "o_totalprice")
+            .repartitionByRange(2, "o_orderkey"),
+            table,
+            "append",
+            stats_cols=["o_orderkey"],
+        )
+        res = minitable.delete(  # v2: retention delete, copy-on-write
+            spark, table, [("o_orderkey", "<=", cut)], stats_cols=["o_orderkey"]
+        )
+        assert res is not None
+        assert listing(plain) == before  # originals never touched
+        open(done, "w").close()
+    per_version = [
+        minitable.read(spark, table, v)
+        .agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+ORACLE_Q194 = """
+WITH mk AS (SELECT MAX(o_orderkey) // 3 AS cut FROM orders),
+v AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(version)),
+member AS (
+    SELECT v.version, o.o_orderkey, o.o_totalprice
+    FROM v JOIN orders o
+      ON (v.version = 0 AND o.o_orderkey % 2 = 0)
+      OR v.version = 1
+      OR (v.version = 2 AND o.o_orderkey > (SELECT cut FROM mk))
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM member
+GROUP BY version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4512,6 +4674,8 @@ QUERIES = {
     "q190_column_mapping": q190_column_mapping,
     "q191_null_scrub_delete": q191_null_scrub_delete,
     "q192_merge_accumulate": q192_merge_accumulate,
+    "q193_table_history": q193_table_history,
+    "q194_convert_in_place": q194_convert_in_place,
 }
 
 ORACLE = {
@@ -4566,4 +4730,6 @@ ORACLE = {
     "q190_column_mapping": ORACLE_Q190,
     "q191_null_scrub_delete": ORACLE_Q191,
     "q192_merge_accumulate": ORACLE_Q192,
+    "q193_table_history": ORACLE_Q193,
+    "q194_convert_in_place": ORACLE_Q194,
 }

@@ -226,6 +226,89 @@ def read_at_timestamp(spark: SparkSession, path: str, ts: float) -> DataFrame:
     return read(spark, path, version_at_timestamp(path, ts))
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — action, commit
+    timestamp, data_change flag, added/removed file counts, and whether
+    the commit carried deletion vectors / a schema record / a column-map
+    record / an idempotence token.  Driver-side O(commits) JSON reads
+    (the log IS the history; table data never flows through it) returned
+    as a DataFrame so it composes with ordinary queries — Delta's
+    DESCRIBE HISTORY surface."""
+    rows = []
+    for v in versions(path):
+        with open(_version_file(path, v)) as f:
+            rec = json.load(f)
+        rows.append(
+            (
+                v,
+                rec["action"],
+                rec.get("data_change", True) is not False,
+                len(rec.get("added") or ()),
+                len(rec.get("removed") or ()),
+                float(rec["ts"]) if "ts" in rec else None,
+                bool(rec.get("dv")),
+                "schema" in rec,
+                "colmap" in rec,
+                (rec.get("txn") or {}).get("app"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, action string, data_change boolean, n_added int, "
+        "n_removed int, commit_ts double, has_dv boolean, has_schema boolean, "
+        "has_colmap boolean, txn_app string",
+    )
+
+
+def convert_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    path: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """CONVERT TO minitable (Delta's `CONVERT TO DELTA`): commit v0 of
+    `path` referencing an EXISTING plain-parquet directory's files in
+    place, by absolute path — zero data moves, the migration costs one
+    commit record (plus optional O(files) footer reads for stats).  The
+    schema is inferred once from the files and recorded, so subsequent
+    reads are log-typed like any native table; from then on every verb
+    (append/merge/update/delete/optimize/clone/vacuum) works, with
+    copy-on-write rewrites landing under `path` while the borrowed
+    originals are never touched (clone()'s borrowed-file rules: vacuum
+    walks only its own directory).  Refuses a target that already has
+    commits."""
+    if versions(path):
+        raise ValueError(f"convert target {path} already has commits")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {src_dir}")
+    schema = spark.read.parquet(*files).schema.jsonValue()
+    for f in schema["fields"]:
+        f["nullable"] = True
+    os.makedirs(path, exist_ok=True)
+    stats = (
+        _collect_stats(path, files, stats_cols or [], bloom_cols)
+        if (stats_cols or bloom_cols)
+        else None
+    )
+    return commit(path, "overwrite", files, stats=stats, schema=schema)
+
+
+def vacuum_dry_run(path: str, retain_from_version: int,
+                   orphan_grace_seconds: float = 3600.0) -> list[str]:
+    """What vacuum() WOULD delete, without deleting — the safety check
+    before the one destructive verb (Delta's VACUUM DRY RUN)."""
+    return vacuum(
+        path, retain_from_version, orphan_grace_seconds, dry_run=True
+    )
+
+
 def _replay(
     path: str, version: int | None = None
 ) -> tuple[
@@ -2686,7 +2769,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
 
 
 def vacuum(
-    path: str, retain_from_version: int, orphan_grace_seconds: float = 3600.0
+    path: str,
+    retain_from_version: int,
+    orphan_grace_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete part files unreferenced by EVERY version >=
     `retain_from_version`; versions before it become unreadable (their
@@ -2743,6 +2829,7 @@ def vacuum(
                 continue
             if rel not in ever_referenced and os.path.getmtime(full) >= cutoff:
                 continue  # possibly a concurrent writer's staged files
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             deleted.append(rel)
     return deleted

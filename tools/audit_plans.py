@@ -60,6 +60,7 @@ BUILD_ONCE = {
     "q184_deletion_vectors", "q185_check_constraints", "q186_shallow_clone",
     "q188_update_where", "q189_partition_retention", "q190_column_mapping",
     "q191_null_scrub_delete", "q192_merge_accumulate",
+    "q193_table_history", "q194_convert_in_place",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
