@@ -1486,6 +1486,107 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q195 — streaming PARTITIONED ingest + retention: q163's exactly-once
+# micro-batch sink landing into a DAY-PARTITIONED minitable
+# (write(partition_by=["ed"]) — hive layout, partition values as exact
+# [v,v] stats), then the two operations that layout exists for, asserted
+# at build: a partition-pruned scan of one day plans a fraction of the
+# live files from the log alone, and the retention DELETE (`ed <= 10`)
+# drops the old days as PURE commit-log removes — rewritten == 0 —
+# followed by a partition-aligned OPTIMIZE that packs each surviving
+# day's per-batch dribble into one file per day without un-aligning the
+# exact stats.  This is the canonical production pipeline at 100 TB:
+# stream in, partition by date, expire by partition, compact within
+# partitions.  The hash gate proves the post-retention per-day state.
+# ---------------------------------------------------------------------------
+Q195_TXN_APP = "q195_part_ingest"
+
+
+def q195_stream_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable, versioned_staging_dir
+
+    stage = _staged_event_files(spark, sf_dir)
+    src = table_path(sf_dir, "events")
+    table = versioned_staging_dir("tinymr_spark_minitable_partingest", src)
+    done = table + "._done"
+    if not os.path.exists(done):
+        shutil.rmtree(table, ignore_errors=True)
+        ckpt = table + "._ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _pre_stream_cleanup(spark)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+            .select(
+                "event_id",
+                "value",
+                F.dayofmonth("ts").cast("int").alias("ed"),
+            )
+        )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            applied = minitable.last_txn_version(table, Q195_TXN_APP)
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: already committed, exactly-once
+            minitable.write(
+                spark,
+                batch_df.repartition("ed"),
+                table,
+                "append",
+                txn=(Q195_TXN_APP, batch_id),
+                partition_by=["ed"],
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # partition-pruned scan: one day plans a fraction of the files
+        kept, total = minitable.prune(table, [("ed", "=", 15)])
+        assert 1 <= len(kept) < total, (len(kept), total)
+        # retention by partition: pure metadata, zero rewrites
+        res = minitable.delete(spark, table, [("ed", "<=", 10)])
+        assert res is not None
+        assert res[1]["rewritten"] == 0 and res[1]["dropped_whole"] >= 1, res[1]
+        # compact each surviving day's per-batch dribble, partition-aligned
+        opt = minitable.optimize(
+            spark, table, small_bytes=1 << 20, target_bytes=1 << 22,
+            partition_by=["ed"],
+        )
+        if opt is not None:
+            # packed outputs keep the exact per-day stats: pruning intact
+            kept, total = minitable.prune(table, [("ed", "=", 15)])
+            assert 1 <= len(kept) < total, (len(kept), total)
+        open(done, "w").close()
+    return (
+        minitable.read(spark, table)
+        .groupBy("ed")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+ORACLE_Q195 = """
+SELECT CAST(day(ts) AS INT) AS ed, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event
+FROM events
+WHERE day(ts) > 10
+GROUP BY day(ts)
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # q171 — the minitable AS A STREAMING SOURCE (Delta's "table as a
@@ -1583,6 +1684,7 @@ QUERIES = {
     "q149_stream_index_probe": q149_stream_index_probe,
     "q159_stream_semantic_dedup": q159_stream_semantic_dedup,
     "q163_stream_lakehouse_ingest": q163_stream_lakehouse_ingest,
+    "q195_stream_partitioned_ingest": q195_stream_partitioned_ingest,
     "q171_stream_table_source": q171_stream_table_source,
     "q138_statestore_reader": q138_statestore_reader,
 }
@@ -1607,6 +1709,7 @@ ORACLE = {
     # q159 must equal the batch face exactly — the oracle IS q140's.
     "q159_stream_semantic_dedup": _SIM_ORACLE_Q140,
     "q163_stream_lakehouse_ingest": ORACLE_Q163,
+    "q195_stream_partitioned_ingest": ORACLE_Q195,
     "q171_stream_table_source": ORACLE_Q171,
     "q138_statestore_reader": ORACLE_Q138,
 }
