@@ -2890,3 +2890,36 @@ def test_minitable_vacuum_dry_run_and_convert_guards(spark, tmp_path):
         minitable.convert_parquet_dir(spark, plain, conv)
     with pytest.raises(ValueError, match="no parquet files"):
         minitable.convert_parquet_dir(spark, str(tmp_path / "empty"), str(tmp_path / "c2"))
+
+
+def test_minitable_vacuum_keeps_retained_materialized_dv_sidecar(spark, tmp_path):
+    """A dv commit whose every mapped file was MATERIALIZED in the same
+    commit leaves its sidecar out of the live DV map — but the change
+    feed over a RETAINED range still reconstructs that commit's deletes
+    from the sidecar, so vacuum must keep it (like retained cdf files)."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k bigint, v double"
+        ).coalesce(1),
+        path,
+        "overwrite",
+        stats_cols=["k"],
+    )
+    # every matched file crosses the fraction: fully-materialized commit
+    res = minitable.delete_dv(
+        spark, path, [("k", "<", 6)], materialize_fraction=0.1
+    )
+    assert res is not None
+    v, summary = res
+    assert summary["materialized"] == 1 and summary["vectorized"] == 0
+    assert not minitable._replay(path)[2]  # live DV map is empty
+
+    deleted = minitable.vacuum(path, retain_from_version=0)
+    # the sidecar survived: the feed over (0, v] still reconstructs
+    feed = minitable.change_feed(spark, path, 0, v)
+    got = sorted(r["k"] for r in feed.collect())
+    assert got == [0, 1, 2, 3, 4, 5], (got, deleted)

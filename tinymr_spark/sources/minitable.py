@@ -2815,8 +2815,13 @@ def vacuum(
         ever_referenced.update((rec.get("dv") or {}).values())
         if v >= retain_from_version:
             # retained versions keep their change-data files too, so the
-            # feed over the retained range stays queryable
+            # feed over the retained range stays queryable — including a
+            # dv commit's sidecar even when EVERY mapped file was
+            # materialized in the same commit (the replayed live-DV map
+            # then no longer references it, but the feed's DV-diff
+            # reconstruction for this version still reads it)
             keep.update(rec.get("cdf", ()))
+            keep.update((rec.get("dv") or {}).values())
     cutoff = time.time() - orphan_grace_seconds
     deleted = []
     for root, _dirs, files in os.walk(path):
