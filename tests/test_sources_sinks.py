@@ -2923,3 +2923,155 @@ def test_minitable_vacuum_keeps_retained_materialized_dv_sidecar(spark, tmp_path
     feed = minitable.change_feed(spark, path, 0, v)
     got = sorted(r["k"] for r in feed.collect())
     assert got == [0, 1, 2, 3, 4, 5], (got, deleted)
+
+
+def test_minitable_partitioned_staging_basenames_unique_and_dv_safe(spark, tmp_path):
+    """Review fix: Spark's dynamic-partition writer reuses one task file
+    name across partition dirs — staged leaves are re-suffixed so the
+    basename-uniqueness invariant (DV joins, probe maps, stream filter)
+    holds on partitioned tables.  A DV delete on one partition must not
+    bleed into row-index twins in other partitions."""
+    import os
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(9)], "k bigint, om bigint, v double"
+    ).coalesce(1)  # ONE task holding all three partition values
+    minitable.write(spark, df, path, "overwrite", partition_by=["om"])
+    rels = [r for r, _st in minitable._live_entries(path)]
+    bases = [r.rsplit("/", 1)[-1] for r in rels]
+    assert len(rels) == 3 and len(set(bases)) == 3, bases
+
+    # row_index twins exist in every file (each holds 3 rows, idx 0..2);
+    # a DV delete scoped to one partition must remove only ITS rows
+    res = minitable.delete_dv(spark, path, [("om", "=", 1), ("k", "<=", 4)])
+    assert res is not None and res[1]["rows_marked"] == 2  # k = 1, 4
+    got = sorted(r["k"] for r in minitable.read(spark, path).collect())
+    assert got == [0, 2, 3, 5, 6, 7, 8]
+
+
+def test_minitable_backtick_constraint_blocks_rename(spark, tmp_path):
+    """Review fix: a backtick-quoted column reference in a CHECK
+    expression must still block rename/drop of that column."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 2.0)], "k bigint, price double"),
+        path, "overwrite",
+    )
+    minitable.add_constraint(spark, path, "pos", "`price` > 0")
+    with pytest.raises(ValueError, match="pos"):
+        minitable.rename_column(path, "price", "amount")
+    with pytest.raises(ValueError, match="pos"):
+        minitable.drop_column(path, "price")
+
+
+def test_minitable_rename_racing_evolving_append_conflicts(spark, tmp_path, monkeypatch):
+    """Review fix: an evolving append that staged a NEW column under a
+    physical name which a concurrent rename then claimed for a different
+    logical column must surface CommitConflict — never record a map
+    aliasing two logical columns onto one physical."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 10.0)], "k bigint, a double"),
+        path, "overwrite",
+    )
+    minitable.rename_column(path, "a", "b")  # activate mapping: b -> a
+
+    real_commit = minitable.commit
+    raced = {}
+
+    def racing_commit(path_, action, added, **kw):
+        if raced.pop("go", None) and action == "append":
+            # between staging and commit: rename b back out of the way,
+            # then a fresh rename claims... simulate by renaming b -> c
+            # (physical stays "a"), so the append's NEW logical column
+            # "a" (staged under identity-ish physical via stage_cm) would
+            # collide with c's physical "a" on rebase
+            minitable.rename_column(path, "b", "c")
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_commit)
+    raced["go"] = True
+    with pytest.raises(minitable.CommitConflict):
+        # merge_schema append ADDING logical column "a" — its staged
+        # physical must not silently alias with physical "a" (held by c)
+        minitable.write(
+            spark,
+            spark.createDataFrame([(2, 1.0, 9.0)], "k bigint, b double, a double"),
+            path,
+            "append",
+            merge_schema=True,
+        )
+
+
+def test_minitable_change_feed_cdf_across_evolution(spark, tmp_path):
+    """Review fix: a feed spanning a CDF merge and a LATER schema
+    evolution types the change files by the log schema — the evolved
+    column reads as NULL in the older change rows instead of failing."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+
+    def df(rows, ddl):
+        return spark.createDataFrame(rows, ddl).coalesce(1)
+
+    minitable.write(spark, df([(1, 10.0), (2, 20.0)], "k bigint, v double"),
+                    path, "overwrite", stats_cols=["k"])
+    minitable.rename_column(path, "v", "val")  # active mapping too
+    minitable.merge(  # v2: CDF merge under the mapping
+        spark, df([(2, 25.0), (3, 30.0)], "k bigint, val double"), path, "k",
+        collect_cdf=True, stats_cols=["k"],
+    )
+    minitable.write(  # v3: ADD COLUMN w after the change files exist
+        spark, df([(4, 40.0, 1.0)], "k bigint, val double, w double"),
+        path, "append", merge_schema=True,
+    )
+    feed = minitable.change_feed(spark, path, 1, minitable.versions(path)[-1])
+    rows = {(r["_change_type"], r["k"]): (r["val"], r["w"]) for r in feed.collect()}
+    assert rows[("update_postimage", 2)] == (25.0, None)  # evolved col NULL
+    assert rows[("insert", 4)] == (40.0, 1.0)
+
+
+def test_minitable_dv_materialization_keeps_stats(spark, tmp_path):
+    """Review fix: materialized survivors re-collect skipping stats, so
+    pruning and whole-drop retention keep working on the rewritten
+    files."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(k, k % 2, float(k)) for k in range(20)], "k bigint, om bigint, v double"
+        ).repartition("om"),
+        path,
+        "overwrite",
+        partition_by=["om"],
+        stats_cols=["k"],
+    )
+    res = minitable.delete_dv(
+        spark, path, [("om", "=", 0), ("k", "<", 15)],
+        materialize_fraction=0.5,
+        stats_cols=["k", "om"],
+    )
+    assert res is not None and res[1]["materialized"] == 1
+    # the rewritten survivor still carries exact partition stats:
+    # a partition predicate prunes it or whole-drops it, no probe needed
+    kept, total = minitable.prune(path, [("om", "=", 1)])
+    assert len(kept) == 1 and total == 2
+    res = minitable.delete(spark, path, [("om", "=", 0)])
+    assert res is not None and res[1] == {
+        "dropped_whole": 1, "rewritten": 0, "untouched": 1,
+    }
+    got = sorted(r["k"] for r in minitable.read(spark, path).collect())
+    assert got == [k for k in range(20) if k % 2 == 1]

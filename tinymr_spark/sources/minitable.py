@@ -597,7 +597,7 @@ def _constraint_mentions(constraints: dict[str, str], col: str) -> list[str]:
     silently breaking the recorded expression."""
     import re
 
-    pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+    pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])")
     return sorted(n for n, e in constraints.items() if pat.search(e))
 
 
@@ -884,8 +884,20 @@ def _stage(
         rels = []
         for root, _dirs, files in os.walk(staging):
             for f in files:
-                if f.endswith(".parquet"):
-                    rels.append(os.path.relpath(os.path.join(root, f), path))
+                if not f.endswith(".parquet"):
+                    continue
+                # Spark's dynamic-partition writer reuses ONE task file
+                # name across that task's partition directories, so two
+                # leaves of the same staging job can share a BASENAME —
+                # which would break every basename-keyed path (DV joins,
+                # update/delete probe maps, the stream's snapshot DV
+                # filter).  Re-suffix each leaf with a fresh uuid so the
+                # global basename-uniqueness invariant holds for
+                # partitioned tables too (measured: coalesce(1) +
+                # partitionBy yields identical part-00000-... names).
+                unique = f[: -len(".parquet")] + f"-{uuid.uuid4().hex[:8]}.parquet"
+                os.rename(os.path.join(root, f), os.path.join(root, unique))
+                rels.append(os.path.relpath(os.path.join(root, unique), path))
         return sorted(rels)
     df.write.mode("overwrite").parquet(staging)
     return sorted(
@@ -1001,11 +1013,10 @@ def _collect_stats(
     file) — locally a pyarrow columnar read, at cluster scale the bloom
     would be folded in the write job's tasks like Delta's.
 
-    `exact` maps column names to a known constant value per file (a
-    partition column's value): recorded as a `[v, v]` range with
-    `nulls: 0` — PERFECT stats, so every existing pruning path
-    (`_file_survives`, `_file_fully_matches`) treats a partition
-    predicate as provable without ever opening the file."""
+    Partition exactness needs no special plumbing here: a hive-staged
+    leaf holds ONE value per partition column, so its footer min == max
+    with zero nulls and the recorded entry is already the perfect
+    `[v, v]` stat every pruning path consumes."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -1194,9 +1205,21 @@ def write(
         changed = False
         for f in schema["fields"]:
             if f["name"] not in newmap:
-                newmap[f["name"]] = (stage_cm or {}).get(
+                phys = (stage_cm or {}).get(
                     f["name"], f"{f['name']}_{uuid.uuid4().hex[:6]}"
                 )
+                if phys in set(newmap.values()):
+                    # a concurrent rename re-pointed some logical name at
+                    # the physical our staged files use for a DIFFERENT
+                    # logical column — recording the map would alias two
+                    # logical columns onto one physical (corruption).
+                    # Surface the conflict; the caller re-stages fresh.
+                    raise CommitConflict(
+                        f"column mapping of {path} changed concurrently: "
+                        f"physical name {phys!r} is already mapped — "
+                        "replan this write against the new head"
+                    )
+                newmap[f["name"]] = phys
                 changed = True
         return newmap, (newmap if changed else None)
 
@@ -1961,9 +1984,8 @@ def update(
             .collect()
         )
     }
-    by_base = {r.rsplit("/", 1)[-1]: r for r in candidates}
-    touched = [by_base[b] for b in per_file if b in by_base]
-    touched = [f for f in candidates if f in set(touched)]  # log order
+    bases = set(per_file)
+    touched = [f for f in candidates if f.rsplit("/", 1)[-1] in bases]  # log order
     if not touched:
         return None
     rows_updated = sum(per_file.values())
@@ -2174,6 +2196,8 @@ def delete_dv(
     path: str,
     where: list[tuple],
     materialize_fraction: float | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[int, dict] | None:
     """DELETE via DELETION VECTORS (Delta 3.x's merge-on-read DELETE):
     instead of rewriting straddling files, record the matching rows'
@@ -2268,8 +2292,12 @@ def delete_dv(
     # the vector — instead of dragging an ever-larger DV through every
     # read.  Footer num_rows is an O(touched files) driver metadata
     # read; the rewrite cost is O(surviving rows of crossed files).
+    # `stats_cols`/`bloom_cols` re-collect skipping stats for the
+    # rewritten survivors (a partitioned table passes its partition
+    # columns here so metadata-only pruning survives materialization).
     materialized: list[str] = []
     added: list[str] = []
+    mat_stats: dict | None = None
     if materialize_fraction is not None and new_dv_map:
         import pyarrow.parquet as pq
 
@@ -2290,6 +2318,17 @@ def delete_dv(
                 colmap=colmap,
             )
             added = _stage(_to_physical(survivors, colmap), path)
+            # re-collect stats for the rewritten survivors: without them
+            # the materialization would permanently degrade pruning on
+            # exactly the files it rewrote (stats-less files survive
+            # every prune and can never whole-drop)
+            if stats_cols or bloom_cols:
+                mat_stats = _collect_stats(
+                    path,
+                    added,
+                    [colmap.get(c, c) for c in (stats_cols or [])],
+                    [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+                )
             # materialized rels STAY in the recorded map even though the
             # commit removes them: "removed AND mapped" is how the change
             # feed tells a materialization (deletes = the DV diff) from a
@@ -2304,6 +2343,7 @@ def delete_dv(
         whole + materialized,
         read_version,
         pw,
+        stats=mat_stats,
         predicate=pw,  # recorded PHYSICAL: rename-proof feed reconstruction
         action="dv",
         dv=new_dv_map or None,
@@ -2580,11 +2620,32 @@ def change_feed(
         elif rec["action"] == "merge":
             if rec.get("cdf") is not None:
                 if rec["cdf"]:
-                    cdf_df = spark.read.parquet(
-                        *[os.path.join(path, f) for f in rec["cdf"]]
-                    )
+                    # typed by the log schema + _change_type: an evolved
+                    # column absent from an older commit's change files
+                    # resolves as NULL (and mapped tables resolve their
+                    # physical names) instead of failing analysis
+                    if schema is not None:
+                        cdf_schema = dict(schema)
+                        cdf_schema["fields"] = list(schema["fields"]) + [
+                            {
+                                "name": "_change_type",
+                                "type": "string",
+                                "nullable": True,
+                                "metadata": {},
+                            }
+                        ]
+                        cdf_df = _read_files(
+                            spark,
+                            [os.path.join(path, f) for f in rec["cdf"]],
+                            cdf_schema,
+                            colmap,
+                        )
+                    else:
+                        cdf_df = spark.read.parquet(
+                            *[os.path.join(path, f) for f in rec["cdf"]]
+                        )
                     pieces.append(
-                        _to_logical(cdf_df, extra=["_change_type"]).withColumn(
+                        cdf_df.withColumn(
                             "_commit_version", F.lit(v).cast("int")
                         )
                     )
