@@ -3075,3 +3075,82 @@ def test_minitable_dv_materialization_keeps_stats(spark, tmp_path):
     }
     got = sorted(r["k"] for r in minitable.read(spark, path).collect())
     assert got == [k for k in range(20) if k % 2 == 1]
+
+
+def test_minitable_convert_refuses_unsafe_layouts(spark, tmp_path):
+    """Review fixes: convert refuses hive-partitioned sources loudly
+    (partition values live in dir names and would silently vanish) and
+    refuses duplicate part-file basenames (they break every
+    basename-keyed path)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    hive = str(tmp_path / "hive")
+    spark.range(0, 6).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    ).write.partitionBy("p").parquet(hive)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        minitable.convert_parquet_dir(spark, hive, str(tmp_path / "c1"))
+
+    dup = str(tmp_path / "dup")
+    spark.createDataFrame([(1,)], "k bigint").coalesce(1).write.parquet(
+        os.path.join(dup, "a")
+    )
+    base = [
+        f for f in os.listdir(os.path.join(dup, "a")) if f.endswith(".parquet")
+    ][0]
+    os.makedirs(os.path.join(dup, "b"))
+    shutil.copy(os.path.join(dup, "a", base), os.path.join(dup, "b", base))
+    with pytest.raises(ValueError, match="duplicate part-file basename"):
+        minitable.convert_parquet_dir(spark, dup, str(tmp_path / "c2"))
+
+
+def test_minitable_same_logical_column_race_conflicts(spark, tmp_path, monkeypatch):
+    """Review fix (symmetric colmap race): two writers concurrently
+    ADDING the same logical column under different physical names must
+    conflict — the loser's staged bytes would otherwise serve NULL."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 10.0)], "k bigint, a double"),
+        path, "overwrite",
+    )
+    minitable.rename_column(path, "a", "b")  # activate mapping
+
+    real_commit = minitable.commit
+    raced = {}
+
+    def racing_commit(path_, action, added, **kw):
+        if raced.pop("go", None) and action == "append":
+            # the OTHER writer lands the same new logical column first
+            # (its own fresh physical name)
+            minitable.write(
+                spark,
+                spark.createDataFrame(
+                    [(7, 7.0, 70.0)], "k bigint, b double, x double"
+                ),
+                path,
+                "append",
+                merge_schema=True,
+            )
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_commit)
+    raced["go"] = True
+    with pytest.raises(minitable.CommitConflict, match="concurrently"):
+        minitable.write(
+            spark,
+            spark.createDataFrame([(2, 2.0, 20.0)], "k bigint, b double, x double"),
+            path,
+            "append",
+            merge_schema=True,
+        )

@@ -288,6 +288,39 @@ def convert_parquet_dir(
     )
     if not files:
         raise ValueError(f"no parquet files under {src_dir}")
+    # Hive-partitioned layouts are refused LOUDLY: the partition values
+    # live in directory names, not in the data files, so a leaf-file
+    # convert would silently drop those columns from every read (Delta's
+    # CONVERT requires an explicit partition schema for the same
+    # reason).  Re-stage through write(partition_by=...) instead.
+    hive = sorted(
+        {
+            seg
+            for f in files
+            for seg in os.path.relpath(f, src_dir).split(os.sep)[:-1]
+            if "=" in seg
+        }
+    )
+    if hive:
+        raise ValueError(
+            f"{src_dir} is hive-partitioned ({hive[:3]}...): the partition "
+            "columns live in directory names and would be silently lost — "
+            "re-ingest via write(partition_by=...) instead of convert"
+        )
+    # Borrowed files keep their names, so the basename-uniqueness
+    # invariant every DV join and probe keys on must be checked, not
+    # assumed: Spark's dynamic-partition writer (and unlucky copies) can
+    # produce identical basenames in different subdirectories.
+    seen: dict[str, str] = {}
+    for f in files:
+        b = os.path.basename(f)
+        if b in seen:
+            raise ValueError(
+                f"duplicate part-file basename {b!r} under {src_dir} "
+                f"({seen[b]} vs {f}) — deletion vectors and DML probes key "
+                "on basenames; deduplicate the layout before converting"
+            )
+        seen[b] = f
     schema = spark.read.parquet(*files).schema.jsonValue()
     for f in schema["fields"]:
         f["nullable"] = True
@@ -985,10 +1018,12 @@ def _bloom_build(values, n_hint: int) -> dict:
     }
 
 
-def _bloom_maybe_contains(bloom: dict, val) -> bool:
+def _bloom_maybe_contains(bloom: dict, val, _bits: bytes | None = None) -> bool:
+    """`_bits` lets multi-probe callers (the IN-list path) decode the
+    base64 filter once per file instead of once per member."""
     import base64
 
-    bits = base64.b64decode(bloom["bits"])
+    bits = _bits if _bits is not None else base64.b64decode(bloom["bits"])
     return all(
         bits[pos >> 3] & (1 << (pos & 7))
         for pos in _bloom_bit_positions(val, bloom["m"])
@@ -1204,23 +1239,36 @@ def write(
         newmap = dict(base_cm)
         changed = False
         for f in schema["fields"]:
-            if f["name"] not in newmap:
-                phys = (stage_cm or {}).get(
-                    f["name"], f"{f['name']}_{uuid.uuid4().hex[:6]}"
-                )
-                if phys in set(newmap.values()):
-                    # a concurrent rename re-pointed some logical name at
-                    # the physical our staged files use for a DIFFERENT
-                    # logical column — recording the map would alias two
-                    # logical columns onto one physical (corruption).
-                    # Surface the conflict; the caller re-stages fresh.
+            staged_phys = (stage_cm or {}).get(f["name"])
+            if f["name"] in newmap:
+                if staged_phys is not None and staged_phys != newmap[f["name"]]:
+                    # symmetric race: a concurrent writer added the SAME
+                    # logical column under a DIFFERENT physical name —
+                    # our staged bytes live under ours, the recorded map
+                    # would read theirs, and our rows would serve NULL
                     raise CommitConflict(
-                        f"column mapping of {path} changed concurrently: "
-                        f"physical name {phys!r} is already mapped — "
-                        "replan this write against the new head"
+                        f"column {f['name']!r} of {path} was concurrently "
+                        f"mapped to {newmap[f['name']]!r} while this write "
+                        f"staged it as {staged_phys!r} — replan against "
+                        "the new head"
                     )
-                newmap[f["name"]] = phys
-                changed = True
+                continue
+            phys = staged_phys if staged_phys is not None else (
+                f"{f['name']}_{uuid.uuid4().hex[:6]}"
+            )
+            if phys in set(newmap.values()):
+                # a concurrent rename re-pointed some logical name at
+                # the physical our staged files use for a DIFFERENT
+                # logical column — recording the map would alias two
+                # logical columns onto one physical (corruption).
+                # Surface the conflict; the caller re-stages fresh.
+                raise CommitConflict(
+                    f"column mapping of {path} changed concurrently: "
+                    f"physical name {phys!r} is already mapped — "
+                    "replan this write against the new head"
+                )
+            newmap[f["name"]] = phys
+            changed = True
         return newmap, (newmap if changed else None)
 
     stage_map, colmap_out = _evolve_colmap(colmap)
@@ -1473,9 +1521,15 @@ def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
                 return False  # proven all-null
             continue
         if op == "in":
-            # survives if ANY member could be present (each decided like `=`)
+            # survives if ANY member could be present (each decided like
+            # `=`); the bloom is decoded ONCE per file, probed per member
             members = list(val)
-            alive = []
+            probe_bits = None
+            if bloom is not None and bloom.get("norm") == _BLOOM_NORM_VERSION:
+                import base64
+
+                probe_bits = base64.b64decode(bloom["bits"])
+            alive = False
             for m in members:
                 ok = True
                 if rng is not None:
@@ -1487,13 +1541,13 @@ def _file_survives(stats: dict | None, where: list[tuple]) -> bool:
                         pass  # incomparable: stats prove nothing for m
                 if (
                     ok
-                    and bloom is not None
-                    and bloom.get("norm") == _BLOOM_NORM_VERSION
-                    and not _bloom_maybe_contains(bloom, m)
+                    and probe_bits is not None
+                    and not _bloom_maybe_contains(bloom, m, _bits=probe_bits)
                 ):
                     ok = False
                 if ok:
-                    alive.append(m)
+                    alive = True
+                    break
             if not alive:
                 return False
             continue
