@@ -1587,6 +1587,133 @@ GROUP BY day(ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# q196 — streaming EXPECTATIONS with quarantine (the Delta Live Tables
+# pattern): each micro-batch is split against declared quality rules —
+# rows passing EVERY rule land exactly-once in the clean minitable,
+# violating rows land in a QUARANTINE minitable tagged with the sorted
+# list of rules they failed — both sides under the same txn idempotence
+# token, so a replayed batch duplicates neither.  SQL CHECK semantics
+# (NULL passes); rules with REAL violations in the data (value caps,
+# banned event class).  Nothing is dropped: clean + quarantined == the
+# source, and the reasons are queryable for reprocessing — the
+# at-the-boundary face of q148's after-the-fact audit and q185's
+# write-time constraints.  The hash gate proves both sides' per-class
+# counts/sums against the oracle's rule reconstruction.
+# ---------------------------------------------------------------------------
+Q196_TXN_APP = "q196_expectations"
+Q196_RULES = {
+    # alphabetical — the quarantine reason is the sorted failed-rule list
+    "no_error_events": "event_type <> 'error'",
+    "value_bounded": "value <= 99",
+}
+
+
+def q196_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.sources import minitable, versioned_staging_dir
+
+    stage = _staged_event_files(spark, sf_dir)
+    src = table_path(sf_dir, "events")
+    clean = versioned_staging_dir("tinymr_spark_minitable_expect_clean", src)
+    quar = versioned_staging_dir("tinymr_spark_minitable_expect_quar", src)
+    done = clean + "._done"
+    if not os.path.exists(done):
+        shutil.rmtree(clean, ignore_errors=True)
+        shutil.rmtree(quar, ignore_errors=True)
+        ckpt = clean + "._ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _pre_stream_cleanup(spark)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+            .select("event_id", "event_type", "value")
+        )
+        names = sorted(Q196_RULES)
+        fails = [
+            F.when(
+                F.coalesce(F.expr(Q196_RULES[n]), F.lit(True)) == False,  # noqa: E712
+                F.lit(n),
+            )
+            for n in names
+        ]
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            applied = minitable.last_txn_version(clean, Q196_TXN_APP)
+            if applied is not None and applied >= batch_id:
+                return  # replayed batch: both sides already committed
+            tagged = batch_df.withColumn(
+                "failed_rules", F.concat_ws(",", *fails)
+            )
+            minitable.write(
+                spark,
+                tagged.where(F.col("failed_rules") == "").drop("failed_rules"),
+                clean,
+                "append",
+                txn=(Q196_TXN_APP, batch_id),
+            )
+            minitable.write(
+                spark,
+                tagged.where(F.col("failed_rules") != ""),
+                quar,
+                "append",
+                txn=(Q196_TXN_APP, batch_id),
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # nothing dropped: the two sides partition the source exactly
+        n_src = spark.read.parquet(stage).count()
+        n_clean = minitable.read(spark, clean).count()
+        n_quar = minitable.read(spark, quar).count()
+        assert n_clean + n_quar == n_src, (n_clean, n_quar, n_src)
+        open(done, "w").close()
+
+    clean_side = (
+        minitable.read(spark, clean)
+        .groupBy(F.concat(F.lit("clean:"), F.col("event_type")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    quar_side = (
+        minitable.read(spark, quar)
+        .groupBy(F.concat(F.lit("quar:"), F.col("failed_rules")).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    return clean_side.unionByName(quar_side)
+
+
+ORACLE_Q196 = """
+WITH tagged AS (
+    SELECT event_type, value,
+           CONCAT_WS(',',
+               CASE WHEN NOT COALESCE(event_type <> 'error', TRUE)
+                    THEN 'no_error_events' END,
+               CASE WHEN NOT COALESCE(value <= 99, TRUE)
+                    THEN 'value_bounded' END
+           ) AS failed_rules
+    FROM events
+)
+SELECT CASE WHEN failed_rules = '' THEN 'clean:' || event_type
+            ELSE 'quar:' || failed_rules END AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM tagged
+GROUP BY 1
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # q171 — the minitable AS A STREAMING SOURCE (Delta's "table as a
@@ -1685,6 +1812,7 @@ QUERIES = {
     "q159_stream_semantic_dedup": q159_stream_semantic_dedup,
     "q163_stream_lakehouse_ingest": q163_stream_lakehouse_ingest,
     "q195_stream_partitioned_ingest": q195_stream_partitioned_ingest,
+    "q196_stream_expectations": q196_stream_expectations,
     "q171_stream_table_source": q171_stream_table_source,
     "q138_statestore_reader": q138_statestore_reader,
 }
@@ -1710,6 +1838,7 @@ ORACLE = {
     "q159_stream_semantic_dedup": _SIM_ORACLE_Q140,
     "q163_stream_lakehouse_ingest": ORACLE_Q163,
     "q195_stream_partitioned_ingest": ORACLE_Q195,
+    "q196_stream_expectations": ORACLE_Q196,
     "q171_stream_table_source": ORACLE_Q171,
     "q138_statestore_reader": ORACLE_Q138,
 }

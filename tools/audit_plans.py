@@ -61,7 +61,7 @@ BUILD_ONCE = {
     "q188_update_where", "q189_partition_retention", "q190_column_mapping",
     "q191_null_scrub_delete", "q192_merge_accumulate",
     "q193_table_history", "q194_convert_in_place",
-    "q195_stream_partitioned_ingest",
+    "q195_stream_partitioned_ingest", "q196_stream_expectations",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
