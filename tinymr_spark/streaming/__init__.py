@@ -1640,26 +1640,23 @@ def q196_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
         def land(batch_df: DataFrame, batch_id: int) -> None:
-            applied = minitable.last_txn_version(clean, Q196_TXN_APP)
-            if applied is not None and applied >= batch_id:
-                return  # replayed batch: both sides already committed
+            # EACH side carries its own idempotence check: one shared
+            # pre-check would let a crash between the two commits skip
+            # the second side forever on replay — per-table tokens make
+            # the pair effectively atomic under at-least-once replays
             tagged = batch_df.withColumn(
                 "failed_rules", F.concat_ws(",", *fails)
             )
-            minitable.write(
-                spark,
-                tagged.where(F.col("failed_rules") == "").drop("failed_rules"),
-                clean,
-                "append",
-                txn=(Q196_TXN_APP, batch_id),
-            )
-            minitable.write(
-                spark,
-                tagged.where(F.col("failed_rules") != ""),
-                quar,
-                "append",
-                txn=(Q196_TXN_APP, batch_id),
-            )
+            for table, rows in (
+                (clean, tagged.where(F.col("failed_rules") == "").drop("failed_rules")),
+                (quar, tagged.where(F.col("failed_rules") != "")),
+            ):
+                applied = minitable.last_txn_version(table, Q196_TXN_APP)
+                if applied is not None and applied >= batch_id:
+                    continue  # this side already committed this batch
+                minitable.write(
+                    spark, rows, table, "append", txn=(Q196_TXN_APP, batch_id)
+                )
 
         q = (
             stream.writeStream.foreachBatch(land)
