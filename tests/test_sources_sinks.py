@@ -1921,7 +1921,10 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 cut = rng.choice(sorted(model))  # delete a prefix of live keys
                 fn = minitable.delete if op == "delete" else minitable.delete_dv
                 args = ([("k", "<", cut)],)
-                kw = {"stats_cols": ["k"]} if op == "delete" else {}
+                kw = {"stats_cols": ["k"]}
+                if op == "delete_dv" and rng.random() < 0.5:
+                    # exercise opportunistic materialization interactions
+                    kw["materialize_fraction"] = 0.3
                 res = fn(spark, path, *args, **kw)
                 expect = {k: v for k, v in model.items() if not k < cut}
                 if expect == model:
