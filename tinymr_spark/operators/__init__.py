@@ -187,6 +187,34 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (184, "deletion_vectors"), (185, "check_constraints"),
         (186, "shallow_clone"), (187, "rag_chunking"),
     )),
+    (9, (
+        # --- round 9 (CORRECTNESS_r09): 9 new + 41 stalest re-confirms ---
+        (195, "stream_partitioned_ingest"), (196, "stream_expectations"),
+        (188, "update_where"), (189, "partition_retention"),
+        (190, "column_mapping"), (191, "null_scrub_delete"),
+        (192, "merge_accumulate"), (193, "table_history"),
+        (194, "convert_in_place"), (109, "unigram_logprob"),
+        (116, "train_val_split"), (104, "ml_minhash_lsh"),
+        (106, "substring_dedup"), (107, "minhash_merge"),
+        (118, "group_representatives"), (111, "embedding_dim_stats"),
+        (108, "scd2_history"), (115, "global_range_join"),
+        (122, "stream_upsert_sink"), (100, "pandas_udaf"),
+        (119, "cogroup_asof"), (120, "python_udtf"),
+        (105, "compact_small_files"), (110, "salted_skew_join"),
+        (112, "hll_sketch_merge"), (113, "bucketed_join"),
+        (114, "partition_pruned_scan"), (117, "table_fingerprint"),
+        (121, "python_datasource"), (125, "bm25_topk"),
+        (126, "shard_manifest"), (123, "incremental_dedup"),
+        (127, "contamination_matrix"), (140, "incremental_embedding_dedup"),
+        (124, "stream_delta_compact"), (136, "python_stream_source"),
+        (138, "statestore_reader"), (129, "map_in_arrow"),
+        (128, "observe_metrics"), (130, "zorder_layout"),
+        (131, "histogram_quantiles"), (132, "countmin_sketch"),
+        (133, "snapshot_diff"), (134, "bloom_semi_join"),
+        (135, "orc_source"), (137, "xml_source"),
+        (1, "pricing_summary"), (2, "filter_project"),
+        (3, "join_broadcast"), (4, "star_join_revenue"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()
