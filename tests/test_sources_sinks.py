@@ -3157,3 +3157,156 @@ def test_minitable_same_logical_column_race_conflicts(spark, tmp_path, monkeypat
             "append",
             merge_schema=True,
         )
+
+
+def test_minitable_rebase_conflicts_on_concurrent_drop(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a merge_schema append staged while column X
+    was live, racing a concurrent drop_column(X), must CONFLICT on
+    rebase — re-recording X under its OLD physical name would resurrect
+    the dropped column's data in every pre-drop file, violating
+    drop_column's fresh-physical/no-resurrection guarantee."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame([(1, 10.0, 100.0)], "k bigint, a double, x double"),
+        path,
+        "overwrite",
+    )
+    minitable.rename_column(path, "a", "b")  # activate column mapping
+
+    real_commit = minitable.commit
+    raced = {}
+
+    def racing_commit(path_, action, added, **kw):
+        if raced.pop("go", None) and action == "append":
+            minitable.drop_column(path, "x")  # lands first, claims our slot
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_commit)
+    raced["go"] = True
+    with pytest.raises(minitable.CommitConflict, match="concurrently dropped"):
+        minitable.write(
+            spark,
+            spark.createDataFrame([(2, 2.0, 20.0)], "k bigint, b double, x double"),
+            path,
+            "append",
+            merge_schema=True,
+        )
+    # the drop's guarantee held: x is gone and stays gone
+    assert "x" not in minitable.read(spark, path).columns
+
+
+def test_minitable_dml_rewrites_preserve_partition_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r9: update()'s rewrites on a partitioned table must
+    re-stage under the table's recorded partition_by (read from the
+    log, partition columns force-included in stats) — otherwise later
+    retention deletes on the rewritten files degrade from metadata-only
+    whole-drops to data rewrites and partition pruning stops skipping
+    them."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 4, float(k)) for k in range(40)], "k bigint, om bigint, v double"
+    )
+    minitable.write(
+        spark, df.repartition("om"), path, "overwrite",
+        partition_by=["om"], stats_cols=["k"],
+    )
+    # update touches rows in every partition; NO stats_cols passed —
+    # the layout must come from the log, not the caller
+    res = minitable.update(spark, path, {"v": "v + 1000"}, [("k", "<", 8)])
+    assert res is not None and res[1]["rows_updated"] == 8
+    rels = [r for r, _st in minitable._live_entries(path)]
+    assert all("__p_om=" in r for r in rels), rels
+
+    # partition pruning still log-only exact after the rewrite
+    kept, total = minitable.prune(path, [("om", "=", 2)])
+    assert 0 < len(kept) < total
+
+    # retention delete on the post-update table is STILL metadata-only
+    with monkeypatch.context() as m:
+        def _no_reads(*_a, **_k):
+            raise AssertionError("data file read during partition-drop delete")
+
+        m.setattr(minitable, "_read_files_dv", _no_reads)
+        m.setattr(minitable, "_read_files", _no_reads)
+        res2 = minitable.delete(spark, path, [("om", "<=", 1)])
+    assert res2 is not None and res2[1]["rewritten"] == 0
+    assert res2[1]["dropped_whole"] > 0
+    assert {r["om"] for r in minitable.read(spark, path).collect()} == {2, 3}
+    # the surviving updated rows really carry the update
+    vals = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert vals[6] == 1006.0 and vals[10] == 10.0
+
+
+def test_minitable_delete_and_dv_materialize_preserve_partition_layout(
+    spark, tmp_path,
+):
+    """ADVICE r9, the other two rewrite paths: a straddling delete()
+    rewrite and a delete_dv(materialize_fraction=...) rewrite both
+    re-stage under the recorded partition layout."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 2, float(k)) for k in range(20)], "k bigint, om bigint, v double"
+    )
+    minitable.write(
+        spark, df.repartition("om"), path, "overwrite",
+        partition_by=["om"], stats_cols=["k"],
+    )
+    # straddling exact delete (k<3 hits both partitions partially)
+    res = minitable.delete(spark, path, [("k", "<", 3)])
+    assert res is not None and res[1]["rewritten"] > 0
+    rels = [r for r, _st in minitable._live_entries(path)]
+    assert all("__p_om=" in r for r in rels), rels
+
+    # DV delete with aggressive materialization -> rewrite, still hive
+    res2 = minitable.delete_dv(
+        spark, path, [("k", "in", [4, 5, 6, 7])], materialize_fraction=0.01
+    )
+    assert res2 is not None and res2[1]["materialized"] > 0
+    rels2 = [r for r, _st in minitable._live_entries(path)]
+    assert all("__p_om=" in r for r in rels2), rels2
+    assert {r["k"] for r in minitable.read(spark, path).collect()} == (
+        {3} | set(range(8, 20))
+    )
+    # layout survived two rewrites: om still prunes log-only
+    kept, total = minitable.prune(path, [("om", "=", 0)])
+    assert 0 < len(kept) < total
+
+
+def test_minitable_in_literal_must_be_collection(spark, tmp_path):
+    """ADVICE r9: a bare-string `in` literal iterates per CHARACTER in
+    both the residual filter and the stats prune — loudly reject it in
+    every path that consults a where-conjunction."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame([(1, "abc")], "k bigint, s string"),
+        path,
+        "overwrite",
+        stats_cols=["s"],
+    )
+    bad = [("s", "in", "abc")]
+    with pytest.raises(ValueError, match="per CHARACTER"):
+        minitable.prune(path, bad)
+    with pytest.raises(ValueError, match="per CHARACTER"):
+        minitable.scan(spark, path, bad)
+    with pytest.raises(ValueError, match="per CHARACTER"):
+        minitable.delete(spark, path, bad)
+    with pytest.raises(ValueError, match="per CHARACTER"):
+        minitable.delete_dv(spark, path, bad)
+    with pytest.raises(ValueError, match="per CHARACTER"):
+        minitable.update(spark, path, {"k": "k + 1"}, bad)
+    # real collections still pass
+    assert minitable.scan(spark, path, [("s", "in", ["abc"])]).count() == 1

@@ -200,7 +200,12 @@ def version_at_timestamp(path: str, ts: float) -> int:
     newest committed version whose recorded commit time is <= `ts`.
     Commit times are the writer's wall clock recorded in each version
     record (legacy records without one fall back to the record file's
-    mtime); like Delta, ordering assumes reasonably-monotonic writer
+    mtime — CAVEAT: any log copy that rewrites mtimes, e.g. a
+    backup-restore or plain rsync without -t, silently shifts AS-OF
+    resolution for those pre-upgrade commits; new records carry `ts` in
+    the body and are immune.  Running `checkpoint()` does NOT backfill
+    legacy records — re-commit or leave them and accept mtime
+    semantics); like Delta, ordering assumes reasonably-monotonic writer
     clocks — version numbers, not timestamps, are the source of truth,
     so the scan keeps the LAST qualifying version in commit order.
     Raises when `ts` predates the first commit."""
@@ -581,6 +586,33 @@ def table_colmap(path: str, version: int | None = None) -> dict[str, str]:
     """The column-mapping table {logical: physical} AS OF `version`;
     empty when mapping was never activated (physical == logical)."""
     return _replay(path, version)[4]
+
+
+def table_partition_by(path: str, version: int | None = None) -> list[str] | None:
+    """The most recently recorded partition layout (LOGICAL column
+    names) as of `version` (latest when None), or None for an
+    unpartitioned table.  Newest-first scan over the immutable version
+    records (they are never removed — checkpoints only shortcut file
+    replay), first `partition_by` record wins; an `overwrite` record
+    WITHOUT one resets the layout (the overwrite re-laid the whole
+    table out unpartitioned).  DML rewrites (update / delete /
+    delete_dv materialization) re-stage their output under this layout
+    so hive dirs and the exact `[v, v]` partition stats survive
+    row-level DML — without it, later retention deletes on rewritten
+    files would silently degrade from metadata-only whole-drops to
+    data rewrites (ADVICE r9)."""
+    vs = versions(path)
+    if version is not None:
+        vs = [v for v in vs if v <= version]
+    for v in reversed(vs):
+        with open(_version_file(path, v)) as f:
+            rec = json.load(f)
+        pb = rec.get("partition_by")
+        if pb:
+            return list(pb)
+        if rec.get("action") == "overwrite":
+            return None
+    return None
 
 
 def _physical_schema(schema: dict, colmap: dict[str, str]) -> dict:
@@ -1240,6 +1272,24 @@ def write(
         changed = False
         for f in schema["fields"]:
             staged_phys = (stage_cm or {}).get(f["name"])
+            if (
+                stage_cm is not None
+                and f["name"] not in newmap
+                and f["name"] in colmap
+            ):
+                # rebase after a lost race: the column was live in our
+                # read snapshot but a concurrent drop_column removed it
+                # from the head map.  Recording it again under its OLD
+                # physical (staged_phys) would resurrect the dropped
+                # column's data in every pre-drop file, violating
+                # drop_column's fresh-physical/no-resurrection
+                # guarantee — surface the conflict; the caller replans
+                # (and a re-add then gets a fresh physical).
+                raise CommitConflict(
+                    f"column {f['name']!r} of {path} was concurrently "
+                    "dropped while this write staged data for it — "
+                    "replan against the new head"
+                )
             if f["name"] in newmap:
                 if staged_phys is not None and staged_phys != newmap[f["name"]]:
                     # symmetric race: a concurrent writer added the SAME
@@ -1468,6 +1518,23 @@ def _read_files(
 _OPS = ("<", "<=", ">", ">=", "=", "in", "is_null", "is_not_null")
 
 
+def _check_where(where: list[tuple], what: str) -> None:
+    """Validate a where-conjunction's shape before any path consults it.
+    Beyond the op whitelist, an `in` literal must be a real collection:
+    a bare string is iterable, so `("col", "in", "abc")` would silently
+    match 'a'/'b'/'c' per character in BOTH the residual filter and the
+    stats/bloom prune — consistent but wrong, with no error (ADVICE
+    r9)."""
+    for _col, op, val in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported {what} op {op!r} (use {_OPS})")
+        if op == "in" and not isinstance(val, (list, tuple, set, frozenset)):
+            raise ValueError(
+                f"`in` literal must be a list/tuple/set, got {type(val).__name__} "
+                f"{val!r} — a bare string would match per CHARACTER"
+            )
+
+
 def _where_cond(where: list[tuple]):
     """The where-conjunction as ONE Spark Column (SQL three-valued
     semantics: NULL predicate columns make the conjunction NULL, i.e.
@@ -1587,9 +1654,7 @@ def prune(
     `(kept_abs_paths, total_live_files)`.  This is the 100 TB scan
     lever: a predicate on a clustered column plans O(matching files)
     instead of O(table), before Spark ever sees a path."""
-    for col, op, _val in where:
-        if op not in _OPS:
-            raise ValueError(f"unsupported data-skipping op {op!r} (use {_OPS})")
+    _check_where(where, "data-skipping")
     entries, _sch, _dv, _c, colmap = _replay(path, version)
     pw = _phys_where(where, colmap)  # stats are keyed by physical names
     kept = [
@@ -1998,9 +2063,7 @@ def update(
     if not set_exprs:
         raise ValueError("update() needs at least one SET column")
     where = list(where or [])
-    for col, op, _val in where:
-        if op not in _OPS:
-            raise ValueError(f"unsupported update op {op!r} (use {_OPS})")
+    _check_where(where, "update")
     all_versions = versions(path)
     if not all_versions:
         raise ValueError(f"minitable {path} is empty — write() the initial version")
@@ -2043,6 +2106,13 @@ def update(
     if not touched:
         return None
     rows_updated = sum(per_file.values())
+    # rewrites must preserve the table's recorded partition layout —
+    # otherwise the hive dirs and exact [v, v] partition stats are lost
+    # on the touched files and later retention deletes degrade from
+    # metadata-only whole-drops to rewrites (ADVICE r9)
+    part_by = table_partition_by(path, read_version)
+    if part_by:
+        stats_cols = sorted(set(stats_cols or []) | set(part_by))
     base = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
     tgt_types = {f.name: f.dataType for f in base.schema.fields}
     upd = [
@@ -2059,7 +2129,11 @@ def update(
         # pre/post images and the rewrite all derive from the same
         # touched-file scan: persist it so the files are read once
         base = base.persist()
-    added = _stage(_to_physical(base.select(*upd), colmap), path)
+    added = _stage(
+        _to_physical(base.select(*upd), colmap),
+        path,
+        partition_by=[colmap.get(c, c) for c in part_by] if part_by else None,
+    )
     if constraints:
         _enforce_constraints(
             _read_files(
@@ -2182,9 +2256,7 @@ def delete(
     nothing can match (no commit — deleting nothing is not a version)."""
     from pyspark.sql import functions as F
 
-    for col, op, _val in where:
-        if op not in _OPS:
-            raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
+    _check_where(where, "delete")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
     entries, schema, dvs, _c, colmap = _replay(path, read_version)
@@ -2211,13 +2283,22 @@ def delete(
         return None
     added: list[str] = []
     if touched:
+        # preserve the recorded partition layout on rewrites (ADVICE r9
+        # — see update())
+        part_by = table_partition_by(path, read_version)
+        if part_by:
+            stats_cols = sorted(set(stats_cols or []) | set(part_by))
         survivors = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
         # ~cond is NULL (not True) on rows where a predicate column is
         # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
         # and NULL doesn't match.  Coalesce so NULL-predicate rows
         # survive the rewrite (ADVICE r7).
         survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
-        added = _stage(_to_physical(survivors, colmap), path)
+        added = _stage(
+            _to_physical(survivors, colmap),
+            path,
+            partition_by=[colmap.get(c, c) for c in part_by] if part_by else None,
+        )
     stats = (
         _collect_stats(
             path,
@@ -2278,9 +2359,7 @@ def delete_dv(
     version)."""
     from pyspark.sql import functions as F
 
-    for col, op, _val in where:
-        if op not in _OPS:
-            raise ValueError(f"unsupported delete op {op!r} (use {_OPS})")
+    _check_where(where, "delete")
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
     entries, schema, dvs, _c, colmap = _replay(path, read_version)
@@ -2362,6 +2441,13 @@ def delete_dv(
             if n_total and n_dead / n_total > materialize_fraction:
                 materialized.append(rel)
         if materialized:
+            # preserve the recorded partition layout on materialization
+            # rewrites (ADVICE r9 — see update()); partition columns are
+            # force-included in the re-collected stats so metadata-only
+            # retention drops keep working on the rewritten files
+            part_by = table_partition_by(path, read_version)
+            if part_by:
+                stats_cols = sorted(set(stats_cols or []) | set(part_by))
             dv_file = next(iter(new_dv_map.values()))
             survivors = _read_files_dv(
                 spark,
@@ -2371,7 +2457,13 @@ def delete_dv(
                 {rel: dv_file for rel in materialized},
                 colmap=colmap,
             )
-            added = _stage(_to_physical(survivors, colmap), path)
+            added = _stage(
+                _to_physical(survivors, colmap),
+                path,
+                partition_by=(
+                    [colmap.get(c, c) for c in part_by] if part_by else None
+                ),
+            )
             # re-collect stats for the rewritten survivors: without them
             # the materialization would permanently degrade pruning on
             # exactly the files it rewrote (stats-less files survive
