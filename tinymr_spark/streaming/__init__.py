@@ -1713,6 +1713,255 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q197 — the PRODUCTION PIPELINE composed end-to-end on ONE minitable
+# lineage (VERDICT r9 task 4): streaming ingest with expectations
+# (q196's pattern) -> exact dedup (q40) -> quality scoring (q33's
+# formula) landed as a lang-PARTITIONED lakehouse table -> the quality
+# gate executed as a DML DELETE on that table (not a re-staged copy) ->
+# train/val/test split assignment (q116's md5 slots) over the surviving
+# rows.  Every stage reads the previous stage's minitable — no
+# per-query staged parquet anywhere after the source replay — proving
+# the operators compose on the lakehouse substrate:
+#
+#   documents (file stream, 2 files/batch)
+#     ├─ expectations split, per-side txn tokens  -> clean / quarantine
+#     ├─ clean -> md5 fingerprint, min-doc_id representative per fp,
+#     │         q33 quality score  -> lake (partition_by=lang,
+#     │                                     stats on quality_score)
+#     ├─ DELETE FROM lake WHERE quality_score < 0.25  (file tiers:
+#     │         provable files drop/skip from stats, straddlers rewrite
+#     │         UNDER the lang partition layout — the ADVICE-r9 fix)
+#     └─ read(lake) -> split slots -> per (lang, split) aggregate
+#
+# Row conservation is asserted at every boundary inside the build
+# branch: clean+quar == source, lake == distinct fingerprints of clean,
+# post-delete == lake - rejected, and zero NULL quality scores (so the
+# three-valued DELETE boundary can't diverge from the oracle's WHERE).
+# The oracle recomputes the whole funnel in SQL on the raw documents
+# table, so the hash gate proves the composed lineage end-to-end.
+#
+# 100 TB shape: the ingest is per-batch appends (no global state), the
+# dedup is one hash-partitioned aggregate + a semi join on doc_id, the
+# quality gate prunes by commit-log stats before touching storage and
+# rewrites only straddling files, and the final pass is one map-side-
+# combined aggregate.  Nothing driver-side but O(files) name lists.
+# ---------------------------------------------------------------------------
+Q197_TXN_APP = "q197_pipeline"
+Q197_RULES = {
+    # alphabetical — the quarantine reason is the sorted failed-rule list
+    "chars_bounded": "n_chars <= 500",
+    "lang_supported": "lang <> 'zh'",
+}
+Q197_QUALITY_MIN = 0.25
+
+
+def _staged_doc_files(spark: SparkSession, sf_dir: str) -> str:
+    """The documents table split into 8 parquet files once per source
+    VERSION (mtime+size keyed) — the landing directory the pipeline's
+    file stream watches; same contract as _staged_event_files."""
+    from tinymr_spark.sources import versioned_staging_dir
+
+    src = table_path(sf_dir, "documents")
+    stage = versioned_staging_dir("tinymr_spark_pipe_docs_stage", src)
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "documents").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        open(done, "w").close()
+    return stage
+
+
+def q197_lakehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.text import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        with_tokens,
+    )
+    from tinymr_spark.sources import minitable, versioned_staging_dir
+
+    stage = _staged_doc_files(spark, sf_dir)
+    src = table_path(sf_dir, "documents")
+    clean = versioned_staging_dir("tinymr_spark_pipe_clean", src)
+    quar = versioned_staging_dir("tinymr_spark_pipe_quar", src)
+    lake = versioned_staging_dir("tinymr_spark_pipe_lake", src)
+    done = lake + "._done"
+    if not os.path.exists(done):
+        for d in (clean, quar, lake):
+            shutil.rmtree(d, ignore_errors=True)
+        ckpt = clean + "._ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _pre_stream_cleanup(spark)
+
+        # -- stage 1: streaming expectations ingest (q196's contract:
+        # per-SIDE txn tokens make the two landings replay-atomic) ----
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+        )
+        names = sorted(Q197_RULES)
+        fails = [
+            F.when(
+                F.coalesce(F.expr(Q197_RULES[n]), F.lit(True)) == False,  # noqa: E712
+                F.lit(n),
+            )
+            for n in names
+        ]
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            tagged = batch_df.withColumn(
+                "failed_rules", F.concat_ws(",", *fails)
+            )
+            for table, rows in (
+                (clean, tagged.where(F.col("failed_rules") == "").drop("failed_rules")),
+                (quar, tagged.where(F.col("failed_rules") != "")),
+            ):
+                applied = minitable.last_txn_version(table, Q197_TXN_APP)
+                if applied is not None and applied >= batch_id:
+                    continue
+                minitable.write(
+                    spark, rows, table, "append", txn=(Q197_TXN_APP, batch_id)
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_src = spark.read.parquet(stage).count()
+        n_clean = minitable.read(spark, clean).count()
+        n_quar = minitable.read(spark, quar).count()
+        assert n_clean + n_quar == n_src, (n_clean, n_quar, n_src)
+
+        # -- stage 2: dedup + quality score -> partitioned lake table --
+        cdf = minitable.read(spark, clean)
+        fp = cdf.select("doc_id", F.md5("text").alias("fp"))
+        keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        n_fp = keepers.count()
+        reps = cdf.join(keepers.select("doc_id"), "doc_id", "semi")
+        toks = F.col("toks")
+        n_tok = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda x: x.isin(*_PIPE_STOPWORDS)))
+        n_distinct = F.size(F.array_distinct(toks))
+        scored = with_tokens(reps).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                (n_stop / n_tok) * 0.5 + (n_distinct / n_tok) * 0.5, 4
+            ).alias("quality_score"),
+        )
+        minitable.write(
+            spark,
+            scored.repartition("lang"),
+            lake,
+            "overwrite",
+            partition_by=["lang"],
+            stats_cols=["quality_score"],
+        )
+        n_lake = minitable.read(spark, lake).count()
+        assert n_lake == n_fp, (n_lake, n_fp)
+        assert (
+            minitable.read(spark, lake)
+            .where(F.col("quality_score").isNull())
+            .count()
+            == 0
+        )
+
+        # -- stage 3: quality gate as a lakehouse DELETE ---------------
+        n_reject = (
+            minitable.read(spark, lake)
+            .where(F.col("quality_score") < Q197_QUALITY_MIN)
+            .count()
+        )
+        res = minitable.delete(
+            spark, lake, [("quality_score", "<", Q197_QUALITY_MIN)]
+        )
+        assert res is not None or n_reject == 0, n_reject
+        n_after = minitable.read(spark, lake).count()
+        assert n_after == n_lake - n_reject, (n_after, n_lake, n_reject)
+        # rewritten straddlers kept the lang partition layout: partition
+        # pruning still resolves from the log alone
+        kept, total = minitable.prune(lake, [("lang", "=", "en")])
+        assert 0 < len(kept) < total, (len(kept), total)
+        open(done, "w").close()
+
+    # -- stage 4: split assignment over the survivors ------------------
+    surv = minitable.read(spark, lake)
+    slot = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(slot < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(slot < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        surv.select("lang", split.alias("split"), "n_chars", "quality_score")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.col("quality_score").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_quality"),
+        )
+    )
+
+
+_PIPE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+ORACLE_Q197 = r"""
+WITH tagged AS (
+    SELECT *,
+           CONCAT_WS(',',
+               CASE WHEN NOT COALESCE(n_chars <= 500, TRUE)
+                    THEN 'chars_bounded' END,
+               CASE WHEN NOT COALESCE(lang <> 'zh', TRUE)
+                    THEN 'lang_supported' END
+           ) AS failed_rules
+    FROM documents
+),
+clean AS (SELECT * FROM tagged WHERE failed_rules = ''),
+reps AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM clean
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT doc_id, lang, n_chars,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                 / len(toks) * 0.5
+                 + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5, 4) AS quality_score
+    FROM (SELECT doc_id, lang, n_chars,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM reps)
+),
+kept AS (SELECT * FROM scored WHERE quality_score >= 0.25),
+assigned AS (
+    SELECT lang, n_chars, quality_score,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS slot
+    FROM kept
+)
+SELECT lang,
+       CASE WHEN slot < 80 THEN 'train'
+            WHEN slot < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q171 — the minitable AS A STREAMING SOURCE (Delta's "table as a
 # stream", the read-side complement of q163's streaming ingest): an
 # append-only versioned orders table is consumed by a Structured
@@ -1810,6 +2059,7 @@ QUERIES = {
     "q163_stream_lakehouse_ingest": q163_stream_lakehouse_ingest,
     "q195_stream_partitioned_ingest": q195_stream_partitioned_ingest,
     "q196_stream_expectations": q196_stream_expectations,
+    "q197_lakehouse_pipeline": q197_lakehouse_pipeline,
     "q171_stream_table_source": q171_stream_table_source,
     "q138_statestore_reader": q138_statestore_reader,
 }
@@ -1836,6 +2086,7 @@ ORACLE = {
     "q163_stream_lakehouse_ingest": ORACLE_Q163,
     "q195_stream_partitioned_ingest": ORACLE_Q195,
     "q196_stream_expectations": ORACLE_Q196,
+    "q197_lakehouse_pipeline": ORACLE_Q197,
     "q171_stream_table_source": ORACLE_Q171,
     "q138_statestore_reader": ORACLE_Q138,
 }
