@@ -86,3 +86,54 @@ def test_bench_full_name_colliding_with_short_key_loses_no_timing():
     d = json.loads(line)
     assert sorted(d["queries"].values()) == [1.0, 2.0]
     assert len(d["queries"]) == 2
+
+
+def test_bench_digest_stage_never_overflows(tmp_path):
+    """The r9-verdict forward plan: past the integer ladder's ~240-query
+    capacity the line switches to DIGEST mode — full 4-decimal fidelity
+    goes to BENCH_DETAIL.json, the printed line keeps failures + the
+    slowest hot rows + a cold rollup and ALWAYS fits the driver tail.
+    Simulated at 210 and at 400 queries (the 'no OVERFLOW at 210'
+    acceptance bar, then far past it)."""
+    for n_q in (210, 400):
+        names = [f"q{i}_simulated_query_name_{i}" for i in range(1, n_q + 1)]
+        timings = {}
+        for i, n in enumerate(names):
+            # worst realistic shape: MANY hot rows (every other row)
+            timings[n] = round(0.51 + (i % 40) * 0.1003, 4) if i % 2 else 0.21
+        timings[names[3]] = -1.0
+        detail = str(tmp_path / f"detail_{n_q}.json")
+        line = format_bench_line(timings, "/root/testdata/sf0.1", detail_path=detail)
+        assert len(line) <= 1900, (n_q, len(line))
+        d = json.loads(line)
+        assert d["value"] == round(sum(t for t in timings.values() if t >= 0), 4)
+        if "cold" in d:  # digest stage engaged
+            assert d["detail"] == f"detail_{n_q}.json"
+            # failures always stay inline
+            assert -1.0 in d["queries"].values()
+            # cold rollup accounts for every sub-hot row
+            n_cold = sum(1 for t in timings.values() if 0 <= t < 0.45)
+            assert d["cold"]["n"] == n_cold
+            # inline + omitted + cold + failed == inventory
+            assert (
+                len(d["queries"]) + d.get("hot_omitted", 0) + n_cold
+                == len(names)
+            )
+            # the detail file holds the FULL map at 4-decimal fidelity
+            with open(detail) as f:
+                full = json.load(f)
+            assert full["queries"] == {n: round(t, 4) for n, t in timings.items()}
+            # inline hot rows are the SLOWEST ones, full 2-decimal
+            inline_ts = [v for v in d["queries"].values() if v >= 0]
+            slowest = sorted((t for t in timings.values() if t >= 0.45), reverse=True)
+            assert max(inline_ts) == round(slowest[0], 2)
+
+
+def test_bench_digest_not_engaged_at_current_inventory():
+    """The real registry must still use the plain ladder (per-query rows
+    inline) — digest is the overflow path, not the default."""
+    names = _inventory_names()
+    timings = {n: round(0.0001 + 1.7 * (i % 5), 4) for i, n in enumerate(names)}
+    line = format_bench_line(timings, "/root/testdata/sf0.1", detail_path=None)
+    d = json.loads(line)
+    assert "cold" not in d and len(d["queries"]) == len(names)

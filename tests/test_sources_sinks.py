@@ -1889,6 +1889,9 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
         minitable.write(
             spark, to_df(rows0).repartitionByRange(3, "k"), path, "overwrite",
             stats_cols=["k"],
+            # declared ONCE here; every later append/merge/update/
+            # optimize/materialization must materialize-or-preserve it
+            generated={"g": "CAST(k % 7 AS DOUBLE)"},
         )
         model = dict(rows0)
         states = {0: (dict(model), vcol[0])}
@@ -1897,11 +1900,12 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
             head = minitable.versions(path)[-1]
             states[head] = (dict(model), vcol[0])
             if model:
-                got = {
-                    r["k"]: r[vcol[0]]
-                    for r in minitable.read(spark, path).collect()
-                }
+                live = minitable.read(spark, path).collect()
+                got = {r["k"]: r[vcol[0]] for r in live}
                 assert got == model, (trial, tag, head)
+                # the generation invariant survives every DML verb
+                bad_g = [r["k"] for r in live if r["g"] != float(r["k"] % 7)]
+                assert not bad_g, (trial, tag, head, bad_g)
             else:
                 assert minitable.snapshot(path) == [], (trial, tag, head)
 
@@ -3310,3 +3314,104 @@ def test_minitable_in_literal_must_be_collection(spark, tmp_path):
         minitable.update(spark, path, {"k": "k + 1"}, bad)
     # real collections still pass
     assert minitable.scan(spark, path, [("s", "in", ["abc"])]).count() == 1
+
+
+def test_minitable_generated_columns_write_side(spark, tmp_path):
+    """GENERATED COLUMNS (Delta's GENERATED ALWAYS AS): materialized at
+    write time when omitted, validated like a CHECK when provided,
+    recorded in schema field metadata so appends inherit without
+    re-passing, expression immutable, resettable by overwrite."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(10)], "k bigint, v double"
+    )
+    minitable.write(
+        spark, df, path, "overwrite", generated={"g": "CAST(k * 2 AS BIGINT)"}
+    )
+    assert minitable.table_generated(path) == {"g": "CAST(k * 2 AS BIGINT)"}
+    got = {r["k"]: r["g"] for r in minitable.read(spark, path).collect()}
+    assert got == {k: 2 * k for k in range(10)}
+
+    # append WITHOUT the column: inherited + materialized
+    minitable.write(
+        spark, spark.createDataFrame([(100, 1.0)], "k bigint, v double"),
+        path, "append",
+    )
+    assert minitable.read(spark, path).where("k = 100").collect()[0]["g"] == 200
+
+    # append PROVIDING a wrong value: rejected on the staged bytes
+    bad = spark.createDataFrame([(200, 1.0, 7)], "k bigint, v double, g bigint")
+    with pytest.raises(ValueError, match="generated:g"):
+        minitable.write(spark, bad, path, "append")
+    # providing the RIGHT value passes
+    ok = spark.createDataFrame([(200, 1.0, 400)], "k bigint, v double, g bigint")
+    minitable.write(spark, ok, path, "append")
+
+    # expression is immutable on appends
+    with pytest.raises(ValueError, match="immutable"):
+        minitable.write(
+            spark, spark.createDataFrame([(300, 1.0)], "k bigint, v double"),
+            path, "append", generated={"g": "CAST(k * 3 AS BIGINT)"},
+        )
+    # ...but an overwrite resets the contract with the schema
+    minitable.write(
+        spark, df, path, "overwrite", generated={"g": "CAST(k * 3 AS BIGINT)"}
+    )
+    assert minitable.table_generated(path) == {"g": "CAST(k * 3 AS BIGINT)"}
+    # and the pre-overwrite era still serves ITS expression (AS OF)
+    assert minitable.table_generated(path, 0) == {"g": "CAST(k * 2 AS BIGINT)"}
+
+
+def test_minitable_generated_columns_dml(spark, tmp_path):
+    """UPDATE/merge x generated columns: SET on a generated column is
+    refused, updates to its INPUTS recompute it (rows migrate to their
+    new partition with exact stats), and a merge source omitting it
+    gets it materialized; update_set accumulate cannot drift it."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(30)], "k bigint, b bigint, v double"
+    )
+    minitable.write(
+        spark, df.repartition("b"), path, "overwrite",
+        generated={"pb": "CAST(b * 10 AS BIGINT)"},
+        partition_by=["pb"], stats_cols=["k"],
+    )
+    kept, total = minitable.prune(path, [("pb", "=", 10)])
+    assert 0 < len(kept) < total
+
+    with pytest.raises(ValueError, match="generated"):
+        minitable.update(spark, path, {"pb": "99"})
+    # updating the INPUT recomputes the generated value (0 -> 1 -> pb 10)
+    res = minitable.update(spark, path, {"b": "b + 1"}, [("k", "=", 0)])
+    assert res is not None
+    r = minitable.read(spark, path).where("k = 0").collect()[0]
+    assert r["b"] == 1 and r["pb"] == 10
+    # rewrite kept the partition layout and exact stats: the moved row
+    # is found by a pb-pruned scan
+    assert minitable.scan(spark, path, [("pb", "=", 10)]).where("k = 0").count() == 1
+
+    # merge: source omits both generated col; upsert + insert
+    src = spark.createDataFrame(
+        [(1, 2, 500.0), (1000, 1, 1.0)], "k bigint, b bigint, v double"
+    )
+    minitable.merge(spark, src, path, "k")
+    rows = {r["k"]: (r["b"], r["pb"], r["v"])
+            for r in minitable.read(spark, path).where("k in (1, 1000)").collect()}
+    assert rows[1] == (2, 20, 500.0) and rows[1000] == (1, 10, 1.0)
+
+    with pytest.raises(ValueError, match="generated"):
+        minitable.merge(spark, src, path, "k", update_set={"pb": "t.pb + 1"})
+    # update_set on the INPUT recomputes the generated col on the
+    # merged row
+    minitable.merge(spark, src.where("k = 1"), path, "k",
+                    update_set={"b": "t.b - 2"})
+    r = minitable.read(spark, path).where("k = 1").collect()[0]
+    assert r["b"] == 0 and r["pb"] == 0

@@ -4622,6 +4622,131 @@ GROUP BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# q198 — GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`), the
+# everyday write-side feature closing the minitable verb set: the event
+# day `ed` is DECLARED once as `CAST(day(ts) AS INT)` and never computed
+# by a writer again.  write() materializes it at ingest and partitions
+# by it (hive layout + exact [v, v] stats = partition values as perfect
+# metadata); the expression is recorded in the schema's field metadata,
+# so it rides the schema timeline and appends inherit it.  UPDATE
+# refuses to SET `ed` directly and RECOMPUTES it when `ts` changes —
+# the updated rows migrate to their new day partition with exact stats
+# intact — and the retention delete then drops whole day partitions as
+# pure metadata (rewritten == 0 asserted) THROUGH the generated column.
+# Build-time pins: prune() resolves `ed` predicates log-only; a batch
+# providing a WRONG `ed` value is rejected like a CHECK violation.
+# The hash gate proves the three-version timeline (ingest / recompute
+# update / retention) against the oracle's reconstruction from raw
+# events.  100 TB: every phase is O(touched files) or metadata-only —
+# the generated column is what makes the retention path metadata-only,
+# because writers can't drift from the declared partition derivation.
+# ---------------------------------------------------------------------------
+def q198_generated_columns(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "events")
+    table = versioned_staging_dir("tinymr_spark_minitable_gencol", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", F.col("value").cast("double")
+        )
+        minitable.write(  # v0: `ed` never appears in the writer's frame
+            spark,
+            events.repartition(F.expr("CAST(day(ts) AS INT)")),
+            table,
+            "overwrite",
+            generated={"ed": "CAST(day(ts) AS INT)"},
+            partition_by=["ed"],
+            stats_cols=["event_id"],
+        )
+        assert minitable.table_generated(table) == {"ed": "CAST(day(ts) AS INT)"}
+        # partition pruning THROUGH the generated column, log-decided
+        kept, total = minitable.prune(table, [("ed", "=", 15)])
+        assert 1 <= len(kept) < total, (len(kept), total)
+        # a writer supplying a wrong `ed` is rejected (CHECK semantics)
+        bad = events.limit(1).withColumn("ed", F.lit(99))
+        try:
+            minitable.write(spark, bad, table, "append")
+            raise AssertionError("wrong generated value must be rejected")
+        except ValueError:
+            pass
+        # v1: UPDATE shifts ts by a day -> `ed` recomputes and the rows
+        # migrate partitions (SET ed directly is refused)
+        try:
+            minitable.update(spark, table, {"ed": "99"})
+            raise AssertionError("SET on a generated column must be refused")
+        except ValueError:
+            pass
+        res = minitable.update(
+            spark, table, {"ts": "ts + INTERVAL 1 DAY"},
+            [("event_id", "<", 100)],
+        )
+        assert res is not None and res[1]["rows_updated"] == 100, res
+        # v2: retention by generated day partition — pure metadata
+        res2 = minitable.delete(spark, table, [("ed", "<=", 5)])
+        assert res2 is not None
+        assert res2[1]["rewritten"] == 0 and res2[1]["dropped_whole"] >= 1, res2[1]
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("ed").alias("min_day"),
+            F.max("ed").alias("max_day"),
+            F.count_distinct("ed").alias("n_days"),
+        )
+
+    return (
+        agg(minitable.read(spark, table, 0), "v0_ingest")
+        .unionByName(agg(minitable.read(spark, table, 1), "v1_recompute"))
+        .unionByName(agg(minitable.read(spark, table, 2), "v2_retention"))
+    )
+
+
+ORACLE_Q198 = """
+WITH v0 AS (
+    SELECT event_id, CAST(value AS DOUBLE) AS value,
+           CAST(day(ts) AS INT) AS ed
+    FROM events
+),
+v1 AS (
+    SELECT event_id, CAST(value AS DOUBLE) AS value,
+           CAST(day(CASE WHEN event_id < 100
+                         THEN ts + INTERVAL 1 DAY ELSE ts END) AS INT) AS ed
+    FROM events
+),
+member AS (
+    SELECT 'v0_ingest' AS phase, value, ed FROM v0
+    UNION ALL
+    SELECT 'v1_recompute' AS phase, value, ed FROM v1
+    UNION ALL
+    SELECT 'v2_retention' AS phase, value, ed FROM v1 WHERE ed > 5
+)
+SELECT phase,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(ed) AS min_day,
+       MAX(ed) AS max_day,
+       COUNT(DISTINCT ed) AS n_days
+FROM member
+GROUP BY phase
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4676,6 +4801,7 @@ QUERIES = {
     "q192_merge_accumulate": q192_merge_accumulate,
     "q193_table_history": q193_table_history,
     "q194_convert_in_place": q194_convert_in_place,
+    "q198_generated_columns": q198_generated_columns,
 }
 
 ORACLE = {
@@ -4732,4 +4858,5 @@ ORACLE = {
     "q192_merge_accumulate": ORACLE_Q192,
     "q193_table_history": ORACLE_Q193,
     "q194_convert_in_place": ORACLE_Q194,
+    "q198_generated_columns": ORACLE_Q198,
 }

@@ -588,6 +588,43 @@ def table_colmap(path: str, version: int | None = None) -> dict[str, str]:
     return _replay(path, version)[4]
 
 
+def _generated_map(schema: dict | None) -> dict[str, str]:
+    """{logical column: generation SQL expr} recorded in the schema's
+    field metadata — Delta's generated-column design: the expression
+    lives WITH the field it defines, so it rides the existing schema
+    timeline (AS-OF reads see the era's expressions), survives appends
+    (_merge_schemas keeps prev's fields verbatim), and resets on
+    overwrite exactly when the schema does — no new log record kind and
+    no _replay widening."""
+    if not schema:
+        return {}
+    out: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        g = (f.get("metadata") or {}).get("generated")
+        if g:
+            out[f["name"]] = g
+    return out
+
+
+def table_generated(path: str, version: int | None = None) -> dict[str, str]:
+    """The generated-column map {col: sql_expr} AS OF `version`; empty
+    when the table has no generated columns."""
+    return _generated_map(table_schema(path, version))
+
+
+def _generated_checks(schema: dict | None) -> dict[str, str]:
+    """The generation invariant as CHECK-shaped expressions: a row
+    satisfies `col <=> (expr)` (null-safe equality, so a NULL generated
+    value only passes when the expression is NULL too).  Every staged-
+    output validation path (write / merge) enforces these alongside the
+    user CHECK constraints — a writer-supplied value that disagrees
+    with the expression is rejected loudly, Delta's contract."""
+    return {
+        f"generated:{c}": f"`{c}` <=> ({e})"
+        for c, e in _generated_map(schema).items()
+    }
+
+
 def table_partition_by(path: str, version: int | None = None) -> list[str] | None:
     """The most recently recorded partition layout (LOGICAL column
     names) as of `version` (latest when None), or None for an
@@ -1190,8 +1227,25 @@ def write(
     bloom_cols: list[str] | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
+
+    `generated={col: sql_expr}` declares GENERATED COLUMNS (Delta's
+    `GENERATED ALWAYS AS`): a batch that omits `col` gets it
+    materialized from the expression at write time; a batch that
+    provides it is validated against the expression on the staged bytes
+    (null-safe equality, rejected loudly like a CHECK violation).  The
+    expression is recorded in the schema's FIELD METADATA, so it rides
+    the schema timeline — later appends inherit it without re-passing
+    `generated`, AS-OF reads see the era's expressions, and an
+    overwrite resets it with the schema.  Declaring a NEW generated
+    column on an existing table is schema evolution (needs
+    `merge_schema=True`); changing a recorded expression is refused.
+    A generated column may be the `partition_by` target — the everyday
+    Delta idiom `date GENERATED ALWAYS AS (CAST(ts AS DATE))` with
+    partition pruning through it — and update() recomputes generated
+    columns instead of letting SET touch them.
     `stats_cols` opts the commit into per-file min/max stats on those
     columns, enabling `scan()` data skipping and `merge()` file pruning;
     `bloom_cols` adds per-file bloom filters so point predicates skip
@@ -1247,19 +1301,52 @@ def write(
             )
         return _merge_schemas(prev, cur)
 
-    # Record all fields nullable: schema evolution itself introduces
-    # nulls (old files lack new columns), and writer-side nullability is
-    # an artifact of how the DataFrame was derived, not a table contract.
-    cur = df.schema.jsonValue()
-    for f in cur["fields"]:
-        f["nullable"] = True
     vs0 = versions(path)
     read_version = vs0[-1] if vs0 else None
     if vs0:
         _e0, prev_schema, _d0, constraints, colmap = _replay(path, read_version)
     else:
         prev_schema, constraints, colmap = None, {}, {}
+
+    # GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`): the
+    # effective map is the table's recorded expressions (appends — an
+    # overwrite resets them with the schema) overlaid with this call's
+    # `generated`.  A column the batch OMITS is materialized here, at
+    # write time, from the expression — the everyday use: writers never
+    # compute the partition date themselves.  A column the batch
+    # PROVIDES is validated against the expression on the staged bytes
+    # (below, with the CHECK constraints).  Changing a recorded
+    # expression is refused — readers of old files would otherwise see
+    # rows generated under a contract the schema no longer states.
+    from pyspark.sql import functions as _Fgen
+
+    gen_prev = _generated_map(prev_schema) if action == "append" else {}
+    for c, e in (generated or {}).items():
+        if c in gen_prev and gen_prev[c] != e:
+            raise ValueError(
+                f"generated column {c!r} of {path} is already defined as "
+                f"({gen_prev[c]}) — generation expressions are immutable"
+            )
+    gen = {**gen_prev, **(generated or {})}
+    gen_provided = [c for c in gen if c in df.columns]
+    for c in gen:
+        if c not in df.columns:
+            df = df.withColumn(c, _Fgen.expr(gen[c]))
+
+    # Record all fields nullable: schema evolution itself introduces
+    # nulls (old files lack new columns), and writer-side nullability is
+    # an artifact of how the DataFrame was derived, not a table contract.
+    cur = df.schema.jsonValue()
+    for f in cur["fields"]:
+        f["nullable"] = True
     schema = _merged_schema(prev_schema, cur)
+    if gen:
+        for f in schema["fields"]:
+            if f["name"] in gen:
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "generated": gen[f["name"]],
+                }
 
     def _evolve_colmap(base_cm: dict, stage_cm: dict | None = None):
         """With mapping active, every schema field needs a physical
@@ -1331,7 +1418,11 @@ def write(
             [stage_map.get(c, c) for c in partition_by] if partition_by else None
         ),
     )
-    if constraints:
+    # writer-PROVIDED generated columns are validated on the staged
+    # bytes alongside the CHECK constraints (materialized ones are
+    # correct by construction and skip the scan)
+    gen_checks = {f"generated:{c}": f"`{c}` <=> ({gen[c]})" for c in gen_provided}
+    if constraints or gen_checks:
         # typed by the MERGED log schema, not inference: a merge_schema
         # append that legitimately omits an evolved column referenced by
         # a constraint must resolve it as NULL (SQL CHECK passes), not
@@ -1340,7 +1431,7 @@ def write(
             _read_files(
                 spark, [os.path.join(path, a) for a in added], schema, stage_map
             ),
-            constraints,
+            {**constraints, **gen_checks},
             f"{action} batch",
         )
     stats = (
@@ -1370,6 +1461,15 @@ def write(
         except CommitConflict:
             head = versions(path)[-1]
             schema = _merged_schema(table_schema(path, head), cur)
+            if gen:
+                # re-apply generation metadata lost by the re-merge when
+                # THIS write is the one introducing the expressions
+                for f in schema["fields"]:
+                    if f["name"] in gen:
+                        f["metadata"] = {
+                            **(f.get("metadata") or {}),
+                            "generated": gen[f["name"]],
+                        }
             # staged files are physical-named and stay valid across a
             # concurrent rename (physical names never change); re-derive
             # the recorded map against the head, keeping our already-
@@ -1378,7 +1478,7 @@ def write(
             new_constraints = table_constraints(path, head)
             if new_constraints != constraints:
                 constraints = new_constraints
-                if constraints:
+                if constraints or gen_checks:
                     _enforce_constraints(
                         _read_files(
                             spark,
@@ -1386,7 +1486,7 @@ def write(
                             schema,
                             stage_map,
                         ),
-                        constraints,
+                        {**constraints, **gen_checks},
                         f"{action} batch",
                     )
             expected = head + 1
@@ -1887,6 +1987,7 @@ def merge(
         if schema is not None
         else read(spark, path, read_version).columns
     )
+    gen = _generated_map(schema)
     if update_set is not None:
         bad = sorted(set(update_set) - set(cols))
         if bad:
@@ -1895,6 +1996,19 @@ def merge(
             raise ValueError(
                 f"update_set cannot SET the merge key {key!r} — it defines the match"
             )
+        gen_hit = sorted(set(update_set) & set(gen))
+        if gen_hit:
+            raise ValueError(
+                f"update_set cannot SET generated column(s) {gen_hit} — "
+                "they are recomputed from the merged row"
+            )
+    # a source omitting a GENERATED column gets it materialized from the
+    # expression (Delta's merge contract) — over the source row, which
+    # is exactly the landing row for inserts and whole-row updates; the
+    # merged output below recomputes anyway, so update_set can't drift
+    for c in gen:
+        if c not in source.columns:
+            source = source.withColumn(c, F.expr(gen[c]))
     # NULL delete_where falls through to UPDATE (Delta's semantics): an
     # un-coalesced NULL flag would make ~(matched & NULL) = NULL and the
     # filter below would silently drop the row — neither deleted nor
@@ -1938,8 +2052,26 @@ def merge(
                 .alias(c)
             )
 
-        merged = joined.filter(~(matched & F.col("s.__delete"))).select(
-            *[_out_col(c) for c in cols]
+        def _regen_m(df: DataFrame) -> DataFrame:
+            # generated columns recompute from the LANDING row: inserts
+            # and whole-row updates already carry the right value (it
+            # was materialized over the source), update_set rows derive
+            # from their post-SET inputs, carried rows are unchanged
+            if not gen:
+                return df
+            return df.select(
+                *[
+                    F.expr(gen[c]).cast(tgt_types[c]).alias(c)
+                    if c in gen
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+
+        merged = _regen_m(
+            joined.filter(~(matched & F.col("s.__delete"))).select(
+                *[_out_col(c) for c in cols]
+            )
         )
         if collect_cdf:
             # Delta's merge CDF: explicit change rows written alongside
@@ -1959,7 +2091,7 @@ def merge(
                     .withColumn(ct, F.lit("update_preimage"))
                 )
                 .unionByName(
-                    joined.filter(updated).select(*post_row)
+                    _regen_m(joined.filter(updated).select(*post_row))
                     .withColumn(ct, F.lit("update_postimage"))
                 )
                 .unionByName(
@@ -1971,18 +2103,29 @@ def merge(
         merged = src.select(*cols)  # nothing can match: pure insert
         if collect_cdf:
             cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
-    added = _stage(_to_physical(merged, colmap), path)
+    # preserve the recorded partition layout on the rewrite (ADVICE r9
+    # — see update()); partition columns join the collected stats so
+    # metadata-only retention keeps working on merged files
+    part_by = table_partition_by(path, read_version)
+    if part_by:
+        stats_cols = sorted(set(stats_cols or []) | set(part_by))
+    added = _stage(
+        _to_physical(merged, colmap),
+        path,
+        partition_by=[colmap.get(c, c) for c in part_by] if part_by else None,
+    )
     # CHECK constraints validate the STAGED bytes (the exact rows that
     # will commit): staged merge output holds only landing rows —
     # delete-flagged source rows never materialize, and carried-over
     # target rows passed at their own write time (add_constraint
     # validates the existing table)
-    if constraints:
+    gen_checks = _generated_checks(schema)
+    if constraints or gen_checks:
         _enforce_constraints(
             _read_files(
                 spark, [os.path.join(path, a) for a in added], schema, colmap
             ),
-            constraints,
+            {**constraints, **gen_checks},
             "merge output",
         )
     cdf_files = (
@@ -2079,6 +2222,14 @@ def update(
     unknown = sorted(set(set_exprs) - set(cols))
     if unknown:
         raise ValueError(f"UPDATE SET targets unknown column(s) {unknown}")
+    gen = _generated_map(schema)
+    gen_hit = sorted(set(set_exprs) & set(gen))
+    if gen_hit:
+        raise ValueError(
+            f"cannot UPDATE generated column(s) {gen_hit} — they derive "
+            f"from { {c: gen[c] for c in gen_hit} } and are recomputed "
+            "automatically when their inputs change"
+        )
     pw = _phys_where(where, colmap)  # stats are keyed by physical names
     candidates = [f for f, st in entries if _file_survives(st, pw)]
     if not candidates:
@@ -2125,12 +2276,25 @@ def update(
         )
         for c in cols
     ]
+    def _regen(df: DataFrame) -> DataFrame:
+        # generated columns recompute from the POST-SET row (their
+        # inputs may have changed); unmatched rows recompute to the
+        # same value, so applying it file-wide is a no-op for them
+        if not gen:
+            return df
+        return df.select(
+            *[
+                F.expr(gen[c]).cast(tgt_types[c]).alias(c) if c in gen else F.col(c)
+                for c in cols
+            ]
+        )
+
     if collect_cdf:
         # pre/post images and the rewrite all derive from the same
         # touched-file scan: persist it so the files are read once
         base = base.persist()
     added = _stage(
-        _to_physical(base.select(*upd), colmap),
+        _to_physical(_regen(base.select(*upd)), colmap),
         path,
         partition_by=[colmap.get(c, c) for c in part_by] if part_by else None,
     )
@@ -2149,7 +2313,7 @@ def update(
         cdf_df = (
             matched.select(*cols).withColumn(ct, F.lit("update_preimage"))
             .unionByName(
-                matched.select(*upd).withColumn(ct, F.lit("update_postimage"))
+                _regen(matched.select(*upd)).withColumn(ct, F.lit("update_postimage"))
             )
         )
         cdf_files = _stage(_to_physical(cdf_df, colmap), path, kind="cdf")
