@@ -3415,3 +3415,131 @@ def test_minitable_generated_columns_dml(spark, tmp_path):
                     update_set={"b": "t.b - 2"})
     r = minitable.read(spark, path).where("k = 1").collect()[0]
     assert r["b"] == 0 and r["pb"] == 0
+
+
+def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monkeypatch):
+    """VERDICT r9 task 3: TWO writers racing random DML — writer B's op
+    lands between writer A's snapshot read and A's commit claim (the
+    monkeypatched-commit injection, the only way to force the race
+    deterministically in-process).  The serializability contract (Delta's):
+    every A either AUTO-REBASES (its plan provably commutes with B's
+    commit) or raises CommitConflict — and the final table equals the
+    SERIAL application, in commit order (B then A), of exactly the
+    ACCEPTED commits.  A conflicted A must leave zero trace.  ~50 random
+    racing schedules across trials; op pool: append / update / delete /
+    delete_dv / merge / optimize with overlapping-or-disjoint scopes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    rng = random.Random(101010)
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "k bigint, v double").coalesce(1)
+
+    real_commit = minitable.commit
+
+    for trial in range(10):
+        path = str(tmp_path / f"t{trial}")
+        next_key = [0]
+
+        def fresh(n):
+            rows = [(k, float(k % 97)) for k in range(next_key[0], next_key[0] + n)]
+            next_key[0] += n
+            return rows
+
+        rows0 = fresh(24)
+        minitable.write(
+            spark, to_df(rows0).repartitionByRange(3, "k"), path, "overwrite",
+            stats_cols=["k"],
+        )
+        model = dict(rows0)
+
+        def rand_op():
+            kind = rng.choice(
+                ["append", "update", "delete", "delete_dv", "merge", "optimize"]
+            )
+            if kind == "append":
+                return (kind, fresh(rng.randint(3, 6)))
+            if kind == "merge":
+                keys = sorted(model)
+                upd = rng.sample(keys, min(2, len(keys))) if keys else []
+                return (kind, [(k, 5000.0 + k) for k in upd] + fresh(2))
+            if kind == "optimize":
+                return (kind, None)
+            hi = next_key[0] + 3
+            return (kind, rng.randint(0, hi))  # update/delete cut
+
+        def run_op(op):
+            """Execute against the table; True iff a version committed."""
+            kind, arg = op
+            if kind == "append":
+                minitable.write(spark, to_df(arg), path, "append", stats_cols=["k"])
+                return True
+            if kind == "update":
+                return minitable.update(
+                    spark, path, {"v": "v + 1000"}, [("k", "<=", arg)],
+                    stats_cols=["k"],
+                ) is not None
+            if kind == "delete":
+                return minitable.delete(
+                    spark, path, [("k", "<", arg)], stats_cols=["k"]
+                ) is not None
+            if kind == "delete_dv":
+                return minitable.delete_dv(
+                    spark, path, [("k", "<", arg)], stats_cols=["k"]
+                ) is not None
+            if kind == "merge":
+                minitable.merge(spark, to_df(arg), path, "k", stats_cols=["k"])
+                return True
+            return minitable.optimize(
+                spark, path, small_bytes=1 << 20, target_bytes=1 << 22
+            ) is not None
+
+        def apply_op(m, op):
+            """The op's serial semantics on the dict model."""
+            kind, arg = op
+            if kind == "append":
+                m.update(arg)
+            elif kind == "update":
+                for k in list(m):
+                    if k <= arg:
+                        m[k] = m[k] + 1000.0
+            elif kind in ("delete", "delete_dv"):
+                for k in list(m):
+                    if k < arg:
+                        del m[k]
+            elif kind == "merge":
+                m.update({k: v for k, v in arg})
+            # optimize: row-invariant
+
+        inject = {"op": None}
+
+        def racing_commit(path_, action, added, **kw):
+            b_op = inject["op"]
+            if b_op is not None:
+                inject["op"] = None  # B itself commits through the real path
+                if run_op(b_op):
+                    apply_op(model, b_op)  # B is serial-first: it committed first
+            return real_commit(path_, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing_commit)
+        try:
+            for _step in range(5):
+                a_op, b_op = rand_op(), rand_op()
+                inject["op"] = b_op
+                try:
+                    if run_op(a_op):
+                        apply_op(model, a_op)  # A landed after B: serial-second
+                except minitable.CommitConflict:
+                    pass  # rejected entirely — must leave zero trace
+                finally:
+                    inject["op"] = None
+                got = {
+                    r["k"]: r["v"] for r in minitable.read(spark, path).collect()
+                }
+                assert got == model, (trial, _step, a_op, b_op)
+        finally:
+            monkeypatch.setattr(minitable, "commit", real_commit)
