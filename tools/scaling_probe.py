@@ -136,8 +136,9 @@ def _build_minitable(spark, src_dir: str, path: str, n_files: int) -> None:
     from tinymr_spark.sources import load_table
     from tinymr_spark.sources import minitable
 
-    if os.path.exists(os.path.join(path, "_log")):
-        return
+    # DML below MUTATES the table, so a stale copy from a previous run
+    # would make the fixed-row deletes no-ops — rebuild every run
+    shutil.rmtree(path, ignore_errors=True)
     ev = load_table(spark, src_dir, "events").select(
         "event_id", "event_type", "user_id", F.col("value").cast("double")
     )
