@@ -3543,3 +3543,183 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                 assert got == model, (trial, _step, a_op, b_op)
         finally:
             monkeypatch.setattr(minitable, "commit", real_commit)
+
+
+def test_minitable_restore_and_clone_carry_partition_layout(spark, tmp_path):
+    """Review r10: restore() and clone() commit overwrites — without
+    re-recording the era's partition_by, table_partition_by would reset
+    to None and every later DML rewrite would silently drop the hive
+    layout."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(30)], "k bigint, b bigint, v double"
+    )
+    minitable.write(
+        spark, df.repartition("b"), path, "overwrite",
+        partition_by=["b"], stats_cols=["k"],
+    )
+    minitable.write(
+        spark, spark.createDataFrame([(100, 0, 1.0)], "k bigint, b bigint, v double"),
+        path, "append",
+    )
+    minitable.restore(path, 0)
+    assert minitable.table_partition_by(path) == ["b"]
+    # DML after the restore still stages under the layout
+    res = minitable.update(spark, path, {"v": "v + 1"}, [("k", "<", 3)])
+    assert res is not None
+    rels = [r for r, _st in minitable._live_entries(path)]
+    assert all("__p_b=" in r for r in rels), rels
+
+    dst = str(tmp_path / "c")
+    minitable.clone(path, dst)
+    assert minitable.table_partition_by(dst) == ["b"]
+
+
+def test_minitable_generated_input_and_partition_column_alter_guards(spark, tmp_path):
+    """Review r10: dropping/renaming an INPUT of a generated column
+    would brick every later write (the immutable expression fails
+    analysis); renaming a recorded partition column would strand
+    table_partition_by on a stale name.  Both refuse loudly."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(9)], "k bigint, b bigint, v double"
+    )
+    minitable.write(
+        spark, df, path, "overwrite",
+        generated={"pb": "CAST(b * 10 AS BIGINT)"}, partition_by=["pb"],
+    )
+    with pytest.raises(ValueError, match="input of generated"):
+        minitable.drop_column(path, "b")
+    with pytest.raises(ValueError, match="input of generated"):
+        minitable.rename_column(path, "b", "b2")
+    with pytest.raises(ValueError, match="partition column"):
+        minitable.rename_column(path, "pb", "pb2")
+    with pytest.raises(ValueError, match="partition column"):
+        minitable.drop_column(path, "pb")
+    # a column that is neither still alters fine
+    minitable.rename_column(path, "v", "val")
+    assert "val" in minitable.read(spark, path).columns
+
+
+def test_minitable_rebase_conflicts_on_concurrent_generated_change(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: writer A declaring generated column g races writer B
+    who landed a DIFFERENT expression for g first — A's staged bytes
+    satisfy A's expression, not B's recorded one, so the rebase must
+    conflict instead of re-stamping A's expression over the head."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        path, "overwrite",
+    )
+    real_commit = minitable.commit
+    raced = {}
+
+    def racing_commit(path_, action, added, **kw):
+        if raced.pop("go", None) and action == "append":
+            minitable.write(
+                spark, spark.createDataFrame([(2, 2.0)], "k bigint, v double"),
+                path, "append", merge_schema=True,
+                generated={"g": "CAST(k * 3 AS BIGINT)"},
+            )
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_commit)
+    raced["go"] = True
+    with pytest.raises(minitable.CommitConflict, match="generated-column"):
+        minitable.write(
+            spark, spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+            path, "append", merge_schema=True,
+            generated={"g": "CAST(k * 2 AS BIGINT)"},
+        )
+    # B's contract survived intact and holds for every live row
+    assert minitable.table_generated(path) == {"g": "CAST(k * 3 AS BIGINT)"}
+    for r in minitable.read(spark, path).collect():
+        assert r["g"] is None or r["g"] == r["k"] * 3
+
+
+def test_minitable_optimize_defaults_to_recorded_layout(spark, tmp_path):
+    """Review r10: bare optimize() on a partitioned table must read the
+    layout from the log — packing bins across partitions would stage
+    stats-less mixed-value files that never prune or whole-drop."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    for i in range(3):  # dribble small per-batch files into 2 partitions
+        df = spark.createDataFrame(
+            [(10 * i + j, j % 2, float(j)) for j in range(10)],
+            "k bigint, b bigint, v double",
+        )
+        minitable.write(
+            spark, df.repartition("b"), path,
+            "overwrite" if i == 0 else "append",
+            partition_by=["b"], stats_cols=["k"],
+        )
+    res = minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 22)
+    assert res is not None
+    rels = [r for r, _st in minitable._live_entries(path)]
+    assert all("__p_b=" in r for r in rels), rels
+    # packed files kept exact partition stats: pruning is still log-only
+    kept, total = minitable.prune(path, [("b", "=", 1)])
+    assert 0 < len(kept) < total
+    res2 = minitable.delete(spark, path, [("b", "=", 0)])
+    assert res2 is not None and res2[1]["rewritten"] == 0
+
+
+def test_minitable_table_partition_by_stops_at_checkpoint(spark, tmp_path, monkeypatch):
+    """Review r10: table_partition_by must be O(tail) — the newest
+    checkpoint folds the layout (None = authoritatively unpartitioned)
+    so a long append-only log isn't re-walked to v0 on every DML call."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    for i in range(25):  # auto-checkpoints at v10 and v20
+        minitable.write(
+            spark, spark.createDataFrame([(i, float(i))], "k bigint, v double"),
+            path, "overwrite" if i == 0 else "append",
+        )
+    opened = []
+    real_vf = minitable._version_file
+
+    def counting_vf(p, v):
+        opened.append(v)
+        return real_vf(p, v)
+
+    monkeypatch.setattr(minitable, "_version_file", counting_vf)
+    assert minitable.table_partition_by(path) is None
+    # versions 24..20 = the tail above the v20 checkpoint (+1 for the
+    # fold-point record itself); never anywhere near the 25-record log
+    assert len(opened) <= 6, opened
+    assert min(opened) >= 20, opened
+
+
+def test_minitable_merge_pure_insert_recomputes_generated(spark, tmp_path):
+    """Review r10: a source providing a WRONG generated value must get
+    the same outcome in the pure-insert branch as in the upsert branch
+    — silently recomputed, never staged-then-rejected."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        path, "overwrite", generated={"g": "CAST(k * 2 AS BIGINT)"},
+        stats_cols=["k"],
+    )
+    # out-of-range keys -> no touched files -> the pure-insert branch
+    src = spark.createDataFrame(
+        [(100, 5.0, 999), (101, 6.0, 999)], "k bigint, v double, g bigint"
+    )
+    minitable.merge(spark, src, path, "k")
+    got = {r["k"]: r["g"] for r in minitable.read(spark, path).collect()}
+    assert got == {1: 2, 100: 200, 101: 202}

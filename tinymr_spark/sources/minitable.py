@@ -159,6 +159,10 @@ def checkpoint(path: str, version: int | None = None) -> int:
         meta["constraints"] = constraints
     if colmap:
         meta["colmap"] = colmap
+    # fold the partition layout in (key ALWAYS present — None means
+    # "authoritatively unpartitioned"), so table_partition_by stops its
+    # newest-first walk here instead of replaying to v0
+    meta["partition_by"] = table_partition_by(path, version)
     table = pa.table(
         {
             "f": pa.array([f for f, _st in entries], pa.string()),
@@ -637,10 +641,18 @@ def table_partition_by(path: str, version: int | None = None) -> list[str] | Non
     so hive dirs and the exact `[v, v]` partition stats survive
     row-level DML — without it, later retention deletes on rewritten
     files would silently degrade from metadata-only whole-drops to
-    data rewrites (ADVICE r9)."""
+    data rewrites (ADVICE r9).
+
+    O(tail): the scan stops at the newest checkpoint <= `version` —
+    checkpoints fold the layout into their metadata — so a long-lived
+    streaming-ingest table doesn't pay an O(commits) log walk on every
+    DML call (review r10).  Legacy checkpoints without the key fall
+    through to the full walk (conservative migration)."""
     vs = versions(path)
     if version is not None:
         vs = [v for v in vs if v <= version]
+    cks = [c for c in checkpoint_versions(path) if vs and c <= vs[-1]]
+    ck = max(cks) if cks else None
     for v in reversed(vs):
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
@@ -649,6 +661,19 @@ def table_partition_by(path: str, version: int | None = None) -> list[str] | Non
             return list(pb)
         if rec.get("action") == "overwrite":
             return None
+        if ck is not None and v <= ck:
+            pq_ckpt = _checkpoint_parquet(path, ck)
+            if os.path.exists(pq_ckpt):
+                import pyarrow.parquet as _pq
+
+                meta = json.loads(
+                    (_pq.read_schema(pq_ckpt).metadata or {}).get(
+                        b"minitable_meta", b"{}"
+                    )
+                )
+                if "partition_by" in meta:  # authoritative, may be None
+                    return meta["partition_by"]
+            ck = None  # legacy checkpoint: continue the full walk
     return None
 
 
@@ -735,6 +760,22 @@ def rename_column(path: str, old: str, new: str) -> int:
             f"cannot rename {old!r}: referenced by CHECK constraint(s) "
             f"{blocked} — drop them first"
         )
+    # same guard for generation expressions: the recorded expr would
+    # silently break (every later write/update/merge would fail
+    # analysis, with no repair path since the expr is immutable)
+    gen_blocked = _constraint_mentions(
+        {c: e for c, e in _generated_map(schema).items() if c != old}, old
+    )
+    if gen_blocked:
+        raise ValueError(
+            f"cannot rename {old!r}: it is an input of generated "
+            f"column(s) {gen_blocked}"
+        )
+    if old in (table_partition_by(path, head) or ()):
+        raise ValueError(
+            f"cannot rename {old!r}: it is a recorded partition column "
+            "— rewrite the table under a new layout first"
+        )
     full = _full_colmap(schema, colmap)
     full[new] = full.pop(old)  # the new logical keeps the old physical
     new_schema = dict(schema)
@@ -781,6 +822,22 @@ def drop_column(path: str, name: str) -> int:
         raise ValueError(
             f"cannot drop {name!r}: referenced by CHECK constraint(s) "
             f"{blocked} — drop them first"
+        )
+    # dropping the generated column ITSELF is fine (its contract goes
+    # with the field); dropping one of its INPUTS would brick every
+    # later write/update/merge (the immutable expr fails analysis)
+    gen_blocked = _constraint_mentions(
+        {c: e for c, e in _generated_map(schema).items() if c != name}, name
+    )
+    if gen_blocked:
+        raise ValueError(
+            f"cannot drop {name!r}: it is an input of generated "
+            f"column(s) {gen_blocked}"
+        )
+    if name in (table_partition_by(path, head) or ()):
+        raise ValueError(
+            f"cannot drop {name!r}: it is a recorded partition column "
+            "— rewrite the table under a new layout first"
         )
     full = _full_colmap(schema, colmap)
     full.pop(name)
@@ -1460,7 +1517,24 @@ def write(
             )
         except CommitConflict:
             head = versions(path)[-1]
-            schema = _merged_schema(table_schema(path, head), cur)
+            head_schema = table_schema(path, head)
+            # the generated-column contract this write planned against
+            # must still hold at the head: a concurrently-landed
+            # DIFFERENT map (new expression, changed expression, or a
+            # new generated column our batch never materialized) can't
+            # be satisfied by our already-staged bytes — replan (review
+            # r10: blind re-stamping would bypass expression
+            # immutability and the generation invariant under a race)
+            head_gen = (
+                _generated_map(head_schema) if action == "append" else {}
+            )
+            if head_gen != gen_prev:
+                raise CommitConflict(
+                    f"generated-column contract of {path} changed "
+                    f"concurrently ({gen_prev} -> {head_gen}) — replan "
+                    "this write against the new head"
+                )
+            schema = _merged_schema(head_schema, cur)
             if gen:
                 # re-apply generation metadata lost by the re-merge when
                 # THIS write is the one introducing the expressions
@@ -2101,8 +2175,22 @@ def merge(
             )
     else:
         merged = src.select(*cols)  # nothing can match: pure insert
+        if gen:
+            # same contract as the upsert branch's _regen_m: a source-
+            # provided generated value is recomputed, not validated-
+            # after-staging (review r10 — the two branches must not
+            # give the same input different outcomes)
+            ins_types = {f.name: f.dataType for f in merged.schema.fields}
+            merged = merged.select(
+                *[
+                    F.expr(gen[c]).cast(ins_types[c]).alias(c)
+                    if c in gen
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
         if collect_cdf:
-            cdf_df = src.select(*cols).withColumn("_change_type", F.lit("insert"))
+            cdf_df = merged.withColumn("_change_type", F.lit("insert"))
     # preserve the recorded partition layout on the rewrite (ADVICE r9
     # — see update()); partition columns join the collected stats so
     # metadata-only retention keeps working on merged files
@@ -2730,6 +2818,12 @@ def optimize(
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
     entries, schema, dvs, _c, colmap = _replay(path, read_version)
+    if partition_by is None:
+        # the layout comes from the log, like every other rewrite path
+        # (review r10): an operator calling bare optimize() on a
+        # partitioned table must not pack bins across partitions or
+        # stage stats-less mixed-value files
+        partition_by = table_partition_by(path, read_version)
     if partition_by:
         stats_cols = sorted(set(stats_cols or []) | set(partition_by))
     phys_parts = (
@@ -3097,6 +3191,11 @@ def restore(path: str, to_version: int) -> int:
         dv=dvs or None,
         constraints=constraints,  # {} is an explicit reset, like schema
         colmap=colmap,  # {} is an explicit reset too (pre-mapping era)
+        # the rollback overwrite must re-record the TARGET era's layout:
+        # a bare overwrite record would reset table_partition_by to None
+        # and every later DML rewrite would silently drop the hive
+        # layout (review r10)
+        partition_by=table_partition_by(path, to_version),
     )
 
 
@@ -3136,6 +3235,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         dv=dv or None,
         constraints=constraints,
         colmap=colmap,  # the clone starts at the source's mapping state
+        # carry the source's AS-OF partition layout: without it the
+        # clone's v0 overwrite record resets table_partition_by and the
+        # clone's copy-on-write DML would destroy its layout (review r10)
+        partition_by=table_partition_by(src, version),
     )
 
 

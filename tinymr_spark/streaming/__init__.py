@@ -1776,6 +1776,8 @@ def q197_lakehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinymr_spark.operators.text import (
         SPLIT_TRAIN_PCT,
         SPLIT_VAL_PCT,
+        STOPWORDS,
+        md5_int60,
         with_tokens,
     )
     from tinymr_spark.sources import minitable, versioned_staging_dir
@@ -1845,7 +1847,7 @@ def q197_lakehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps = cdf.join(keepers.select("doc_id"), "doc_id", "semi")
         toks = F.col("toks")
         n_tok = F.size(toks)
-        n_stop = F.size(F.filter(toks, lambda x: x.isin(*_PIPE_STOPWORDS)))
+        n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
         n_distinct = F.size(F.array_distinct(toks))
         scored = with_tokens(reps).select(
             "doc_id",
@@ -1892,10 +1894,7 @@ def q197_lakehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- stage 4: split assignment over the survivors ------------------
     surv = minitable.read(spark, lake)
-    slot = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 100
-    )
+    slot = md5_int60(F.col("doc_id").cast("string")) % 100
     split = (
         F.when(slot < SPLIT_TRAIN_PCT, F.lit("train"))
         .when(slot < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
@@ -1913,8 +1912,6 @@ def q197_lakehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_PIPE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 ORACLE_Q197 = r"""
 WITH tagged AS (
