@@ -1892,6 +1892,7 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
             # declared ONCE here; every later append/merge/update/
             # optimize/materialization must materialize-or-preserve it
             generated={"g": "CAST(k % 7 AS DOUBLE)"},
+            identity={"rid": (1, 1)},
         )
         model = dict(rows0)
         states = {0: (dict(model), vcol[0])}
@@ -1906,6 +1907,14 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 # the generation invariant survives every DML verb
                 bad_g = [r["k"] for r in live if r["g"] != float(r["k"] % 7)]
                 assert not bad_g, (trial, tag, head, bad_g)
+                # identity values stay unique, assigned, and inside the
+                # recorded high-water mark through every verb
+                rids = [r["rid"] for r in live]
+                hwm = minitable.table_identity_hwm(path).get("rid", 0)
+                assert None not in rids and len(set(rids)) == len(rids), (
+                    trial, tag, head,
+                )
+                assert all(1 <= i <= hwm for i in rids), (trial, tag, head, hwm)
             else:
                 assert minitable.snapshot(path) == [], (trial, tag, head)
 
@@ -3723,3 +3732,108 @@ def test_minitable_merge_pure_insert_recomputes_generated(spark, tmp_path):
     minitable.merge(spark, src, path, "k")
     got = {r["k"]: r["g"] for r in minitable.read(spark, path).collect()}
     assert got == {1: 2, 100: 200, 101: 202}
+
+
+def test_minitable_identity_columns(spark, tmp_path):
+    """IDENTITY COLUMNS: dense engine-assigned values continuing from
+    the recorded high-water mark; ALWAYS semantics (supplying values
+    refused), spec immutable, appends inherit, update refuses SET,
+    merge keeps matched ids and assigns fresh ones to inserts, restore
+    rolls the marks back, checkpoint folds them."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(20)], "k bigint, v double"
+    ).repartition(4)
+    minitable.write(spark, df, path, "overwrite", identity={"rid": (10, 5)},
+                    stats_cols=["k"])
+    ids = sorted(r["rid"] for r in minitable.read(spark, path).collect())
+    assert ids == list(range(10, 10 + 5 * 20, 5))  # dense from start, step 5
+    assert minitable.table_identity(path) == {"rid": (10, 5)}
+    assert minitable.table_identity_hwm(path) == {"rid": 10 + 5 * 19}
+
+    minitable.write(
+        spark, spark.createDataFrame([(100, 1.0)], "k bigint, v double"),
+        path, "append",
+    )
+    assert minitable.read(spark, path).where("k=100").collect()[0]["rid"] == 110
+
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        minitable.write(
+            spark,
+            spark.createDataFrame([(200, 1.0, 7)], "k bigint, v double, rid bigint"),
+            path, "append",
+        )
+    with pytest.raises(ValueError, match="immutable"):
+        minitable.write(
+            spark, spark.createDataFrame([(201, 1.0)], "k bigint, v double"),
+            path, "append", identity={"rid": (10, 1)},
+        )
+    with pytest.raises(ValueError, match="identity"):
+        minitable.update(spark, path, {"rid": "1"})
+
+    before = {r["k"]: r["rid"] for r in minitable.read(spark, path).collect()}
+    src = spark.createDataFrame([(3, 333.0), (300, 1.0)], "k bigint, v double")
+    minitable.merge(spark, src, path, "k", stats_cols=["k"])
+    after = {r["k"]: r["rid"] for r in minitable.read(spark, path).collect()}
+    assert after[3] == before[3] and after[300] == 115
+    assert len(set(after.values())) == len(after)
+
+    minitable.restore(path, 0)
+    assert minitable.table_identity_hwm(path) == {"rid": 10 + 5 * 19}
+    minitable.write(
+        spark, spark.createDataFrame([(400, 1.0)], "k bigint, v double"),
+        path, "append",
+    )
+    assert minitable.read(spark, path).where("k=400").collect()[0]["rid"] == 110
+
+    # merge source supplying identity values is refused, as is keying on it
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        minitable.merge(
+            spark,
+            spark.createDataFrame([(1, 1.0, 9)], "k bigint, v double, rid bigint"),
+            path, "k",
+        )
+    with pytest.raises(ValueError, match="identity"):
+        minitable.merge(
+            spark, spark.createDataFrame([(1, 1.0)], "rid bigint, v double"),
+            path, "rid",
+        )
+
+
+def test_minitable_identity_concurrent_allocation_conflicts(spark, tmp_path, monkeypatch):
+    """Two writers allocating ids from the same recorded mark would hand
+    out the SAME range — the loser's rebase must conflict, never land
+    duplicate ids."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        path, "overwrite", identity={"rid": (1, 1)},
+    )
+    real_commit = minitable.commit
+    raced = {}
+
+    def racing_commit(path_, action, added, **kw):
+        if raced.pop("go", None) and action == "append":
+            minitable.write(
+                spark, spark.createDataFrame([(2, 2.0)], "k bigint, v double"),
+                path, "append",
+            )
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing_commit)
+    raced["go"] = True
+    with pytest.raises(minitable.CommitConflict, match="identity"):
+        minitable.write(
+            spark, spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+            path, "append",
+        )
+    ids = [r["rid"] for r in minitable.read(spark, path).collect()]
+    assert len(ids) == len(set(ids)) == 2  # B landed, A left no trace

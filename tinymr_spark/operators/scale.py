@@ -4747,6 +4747,139 @@ GROUP BY phase
 """
 
 
+# ---------------------------------------------------------------------------
+# q199 — IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY), the
+# companion of q198's expression-generated columns: surrogate key `rid`
+# is declared once as identity (start=1, step=1) and NEVER supplied by
+# any writer — write() assigns values densely from the table's recorded
+# high-water mark with a shuffle-free two-phase pass (per-partition
+# counts -> driver prefix offsets -> one Arrow mapInPandas), appends
+# continue the sequence without re-declaring, and MERGE hands fresh ids
+# to its INSERT rows while matched rows keep theirs (asserted row by
+# row in the build).  The allocation state rides the commit log
+# (`identity_hwm`, newest record wins, checkpoint-folded), concurrent
+# allocators conflict on rebase, and restore rolls the marks back with
+# the data.  Because assignment is dense, every phase's id set is
+# EXACTLY 1..n — so min/max/sum of the engine-assigned ids are
+# SQL-derivable from row counts alone, and the hash gate proves the
+# allocator end-to-end (v0 ingest / v1 append continuation / v2 merge
+# with preserved-vs-fresh ids) against the oracle's closed forms.
+# 100 TB: the only non-data cost is one O(partitions) driver exchange
+# per identity write — no global window, no driver row loop.
+# ---------------------------------------------------------------------------
+def q199_identity_columns(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "events")
+    table = versioned_staging_dir("tinymr_spark_minitable_identity", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", F.col("value").cast("double")
+        )
+        even = ev.where(F.col("event_id") % 2 == 0)
+        minitable.write(  # v0: `rid` never appears in any writer's frame
+            spark, even.repartition(4), table, "overwrite",
+            identity={"rid": (1, 1)}, stats_cols=["event_id"],
+        )
+        v0 = minitable.read(spark, table).agg(
+            F.count("*"), F.min("rid"), F.max("rid"), F.count_distinct("rid")
+        ).collect()[0]
+        assert v0[1] == 1 and v0[2] == v0[0] == v0[3], v0  # dense 1..n
+        # v1: append continues the sequence, spec inherited from the log
+        minitable.write(
+            spark, ev.where(F.col("event_id") % 2 == 1), table, "append"
+        )
+        v1 = minitable.read(spark, table).agg(
+            F.count("*"), F.max("rid"), F.count_distinct("rid")
+        ).collect()[0]
+        assert v1[1] == v1[0] == v1[2], v1
+        # v2: merge — matched rows KEEP ids, the 3 inserts get fresh ones
+        before = {
+            r["event_id"]: r["rid"]
+            for r in minitable.read(spark, table)
+            .where("event_id < 50").collect()
+        }
+        upd = ev.where(F.col("event_id") < 50).withColumn(
+            "value", F.col("value") + 1000.0
+        )
+        fresh = spark.createDataFrame(
+            [(1000000000, "click", 7.5), (1000000001, "view", 8.5),
+             (1000000002, "error", 9.5)],
+            "event_id bigint, event_type string, value double",
+        )
+        minitable.merge(
+            spark, upd.unionByName(fresh), table, "event_id",
+            stats_cols=["event_id"],
+        )
+        after = {
+            r["event_id"]: r["rid"]
+            for r in minitable.read(spark, table)
+            .where("event_id < 50").collect()
+        }
+        assert after == before, "matched rows must keep their identity values"
+        v2 = minitable.read(spark, table).agg(
+            F.count("*"), F.max("rid"), F.count_distinct("rid")
+        ).collect()[0]
+        assert v2[1] == v2[0] == v2[2], v2  # still dense after the merge
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_rows"),
+            F.min("rid").alias("min_id"),
+            F.max("rid").alias("max_id"),
+            F.sum("rid").cast("bigint").alias("sum_id"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+
+    return (
+        agg(minitable.read(spark, table, 0), "v0_ingest")
+        .unionByName(agg(minitable.read(spark, table, 1), "v1_append"))
+        .unionByName(agg(minitable.read(spark, table, 2), "v2_merge"))
+    )
+
+
+ORACLE_Q199 = """
+WITH c AS (
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS c0,
+        CAST(COUNT(*) AS BIGINT) AS t,
+        SUM(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS sv0,
+        SUM(CAST(value AS DECIMAL(18,2))) AS svt,
+        CAST(COUNT(*) FILTER (WHERE event_id < 50) AS BIGINT) AS cupd
+    FROM events
+)
+SELECT 'v0_ingest' AS phase, c0 AS n_rows,
+       CAST(1 AS BIGINT) AS min_id, c0 AS max_id,
+       CAST(c0 * (c0 + 1) // 2 AS BIGINT) AS sum_id,
+       CAST(sv0 AS DOUBLE) AS sum_value
+FROM c
+UNION ALL
+SELECT 'v1_append', t, CAST(1 AS BIGINT), t,
+       CAST(t * (t + 1) // 2 AS BIGINT),
+       CAST(svt AS DOUBLE)
+FROM c
+UNION ALL
+SELECT 'v2_merge', t + 3, CAST(1 AS BIGINT), t + 3,
+       CAST((t + 3) * (t + 4) // 2 AS BIGINT),
+       CAST(svt + CAST(1000.00 AS DECIMAL(18,2)) * cupd
+            + CAST(25.50 AS DECIMAL(18,2)) AS DOUBLE)
+FROM c
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4802,6 +4935,7 @@ QUERIES = {
     "q193_table_history": q193_table_history,
     "q194_convert_in_place": q194_convert_in_place,
     "q198_generated_columns": q198_generated_columns,
+    "q199_identity_columns": q199_identity_columns,
 }
 
 ORACLE = {
@@ -4859,4 +4993,5 @@ ORACLE = {
     "q193_table_history": ORACLE_Q193,
     "q194_convert_in_place": ORACLE_Q194,
     "q198_generated_columns": ORACLE_Q198,
+    "q199_identity_columns": ORACLE_Q199,
 }

@@ -163,6 +163,7 @@ def checkpoint(path: str, version: int | None = None) -> int:
     # "authoritatively unpartitioned"), so table_partition_by stops its
     # newest-first walk here instead of replaying to v0
     meta["partition_by"] = table_partition_by(path, version)
+    meta["identity_hwm"] = table_identity_hwm(path, version)  # same fold
     table = pa.table(
         {
             "f": pa.array([f for f, _st in entries], pa.string()),
@@ -629,6 +630,128 @@ def _generated_checks(schema: dict | None) -> dict[str, str]:
     }
 
 
+def _identity_map(schema: dict | None) -> dict[str, tuple[int, int]]:
+    """{col: (start, step)} for IDENTITY columns, recorded in schema
+    field metadata exactly like generation expressions (Delta's
+    GENERATED ALWAYS AS IDENTITY): the spec rides the schema timeline,
+    appends inherit it, an overwrite resets it with the schema."""
+    if not schema:
+        return {}
+    out: dict[str, tuple[int, int]] = {}
+    for f in schema.get("fields", []):
+        spec = (f.get("metadata") or {}).get("identity")
+        if spec:
+            out[f["name"]] = (int(spec["start"]), int(spec["step"]))
+    return out
+
+
+def table_identity(path: str, version: int | None = None) -> dict[str, tuple[int, int]]:
+    """The identity-column map {col: (start, step)} AS OF `version`."""
+    return _identity_map(table_schema(path, version))
+
+
+def table_identity_hwm(path: str, version: int | None = None) -> dict[str, int]:
+    """The identity HIGH-WATER MARKS {col: last_assigned_id} as of
+    `version` — the allocation state every id-assigning commit records
+    as a full map (newest record wins; an overwrite without one resets,
+    restore/clone re-record their era's marks).  O(tail) via the same
+    checkpoint fold as table_partition_by."""
+    vs = versions(path)
+    if version is not None:
+        vs = [v for v in vs if v <= version]
+    cks = [c for c in checkpoint_versions(path) if vs and c <= vs[-1]]
+    ck = max(cks) if cks else None
+    for v in reversed(vs):
+        with open(_version_file(path, v)) as f:
+            rec = json.load(f)
+        if "identity_hwm" in rec:
+            return {c: int(h) for c, h in rec["identity_hwm"].items()}
+        if rec.get("action") == "overwrite":
+            return {}
+        if ck is not None and v <= ck:
+            pq_ckpt = _checkpoint_parquet(path, ck)
+            if os.path.exists(pq_ckpt):
+                import pyarrow.parquet as _pq
+
+                meta = json.loads(
+                    (_pq.read_schema(pq_ckpt).metadata or {}).get(
+                        b"minitable_meta", b"{}"
+                    )
+                )
+                if "identity_hwm" in meta:  # authoritative, may be {}
+                    return {c: int(h) for c, h in meta["identity_hwm"].items()}
+            ck = None  # legacy checkpoint: continue the full walk
+    return {}
+
+
+def _assign_identity(
+    df: DataFrame, col: str, next_id: int, step: int, only_missing: bool = False
+) -> tuple[DataFrame, int]:
+    """DENSE distributed id assignment, shuffle-free: localCheckpoint
+    pins the partitioning, one tiny per-partition count aggregate gives
+    the driver O(partitions) offsets (prefix sums), and a single Arrow
+    `mapInPandas` pass writes `next_id + step*i` in partition-then-row
+    order — ids are contiguous (`next_id .. next_id + step*(n-1)`),
+    never window-sorted globally (the q103 trap) and never
+    monotonically_increasing_id's billion-wide gaps.  `only_missing`
+    (the merge-insert path) assigns only NULL slots, preserving
+    existing ids.  Returns (df_with_ids, last_assigned) — last stays
+    `next_id - step` (the old hwm) when nothing needed an id."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    df = df.localCheckpoint(eager=True)  # count + assign must see ONE layout
+    pid = F.spark_partition_id().alias("__pid")
+    if only_missing:
+        counted = df.select(pid, col).groupBy("__pid").agg(
+            F.count(F.when(F.col(col).isNull(), 1)).alias("n")
+        )
+    else:
+        counted = df.select(pid).groupBy("__pid").agg(F.count("*").alias("n"))
+    counts = {r["__pid"]: r["n"] for r in counted.collect()}
+    offs, acc = {}, 0
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
+    last = next_id + step * (acc - 1) if acc else next_id - step
+    base_fields = [f for f in df.schema.fields if f.name != col]
+    out_schema = StructType(base_fields + [StructField(col, LongType(), True)])
+    order = [f.name for f in out_schema.fields]
+
+    def assign(batches):
+        counter: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                if col not in pdf:
+                    pdf[col] = []
+                yield pdf[order]
+                continue
+            p = int(pdf["__pid"].iloc[0])
+            c0 = counter.get(p, offs.get(p, 0))
+            if only_missing:
+                mask = pdf[col].isna().tolist()
+                vals = pdf[col].tolist()
+                out_vals, i = [], 0
+                for m, v in zip(mask, vals):
+                    if m:
+                        out_vals.append(next_id + step * (c0 + i))
+                        i += 1
+                    else:
+                        out_vals.append(int(v))
+                pdf[col] = out_vals
+                counter[p] = c0 + i
+            else:
+                n = len(pdf)
+                pdf[col] = [next_id + step * (c0 + i) for i in range(n)]
+                counter[p] = c0 + n
+            yield pdf[order]
+
+    out = df.withColumn("__pid", F.spark_partition_id()).mapInPandas(
+        assign, schema=out_schema
+    )
+    return out, last
+
+
 def table_partition_by(path: str, version: int | None = None) -> list[str] | None:
     """The most recently recorded partition layout (LOGICAL column
     names) as of `version` (latest when None), or None for an
@@ -877,6 +1000,7 @@ def commit(
     constraints: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
     colmap: dict[str, str] | None = None,
+    identity_hwm: dict[str, int] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -956,6 +1080,10 @@ def commit(
         # [v, v] ranges — this is just the column list for OPTIMIZE's
         # partition-aligned binning and for introspection)
         body["partition_by"] = list(partition_by)
+    if identity_hwm is not None:
+        # full {col: last_assigned} map, newest record wins; {} is an
+        # explicit reset (restore to a pre-identity era)
+        body["identity_hwm"] = {c: int(h) for c, h in identity_hwm.items()}
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -1285,8 +1413,23 @@ def write(
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
+
+    `identity={col: (start, step)}` declares IDENTITY COLUMNS (Delta's
+    `GENERATED ALWAYS AS IDENTITY`): values are assigned at write time
+    — densely, `start, start+step, ...` continuing from the table's
+    recorded high-water mark — by a shuffle-free two-phase pass
+    (per-partition counts -> driver prefix offsets -> one Arrow
+    `mapInPandas`); the writer can NEVER supply them (ALWAYS
+    semantics), making ids unique across the table's life by
+    construction.  The spec rides the schema field metadata (appends
+    inherit it, immutable, overwrite resets), the advanced mark rides
+    the commit record, and a concurrent id-assigning commit surfaces
+    as CommitConflict on rebase — two writers can't hand out the same
+    range.  UPDATE refuses to SET an identity column; merge() assigns
+    fresh ids to its INSERT rows while matched rows keep theirs.
 
     `generated={col: sql_expr}` declares GENERATED COLUMNS (Delta's
     `GENERATED ALWAYS AS`): a batch that omits `col` gets it
@@ -1390,6 +1533,41 @@ def write(
         if c not in df.columns:
             df = df.withColumn(c, _Fgen.expr(gen[c]))
 
+    # IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY): spec
+    # {col: (start, step)} rides the schema metadata like generation
+    # expressions; values are assigned HERE, densely, from the table's
+    # recorded high-water mark — the writer can never supply them
+    # (ALWAYS semantics), so ids are unique by construction and the
+    # commit records the advanced mark for the next writer.
+    ident_prev = _identity_map(prev_schema) if action == "append" else {}
+    for c, spec in (identity or {}).items():
+        spec = (int(spec[0]), int(spec[1]))
+        if spec[1] == 0:
+            raise ValueError(f"identity column {c!r} needs a non-zero step")
+        if c in ident_prev and ident_prev[c] != spec:
+            raise ValueError(
+                f"identity column {c!r} of {path} is already declared as "
+                f"{ident_prev[c]} — identity specs are immutable"
+            )
+    ident = {
+        **ident_prev,
+        **{c: (int(v[0]), int(v[1])) for c, v in (identity or {}).items()},
+    }
+    both = sorted(set(ident) & set(gen))
+    if both:
+        raise ValueError(f"column(s) {both} cannot be both generated and identity")
+    hwm_base = table_identity_hwm(path, read_version) if vs0 else {}
+    ident_hwm_out: dict[str, int] | None = None
+    for c, (i_start, i_step) in sorted(ident.items()):
+        if c in df.columns:
+            raise ValueError(
+                f"identity column {c!r} is GENERATED ALWAYS — the writer "
+                "cannot supply its values"
+            )
+        nxt = hwm_base.get(c, i_start - i_step) + i_step
+        df, last = _assign_identity(df, c, nxt, i_step)
+        ident_hwm_out = {**hwm_base, **(ident_hwm_out or {}), c: last}
+
     # Record all fields nullable: schema evolution itself introduces
     # nulls (old files lack new columns), and writer-side nullability is
     # an artifact of how the DataFrame was derived, not a table contract.
@@ -1397,12 +1575,18 @@ def write(
     for f in cur["fields"]:
         f["nullable"] = True
     schema = _merged_schema(prev_schema, cur)
-    if gen:
+    if gen or ident:
         for f in schema["fields"]:
             if f["name"] in gen:
                 f["metadata"] = {
                     **(f.get("metadata") or {}),
                     "generated": gen[f["name"]],
+                }
+            if f["name"] in ident:
+                s0, s1 = ident[f["name"]]
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "identity": {"start": s0, "step": s1},
                 }
 
     def _evolve_colmap(base_cm: dict, stage_cm: dict | None = None):
@@ -1514,10 +1698,25 @@ def write(
                 expected_version=expected,
                 partition_by=partition_by,
                 colmap=colmap_out,
+                identity_hwm=ident_hwm_out,
             )
         except CommitConflict:
             head = versions(path)[-1]
             head_schema = table_schema(path, head)
+            if ident:
+                # our ids were allocated from hwm_base: a concurrent
+                # commit that advanced the marks (or changed the spec)
+                # may have handed out the SAME range — replan
+                if (
+                    table_identity_hwm(path, head) != hwm_base
+                    or (_identity_map(head_schema) if action == "append" else {})
+                    != ident_prev
+                ):
+                    raise CommitConflict(
+                        f"identity allocation state of {path} changed "
+                        "concurrently — replan this write against the "
+                        "new head"
+                    )
             # the generated-column contract this write planned against
             # must still hold at the head: a concurrently-landed
             # DIFFERENT map (new expression, changed expression, or a
@@ -1535,14 +1734,20 @@ def write(
                     "this write against the new head"
                 )
             schema = _merged_schema(head_schema, cur)
-            if gen:
-                # re-apply generation metadata lost by the re-merge when
-                # THIS write is the one introducing the expressions
+            if gen or ident:
+                # re-apply generation/identity metadata lost by the
+                # re-merge when THIS write is the one introducing them
                 for f in schema["fields"]:
                     if f["name"] in gen:
                         f["metadata"] = {
                             **(f.get("metadata") or {}),
                             "generated": gen[f["name"]],
+                        }
+                    if f["name"] in ident:
+                        s0, s1 = ident[f["name"]]
+                        f["metadata"] = {
+                            **(f.get("metadata") or {}),
+                            "identity": {"start": s0, "step": s1},
                         }
             # staged files are physical-named and stay valid across a
             # concurrent rename (physical names never change); re-derive
@@ -1878,6 +2083,7 @@ def _commit_serializable(
     action: str = "merge",
     dv: dict[str, str] | None = None,
     constraint_sensitive: bool = True,
+    identity_hwm: dict[str, int] | None = None,
 ) -> int:
     """Commit a merge/delete planned against snapshot `read_version`
     under SERIALIZABLE-style optimistic concurrency (Delta's conflict
@@ -1913,6 +2119,7 @@ def _commit_serializable(
                 data_change=data_change,
                 expected_version=read_version + 1,
                 dv=dv,
+                identity_hwm=identity_hwm,
             )
         except CommitConflict:
             head = versions(path)[-1]
@@ -1948,6 +2155,14 @@ def _commit_serializable(
                         f"version {v} of {path} touched files this operation "
                         f"rewrites ({sorted(inter & ours)[:3]}...) — "
                         "write-write conflict, replan against the new head"
+                    )
+                if identity_hwm is not None and "identity_hwm" in rec:
+                    # both commits allocated ids from the same marks —
+                    # the ranges may collide; replan re-reads the head
+                    raise CommitConflict(
+                        f"version {v} of {path} advanced the identity "
+                        "high-water marks this operation allocated from — "
+                        "replan against the new head"
                     )
                 rec_stats = rec.get("stats", {})
                 for fname in rec["added"] if guard_where is not None else ():
@@ -2083,6 +2298,34 @@ def merge(
     for c in gen:
         if c not in source.columns:
             source = source.withColumn(c, F.expr(gen[c]))
+    # IDENTITY columns: matched rows KEEP their target ids, insert rows
+    # get fresh ones assigned after the merge projection; the source can
+    # never supply values (ALWAYS semantics)
+    idmap = _identity_map(schema)
+    if idmap:
+        if key in idmap:
+            raise ValueError(
+                f"merge key {key!r} is an identity column — the source "
+                "cannot supply identity values to match on"
+            )
+        provided = sorted(set(idmap) & set(source.columns))
+        if provided:
+            raise ValueError(
+                f"identity column(s) {provided} are GENERATED ALWAYS — "
+                "the merge source cannot supply their values"
+            )
+        hit = sorted(set(update_set or ()) & set(idmap))
+        if hit:
+            raise ValueError(
+                f"update_set cannot SET identity column(s) {hit}"
+            )
+        if collect_cdf:
+            raise ValueError(
+                "collect_cdf with identity columns is not supported — "
+                "insert ids are assigned after the CDF projection"
+            )
+        for c in idmap:
+            source = source.withColumn(c, F.lit(None).cast("long"))
     # NULL delete_where falls through to UPDATE (Delta's semantics): an
     # un-coalesced NULL flag would make ~(matched & NULL) = NULL and the
     # filter below would silently drop the row — neither deleted nor
@@ -2113,6 +2356,10 @@ def merge(
             expression over the t/s aliases cast to the table type),
             inserts take the source row, carried-over target rows keep
             theirs."""
+            if c in idmap:
+                # matched and carried rows keep the target's id; insert
+                # rows land NULL here and get fresh ids assigned below
+                return F.col(f"t.{c}").alias(c)
             if update_set is None:
                 upd = F.col(f"s.{c}")
             elif c in update_set:
@@ -2191,6 +2438,19 @@ def merge(
             )
         if collect_cdf:
             cdf_df = merged.withColumn("_change_type", F.lit("insert"))
+    ident_hwm_out: dict[str, int] | None = None
+    if idmap:
+        # fresh ids for the INSERT rows only (NULL slots), continuing
+        # from the recorded mark; matched/carried rows kept theirs
+        id_hwm_base = table_identity_hwm(path, read_version)
+        new_hwm = dict(id_hwm_base)
+        for c, (i_start, i_step) in sorted(idmap.items()):
+            nxt = id_hwm_base.get(c, i_start - i_step) + i_step
+            merged, last = _assign_identity(
+                merged, c, nxt, i_step, only_missing=True
+            )
+            new_hwm[c] = last
+        ident_hwm_out = new_hwm
     # preserve the recorded partition layout on the rewrite (ADVICE r9
     # — see update()); partition columns join the collected stats so
     # metadata-only retention keeps working on merged files
@@ -2239,6 +2499,7 @@ def merge(
         pk_range,  # guard consults intervening commits' (physical) stats
         stats=stats,
         cdf=cdf_files,
+        identity_hwm=ident_hwm_out,
     )
 
 
@@ -2317,6 +2578,12 @@ def update(
             f"cannot UPDATE generated column(s) {gen_hit} — they derive "
             f"from { {c: gen[c] for c in gen_hit} } and are recomputed "
             "automatically when their inputs change"
+        )
+    id_hit = sorted(set(set_exprs) & set(_identity_map(schema)))
+    if id_hit:
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {id_hit} — identity values "
+            "are engine-assigned (GENERATED ALWAYS)"
         )
     pw = _phys_where(where, colmap)  # stats are keyed by physical names
     candidates = [f for f, st in entries if _file_survives(st, pw)]
@@ -3196,6 +3463,9 @@ def restore(path: str, to_version: int) -> int:
         # and every later DML rewrite would silently drop the hive
         # layout (review r10)
         partition_by=table_partition_by(path, to_version),
+        # identity allocation rolls back with the data: post-rollback
+        # writes continue from the era's marks ({} = explicit reset)
+        identity_hwm=table_identity_hwm(path, to_version),
     )
 
 
@@ -3239,6 +3509,11 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         # clone's v0 overwrite record resets table_partition_by and the
         # clone's copy-on-write DML would destroy its layout (review r10)
         partition_by=table_partition_by(src, version),
+        # the clone's id allocation continues from the source's AS-OF
+        # marks — diverging tables can hand out the same ids to their
+        # own rows (they are independent tables), but the clone's first
+        # append must not collide with rows it borrowed
+        identity_hwm=table_identity_hwm(src, version),
     )
 
 
