@@ -214,6 +214,24 @@ def minitable_probe(spark) -> list[tuple[str, float, float, str]]:
     rows.append(("read through DVs (linear ok)", w1, w5,
                  f"{n1} -> {n5} rows"))
 
+    # -- identity assignment: two-phase dense ids, linear in rows -------
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import load_table
+
+    def _id_write(src_dir, path):
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load_table(spark, src_dir, "events").select(
+            "event_id", F.col("value").cast("double")
+        )
+        minitable.write(spark, ev, path, "overwrite", identity={"rid": (1, 1)})
+        return minitable.table_identity_hwm(path)["rid"]
+
+    (h1, w1) = timed(lambda: _id_write(BASE, os.path.join(STAGE, "minitable_id_1x")))
+    (h5, w5) = timed(lambda: _id_write(STAGE, os.path.join(STAGE, "minitable_id_5x")))
+    rows.append(("identity write (linear ok)", w1, w5,
+                 f"dense 1..{h1} -> 1..{h5}, no shuffle"))
+
     # -- partition retention delete: zero data-file opens, pinned -------
     opens = {"n": 0}
     real_rfd, real_rf = minitable._read_files_dv, minitable._read_files
