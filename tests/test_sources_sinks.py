@@ -3837,3 +3837,68 @@ def test_minitable_identity_concurrent_allocation_conflicts(spark, tmp_path, mon
         )
     ids = [r["rid"] for r in minitable.read(spark, path).collect()]
     assert len(ids) == len(set(ids)) == 2  # B landed, A left no trace
+
+
+def test_minitable_identity_review_fixes(spark, tmp_path):
+    """Review r10 second pass: (1) renaming an identity column is
+    refused (hwm records are name-keyed — a rename would restart
+    allocation and duplicate ids); (2) identity declaration is
+    creation-only (mid-life introduction would leave existing rows
+    NULL); (3) preserved ids round-trip EXACTLY above 2^53 through the
+    merge-insert path; (4) a no-insert merge records no allocation (no
+    spurious conflicts); (5) overwrite restarts allocation at start."""
+    import json
+
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    big = 1 << 60  # far above float64's 2^53 integer precision
+    minitable.write(
+        spark, spark.createDataFrame([(k, float(k)) for k in range(5)],
+                                     "k bigint, v double"),
+        path, "overwrite", identity={"rid": (big, 3)}, stats_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="identity"):
+        minitable.rename_column(path, "rid", "row_id")
+    with pytest.raises(ValueError, match="creation"):
+        minitable.write(
+            spark, spark.createDataFrame([(9, 1.0)], "k bigint, v double"),
+            path, "append", identity={"rid2": (1, 1)},
+        )
+    before = {r["k"]: r["rid"] for r in minitable.read(spark, path).collect()}
+    assert sorted(before.values()) == [big + 3 * i for i in range(5)]
+
+    # merge with one insert: preserved ids exact at 2^60 scale
+    src = spark.createDataFrame([(0, 100.0), (50, 1.0)], "k bigint, v double")
+    minitable.merge(spark, src, path, "k", stats_cols=["k"])
+    after = {r["k"]: r["rid"] for r in minitable.read(spark, path).collect()}
+    assert after[0] == before[0] and after[50] == big + 3 * 5
+    assert all(after[k] == before[k] for k in before)
+
+    # no-insert merge: no identity_hwm record on its commit
+    minitable.merge(
+        spark, spark.createDataFrame([(1, 7.0)], "k bigint, v double"),
+        path, "k", stats_cols=["k"],
+    )
+    head = minitable.versions(path)[-1]
+    with open(minitable._version_file(path, head)) as f:
+        assert "identity_hwm" not in json.load(f)
+    assert minitable.table_identity_hwm(path) == {"rid": big + 3 * 5}
+
+    # overwrite = new table: allocation restarts at start
+    minitable.write(
+        spark, spark.createDataFrame([(0, 0.0)], "k bigint, v double"),
+        path, "overwrite", identity={"rid": (big, 3)},
+    )
+    assert minitable.read(spark, path).collect()[0]["rid"] == big
+
+    # storage hygiene: identity writes leave no pinned partitions behind
+    import gc
+    gc.collect()
+    leftover = [
+        str(i.name())
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    assert not leftover, leftover

@@ -650,12 +650,15 @@ def table_identity(path: str, version: int | None = None) -> dict[str, tuple[int
     return _identity_map(table_schema(path, version))
 
 
-def table_identity_hwm(path: str, version: int | None = None) -> dict[str, int]:
-    """The identity HIGH-WATER MARKS {col: last_assigned_id} as of
-    `version` — the allocation state every id-assigning commit records
-    as a full map (newest record wins; an overwrite without one resets,
-    restore/clone re-record their era's marks).  O(tail) via the same
-    checkpoint fold as table_partition_by."""
+def _fold_log_state(path: str, version: int | None, key: str, default):
+    """Shared newest-first fold for per-commit table-state records
+    (`partition_by`, `identity_hwm`): the newest record carrying `key`
+    wins, an `overwrite` WITHOUT it resets to `default`, and the walk
+    stops at the newest checkpoint <= `version` — checkpoints fold both
+    keys into their metadata (key ALWAYS present in new checkpoints, so
+    its value — even the default — is authoritative; legacy checkpoints
+    without it fall through to the full walk).  O(tail) per call, the
+    property every DML verb's layout/allocation read depends on."""
     vs = versions(path)
     if version is not None:
         vs = [v for v in vs if v <= version]
@@ -664,10 +667,12 @@ def table_identity_hwm(path: str, version: int | None = None) -> dict[str, int]:
     for v in reversed(vs):
         with open(_version_file(path, v)) as f:
             rec = json.load(f)
-        if "identity_hwm" in rec:
-            return {c: int(h) for c, h in rec["identity_hwm"].items()}
-        if rec.get("action") == "overwrite":
-            return {}
+        if key in rec and rec[key]:
+            return rec[key]
+        if key in rec or rec.get("action") == "overwrite":
+            # an explicit empty record, or an overwrite without one,
+            # resets the state
+            return default
         if ck is not None and v <= ck:
             pq_ckpt = _checkpoint_parquet(path, ck)
             if os.path.exists(pq_ckpt):
@@ -678,43 +683,61 @@ def table_identity_hwm(path: str, version: int | None = None) -> dict[str, int]:
                         b"minitable_meta", b"{}"
                     )
                 )
-                if "identity_hwm" in meta:  # authoritative, may be {}
-                    return {c: int(h) for c, h in meta["identity_hwm"].items()}
+                if key in meta:  # authoritative, may be the default
+                    return meta[key] if meta[key] else default
             ck = None  # legacy checkpoint: continue the full walk
-    return {}
+    return default
+
+
+def table_identity_hwm(path: str, version: int | None = None) -> dict[str, int]:
+    """The identity HIGH-WATER MARKS {col: last_assigned_id} as of
+    `version` — the allocation state every id-assigning commit records
+    as a full map (newest record wins; an overwrite without one resets,
+    restore/clone re-record their era's marks).  O(tail) via the same
+    checkpoint fold as table_partition_by."""
+    got = _fold_log_state(path, version, "identity_hwm", {})
+    return {c: int(h) for c, h in got.items()}
 
 
 def _assign_identity(
     df: DataFrame, col: str, next_id: int, step: int, only_missing: bool = False
-) -> tuple[DataFrame, int]:
-    """DENSE distributed id assignment, shuffle-free: localCheckpoint
-    pins the partitioning, one tiny per-partition count aggregate gives
-    the driver O(partitions) offsets (prefix sums), and a single Arrow
+) -> tuple[DataFrame, int, DataFrame]:
+    """DENSE distributed id assignment, shuffle-free: persist() pins the
+    partitioning, one tiny per-partition count aggregate gives the
+    driver O(partitions) offsets (prefix sums), and a single Arrow
     `mapInPandas` pass writes `next_id + step*i` in partition-then-row
     order — ids are contiguous (`next_id .. next_id + step*(n-1)`),
     never window-sorted globally (the q103 trap) and never
     monotonically_increasing_id's billion-wide gaps.  `only_missing`
     (the merge-insert path) assigns only NULL slots, preserving
-    existing ids.  Returns (df_with_ids, last_assigned) — last stays
-    `next_id - step` (the old hwm) when nothing needed an id."""
+    existing ids EXACTLY: the column rides into Arrow as STRINGS, since
+    a nullable int64 batch reaches pandas as float64 and would silently
+    corrupt ids above 2^53 (review r10).  Returns (df_with_ids,
+    last_assigned, pinned_df) — last stays `next_id - step` (the old
+    hwm) when nothing needed an id; the caller MUST unpersist
+    `pinned_df` once the output is staged (review r10: a leaked pin per
+    micro-batch would accumulate executor storage forever)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StructField, StructType
 
-    df = df.localCheckpoint(eager=True)  # count + assign must see ONE layout
+    if only_missing:
+        # exact round-trip carrier for the preserved ids (see docstring)
+        df = df.withColumn(col, F.col(col).cast("string"))
+    pinned = df.persist()  # count + assign must see ONE layout
     pid = F.spark_partition_id().alias("__pid")
     if only_missing:
-        counted = df.select(pid, col).groupBy("__pid").agg(
+        counted = pinned.select(pid, col).groupBy("__pid").agg(
             F.count(F.when(F.col(col).isNull(), 1)).alias("n")
         )
     else:
-        counted = df.select(pid).groupBy("__pid").agg(F.count("*").alias("n"))
+        counted = pinned.select(pid).groupBy("__pid").agg(F.count("*").alias("n"))
     counts = {r["__pid"]: r["n"] for r in counted.collect()}
     offs, acc = {}, 0
     for p in sorted(counts):
         offs[p] = acc
         acc += counts[p]
     last = next_id + step * (acc - 1) if acc else next_id - step
-    base_fields = [f for f in df.schema.fields if f.name != col]
+    base_fields = [f for f in pinned.schema.fields if f.name != col]
     out_schema = StructType(base_fields + [StructField(col, LongType(), True)])
     order = [f.name for f in out_schema.fields]
 
@@ -729,11 +752,10 @@ def _assign_identity(
             p = int(pdf["__pid"].iloc[0])
             c0 = counter.get(p, offs.get(p, 0))
             if only_missing:
-                mask = pdf[col].isna().tolist()
-                vals = pdf[col].tolist()
+                vals = pdf[col].tolist()  # strings or None — exact
                 out_vals, i = [], 0
-                for m, v in zip(mask, vals):
-                    if m:
+                for v in vals:
+                    if v is None:
                         out_vals.append(next_id + step * (c0 + i))
                         i += 1
                     else:
@@ -746,10 +768,10 @@ def _assign_identity(
                 counter[p] = c0 + n
             yield pdf[order]
 
-    out = df.withColumn("__pid", F.spark_partition_id()).mapInPandas(
+    out = pinned.withColumn("__pid", F.spark_partition_id()).mapInPandas(
         assign, schema=out_schema
     )
-    return out, last
+    return out, last, pinned
 
 
 def table_partition_by(path: str, version: int | None = None) -> list[str] | None:
@@ -771,33 +793,8 @@ def table_partition_by(path: str, version: int | None = None) -> list[str] | Non
     streaming-ingest table doesn't pay an O(commits) log walk on every
     DML call (review r10).  Legacy checkpoints without the key fall
     through to the full walk (conservative migration)."""
-    vs = versions(path)
-    if version is not None:
-        vs = [v for v in vs if v <= version]
-    cks = [c for c in checkpoint_versions(path) if vs and c <= vs[-1]]
-    ck = max(cks) if cks else None
-    for v in reversed(vs):
-        with open(_version_file(path, v)) as f:
-            rec = json.load(f)
-        pb = rec.get("partition_by")
-        if pb:
-            return list(pb)
-        if rec.get("action") == "overwrite":
-            return None
-        if ck is not None and v <= ck:
-            pq_ckpt = _checkpoint_parquet(path, ck)
-            if os.path.exists(pq_ckpt):
-                import pyarrow.parquet as _pq
-
-                meta = json.loads(
-                    (_pq.read_schema(pq_ckpt).metadata or {}).get(
-                        b"minitable_meta", b"{}"
-                    )
-                )
-                if "partition_by" in meta:  # authoritative, may be None
-                    return meta["partition_by"]
-            ck = None  # legacy checkpoint: continue the full walk
-    return None
+    got = _fold_log_state(path, version, "partition_by", None)
+    return list(got) if got else None
 
 
 def _physical_schema(schema: dict, colmap: dict[str, str]) -> dict:
@@ -898,6 +895,15 @@ def rename_column(path: str, old: str, new: str) -> int:
         raise ValueError(
             f"cannot rename {old!r}: it is a recorded partition column "
             "— rewrite the table under a new layout first"
+        )
+    if old in _identity_map(schema):
+        # the high-water-mark records are keyed by logical name; a
+        # rename would orphan the mark and the next append would
+        # silently restart allocation at `start` — duplicate ids
+        # (review r10)
+        raise ValueError(
+            f"cannot rename {old!r}: it is an identity column (its "
+            "allocation state is keyed by name)"
         )
     full = _full_colmap(schema, colmap)
     full[new] = full.pop(old)  # the new logical keeps the old physical
@@ -1544,10 +1550,19 @@ def write(
         spec = (int(spec[0]), int(spec[1]))
         if spec[1] == 0:
             raise ValueError(f"identity column {c!r} needs a non-zero step")
-        if c in ident_prev and ident_prev[c] != spec:
+        if c in ident_prev:
+            if ident_prev[c] != spec:
+                raise ValueError(
+                    f"identity column {c!r} of {path} is already declared as "
+                    f"{ident_prev[c]} — identity specs are immutable"
+                )
+        elif action == "append" and vs0:
+            # Delta's rule: identity columns exist from table creation —
+            # introducing one mid-life would leave every existing row
+            # (and any concurrently-staged batch) with NULL ids
             raise ValueError(
-                f"identity column {c!r} of {path} is already declared as "
-                f"{ident_prev[c]} — identity specs are immutable"
+                f"identity column {c!r} must be declared at table "
+                "creation (overwrite), not on an append"
             )
     ident = {
         **ident_prev,
@@ -1556,8 +1571,15 @@ def write(
     both = sorted(set(ident) & set(gen))
     if both:
         raise ValueError(f"column(s) {both} cannot be both generated and identity")
-    hwm_base = table_identity_hwm(path, read_version) if vs0 else {}
+    # an overwrite is a NEW table: allocation restarts at `start` (the
+    # spec reset and the mark reset travel together)
+    hwm_base = (
+        table_identity_hwm(path, read_version)
+        if (vs0 and action == "append")
+        else {}
+    )
     ident_hwm_out: dict[str, int] | None = None
+    id_pins: list[DataFrame] = []
     for c, (i_start, i_step) in sorted(ident.items()):
         if c in df.columns:
             raise ValueError(
@@ -1565,7 +1587,8 @@ def write(
                 "cannot supply its values"
             )
         nxt = hwm_base.get(c, i_start - i_step) + i_step
-        df, last = _assign_identity(df, c, nxt, i_step)
+        df, last, pin = _assign_identity(df, c, nxt, i_step)
+        id_pins.append(pin)
         ident_hwm_out = {**hwm_base, **(ident_hwm_out or {}), c: last}
 
     # Record all fields nullable: schema evolution itself introduces
@@ -1659,6 +1682,8 @@ def write(
             [stage_map.get(c, c) for c in partition_by] if partition_by else None
         ),
     )
+    for pin in id_pins:  # ids are in the staged parquet now
+        pin.unpersist(False)
     # writer-PROVIDED generated columns are validated on the staged
     # bytes alongside the CHECK constraints (materialized ones are
     # correct by construction and skip the scan)
@@ -1703,17 +1728,21 @@ def write(
         except CommitConflict:
             head = versions(path)[-1]
             head_schema = table_schema(path, head)
-            if ident:
-                # our ids were allocated from hwm_base: a concurrent
-                # commit that advanced the marks (or changed the spec)
-                # may have handed out the SAME range — replan
-                if (
-                    table_identity_hwm(path, head) != hwm_base
-                    or (_identity_map(head_schema) if action == "append" else {})
-                    != ident_prev
-                ):
+            if action == "append":
+                # UNCONDITIONAL identity checks (review r10: a writer
+                # unaware of identity columns must not rebase across a
+                # concurrent identity change — its rows would serve
+                # NULL ids); and when WE allocated, a concurrently-
+                # advanced mark means our range may collide — replan
+                if _identity_map(head_schema) != ident:
                     raise CommitConflict(
-                        f"identity allocation state of {path} changed "
+                        f"identity contract of {path} changed "
+                        "concurrently — replan this write against the "
+                        "new head"
+                    )
+                if ident and table_identity_hwm(path, head) != hwm_base:
+                    raise CommitConflict(
+                        f"identity allocation state of {path} advanced "
                         "concurrently — replan this write against the "
                         "new head"
                     )
@@ -2439,6 +2468,7 @@ def merge(
         if collect_cdf:
             cdf_df = merged.withColumn("_change_type", F.lit("insert"))
     ident_hwm_out: dict[str, int] | None = None
+    id_pins: list[DataFrame] = []
     if idmap:
         # fresh ids for the INSERT rows only (NULL slots), continuing
         # from the recorded mark; matched/carried rows kept theirs
@@ -2446,11 +2476,18 @@ def merge(
         new_hwm = dict(id_hwm_base)
         for c, (i_start, i_step) in sorted(idmap.items()):
             nxt = id_hwm_base.get(c, i_start - i_step) + i_step
-            merged, last = _assign_identity(
+            merged, last, pin = _assign_identity(
                 merged, c, nxt, i_step, only_missing=True
             )
+            id_pins.append(pin)
             new_hwm[c] = last
-        ident_hwm_out = new_hwm
+        if new_hwm != id_hwm_base:
+            # record (and later conflict on) allocation ONLY when ids
+            # were actually handed out — a no-insert merge commutes with
+            # other writers exactly like any non-allocating commit
+            # (review r10: unconditional recording made provably
+            # disjoint merges conflict spuriously)
+            ident_hwm_out = new_hwm
     # preserve the recorded partition layout on the rewrite (ADVICE r9
     # — see update()); partition columns join the collected stats so
     # metadata-only retention keeps working on merged files
@@ -2462,6 +2499,8 @@ def merge(
         path,
         partition_by=[colmap.get(c, c) for c in part_by] if part_by else None,
     )
+    for pin in id_pins:  # ids are in the staged parquet now
+        pin.unpersist(False)
     # CHECK constraints validate the STAGED bytes (the exact rows that
     # will commit): staged merge output holds only landing rows —
     # delete-flagged source rows never materialize, and carried-over
