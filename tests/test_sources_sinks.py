@@ -3853,6 +3853,12 @@ def test_minitable_identity_review_fixes(spark, tmp_path):
 
     from tinymr_spark.sources import minitable
 
+    def storage_ids():
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    pinned_before = storage_ids()  # other tests' session caches are fine
     path = str(tmp_path / "t")
     big = 1 << 60  # far above float64's 2^53 integer precision
     minitable.write(
@@ -3894,11 +3900,9 @@ def test_minitable_identity_review_fixes(spark, tmp_path):
     )
     assert minitable.read(spark, path).collect()[0]["rid"] == big
 
-    # storage hygiene: identity writes leave no pinned partitions behind
+    # storage hygiene: identity writes leave no NEW pinned partitions
+    # behind (session caches owned by other tests are out of scope)
     import gc
     gc.collect()
-    leftover = [
-        str(i.name())
-        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    ]
+    leftover = storage_ids() - pinned_before
     assert not leftover, leftover
