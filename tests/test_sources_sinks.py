@@ -3906,3 +3906,205 @@ def test_minitable_identity_review_fixes(spark, tmp_path):
     gc.collect()
     leftover = storage_ids() - pinned_before
     assert not leftover, leftover
+
+
+def test_minitable_zorder_multidim_skipping(spark, tmp_path):
+    """Z-ORDER (Delta's OPTIMIZE ... ZORDER BY): after reclustering a
+    randomly-laid-out table along the (x, y) Morton curve, slab
+    predicates on EITHER dimension prune most files from the same
+    min/max stats that pruned nothing before — while content, history,
+    and the change feed are untouched (row-invariant, data_change
+    false)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    grid = (
+        spark.range(4096)
+        .withColumn("x", (F.col("id") % 64).cast("long"))
+        .withColumn("y", (F.col("id") / 64).cast("long"))
+        .withColumn("payload", F.col("id") * 3)
+        .drop("id")
+        .repartition(16)  # random layout: every file spans both dims
+    )
+    minitable.write(spark, grid, path, "overwrite", stats_cols=["x", "y"])  # v0
+    for w in ([("x", ">=", 8), ("x", "<=", 15)], [("y", ">=", 8), ("y", "<=", 15)]):
+        kept, total = minitable.prune(path, w)
+        assert len(kept) == total == 16, "random layout must prune nothing"
+
+    res = minitable.zorder(spark, path, by=["x", "y"], n_files=16)  # v1
+    assert res is not None and res["n_in"] == 16 and res["by"] == ["x", "y"]
+    for w in ([("x", ">=", 8), ("x", "<=", 15)], [("y", ">=", 8), ("y", "<=", 15)]):
+        kept, total = minitable.prune(path, w)
+        # a 1/8-wide slab on EITHER dim touches only its curve rectangles
+        assert len(kept) * 2 <= total, (w, len(kept), total)
+
+    # content invariant; the pruned scan is still exact
+    a = sorted(tuple(r) for r in minitable.read(spark, path, 0).collect())
+    b = sorted(tuple(r) for r in minitable.read(spark, path).collect())
+    assert a == b and len(b) == 4096
+    got = minitable.scan(
+        spark, path,
+        [("x", ">=", 8), ("x", "<=", 15), ("y", ">=", 8), ("y", "<=", 15)],
+    ).count()
+    assert got == 64
+    # AS-OF v0 still plans the original files; the feed skips the rewrite
+    assert len(minitable.snapshot(path, 0)) == 16
+    assert set(minitable.snapshot(path, 0)).isdisjoint(minitable.snapshot(path, 1))
+    assert minitable.changes(spark, path, 0, 1).count() == 0
+
+    # fewer than two files in scope -> no-op, no commit
+    assert minitable.zorder(spark, path, by=["x"], where=[("x", ">", 10**9)]) is None
+    assert minitable.versions(path) == [0, 1]
+
+
+def test_minitable_zorder_nulls_strings_and_scope(spark, tmp_path):
+    """Boundary sampling handles string keys and NULLs (bucket 0, null
+    counts intact), and `where` scopes the rewrite to matching files —
+    cold files keep their bytes (Delta's OPTIMIZE ... WHERE)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    # four files with disjoint ds ranges; s is a shuffled string key
+    for ds in range(4):
+        part = (
+            spark.range(ds * 250, ds * 250 + 250)
+            .withColumn("ds", F.lit(ds))
+            .withColumn(
+                "s",
+                F.when(F.col("id") % 50 == 0, None).otherwise(
+                    F.format_string("k%05d", (F.col("id") * 37) % 1000)
+                ),
+            )
+            .withColumnRenamed("id", "k")
+            .coalesce(1)
+        )
+        minitable.write(spark, part, path, "append", stats_cols=["ds", "s"])
+    pre = dict(minitable._replay(path, None)[0])
+
+    # scope: only the two hottest ds files are reclustered by s
+    res = minitable.zorder(
+        spark, path, by=["s"], where=[("ds", ">=", 2)], n_files=4, buckets=8
+    )
+    assert res is not None and res["n_in"] == 2 and res["n_out"] >= 2
+    post = dict(minitable._replay(path, None)[0])
+    cold = {r for r, st in pre.items()
+            if minitable._exact_stat_value(st, "ds") in (0, 1)}
+    assert cold <= set(post), "out-of-scope files must not be rewritten"
+    assert len(post) == len(cold) + res["n_out"]
+
+    # string-key pruning now works inside the hot range; NULLs stayed
+    kept, total = minitable.prune(path, [("s", ">=", "k09"), ("ds", ">=", 2)])
+    hot = total - len(cold)
+    assert sum(1 for f in kept if minitable.os.path.relpath(f, path) not in cold) < hot
+    assert minitable.read(spark, path).where("s IS NULL").count() == 20
+    assert minitable.scan(spark, path, [("s", "is_null", None)]).count() == 20
+    # null-count stats survive the rewrite: all-null pruning still exact
+    kept_nn, _ = minitable.prune(path, [("s", "is_not_null", None)])
+    assert len(kept_nn) == len(post)
+
+
+def test_minitable_zorder_partitioned_and_dv(spark, tmp_path):
+    """On a hive-partitioned table the Z-rewrite nests inside the
+    recorded layout (partition pruning stays exact [v, v] after), and
+    logically-deleted rows (deletion vectors) are materialized out —
+    the DVs retire with the files they masked."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(2000)
+        .withColumn("om", (F.col("id") % 2).cast("int"))
+        .withColumn("a", (F.col("id") % 40).cast("long"))
+        .withColumn("b", ((F.col("id") * 7) % 40).cast("long"))
+        .withColumnRenamed("id", "k")
+        .repartition(8)
+    )
+    minitable.write(
+        spark, df, path, "overwrite", partition_by=["om"], stats_cols=["a", "b"]
+    )
+    minitable.delete_dv(spark, path, [("k", "<", 100)], stats_cols=["k"])
+    assert minitable._replay(path, None)[2], "expected live deletion vectors"
+
+    res = minitable.zorder(spark, path, by=["a", "b"], n_files=8, buckets=8)
+    assert res is not None
+    # layout preserved: partition pruning is still exact whole-file
+    kept, total = minitable.prune(path, [("om", "=", 1)])
+    assert 0 < len(kept) < total
+    post = dict(minitable._replay(path, None)[0])
+    for f in kept:
+        st = post[minitable.os.path.relpath(f, path)]
+        assert minitable._exact_stat_value(st, "om") == 1
+    # DV rows are gone from the bytes and the vectors are retired
+    assert not minitable._replay(path, None)[2]
+    assert minitable.read(spark, path).count() == 1900
+    assert minitable.read(spark, path).where("k < 100").count() == 0
+    # both clustered dims prune
+    for w in ([("a", "<", 10)], [("b", "<", 10)]):
+        kept, total = minitable.prune(path, w)
+        assert len(kept) < total, w
+
+
+def test_minitable_zorder_validation_and_concurrency(spark, tmp_path, monkeypatch):
+    """Input validation (partition/unknown/duplicate columns, bucket
+    range, 63-bit key budget) and the optimize() concurrency contract:
+    auto-rebase over a concurrent append, conflict on a concurrent
+    delete that touched a file in scope."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(100)
+        .withColumn("om", (F.col("id") % 2).cast("int"))
+        .withColumnRenamed("id", "k")
+        .repartition(4)
+    )
+    minitable.write(spark, df, path, "overwrite", partition_by=["om"], stats_cols=["k"])
+    with pytest.raises(ValueError, match="partition column"):
+        minitable.zorder(spark, path, by=["om"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        minitable.zorder(spark, path, by=["nope"])
+    with pytest.raises(ValueError, match="distinct"):
+        minitable.zorder(spark, path, by=["k", "k"])
+    with pytest.raises(ValueError, match="buckets"):
+        minitable.zorder(spark, path, by=["k"], buckets=1)
+    with pytest.raises(ValueError, match="63 bits"):
+        minitable.zorder(spark, path, by=[f"c{i}" for i in range(8)], buckets=4096)
+
+    real_commit = minitable.commit
+
+    def interleave(builder):
+        state = {"fired": False}
+
+        def racing(p, action, added, **kw):
+            if not state["fired"] and kw.get("expected_version") is not None:
+                state["fired"] = True
+                builder(p)
+            return real_commit(p, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing)
+
+    # concurrent append commutes: zorder rebases and lands after it
+    interleave(lambda p: minitable.write(
+        spark, spark.range(200, 210).withColumnRenamed("id", "k")
+        .withColumn("om", F.lit(0)).coalesce(1), p, "append", stats_cols=["k"],
+    ))
+    res = minitable.zorder(spark, path, by=["k"], n_files=2)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert res is not None
+    assert minitable.read(spark, path).count() == 110
+
+    # concurrent delete conflicts: it removed a file the rewrite read
+    interleave(lambda p: minitable.delete(spark, p, [("k", "<", 50)], stats_cols=["k"]))
+    with pytest.raises(minitable.CommitConflict, match="touched files"):
+        minitable.zorder(spark, path, by=["k"], n_files=2)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert minitable.read(spark, path).count() == 60  # delete's result intact

@@ -4880,6 +4880,143 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# q200 — the Z-ORDER DML VERB (minitable.zorder — Delta's `OPTIMIZE ...
+# ZORDER BY` as an engine verb) on a LIVE table mid-history, which is
+# what separates it from q174's writer-side overwrite pattern: q174's
+# layout is something a writer builds once with domain knowledge (a
+# hand-normalized Morton code, a fresh overwrite, no concurrent-writer
+# story); zorder() is something the TABLE does to itself — boundaries
+# come from a bounded reservoir sample (RangePartitioner's design, no
+# max-key knowledge, skew-proof quantile buckets), live DELETION
+# VECTORS are materialized out and retired by the rewrite, the commit
+# is row-invariant (`data_change=False`: AS-OF before it still plans
+# the original files WITH their DV masks, the change feed skips it,
+# concurrent appends auto-rebase), and per-file min/max stats on the
+# clustered dimensions are force-collected as the product.  Lifecycle
+# proven by the hash gate: v0 random-layout ingest -> v1 DV scrub
+# (logical delete, bytes untouched) -> v2 OPTIMIZE ZORDER (vectors
+# retired, both dims now prune; asserted <= half the files at build) ->
+# v3 append restating the scrubbed rows (the table round-trips to the
+# full corpus) -> a final 2-D pruned scan whose aggregate must equal
+# the oracle's raw filter.  100 TB: reclustering is a deliberate
+# O(scope) investment — the `where` scope (tested in
+# tests/test_sources_sinks.py) bounds it to hot partitions, and every
+# later scan on EITHER key pays O(matching rectangles) instead of
+# O(table).
+# ---------------------------------------------------------------------------
+def q200_zorder_verb(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "lineitem")
+    table = versioned_staging_dir("tinymr_spark_minitable_zverb", src_path)
+    done = table + "._done"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    r = li.agg(
+        F.max("l_orderkey"), F.max("l_partkey"), F.max("l_suppkey")
+    ).collect()[0]
+    k, mp, ms = int(r[0]) // 10, int(r[1]), int(r[2])
+    if not os.path.exists(done) or len(minitable.versions(table)) < 4:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: random 16-file layout — nothing prunes
+            spark, li.repartition(16), table, "overwrite",
+            stats_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        )
+        # v1: logical scrub — deletion vectors only, zero bytes rewritten
+        minitable.delete_dv(
+            spark, table, [("l_orderkey", "<", k)], stats_cols=["l_orderkey"]
+        )
+        assert minitable._replay(table, None)[2], "expected live DVs"
+        sk = [("l_suppkey", "<=", ms // 5)]
+        pk = [("l_partkey", "<=", mp // 5)]
+        kept0, tot0 = minitable.prune(table, sk)
+        assert len(kept0) == tot0, "random layout must not prune"
+        # v2: the verb — recluster in place, retire the vectors
+        res = minitable.zorder(
+            spark, table, by=["l_partkey", "l_suppkey"],
+            stats_cols=["l_orderkey"], n_files=16,
+        )
+        assert res is not None and res["n_in"] == 16
+        assert not minitable._replay(table, None)[2], "DVs must retire"
+        for w in (sk, pk):
+            kept, tot = minitable.prune(table, w)
+            assert len(kept) * 2 <= tot, (w, len(kept), tot)
+        # row-invariant: the rewrite changed nothing a reader can see
+        assert (
+            minitable.read(spark, table, 1).count()
+            == minitable.read(spark, table, 2).count()
+        )
+        assert minitable.changes(spark, table, 1, 2).count() == 0
+        # v3: restate the scrubbed rows — append commutes with the layout
+        minitable.write(
+            spark, li.where(F.col("l_orderkey") < k), table, "append",
+            stats_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        )
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+
+    head = minitable.scan(
+        spark, table,
+        [("l_partkey", "<=", mp // 5), ("l_suppkey", "<=", ms // 5)],
+    )
+    out = agg(minitable.read(spark, table, 0), "v0_ingest")
+    for v, tag in ((1, "v1_dv_delete"), (2, "v2_zorder"), (3, "v3_append")):
+        out = out.unionByName(agg(minitable.read(spark, table, v), tag))
+    return out.unionByName(agg(head, "head_2d_scan"))
+
+
+ORACLE_Q200 = """
+WITH m AS (
+    SELECT MAX(l_orderkey) // 10 AS k,
+           MAX(l_partkey) // 5 AS pk,
+           MAX(l_suppkey) // 5 AS sk
+    FROM lineitem
+),
+phases AS (
+    SELECT 'v0_ingest' AS phase, l_quantity, l_orderkey FROM lineitem
+    UNION ALL
+    SELECT 'v1_dv_delete', l_quantity, l_orderkey
+    FROM lineitem, m WHERE l_orderkey >= k
+    UNION ALL
+    SELECT 'v2_zorder', l_quantity, l_orderkey
+    FROM lineitem, m WHERE l_orderkey >= k
+    UNION ALL
+    SELECT 'v3_append', l_quantity, l_orderkey FROM lineitem
+    UNION ALL
+    SELECT 'head_2d_scan', l_quantity, l_orderkey
+    FROM lineitem, m WHERE l_partkey <= pk AND l_suppkey <= sk
+)
+SELECT phase,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key
+FROM phases
+GROUP BY phase
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -4936,6 +5073,7 @@ QUERIES = {
     "q194_convert_in_place": q194_convert_in_place,
     "q198_generated_columns": q198_generated_columns,
     "q199_identity_columns": q199_identity_columns,
+    "q200_zorder_verb": q200_zorder_verb,
 }
 
 ORACLE = {
@@ -4994,4 +5132,5 @@ ORACLE = {
     "q194_convert_in_place": ORACLE_Q194,
     "q198_generated_columns": ORACLE_Q198,
     "q199_identity_columns": ORACLE_Q199,
+    "q200_zorder_verb": ORACLE_Q200,
 }

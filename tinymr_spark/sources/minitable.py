@@ -3199,6 +3199,203 @@ def optimize(
     }
 
 
+# How many rows zorder() samples (per clustering rewrite, total across
+# all `by` columns) to derive the per-column range-bucket boundaries —
+# the same reservoir-sampling design Spark's own RangePartitioner uses.
+ZORDER_SAMPLE_ROWS = 4096
+
+
+def zorder(
+    spark: SparkSession,
+    path: str,
+    by: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    where: list[tuple] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    buckets: int = 16,
+    n_files: int | None = None,
+) -> dict | None:
+    """OPTIMIZE ... ZORDER BY (Delta's multi-dimensional clustering):
+    rewrite the live files in scope with rows ordered along a Z-curve
+    (Morton code) over the `by` columns, so every output file's footer
+    min/max covers a small RECTANGLE of the key space instead of a
+    stripe — and `prune()`/`scan()` skip files on predicates over ANY
+    of the `by` columns, not just a single leading sort key.  This is
+    the 100 TB second-key lever: linear clustering makes one column
+    skippable; Z-ordering makes k columns ~k-th-root skippable each,
+    from the SAME per-file stats machinery with zero new read logic.
+
+    Mechanics (all public DataFrame API, JVM-side end to end):
+
+    1. Per `by` column, derive `buckets` range-bucket boundaries from a
+       bounded reservoir sample (ZORDER_SAMPLE_ROWS rows total — the
+       design of Spark's own RangePartitioner, and of Delta's
+       `range_partition_id` expression).  Quantile buckets, so skewed
+       columns still spread across the curve; NULLs cluster in bucket 0
+       (they stay skippable via null-count stats).
+    2. Per row, bucket ids -> one integer Z-value by bit interleaving
+       (a pure integer expression — whole-stage codegen, no UDF).
+    3. `repartitionByRange` on the Z-value (range partitioner: output
+       files are contiguous Z-ranges = aligned rectangles), sort within
+       partitions, stage one file per range.  On a hive-partitioned
+       table the range key is (partition cols, Z), so clustering nests
+       inside partitions and the staged layout stays partition-aligned.
+    4. One atomic row-invariant commit: removed = the files read,
+       added = the clustered files, `data_change=False` (the change
+       feed skips it, AS-OF before it still plans the originals), with
+       min/max stats force-collected on the `by` columns — the stats
+       ARE the product.
+
+    `where` scopes the rewrite: only files whose stats say they may
+    hold matching rows are reclustered (whole files — content is
+    invariant), so fresh partitions can be Z-ordered incrementally
+    without re-paying for cold data (Delta's `OPTIMIZE ... WHERE`).
+    Deletion vectors are applied (and retired) by the rewrite, like
+    optimize().  Unlike bin-packing optimize(), the cost is O(scope) —
+    that is inherent to reclustering (every row moves), which is why
+    `where`-scoping exists.
+
+    Concurrency: row-invariant, so it auto-rebases over concurrent
+    appends (guard_where=None — they commute; the new files simply
+    aren't clustered yet) and conflicts only on file-level overlap or
+    an overwrite, exactly like optimize().
+
+    Returns None (no commit) when fewer than two files are in scope;
+    otherwise a summary dict.  Cites Delta's OPTIMIZE ZORDER BY design
+    (interleaved range-bucket ids); the reference engine
+    (/root/reference/tinymr.py) has no storage layer — this extends
+    the lakehouse surface that replaces its in-memory dicts."""
+    from pyspark.sql import functions as F
+
+    if not by or len(set(by)) != len(by):
+        raise ValueError("zorder needs a non-empty list of distinct columns")
+    if not 2 <= buckets <= 4096:
+        raise ValueError("zorder buckets must be in [2, 4096]")
+    bits = (buckets - 1).bit_length()
+    if bits * len(by) > 63:
+        raise ValueError(
+            f"zorder key too wide: {len(by)} columns x {bits} bits "
+            "per column must fit in 63 bits"
+        )
+    all_versions = versions(path)
+    read_version = all_versions[-1] if all_versions else None
+    entries, schema, dvs, _c, colmap = _replay(path, read_version)
+    partition_by = table_partition_by(path, read_version)
+    overlap = set(by) & set(partition_by or ())
+    if overlap:
+        # a partition column is constant per file already — Z-ordering
+        # by it buys nothing and silently wastes curve bits (Delta
+        # raises here too)
+        raise ValueError(f"cannot zorder by partition column(s) {sorted(overlap)}")
+    if schema is not None:
+        known = {f["name"] for f in schema["fields"]}
+        missing = sorted(set(by) - known)
+        if missing:
+            raise ValueError(f"zorder column(s) {missing} not in table schema")
+    if where is not None:
+        _check_where(where, "zorder scope")
+        pw = _phys_where(where, colmap)
+        scope = [rel for rel, st in entries if _file_survives(st, pw)]
+    else:
+        scope = [rel for rel, _st in entries]
+    if len(scope) < 2:
+        return None
+    df = _read_files_dv(spark, path, scope, schema, dvs, colmap=colmap)
+
+    # -- 1. boundaries from a bounded sample (RangePartitioner design).
+    # Per-file row counts ride the stats (r9) — estimate the sample
+    # fraction from metadata when available, one count() job otherwise.
+    by_stats = dict(entries)
+
+    def _entry_rows(st: dict | None) -> int | None:
+        for v in (st or {}).values():  # "rows" rides each column entry
+            if isinstance(v, dict) and "rows" in v:
+                return v["rows"]
+        return None
+
+    rows_per_file = [_entry_rows(by_stats[r]) for r in scope]
+    rows_est = (
+        sum(rows_per_file) if all(n is not None for n in rows_per_file)
+        else df.count()
+    )
+    frac = min(1.0, ZORDER_SAMPLE_ROWS / max(rows_est, 1))
+    sample = df.select(*by).sample(False, frac, seed=7).collect()
+    bounds: dict[str, list] = {}
+    for c in by:
+        vals = sorted(r[c] for r in sample if r[c] is not None)
+        bnds = []
+        for i in range(1, buckets):
+            if not vals:
+                break
+            b = vals[min(len(vals) - 1, (i * len(vals)) // buckets)]
+            if not bnds or b > bnds[-1]:
+                bnds.append(b)
+        bounds[c] = bnds
+
+    # -- 2. bucket ids -> interleaved Z-value, pure integer codegen.
+    out = df
+    zb_cols = []
+    for j, c in enumerate(by):
+        zb = f"__zb{j}"
+        zb_cols.append(zb)
+        if bounds[c]:
+            rank = sum(
+                (F.col(c) >= F.lit(b)).cast("long") for b in bounds[c]
+            )
+            out = out.withColumn(
+                zb, F.when(F.col(c).isNull(), F.lit(0)).otherwise(rank)
+            )
+        else:  # all-null / empty sample: one bucket
+            out = out.withColumn(zb, F.lit(0))
+    k = len(by)
+    terms = [
+        f"(shiftleft(shiftright(__zb{j}, {i}) & 1, {i * k + (k - 1 - j)}))"
+        for j in range(k)
+        for i in range(bits)
+    ]
+    out = out.withColumn("__z", F.expr(" | ".join(terms)))
+
+    # -- 3. contiguous Z-ranges -> one staged file each.
+    scope_bytes = sum(os.path.getsize(os.path.join(path, r)) for r in scope)
+    n_out = n_files or max(1, -(-scope_bytes // target_bytes))
+    range_keys = [F.col(c) for c in (partition_by or [])] + [F.col("__z")]
+    clustered = (
+        out.repartitionByRange(n_out, *range_keys)
+        .sortWithinPartitions(*range_keys)
+        .drop("__z", *zb_cols)
+    )
+    phys_parts = (
+        [colmap.get(c, c) for c in partition_by] if partition_by else None
+    )
+    added = _stage(_to_physical(clustered, colmap), path, partition_by=phys_parts)
+
+    # -- 4. stats on the by-columns are the product; commit row-invariant.
+    stats_cols = sorted(set(stats_cols or []) | set(by) | set(partition_by or []))
+    stats = _collect_stats(
+        path,
+        added,
+        [colmap.get(c, c) for c in stats_cols],
+        [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+    )
+    version = _commit_serializable(
+        path,
+        added,
+        list(scope),
+        read_version,
+        None,  # row-invariant: concurrent appends commute
+        stats=stats or None,
+        data_change=False,
+        constraint_sensitive=False,
+    )
+    return {
+        "version": version,
+        "n_in": len(scope),
+        "n_out": len(added),
+        "by": list(by),
+    }
+
+
 def change_feed(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> DataFrame:
