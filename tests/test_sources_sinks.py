@@ -1921,7 +1921,8 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
         for step in range(8):
             op = rng.choice(
                 ["append", "delete", "delete_dv", "merge", "update", "rename",
-                 "optimize", "restore", "checkpoint"]
+                 "optimize", "restore", "checkpoint", "replace_where",
+                 "zorder"]
             )
             if op == "append":
                 rows = fresh_batch(rng.randint(5, 15))
@@ -1991,6 +1992,38 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 model = dict(states[target][0])
                 vcol[0] = states[target][1]  # names roll back with the data
                 sync_and_check(op)
+            elif op == "replace_where":
+                if not model:
+                    continue
+                keys = sorted(model)
+                lo = rng.choice(keys)
+                hi = lo + rng.randint(2, 10)
+                in_scope = [k for k in keys if lo <= k < hi]
+                # restate the even half of the scope with new values —
+                # the batch carries only (k, v); the generated column
+                # must materialize and identity ids must be assigned
+                batch = [
+                    (k, model[k] + 5000.0)
+                    for k in in_scope
+                    if (k - lo) % 2 == 0
+                ]
+                if not batch:
+                    continue
+                minitable.replace_where(
+                    spark, to_df(batch), path,
+                    [("k", ">=", lo), ("k", "<", hi)], stats_cols=["k"],
+                )
+                model = {
+                    k: v for k, v in model.items() if not (lo <= k < hi)
+                }
+                model.update(batch)
+                sync_and_check(op)
+            elif op == "zorder":
+                res = minitable.zorder(
+                    spark, path, by=["k"], n_files=2, buckets=4
+                )
+                if res is not None:  # row-invariant: model unchanged
+                    sync_and_check(op)
             elif op == "checkpoint":
                 minitable.checkpoint(path)
                 # no new version; live read must be unperturbed
@@ -3468,10 +3501,22 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
 
         def rand_op():
             kind = rng.choice(
-                ["append", "update", "delete", "delete_dv", "merge", "optimize"]
+                ["append", "update", "delete", "delete_dv", "merge",
+                 "optimize", "replace_where", "zorder"]
             )
             if kind == "append":
                 return (kind, fresh(rng.randint(3, 6)))
+            if kind == "replace_where":
+                hi = rng.randint(1, next_key[0] + 2)
+                lo = max(0, hi - rng.randint(2, 8))
+                batch = [(lo, 7777.0 + lo)] + [
+                    (k, 8888.0 + k)
+                    for k in sorted(model)
+                    if lo <= k < hi and (k - lo) % 2 == 0
+                ]
+                return (kind, (lo, hi, sorted(set(batch))))
+            if kind == "zorder":
+                return (kind, None)
             if kind == "merge":
                 keys = sorted(model)
                 upd = rng.sample(keys, min(2, len(keys))) if keys else []
@@ -3503,6 +3548,17 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
             if kind == "merge":
                 minitable.merge(spark, to_df(arg), path, "k", stats_cols=["k"])
                 return True
+            if kind == "replace_where":
+                lo, hi, batch = arg
+                minitable.replace_where(
+                    spark, to_df(batch), path,
+                    [("k", ">=", lo), ("k", "<", hi)], stats_cols=["k"],
+                )
+                return True
+            if kind == "zorder":
+                return minitable.zorder(
+                    spark, path, by=["k"], n_files=2, buckets=4
+                ) is not None
             return minitable.optimize(
                 spark, path, small_bytes=1 << 20, target_bytes=1 << 22
             ) is not None
@@ -3522,7 +3578,13 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                         del m[k]
             elif kind == "merge":
                 m.update({k: v for k, v in arg})
-            # optimize: row-invariant
+            elif kind == "replace_where":
+                lo, hi, batch = arg
+                for k in list(m):
+                    if lo <= k < hi:
+                        del m[k]
+                m.update({k: v for k, v in batch})
+            # optimize / zorder: row-invariant
 
         inject = {"op": None}
 
@@ -3546,10 +3608,14 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                     pass  # rejected entirely — must leave zero trace
                 finally:
                     inject["op"] = None
-                got = {
-                    r["k"]: r["v"] for r in minitable.read(spark, path).collect()
-                }
-                assert got == model, (trial, _step, a_op, b_op)
+                if model:
+                    got = {
+                        r["k"]: r["v"]
+                        for r in minitable.read(spark, path).collect()
+                    }
+                    assert got == model, (trial, _step, a_op, b_op)
+                else:
+                    assert minitable.snapshot(path) == [], (trial, _step)
         finally:
             monkeypatch.setattr(minitable, "commit", real_commit)
 
@@ -4108,3 +4174,251 @@ def test_minitable_zorder_validation_and_concurrency(spark, tmp_path, monkeypatc
         minitable.zorder(spark, path, by=["k"], n_files=2)
     monkeypatch.setattr(minitable, "commit", real_commit)
     assert minitable.read(spark, path).count() == 60  # delete's result intact
+
+
+def test_minitable_replace_where_partition_restatement(spark, tmp_path):
+    """replace_where: the backfill idiom — restate one partition in ONE
+    atomic commit.  Partition-aligned scope pays the metadata-only tier
+    (whole drops, zero rewrites), the batch layout stays hive-aligned,
+    the change feed carries explicit deletes + inserts, and re-running
+    the same restatement CONVERGES (the predicate contract makes the
+    verb idempotent)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(1000)
+        .withColumn("ds", (F.col("id") % 4).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+        .withColumnRenamed("id", "k")
+    )
+    minitable.write(spark, df, path, "overwrite", partition_by=["ds"], stats_cols=["k"])
+    new = (
+        spark.range(2000, 2100)
+        .withColumn("ds", F.lit(2).cast("int"))
+        .withColumn("v", F.lit(-1).cast("long"))
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+    )
+    v, s = minitable.replace_where(spark, new, path, [("ds", "=", 2)], stats_cols=["k"])
+    assert v == 1 and s["rewritten"] == 0 and s["dropped_whole"] >= 1, s
+    got = minitable.read(spark, path)
+    assert got.count() == 850
+    assert got.where("ds = 2").count() == 100
+    assert got.where("ds = 2 AND v <> -1").count() == 0
+    assert got.where("ds <> 2 AND v <> k * 2").count() == 0
+    # history intact; the staged batch kept the hive layout (exact [v,v])
+    assert minitable.read(spark, path, 0).count() == 1000
+    post = dict(minitable._replay(path, None)[0])
+    for rel, st in post.items():
+        assert minitable._exact_stat_value(st, "ds") is not None, rel
+    # feed: explicit deletes (the 250 old ds=2 rows) + inserts (the 100)
+    feed = minitable.change_feed(spark, path, 0, v)
+    counts = {r["_change_type"]: r["n"] for r in
+              feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"delete": 250, "insert": 100}
+    # a batch that breaks its own predicate is rejected before commit
+    import pytest
+
+    with pytest.raises(ValueError, match="breaks its own predicate"):
+        minitable.replace_where(spark, new, path, [("ds", "=", 3)])
+    # idempotent: rerunning the restatement converges
+    v2, _s2 = minitable.replace_where(spark, new, path, [("ds", "=", 2)], stats_cols=["k"])
+    assert minitable.read(spark, path).count() == 850
+    assert minitable.read(spark, path).where("ds = 2").count() == 100
+    # empty delete side still commits (guarded append semantics)
+    fresh = new.withColumn("k", F.col("k") + 10_000)
+    v3, s3 = minitable.replace_where(
+        spark, fresh, path, [("ds", "=", 2), ("k", ">=", 12_000)], stats_cols=["k"]
+    )
+    assert s3["dropped_whole"] == 0 and s3["rewritten"] == 0
+    assert minitable.read(spark, path).count() == 850 + 100
+
+
+def test_minitable_replace_where_straddlers_dvs_and_nulls(spark, tmp_path):
+    """A non-aligned scope pays delete()'s exact tiers: only files that
+    genuinely hold matches are rewritten, non-matching and
+    NULL-predicate rows survive the rewrite, and rows an earlier
+    deletion vector already removed are neither resurrected nor
+    re-emitted as feed deletes."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(1000)
+        .withColumn(
+            "k", F.when(F.col("id") % 100 == 7, None).otherwise(F.col("id"))
+        )
+        .withColumn("v", F.col("id"))
+        .drop("id")
+    )
+    minitable.write(
+        spark, df.repartitionByRange(10, "v"), path, "overwrite",
+        stats_cols=["k", "v"],
+    )
+    # DV-delete part of the scope first: k in [200, 250)
+    minitable.delete_dv(spark, path, [("k", ">=", 200), ("k", "<", 250)])
+    new = (
+        spark.range(5000, 5010)
+        .withColumn("k", F.lit(225).cast("long"))
+        .withColumn("v", F.col("id"))
+        .drop("id")
+        .coalesce(1)
+    )
+    # scope k in [150, 250): straddles two range files
+    v, s = minitable.replace_where(
+        spark, new, path, [("k", ">=", 150), ("k", "<", 250)], stats_cols=["k", "v"]
+    )
+    assert s["rewritten"] >= 1 and s["untouched"] >= 7, s
+    got = minitable.read(spark, path)
+    # old in-scope rows gone (150..199 replaced; 200..249 were DV-dead
+    # except id 207, whose k is NULL — it matched neither delete)
+    assert got.where("k >= 150 AND k < 250 AND v < 1000").count() == 0
+    assert got.where("v >= 150 AND v < 250 AND k IS NULL").count() == 1
+    assert got.where("k = 225").count() == 10  # the restatement
+    # NULL-k rows never match a range predicate — all 10 survive
+    assert got.where("k IS NULL").count() == 10
+    assert got.count() == 1000 - 49 - 50 + 10
+    # feed deletes = 50 live matches only (DV-dead rows not re-deleted)
+    feed = minitable.change_feed(spark, path, 1, v)
+    counts = {r["_change_type"]: r["n"] for r in
+              feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"delete": 50, "insert": 10}
+
+
+def test_minitable_replace_where_contract_and_feed_gate(spark, tmp_path):
+    """The insert side honors the full table contract: identity columns
+    are engine-assigned (supplying one is refused, the high-water mark
+    advances), generated columns materialize when omitted, CHECK
+    constraints validate the staged bytes, schema drift is refused, and
+    collect_cdf=False commits no predicate so change_feed raises loudly
+    instead of silently missing the inserts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(100)
+        .withColumn("band", (F.col("id") % 5).cast("int"))
+        .withColumnRenamed("id", "k")
+    )
+    minitable.write(
+        spark, df, path, "overwrite",
+        identity={"rid": (1, 1)},
+        generated={"b2": "CAST(band * 2 AS INT)"},
+        stats_cols=["band", "k"],
+    )
+    minitable.add_constraint(spark, path, "k_nonneg", "k >= 0")
+    new = (
+        spark.range(1000, 1020)
+        .withColumn("band", F.lit(3).cast("int"))
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        minitable.replace_where(
+            spark, new.withColumn("rid", F.lit(1)), path, [("band", "=", 3)]
+        )
+    with pytest.raises(ValueError, match="must equal the table schema"):
+        minitable.replace_where(
+            spark, new.withColumn("extra", F.lit(1)), path, [("band", "=", 3)]
+        )
+    with pytest.raises(ValueError, match="k_nonneg"):
+        minitable.replace_where(
+            spark, new.withColumn("k", -F.col("k")), path, [("band", "=", 3)]
+        )
+    hwm0 = minitable.table_identity_hwm(path)["rid"]
+    v, s = minitable.replace_where(
+        spark, new, path, [("band", "=", 3)], stats_cols=["band", "k"]
+    )
+    got = minitable.read(spark, path)
+    assert got.where("band = 3").count() == 20
+    # generated column materialized; identity ids fresh, dense, recorded
+    assert got.where("b2 <> band * 2").count() == 0
+    ids = sorted(r["rid"] for r in got.where("k >= 1000").collect())
+    assert ids == list(range(hwm0 + 1, hwm0 + 21))
+    assert minitable.table_identity_hwm(path)["rid"] == hwm0 + 20
+    # collect_cdf=False: honest feed refusal, not a wrong feed
+    v2, _ = minitable.replace_where(
+        spark, new, path, [("band", "=", 3)], collect_cdf=False
+    )
+    with pytest.raises(ValueError, match="neither a recorded predicate"):
+        minitable.change_feed(spark, path, v2 - 1, v2).collect()
+    # replace_where on a table that doesn't exist is refused
+    with pytest.raises(ValueError, match="existing minitable"):
+        minitable.replace_where(spark, new, str(tmp_path / "nope"), [("band", "=", 3)])
+
+
+def test_minitable_replace_where_concurrency(spark, tmp_path, monkeypatch):
+    """Serializability: a concurrent IN-SCOPE append conflicts (its rows
+    would be replaced without ever being probed); an out-of-scope
+    append commutes and the restatement auto-rebases over it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    real_commit = minitable.commit
+
+    def interleave(builder):
+        state = {"fired": False}
+
+        def racing(p, action, added, **kw):
+            if not state["fired"] and kw.get("expected_version") is not None:
+                state["fired"] = True
+                builder(p)
+            return real_commit(p, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing)
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        df = (
+            spark.range(400)
+            .withColumn("ds", (F.col("id") % 4).cast("int"))
+            .withColumnRenamed("id", "k")
+        )
+        minitable.write(
+            spark, df, path, "overwrite", partition_by=["ds"], stats_cols=["k"]
+        )
+        return path
+
+    def batch(ds, lo):
+        return (
+            spark.range(lo, lo + 10)
+            .withColumn("ds", F.lit(ds).cast("int"))
+            .withColumnRenamed("id", "k")
+            .coalesce(1)
+        )
+
+    # in-scope concurrent append: conflict, and its rows survive
+    path = fresh("t1")
+    interleave(lambda p: minitable.write(
+        spark, batch(2, 9000), p, "append",
+        partition_by=["ds"], stats_cols=["k"],
+    ))
+    with pytest.raises(minitable.CommitConflict, match="concurrent append"):
+        minitable.replace_where(spark, batch(2, 1000), path, [("ds", "=", 2)])
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert minitable.read(spark, path).where("k >= 9000").count() == 10
+
+    # out-of-scope concurrent append: commutes, restatement lands
+    path = fresh("t2")
+    interleave(lambda p: minitable.write(
+        spark, batch(1, 9000), p, "append",
+        partition_by=["ds"], stats_cols=["k"],
+    ))
+    v, _s = minitable.replace_where(
+        spark, batch(2, 1000), path, [("ds", "=", 2)], stats_cols=["k"]
+    )
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    got = minitable.read(spark, path)
+    assert got.where("ds = 2").count() == 10      # restated
+    assert got.where("k >= 9000").count() == 10   # the append survived
+    assert got.count() == 300 + 10 + 10

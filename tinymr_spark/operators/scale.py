@@ -5017,6 +5017,116 @@ GROUP BY phase
 """
 
 
+# ---------------------------------------------------------------------------
+# q201 — REPLACE WHERE (minitable.replace_where — Delta's
+# `.option("replaceWhere", pred)` overwrite): the backfill idiom that
+# delete()+write() cannot express safely — "recompute this partition
+# and swap it in" as ONE atomic commit, so readers never see the range
+# missing and a crash never loses it.  The scenario is the everyday
+# scrub-restatement: partition 3-MEDIUM is replaced by its own
+# deduplicated recomputation (even order keys only), while the other
+# four partitions are untouched BY PROOF — the partition-aligned scope
+# pays the metadata-only tier (build-asserted: dropped_whole >= 1,
+# rewritten == 0, everything else untouched), the incoming batch is
+# validated to fall entirely inside the replaced range (the contract
+# that makes restatements idempotent), and the commit stages explicit
+# CDF rows because its added files mix rewrite survivors with new rows
+# — the feed's deletes are the partition's 3003 old rows, its inserts
+# the 1502 restated ones, both hash-gated below alongside the five
+# per-partition states before and after.  100 TB: a daily-partition
+# backfill is O(new data staged) + O(1) commit-log metadata — zero old
+# bytes read, zero old bytes rewritten.
+# ---------------------------------------------------------------------------
+def q201_replace_where(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_rw", src_path)
+    done = table + "._done"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double")
+    )
+    if not os.path.exists(done) or len(minitable.versions(table)) < 2:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: priority-partitioned ingest
+            spark, orders, table, "overwrite",
+            partition_by=["o_orderpriority"], stats_cols=["o_orderkey"],
+        )
+        restated = orders.where(
+            (F.col("o_orderpriority") == "3-MEDIUM")
+            & (F.col("o_orderkey") % 2 == 0)
+        )
+        v, s = minitable.replace_where(  # v1: atomic partition restatement
+            spark, restated, table,
+            [("o_orderpriority", "=", "3-MEDIUM")],
+            stats_cols=["o_orderkey"],
+        )
+        # partition-aligned scope = metadata-only delete tier
+        assert s["rewritten"] == 0 and s["dropped_whole"] >= 1, s
+        assert s["untouched"] >= 4, s
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(tag).alias("phase"),
+            F.col("o_orderpriority").alias("pri"),
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    feed = minitable.change_feed(spark, table, 0, 1)
+    feed_rows = feed.groupBy(
+        F.concat(F.lit("feed_"), F.col("_change_type")).alias("phase"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return (
+        agg(minitable.read(spark, table, 0), "v0_ingest")
+        .unionByName(agg(minitable.read(spark, table, 1), "v1_restated"))
+        .unionByName(feed_rows)
+    )
+
+
+ORACLE_Q201 = """
+WITH member AS (
+    SELECT 'v0_ingest' AS phase, o_orderpriority AS pri, o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT 'v1_restated', o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority <> '3-MEDIUM'
+       OR o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'feed_delete', o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority = '3-MEDIUM'
+    UNION ALL
+    SELECT 'feed_insert', o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0
+)
+SELECT phase, pri,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM member
+GROUP BY phase, pri
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -5074,6 +5184,7 @@ QUERIES = {
     "q198_generated_columns": q198_generated_columns,
     "q199_identity_columns": q199_identity_columns,
     "q200_zorder_verb": q200_zorder_verb,
+    "q201_replace_where": q201_replace_where,
 }
 
 ORACLE = {
@@ -5133,4 +5244,5 @@ ORACLE = {
     "q198_generated_columns": ORACLE_Q198,
     "q199_identity_columns": ORACLE_Q199,
     "q200_zorder_verb": ORACLE_Q200,
+    "q201_replace_where": ORACLE_Q201,
 }

@@ -3062,6 +3062,200 @@ def delete_dv(
     }
 
 
+def replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    where: list[tuple],
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    collect_cdf: bool = True,
+) -> tuple[int, dict]:
+    """REPLACE WHERE (Delta's `.option("replaceWhere", ...)` with mode
+    overwrite — the predicate-scoped atomic overwrite): in ONE commit,
+    DELETE every table row matching `where` and INSERT `df`, whose rows
+    must ALL satisfy `where` — validated on the staged bytes and
+    rejected loudly otherwise (Delta's default contract; it is what
+    makes the verb an idempotent partition/range restatement: re-running
+    the same restatement converges instead of duplicating).  This is
+    the everyday backfill idiom — "recompute day X and swap it in" —
+    that delete()+write() can NOT express safely: two commits leave a
+    window where readers see the day missing, and a crash between them
+    loses the day entirely.
+
+    The delete side pays Delta's three cost tiers exactly like
+    delete(): provably-all-matching files drop as pure commit-log
+    removes (a partition-aligned restatement on a 100 TB table does
+    ZERO data-file I/O beyond staging the replacement), straddlers are
+    probed (predicate columns only) and only genuine match-holders are
+    rewritten with the inverse filter, everything else is untouched.
+    The insert side honors the full table contract, like write():
+    CHECK constraints validate against the staged bytes, GENERATED
+    columns materialize when omitted / validate when provided, IDENTITY
+    columns are engine-assigned from the log-carried high-water mark
+    (writers can never supply them), and the recorded partition layout
+    is preserved on both the new files and the rewrites.
+
+    Change feed: the commit stages explicit CDF rows by default
+    (deletes = the old matching rows with pre-existing DV masks
+    applied; inserts = the staged batch) because its `added` files mix
+    rewrite survivors with genuinely-new rows — the predicate-only
+    reconstruction delete() relies on cannot represent that.
+    `collect_cdf=False` skips the extra write and records NO predicate,
+    so change_feed() raises loudly over the commit instead of returning
+    a feed that silently misses the inserts.
+
+    Concurrency: serializable like merge/delete — claims
+    readVersion+1, conflicts on an intervening overwrite, on any commit
+    touching the files it removes, on a concurrent APPEND whose stats
+    admit rows matching `where` (those rows would be replaced without
+    ever being seen), on a concurrent constraint change
+    (constraint_sensitive), and on a concurrent identity allocation;
+    disjoint-scope writers land without coordination.
+
+    Returns (version, summary).  Unlike delete(), an empty delete side
+    still commits — the insert happens regardless (Delta's semantics:
+    replaceWhere over an empty range is just a guarded append)."""
+    from pyspark.sql import functions as F
+
+    _check_where(where, "replace_where")
+    all_versions = versions(path)
+    if not all_versions:
+        raise ValueError(
+            f"replace_where needs an existing minitable at {path}; "
+            "create the table with write() first"
+        )
+    read_version = all_versions[-1]
+    entries, schema, dvs, constraints, colmap = _replay(path, read_version)
+    if schema is None:
+        raise ValueError(
+            f"minitable {path} has no recorded schema — replace_where "
+            "cannot validate the batch against the table contract"
+        )
+    pw = _phys_where(where, colmap)  # stats are keyed by physical names
+    part_by = table_partition_by(path, read_version)
+    phys_parts = [colmap.get(c, c) for c in part_by] if part_by else None
+    if part_by:
+        stats_cols = sorted(set(stats_cols or []) | set(part_by))
+
+    # -- INSERT side: the table contract applied to the incoming batch --
+    gen = _generated_map(schema)
+    ident = _identity_map(schema)
+    supplied = sorted(set(ident) & set(df.columns))
+    if supplied:
+        raise ValueError(
+            f"identity column(s) {supplied} are GENERATED ALWAYS — the "
+            "writer cannot supply their values"
+        )
+    gen_provided = [c for c in gen if c in df.columns]
+    for c in gen:
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(gen[c]))
+    table_cols = {f["name"] for f in schema["fields"]}
+    got = set(df.columns) | set(ident)
+    if got != table_cols:
+        raise ValueError(
+            f"replace_where batch columns {sorted(got)} must equal the "
+            f"table schema {sorted(table_cols)} — this verb restates "
+            "rows, it does not evolve schema"
+        )
+    hwm_base = table_identity_hwm(path, read_version)
+    ident_hwm_out: dict[str, int] | None = None
+    id_pins: list[DataFrame] = []
+    for c, (i_start, i_step) in sorted(ident.items()):
+        nxt = hwm_base.get(c, i_start - i_step) + i_step
+        df, last, pin = _assign_identity(df, c, nxt, i_step)
+        id_pins.append(pin)
+        ident_hwm_out = {**hwm_base, **(ident_hwm_out or {}), c: last}
+    new_rels = _stage(_to_physical(df, colmap), path, partition_by=phys_parts)
+    for pin in id_pins:  # ids are in the staged parquet now
+        pin.unpersist(False)
+    staged = _read_files(
+        spark, [os.path.join(path, r) for r in new_rels], schema, colmap
+    )
+    n_viol = staged.where(~F.coalesce(_where_cond(where), F.lit(False))).count()
+    if n_viol:
+        raise ValueError(
+            f"replace_where batch breaks its own predicate: {n_viol} "
+            f"staged row(s) do not match {where} — every inserted row "
+            "must fall inside the replaced range (Delta's contract)"
+        )
+    gen_checks = {f"generated:{c}": f"`{c}` <=> ({gen[c]})" for c in gen_provided}
+    if constraints or gen_checks:
+        _enforce_constraints(
+            staged, {**constraints, **gen_checks}, "replace_where batch"
+        )
+
+    # -- DELETE side: the same three cost tiers as delete() -------------
+    candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
+    whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
+    straddle = [f for f, st in candidates if f not in whole]
+    touched: list[str] = []
+    if straddle:
+        probe = (
+            _read_files_dv(
+                spark, path, straddle, schema, dvs,
+                keep_fname="__file", colmap=colmap,
+            )
+            .select(*{col for col, _o, _v in where}, "__file")
+        )
+        probe = probe.where(_where_cond(where)).select("__file").distinct()
+        bases = {r[0] for r in probe.collect()}  # O(touched files) names
+        touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
+    rewritten: list[str] = []
+    if touched:
+        survivors = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
+        # NULL-predicate rows don't match and must survive (ADVICE r7)
+        survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
+        rewritten = _stage(
+            _to_physical(survivors, colmap), path, partition_by=phys_parts
+        )
+
+    cdf_rels: list[str] | None = None
+    if collect_cdf:
+        pieces = [staged.withColumn("_change_type", F.lit("insert"))]
+        if whole or touched:
+            pieces.append(
+                _read_files_dv(
+                    spark, path, whole + touched, schema, dvs, colmap=colmap
+                )
+                .where(F.coalesce(_where_cond(where), F.lit(False)))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        cdf_df = pieces[0] if len(pieces) == 1 else pieces[0].unionByName(pieces[1])
+        cdf_rels = _stage(_to_physical(cdf_df, colmap), path, kind="cdf")
+
+    added = rewritten + new_rels
+    stats = (
+        _collect_stats(
+            path,
+            added,
+            [colmap.get(c, c) for c in (stats_cols or [])],
+            [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+        )
+        if (stats_cols or bloom_cols)
+        else None
+    )
+    version = _commit_serializable(
+        path,
+        added,
+        whole + touched,
+        read_version,
+        pw,  # a concurrent in-scope append would be replaced unseen
+        stats=stats,
+        predicate=pw if collect_cdf else None,
+        cdf=cdf_rels,
+        constraint_sensitive=True,  # this commit ADDS rows
+        identity_hwm=ident_hwm_out,
+    )
+    return version, {
+        "dropped_whole": len(whole),
+        "rewritten": len(touched),
+        "untouched": len(entries) - len(whole) - len(touched),
+        "inserted_files": len(new_rels),
+    }
+
+
 def _exact_stat_value(st: dict | None, col: str):
     """The single value `col` provably takes in a file — recorded range
     `[v, v]` with a proven zero null count (exactly what write(...,
