@@ -4422,3 +4422,119 @@ def test_minitable_replace_where_concurrency(spark, tmp_path, monkeypatch):
     assert got.where("ds = 2").count() == 10      # restated
     assert got.where("k >= 9000").count() == 10   # the append survived
     assert got.count() == 300 + 10 + 10
+
+
+def test_minitable_merge_schema_evolution(spark, tmp_path, monkeypatch):
+    """merge(merge_schema=True) — Delta's withSchemaEvolution: extra
+    source columns append to the table schema, recorded by the merge
+    commit; matched rows take the source's values, carried-over and
+    old-file rows serve NULL, AS-OF pre-merge reads the old schema.
+    Rebase is schema-guarded: a concurrent DIFFERENT-schema commit
+    conflicts (last-record-wins would roll it back), a same-schema
+    append commutes.  Without the flag extra columns are silently
+    projected away (the compatibility contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(100)
+        .withColumn("v", F.col("id") * 1.0)
+        .withColumnRenamed("id", "k")
+    )
+    minitable.write(
+        spark, df.repartitionByRange(4, "k"), path, "overwrite", stats_cols=["k"]
+    )
+    src = (
+        spark.range(90, 110)
+        .withColumn("v", F.lit(9.9))
+        .withColumn("w", F.format_string("w%03d", F.col("id")))
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+    )
+    v = minitable.merge(
+        spark, src, path, "k", stats_cols=["k"], merge_schema=True,
+        collect_cdf=True,
+    )
+    got = minitable.read(spark, path)
+    assert got.columns == ["k", "v", "w"]
+    assert got.count() == 110
+    assert got.where("w IS NOT NULL").count() == 20       # matched + inserts
+    assert got.where("k < 90 AND w IS NOT NULL").count() == 0
+    assert minitable.read(spark, path, 0).columns == ["k", "v"]  # AS-OF era
+    # the CDF is typed by the evolved schema
+    feed = minitable.change_feed(spark, path, 0, v)
+    assert "w" in feed.columns
+    assert feed.where("_change_type = 'insert'").count() == 10
+    # without the flag: extras silently dropped, schema unchanged
+    minitable.merge(
+        spark, src.withColumn("zzz", F.lit(1)).where("k < 95"), path, "k",
+        stats_cols=["k"],
+    )
+    assert minitable.read(spark, path).columns == ["k", "v", "w"]
+    # refused on column-mapped tables
+    minitable.rename_column(path, "v", "val")
+    with pytest.raises(ValueError, match="column-mapped"):
+        minitable.merge(
+            spark,
+            src.withColumnRenamed("v", "val").withColumn("y", F.lit(1)),
+            path, "k", merge_schema=True,
+        )
+
+    # --- concurrency: schema-guarded rebase ---------------------------
+    real_commit = minitable.commit
+
+    def interleave(builder):
+        state = {"fired": False}
+
+        def racing(p, action, added, **kw):
+            if not state["fired"] and kw.get("expected_version") is not None:
+                state["fired"] = True
+                builder(p)
+            return real_commit(p, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing)
+
+    def fresh(name):
+        p = str(tmp_path / name)
+        minitable.write(
+            spark, df.repartitionByRange(4, "k"), p, "overwrite", stats_cols=["k"]
+        )
+        return p
+
+    evo_src = (
+        spark.range(200, 205)
+        .withColumn("v", F.lit(1.0))
+        .withColumn("w", F.lit("x"))
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+    )
+    # concurrent DIFFERENT schema (evolving append adding `q`): conflict
+    p1 = fresh("c1")
+    interleave(lambda p: minitable.write(
+        spark,
+        spark.range(300, 305).withColumn("v", F.lit(0.0))
+        .withColumn("q", F.lit(2)).withColumnRenamed("id", "k").coalesce(1),
+        p, "append", merge_schema=True, stats_cols=["k"],
+    ))
+    with pytest.raises(minitable.CommitConflict, match="different schema"):
+        minitable.merge(spark, evo_src, p1, "k", merge_schema=True)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert minitable.read(spark, p1).columns == ["k", "v", "q"]  # theirs won
+
+    # concurrent SAME-schema append (out of key range): commutes
+    p2 = fresh("c2")
+    interleave(lambda p: minitable.write(
+        spark,
+        spark.range(300, 305).withColumn("v", F.lit(0.0))
+        .withColumnRenamed("id", "k").coalesce(1),
+        p, "append", stats_cols=["k"],
+    ))
+    minitable.merge(spark, evo_src, p2, "k", stats_cols=["k"], merge_schema=True)
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    got2 = minitable.read(spark, p2)
+    assert got2.columns == ["k", "v", "w"]
+    assert got2.count() == 110  # 100 + 5 appended + 5 merged inserts
+    assert got2.where("k >= 300 AND w IS NOT NULL").count() == 0

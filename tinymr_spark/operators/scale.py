@@ -5127,6 +5127,116 @@ GROUP BY phase, pri
 """
 
 
+# ---------------------------------------------------------------------------
+# q202 — MERGE SCHEMA EVOLUTION (merge(merge_schema=True), Delta's
+# `withSchemaEvolution`): the enrichment-merge idiom — a narrow upsert
+# that ATTACHES a new column to the table as it lands.  v0 ingests part
+# as (p_partkey, p_retailprice); v1 merges an enrichment source that
+# carries p_brand for every 10th part (whole-row update: price
+# restated verbatim, brand attached) plus 20 brand-new parts — the
+# merge commit records the UNION schema, so untouched old files serve
+# NULL p_brand through the evolved read, matched rows carry their
+# source brand, AS-OF v0 still reads the two-column era (asserted at
+# build), and the evolution costs exactly the merge's own two-phase
+# O(touched files + source) — no table rewrite, no separate ALTER.
+# Rebase is schema-guarded (tests): a concurrent different-schema
+# commit conflicts rather than being silently rolled back by
+# last-record-wins replay; same-schema appends commute.  The hash gate
+# proves the whole landing: final-state counts, decimal-exact price
+# sum (original prices restated + the 20 inserts), branded-row count
+# and distinct-brand count vs the oracle's reconstruction.
+# ---------------------------------------------------------------------------
+def q202_merge_schema_evolution(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "part")
+    table = versioned_staging_dir("tinymr_spark_minitable_msc", src_path)
+    done = table + "._done"
+    part = load_table(spark, sf_dir, "part")
+    mp = int(part.agg(F.max("p_partkey")).collect()[0][0])
+    if not os.path.exists(done) or len(minitable.versions(table)) < 2:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: the narrow two-column era
+            spark,
+            part.select("p_partkey", F.col("p_retailprice").cast("double")),
+            table, "overwrite", stats_cols=["p_partkey"],
+        )
+        enrich = part.where(F.col("p_partkey") % 10 == 0).select(
+            "p_partkey", F.col("p_retailprice").cast("double"), "p_brand"
+        )
+        fresh = spark.range(1, 21).select(
+            (F.lit(mp) + F.col("id")).alias("p_partkey"),
+            F.lit(1.0).alias("p_retailprice"),
+            F.lit("NEW").alias("p_brand"),
+        )
+        v = minitable.merge(  # v1: upsert + ADD COLUMN in one commit
+            spark, enrich.unionByName(fresh), table, "p_partkey",
+            stats_cols=["p_partkey"], merge_schema=True,
+        )
+        assert minitable.read(spark, table, 0).columns == [
+            "p_partkey", "p_retailprice",
+        ], "AS-OF v0 must serve the pre-evolution schema"
+        assert minitable.table_schema(table, v)["fields"][-1]["name"] == "p_brand"
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str, branded) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            branded[0].alias("n_branded"),
+            branded[1].alias("n_brands"),
+        )
+
+    zero = (F.lit(0).cast("bigint"), F.lit(0).cast("bigint"))
+    head = minitable.read(spark, table)
+    return agg(
+        minitable.read(spark, table, 0), "v0_ingest", zero
+    ).unionByName(
+        agg(
+            head, "v1_evolved",
+            (F.count("p_brand"), F.count_distinct("p_brand")),
+        )
+    )
+
+
+ORACLE_Q202 = """
+WITH m AS (SELECT MAX(p_partkey) AS mp FROM part),
+head AS (
+    SELECT p_retailprice,
+           CASE WHEN p_partkey % 10 = 0 THEN p_brand END AS b
+    FROM part
+    UNION ALL
+    SELECT 1.0 AS p_retailprice, 'NEW' AS b
+    FROM m, unnest(range(1, 21)) AS t(i)
+)
+SELECT 'v0_ingest' AS phase,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(0 AS BIGINT) AS n_branded,
+       CAST(0 AS BIGINT) AS n_brands
+FROM part
+UNION ALL
+SELECT 'v1_evolved',
+       COUNT(*),
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE),
+       COUNT(b),
+       COUNT(DISTINCT b)
+FROM head
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -5185,6 +5295,7 @@ QUERIES = {
     "q199_identity_columns": q199_identity_columns,
     "q200_zorder_verb": q200_zorder_verb,
     "q201_replace_where": q201_replace_where,
+    "q202_merge_schema_evolution": q202_merge_schema_evolution,
 }
 
 ORACLE = {
@@ -5245,4 +5356,5 @@ ORACLE = {
     "q199_identity_columns": ORACLE_Q199,
     "q200_zorder_verb": ORACLE_Q200,
     "q201_replace_where": ORACLE_Q201,
+    "q202_merge_schema_evolution": ORACLE_Q202,
 }

@@ -2113,6 +2113,8 @@ def _commit_serializable(
     dv: dict[str, str] | None = None,
     constraint_sensitive: bool = True,
     identity_hwm: dict[str, int] | None = None,
+    schema: dict | None = None,
+    schema_base: dict | None = None,
 ) -> int:
     """Commit a merge/delete planned against snapshot `read_version`
     under SERIALIZABLE-style optimistic concurrency (Delta's conflict
@@ -2134,7 +2136,14 @@ def _commit_serializable(
 
     Disjoint writers (different key ranges, different files) therefore
     both land without coordination; overlapping ones get a deterministic
-    CommitConflict naming the blocking version."""
+    CommitConflict naming the blocking version.
+
+    `schema` records a schema with the commit (a schema-EVOLVING merge);
+    `schema_base` is the schema the evolution was planned against — an
+    intervening commit recording a DIFFERENT schema conflicts, because
+    replay is last-record-wins and blindly committing our union would
+    silently roll the concurrent evolution back.  An intervening commit
+    re-recording the same base schema (an ordinary append) commutes."""
     while True:
         try:
             return commit(
@@ -2149,6 +2158,7 @@ def _commit_serializable(
                 expected_version=read_version + 1,
                 dv=dv,
                 identity_hwm=identity_hwm,
+                schema=schema,
             )
         except CommitConflict:
             head = versions(path)[-1]
@@ -2185,6 +2195,13 @@ def _commit_serializable(
                         f"rewrites ({sorted(inter & ours)[:3]}...) — "
                         "write-write conflict, replan against the new head"
                     )
+                if schema is not None and "schema" in rec and rec["schema"] != schema_base:
+                    raise CommitConflict(
+                        f"version {v} of {path} recorded a different schema "
+                        "than this schema-evolving operation planned against "
+                        "— committing would roll the concurrent evolution "
+                        "back (last-record-wins); replan against the new head"
+                    )
                 if identity_hwm is not None and "identity_hwm" in rec:
                     # both commits allocated ids from the same marks —
                     # the ranges may collide; replan re-reads the head
@@ -2216,6 +2233,7 @@ def merge(
     check_duplicate_keys: bool = True,
     collect_cdf: bool = False,
     update_set: dict[str, str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO (Delta-style declarative upsert), whole-row semantics
     by default:
@@ -2259,7 +2277,23 @@ def merge(
     (Delta's merge CDF): `_change_type` in insert / delete /
     update_preimage / update_postimage, recorded in the commit's `cdf`
     field and served by `change_feed()` — O(touched + source) extra
-    write, nothing at read time."""
+    write, nothing at read time.
+
+    `merge_schema=True` (Delta's `withSchemaEvolution`): source columns
+    absent from the target are APPENDED to the table schema — additive
+    only, like write(merge_schema=True) — and the merge commit records
+    the union, so untouched old files serve NULL for the new columns
+    and AS-OF reads before the merge serve the old schema.  Matched
+    rows take the source's values for the new columns, carried-over
+    target rows land NULL.  Rebase is schema-guarded: a concurrent
+    commit recording a DIFFERENT schema conflicts (last-record-wins
+    replay would otherwise roll the concurrent evolution back), while
+    ordinary appends re-recording the same base schema commute.
+    Refused on column-mapped tables (evolve those via
+    write(merge_schema=True) first, which assigns the new physical
+    names).  Without the flag, extra source columns are silently
+    projected away (the whole-row clause takes exactly the table's
+    columns) — the pre-evolution behavior, kept for compatibility."""
     from pyspark.sql import functions as F
 
     if check_duplicate_keys:
@@ -2305,6 +2339,32 @@ def merge(
         if schema is not None
         else read(spark, path, read_version).columns
     )
+    # MERGE SCHEMA EVOLUTION: extra source columns become new table
+    # columns; `schema` is rebound to the union so EVERY downstream path
+    # (target read serving NULL from old files, constraint validation,
+    # CDF typing, the landing projection) sees the evolved contract
+    schema_base: dict | None = None
+    schema_out: dict | None = None
+    extras = [
+        dict(f, nullable=True, metadata=f.get("metadata") or {})
+        for f in source.schema.jsonValue()["fields"]
+        if f["name"] not in set(cols)
+    ]
+    if merge_schema and extras:
+        if schema is None:
+            raise ValueError(
+                f"minitable {path} has no recorded schema to evolve"
+            )
+        if colmap:
+            raise ValueError(
+                "merge_schema on a column-mapped table is not supported — "
+                "evolve the schema with write(merge_schema=True) first "
+                "(it assigns the new columns' physical names)"
+            )
+        schema_base = schema
+        schema_out = _merge_schemas(schema, {"type": "struct", "fields": extras})
+        schema = schema_out
+        cols = [f["name"] for f in schema["fields"]]
     gen = _generated_map(schema)
     if update_set is not None:
         bad = sorted(set(update_set) - set(cols))
@@ -2539,6 +2599,8 @@ def merge(
         stats=stats,
         cdf=cdf_files,
         identity_hwm=ident_hwm_out,
+        schema=schema_out,
+        schema_base=schema_base,
     )
 
 

@@ -258,6 +258,85 @@ def minitable_probe(spark) -> list[tuple[str, float, float, str]]:
     rows.append(("partition retention delete", w1, w5,
                  f"dropped {p1[1]['dropped_whole']} vs {p5[1]['dropped_whole']} "
                  "files whole, 0 rewrites, 0 data-file opens (pinned)"))
+
+    # -- zorder: O(scope) — a where-scope pins the rewrite to the hot
+    # range, so a fixed id window reclusters the SAME file count at 1x
+    # and 5x (clustered layout) and wall stays flat
+    (z1, w1) = timed(lambda: minitable.zorder(
+        spark, t1, by=["event_id", "user_id"],
+        where=[("event_id", ">=", 3000), ("event_id", "<", 3400)],
+        n_files=4))
+    (z5, w5) = timed(lambda: minitable.zorder(
+        spark, t5, by=["event_id", "user_id"],
+        where=[("event_id", ">=", 3000), ("event_id", "<", 3400)],
+        n_files=4))
+    assert z1 and z5 and z5["n_in"] <= z1["n_in"] + 1, (z1, z5)
+    rows.append(("zorder scoped (O(scope) pinned)", w1, w5,
+                 f"reclustered {z1['n_in']} vs {z5['n_in']} files"))
+
+    # -- replace_where: a partition restatement is metadata + the new
+    # batch only — zero OLD data files opened (the single pinned open is
+    # the staged batch's own validation read), zero rewrites
+    from pyspark.sql import functions as _F
+
+    def _restate(path):
+        batch = (
+            spark.range(10_000_000, 10_001_000)
+            .select(
+                _F.col("id").alias("event_id"),
+                _F.lit("click").alias("event_type"),
+                (_F.col("id") % 97).alias("user_id"),
+                _F.lit(1.0).alias("value"),
+            )
+            .coalesce(1)
+        )
+        return minitable.replace_where(
+            spark, batch, path, [("event_type", "=", "click")],
+            collect_cdf=False,
+        )
+
+    opens["n"] = 0
+    minitable._read_files_dv, minitable._read_files = _count_dv, _count
+    try:
+        (rw1, w1) = timed(lambda: _restate(t1))
+        (rw5, w5) = timed(lambda: _restate(t5))
+    finally:
+        minitable._read_files_dv, minitable._read_files = real_rfd, real_rf
+    assert rw1[1]["rewritten"] == 0 and rw5[1]["rewritten"] == 0, (rw1, rw5)
+    assert opens["n"] == 2, (
+        f"partition restatement opened {opens['n']} reads — expected "
+        "exactly the two staged-batch validation reads"
+    )
+    rows.append(("replace_where partition restate", w1, w5,
+                 f"dropped {rw1[1]['dropped_whole']} vs "
+                 f"{rw5[1]['dropped_whole']} whole, 0 rewrites, old bytes "
+                 "never opened (pinned)"))
+
+    # -- merge schema evolution: upsert + ADD COLUMN at the merge's own
+    # O(touched + source) — touched (removed) file counts stay ~equal at
+    # both scales, no table rewrite anywhere
+    import json as _json
+
+    def _evolve(path):
+        src = (
+            minitable.read(spark, path)
+            .where("event_id >= 3000 AND event_id < 3200")
+            .withColumn("probe_flag", _F.lit("x"))
+        )
+        v = minitable.merge(
+            spark, src, path, "event_id",
+            stats_cols=["event_id"], merge_schema=True,
+        )
+        with open(minitable._version_file(path, v)) as fh:
+            return len(_json.load(fh)["removed"])
+
+    (m1, w1) = timed(lambda: _evolve(t1))
+    (m5, w5) = timed(lambda: _evolve(t5))
+    assert m5 <= m1 + 1, (m1, m5)
+    for t in (t1, t5):
+        assert minitable.table_schema(t)["fields"][-1]["name"] == "probe_flag", t
+    rows.append(("merge schema evolution", w1, w5,
+                 f"evolved via {m1} vs {m5} touched files, no table rewrite"))
     return rows
 
 
