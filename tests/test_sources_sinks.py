@@ -3509,12 +3509,17 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
             if kind == "replace_where":
                 hi = rng.randint(1, next_key[0] + 2)
                 lo = max(0, hi - rng.randint(2, 8))
-                batch = [(lo, 7777.0 + lo)] + [
-                    (k, 8888.0 + k)
+                # keyed dict: lo must not appear twice (replace_where has
+                # no key-uniqueness contract, but the dict model does —
+                # review r10: a duplicate key made the oracle order-
+                # dependent under a later zorder's unstable tie order)
+                by_key = {
+                    k: 8888.0 + k
                     for k in sorted(model)
                     if lo <= k < hi and (k - lo) % 2 == 0
-                ]
-                return (kind, (lo, hi, sorted(set(batch))))
+                }
+                by_key.setdefault(lo, 7777.0 + lo)
+                return (kind, (lo, hi, sorted(by_key.items())))
             if kind == "zorder":
                 return (kind, None)
             if kind == "merge":
@@ -4350,6 +4355,17 @@ def test_minitable_replace_where_contract_and_feed_gate(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="neither a recorded predicate"):
         minitable.change_feed(spark, path, v2 - 1, v2).collect()
+    # an EMPTY restatement batch (a legal pure scoped delete) must NOT
+    # record identity marks — review r10, the spurious-conflict class
+    # merge() fixed: a no-allocation commit has to commute
+    import json
+
+    v3, s3 = minitable.replace_where(
+        spark, new.where("1 = 0"), path, [("band", "=", 3)], collect_cdf=False
+    )
+    with open(minitable._version_file(path, v3)) as fh:
+        assert "identity_hwm" not in json.load(fh)
+    assert minitable.read(spark, path).where("band = 3").count() == 0
     # replace_where on a table that doesn't exist is refused
     with pytest.raises(ValueError, match="existing minitable"):
         minitable.replace_where(spark, new, str(tmp_path / "nope"), [("band", "=", 3)])
@@ -4538,3 +4554,81 @@ def test_minitable_merge_schema_evolution(spark, tmp_path, monkeypatch):
     assert got2.columns == ["k", "v", "w"]
     assert got2.count() == 110  # 100 + 5 appended + 5 merged inserts
     assert got2.where("k >= 300 AND w IS NOT NULL").count() == 0
+
+    # a source column read FROM ANOTHER minitable carries that table's
+    # field metadata — evolution must STRIP generated/identity marks
+    # rather than import a contract the user never declared here
+    # (review r10)
+    other = str(tmp_path / "other")
+    minitable.write(
+        spark, spark.range(90, 95).withColumnRenamed("id", "k").coalesce(1),
+        other, "overwrite", generated={"w2": "CAST(k * 2 AS BIGINT)"},
+    )
+    foreign = (
+        minitable.read(spark, other)
+        .withColumn("v", F.lit(0.0))
+        .select("k", "v", "w2")
+    )
+    assert foreign.schema["w2"].metadata.get("generated"), "premise: metadata rides read()"
+    p3 = fresh("c3")
+    minitable.merge(spark, foreign, p3, "k", merge_schema=True)
+    meta = {
+        f["name"]: f.get("metadata") or {}
+        for f in minitable.table_schema(p3)["fields"]
+    }
+    assert "generated" not in meta["w2"], meta
+    assert minitable.table_generated(p3) == {}
+    # a later plain append is not bound by the foreign contract
+    minitable.write(
+        spark,
+        spark.createDataFrame([(500, 1.0, 7)], "k bigint, v double, w2 bigint"),
+        p3, "append",
+    )
+    assert minitable.read(spark, p3).where("k = 500").collect()[0]["w2"] == 7
+
+
+def test_minitable_replace_where_crash_before_commit_leaves_no_trace(
+    spark, tmp_path, monkeypatch
+):
+    """A writer dying between staging and commit must leave the table
+    bit-identical for readers (staged orphans are invisible — the q141
+    manifest argument), and a clean re-run of the same restatement must
+    succeed and converge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(200)
+        .withColumn("ds", (F.col("id") % 2).cast("int"))
+        .withColumnRenamed("id", "k")
+    )
+    minitable.write(spark, df, path, "overwrite", partition_by=["ds"], stats_cols=["k"])
+    before = sorted(tuple(r) for r in minitable.read(spark, path).collect())
+    new = (
+        spark.range(1000, 1010)
+        .withColumn("ds", F.lit(1).cast("int"))
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+    )
+
+    real_commit = minitable.commit
+
+    def dying(*a, **kw):
+        raise OSError("disk died before the commit record")
+
+    monkeypatch.setattr(minitable, "commit", dying)
+    with pytest.raises(OSError, match="disk died"):
+        minitable.replace_where(spark, new, path, [("ds", "=", 1)], stats_cols=["k"])
+    monkeypatch.setattr(minitable, "commit", real_commit)
+
+    # nothing visible changed: same version list, same rows
+    assert minitable.versions(path) == [0]
+    assert sorted(tuple(r) for r in minitable.read(spark, path).collect()) == before
+    # the re-run lands cleanly and converges
+    v, s = minitable.replace_where(spark, new, path, [("ds", "=", 1)], stats_cols=["k"])
+    assert v == 1 and s["rewritten"] == 0
+    got = minitable.read(spark, path)
+    assert got.count() == 110 and got.where("ds = 1").count() == 10

@@ -2283,9 +2283,15 @@ def merge(
     absent from the target are APPENDED to the table schema — additive
     only, like write(merge_schema=True) — and the merge commit records
     the union, so untouched old files serve NULL for the new columns
-    and AS-OF reads before the merge serve the old schema.  Matched
-    rows take the source's values for the new columns, carried-over
-    target rows land NULL.  Rebase is schema-guarded: a concurrent
+    and AS-OF reads before the merge serve the old schema.  Under the
+    default WHOLE-ROW update clause, matched rows take the source's
+    values for the new columns and carried-over target rows land NULL;
+    under explicit `update_set` clauses, an evolved column NOT listed
+    in the map keeps target semantics — NULL on matched rows — exactly
+    like Delta, where schema evolution populates new columns only via
+    UPDATE SET * (list the new column in `update_set`, e.g.
+    `{"w": "s.w"}`, to land the source's values).  Rebase is
+    schema-guarded: a concurrent
     commit recording a DIFFERENT schema conflicts (last-record-wins
     replay would otherwise roll the concurrent evolution back), while
     ordinary appends re-recording the same base schema commute.
@@ -2346,7 +2352,21 @@ def merge(
     schema_base: dict | None = None
     schema_out: dict | None = None
     extras = [
-        dict(f, nullable=True, metadata=f.get("metadata") or {})
+        # STRIP generated/identity marks from source metadata (review
+        # r10): a source derived from another minitable's read() carries
+        # that table's field metadata through StructType.fromJson, and
+        # importing a foreign generation/identity contract would make
+        # _regen_m recompute expressions the user never declared here
+        # (Delta likewise strips generation expressions on evolution)
+        dict(
+            f,
+            nullable=True,
+            metadata={
+                k: v
+                for k, v in (f.get("metadata") or {}).items()
+                if k not in ("generated", "identity")
+            },
+        )
         for f in source.schema.jsonValue()["fields"]
         if f["name"] not in set(cols)
     ]
@@ -2849,6 +2869,68 @@ def _file_fully_matches(stats: dict | None, where: list[tuple]) -> bool:
     return True
 
 
+def _plan_predicate_removal(
+    spark: SparkSession,
+    path: str,
+    entries: list[tuple[str, dict | None]],
+    schema: dict | None,
+    dvs: dict[str, str],
+    colmap: dict[str, str],
+    where: list[tuple],
+    pw: list[tuple],
+) -> tuple[list[str], list[str]]:
+    """The three-tier predicate-DELETE plan SHARED by delete() and
+    replace_where() (delete_dv keeps its row-marking variant): files
+    whose stats prove no match stay untouched, files that provably
+    match WHOLLY drop by metadata, and straddlers are probed (predicate
+    columns only, so parquet column pruning applies; file identity via
+    a basename column captured BEFORE the DV join — input_file_name()
+    refuses multi-source plans) so only genuine match-holders rewrite.
+    One definition because the probe's subtleties are correctness-
+    critical (review r10): a fix applied to one caller must reach all.
+    Returns (whole, touched)."""
+    candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
+    whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
+    straddle = [f for f, st in candidates if f not in whole]
+    touched: list[str] = []
+    if straddle:
+        probe = (
+            _read_files_dv(
+                spark, path, straddle, schema, dvs,
+                keep_fname="__file", colmap=colmap,
+            )
+            .select(*{col for col, _o, _v in where}, "__file")
+        )
+        probe = probe.where(_where_cond(where)).select("__file").distinct()
+        bases = {r[0] for r in probe.collect()}  # O(touched files) names
+        touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
+    return whole, touched
+
+
+def _stage_survivors(
+    spark: SparkSession,
+    path: str,
+    touched: list[str],
+    schema: dict | None,
+    dvs: dict[str, str],
+    colmap: dict[str, str],
+    where: list[tuple],
+    phys_parts: list[str] | None,
+) -> list[str]:
+    """Rewrite `touched` files WITHOUT their predicate-matching rows —
+    the straddler tier's exact path, shared by delete() and
+    replace_where().  ~cond is NULL (not True) on rows where a
+    predicate column is NULL, but SQL DELETE keeps rows the predicate
+    doesn't MATCH and NULL doesn't match — coalesce so NULL-predicate
+    rows survive the rewrite (ADVICE r7).  Stages under the caller's
+    (physical) partition layout."""
+    from pyspark.sql import functions as F
+
+    survivors = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
+    survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
+    return _stage(_to_physical(survivors, colmap), path, partition_by=phys_parts)
+
+
 def delete(
     spark: SparkSession,
     path: str,
@@ -2881,24 +2963,9 @@ def delete(
     read_version = all_versions[-1] if all_versions else None
     entries, schema, dvs, _c, colmap = _replay(path, read_version)
     pw = _phys_where(where, colmap)  # stats are keyed by physical names
-    candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
-    whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
-    straddle = [f for f, st in candidates if f not in whole]
-
-    touched: list[str] = []
-    if straddle:
-        # file identity via the pre-join basename column: input_file_name()
-        # refuses to plan over the DV anti-joined (multi-source) result
-        probe = (
-            _read_files_dv(
-                spark, path, straddle, schema, dvs,
-                keep_fname="__file", colmap=colmap,
-            )
-            .select(*{col for col, _o, _v in where}, "__file")
-        )
-        probe = probe.where(_where_cond(where)).select("__file").distinct()
-        bases = {r[0] for r in probe.collect()}  # O(touched files) names
-        touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
+    whole, touched = _plan_predicate_removal(
+        spark, path, entries, schema, dvs, colmap, where, pw
+    )
     if not whole and not touched:
         return None
     added: list[str] = []
@@ -2908,16 +2975,9 @@ def delete(
         part_by = table_partition_by(path, read_version)
         if part_by:
             stats_cols = sorted(set(stats_cols or []) | set(part_by))
-        survivors = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
-        # ~cond is NULL (not True) on rows where a predicate column is
-        # NULL — but SQL DELETE keeps rows the predicate doesn't MATCH,
-        # and NULL doesn't match.  Coalesce so NULL-predicate rows
-        # survive the rewrite (ADVICE r7).
-        survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
-        added = _stage(
-            _to_physical(survivors, colmap),
-            path,
-            partition_by=[colmap.get(c, c) for c in part_by] if part_by else None,
+        added = _stage_survivors(
+            spark, path, touched, schema, dvs, colmap, where,
+            [colmap.get(c, c) for c in part_by] if part_by else None,
         )
     stats = (
         _collect_stats(
@@ -3224,11 +3284,18 @@ def replace_where(
     hwm_base = table_identity_hwm(path, read_version)
     ident_hwm_out: dict[str, int] | None = None
     id_pins: list[DataFrame] = []
+    new_hwm = dict(hwm_base)
     for c, (i_start, i_step) in sorted(ident.items()):
         nxt = hwm_base.get(c, i_start - i_step) + i_step
         df, last, pin = _assign_identity(df, c, nxt, i_step)
         id_pins.append(pin)
-        ident_hwm_out = {**hwm_base, **(ident_hwm_out or {}), c: last}
+        new_hwm[c] = last
+    if new_hwm != hwm_base:
+        # record (and later conflict on) allocation ONLY when ids were
+        # actually handed out — an EMPTY restatement batch (a legal pure
+        # scoped delete) commutes with other writers exactly like any
+        # non-allocating commit (review r10, same class as merge's fix)
+        ident_hwm_out = new_hwm
     new_rels = _stage(_to_physical(df, colmap), path, partition_by=phys_parts)
     for pin in id_pins:  # ids are in the staged parquet now
         pin.unpersist(False)
@@ -3248,29 +3315,15 @@ def replace_where(
             staged, {**constraints, **gen_checks}, "replace_where batch"
         )
 
-    # -- DELETE side: the same three cost tiers as delete() -------------
-    candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
-    whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
-    straddle = [f for f, st in candidates if f not in whole]
-    touched: list[str] = []
-    if straddle:
-        probe = (
-            _read_files_dv(
-                spark, path, straddle, schema, dvs,
-                keep_fname="__file", colmap=colmap,
-            )
-            .select(*{col for col, _o, _v in where}, "__file")
-        )
-        probe = probe.where(_where_cond(where)).select("__file").distinct()
-        bases = {r[0] for r in probe.collect()}  # O(touched files) names
-        touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
+    # -- DELETE side: the same three cost tiers as delete(), one shared
+    # planner (review r10: the probe's subtleties must live once) ------
+    whole, touched = _plan_predicate_removal(
+        spark, path, entries, schema, dvs, colmap, where, pw
+    )
     rewritten: list[str] = []
     if touched:
-        survivors = _read_files_dv(spark, path, touched, schema, dvs, colmap=colmap)
-        # NULL-predicate rows don't match and must survive (ADVICE r7)
-        survivors = survivors.where(~F.coalesce(_where_cond(where), F.lit(False)))
-        rewritten = _stage(
-            _to_physical(survivors, colmap), path, partition_by=phys_parts
+        rewritten = _stage_survivors(
+            spark, path, touched, schema, dvs, colmap, where, phys_parts
         )
 
     cdf_rels: list[str] | None = None
