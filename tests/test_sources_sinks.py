@@ -4632,3 +4632,59 @@ def test_minitable_replace_where_crash_before_commit_leaves_no_trace(
     assert v == 1 and s["rewritten"] == 0
     got = minitable.read(spark, path)
     assert got.count() == 110 and got.where("ds = 1").count() == 10
+
+
+def test_minitable_incremental_mv_over_replace_where_feed(spark, tmp_path):
+    """COMPOSITION: a replace_where commit's explicit CDF drives the
+    signed incremental-MV algebra (q182's pattern) — the per-group view
+    advances by the feed's delta alone (+1 insert / -1 delete) and
+    equals a full rebuild at the head, so the backfill verb plugs into
+    every existing CDF consumer with no special casing."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(500)
+        .withColumn("g", (F.col("id") % 5).cast("int"))
+        .withColumn("v", F.col("id").cast("double"))
+        .withColumnRenamed("id", "k")
+    )
+    minitable.write(spark, df, path, "overwrite", partition_by=["g"], stats_cols=["k"])
+
+    def mv(frame):
+        return frame.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+
+    mv0 = {r["g"]: (r["n"], r["s"]) for r in mv(minitable.read(spark, path, 0)).collect()}
+
+    new = (
+        spark.range(10_000, 10_050)
+        .withColumn("g", F.lit(2).cast("int"))
+        .withColumn("v", F.lit(0.5))
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+    )
+    v, _s = minitable.replace_where(spark, new, path, [("g", "=", 2)], stats_cols=["k"])
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        minitable.change_feed(spark, path, 0, v)
+        .groupBy("g")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * F.col("v").cast("decimal(18,2)")).alias("ds"),
+        )
+    )
+    advanced = dict(mv0)
+    for r in delta.collect():
+        n0, s0 = advanced.get(r["g"], (0, 0))
+        advanced[r["g"]] = (n0 + r["dn"], s0 + r["ds"])
+    advanced = {g: (n, s) for g, (n, s) in advanced.items() if n}
+    rebuilt = {r["g"]: (r["n"], r["s"]) for r in mv(minitable.read(spark, path)).collect()}
+    assert advanced == rebuilt, (advanced, rebuilt)
+    # the replaced group really moved: 100 old rows -> 50 new
+    assert rebuilt[2][0] == 50 and mv0[2][0] == 100
