@@ -3509,17 +3509,21 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
             if kind == "replace_where":
                 hi = rng.randint(1, next_key[0] + 2)
                 lo = max(0, hi - rng.randint(2, 8))
-                # keyed dict: lo must not appear twice (replace_where has
-                # no key-uniqueness contract, but the dict model does —
-                # review r10: a duplicate key made the oracle order-
-                # dependent under a later zorder's unstable tie order)
-                by_key = {
-                    k: 8888.0 + k
-                    for k in sorted(model)
+                # restate EXISTING keys only (review r10, second pass):
+                # fabricating a key could collide with the racing
+                # writer's not-yet-committed fresh append (fresh ranges
+                # start at next_key, which hi can reach) — the engine
+                # would legitimately hold two rows for one k while the
+                # dict model holds one, an order-dependent oracle.  Old
+                # keys are never re-issued, so restatements are safe.
+                batch = sorted(
+                    (k, 8888.0 + k)
+                    for k in model
                     if lo <= k < hi and (k - lo) % 2 == 0
-                }
-                by_key.setdefault(lo, 7777.0 + lo)
-                return (kind, (lo, hi, sorted(by_key.items())))
+                )
+                if not batch:
+                    return ("zorder", None)
+                return (kind, (lo, hi, batch))
             if kind == "zorder":
                 return (kind, None)
             if kind == "merge":
@@ -3551,7 +3555,14 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                     spark, path, [("k", "<", arg)], stats_cols=["k"]
                 ) is not None
             if kind == "merge":
-                minitable.merge(spark, to_df(arg), path, "k", stats_cols=["k"])
+                try:
+                    minitable.merge(spark, to_df(arg), path, "k", stats_cols=["k"])
+                except ValueError as e:
+                    # the racing writer may have emptied the table; merge
+                    # refuses empty targets by contract — a no-commit
+                    if "is empty" not in str(e):
+                        raise
+                    return False
                 return True
             if kind == "replace_where":
                 lo, hi, batch = arg
@@ -4688,3 +4699,90 @@ def test_minitable_incremental_mv_over_replace_where_feed(spark, tmp_path):
     assert advanced == rebuilt, (advanced, rebuilt)
     # the replaced group really moved: 100 old rows -> 50 new
     assert rebuilt[2][0] == 50 and mv0[2][0] == 100
+
+
+def test_minitable_write_strips_foreign_contracts_and_empty_identity_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10 (second pass), the write()-side twins of the merge/
+    replace_where fixes: (a) a batch derived from ANOTHER minitable's
+    read() must not import that table's generated/identity field
+    metadata into this table's recorded schema; (b) an EMPTY append to
+    an identity table records no identity_hwm and commutes with a
+    concurrent allocator, while an overwrite still records the mark
+    reset even when empty."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    # (a) foreign contracts stripped on write intake
+    other = str(tmp_path / "other")
+    minitable.write(
+        spark, spark.range(5).withColumnRenamed("id", "k").coalesce(1),
+        other, "overwrite",
+        generated={"g": "CAST(k * 2 AS BIGINT)"}, identity={"rid": (1, 1)},
+    )
+    path = str(tmp_path / "t")
+    foreign = minitable.read(spark, other)  # carries g/rid field metadata
+    assert foreign.schema["g"].metadata.get("generated")
+    minitable.write(spark, foreign, path, "overwrite")
+    assert minitable.table_generated(path) == {}
+    assert minitable.table_identity(path) == {}
+    # a later writer may freely supply both columns (no foreign ALWAYS)
+    minitable.write(
+        spark,
+        spark.createDataFrame([(100, 7, 9)], "k bigint, g bigint, rid bigint"),
+        path, "append",
+    )
+    assert minitable.read(spark, path).where("k = 100").count() == 1
+
+    # (b) empty identity append: no hwm record, commutes with allocators
+    idt = str(tmp_path / "idt")
+    df = spark.range(10).withColumn("v", F.lit(1.0)).withColumnRenamed("id", "k")
+    minitable.write(
+        spark, df.coalesce(1), idt, "overwrite", identity={"rid": (1, 1)},
+        stats_cols=["k"],
+    )
+    hwm0 = minitable.table_identity_hwm(idt)
+    minitable.write(spark, df.where("1 = 0").coalesce(1), idt, "append")
+    head = minitable.versions(idt)[-1]
+    with open(minitable._version_file(idt, head)) as fh:
+        assert "identity_hwm" not in json.load(fh)
+    assert minitable.table_identity_hwm(idt) == hwm0
+
+    # the empty append REBASES over a concurrent allocating append
+    real_commit = minitable.commit
+    state = {"fired": False}
+
+    def racing(p, action, added, **kw):
+        if not state["fired"] and kw.get("expected_version") is not None:
+            state["fired"] = True
+            minitable.write(
+                spark,
+                spark.range(50, 55).withColumn("v", F.lit(2.0))
+                .withColumnRenamed("id", "k").coalesce(1),
+                p, "append", stats_cols=["k"],
+            )
+        return real_commit(p, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing)
+    minitable.write(spark, df.where("1 = 0").coalesce(1), idt, "append")
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    got = minitable.read(spark, idt)
+    assert got.count() == 15
+    rids = [r["rid"] for r in got.collect()]
+    assert len(set(rids)) == 15 and max(rids) == 15  # dense, no collision
+
+    # an empty OVERWRITE with identity still records the mark reset
+    empty_ow = str(tmp_path / "eo")
+    minitable.write(
+        spark, df.where("1 = 0").coalesce(1), empty_ow, "overwrite",
+        identity={"rid": (100, 3)},
+    )
+    assert minitable.table_identity_hwm(empty_ow) == {"rid": 97}  # start - step
+    minitable.write(spark, df.coalesce(1), empty_ow, "append")
+    assert sorted(
+        r["rid"] for r in minitable.read(spark, empty_ow).collect()
+    ) == [100 + 3 * i for i in range(10)]

@@ -1580,6 +1580,7 @@ def write(
     )
     ident_hwm_out: dict[str, int] | None = None
     id_pins: list[DataFrame] = []
+    new_hwm = dict(hwm_base)
     for c, (i_start, i_step) in sorted(ident.items()):
         if c in df.columns:
             raise ValueError(
@@ -1589,7 +1590,15 @@ def write(
         nxt = hwm_base.get(c, i_start - i_step) + i_step
         df, last, pin = _assign_identity(df, c, nxt, i_step)
         id_pins.append(pin)
-        ident_hwm_out = {**hwm_base, **(ident_hwm_out or {}), c: last}
+        new_hwm[c] = last
+    if new_hwm != hwm_base or (ident and action != "append"):
+        # record allocation only when ids were actually handed out — an
+        # EMPTY append batch (routine in streaming foreachBatch) must
+        # commute with concurrent allocators (review r10, the class
+        # merge and replace_where already guard).  An OVERWRITE that
+        # declares identity always records: the mark reset IS the
+        # record, even for an empty initial batch.
+        ident_hwm_out = new_hwm
 
     # Record all fields nullable: schema evolution itself introduces
     # nulls (old files lack new columns), and writer-side nullability is
@@ -1597,6 +1606,18 @@ def write(
     cur = df.schema.jsonValue()
     for f in cur["fields"]:
         f["nullable"] = True
+        # STRIP generated/identity marks riding in from the writer's
+        # DataFrame (review r10, same class as merge evolution's fix): a
+        # batch derived from another minitable's read() carries that
+        # table's field metadata through StructType.fromJson, and
+        # recording it would import a contract the user never declared
+        # here.  THIS table's contracts are stamped explicitly below
+        # from the gen/ident maps.
+        f["metadata"] = {
+            k: v
+            for k, v in (f.get("metadata") or {}).items()
+            if k not in ("generated", "identity")
+        }
     schema = _merged_schema(prev_schema, cur)
     if gen or ident:
         for f in schema["fields"]:
@@ -1740,7 +1761,11 @@ def write(
                         "concurrently — replan this write against the "
                         "new head"
                     )
-                if ident and table_identity_hwm(path, head) != hwm_base:
+                if ident_hwm_out is not None and table_identity_hwm(
+                    path, head
+                ) != hwm_base:
+                    # only an ALLOCATING write races the marks — an empty
+                    # batch recorded nothing and commutes (review r10)
                     raise CommitConflict(
                         f"identity allocation state of {path} advanced "
                         "concurrently — replan this write against the "
@@ -2711,23 +2736,12 @@ def update(
     if not candidates:
         return None
     cond = F.coalesce(_where_cond(where), F.lit(False)) if where else F.lit(True)
-    # probe: which candidate files hold matching LIVE rows, and how many
-    # (predicate columns + file basename only — parquet column pruning)
-    probe_cols = {col for col, _o, _v in where}
-    per_file = {
-        r["__file"]: r["n"]
-        for r in (
-            _read_files_dv(
-                spark, path, candidates, schema, dvs,
-                keep_fname="__file", colmap=colmap,
-            )
-            .select(*probe_cols, "__file")
-            .where(cond)
-            .groupBy("__file")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        )
-    }
+    # which candidate files hold matching LIVE rows, and how many — the
+    # shared probe (no whole-drop tier here: an update must read a
+    # matching file to compute the new values)
+    per_file = _probe_matching_files(
+        spark, path, candidates, schema, dvs, colmap, where
+    )
     bases = set(per_file)
     touched = [f for f in candidates if f.rsplit("/", 1)[-1] in bases]  # log order
     if not touched:
@@ -2894,17 +2908,49 @@ def _plan_predicate_removal(
     straddle = [f for f, st in candidates if f not in whole]
     touched: list[str] = []
     if straddle:
-        probe = (
-            _read_files_dv(
-                spark, path, straddle, schema, dvs,
-                keep_fname="__file", colmap=colmap,
-            )
-            .select(*{col for col, _o, _v in where}, "__file")
+        bases = set(
+            _probe_matching_files(spark, path, straddle, schema, dvs, colmap, where)
         )
-        probe = probe.where(_where_cond(where)).select("__file").distinct()
-        bases = {r[0] for r in probe.collect()}  # O(touched files) names
         touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
     return whole, touched
+
+
+def _probe_matching_files(
+    spark: SparkSession,
+    path: str,
+    rels: list[str],
+    schema: dict | None,
+    dvs: dict[str, str],
+    colmap: dict[str, str],
+    where: list[tuple],
+) -> dict[str, int]:
+    """Per-file LIVE matching-row counts — the find-touched-files probe
+    shared by update(), delete(), and replace_where() (review r10: the
+    probe's subtleties — predicate columns + basename only so parquet
+    column pruning applies, basename captured BEFORE the DV anti join
+    because input_file_name() refuses multi-source plans, NULL
+    predicates coalesced to no-match — must live exactly once).  An
+    empty `where` counts every live row (the unfiltered UPDATE).
+    Returns {file basename: n matching live rows}, omitting files with
+    none — O(probed files) driver-side names."""
+    from pyspark.sql import functions as F
+
+    cond = F.coalesce(_where_cond(where), F.lit(False)) if where else F.lit(True)
+    probe_cols = {col for col, _o, _v in where}
+    return {
+        r["__file"]: r["n"]
+        for r in (
+            _read_files_dv(
+                spark, path, rels, schema, dvs,
+                keep_fname="__file", colmap=colmap,
+            )
+            .select(*probe_cols, "__file")
+            .where(cond)
+            .groupBy("__file")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
 
 
 def _stage_survivors(
