@@ -4786,3 +4786,84 @@ def test_minitable_write_strips_foreign_contracts_and_empty_identity_batch(
     assert sorted(
         r["rid"] for r in minitable.read(spark, empty_ow).collect()
     ) == [100 + 3 * i for i in range(10)]
+
+
+def test_minitable_cluster_keys_recorded_and_maintained(spark, tmp_path):
+    """Recorded CLUSTERING KEYS (Delta's liquid pattern): zorder()
+    records its `by` list in the log; OPTIMIZE then folds streaming
+    dribble back into the curve instead of first-fit packing (summary
+    carries `clustered_by`, pruning on BOTH dims survives compaction);
+    the keys ride checkpoints, follow renames, refuse drops, carry
+    through restore and clone, and reset on overwrite."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    grid = (
+        spark.range(4096)
+        .withColumn("x", (F.col("id") % 64).cast("long"))
+        .withColumn("y", (F.col("id") / 64).cast("long"))
+        .withColumnRenamed("id", "k")
+        .repartition(16)
+    )
+    minitable.write(spark, grid, path, "overwrite", stats_cols=["x", "y"])
+    assert minitable.table_cluster_by(path) is None
+    res = minitable.zorder(spark, path, by=["x", "y"], n_files=16)
+    zv = res["version"]
+    assert minitable.table_cluster_by(path) == ["x", "y"]
+
+    # streaming dribble: six small unclustered appends
+    for i in range(6):
+        part = (
+            spark.range(10_000 + i * 100, 10_100 + i * 100)
+            .withColumn("x", (F.col("id") % 64).cast("long"))
+            .withColumn("y", ((F.col("id") * 7) % 64).cast("long"))
+            .withColumnRenamed("id", "k")
+            .coalesce(1)
+        )
+        minitable.write(spark, part, path, "append", stats_cols=["x", "y"])
+    import os
+
+    sizes = [os.path.getsize(f) for f in minitable.snapshot(path)]
+    res2 = minitable.optimize(
+        spark, path, small_bytes=int(max(sizes) * 0.95), target_bytes=1 << 22
+    )
+    assert res2 is not None and res2["clustered_by"] == ["x", "y"], res2
+    assert res2["n_small"] == 6
+    # compaction preserved the clustered layout: both dims still prune
+    for w in ([("x", ">=", 8), ("x", "<=", 15)], [("y", ">=", 8), ("y", "<=", 15)]):
+        kept, total = minitable.prune(path, w)
+        assert len(kept) * 2 <= total, (w, len(kept), total)
+    assert minitable.read(spark, path).count() == 4096 + 600
+
+    # keys fold into checkpoints (accessor stops at the ckpt, still right)
+    minitable.checkpoint(path)
+    minitable.write(
+        spark,
+        spark.range(20_000, 20_010).withColumn("x", F.lit(0).cast("long"))
+        .withColumn("y", F.lit(0).cast("long")).withColumnRenamed("id", "k")
+        .coalesce(1),
+        path, "append",
+    )
+    assert minitable.table_cluster_by(path) == ["x", "y"]
+
+    # rename follows the key; drop of a key is refused
+    minitable.rename_column(path, "y", "y2")
+    assert minitable.table_cluster_by(path) == ["x", "y2"]
+    with pytest.raises(ValueError, match="clustering key"):
+        minitable.drop_column(path, "x")
+
+    # clone carries the era's keys; restore rolls them back
+    cl = str(tmp_path / "cl")
+    minitable.clone(path, cl)
+    assert minitable.table_cluster_by(cl) == ["x", "y2"]
+    minitable.restore(path, zv)
+    assert minitable.table_cluster_by(path) == ["x", "y"]
+
+    # overwrite resets: the next optimize bin-packs (no clustered_by)
+    minitable.write(
+        spark, grid.limit(100), path, "overwrite", stats_cols=["x"]
+    )
+    assert minitable.table_cluster_by(path) is None

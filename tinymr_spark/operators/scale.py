@@ -5237,6 +5237,123 @@ FROM head
 """
 
 
+# ---------------------------------------------------------------------------
+# q203 — RECORDED CLUSTERING KEYS (Delta's liquid-clustering pattern):
+# the composition q200 + q173 could not make on their own.  zorder()
+# RECORDS its `by` list in the commit log (newest record wins,
+# checkpoint-folded, rename-following, drop-refusing, carried by
+# restore/clone, reset by overwrite — all pinned in tests); OPTIMIZE
+# then consults it and folds streaming dribble back ALONG the curve
+# instead of first-fit packing in log order — which would interleave
+# unrelated key ranges and wreck the very per-file stats the one-time
+# recluster bought.  Lifecycle under the gate: v1 zorder (keys
+# recorded) -> four small unclustered appends (the streaming-sink
+# shape) -> clustering-aware OPTIMIZE (build-asserted: summary carries
+# clustered_by, exactly the 4 dribble files rewritten, and slab
+# predicates on BOTH clustered dims still prune past the compaction).
+# The hash gate proves content: the head equals lineitem plus the
+# re-appended 4% slice, and the 2-D pruned scan aggregates identically
+# to the oracle's raw filter.  100 TB: maintenance cost stays
+# O(small bytes) — the table never re-pays the full recluster to keep
+# its layout, which is the entire liquid-clustering argument.
+# ---------------------------------------------------------------------------
+def q203_clustered_compaction(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "lineitem")
+    table = versioned_staging_dir("tinymr_spark_minitable_liquid", src_path)
+    done = table + "._done"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    r = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+    mp, ms = int(r[0]), int(r[1])
+    if not os.path.exists(done) or len(minitable.versions(table)) < 6:
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        minitable.write(  # v0: random layout
+            spark, li.repartition(16), table, "overwrite",
+            stats_cols=["l_partkey", "l_suppkey"],
+        )
+        res = minitable.zorder(  # v1: recluster AND record the keys
+            spark, table, by=["l_partkey", "l_suppkey"], n_files=16
+        )
+        assert res is not None
+        assert minitable.table_cluster_by(table) == ["l_partkey", "l_suppkey"]
+        z_sizes = [os.path.getsize(f) for f in minitable.snapshot(table)]
+        for i in range(4):  # v2..v5: small unclustered dribble
+            minitable.write(
+                spark,
+                li.where(F.col("l_orderkey") % 100 == i).coalesce(1),
+                table, "append", stats_cols=["l_partkey", "l_suppkey"],
+            )
+        res2 = minitable.optimize(  # v6: clustering-aware compaction
+            spark, table,
+            small_bytes=int(min(z_sizes) * 0.6), target_bytes=1 << 26,
+        )
+        assert res2 is not None and res2["n_small"] == 4, res2
+        assert res2["clustered_by"] == ["l_partkey", "l_suppkey"], res2
+        for w in (
+            [("l_partkey", "<=", mp // 5)],
+            [("l_suppkey", "<=", ms // 5)],
+        ):
+            kept, total = minitable.prune(table, w)
+            assert len(kept) * 5 <= total * 3, (w, len(kept), total)
+        open(done, "w").close()
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("phase"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+        )
+
+    scan = minitable.scan(
+        spark, table,
+        [("l_partkey", "<=", mp // 5), ("l_suppkey", "<=", ms // 5)],
+    )
+    return agg(minitable.read(spark, table), "head").unionByName(
+        agg(scan, "scan_2d")
+    )
+
+
+ORACLE_Q203 = """
+WITH m AS (
+    SELECT MAX(l_partkey) // 5 AS pk, MAX(l_suppkey) // 5 AS sk
+    FROM lineitem
+),
+head AS (
+    SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+    UNION ALL
+    SELECT l_partkey, l_suppkey, l_quantity
+    FROM lineitem WHERE l_orderkey % 100 < 4
+)
+SELECT 'head' AS phase,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM head
+UNION ALL
+SELECT 'scan_2d',
+       COUNT(*),
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+       COUNT(DISTINCT l_partkey)
+FROM head, m
+WHERE l_partkey <= pk AND l_suppkey <= sk
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -5296,6 +5413,7 @@ QUERIES = {
     "q200_zorder_verb": q200_zorder_verb,
     "q201_replace_where": q201_replace_where,
     "q202_merge_schema_evolution": q202_merge_schema_evolution,
+    "q203_clustered_compaction": q203_clustered_compaction,
 }
 
 ORACLE = {
@@ -5357,4 +5475,5 @@ ORACLE = {
     "q200_zorder_verb": ORACLE_Q200,
     "q201_replace_where": ORACLE_Q201,
     "q202_merge_schema_evolution": ORACLE_Q202,
+    "q203_clustered_compaction": ORACLE_Q203,
 }

@@ -164,6 +164,7 @@ def checkpoint(path: str, version: int | None = None) -> int:
     # newest-first walk here instead of replaying to v0
     meta["partition_by"] = table_partition_by(path, version)
     meta["identity_hwm"] = table_identity_hwm(path, version)  # same fold
+    meta["cluster_by"] = table_cluster_by(path, version)  # same fold
     table = pa.table(
         {
             "f": pa.array([f for f, _st in entries], pa.string()),
@@ -797,6 +798,16 @@ def table_partition_by(path: str, version: int | None = None) -> list[str] | Non
     return list(got) if got else None
 
 
+def table_cluster_by(path: str, version: int | None = None) -> list[str] | None:
+    """The table's recorded CLUSTERING KEYS as of `version` (Delta's
+    liquid-style clusteringColumns): zorder() records its `by` list,
+    OPTIMIZE consults it to keep compaction clustering-aware, rename
+    re-points it, restore/clone carry their era's keys, and an
+    overwrite without a record resets to None.  O(tail) via the same
+    checkpoint fold as table_partition_by."""
+    return _fold_log_state(path, version, "cluster_by", None)
+
+
 def _physical_schema(schema: dict, colmap: dict[str, str]) -> dict:
     """The schema with field names mapped logical -> physical — the
     shape the parquet files actually carry."""
@@ -907,6 +918,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         )
     full = _full_colmap(schema, colmap)
     full[new] = full.pop(old)  # the new logical keeps the old physical
+    ckeys = table_cluster_by(path, head)
     new_schema = dict(schema)
     new_schema["fields"] = [
         ({**f, "name": new} if f["name"] == old else f) for f in schema["fields"]
@@ -919,6 +931,13 @@ def rename_column(path: str, old: str, new: str) -> int:
         colmap=full,
         data_change=False,
         expected_version=head + 1,
+        # a recorded cluster key follows its column: clustering is a
+        # physical property of the bytes, which a rename never moves
+        cluster_by=(
+            [new if c == old else c for c in ckeys]
+            if ckeys and old in ckeys
+            else None
+        ),
     )
 
 
@@ -968,6 +987,11 @@ def drop_column(path: str, name: str) -> int:
             f"cannot drop {name!r}: it is a recorded partition column "
             "— rewrite the table under a new layout first"
         )
+    if name in (table_cluster_by(path, head) or ()):
+        raise ValueError(
+            f"cannot drop {name!r}: it is a recorded clustering key — "
+            "zorder() by the remaining keys (re-recording them) first"
+        )
     full = _full_colmap(schema, colmap)
     full.pop(name)
     new_schema = dict(schema)
@@ -1007,6 +1031,7 @@ def commit(
     partition_by: list[str] | None = None,
     colmap: dict[str, str] | None = None,
     identity_hwm: dict[str, int] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Publish the next version atomically; returns its number.
 
@@ -1090,6 +1115,12 @@ def commit(
         # full {col: last_assigned} map, newest record wins; {} is an
         # explicit reset (restore to a pre-identity era)
         body["identity_hwm"] = {c: int(h) for c, h in identity_hwm.items()}
+    if cluster_by is not None:
+        # the table's recorded CLUSTERING KEYS (Delta's liquid-style
+        # clusteringColumns): newest record wins, [] is an explicit
+        # clear, an overwrite without one resets — OPTIMIZE consults it
+        # to keep compaction clustering-aware
+        body["cluster_by"] = list(cluster_by)
     # Write the FULL record to a private temp name first, then publish
     # via os.link — link both fails atomically if the version was
     # claimed concurrently (EXCL semantics) AND makes the name visible
@@ -2140,6 +2171,7 @@ def _commit_serializable(
     identity_hwm: dict[str, int] | None = None,
     schema: dict | None = None,
     schema_base: dict | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Commit a merge/delete planned against snapshot `read_version`
     under SERIALIZABLE-style optimistic concurrency (Delta's conflict
@@ -2184,6 +2216,7 @@ def _commit_serializable(
                 dv=dv,
                 identity_hwm=identity_hwm,
                 schema=schema,
+                cluster_by=cluster_by,
             )
         except CommitConflict:
             head = versions(path)[-1]
@@ -3433,6 +3466,83 @@ def _exact_stat_value(st: dict | None, col: str):
     return rng[0]
 
 
+def _entry_rows(st: dict | None) -> int | None:
+    """A file's exact row count if its stats carry one ("rows" rides
+    each column entry since r9), else None."""
+    for v in (st or {}).values():
+        if isinstance(v, dict) and "rows" in v:
+            return v["rows"]
+    return None
+
+
+def _stage_zordered(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    by: list[str],
+    buckets: int,
+    n_out: int,
+    colmap: dict[str, str],
+    partition_by: list[str] | None,
+    rows_est: int,
+) -> list[str]:
+    """The Z-cluster WRITE, shared by zorder() and clustering-aware
+    OPTIMIZE: per-column range-bucket boundaries from a bounded
+    reservoir sample (RangePartitioner's design — quantile buckets, so
+    skew still spreads; NULLs cluster in bucket 0), bucket ids
+    interleaved into one Z-value by a pure-integer codegen expression,
+    repartitionByRange on (partition cols, Z) so staged files are
+    aligned curve rectangles nested inside the hive layout.  Returns
+    the staged relpaths; the caller owns stats and the commit."""
+    from pyspark.sql import functions as F
+
+    bits = (buckets - 1).bit_length()
+    frac = min(1.0, ZORDER_SAMPLE_ROWS / max(rows_est, 1))
+    sample = df.select(*by).sample(False, frac, seed=7).collect()
+    bounds: dict[str, list] = {}
+    for c in by:
+        vals = sorted(r[c] for r in sample if r[c] is not None)
+        bnds = []
+        for i in range(1, buckets):
+            if not vals:
+                break
+            b = vals[min(len(vals) - 1, (i * len(vals)) // buckets)]
+            if not bnds or b > bnds[-1]:
+                bnds.append(b)
+        bounds[c] = bnds
+    out = df
+    zb_cols = []
+    for j, c in enumerate(by):
+        zb = f"__zb{j}"
+        zb_cols.append(zb)
+        if bounds[c]:
+            rank = sum(
+                (F.col(c) >= F.lit(b)).cast("long") for b in bounds[c]
+            )
+            out = out.withColumn(
+                zb, F.when(F.col(c).isNull(), F.lit(0)).otherwise(rank)
+            )
+        else:  # all-null / empty sample: one bucket
+            out = out.withColumn(zb, F.lit(0))
+    k = len(by)
+    terms = [
+        f"(shiftleft(shiftright(__zb{j}, {i}) & 1, {i * k + (k - 1 - j)}))"
+        for j in range(k)
+        for i in range(bits)
+    ]
+    out = out.withColumn("__z", F.expr(" | ".join(terms)))
+    range_keys = [F.col(c) for c in (partition_by or [])] + [F.col("__z")]
+    clustered = (
+        out.repartitionByRange(n_out, *range_keys)
+        .sortWithinPartitions(*range_keys)
+        .drop("__z", *zb_cols)
+    )
+    phys_parts = (
+        [colmap.get(c, c) for c in partition_by] if partition_by else None
+    )
+    return _stage(_to_physical(clustered, colmap), path, partition_by=phys_parts)
+
+
 def optimize(
     spark: SparkSession,
     path: str,
@@ -3467,6 +3577,16 @@ def optimize(
     Being row-invariant, OPTIMIZE auto-rebases over concurrent APPENDS
     (they commute — guard_where=None) and conflicts only on file-level
     overlap or an overwrite.
+
+    CLUSTERING-AWARE when the log records clustering keys (zorder()
+    records its `by` list — Delta's liquid-clustering pattern): instead
+    of first-fit packing in log order, which would interleave unrelated
+    key ranges and wreck the very per-file stats the clustering bought,
+    the small files are rewritten ALONG the recorded curve
+    (_stage_zordered over exactly the sub-threshold files) — streaming
+    dribble gets folded back into the clustered layout at compaction's
+    own O(small bytes) cost, no separate recluster pass.  The summary
+    then carries `clustered_by`.
 
     `partition_by` keeps bins PARTITION-ALIGNED: small files are
     grouped by their exact per-file partition values (the `[v, v]`
@@ -3506,6 +3626,48 @@ def optimize(
     groups = {k: g for k, g in groups.items() if len(g) >= 2}
     if not groups:
         return None
+    cluster_by = table_cluster_by(path, read_version)
+    if (
+        cluster_by
+        and schema is not None
+        and set(cluster_by) <= {f["name"] for f in schema["fields"]}
+        and not set(cluster_by) & set(partition_by or ())
+    ):
+        small = [fs for g in groups.values() for fs in g]
+        rels = [r for r, _sz in small]
+        total = sum(sz for _r, sz in small)
+        df = _read_files_dv(spark, path, rels, schema, dvs, colmap=colmap)
+        rows_per_file = [_entry_rows(by_stats[r]) for r in rels]
+        rows_est = (
+            sum(rows_per_file)
+            if all(n is not None for n in rows_per_file)
+            else df.count()
+        )
+        n_out = max(1, -(-total // target_bytes))
+        added = _stage_zordered(
+            spark, path, df, cluster_by, 16, n_out, colmap,
+            partition_by, rows_est,
+        )
+        z_stats = sorted(set(stats_cols or []) | set(cluster_by))
+        stats2 = _collect_stats(
+            path, added,
+            [colmap.get(c, c) for c in z_stats],
+            [colmap.get(c, c) for c in bloom_cols] if bloom_cols else None,
+        )
+        version = _commit_serializable(
+            path, added, rels, read_version,
+            None,  # row-invariant: concurrent appends commute
+            stats=stats2 or None,
+            data_change=False,
+            constraint_sensitive=False,
+        )
+        return {
+            "version": version,
+            "n_small": len(rels),
+            "n_bins": len(added),
+            "clustered_by": list(cluster_by),
+            "added": added,
+        }
     bins: list[list[str]] = []
     small: list[tuple[str, int]] = []
     for key in sorted(groups, key=lambda k: tuple(map(repr, k))):
@@ -3657,75 +3819,22 @@ def zorder(
     if len(scope) < 2:
         return None
     df = _read_files_dv(spark, path, scope, schema, dvs, colmap=colmap)
-
-    # -- 1. boundaries from a bounded sample (RangePartitioner design).
     # Per-file row counts ride the stats (r9) — estimate the sample
     # fraction from metadata when available, one count() job otherwise.
     by_stats = dict(entries)
-
-    def _entry_rows(st: dict | None) -> int | None:
-        for v in (st or {}).values():  # "rows" rides each column entry
-            if isinstance(v, dict) and "rows" in v:
-                return v["rows"]
-        return None
-
     rows_per_file = [_entry_rows(by_stats[r]) for r in scope]
     rows_est = (
         sum(rows_per_file) if all(n is not None for n in rows_per_file)
         else df.count()
     )
-    frac = min(1.0, ZORDER_SAMPLE_ROWS / max(rows_est, 1))
-    sample = df.select(*by).sample(False, frac, seed=7).collect()
-    bounds: dict[str, list] = {}
-    for c in by:
-        vals = sorted(r[c] for r in sample if r[c] is not None)
-        bnds = []
-        for i in range(1, buckets):
-            if not vals:
-                break
-            b = vals[min(len(vals) - 1, (i * len(vals)) // buckets)]
-            if not bnds or b > bnds[-1]:
-                bnds.append(b)
-        bounds[c] = bnds
-
-    # -- 2. bucket ids -> interleaved Z-value, pure integer codegen.
-    out = df
-    zb_cols = []
-    for j, c in enumerate(by):
-        zb = f"__zb{j}"
-        zb_cols.append(zb)
-        if bounds[c]:
-            rank = sum(
-                (F.col(c) >= F.lit(b)).cast("long") for b in bounds[c]
-            )
-            out = out.withColumn(
-                zb, F.when(F.col(c).isNull(), F.lit(0)).otherwise(rank)
-            )
-        else:  # all-null / empty sample: one bucket
-            out = out.withColumn(zb, F.lit(0))
-    k = len(by)
-    terms = [
-        f"(shiftleft(shiftright(__zb{j}, {i}) & 1, {i * k + (k - 1 - j)}))"
-        for j in range(k)
-        for i in range(bits)
-    ]
-    out = out.withColumn("__z", F.expr(" | ".join(terms)))
-
-    # -- 3. contiguous Z-ranges -> one staged file each.
     scope_bytes = sum(os.path.getsize(os.path.join(path, r)) for r in scope)
     n_out = n_files or max(1, -(-scope_bytes // target_bytes))
-    range_keys = [F.col(c) for c in (partition_by or [])] + [F.col("__z")]
-    clustered = (
-        out.repartitionByRange(n_out, *range_keys)
-        .sortWithinPartitions(*range_keys)
-        .drop("__z", *zb_cols)
+    added = _stage_zordered(
+        spark, path, df, by, buckets, n_out, colmap, partition_by, rows_est
     )
-    phys_parts = (
-        [colmap.get(c, c) for c in partition_by] if partition_by else None
-    )
-    added = _stage(_to_physical(clustered, colmap), path, partition_by=phys_parts)
 
-    # -- 4. stats on the by-columns are the product; commit row-invariant.
+    # -- stats on the by-columns are the product; commit row-invariant,
+    # RECORDING the clustering keys so OPTIMIZE keeps maintaining them.
     stats_cols = sorted(set(stats_cols or []) | set(by) | set(partition_by or []))
     stats = _collect_stats(
         path,
@@ -3742,6 +3851,7 @@ def zorder(
         stats=stats or None,
         data_change=False,
         constraint_sensitive=False,
+        cluster_by=list(by),
     )
     return {
         "version": version,
@@ -4054,6 +4164,7 @@ def restore(path: str, to_version: int) -> int:
         # and every later DML rewrite would silently drop the hive
         # layout (review r10)
         partition_by=table_partition_by(path, to_version),
+        cluster_by=table_cluster_by(path, to_version) or [],
         # identity allocation rolls back with the data: post-rollback
         # writes continue from the era's marks ({} = explicit reset)
         identity_hwm=table_identity_hwm(path, to_version),
@@ -4100,6 +4211,7 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         # clone's v0 overwrite record resets table_partition_by and the
         # clone's copy-on-write DML would destroy its layout (review r10)
         partition_by=table_partition_by(src, version),
+        cluster_by=table_cluster_by(src, version) or [],
         # the clone's id allocation continues from the source's AS-OF
         # marks — diverging tables can hand out the same ids to their
         # own rows (they are independent tables), but the clone's first
