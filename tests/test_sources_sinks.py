@@ -4826,9 +4826,14 @@ def test_minitable_cluster_keys_recorded_and_maintained(spark, tmp_path):
         minitable.write(spark, part, path, "append", stats_cols=["x", "y"])
     import os
 
-    sizes = [os.path.getsize(f) for f in minitable.snapshot(path)]
+    # threshold = the smallest z file: no z file is strictly below it,
+    # every 100-row dribble file is — robust to range-partition split
+    # variance (review r10)
+    z_sizes = [
+        os.path.getsize(f) for f in minitable.snapshot(path, res["version"])
+    ]
     res2 = minitable.optimize(
-        spark, path, small_bytes=int(max(sizes) * 0.95), target_bytes=1 << 22
+        spark, path, small_bytes=min(z_sizes), target_bytes=1 << 22
     )
     assert res2 is not None and res2["clustered_by"] == ["x", "y"], res2
     assert res2["n_small"] == 6
@@ -4867,3 +4872,47 @@ def test_minitable_cluster_keys_recorded_and_maintained(spark, tmp_path):
         spark, grid.limit(100), path, "overwrite", stats_cols=["x"]
     )
     assert minitable.table_cluster_by(path) is None
+
+
+def test_minitable_clustered_optimize_wide_key_budget(spark, tmp_path):
+    """Review r10: a WIDE recorded key list (16 columns) zordered with
+    coarse buckets must not overflow the 63-bit Morton budget when the
+    clustering-aware OPTIMIZE later picks its own bucket count — 16
+    keys x the old hardcoded 4 bits = 64 bits, which Java shift-masks
+    into silent curve garbage.  The adaptive sizing stays inside the
+    budget and the compaction still reports the full key list."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    cols = [f"c{i}" for i in range(16)]
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    for i, c in enumerate(cols):
+        df = df.withColumn(c, ((F.col("k") * (i + 3)) % 50).cast("long"))
+    minitable.write(
+        spark, df.repartition(4), path, "overwrite", stats_cols=cols[:2]
+    )
+    res = minitable.zorder(spark, path, by=cols, buckets=2, n_files=4)
+    assert res is not None and minitable.table_cluster_by(path) == cols
+    import os
+
+    z_sizes = [os.path.getsize(f) for f in minitable.snapshot(path)]
+    for j in range(2):  # two small dribble files
+        part = spark.range(9000 + j * 50, 9050 + j * 50).withColumnRenamed("id", "k")
+        for i, c in enumerate(cols):
+            part = part.withColumn(c, ((F.col("k") * (i + 3)) % 50).cast("long"))
+        minitable.write(spark, part.coalesce(1), path, "append", stats_cols=cols[:2])
+    res2 = minitable.optimize(
+        spark, path, small_bytes=min(z_sizes), target_bytes=1 << 22
+    )
+    assert res2 is not None and res2["clustered_by"] == cols, res2
+    assert res2["n_small"] == 2
+    assert minitable.read(spark, path).count() == 2100
+    # and the shared writer itself refuses an over-budget request
+    import pytest
+
+    with pytest.raises(ValueError, match="63 bits"):
+        minitable._stage_zordered(
+            spark, path, minitable.read(spark, path), cols, 32, 2, {}, None, 2100
+        )

@@ -5297,7 +5297,8 @@ def q203_clustered_compaction(spark, sf_dir: str) -> DataFrame:
             )
         res2 = minitable.optimize(  # v6: clustering-aware compaction
             spark, table,
-            small_bytes=int(min(z_sizes) * 0.6), target_bytes=1 << 26,
+            # strictly below the smallest z file: exactly the dribble
+            small_bytes=min(z_sizes), target_bytes=1 << 26,
         )
         assert res2 is not None and res2["n_small"] == 4, res2
         assert res2["clustered_by"] == ["l_partkey", "l_suppkey"], res2

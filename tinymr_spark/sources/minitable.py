@@ -3475,6 +3475,20 @@ def _entry_rows(st: dict | None) -> int | None:
     return None
 
 
+def _rows_estimate(
+    df: DataFrame, by_stats: dict[str, dict | None], rels: list[str]
+) -> int:
+    """Row count of `rels` for sample-fraction sizing: the sum of the
+    per-file `rows` stats when every file carries one (no job), else
+    one count() job.  Shared by zorder() and clustering-aware OPTIMIZE
+    so a future refinement (e.g. discounting DV-deleted rows) lands in
+    both Z-writers at once (review r10)."""
+    per_file = [_entry_rows(by_stats[r]) for r in rels]
+    return (
+        sum(per_file) if all(n is not None for n in per_file) else df.count()
+    )
+
+
 def _stage_zordered(
     spark: SparkSession,
     path: str,
@@ -3497,6 +3511,14 @@ def _stage_zordered(
     from pyspark.sql import functions as F
 
     bits = (buckets - 1).bit_length()
+    if bits * len(by) > 63:
+        # Java shifts mask mod 64 — exceeding the budget would SILENTLY
+        # collide bucket bits and emit a garbage curve, so every caller
+        # is re-checked here, not just zorder()'s argument validation
+        raise ValueError(
+            f"Z-order key too wide: {len(by)} columns x {bits} bits "
+            "per column must fit in 63 bits"
+        )
     frac = min(1.0, ZORDER_SAMPLE_ROWS / max(rows_est, 1))
     sample = df.select(*by).sample(False, frac, seed=7).collect()
     bounds: dict[str, list] = {}
@@ -3637,15 +3659,15 @@ def optimize(
         rels = [r for r, _sz in small]
         total = sum(sz for _r, sz in small)
         df = _read_files_dv(spark, path, rels, schema, dvs, colmap=colmap)
-        rows_per_file = [_entry_rows(by_stats[r]) for r in rels]
-        rows_est = (
-            sum(rows_per_file)
-            if all(n is not None for n in rows_per_file)
-            else df.count()
-        )
+        rows_est = _rows_estimate(df, by_stats, rels)
         n_out = max(1, -(-total // target_bytes))
+        # bucket count sized to the recorded key width: 16 buckets (4
+        # bits) per column up to the 63-bit Morton budget — a wide key
+        # list recorded by a coarse-bucketed zorder() must not overflow
+        # here (review r10: Java masks shifts mod 64, silent garbage)
+        zbuckets = 1 << max(1, min(4, 63 // len(cluster_by)))
         added = _stage_zordered(
-            spark, path, df, cluster_by, 16, n_out, colmap,
+            spark, path, df, cluster_by, zbuckets, n_out, colmap,
             partition_by, rows_est,
         )
         z_stats = sorted(set(stats_cols or []) | set(cluster_by))
@@ -3822,11 +3844,7 @@ def zorder(
     # Per-file row counts ride the stats (r9) — estimate the sample
     # fraction from metadata when available, one count() job otherwise.
     by_stats = dict(entries)
-    rows_per_file = [_entry_rows(by_stats[r]) for r in scope]
-    rows_est = (
-        sum(rows_per_file) if all(n is not None for n in rows_per_file)
-        else df.count()
-    )
+    rows_est = _rows_estimate(df, by_stats, scope)
     scope_bytes = sum(os.path.getsize(os.path.join(path, r)) for r in scope)
     n_out = n_files or max(1, -(-scope_bytes // target_bytes))
     added = _stage_zordered(
