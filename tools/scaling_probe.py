@@ -274,6 +274,51 @@ def minitable_probe(spark) -> list[tuple[str, float, float, str]]:
     rows.append(("zorder scoped (O(scope) pinned)", w1, w5,
                  f"reclustered {z1['n_in']} vs {z5['n_in']} files"))
 
+    # -- clustered compaction: a recorded-keys table folds a FIXED
+    # dribble back along the curve — O(small bytes): the same 3 small
+    # files rewrite at 1x and 5x, wall flat.  Fresh tables (the shared
+    # t1/t5 carry earlier rows' scoped-zorder fragments, which would
+    # blur the small-file threshold).
+    def _cluster_table(src_dir, path):
+        from pyspark.sql import functions as Fz
+
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load_table(spark, src_dir, "events").select(
+            "event_id", Fz.col("value").cast("double")
+        )
+        minitable.write(
+            spark, ev.repartitionByRange(8, "event_id"), path, "overwrite",
+            stats_cols=["event_id"],
+        )
+        assert minitable.zorder(spark, path, by=["event_id"], n_files=8)
+        z_sizes = [os.path.getsize(f) for f in minitable.snapshot(path)]
+        for j in range(3):
+            part = (
+                spark.range(20_000_000 + j * 500, 20_000_500 + j * 500)
+                .select(
+                    Fz.col("id").alias("event_id"),
+                    Fz.lit(2.0).alias("value"),
+                )
+                .coalesce(1)
+            )
+            minitable.write(spark, part, path, "append", stats_cols=["event_id"])
+        return min(z_sizes)
+
+    pc1 = os.path.join(STAGE, "minitable_liq_1x")
+    pc5 = os.path.join(STAGE, "minitable_liq_5x")
+    thr1 = _cluster_table(BASE, pc1)
+    thr5 = _cluster_table(STAGE, pc5)
+    (c1, w1) = timed(lambda: minitable.optimize(
+        spark, pc1, small_bytes=thr1, target_bytes=1 << 26))
+    (c5, w5) = timed(lambda: minitable.optimize(
+        spark, pc5, small_bytes=thr5, target_bytes=1 << 26))
+    assert c1 and c5, (c1, c5)
+    assert c1.get("clustered_by") and c5.get("clustered_by"), (c1, c5)
+    assert c1["n_small"] == c5["n_small"] == 3, (c1, c5)
+    rows.append(("clustered compaction (O(small))", w1, w5,
+                 f"{c1['n_small']} == {c5['n_small']} dribble files folded "
+                 "along the recorded curve"))
+
     # -- replace_where: a partition restatement is metadata + the new
     # batch only — zero OLD data files opened (the single pinned open is
     # the staged batch's own validation read), zero rewrites
