@@ -4813,6 +4813,9 @@ def test_minitable_cluster_keys_recorded_and_maintained(spark, tmp_path):
     res = minitable.zorder(spark, path, by=["x", "y"], n_files=16)
     zv = res["version"]
     assert minitable.table_cluster_by(path) == ["x", "y"]
+    # DESCRIBE HISTORY surfaces the declared keys
+    hv = {r["version"]: r["cluster_by"] for r in minitable.history(spark, path).collect()}
+    assert hv[zv] == "x,y" and hv[0] is None
 
     # streaming dribble: six small unclustered appends
     for i in range(6):

@@ -239,9 +239,10 @@ def read_at_timestamp(spark: SparkSession, path: str, ts: float) -> DataFrame:
 
 def history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per committed version — action, commit
-    timestamp, data_change flag, added/removed file counts, and whether
-    the commit carried deletion vectors / a schema record / a column-map
-    record / an idempotence token.  Driver-side O(commits) JSON reads
+    timestamp, data_change flag, added/removed file counts, whether the
+    commit carried deletion vectors / a schema record / a column-map
+    record / an idempotence token, and the partition layout / recorded
+    clustering keys it declared (comma-joined, NULL when absent).  Driver-side O(commits) JSON reads
     (the log IS the history; table data never flows through it) returned
     as a DataFrame so it composes with ordinary queries — Delta's
     DESCRIBE HISTORY surface."""
@@ -261,13 +262,16 @@ def history(spark: SparkSession, path: str) -> DataFrame:
                 "schema" in rec,
                 "colmap" in rec,
                 (rec.get("txn") or {}).get("app"),
+                ",".join(rec["partition_by"]) if rec.get("partition_by") else None,
+                ",".join(rec["cluster_by"]) if rec.get("cluster_by") else None,
             )
         )
     return spark.createDataFrame(
         rows,
         "version int, action string, data_change boolean, n_added int, "
         "n_removed int, commit_ts double, has_dv boolean, has_schema boolean, "
-        "has_colmap boolean, txn_app string",
+        "has_colmap boolean, txn_app string, partition_by string, "
+        "cluster_by string",
     )
 
 
