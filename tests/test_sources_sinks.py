@@ -4919,3 +4919,119 @@ def test_minitable_clustered_optimize_wide_key_budget(spark, tmp_path):
         minitable._stage_zordered(
             spark, path, minitable.read(spark, path), cols, 32, 2, {}, None, 2100
         )
+
+
+def test_minitable_stream_cdf_mode(spark, tmp_path):
+    """CDC streaming (mode=cdf — Delta's streaming readChangeFeed): the
+    initial batch is the snapshot as inserts (DV-filtered), appends
+    stream as inserts, explicit-CDF merge/replace_where commits stream
+    their change files verbatim (the executor-per-file split, no
+    joins), maintenance commits are skipped, the drained rows equal the
+    batch change_feed exactly, a checkpoint replay re-plans identical
+    rows, and reconstruction-needing commits refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    df = (
+        spark.range(100)
+        .withColumn("v", F.col("id") * 1.0)
+        .withColumnRenamed("id", "k")
+    )
+    # pre-stream DV delete: the snapshot must not stream dead rows
+    minitable.write(spark, df.coalesce(1), path, "overwrite", stats_cols=["k"])
+    minitable.delete_dv(spark, path, [("k", ">=", 90)])
+
+    def drain():
+        batch = []
+
+        def sink(bdf, _bid):
+            batch.extend(tuple(r) for r in bdf.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path).option("columns", "k,v")
+            .option("mode", "cdf").load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return batch
+
+    b1 = drain()
+    assert len(b1) == 90  # DV-dead rows never stream
+    assert {r[2] for r in b1} == {"insert"} and {r[3] for r in b1} == {1}
+
+    # v2 append, v3 optimize (skipped), v4 merge+cdf, v5 replace_where
+    minitable.write(
+        spark, spark.range(200, 210).withColumn("v", F.lit(5.0))
+        .withColumnRenamed("id", "k").coalesce(1), path, "append",
+        stats_cols=["k"],
+    )
+    minitable.write(
+        spark, spark.range(210, 215).withColumn("v", F.lit(6.0))
+        .withColumnRenamed("id", "k").coalesce(1), path, "append",
+        stats_cols=["k"],
+    )
+    assert minitable.optimize(
+        spark, path, small_bytes=1 << 20, target_bytes=1 << 26
+    ) is not None
+    src = spark.createDataFrame([(0, 99.0), (500, 1.0)], "k bigint, v double")
+    minitable.merge(spark, src, path, "k", stats_cols=["k"], collect_cdf=True)
+    minitable.replace_where(
+        spark, spark.createDataFrame([(205, -1.0)], "k bigint, v double"),
+        path, [("k", "=", 205)], stats_cols=["k"],
+    )
+    b2 = drain()
+    head = minitable.versions(path)[-1]
+    feed = minitable.change_feed(spark, path, 1, head).select(
+        "k", "v", "_change_type", "_commit_version"
+    )
+    assert sorted(b2) == sorted(tuple(r) for r in feed.collect())
+
+    # a FRESH subscription's first batch is the snapshot at head, as
+    # inserts (startingVersion semantics) — never a history replay
+    import shutil
+
+    shutil.rmtree(ckpt)
+    b_all = drain()
+    assert len(b_all) == minitable.read(spark, path).count()
+    assert {r[2] for r in b_all} == {"insert"}
+    assert {r[3] for r in b_all} == {head}
+
+    # a predicate delete (no explicit CDF) refuses loudly in cdf mode
+    minitable.delete(spark, path, [("k", "<", 3)], stats_cols=["k"])
+    with pytest.raises(Exception, match="change_feed|change data"):
+        drain()
+    # ...but the append-only mode contract is untouched: fresh checkpoint
+    shutil.rmtree(ckpt)
+    with pytest.raises(Exception, match="rewritten"):
+        batch = []
+
+        def sink2(bdf, _bid):
+            batch.extend(bdf.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path).option("columns", "k,v").load()
+            .writeStream.foreachBatch(sink2)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        # the initial snapshot batch succeeds; a NEW delete mid-stream
+        # then hits the rewrite rule on the next drain
+        minitable.delete(spark, path, [("k", ">=", 213)], stats_cols=["k"])
+        q2 = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path).option("columns", "k,v").load()
+            .writeStream.foreachBatch(sink2)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination()

@@ -5355,6 +5355,143 @@ WHERE l_partkey <= pk AND l_suppkey <= sk
 """
 
 
+# ---------------------------------------------------------------------------
+# q204 — STREAMING CHANGE-DATA-CAPTURE source (minitable_stream
+# mode=cdf — Delta's streaming readChangeFeed), closing the CDC matrix:
+# q164/q181 read the feed in batch, q171 streams appends; this streams
+# the FEED — rows tagged (_change_type, _commit_version), the initial
+# batch being the snapshot as inserts (startingVersion semantics),
+# appends as inserts, and merge/replace_where commits streamed from
+# their EXPLICIT change-data files verbatim — plain parquet carrying
+# _change_type, so the executor-per-file scale split holds with no
+# joins and no table byte through the driver.  Commits whose feed needs
+# driver-side reconstruction (predicate deletes, DV diffs) refuse
+# loudly with batch change_feed() as the pointed-to alternative — a CDC
+# pipeline is never silently wrong (tests pin the refusal, the
+# batch-feed equality, maintenance-commit skip, DV-filtered snapshots,
+# and fresh-subscription semantics).  Build: v0 orders ingest ->
+# snapshot drain -> v1 append (the %10==3 slice) -> v2 replace_where
+# backfill of the low key quarter (even keys kept) -> delta drain; the
+# drained rows land via foreachBatch and the gate hash-checks their
+# per-(change_type, commit_version) counts and decimal-exact sums
+# against the oracle's reconstruction of all three commits.
+# ---------------------------------------------------------------------------
+def q204_stream_change_feed(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        minitable_stream,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_cdc", src_path)
+    # sibling artifacts MUST be `<ver>.`-prefixed: the staging helper's
+    # version GC keeps only `ver` and `ver.*` names (a bare `_landed`
+    # suffix was swept on the next resolve — burned once)
+    landed = table + ".landed"
+    ckpt = table + ".ckpt"
+    done = table + "._done"
+    if (
+        not os.path.exists(done)
+        or not os.path.isdir(landed)
+        or len(minitable.versions(table)) < 3
+    ):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(landed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        minitable_stream.register(spark)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_totalprice").cast("double")
+        )
+        kk = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 4
+        minitable.write(spark, orders, table, "overwrite", stats_cols=["o_orderkey"])
+
+        def drain():
+            def sink(bdf, _bid):
+                bdf.write.mode("append").parquet(landed)
+
+            q = (
+                spark.readStream.format("tinymr_minitable_stream")
+                .option("path", table)
+                .option("columns", "o_orderkey,o_totalprice")
+                .option("mode", "cdf").load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+
+        drain()  # snapshot as inserts, _commit_version = 0
+        minitable.write(  # v1: append the %10==3 slice
+            spark, orders.where(F.col("o_orderkey") % 10 == 3),
+            table, "append", stats_cols=["o_orderkey"],
+        )
+        minitable.replace_where(  # v2: backfill, explicit CDF staged
+            spark,
+            orders.where(
+                (F.col("o_orderkey") <= kk) & (F.col("o_orderkey") % 2 == 0)
+            ),
+            table, [("o_orderkey", "<=", kk)], stats_cols=["o_orderkey"],
+        )
+        drain()  # the delta: v1 inserts + v2 deletes/inserts
+        # the streamed delta must equal the batch feed, row for row
+        got = spark.read.parquet(landed).where("_commit_version > 0")
+        feed = minitable.change_feed(spark, table, 0, 2).select(
+            "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+        )
+        assert sorted(tuple(r) for r in got.collect()) == sorted(
+            tuple(r) for r in feed.collect()
+        ), "stream/batch feed divergence"
+        open(done, "w").close()
+
+    return (
+        spark.read.parquet(landed)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+ORACLE_Q204 = """
+WITH m AS (SELECT MAX(o_orderkey) // 4 AS kk FROM orders),
+member AS (
+    SELECT 'insert' AS change_type, 0 AS commit_version, o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT 'insert', 1, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT 'delete', 2, o_totalprice
+    FROM orders, m WHERE o_orderkey <= kk
+    UNION ALL
+    SELECT 'delete', 2, o_totalprice
+    FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 10 = 3
+    UNION ALL
+    SELECT 'insert', 2, o_totalprice
+    FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 2 = 0
+)
+SELECT change_type,
+       CAST(commit_version AS INT) AS commit_version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM member
+GROUP BY change_type, commit_version
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -5415,6 +5552,7 @@ QUERIES = {
     "q201_replace_where": q201_replace_where,
     "q202_merge_schema_evolution": q202_merge_schema_evolution,
     "q203_clustered_compaction": q203_clustered_compaction,
+    "q204_stream_change_feed": q204_stream_change_feed,
 }
 
 ORACLE = {
@@ -5477,4 +5615,5 @@ ORACLE = {
     "q201_replace_where": ORACLE_Q201,
     "q202_merge_schema_evolution": ORACLE_Q202,
     "q203_clustered_compaction": ORACLE_Q203,
+    "q204_stream_change_feed": ORACLE_Q204,
 }

@@ -27,6 +27,18 @@ so any replayed range re-plans to the identical rows
 (tests/test_sources_sinks.py pins replay purity and
 restart-streams-only-the-delta).
 
+CDC MODE (`option("mode", "cdf")` — Delta's streaming readChangeFeed):
+rows gain `_change_type` and `_commit_version`.  The initial batch is
+the snapshot as inserts (startingVersion semantics); each later append
+streams as inserts, and a merge/replace_where commit that staged
+EXPLICIT change-data files streams those files directly — they are
+plain parquet carrying `_change_type`, so the executor-per-file scale
+split holds with no joins anywhere.  Commits whose feed would need
+driver-side reconstruction (predicate-only deletes, deletion-vector
+diffs) raise loudly with the batch `change_feed()` as the pointed-to
+alternative — the same honest-refusal contract as the append mode's
+rewrite rule, so a CDC pipeline is never silently wrong.
+
 The reference has no streams and no I/O (/root/reference/tinymr.py);
 this is SURVEY §2.3/§2.4 beyond-reference surface.
 """
@@ -116,6 +128,8 @@ class _FilePartition(InputPartition):
         cols: list[str],
         dv_path: str | None = None,
         phys: list[str] | None = None,
+        commit_version: int | None = None,
+        change_type: str | None = None,
     ):
         self.path = path
         self.cols = cols
@@ -124,12 +138,24 @@ class _FilePartition(InputPartition):
         # column streams correctly (executors read by physical name)
         self.phys = phys or cols
         self.dv_path = dv_path
+        # CDC mode: commit_version set -> rows gain (_change_type,
+        # _commit_version); change_type is the literal for whole-file
+        # kinds (insert) or None for explicit change-data files, whose
+        # rows CARRY their own `_change_type` column
+        self.commit_version = commit_version
+        self.change_type = change_type
 
 
 class MinitableStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.cols = [c.strip() for c in options["columns"].split(",")]
+        self.mode = options.get("mode", "append")
+        if self.mode not in ("append", "cdf"):
+            raise ValueError(
+                f"unknown minitable stream mode {self.mode!r} "
+                "(append | cdf)"
+            )
 
     def initialOffset(self) -> dict:
         return {"v": -1}  # first batch = everything committed so far
@@ -152,6 +178,7 @@ class MinitableStreamReader(DataSourceStreamReader):
         # rows once and then goes incremental.  Snapshot resolution is a
         # pure function of the immutable log, so a checkpoint replay of
         # the (-1, hi] range re-plans the identical rows.
+        cdc = self.mode == "cdf"
         if lo < 0:
             parts0: list[_FilePartition] = []
             if hi >= 0:
@@ -168,6 +195,10 @@ class MinitableStreamReader(DataSourceStreamReader):
                                 else None
                             ),
                             phys=phys,
+                            # snapshot rows are the initial inserts
+                            # (Delta's startingVersion CDC semantics)
+                            commit_version=hi if cdc else None,
+                            change_type="insert" if cdc else None,
                         )
                     )
             return parts0 or [_FilePartition(None, self.cols)]
@@ -180,17 +211,41 @@ class MinitableStreamReader(DataSourceStreamReader):
             with open(minitable._version_file(self.path, v)) as f:
                 rec = json.load(f)
             if rec.get("data_change") is False:
-                continue  # OPTIMIZE etc.: rows provably unchanged — a
-                # maintenance compaction must not kill a live stream
-            if rec["action"] != "append":
-                raise ValueError(
-                    f"minitable version {v} is a {rec['action']} — a stream "
-                    "over rewritten files would replay pre-existing rows; "
-                    "restart the stream from a fresh checkpoint instead"
+                continue  # OPTIMIZE/ZORDER etc.: rows provably
+                # unchanged — maintenance must not kill a live stream
+            if rec["action"] == "append":
+                parts.extend(
+                    _FilePartition(
+                        os.path.join(self.path, f), self.cols, phys=phys,
+                        commit_version=v if cdc else None,
+                        change_type="insert" if cdc else None,
+                    )
+                    for f in rec["added"]
                 )
-            parts.extend(
-                _FilePartition(os.path.join(self.path, f), self.cols, phys=phys)
-                for f in rec["added"]
+                continue
+            if cdc and rec["action"] == "merge" and rec.get("cdf") is not None:
+                # explicit change-data files: plain parquet carrying
+                # `_change_type` per row — stream them directly, one
+                # executor partition per file, no reconstruction
+                parts.extend(
+                    _FilePartition(
+                        os.path.join(self.path, f), self.cols, phys=phys,
+                        commit_version=v, change_type=None,
+                    )
+                    for f in rec["cdf"]
+                )
+                continue
+            if cdc:
+                raise ValueError(
+                    f"minitable version {v} is a {rec['action']} without "
+                    "explicit change data — its feed needs driver-side "
+                    "reconstruction (predicate deletes, DV diffs); use "
+                    "batch change_feed(), or write with collect_cdf=True"
+                )
+            raise ValueError(
+                f"minitable version {v} is a {rec['action']} — a stream "
+                "over rewritten files would replay pre-existing rows; "
+                "restart the stream from a fresh checkpoint instead"
             )
         # Spark requires >= 1 partition; an empty range plans a no-op.
         return parts or [_FilePartition(None, self.cols)]
@@ -221,7 +276,12 @@ class MinitableStreamReader(DataSourceStreamReader):
                 if fn == base
             }
         pf = pq.ParquetFile(partition.path)
-        phys = getattr(partition, "phys", None) or partition.cols
+        phys = list(getattr(partition, "phys", None) or partition.cols)
+        cv = getattr(partition, "commit_version", None)
+        ct = getattr(partition, "change_type", None)
+        if cv is not None and ct is None:
+            # explicit change-data file: the row's own `_change_type`
+            phys = phys + ["_change_type"]
         present = [p for p in phys if p in pf.schema_arrow.names]
         offset = 0
         for batch in pf.iter_batches(columns=present):
@@ -230,6 +290,11 @@ class MinitableStreamReader(DataSourceStreamReader):
             }
             nulls = [None] * batch.num_rows
             cols = [data.get(p, nulls) for p in phys]
+            if cv is not None:
+                if ct is None:  # last col IS _change_type; reorder to tail
+                    cols = cols[:-1] + [cols[-1], [cv] * batch.num_rows]
+                else:
+                    cols = cols + [[ct] * batch.num_rows, [cv] * batch.num_rows]
             if dv_idx:
                 for i, row in enumerate(zip(*cols)):
                     if (offset + i) not in dv_idx:
@@ -251,9 +316,12 @@ class MinitableStreamDataSource(DataSource):
         return "tinymr_minitable_stream"
 
     def schema(self) -> str:
-        return _table_ddl(self.options["path"], [
+        ddl = _table_ddl(self.options["path"], [
             c.strip() for c in self.options["columns"].split(",")
         ])
+        if self.options.get("mode", "append") == "cdf":
+            ddl += ", _change_type string, _commit_version int"
+        return ddl
 
     def streamReader(self, schema) -> MinitableStreamReader:
         return MinitableStreamReader(self.options)
