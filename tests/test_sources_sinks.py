@@ -4967,7 +4967,7 @@ def test_minitable_stream_cdf_mode(spark, tmp_path):
     assert len(b1) == 90  # DV-dead rows never stream
     assert {r[2] for r in b1} == {"insert"} and {r[3] for r in b1} == {1}
 
-    # v2 append, v3 optimize (skipped), v4 merge+cdf, v5 replace_where
+    # v2+v3 appends, v4 optimize (skipped), v5 merge+cdf, v6 replace_where
     minitable.write(
         spark, spark.range(200, 210).withColumn("v", F.lit(5.0))
         .withColumnRenamed("id", "k").coalesce(1), path, "append",
@@ -5008,6 +5008,13 @@ def test_minitable_stream_cdf_mode(spark, tmp_path):
     minitable.delete(spark, path, [("k", "<", 3)], stats_cols=["k"])
     with pytest.raises(Exception, match="change_feed|change data"):
         drain()
+    # an overwrite mid-stream refuses with FRESH-SUBSCRIPTION advice
+    # (batch change_feed can't serve it either — different guidance)
+    shutil.rmtree(ckpt)
+    drain()  # fresh subscription snapshots the current table
+    minitable.write(spark, df.coalesce(1), path, "overwrite")
+    with pytest.raises(Exception, match="fresh checkpoint"):
+        drain()
     # ...but the append-only mode contract is untouched: fresh checkpoint
     shutil.rmtree(ckpt)
     with pytest.raises(Exception, match="rewritten"):
@@ -5025,8 +5032,9 @@ def test_minitable_stream_cdf_mode(spark, tmp_path):
         )
         q.awaitTermination()
         # the initial snapshot batch succeeds; a NEW delete mid-stream
-        # then hits the rewrite rule on the next drain
-        minitable.delete(spark, path, [("k", ">=", 213)], stats_cols=["k"])
+        # then hits the rewrite rule on the next drain (k < 5 matches
+        # rows of the overwritten table above)
+        minitable.delete(spark, path, [("k", "<", 5)], stats_cols=["k"])
         q2 = (
             spark.readStream.format("tinymr_minitable_stream")
             .option("path", path).option("columns", "k,v").load()

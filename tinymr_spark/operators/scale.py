@@ -5400,8 +5400,12 @@ def q204_stream_change_feed(spark, sf_dir: str) -> DataFrame:
         or not os.path.isdir(landed)
         or len(minitable.versions(table)) < 3
     ):
+        import contextlib
         import shutil
 
+        with contextlib.suppress(OSError):
+            os.remove(done)  # a stale marker must not outlive a crash
+            # mid-rebuild (the guard below would then skip forever)
         shutil.rmtree(table, ignore_errors=True)
         shutil.rmtree(landed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -236,6 +236,16 @@ class MinitableStreamReader(DataSourceStreamReader):
                 )
                 continue
             if cdc:
+                if rec["action"] == "overwrite":
+                    # no row-level feed EXISTS for an overwrite (batch
+                    # change_feed refuses it too) — the only recovery is
+                    # a fresh subscription's snapshot
+                    raise ValueError(
+                        f"minitable version {v} is an overwrite — no "
+                        "row-level change feed exists across it; restart "
+                        "the CDC stream from a fresh checkpoint (the new "
+                        "subscription snapshots the current table)"
+                    )
                 raise ValueError(
                     f"minitable version {v} is a {rec['action']} without "
                     "explicit change data — its feed needs driver-side "
@@ -276,11 +286,12 @@ class MinitableStreamReader(DataSourceStreamReader):
                 if fn == base
             }
         pf = pq.ParquetFile(partition.path)
-        phys = list(getattr(partition, "phys", None) or partition.cols)
+        phys = getattr(partition, "phys", None) or partition.cols
         cv = getattr(partition, "commit_version", None)
         ct = getattr(partition, "change_type", None)
         if cv is not None and ct is None:
             # explicit change-data file: the row's own `_change_type`
+            # column reads LAST, already in output position
             phys = phys + ["_change_type"]
         present = [p for p in phys if p in pf.schema_arrow.names]
         offset = 0
@@ -291,10 +302,9 @@ class MinitableStreamReader(DataSourceStreamReader):
             nulls = [None] * batch.num_rows
             cols = [data.get(p, nulls) for p in phys]
             if cv is not None:
-                if ct is None:  # last col IS _change_type; reorder to tail
-                    cols = cols[:-1] + [cols[-1], [cv] * batch.num_rows]
-                else:
-                    cols = cols + [[ct] * batch.num_rows, [cv] * batch.num_rows]
+                if ct is not None:  # whole-file kind: literal change type
+                    cols = cols + [[ct] * batch.num_rows]
+                cols = cols + [[cv] * batch.num_rows]
             if dv_idx:
                 for i, row in enumerate(zip(*cols)):
                     if (offset + i) not in dv_idx:
