@@ -3020,6 +3020,7 @@ def delete(
     where: list[tuple],
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    collect_cdf: bool = False,
 ) -> tuple[int, dict] | None:
     """DELETE FROM ... WHERE (Delta-style predicate delete), the DML
     verb between merge()'s keyed upsert and a blunt overwrite.  `where`
@@ -3038,7 +3039,15 @@ def delete(
     One atomic merge commit swaps removed+rewritten; history stays
     readable (vacuum is the destruction step).  Returns
     (version, {"dropped_whole", "rewritten", "untouched"}) or None when
-    nothing can match (no commit — deleting nothing is not a version)."""
+    nothing can match (no commit — deleting nothing is not a version).
+
+    `collect_cdf=True` stages the deleted rows as EXPLICIT change-data
+    files (`_change_type='delete'`) so the commit is consumable by the
+    STREAMING CDC source (mode=cdf), which cannot run the batch feed's
+    predicate reconstruction.  The trade is Delta's own for
+    CDF-enabled tables: the whole-drop tier keeps its zero-REWRITE
+    property, but the dropped files' matching rows are read once —
+    O(matched rows) extra I/O that plain deletes never pay."""
     from pyspark.sql import functions as F
 
     _check_where(where, "delete")
@@ -3062,6 +3071,18 @@ def delete(
             spark, path, touched, schema, dvs, colmap, where,
             [colmap.get(c, c) for c in part_by] if part_by else None,
         )
+    cdf_rels: list[str] | None = None
+    if collect_cdf:
+        from pyspark.sql import functions as F
+
+        old_rows = (
+            _read_files_dv(
+                spark, path, whole + touched, schema, dvs, colmap=colmap
+            )
+            .where(F.coalesce(_where_cond(where), F.lit(False)))
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdf_rels = _stage(_to_physical(old_rows, colmap), path, kind="cdf")
     stats = (
         _collect_stats(
             path,
@@ -3080,6 +3101,7 @@ def delete(
         pw,
         stats=stats,
         predicate=pw,  # recorded PHYSICAL: rename-proof feed reconstruction
+        cdf=cdf_rels,  # explicit change files win over reconstruction
         constraint_sensitive=False,  # a delete only removes rows
     )
     return version, {

@@ -250,7 +250,8 @@ class MinitableStreamReader(DataSourceStreamReader):
                     f"minitable version {v} is a {rec['action']} without "
                     "explicit change data — its feed needs driver-side "
                     "reconstruction (predicate deletes, DV diffs); use "
-                    "batch change_feed(), or write with collect_cdf=True"
+                    "batch change_feed(), or run the writers with "
+                    "collect_cdf=True (merge/delete/replace_where)"
                 )
             raise ValueError(
                 f"minitable version {v} is a {rec['action']} — a stream "
