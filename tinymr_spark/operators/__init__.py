@@ -215,6 +215,31 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (1, "pricing_summary"), (2, "filter_project"),
         (3, "join_broadcast"), (4, "star_join_revenue"),
     )),
+    (10, (
+        # --- round 10 (CORRECTNESS_r10): 8 new + 42 stalest re-confirms ---
+        (197, "lakehouse_pipeline"), (198, "generated_columns"),
+        (199, "identity_columns"), (200, "zorder_verb"),
+        (201, "replace_where"), (202, "merge_schema_evolution"),
+        (203, "clustered_compaction"), (204, "stream_change_feed"),
+        (5, "semi_join"), (6, "anti_join"), (7, "global_topk"),
+        (8, "window_rank"), (9, "window_running_sum"), (10, "rollup"),
+        (11, "cube"), (12, "grouping_sets"), (13, "distinct_agg"),
+        (14, "set_ops"), (15, "scalar_functions"), (16, "case_buckets"),
+        (17, "agg_stats"), (18, "exists_subquery"),
+        (19, "having_scalar_subquery"), (20, "segment_order_value"),
+        (21, "percentiles"), (22, "analytics_battery"),
+        (23, "window_range_frame"), (24, "approx_distinct"),
+        (25, "array_functions"), (26, "salted_agg"),
+        (27, "stratified_sample"), (28, "full_outer_join"),
+        (29, "unpivot"), (85, "sql_interface"), (89, "monthly_gapfill"),
+        (139, "sql_udf"), (30, "wordcount"), (31, "top_words"),
+        (145, "incremental_bm25"), (147, "hybrid_rrf"),
+        (154, "ohlc_resample"), (143, "python_stream_sink"),
+        (149, "stream_index_probe"), (141, "avro_source"),
+        (142, "aqe_skew_join"), (144, "pushdown_datasource"),
+        (148, "quality_constraints"), (150, "skew_profile"),
+        (151, "schema_evolution"), (152, "outlier_quarantine"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()
