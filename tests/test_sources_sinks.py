@@ -5043,3 +5043,122 @@ def test_minitable_stream_cdf_mode(spark, tmp_path):
             .trigger(availableNow=True).start()
         )
         q2.awaitTermination()
+
+
+def test_minitable_rebase_conflicts_on_concurrent_contract_change(spark, tmp_path):
+    """ADVICE r10: a NON-schema-recording commit (plain merge/delete
+    plan) must refuse to auto-rebase across a concurrent commit whose
+    schema changed the generated/identity contract — the staged rows
+    were validated under the old contract and would serve NULL for a
+    GENERATED-ALWAYS column added concurrently."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double")
+    minitable.write(spark, df, path, "overwrite")  # v0
+    # concurrent writer evolves the contract: a new GENERATED column
+    df2 = spark.createDataFrame([(3, 30.0)], "k bigint, v double")
+    minitable.write(
+        spark, df2, path, merge_schema=True, generated={"v2": "v * 2"}
+    )  # v1 records a schema whose generated map differs from v0's
+    # our plan was made against v0 and records NO schema of its own —
+    # before the fix this auto-rebased and landed rows without v2
+    with pytest.raises(minitable.CommitConflict, match="generated/identity"):
+        minitable._commit_serializable(
+            path, added=[], removed=[], read_version=0, guard_where=None,
+            action="merge",
+        )
+    # same rebase against a contract-NEUTRAL intervening commit commutes
+    path2 = str(tmp_path / "t2")
+    minitable.write(spark, df, path2, "overwrite")  # v0
+    minitable.write(spark, df2, path2)  # v1: plain append, same contract
+    v = minitable._commit_serializable(
+        path2, added=[], removed=[], read_version=0, guard_where=None,
+        action="merge",
+    )
+    assert v == 2
+
+
+def test_minitable_identity_assignment_diverged_recompute_fails_loudly(
+    spark, tmp_path, monkeypatch,
+):
+    """ADVICE r10: if the pinned frame recomputes with MORE rows in a
+    partition than the driver counted (cache eviction + nondeterministic
+    upstream), assignment past the partition's allotment would hand out
+    duplicate ids from the next range — the assign pass must fail the
+    job instead.  Simulated deterministically by doctoring the count
+    collect to undercount by one."""
+    import pytest
+    from pyspark.sql import Row
+
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract
+    # dispatcher in Spark 4 — its .collect is overridden per backend)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from tinymr_spark.sources.minitable import _assign_identity
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "k bigint").repartition(4)
+    real_collect = DataFrame.collect
+
+    def undercount(self):
+        rows = real_collect(self)
+        return [
+            Row(__pid=r["__pid"], n=max(0, r["n"] - 1)) for r in rows
+        ]
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "collect", undercount)
+        out, _last, pin = _assign_identity(df, "id", 1, 1)
+    try:
+        with pytest.raises(Exception, match="identity assignment diverged"):
+            out.collect()
+    finally:
+        pin.unpersist(False)
+
+
+def test_minitable_plain_append_inherits_partition_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r10: an append that does not name a layout inherits the
+    table's recorded partition_by — its files stage hive-laid with exact
+    partition stats, so later retention deletes stay metadata-only.
+    Passing partition_by=None explicitly still forces flat staging."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 3, float(k)) for k in range(12)], "k bigint, om bigint, v double"
+    )
+    minitable.write(
+        spark, df.repartition("om"), path, "overwrite", partition_by=["om"]
+    )
+    # plain append: no partition_by argument at all
+    df2 = spark.createDataFrame([(100, 0, 1.0), (101, 1, 2.0)],
+                                "k bigint, om bigint, v double")
+    v1 = minitable.write(spark, df2, path)
+    import json as _json
+    with open(minitable._version_file(path, v1)) as f:
+        rec = _json.load(f)
+    assert all("__p_om=" in r for r in rec["added"]), rec["added"]
+    assert rec.get("partition_by") == ["om"]
+
+    # retention delete spanning old AND appended files stays metadata-only
+    with monkeypatch.context() as m:
+        def _no_reads(*_a, **_k):
+            raise AssertionError("data file read during partition-drop delete")
+
+        m.setattr(minitable, "_read_files_dv", _no_reads)
+        m.setattr(minitable, "_read_files", _no_reads)
+        res = minitable.delete(spark, path, [("om", "=", 0)])
+    assert res[1]["rewritten"] == 0 and res[1]["dropped_whole"] > 0
+    assert {r["om"] for r in minitable.read(spark, path).collect()} == {1, 2}
+
+    # explicit None opts OUT of the inheritance (the documented override)
+    path2 = str(tmp_path / "t2")
+    minitable.write(
+        spark, df.repartition("om"), path2, "overwrite", partition_by=["om"]
+    )
+    v2 = minitable.write(spark, df2, path2, partition_by=None)
+    with open(minitable._version_file(path2, v2)) as f:
+        rec2 = _json.load(f)
+    assert not any("__p_om=" in r for r in rec2["added"]), rec2["added"]

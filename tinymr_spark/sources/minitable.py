@@ -704,6 +704,21 @@ def table_identity_hwm(path: str, version: int | None = None) -> dict[str, int]:
     return {c: int(h) for c, h in got.items()}
 
 
+class _LayoutFromTable:
+    """Sentinel default for write(partition_by=...): an append that does
+    not name a layout inherits the table's RECORDED one (ADVICE r10 —
+    otherwise a plain append to a partitioned table silently stages
+    non-hive, stats-less files and degrades later retention deletes from
+    metadata-only whole-drops to rewrites).  Passing None or []
+    explicitly still forces unpartitioned staging."""
+
+    def __repr__(self) -> str:  # keeps help(write) readable
+        return "<table layout>"
+
+
+_LAYOUT_FROM_TABLE = _LayoutFromTable()
+
+
 def _assign_identity(
     df: DataFrame, col: str, next_id: int, step: int, only_missing: bool = False
 ) -> tuple[DataFrame, int, DataFrame]:
@@ -771,6 +786,18 @@ def _assign_identity(
                 n = len(pdf)
                 pdf[col] = [next_id + step * (c0 + i) for i in range(n)]
                 counter[p] = c0 + n
+            if counter[p] - offs.get(p, 0) > counts.get(p, 0):
+                # the persisted pin was evicted and a nondeterministic
+                # upstream recomputed MORE rows than the driver counted —
+                # assigning past this partition's allotment would hand out
+                # ids from the NEXT partition's range (silent duplicates).
+                # Uniqueness is the contract; fail the job instead.
+                raise RuntimeError(
+                    f"identity assignment diverged: partition {p} produced "
+                    f"more rows needing ids than the driver counted "
+                    f"({counts.get(p, 0)}) — the pinned frame was recomputed "
+                    "nondeterministically; re-run the write"
+                )
             yield pdf[order]
 
     out = pinned.withColumn("__pid", F.spark_partition_id()).mapInPandas(
@@ -1452,7 +1479,7 @@ def write(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     merge_schema: bool = False,
-    partition_by: list[str] | None = None,
+    partition_by: list[str] | None | _LayoutFromTable = _LAYOUT_FROM_TABLE,
     generated: dict[str, str] | None = None,
     identity: dict[str, tuple[int, int]] | None = None,
 ) -> int:
@@ -1548,6 +1575,17 @@ def write(
         _e0, prev_schema, _d0, constraints, colmap = _replay(path, read_version)
     else:
         prev_schema, constraints, colmap = None, {}, {}
+
+    if isinstance(partition_by, _LayoutFromTable):
+        # default (not passed): an append inherits the table's recorded
+        # layout so its files stay hive-laid and partition-stats'd like
+        # every DML rewrite's (ADVICE r10); an overwrite or a new table
+        # starts unpartitioned unless the caller names a layout.
+        partition_by = (
+            table_partition_by(path, read_version)
+            if (vs0 and action == "append")
+            else None
+        )
 
     # GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`): the
     # effective map is the table's recorded expressions (appends — an
@@ -2204,7 +2242,17 @@ def _commit_serializable(
     intervening commit recording a DIFFERENT schema conflicts, because
     replay is last-record-wins and blindly committing our union would
     silently roll the concurrent evolution back.  An intervening commit
-    re-recording the same base schema (an ordinary append) commutes."""
+    re-recording the same base schema (an ordinary append) commutes.
+
+    Independently of whether THIS commit records a schema, an intervening
+    schema whose GENERATED/IDENTITY contract differs from the planned
+    snapshot's always conflicts (ADVICE r10): the staged bytes were
+    validated/populated under the old contract, so rebasing a plain
+    merge/update/delete across a concurrent `ALTER ... ADD generated col`
+    would land rewritten rows serving NULL for a GENERATED-ALWAYS column
+    — the same guard write()'s rebase path already applies."""
+    base_version = read_version
+    contract_base: tuple | None = None  # lazily derived on first conflict
     while True:
         try:
             return commit(
@@ -2224,6 +2272,13 @@ def _commit_serializable(
             )
         except CommitConflict:
             head = versions(path)[-1]
+            if contract_base is None:
+                planned = (
+                    schema_base
+                    if schema is not None
+                    else table_schema(path, base_version)
+                )
+                contract_base = (_generated_map(planned), _identity_map(planned))
             # files we rewrite, drop whole, OR mark rows deleted in — a
             # concurrent touch of any of them invalidates our plan
             ours = set(removed) | set(dv or {})
@@ -2263,6 +2318,16 @@ def _commit_serializable(
                         "than this schema-evolving operation planned against "
                         "— committing would roll the concurrent evolution "
                         "back (last-record-wins); replan against the new head"
+                    )
+                if "schema" in rec and (
+                    _generated_map(rec["schema"]),
+                    _identity_map(rec["schema"]),
+                ) != contract_base:
+                    raise CommitConflict(
+                        f"version {v} of {path} changed the generated/"
+                        "identity column contract this operation's staged "
+                        "rows were validated under — replan against the "
+                        "new head"
                     )
                 if identity_hwm is not None and "identity_hwm" in rec:
                     # both commits allocated ids from the same marks —
@@ -2942,7 +3007,8 @@ def _plan_predicate_removal(
     Returns (whole, touched)."""
     candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
     whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
-    straddle = [f for f, st in candidates if f not in whole]
+    whole_set = set(whole)  # membership test must stay O(1) at large live-file counts
+    straddle = [f for f, st in candidates if f not in whole_set]
     touched: list[str] = []
     if straddle:
         bases = set(
@@ -3151,7 +3217,8 @@ def delete_dv(
     pw = _phys_where(where, colmap)  # stats are keyed by physical names
     candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
     whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
-    straddle = [f for f, st in candidates if f not in whole]
+    whole_set = set(whole)  # membership test must stay O(1) at large live-file counts
+    straddle = [f for f, st in candidates if f not in whole_set]
     new_dv_map: dict[str, str] = {}
     rows_marked = 0
     vectorized: list[str] = []
