@@ -4928,7 +4928,8 @@ def test_minitable_stream_cdf_mode(spark, tmp_path):
     their change files verbatim (the executor-per-file split, no
     joins), maintenance commits are skipped, the drained rows equal the
     batch change_feed exactly, a checkpoint replay re-plans identical
-    rows, and reconstruction-needing commits refuse loudly."""
+    rows, predicate deletes stream reconstructed (r11 — no longer a
+    refusal), and overwrite/CDF-less-merge commits still refuse."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -5004,10 +5005,17 @@ def test_minitable_stream_cdf_mode(spark, tmp_path):
     assert {r[2] for r in b_all} == {"insert"}
     assert {r[3] for r in b_all} == {head}
 
-    # a predicate delete (no explicit CDF) refuses loudly in cdf mode
-    minitable.delete(spark, path, [("k", "<", 3)], stats_cols=["k"])
-    with pytest.raises(Exception, match="change_feed|change data"):
-        drain()
+    # a predicate delete (no explicit CDF) STREAMS its deletes,
+    # reconstructed executor-side from the removed files filtered to
+    # the recorded conjunction (r11 — was a refusal before)
+    dres = minitable.delete(spark, path, [("k", "<", 3)], stats_cols=["k"])
+    b3 = drain()
+    feed3 = minitable.change_feed(spark, path, head, dres[0]).select(
+        "k", "v", "_change_type", "_commit_version"
+    )
+    assert sorted(b3) == sorted(tuple(r) for r in feed3.collect())
+    assert {r[2] for r in b3} == {"delete"}
+    assert sorted(r[0] for r in b3) == [0, 1, 2]
     # an overwrite mid-stream refuses with FRESH-SUBSCRIPTION advice
     # (batch change_feed can't serve it either — different guidance)
     shutil.rmtree(ckpt)
@@ -5162,3 +5170,148 @@ def test_minitable_plain_append_inherits_partition_layout(spark, tmp_path, monke
     with open(minitable._version_file(path2, v2)) as f:
         rec2 = _json.load(f)
     assert not any("__p_om=" in r for r in rec2["added"]), rec2["added"]
+
+
+def test_minitable_stream_cdc_reconstructs_full_dml(spark, tmp_path):
+    """r11: the CDC stream reconstructs commits that wrote NO change
+    data — predicate deletes (removed files re-filtered executor-side,
+    minus rows an earlier DV already killed) and DV commits (whole-drop
+    live rows + per-file vector DIFFS) — and equals the batch
+    change_feed row-for-row across the full history.  A materialized DV
+    delete (rewrite minus vector) and an update without collect_cdf
+    (still no feed anywhere) are pinned too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    minitable.write(spark, df.repartition(4), path, "overwrite", stats_cols=["k"])
+
+    def drain():
+        batch = []
+
+        def sink(bdf, _bid):
+            batch.extend(tuple(r) for r in bdf.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path).option("columns", "k,v")
+            .option("mode", "cdf").load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return batch
+
+    drain()  # snapshot
+    minitable.write(
+        spark,
+        spark.createDataFrame([(200, 1.0), (201, 2.0)], "k bigint, v double"),
+        path,
+    )  # v1 append
+    minitable.delete_dv(spark, path, [("k", "in", [3, 5, 8, 201])])  # v2
+    # v3: predicate delete whose removed files hold rows v2 already
+    # killed (3, 5, 8) — the reconstruction must NOT re-delete them
+    minitable.delete(spark, path, [("k", "<", 30)], stats_cols=["k"])
+    # v4: second DV commit — its feed is the DIFF vs v2's vectors
+    minitable.delete_dv(spark, path, [("k", "in", [40, 41])])
+    b = drain()
+    head = minitable.versions(path)[-1]
+    feed = minitable.change_feed(spark, path, 0, head).select(
+        "k", "v", "_change_type", "_commit_version"
+    )
+    assert sorted(b) == sorted(tuple(r) for r in feed.collect())
+    d3 = [r for r in b if r[3] == 3]
+    assert all(r[2] == "delete" and r[0] < 30 for r in d3)
+    assert not any(r[0] in (3, 5, 8) for r in d3), "DV-dead rows re-deleted"
+    assert sorted(r[0] for r in b if r[3] == 2) == [3, 5, 8, 201]
+    assert sorted(r[0] for r in b if r[3] == 4) == [40, 41]
+
+    # materialized DV delete (rewrite-minus-vector): file appears in
+    # BOTH removed and dv — deletes are exactly the newly-marked rows
+    res = minitable.delete_dv(
+        spark, path, [("k", "in", [50, 51])], materialize_fraction=1.0
+    )
+    assert res is not None and res[1]["rows_marked"] == 2
+    b2 = drain()
+    assert sorted(r[0] for r in b2) == [50, 51]
+    assert {r[2] for r in b2} == {"delete"}
+
+    # an update WITHOUT collect_cdf has no row-level feed anywhere —
+    # the stream refuses exactly like batch change_feed
+    minitable.update(spark, path, {"v": "v + 1"}, [("k", "=", 60)])
+    with pytest.raises(Exception, match="collect_cdf"):
+        drain()
+
+
+def test_minitable_stream_cdc_predicate_ops_and_mapping(spark, tmp_path):
+    """The reconstruction's arrow-mask predicate evaluation matches the
+    delete's own Spark filter across the op surface (in / is_null /
+    range), through a COLUMN RENAME (predicates are recorded physical),
+    and on pre-evolution files that lack the predicate column (NULL
+    semantics: no match)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(k, None if k % 10 == 0 else float(k)) for k in range(40)],
+        "k bigint, v double",
+    )
+    minitable.write(spark, df.repartition(2), path, "overwrite", stats_cols=["k"])
+    minitable.rename_column(path, "k", "kk")  # predicates stay physical
+
+    def drain(cols):
+        batch = []
+
+        def sink(bdf, _bid):
+            batch.extend(tuple(r) for r in bdf.collect())
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", path).option("columns", cols)
+            .option("mode", "cdf").load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return batch
+
+    drain("kk,v")  # snapshot
+    # is_null delete: the 10s (v IS NULL)
+    minitable.delete(spark, path, [("v", "is_null", None)])
+    # in + range on the RENAMED column
+    minitable.delete(spark, path, [("kk", "in", [7, 8, 9]), ("kk", ">=", 8)])
+    b = drain("kk,v")
+    head = minitable.versions(path)[-1]
+    feed = minitable.change_feed(spark, path, 0, head).select(
+        "kk", "v", "_change_type", "_commit_version"
+    )
+    assert sorted(b) == sorted(tuple(r) for r in feed.collect())
+    # version numbering: v1 is the rename's meta commit
+    assert sorted(r[0] for r in b if r[3] == 2) == [0, 10, 20, 30]
+    assert sorted(r[0] for r in b if r[3] == 3) == [8, 9]
+
+    # pre-evolution files lack an evolved column: a predicate on it
+    # reconstructs NULL semantics (rows in old files never match)
+    minitable.write(
+        spark,
+        spark.createDataFrame([(100, 1.0, "x"), (101, 2.0, "y")],
+                              "kk bigint, v double, tag string"),
+        path, merge_schema=True,
+    )
+    drain("kk,v")
+    minitable.delete(spark, path, [("tag", "=", "x")])
+    b3 = drain("kk,v")
+    assert [(r[0], r[2]) for r in b3] == [(100, "delete")]

@@ -33,11 +33,28 @@ the snapshot as inserts (startingVersion semantics); each later append
 streams as inserts, and a merge/replace_where commit that staged
 EXPLICIT change-data files streams those files directly — they are
 plain parquet carrying `_change_type`, so the executor-per-file scale
-split holds with no joins anywhere.  Commits whose feed would need
-driver-side reconstruction (predicate-only deletes, deletion-vector
-diffs) raise loudly with the batch `change_feed()` as the pointed-to
-alternative — the same honest-refusal contract as the append mode's
-rewrite rule, so a CDC pipeline is never silently wrong.
+split holds with no joins anywhere.
+
+Commits that wrote NO change data are RECONSTRUCTED executor-side, the
+streaming twin of batch `change_feed()`'s driver plan (minitable.py
+change_feed) — the full DML history streams, matching Delta's streaming
+readChangeFeed over arbitrary DML:
+
+* a PREDICATE DELETE (merge commit recording the conjunction it ran
+  with): each removed file becomes one partition; the executor re-scans
+  it filtered to the recorded predicate — vectorized pyarrow.compute
+  masks with SQL three-valued semantics, the exact rows the delete
+  removed — minus rows an earlier deletion vector had already deleted;
+* a DV DELETE (`dv` commit): whole-dropped files stream their live rows
+  as deletes, and per-file DV DIFFS (rows this commit marked, excluding
+  rows the previous vector already held) re-read the base file by row
+  position — O(marked rows), sidecars read executor-side.
+
+Reconstruction stays one-partition-per-file with no joins and no table
+byte through the driver; the only remaining refusals are an OVERWRITE
+in range (no row-level feed exists — same as batch) and a
+merge/update that wrote neither predicate nor change data (run the
+writer with collect_cdf=True) — a CDC pipeline is never silently wrong.
 
 The reference has no streams and no I/O (/root/reference/tinymr.py);
 this is SURVEY §2.3/§2.4 beyond-reference surface.
@@ -112,6 +129,51 @@ def _table_ddl(path: str, cols: list[str]) -> str:
     return ", ".join(parts)
 
 
+def _predicate_mask(batch, where: list, read_cols: list[str]) -> list[bool]:
+    """Evaluate a recorded where-conjunction over one arrow batch,
+    vectorized with pyarrow.compute, under the SAME SQL three-valued
+    semantics as minitable._where_cond (the delete's own filter): a NULL
+    term makes the conjunction NULL, i.e. not matched — and_kleene +
+    final fill_null(False).  A predicate column the file predates reads
+    as all-NULL (the log-schema read serves NULL there too).  Returns a
+    python bool list aligned to the batch's rows.
+
+    Ops mirror minitable._OPS exactly: < <= > >= = in is_null
+    is_not_null; a type the comparison cannot promote raises loudly —
+    never a silently-wrong feed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    mask = None
+    for col, op, val in where:
+        if col not in read_cols:
+            # the file predates this column: every row serves NULL —
+            # is_null holds, is_not_null doesn't, comparisons are NULL
+            if op == "is_null":
+                term = pa.array([True] * n, type=pa.bool_())
+            elif op == "is_not_null":
+                term = pa.array([False] * n, type=pa.bool_())
+            else:
+                term = pa.nulls(n, type=pa.bool_())
+        else:
+            arr = batch.column(read_cols.index(col))
+            if op == "is_null":
+                term = pc.is_null(arr)
+            elif op == "is_not_null":
+                term = pc.is_valid(arr)
+            elif op == "in":
+                term = pc.is_in(arr, value_set=pa.array(list(val)))
+            else:
+                term = {
+                    "<": pc.less, "<=": pc.less_equal,
+                    ">": pc.greater, ">=": pc.greater_equal,
+                    "=": pc.equal,
+                }[op](arr, val)
+        mask = term if mask is None else pc.and_kleene(mask, term)
+    return pc.fill_null(mask, False).to_pylist()
+
+
 class _FilePartition(InputPartition):
     """One committed parquet file of the micro-batch's version range;
     pickled to an executor, which reads it directly.  `dv_path` is the
@@ -130,6 +192,8 @@ class _FilePartition(InputPartition):
         phys: list[str] | None = None,
         commit_version: int | None = None,
         change_type: str | None = None,
+        predicate: list | None = None,
+        dv_keep: tuple[str, str | None] | None = None,
     ):
         self.path = path
         self.cols = cols
@@ -140,10 +204,17 @@ class _FilePartition(InputPartition):
         self.dv_path = dv_path
         # CDC mode: commit_version set -> rows gain (_change_type,
         # _commit_version); change_type is the literal for whole-file
-        # kinds (insert) or None for explicit change-data files, whose
-        # rows CARRY their own `_change_type` column
+        # kinds (insert/delete) or None for explicit change-data files,
+        # whose rows CARRY their own `_change_type` column
         self.commit_version = commit_version
         self.change_type = change_type
+        # CDC reconstruction (executor-side twins of batch change_feed):
+        # `predicate` re-filters a predicate-delete's removed file to the
+        # recorded conjunction (PHYSICAL column names — rename-proof);
+        # `dv_keep=(new_dv_dir, old_dv_dir|None)` keeps only the rows the
+        # commit's vector marked beyond the previous one (the DV diff)
+        self.predicate = predicate
+        self.dv_keep = dv_keep
 
 
 class MinitableStreamReader(DataSourceStreamReader):
@@ -246,12 +317,74 @@ class MinitableStreamReader(DataSourceStreamReader):
                         "the CDC stream from a fresh checkpoint (the new "
                         "subscription snapshots the current table)"
                     )
+                if rec["action"] == "merge" and rec.get("predicate") is not None:
+                    # PREDICATE DELETE: the deleted rows are the removed
+                    # files' live rows matching the recorded conjunction
+                    # (physical names — rename-proof), minus rows an
+                    # EARLIER deletion vector had already removed.  One
+                    # partition per removed file; the executor re-scans
+                    # and filters — batch change_feed's plan, off-driver.
+                    prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
+                    parts.extend(
+                        _FilePartition(
+                            os.path.join(self.path, f), self.cols, phys=phys,
+                            dv_path=(
+                                os.path.join(self.path, prev_dvs[f])
+                                if f in prev_dvs else None
+                            ),
+                            commit_version=v, change_type="delete",
+                            predicate=rec["predicate"],
+                        )
+                        for f in rec.get("removed", ())
+                    )
+                    continue
+                if rec["action"] == "dv":
+                    # DV DELETE: whole-dropped files stream their live
+                    # rows as deletes; files with a (new or materialized)
+                    # vector stream the DV DIFF — rows marked by this
+                    # commit beyond the previous vector — re-read from
+                    # the base file by row position, sidecars executor-
+                    # side (the batch branch's exceptAll as per-file set
+                    # difference)
+                    prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
+                    dv_map = rec.get("dv") or {}
+                    for f in rec.get("removed", ()):
+                        if f in dv_map:
+                            continue  # materialized rewrite: deletes are
+                            # exactly the DV diff below, not all rows
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(self.path, f), self.cols,
+                                phys=phys,
+                                dv_path=(
+                                    os.path.join(self.path, prev_dvs[f])
+                                    if f in prev_dvs else None
+                                ),
+                                commit_version=v, change_type="delete",
+                            )
+                        )
+                    for f in sorted(dv_map):
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(self.path, f), self.cols,
+                                phys=phys,
+                                commit_version=v, change_type="delete",
+                                dv_keep=(
+                                    os.path.join(self.path, dv_map[f]),
+                                    (
+                                        os.path.join(self.path, prev_dvs[f])
+                                        if f in prev_dvs else None
+                                    ),
+                                ),
+                            )
+                        )
+                    continue
                 raise ValueError(
                     f"minitable version {v} is a {rec['action']} without "
-                    "explicit change data — its feed needs driver-side "
-                    "reconstruction (predicate deletes, DV diffs); use "
-                    "batch change_feed(), or run the writers with "
-                    "collect_cdf=True (merge/delete/replace_where)"
+                    "explicit change data, recorded predicate, or "
+                    "deletion vectors — no row-level feed exists for it "
+                    "(batch change_feed() refuses it too); run the "
+                    "writer with collect_cdf=True (merge/update)"
                 )
             raise ValueError(
                 f"minitable version {v} is a {rec['action']} — a stream "
@@ -271,21 +404,39 @@ class MinitableStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        # live deletion vector for this file: the set of row positions
-        # the snapshot must skip (row_index is file row order, exactly
-        # Spark's `_metadata.row_index` identity the batch reader joins
-        # on) — read executor-side, O(deleted rows in this file)
-        dv_idx: set[int] = set()
-        if partition.dv_path is not None:
-            t = pq.read_table(partition.dv_path, columns=["fname", "row_index"])
-            base = os.path.basename(partition.path)
-            dv_idx = {
+        base = os.path.basename(partition.path)
+
+        def _dv_rows(dv_dir: str) -> set[int]:
+            # a vector sidecar holds (fname, row_index) for MANY files;
+            # this file's marked positions only — O(deleted rows)
+            t = pq.read_table(dv_dir, columns=["fname", "row_index"])
+            return {
                 ri
                 for fn, ri in zip(
                     t.column(0).to_pylist(), t.column(1).to_pylist()
                 )
                 if fn == base
             }
+
+        # live deletion vector for this file: the set of row positions
+        # to skip (row_index is file row order, exactly Spark's
+        # `_metadata.row_index` identity the batch reader joins on)
+        dv_idx: set[int] = set()
+        if partition.dv_path is not None:
+            dv_idx = _dv_rows(partition.dv_path)
+        # DV DIFF reconstruction: keep ONLY rows this commit's vector
+        # marked beyond the previous one (batch change_feed's exceptAll,
+        # as a per-file positional set difference)
+        keep_idx: set[int] | None = None
+        dv_keep = getattr(partition, "dv_keep", None)
+        if dv_keep is not None:
+            new_dir, old_dir = dv_keep
+            keep_idx = _dv_rows(new_dir) - (
+                _dv_rows(old_dir) if old_dir else set()
+            )
+            if not keep_idx:
+                return
+        pred = getattr(partition, "predicate", None)
         pf = pq.ParquetFile(partition.path)
         phys = getattr(partition, "phys", None) or partition.cols
         cv = getattr(partition, "commit_version", None)
@@ -294,25 +445,42 @@ class MinitableStreamReader(DataSourceStreamReader):
             # explicit change-data file: the row's own `_change_type`
             # column reads LAST, already in output position
             phys = phys + ["_change_type"]
-        present = [p for p in phys if p in pf.schema_arrow.names]
+        names = pf.schema_arrow.names
+        present = [p for p in phys if p in names]
+        # predicate columns ride the same scan (parquet still prunes to
+        # the union); recorded physical, like the data file's columns
+        pred_cols = [
+            c for c, _o, _v in (pred or ())
+            if c in names and c not in present
+        ]
+        read_cols = present + pred_cols
         offset = 0
-        for batch in pf.iter_batches(columns=present):
+        for batch in pf.iter_batches(columns=read_cols):
+            n = batch.num_rows
+            sel = _predicate_mask(batch, pred, read_cols) if pred else None
             data = {
-                p: batch.column(present.index(p)).to_pylist() for p in present
+                p: batch.column(read_cols.index(p)).to_pylist()
+                for p in present
             }
-            nulls = [None] * batch.num_rows
+            nulls = [None] * n
             cols = [data.get(p, nulls) for p in phys]
             if cv is not None:
                 if ct is not None:  # whole-file kind: literal change type
-                    cols = cols + [[ct] * batch.num_rows]
-                cols = cols + [[cv] * batch.num_rows]
-            if dv_idx:
-                for i, row in enumerate(zip(*cols)):
-                    if (offset + i) not in dv_idx:
-                        yield row
+                    cols = cols + [[ct] * n]
+                cols = cols + [[cv] * n]
+            if sel is None and not dv_idx and keep_idx is None:
+                yield from zip(*cols)  # hot path: plain append/insert
             else:
-                yield from zip(*cols)
-            offset += batch.num_rows
+                for i, row in enumerate(zip(*cols)):
+                    gi = offset + i
+                    if sel is not None and not sel[i]:
+                        continue
+                    if gi in dv_idx:
+                        continue
+                    if keep_idx is not None and gi not in keep_idx:
+                        continue
+                    yield row
+            offset += n
 
     def commit(self, end: dict) -> None:
         pass  # the log is the source of truth; nothing to clean up
