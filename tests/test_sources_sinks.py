@@ -1896,8 +1896,19 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
         )
         model = dict(rows0)
         states = {0: (dict(model), vcol[0])}
+        # ROW-TRACKING model: the id each live key currently carries —
+        # a key surviving any verb must keep it (update/merge-matched/
+        # optimize/zorder/rename), EXCEPT keys a verb legitimately
+        # restates as new rows (replace_where scope), passed as
+        # `reset_keys`; restore rolls the whole map back to its era
+        rid_map: dict[int, int] = {}
+        rid_states: dict[int, dict[int, int]] = {}
+        rid_map.update(
+            {r["k"]: r["rid"] for r in minitable.read(spark, path).collect()}
+        )
+        rid_states[0] = dict(rid_map)
 
-        def sync_and_check(tag):
+        def sync_and_check(tag, reset_keys=()):
             head = minitable.versions(path)[-1]
             states[head] = (dict(model), vcol[0])
             if model:
@@ -1915,8 +1926,23 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                     trial, tag, head,
                 )
                 assert all(1 <= i <= hwm for i in rids), (trial, tag, head, hwm)
+                # per-key ID STABILITY (row tracking): every surviving
+                # key keeps the exact id it had before the verb
+                live_rids = {r["k"]: r["rid"] for r in live}
+                moved = {
+                    k: (rid_map[k], live_rids[k])
+                    for k in rid_map
+                    if k in live_rids
+                    and k not in reset_keys
+                    and live_rids[k] != rid_map[k]
+                }
+                assert not moved, (trial, tag, head, moved)
+                rid_map.clear()
+                rid_map.update(live_rids)
             else:
                 assert minitable.snapshot(path) == [], (trial, tag, head)
+                rid_map.clear()
+            rid_states[head] = dict(rid_map)
 
         for step in range(8):
             op = rng.choice(
@@ -1991,6 +2017,9 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 minitable.restore(path, target)
                 model = dict(states[target][0])
                 vcol[0] = states[target][1]  # names roll back with the data
+                # row ids roll back WITH the data: expect the era's map
+                rid_map.clear()
+                rid_map.update(rid_states.get(target, {}))
                 sync_and_check(op)
             elif op == "replace_where":
                 if not model:
@@ -2017,7 +2046,8 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                     k: v for k, v in model.items() if not (lo <= k < hi)
                 }
                 model.update(batch)
-                sync_and_check(op)
+                # restated rows are NEW rows: their keys draw fresh ids
+                sync_and_check(op, reset_keys={k for k, _v in batch})
             elif op == "zorder":
                 res = minitable.zorder(
                     spark, path, by=["k"], n_files=2, buckets=4
@@ -2040,8 +2070,13 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                 continue
             df = minitable.read(spark, path, v)
             assert name in df.columns, (trial, "as-of-name", v, name, df.columns)
-            got = {r["k"]: r[name] for r in df.collect()}
+            rows = df.collect()
+            got = {r["k"]: r[name] for r in rows}
             assert got == want, (trial, "as-of", v)
+            # time travel serves the era's row ids exactly
+            if v in rid_states:
+                got_rids = {r["k"]: r["rid"] for r in rows}
+                assert got_rids == rid_states[v], (trial, "as-of-rid", v)
 
 
 def test_minitable_stream_snapshot_applies_deletion_vectors(spark, tmp_path):
@@ -5315,3 +5350,62 @@ def test_minitable_stream_cdc_predicate_ops_and_mapping(spark, tmp_path):
     minitable.delete(spark, path, [("tag", "=", "x")])
     b3 = drain("kk,v")
     assert [(r[0], r[2]) for r in b3] == [(100, "delete")]
+
+
+def test_minitable_row_tracking(spark, tmp_path):
+    """write(row_tracking=True): a hidden, stable `_row_id` (Delta's
+    row-id feature) — dense 1..n at creation, hidden from read() unless
+    row_ids=True, preserved by update/merge-matched/optimize rewrites,
+    fresh ids for merge inserts and appends, writer-supplied values
+    refused, era ids served by time travel."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    minitable.write(
+        spark, df.repartition(3), path, "overwrite",
+        stats_cols=["k"], row_tracking=True,
+    )
+    assert minitable.read(spark, path).columns == ["k", "v"]  # hidden
+    r0 = {r["k"]: r["_row_id"]
+          for r in minitable.read(spark, path, row_ids=True).collect()}
+    assert sorted(r0.values()) == list(range(1, 51))  # dense
+
+    minitable.update(spark, path, {"v": "v + 100"}, [("k", "<", 10)])
+    r1 = {r["k"]: r["_row_id"]
+          for r in minitable.read(spark, path, row_ids=True).collect()}
+    assert r1 == r0, "update moved row ids"
+
+    src = spark.createDataFrame(
+        [(5, 999.0), (100, 1.0), (101, 2.0)], "k bigint, v double"
+    )
+    minitable.merge(spark, src, path, "k", stats_cols=["k"])
+    r2 = {r["k"]: r["_row_id"]
+          for r in minitable.read(spark, path, row_ids=True).collect()}
+    assert all(r2[k] == r0[k] for k in r0), "merge moved matched ids"
+    assert sorted(r2[k] for k in (100, 101)) == [51, 52]  # fresh, dense
+
+    minitable.optimize(spark, path, small_bytes=1 << 20, target_bytes=1 << 26)
+    r3 = {r["k"]: r["_row_id"]
+          for r in minitable.read(spark, path, row_ids=True).collect()}
+    assert r3 == r2, "optimize moved row ids"
+
+    minitable.write(  # plain append continues the sequence
+        spark, spark.createDataFrame([(200, 1.0)], "k bigint, v double"), path
+    )
+    r4 = {r["k"]: r["_row_id"]
+          for r in minitable.read(spark, path, row_ids=True).collect()}
+    assert r4[200] == 53
+
+    # GENERATED ALWAYS: a batch carrying _row_id is refused — including
+    # the roundtrip footgun (read(row_ids=True) piped back into write)
+    with pytest.raises(ValueError, match="_row_id|GENERATED ALWAYS"):
+        minitable.write(spark, minitable.read(spark, path, row_ids=True), path)
+
+    # time travel serves the creation era's ids
+    rv0 = {r["k"]: r["_row_id"]
+           for r in minitable.read(spark, path, 0, row_ids=True).collect()}
+    assert rv0 == r0

@@ -5641,6 +5641,138 @@ GROUP BY change_type, commit_version
 """
 
 
+# ---------------------------------------------------------------------------
+# q206 — ROW TRACKING (Delta's row-id table feature): write(
+# row_tracking=True) materializes a hidden `_row_id` — an IDENTITY
+# column whose field metadata marks it row-tracked, so read() hides it
+# unless asked (read(row_ids=True), Delta's `_metadata.row_id` UX) —
+# assigned densely at write by the shuffle-free two-phase pass and
+# STABLE across every rewrite: update keeps ids (its CASE projection
+# never touches the column), merge's matched rows keep theirs while
+# inserts draw fresh ids from the recorded high-water mark, and
+# OPTIMIZE carries rows verbatim.  The build drives exactly that
+# update -> merge -> optimize history on an orders-derived table,
+# asserts per-key stability with AS-OF self-joins (time travel serves
+# each era's ids), and the gate hash-checks the closed forms engine-
+# assigned ids must satisfy — ids 1..n dense at creation, inserts
+# n+1..n+100 (sum = 100n + 5050), hwm = n + 100 — plus the decimal-
+# exact post-DML price sum, all reproducible by the oracle from the
+# orders table alone.  Scale: id assignment is O(partitions) driver
+# state + one Arrow pass (minitable.py _assign_identity); stability is
+# free (rewrites already carry columns verbatim).
+# ---------------------------------------------------------------------------
+def q206_row_tracking(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_rowtrack", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 4:
+        import contextlib
+        import shutil
+
+        with contextlib.suppress(OSError):
+            os.remove(done)
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_totalprice").cast("double")
+        )
+        mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+        minitable.write(
+            spark, orders.repartition(4), table, "overwrite",
+            stats_cols=["o_orderkey"], row_tracking=True,
+        )  # v0: ids 1..n dense
+        minitable.update(  # v1: rewrite ~25% of rows — ids must not move
+            spark, table, {"o_totalprice": "o_totalprice + 100"},
+            [("o_orderkey", "<", mx // 4)], stats_cols=["o_orderkey"],
+        )
+        src = (  # matched updates (%10==5 -> price 0) + 100 inserts
+            orders.where(F.col("o_orderkey") % 10 == 5)
+            .select("o_orderkey", F.lit(0.0).alias("o_totalprice"))
+            .unionAll(
+                spark.range(1, 101).select(
+                    (F.col("id") + mx).alias("o_orderkey"),
+                    F.col("id").cast("double").alias("o_totalprice"),
+                )
+            )
+        )
+        minitable.merge(spark, src, table, "o_orderkey", stats_cols=["o_orderkey"])
+        minitable.optimize(spark, table, small_bytes=1 << 22, target_bytes=1 << 26)
+        # per-key stability across the whole history, via time travel
+        v0 = minitable.read(spark, table, 0, row_ids=True).select(
+            "o_orderkey", F.col("_row_id").alias("id0")
+        )
+        head = minitable.read(spark, table, row_ids=True).select(
+            "o_orderkey", F.col("_row_id").alias("id1")
+        )
+        movers = v0.join(head, "o_orderkey").where("id0 <> id1").count()
+        assert movers == 0, f"{movers} rows changed _row_id across DML"
+        open(done, "w").close()
+
+    from tinymr_spark.sources import load_table as _lt
+
+    n = _lt(spark, sf_dir, "orders").count()
+    mx = int(
+        _lt(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    )
+    live = minitable.read(spark, table, row_ids=True)
+    origin = live.where(F.col("o_orderkey") <= mx)
+    inserted = live.where(F.col("o_orderkey") > mx)
+    return (
+        live.agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .crossJoin(
+            origin.agg(
+                F.count(F.when(F.col("_row_id").between(1, n), 1))
+                .alias("orig_ids_in_range"),
+            )
+        )
+        .crossJoin(
+            inserted.agg(
+                F.count("*").alias("inserted_cnt"),
+                F.sum("_row_id").alias("inserted_id_sum"),
+                F.max("_row_id").alias("id_hwm"),
+            )
+        )
+    )
+
+
+# closed forms: n = COUNT(orders); original rows keep ids 1..n, the 100
+# merge inserts draw n+1..n+100 (sum = 100n + 5050, hwm = n + 100);
+# prices: +100 below max/4, zeroed at %10==5 (merge wins over the
+# earlier update), inserts sum to 5050.
+ORACLE_Q206 = """
+WITH m AS (SELECT COUNT(*) AS n, MAX(o_orderkey) AS mx FROM orders),
+final_price AS (
+    SELECT CASE
+             WHEN o_orderkey % 10 = 5 THEN CAST(0.0 AS DECIMAL(18,2))
+             WHEN o_orderkey < mx // 4
+               THEN CAST(o_totalprice + 100 AS DECIMAL(18,2))
+             ELSE CAST(o_totalprice AS DECIMAL(18,2))
+           END AS p
+    FROM orders, m
+)
+SELECT CAST(n + 100 AS BIGINT) AS n_live,
+       CAST((SELECT SUM(p) FROM final_price)
+            + CAST(5050.0 AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+       CAST(n AS BIGINT) AS orig_ids_in_range,
+       CAST(100 AS BIGINT) AS inserted_cnt,
+       CAST(100 * n + 5050 AS BIGINT) AS inserted_id_sum,
+       CAST(n + 100 AS BIGINT) AS id_hwm
+FROM m
+"""
+
+
 QUERIES = {
     "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
@@ -5703,6 +5835,7 @@ QUERIES = {
     "q203_clustered_compaction": q203_clustered_compaction,
     "q204_stream_change_feed": q204_stream_change_feed,
     "q205_stream_cdc_full_dml": q205_stream_cdc_full_dml,
+    "q206_row_tracking": q206_row_tracking,
 }
 
 ORACLE = {
@@ -5767,4 +5900,5 @@ ORACLE = {
     "q203_clustered_compaction": ORACLE_Q203,
     "q204_stream_change_feed": ORACLE_Q204,
     "q205_stream_cdc_full_dml": ORACLE_Q205,
+    "q206_row_tracking": ORACLE_Q206,
 }

@@ -1482,8 +1482,23 @@ def write(
     partition_by: list[str] | None | _LayoutFromTable = _LAYOUT_FROM_TABLE,
     generated: dict[str, str] | None = None,
     identity: dict[str, tuple[int, int]] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """Write `df` as new part files under `path` and commit them.
+
+    `row_tracking=True` (table creation only, like Delta's
+    delta.enableRowTracking) gives every row a STABLE `_row_id`: an
+    IDENTITY column under the hood — assigned densely at write from the
+    table's recorded high-water mark, never writer-suppliable — whose
+    field metadata additionally carries `row_id: true`, so `read()`
+    HIDES it by default (Delta's `_metadata.row_id` UX; opt in with
+    `read(..., row_ids=True)`).  Stability across DML rides the
+    existing machinery: update/optimize/zorder rewrites carry column
+    values verbatim, merge's matched rows keep theirs while its inserts
+    draw fresh ids, replace_where's restated rows are new rows — so a
+    CDF consumer can follow one row through its whole history
+    (tests/test_sources_sinks.py's DML model fuzz pins per-key id
+    stability through every verb).
 
     `identity={col: (start, step)}` declares IDENTITY COLUMNS (Delta's
     `GENERATED ALWAYS AS IDENTITY`): values are assigned at write time
@@ -1612,6 +1627,17 @@ def write(
         if c not in df.columns:
             df = df.withColumn(c, _Fgen.expr(gen[c]))
 
+    # ROW TRACKING is an identity column plus a metadata marker: fold
+    # the reserved spec in here so everything below (assignment, hwm,
+    # rebase guards, schema stamping) is the one identity code path.
+    if row_tracking:
+        if "_row_id" in df.columns:
+            raise ValueError(
+                "row tracking is GENERATED ALWAYS — the writer cannot "
+                "supply _row_id values"
+            )
+        identity = {**(identity or {}), "_row_id": (1, 1)}
+
     # IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY): spec
     # {col: (start, step)} rides the schema metadata like generation
     # expressions; values are assigned HERE, densely, from the table's
@@ -1689,7 +1715,7 @@ def write(
         f["metadata"] = {
             k: v
             for k, v in (f.get("metadata") or {}).items()
-            if k not in ("generated", "identity")
+            if k not in ("generated", "identity", "row_id")
         }
     schema = _merged_schema(prev_schema, cur)
     if gen or ident:
@@ -1705,6 +1731,8 @@ def write(
                     **(f.get("metadata") or {}),
                     "identity": {"start": s0, "step": s1},
                 }
+                if row_tracking and f["name"] == "_row_id":
+                    f["metadata"]["row_id"] = True
 
     def _evolve_colmap(base_cm: dict, stage_cm: dict | None = None):
         """With mapping active, every schema field needs a physical
@@ -1876,6 +1904,8 @@ def write(
                             **(f.get("metadata") or {}),
                             "identity": {"start": s0, "step": s1},
                         }
+                        if row_tracking and f["name"] == "_row_id":
+                            f["metadata"]["row_id"] = True
             # staged files are physical-named and stay valid across a
             # concurrent rename (physical names never change); re-derive
             # the recorded map against the head, keeping our already-
@@ -1898,18 +1928,39 @@ def write(
             expected = head + 1
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    row_ids: bool = False,
+) -> DataFrame:
     """AS-OF read: resolve the snapshot to a file list and plan a parquet
     scan over exactly those files, typed by the LOG's schema record at
     that version (never footer sniffing — Delta's model): files written
     before an ADD COLUMN serve NULL for it by Spark's name-based parquet
     reconciliation, and an AS-OF read before the evolution serves the
     old schema.  Legacy logs without schema records fall back to
-    inference."""
+    inference.
+
+    `row_ids=True` exposes ROW-TRACKING columns (write(row_tracking=
+    True)'s `_row_id` — Delta's row-id metadata column): hidden by
+    default like Delta's `_metadata.row_id`, materialized in the data
+    files and stable across update/merge/optimize rewrites.  The
+    projection drop is Catalyst column pruning — a default read never
+    scans the id column."""
     entries, schema, dvs, _c, colmap = _replay(path, version)
     if not entries:
         raise ValueError(f"minitable {path} is empty at version {version}")
-    return _read_files_dv(spark, path, [f for f, _ in entries], schema, dvs, colmap=colmap)
+    df = _read_files_dv(spark, path, [f for f, _ in entries], schema, dvs, colmap=colmap)
+    if not row_ids and schema is not None:
+        hidden = [
+            f["name"]
+            for f in schema.get("fields", [])
+            if (f.get("metadata") or {}).get("row_id")
+        ]
+        if hidden:
+            df = df.drop(*hidden)
+    return df
 
 
 def _read_files_dv(
@@ -2491,7 +2542,7 @@ def merge(
             metadata={
                 k: v
                 for k, v in (f.get("metadata") or {}).items()
-                if k not in ("generated", "identity")
+                if k not in ("generated", "identity", "row_id")
             },
         )
         for f in source.schema.jsonValue()["fields"]
