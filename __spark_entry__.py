@@ -21,10 +21,13 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 deletion-vector DELETE, CHECK constraints, shallow clone), storage/scale
                 q105+q110+q112-q114+q117+q121+q128+q130-q135+q137+
                 q141-q142+q144+q148+q150-q153+q155-q156+q160-q161.
-oracle_sql()  — DuckDB twins for all of the above except q104
-                (library-internal MinHashLSH hashes; rows-only with a
-                pytest recall gate).  Not-yet-driver-verified queries are
-                fronted so the capped gate covers them first.
+oracle_sql()  — DuckDB twins for ALL of the above, including q104 since
+                round 11 (the library MinHashLSH hash family re-derived
+                from its seed via java.util.Random's LCG + straight-line
+                murmur3 — dedup.py _ml_lsh_coefficients/_mm3_16_sql_ctes;
+                a pytest recall gate runs on top).  Not-yet-driver-
+                verified queries are fronted so the capped gate covers
+                them first.
 """
 
 from __future__ import annotations

@@ -118,3 +118,99 @@ def test_gram_unit_rounding_matches_round6(spark, sf_dir):
     p = np.einsum("ni,nj->nij", m, m)[:, iu, ju].ravel()
     np_units = (np.sign(p) * np.floor(np.abs(p) * 1e6 + 0.5)).astype(np.int64)
     assert (np_units == sp_units).all()
+
+
+def test_ml_lsh_hash_family_reproduced_bit_exact(spark):
+    """The q104 oracle's re-derivation of pyspark.ml MinHashLSH is
+    bit-exact: java.util.Random LCG coefficients (_ml_lsh_coefficients)
+    + straight-line murmur3 over 16-char terms equal the library's own
+    hash values, and the DuckDB CTE chain (_mm3_16_sql_ctes) equals the
+    Python murmur3 over random terms."""
+    import hashlib
+
+    import duckdb
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.operators.dedup import (
+        _ML_LSH_PRIME,
+        _ml_lsh_coefficients,
+        _mm3_16_sql_ctes,
+    )
+
+    MASK = 0xFFFFFFFF
+
+    def mul32(a, b):
+        return (a * b) & MASK
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & MASK
+
+    def mm3_16(term: str) -> int:
+        bs = term.encode()
+        h = 42
+        for i in range(4):
+            w = bs[4 * i] | (bs[4 * i + 1] << 8) | (bs[4 * i + 2] << 16) | (
+                bs[4 * i + 3] << 24
+            )
+            k = mul32(w, 0xCC9E2D51)
+            k = rotl(k, 15)
+            k = mul32(k, 0x1B873593)
+            h = (h ^ k) & MASK
+            h = rotl(h, 13)
+            h = (mul32(h, 5) + 0xE6546B64) & MASK
+        h ^= 16
+        h ^= h >> 16
+        h = mul32(h, 0x85EBCA6B)
+        h ^= h >> 13
+        h = mul32(h, 0xC2B2AE35)
+        h ^= h >> 16
+        return h
+
+    # 1) python murmur3 == DuckDB CTE chain over random md5-16 terms
+    # (parallel unnests zip, giving each term a distinct doc_id; the
+    # generator's chain starts from ml_terms(doc_id, term))
+    terms = [hashlib.md5(f"t{i}".encode()).hexdigest()[:16] for i in range(500)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ml_terms AS SELECT unnest(?) AS term, "
+        "unnest(range(1, ? + 1)) AS doc_id", [terms, len(terms)],
+    )
+    rows = con.execute(
+        "WITH " + _mm3_16_sql_ctes()
+        + " SELECT t.term, m.mm3 FROM ml_mm m JOIN ml_terms t USING (doc_id)"
+    ).fetchall()
+    assert len(rows) == len(terms)
+    bad = [(t, got, mm3_16(t)) for t, got in rows if got != mm3_16(t)]
+    assert not bad, bad[:3]
+
+    # 2) coefficients + hash values == the library's, end to end
+    data = [
+        (1, sorted({hashlib.md5(s.encode()).hexdigest()[:16]
+                    for s in ("a b c", "x y z", "q w e")})),
+        (2, sorted({hashlib.md5(s.encode()).hexdigest()[:16]
+                    for s in ("a b c", "m n o")})),
+    ]
+    df = spark.createDataFrame(data, "doc_id int, terms array<string>")
+    vec = HashingTF(
+        inputCol="terms", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(df)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=6, seed=42
+    ).fit(vec)
+    got = {
+        r["doc_id"]: [int(x) for x in r["hv"]]
+        for r in model.transform(vec).select(
+            "doc_id",
+            F.transform(
+                "hashes", lambda v: vector_to_array(v)[0].cast("bigint")
+            ).alias("hv"),
+        ).collect()
+    }
+    coefs = _ml_lsh_coefficients()
+    for d, ts in data:
+        elems = {mm3_16(t) % (1 << 18) for t in ts}
+        mine = [min(((1 + e) * a + b) % _ML_LSH_PRIME for e in elems)
+                for a, b in coefs]
+        assert mine == got[d], (d, mine, got[d])

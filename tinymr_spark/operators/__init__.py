@@ -15,14 +15,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Queries the driver's capped 50-entry correctness gate has hash-verified,
 # keyed by the MOST RECENT round that verified them (union of
-# CORRECTNESS_r01-r06 keys).  q104 is counted here although its r4 row is
-# rows-only by contract (no SQL oracle exists for the library's internal
-# minhash coefficients): the driver has recorded the strongest check it
-# can ever make, so the query must not keep occupying a front-of-gate
-# slot.  The round number drives the backlog rotation in all_queries():
-# least-recently-verified queries re-enter the gate first, so every query
-# is periodically re-confirmed instead of q01-q31 soaking up the spare
-# slots each round.
+# CORRECTNESS_r01-r06 keys).  The round number drives the backlog
+# rotation in all_queries(): least-recently-verified queries re-enter
+# the gate first, so every query is periodically re-confirmed instead of
+# q01-q31 soaking up the spare slots each round.  q104's r4/r9 rows were
+# rows-only (it had no SQL oracle until round 11 re-derived the
+# library's hash family); its r9 entry is deliberately REMOVED below so
+# the new value-hash oracle gets a driver verification this round.
 def _verified_rounds() -> dict[str, int]:
     rounds: dict[str, int] = {}
     for rnd, entries in _VERIFIED_BY_ROUND:
@@ -194,7 +193,7 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (190, "column_mapping"), (191, "null_scrub_delete"),
         (192, "merge_accumulate"), (193, "table_history"),
         (194, "convert_in_place"), (109, "unigram_logprob"),
-        (116, "train_val_split"), (104, "ml_minhash_lsh"),
+        (116, "train_val_split"),
         (106, "substring_dedup"), (107, "minhash_merge"),
         (118, "group_representatives"), (111, "embedding_dim_stats"),
         (108, "scd2_history"), (115, "global_range_join"),

@@ -1044,6 +1044,113 @@ ML_LSH_DIST_MAX = 0.6  # Jaccard distance cutoff (similarity >= 0.4)
 # recall gate to survive a corpus regeneration).
 ML_LSH_TABLES = 6
 
+
+class _JavaRandom:
+    """java.util.Random's LCG (the JDK-documented algorithm) — enough to
+    re-derive pyspark.ml MinHashLSH's hash-family coefficients from its
+    seed: MinHashLSH.fit draws them as `new scala.util.Random(seed)` →
+    java.util.Random, `(1 + nextInt(HASH_PRIME-1), nextInt(HASH_PRIME-1))`
+    per table (Spark ml/feature/MinHashLSH.scala).  Verified bit-exact
+    against the library (tests/test_similarity_recall.py)."""
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        return self.seed >> (48 - bits)
+
+    def next_int(self, bound: int) -> int:
+        if bound <= 0:
+            raise ValueError("bound must be positive")
+        if (bound & -bound) == bound:  # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) < (1 << 31):
+                return val
+
+
+_ML_LSH_PRIME = 2038074743  # MinHashLSH.HASH_PRIME
+_ML_LSH_SEED = 42
+
+
+def _ml_lsh_coefficients() -> list[tuple[int, int]]:
+    rand = _JavaRandom(_ML_LSH_SEED)
+    return [
+        (1 + rand.next_int(_ML_LSH_PRIME - 1), rand.next_int(_ML_LSH_PRIME - 1))
+        for _ in range(ML_LSH_TABLES)
+    ]
+
+
+def _mm3_16_sql_ctes() -> str:
+    """Murmur3_x86_32(seed=42) of a FIXED 16-ASCII-char `term` column as
+    a chain of MATERIALIZED CTEs from `ml_terms(doc_id, term)` to
+    `ml_mm(doc_id, mm3)`.  16 bytes = exactly four little-endian words
+    and NO tail, where Spark's hashUnsafeBytes/hashUnsafeBytes2 variants
+    agree, so this is HashingTF's term index function whenever terms are
+    md5-hex-16 strings (q104 feeds it exactly those).
+
+    32-bit ops are emulated on BIGINT with explicit masks;
+    multiplications split 16/16 so no intermediate exceeds 2^49 (DuckDB
+    BIGINT overflow throws).  One MATERIALIZED CTE per mixing round is
+    load-bearing, not style: a 32-bit op references its operand 2-3
+    times, so a single straight-line expression (or inlined single-use
+    CTEs) compounds to ~3^22 leaf nodes under DuckDB's substitution —
+    the materialization barrier caps each round's expansion at ~10^2
+    column references.  Verified bit-exact over random terms
+    (tests/test_similarity_recall.py)."""
+
+    def mul32(a: str, c: int) -> str:
+        return (
+            f"((({a}) % 65536) * {c} + "
+            f"((((({a}) // 65536) * {c}) % 65536) * 65536)) % 4294967296"
+        )
+
+    def rotl(x: str, r: int) -> str:
+        return f"((({x}) * {1 << r}) % 4294967296 + (({x}) // {1 << (32 - r)}))"
+
+    def xor(a: str, b: str) -> str:
+        return f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+
+    def mix_round(h_in: str, w: str) -> str:
+        k = mul32(rotl(mul32(w, 0xCC9E2D51), 15), 0x1B873593)
+        hx = rotl(xor(h_in, k), 13)
+        return f"(({mul32(hx, 5)}) + 3864292196) % 4294967296"
+
+    words = ", ".join(
+        f"ascii(substr(term, {4 * i + 1}, 1)) + "
+        f"ascii(substr(term, {4 * i + 2}, 1)) * 256 + "
+        f"ascii(substr(term, {4 * i + 3}, 1)) * 65536 + "
+        f"ascii(substr(term, {4 * i + 4}, 1)) * 16777216 AS w{i}"
+        for i in range(4)
+    )
+    ctes = [f"ml_w AS MATERIALIZED (SELECT doc_id, {words} FROM ml_terms)"]
+    prev, h = "ml_w", str(_ML_LSH_SEED)
+    for i in range(4):
+        carry = ", ".join(f"w{j}" for j in range(i + 1, 4))
+        carry = f", {carry}" if carry else ""
+        ctes.append(
+            f"ml_h{i} AS MATERIALIZED (SELECT doc_id{carry}, "
+            f"{mix_round(h, f'w{i}')} AS h FROM {prev})"
+        )
+        prev, h = f"ml_h{i}", "h"
+    # fmix(h, lengthInBytes=16), split at the multiplications
+    ctes.append(
+        "ml_f0 AS MATERIALIZED (SELECT doc_id, "
+        + mul32(xor(xor("h", "16"), f"({xor('h', '16')}) // 65536"), 0x85EBCA6B)
+        + " AS h FROM ml_h3)"
+    )
+    ctes.append(
+        "ml_f1 AS MATERIALIZED (SELECT doc_id, "
+        + mul32(xor("h", "h // 8192"), 0xC2B2AE35)
+        + " AS h FROM ml_f0)"
+    )
+    ctes.append("ml_mm AS (SELECT doc_id, " + xor("h", "h // 65536") + " AS mm3 FROM ml_f1)")
+    return ",\n    ".join(ctes)
+
+
 def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     """The LSH index as two WRITTEN bucketed standing tables (the
     q123/q125/q140 artifact lifecycle, sources.standing_index) instead of
@@ -1082,8 +1189,22 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     # — costs nothing when both tables already exist) so a fresh-version
     # rebuild pays the shingling corpus pass ONCE across the two
     # builders, not once each; released after both tables resolve.
+    # Terms are FIXED 16-hex-char md5 prefixes of the raw shingles (not
+    # the raw strings): HashingTF's murmur3 over 16 ASCII bytes is four
+    # aligned words with no tail, which the DuckDB oracle reproduces as
+    # straight-line SQL (_mm3_16_sql_steps) — this is what upgraded q104
+    # from rows-only to a full value-hash gate (round 11).  md5 is
+    # bit-identical across Spark/DuckDB/Python; 64 bits of prefix keep
+    # within-doc collisions negligible (and both engines would have to
+    # collide IDENTICALLY to diverge).
     shingled = docs.where(F.size("toks") >= 3).select(
-        "doc_id", F.array_distinct(ngrams(F.col("toks"), 3)).alias("shingles")
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                ngrams(F.col("toks"), 3),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            )
+        ).alias("shingles"),
     ).persist()
 
     def _build_bands() -> DataFrame:
@@ -1104,7 +1225,7 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     try:
         bands = standing_index(
             spark,
-            f"mllsh{ML_LSH_TABLES}_bands",
+            f"mllsh{ML_LSH_TABLES}md5_bands",  # tag bump: md5-16 terms (r11)
             [path],
             _build_bands,
             key_cols=["entry", "h"],
@@ -1112,7 +1233,7 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
         )
         sets = standing_index(
             spark,
-            "mllsh_sets",
+            "mllshmd5_sets",  # tag bump: md5-16 terms (r11)
             [path],
             lambda: shingled.select(
                 "doc_id",
@@ -1131,10 +1252,17 @@ def q104_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT distinct-shingle Jaccard.  Deviation from the pre-r7 vector
     path: keyDistance measured Jaccard on the HashingTF index sets, where
     2^18-feature collisions could nudge a pair across the boundary; the
-    standing-index migration verifies on the exact shingle sets instead —
-    strictly more accurate, same rows-only driver contract, and the
-    recall gate vs q41's exact-Jaccard truth (>= 0.9,
-    tests/test_similarity_recall.py) is unchanged."""
+    standing-index migration verifies on the exact shingle sets instead.
+
+    FULLY hash-gated since round 11 (previously the one rows-only query):
+    ORACLE_Q104 replays the library's exact pipeline in DuckDB SQL —
+    HashingTF's murmur3 term index (straight-line, possible because the
+    terms are fixed 16-char md5 prefixes: _mm3_16_sql_steps) and the
+    MinHashLSH hash family with coefficients re-derived from the seed
+    via java.util.Random's LCG (_ml_lsh_coefficients) — then the same
+    band join and exact-Jaccard verification.  The recall gate vs q41's
+    exact-Jaccard truth (>= 0.9, tests/test_similarity_recall.py) still
+    runs on top."""
     bands, sets = _ml_lsh_index(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1855,7 +1983,54 @@ QUERIES = {
     "q157_semdedup": q157_semdedup,
 }
 
+# DuckDB twin of the FULL library pipeline (see q104 docstring): terms,
+# murmur3 feature indices, seed-derived minhash coefficients, band
+# self-join, exact-Jaccard verify.  The threshold filters on the ROUNDED
+# jdist exactly like the Spark side.
+_ML_COEF_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_ml_lsh_coefficients())
+)
+ORACLE_Q104 = (
+    _SQL_SHINGLES
+    + f"""
+    , ml_terms AS MATERIALIZED (
+        SELECT DISTINCT doc_id, substr(md5(sh), 1, 16) AS term FROM shingles
+    ),
+    {_mm3_16_sql_ctes()},
+    ml_feats AS (SELECT DISTINCT doc_id, mm3 % 262144 AS elem FROM ml_mm),
+    ml_coefs AS (SELECT * FROM (VALUES {_ML_COEF_ROWS}) AS t(tbl, a, b)),
+    ml_hashes AS (
+        SELECT doc_id, tbl, MIN(((1 + elem) * a + b) % {_ML_LSH_PRIME}) AS h
+        FROM ml_feats, ml_coefs
+        GROUP BY doc_id, tbl
+    ),
+    ml_cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM ml_hashes x JOIN ml_hashes y
+          ON x.tbl = y.tbl AND x.h = y.h AND x.doc_id < y.doc_id
+    ),
+    ml_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    ml_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+SELECT doc_a, doc_b, jdist FROM (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(1.0 - CAST(COALESCE(m.n_common, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 4) AS jdist
+    FROM ml_cand c
+    JOIN ml_sizes sa ON c.doc_a = sa.doc_id
+    JOIN ml_sizes sb ON c.doc_b = sb.doc_id
+    LEFT JOIN ml_common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b
+)
+WHERE jdist <= {ML_LSH_DIST_MAX}
+"""
+)
+
+
 ORACLE = {
+    "q104_ml_minhash_lsh": ORACLE_Q104,
     "q40_dedup_exact": ORACLE_Q40,
     "q41_dedup_jaccard": ORACLE_Q41,
     "q42_dedup_minhash": ORACLE_Q42,
