@@ -6,21 +6,31 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 q01-q29+q85+q89+q139 (SQL incl. recursive CTE +
                 SQL-defined scalar/table functions), text
                 q30-q39+q86-q88+q101-q103+q109+q116+q125-q126+q145+q187,
-                dedup q40-q49+q104+q106-q107+q118+q123+q127, similarity
-                q50-q59+q111+q140+q147, graph q146 (iterative PageRank),
+                dedup q40-q41+q44-q49+q104+q106-q107+q118+q123+q127,
+                similarity q50+q52+q54-q55+q57-q59+q111+q140+q147,
+                graph q146 (iterative PageRank),
                 multimodal q60-q62+q65-q69, pandas-UDF/UDTF
                 q63-q64+q100+q119-q120+q129, events q70-q79+q108+q115+q154,
                 MapReduce-face q80-q84, streaming
-                q90-q99+q122+q124+q136+q138+q143+q149+q159+q163+q171,
+                q90-q99+q122+q124+q136+q138+q143+q149+q159+q163+q171+q205,
                 graph/iterative q146+q157-q158+q168-q169+q172+q175-q176,
-                lakehouse (minitable) q162-q167+q170+q173-q174+q177-q186
-                (time travel, MERGE, DELETE incl. NULL-safe tiers,
-                OPTIMIZE/ZORDER, data skipping + blooms, commit-log
-                checkpoints, schema evolution, change feed with removes,
-                incremental MV over the DML feed, zero-copy RESTORE,
-                deletion-vector DELETE, CHECK constraints, shallow clone), storage/scale
-                q105+q110+q112-q114+q117+q121+q128+q130-q135+q137+
+                lakehouse (minitable) q162-q163+q166-q167+q170+q173+
+                q177-q203+q205-q206 (time travel, MERGE incl. schema
+                evolution, UPDATE, DELETE incl. NULL-safe tiers,
+                OPTIMIZE/ZORDER verbs with recorded cluster keys,
+                data skipping + blooms, commit-log checkpoints, schema
+                evolution + column mapping, change feed with removes,
+                streaming CDC over the full DML history, incremental MV
+                over the DML feed, zero-copy RESTORE, deletion-vector
+                DELETE, CHECK constraints, generated/identity columns,
+                ROW TRACKING, shallow clone), storage/scale
+                q110+q112-q114+q117+q121+q128+q131-q135+q137+
                 q141-q142+q144+q148+q150-q153+q155-q156+q160-q161.
+                Round 11 retired ten near-duplicates into strictly-more-
+                general survivors (q42-q43, q51, q53, q56, q105, q130,
+                q164-q165, q174, and q204 absorbed into q205) — their
+                functions, oracles, and assertions live on in the package
+                and tests/test_retired_parity.py.
 oracle_sql()  — DuckDB twins for ALL of the above, including q104 since
                 round 11 (the library MinHashLSH hash family re-derived
                 from its seed via java.util.Random's LCG + straight-line

@@ -1966,8 +1966,6 @@ GROUP BY removed, cell, shard, csim
 QUERIES = {
     "q40_dedup_exact": q40_dedup_exact,
     "q41_dedup_jaccard": q41_dedup_jaccard,
-    "q42_dedup_minhash": q42_dedup_minhash,
-    "q43_dedup_simhash": q43_dedup_simhash,
     "q44_dedup_embedding": q44_dedup_embedding,
     "q45_dedup_minhash_banded": q45_dedup_minhash_banded,
     "q46_dedup_groups": q46_dedup_groups,
@@ -2033,8 +2031,6 @@ ORACLE = {
     "q104_ml_minhash_lsh": ORACLE_Q104,
     "q40_dedup_exact": ORACLE_Q40,
     "q41_dedup_jaccard": ORACLE_Q41,
-    "q42_dedup_minhash": ORACLE_Q42,
-    "q43_dedup_simhash": ORACLE_Q43,
     "q44_dedup_embedding": ORACLE_Q44,
     "q45_dedup_minhash_banded": ORACLE_Q45,
     "q46_dedup_groups": ORACLE_Q46,

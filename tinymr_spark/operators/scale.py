@@ -5355,145 +5355,6 @@ WHERE l_partkey <= pk AND l_suppkey <= sk
 """
 
 
-# ---------------------------------------------------------------------------
-# q204 — STREAMING CHANGE-DATA-CAPTURE source (minitable_stream
-# mode=cdf — Delta's streaming readChangeFeed), closing the CDC matrix:
-# q164/q181 read the feed in batch, q171 streams appends; this streams
-# the FEED — rows tagged (_change_type, _commit_version), the initial
-# batch being the snapshot as inserts (startingVersion semantics),
-# appends as inserts, and merge/replace_where commits streamed from
-# their EXPLICIT change-data files verbatim — plain parquet carrying
-# _change_type, so the executor-per-file scale split holds with no
-# joins and no table byte through the driver.  Commits whose feed needs
-# driver-side reconstruction (predicate deletes, DV diffs) refuse
-# loudly with batch change_feed() as the pointed-to alternative — a CDC
-# pipeline is never silently wrong (tests pin the refusal, the
-# batch-feed equality, maintenance-commit skip, DV-filtered snapshots,
-# and fresh-subscription semantics).  Build: v0 orders ingest ->
-# snapshot drain -> v1 append (the %10==3 slice) -> v2 replace_where
-# backfill of the low key quarter (even keys kept) -> delta drain; the
-# drained rows land via foreachBatch and the gate hash-checks their
-# per-(change_type, commit_version) counts and decimal-exact sums
-# against the oracle's reconstruction of all three commits.
-# ---------------------------------------------------------------------------
-def q204_stream_change_feed(spark, sf_dir: str) -> DataFrame:
-    import os
-
-    from tinymr_spark.sources import (
-        load_table,
-        minitable,
-        minitable_stream,
-        table_path,
-        versioned_staging_dir,
-    )
-
-    src_path = table_path(sf_dir, "orders")
-    table = versioned_staging_dir("tinymr_spark_minitable_cdc", src_path)
-    # sibling artifacts MUST be `<ver>.`-prefixed: the staging helper's
-    # version GC keeps only `ver` and `ver.*` names (a bare `_landed`
-    # suffix was swept on the next resolve — burned once)
-    landed = table + ".landed"
-    ckpt = table + ".ckpt"
-    done = table + "._done"
-    if (
-        not os.path.exists(done)
-        or not os.path.isdir(landed)
-        or len(minitable.versions(table)) < 3
-    ):
-        import contextlib
-        import shutil
-
-        with contextlib.suppress(OSError):
-            os.remove(done)  # a stale marker must not outlive a crash
-            # mid-rebuild (the guard below would then skip forever)
-        shutil.rmtree(table, ignore_errors=True)
-        shutil.rmtree(landed, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-        minitable_stream.register(spark)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", F.col("o_totalprice").cast("double")
-        )
-        kk = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 4
-        minitable.write(spark, orders, table, "overwrite", stats_cols=["o_orderkey"])
-
-        def drain():
-            def sink(bdf, _bid):
-                bdf.write.mode("append").parquet(landed)
-
-            q = (
-                spark.readStream.format("tinymr_minitable_stream")
-                .option("path", table)
-                .option("columns", "o_orderkey,o_totalprice")
-                .option("mode", "cdf").load()
-                .writeStream.foreachBatch(sink)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True).start()
-            )
-            q.awaitTermination()
-
-        drain()  # snapshot as inserts, _commit_version = 0
-        minitable.write(  # v1: append the %10==3 slice
-            spark, orders.where(F.col("o_orderkey") % 10 == 3),
-            table, "append", stats_cols=["o_orderkey"],
-        )
-        minitable.replace_where(  # v2: backfill, explicit CDF staged
-            spark,
-            orders.where(
-                (F.col("o_orderkey") <= kk) & (F.col("o_orderkey") % 2 == 0)
-            ),
-            table, [("o_orderkey", "<=", kk)], stats_cols=["o_orderkey"],
-        )
-        drain()  # the delta: v1 inserts + v2 deletes/inserts
-        # the streamed delta must equal the batch feed, row for row
-        got = spark.read.parquet(landed).where("_commit_version > 0")
-        feed = minitable.change_feed(spark, table, 0, 2).select(
-            "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
-        )
-        assert sorted(tuple(r) for r in got.collect()) == sorted(
-            tuple(r) for r in feed.collect()
-        ), "stream/batch feed divergence"
-        open(done, "w").close()
-
-    return (
-        spark.read.parquet(landed)
-        .groupBy(
-            F.col("_change_type").alias("change_type"),
-            F.col("_commit_version").cast("int").alias("commit_version"),
-        )
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
-        )
-    )
-
-
-ORACLE_Q204 = """
-WITH m AS (SELECT MAX(o_orderkey) // 4 AS kk FROM orders),
-member AS (
-    SELECT 'insert' AS change_type, 0 AS commit_version, o_totalprice
-    FROM orders
-    UNION ALL
-    SELECT 'insert', 1, o_totalprice
-    FROM orders WHERE o_orderkey % 10 = 3
-    UNION ALL
-    SELECT 'delete', 2, o_totalprice
-    FROM orders, m WHERE o_orderkey <= kk
-    UNION ALL
-    SELECT 'delete', 2, o_totalprice
-    FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 10 = 3
-    UNION ALL
-    SELECT 'insert', 2, o_totalprice
-    FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 2 = 0
-)
-SELECT change_type,
-       CAST(commit_version AS INT) AS commit_version,
-       COUNT(*) AS n_rows,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-FROM member
-GROUP BY change_type, commit_version
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -5533,7 +5394,7 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
     if (
         not os.path.exists(done)
         or not os.path.isdir(landed)
-        or len(minitable.versions(table)) < 4
+        or len(minitable.versions(table)) < 5
     ):
         import contextlib
         import shutil
@@ -5578,16 +5439,27 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
             spark, orders.where(F.col("o_orderkey") % 10 == 3),
             table, "append", stats_cols=["o_orderkey"],
         )
-        minitable.delete_dv(  # v2: sidecar-only delete (no cdf, no rewrites)
+        minitable.replace_where(  # v2: backfill restating the evens of
+            # the low quarter — stages EXPLICIT change-data files, which
+            # stream VERBATIM (the retired q204's path, absorbed here)
+            spark,
+            orders.where(
+                (F.col("o_orderkey") <= kk) & (F.col("o_orderkey") % 2 == 0)
+            ),
+            table, [("o_orderkey", "<=", kk)], stats_cols=["o_orderkey"],
+        )
+        minitable.delete_dv(  # v3: sidecar-only delete (no cdf, no
+            # rewrites) — only keys > kk are still live to match
             spark, table, [("o_orderkey", "in", dv_keys)]
         )
-        minitable.delete(  # v3: predicate delete (records the conjunction
+        minitable.delete(  # v4: predicate delete (records the conjunction
             # only — its feed is reconstructed from the removed files)
-            spark, table, [("o_orderkey", "<", kk)], stats_cols=["o_orderkey"],
+            spark, table, [("o_orderkey", "<", kk // 2)],
+            stats_cols=["o_orderkey"],
         )
-        drain()  # v1 inserts + v2 DV-diff deletes + v3 reconstructed deletes
+        drain()  # v1 inserts + v2 explicit CDF + v3 DV diffs + v4 rebuilt
         got = spark.read.parquet(landed).where("_commit_version > 0")
-        feed = minitable.change_feed(spark, table, 0, 3).select(
+        feed = minitable.change_feed(spark, table, 0, 4).select(
             "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
         )
         assert sorted(tuple(r) for r in got.collect()) == sorted(
@@ -5610,10 +5482,12 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
     )
 
 
-# The SQL replay: %10==3 appends never collide with %100==7 DV deletes
-# (a key ending in 3 is never ≡7 mod 100), so v3's reconstruction is the
-# base survivors (k < kk, not DV-killed) plus the appended copies
-# (k < kk, %10==3).
+# The SQL replay.  v2 (replace_where <= kk, restating the evens) emits
+# explicit CDF: deletes = every live in-scope row (base + the appended
+# %10==3 copies), inserts = the evens.  v3's DV delete can only match
+# keys > kk (in-scope keys ≡7 mod 100 are odd, and the low quarter holds
+# only evens after v2).  v4's reconstruction is the evens below kk/2 —
+# the only live rows there.
 ORACLE_Q205 = """
 WITH m AS (SELECT MAX(o_orderkey) // 4 AS kk FROM orders),
 member AS (
@@ -5624,13 +5498,19 @@ member AS (
     FROM orders WHERE o_orderkey % 10 = 3
     UNION ALL
     SELECT 'delete', 2, o_totalprice
-    FROM orders WHERE o_orderkey % 100 = 7
+    FROM orders, m WHERE o_orderkey <= kk
+    UNION ALL
+    SELECT 'delete', 2, o_totalprice
+    FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 10 = 3
+    UNION ALL
+    SELECT 'insert', 2, o_totalprice
+    FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 2 = 0
     UNION ALL
     SELECT 'delete', 3, o_totalprice
-    FROM orders, m WHERE o_orderkey < kk AND o_orderkey % 100 <> 7
+    FROM orders, m WHERE o_orderkey > kk AND o_orderkey % 100 = 7
     UNION ALL
-    SELECT 'delete', 3, o_totalprice
-    FROM orders, m WHERE o_orderkey < kk AND o_orderkey % 10 = 3
+    SELECT 'delete', 4, o_totalprice
+    FROM orders, m WHERE o_orderkey < kk // 2 AND o_orderkey % 2 = 0
 )
 SELECT change_type,
        CAST(commit_version AS INT) AS commit_version,
@@ -5774,7 +5654,6 @@ FROM m
 
 
 QUERIES = {
-    "q105_compact_small_files": q105_compact_small_files,
     "q110_salted_skew_join": q110_salted_skew_join,
     "q112_hll_sketch_merge": q112_hll_sketch_merge,
     "q113_bucketed_join": q113_bucketed_join,
@@ -5782,7 +5661,6 @@ QUERIES = {
     "q117_table_fingerprint": q117_table_fingerprint,
     "q121_python_datasource": q121_python_datasource,
     "q128_observe_metrics": q128_observe_metrics,
-    "q130_zorder_layout": q130_zorder_layout,
     "q131_histogram_quantiles": q131_histogram_quantiles,
     "q132_countmin_sketch": q132_countmin_sketch,
     "q133_snapshot_diff": q133_snapshot_diff,
@@ -5801,13 +5679,10 @@ QUERIES = {
     "q156_federated_join": q156_federated_join,
     "q160_weighted_sample": q160_weighted_sample,
     "q162_time_travel": q162_time_travel,
-    "q164_change_feed": q164_change_feed,
-    "q165_incremental_mv": q165_incremental_mv,
     "q166_merge_upsert": q166_merge_upsert,
     "q167_data_skipping": q167_data_skipping,
     "q170_bloom_skipping": q170_bloom_skipping,
     "q173_optimize_binpack": q173_optimize_binpack,
-    "q174_optimize_zorder": q174_optimize_zorder,
     "q175_linear_regression": q175_linear_regression,
     "q176_grouped_regression": q176_grouped_regression,
     "q177_delete_where": q177_delete_where,
@@ -5833,13 +5708,11 @@ QUERIES = {
     "q201_replace_where": q201_replace_where,
     "q202_merge_schema_evolution": q202_merge_schema_evolution,
     "q203_clustered_compaction": q203_clustered_compaction,
-    "q204_stream_change_feed": q204_stream_change_feed,
     "q205_stream_cdc_full_dml": q205_stream_cdc_full_dml,
     "q206_row_tracking": q206_row_tracking,
 }
 
 ORACLE = {
-    "q105_compact_small_files": ORACLE_Q105,
     "q110_salted_skew_join": ORACLE_Q110,
     "q112_hll_sketch_merge": ORACLE_Q112,
     "q113_bucketed_join": ORACLE_Q113,
@@ -5847,7 +5720,6 @@ ORACLE = {
     "q117_table_fingerprint": ORACLE_Q117,
     "q121_python_datasource": ORACLE_Q121,
     "q128_observe_metrics": ORACLE_Q128,
-    "q130_zorder_layout": ORACLE_Q130,
     "q131_histogram_quantiles": ORACLE_Q131,
     "q132_countmin_sketch": ORACLE_Q132,
     "q133_snapshot_diff": ORACLE_Q133,
@@ -5866,13 +5738,10 @@ ORACLE = {
     "q156_federated_join": ORACLE_Q156,
     "q160_weighted_sample": ORACLE_Q160,
     "q162_time_travel": ORACLE_Q162,
-    "q164_change_feed": ORACLE_Q164,
-    "q165_incremental_mv": ORACLE_Q165,
     "q166_merge_upsert": ORACLE_Q166,
     "q167_data_skipping": ORACLE_Q167,
     "q170_bloom_skipping": ORACLE_Q170,
     "q173_optimize_binpack": ORACLE_Q173,
-    "q174_optimize_zorder": ORACLE_Q174,
     "q175_linear_regression": ORACLE_Q175,
     "q176_grouped_regression": ORACLE_Q176,
     "q177_delete_where": ORACLE_Q177,
@@ -5898,7 +5767,6 @@ ORACLE = {
     "q201_replace_where": ORACLE_Q201,
     "q202_merge_schema_evolution": ORACLE_Q202,
     "q203_clustered_compaction": ORACLE_Q203,
-    "q204_stream_change_feed": ORACLE_Q204,
     "q205_stream_cdc_full_dml": ORACLE_Q205,
     "q206_row_tracking": ORACLE_Q206,
 }

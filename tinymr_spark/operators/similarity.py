@@ -1277,12 +1277,9 @@ FROM gram g JOIN dims di ON di.d = g.i JOIN dims dj ON dj.d = g.j
 
 QUERIES = {
     "q50_ann_bruteforce": q50_ann_bruteforce,
-    "q51_ann_bucketed": q51_ann_bucketed,
     "q52_label_centroids": q52_label_centroids,
-    "q53_lsh_buckets": q53_lsh_buckets,
     "q54_ann_ivf": q54_ann_ivf,
     "q55_embedding_lsh_dedup": q55_embedding_lsh_dedup,
-    "q56_normalize_quantize": q56_normalize_quantize,
     "q147_hybrid_rrf": q147_hybrid_rrf,
     "q57_kmeans_iteration": q57_kmeans_iteration,
     "q161_embedding_covariance": q161_embedding_covariance,
@@ -1294,12 +1291,9 @@ QUERIES = {
 
 ORACLE = {
     "q50_ann_bruteforce": ORACLE_Q50,
-    "q51_ann_bucketed": ORACLE_Q51,
     "q52_label_centroids": ORACLE_Q52,
-    "q53_lsh_buckets": ORACLE_Q53,
     "q54_ann_ivf": ORACLE_Q54,
     "q55_embedding_lsh_dedup": ORACLE_Q55,
-    "q56_normalize_quantize": ORACLE_Q56,
     "q147_hybrid_rrf": ORACLE_Q147,
     "q57_kmeans_iteration": ORACLE_Q57,
     "q161_embedding_covariance": ORACLE_Q161,
