@@ -5409,3 +5409,63 @@ def test_minitable_row_tracking(spark, tmp_path):
     rv0 = {r["k"]: r["_row_id"]
            for r in minitable.read(spark, path, 0, row_ids=True).collect()}
     assert rv0 == r0
+
+
+def test_minitable_inherited_layout_tolerates_column_omitting_append(spark, tmp_path):
+    """Review r11: a merge_schema append that legitimately OMITS the
+    table's partition column (readers serve NULL) must not crash on the
+    inherited layout — it falls back to flat staging, exactly the
+    pre-inheritance behavior.  A caller-NAMED layout still fails loudly."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k % 2, float(k)) for k in range(8)], "k bigint, om bigint, v double"
+    )
+    minitable.write(spark, df.repartition("om"), path, "overwrite",
+                    partition_by=["om"])
+    narrow = spark.createDataFrame([(100, 1.0, "x")],
+                                   "k bigint, v double, tag string")
+    v = minitable.write(spark, narrow, path, merge_schema=True)
+    import json as _json
+    with open(minitable._version_file(path, v)) as f:
+        rec = _json.load(f)
+    assert not any("__p_om=" in r for r in rec["added"])  # flat fallback
+    rows = {r["k"]: r["om"] for r in minitable.read(spark, path).collect()}
+    assert rows[100] is None and rows[0] == 0
+    # naming the layout explicitly still requires the column
+    with pytest.raises(Exception):
+        minitable.write(
+            spark, narrow, path, merge_schema=True, partition_by=["om"]
+        )
+
+
+def test_retire_artifact_roots_sweeps_legacy_names(spark, tmp_path):
+    """Review r11: tag bumps / staging-kind renames orphan the old
+    names' trees and catalog tables; the sweep removes exactly them."""
+    import os
+
+    from tinymr_spark.sources import (
+        retire_artifact_roots,
+        staging_root,
+    )
+
+    idx_root = staging_root("tinymr_spark_index")
+    legacy_idx = os.path.join(idx_root, "zzz_legacy_tag")
+    os.makedirs(os.path.join(legacy_idx, "abc"), exist_ok=True)
+    keep_idx = os.path.join(idx_root, "zzz_legacy_tag2")
+    os.makedirs(keep_idx, exist_ok=True)
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("tv_keep")
+    legacy_kind_root = staging_root("zzz_legacy_kind")
+    os.makedirs(legacy_kind_root, exist_ok=True)
+
+    retire_artifact_roots(
+        spark, index_tags=("zzz_legacy_tag",), staging_kinds=("zzz_legacy_kind",)
+    )
+    assert not os.path.exists(legacy_idx)
+    assert os.path.isdir(keep_idx)  # the bumped name is untouched
+    assert not os.path.exists(legacy_kind_root)
+    assert spark.catalog.tableExists("tv_keep")
+    os.rmdir(keep_idx)

@@ -1175,8 +1175,17 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
-    from tinymr_spark.sources import standing_index, table_path
+    from tinymr_spark.sources import (
+        retire_artifact_roots,
+        standing_index,
+        table_path,
+    )
 
+    # r11 bumped the tags (md5-16 terms); sweep the r10 names' orphaned
+    # trees + catalog entries (review r11) — no-op once clean
+    retire_artifact_roots(
+        spark, index_tags=(f"mllsh{ML_LSH_TABLES}_bands", "mllsh_sets")
+    )
     path = table_path(sf_dir, "documents")
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
@@ -1192,7 +1201,7 @@ def _ml_lsh_index(spark: SparkSession, sf_dir: str):
     # Terms are FIXED 16-hex-char md5 prefixes of the raw shingles (not
     # the raw strings): HashingTF's murmur3 over 16 ASCII bytes is four
     # aligned words with no tail, which the DuckDB oracle reproduces as
-    # straight-line SQL (_mm3_16_sql_steps) — this is what upgraded q104
+    # straight-line SQL (_mm3_16_sql_ctes) — this is what upgraded q104
     # from rows-only to a full value-hash gate (round 11).  md5 is
     # bit-identical across Spark/DuckDB/Python; 64 bits of prefix keep
     # within-doc collisions negligible (and both engines would have to
@@ -1257,7 +1266,7 @@ def q104_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULLY hash-gated since round 11 (previously the one rows-only query):
     ORACLE_Q104 replays the library's exact pipeline in DuckDB SQL —
     HashingTF's murmur3 term index (straight-line, possible because the
-    terms are fixed 16-char md5 prefixes: _mm3_16_sql_steps) and the
+    terms are fixed 16-char md5 prefixes: _mm3_16_sql_ctes) and the
     MinHashLSH hash family with coefficients re-derived from the seed
     via java.util.Random's LCG (_ml_lsh_coefficients) — then the same
     band join and exact-Jaccard verification.  The recall gate vs q41's

@@ -5382,15 +5382,22 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
         load_table,
         minitable,
         minitable_stream,
+        retire_artifact_roots,
         table_path,
         versioned_staging_dir,
     )
 
+    # q205 superseded q204 in r11; sweep the retired query's orphaned
+    # staging trees (review r11) — no-op once clean
+    retire_artifact_roots(spark, staging_kinds=("tinymr_spark_minitable_cdc",))
     src_path = table_path(sf_dir, "orders")
     table = versioned_staging_dir("tinymr_spark_minitable_cdc_dml", src_path)
     landed = table + ".landed"  # `<ver>.`-prefixed: survives staging GC
     ckpt = table + ".ckpt"
-    done = table + "._done"
+    # done-marker carries a BUILD-LOGIC tag: the staging dir is keyed by
+    # source version only, so a history change (r11b bounded the DV
+    # in-list to 200 keys) must invalidate prior builds itself
+    done = table + "._done_r11b"
     if (
         not os.path.exists(done)
         or not os.path.isdir(landed)
@@ -5412,8 +5419,9 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
         dv_keys = [
             int(r[0])
             for r in orders.where(F.col("o_orderkey") % 100 == 7)
-            .select("o_orderkey").collect()
-        ]  # O(rows/100) driver list — the in-list the DV delete runs with
+            .select("o_orderkey").orderBy("o_orderkey").limit(200).collect()
+        ]  # BOUNDED driver list (review r11: an O(rows/100) in-list would
+        # bloat the commit JSON and every per-file IN evaluation at scale)
         minitable.write(
             spark, orders.repartition(4), table, "overwrite",
             stats_cols=["o_orderkey"],
@@ -5490,6 +5498,10 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
 # the only live rows there.
 ORACLE_Q205 = """
 WITH m AS (SELECT MAX(o_orderkey) // 4 AS kk FROM orders),
+seven AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey % 100 = 7 ORDER BY o_orderkey LIMIT 200
+),
 member AS (
     SELECT 'insert' AS change_type, 0 AS commit_version, o_totalprice
     FROM orders
@@ -5507,7 +5519,7 @@ member AS (
     FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 2 = 0
     UNION ALL
     SELECT 'delete', 3, o_totalprice
-    FROM orders, m WHERE o_orderkey > kk AND o_orderkey % 100 = 7
+    FROM seven, m WHERE o_orderkey > kk
     UNION ALL
     SELECT 'delete', 4, o_totalprice
     FROM orders, m WHERE o_orderkey < kk // 2 AND o_orderkey % 2 = 0
@@ -5554,7 +5566,11 @@ def q206_row_tracking(spark, sf_dir: str) -> DataFrame:
     src_path = table_path(sf_dir, "orders")
     table = versioned_staging_dir("tinymr_spark_minitable_rowtrack", src_path)
     done = table + "._done"
-    if not os.path.exists(done) or len(minitable.versions(table)) < 4:
+    # >= 3 versions = overwrite + update + merge; the optimize commit is
+    # NOT counted — optimize() legitimately returns None (no commit) when
+    # fewer than two sub-threshold files exist (review r11: requiring it
+    # would tear down and rebuild forever at SFs with big files)
+    if not os.path.exists(done) or len(minitable.versions(table)) < 3:
         import contextlib
         import shutil
 

@@ -162,6 +162,29 @@ def standing_index(
     return spark.table(name)
 
 
+def retire_artifact_roots(spark: SparkSession, index_tags=(), staging_kinds=()):
+    """One-shot cleanup for RENAMED artifact names (review r11): both
+    standing_index and versioned_staging_dir GC only within their own
+    tag/kind, so a tag bump (builder-logic change) or a staging-kind
+    rename orphans the OLD name's on-disk trees and catalog tables
+    forever.  Renaming callers invoke this with the legacy names; a
+    no-op once clean, so it is safe to call on every resolve."""
+    import shutil
+
+    idx_root = staging_root("tinymr_spark_index")
+    for tag in index_tags:
+        p = os.path.join(idx_root, tag)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        for t in spark.catalog.listTables():
+            if t.name.startswith(f"idx_{tag}_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for kind in staging_kinds:
+        p = staging_root(kind)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def versioned_staging_dir(kind: str, src: str) -> str:
     """A staged-artifact directory keyed by source path THEN source
     version (`<tmp>/<kind>_<uid>/<md5(src)>/<md5(version)>`); resolving

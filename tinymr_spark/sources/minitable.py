@@ -1591,6 +1591,7 @@ def write(
     else:
         prev_schema, constraints, colmap = None, {}, {}
 
+    inherited_layout = False
     if isinstance(partition_by, _LayoutFromTable):
         # default (not passed): an append inherits the table's recorded
         # layout so its files stay hive-laid and partition-stats'd like
@@ -1601,6 +1602,7 @@ def write(
             if (vs0 and action == "append")
             else None
         )
+        inherited_layout = partition_by is not None
 
     # GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS (expr)`): the
     # effective map is the table's recorded expressions (appends — an
@@ -1795,6 +1797,15 @@ def write(
         return newmap, (newmap if changed else None)
 
     stage_map, colmap_out = _evolve_colmap(colmap)
+    if inherited_layout and any(c not in df.columns for c in partition_by):
+        # a merge_schema append may legitimately OMIT the partition
+        # column (readers serve NULL for it) — an INHERITED layout must
+        # not turn that into a staging crash; fall back to flat staging
+        # exactly as before the inheritance existed (review r11).  A
+        # caller-NAMED layout still fails loudly in _stage.  Checked
+        # after generated-column materialization, so the everyday
+        # `day GENERATED AS ...` partition column still inherits.
+        partition_by = None
     if partition_by:
         stats_cols = sorted(set(stats_cols or []) | set(partition_by))
     added = _stage(

@@ -26,9 +26,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N_COPIES = 5
+# default 5x; the round-11 cliff check runs the same probe at 25x
+# (SPARK_GRAFT_PROBE_COPIES=25, ~2.5M events / 15M lineitem) to catch
+# constant-factor cliffs the 5x ratios hide
+N_COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "5"))
 BASE = "/root/testdata/sf0.1"
-STAGE = "/tmp/tinymr_spark_scale5x"
+STAGE = f"/tmp/tinymr_spark_scale{N_COPIES}x"
 
 SCALED = {
     "lineitem": ["l_orderkey"],
@@ -177,7 +180,7 @@ def minitable_probe(spark) -> list[tuple[str, float, float, str]]:
     t1 = os.path.join(STAGE, "minitable_1x")
     t5 = os.path.join(STAGE, "minitable_5x")
     _build_minitable(spark, BASE, t1, 8)
-    _build_minitable(spark, STAGE, t5, 40)
+    _build_minitable(spark, STAGE, t5, 8 * N_COPIES)
 
     ids = list(range(1000, 1500))  # present in both (5x copy-0 keeps base ids)
     rows = []
@@ -393,15 +396,20 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     stage(spark)
 
-    print("minitable DML verbs (1x vs 5x):")
-    print(f"{'op':34s} {'1x':>8s} {'5x':>8s} {'ratio':>6s}  note")
+    print(f"minitable DML verbs (1x vs {N_COPIES}x):")
+    print(f"{'op':34s} {'1x':>8s} {N_COPIES:>7d}x {'ratio':>6s}  note")
     for name, w1, w5, note in minitable_probe(spark):
         r = w5 / w1 if w1 > 0 else float("inf")
         print(f"{name:34s} {w1:8.2f} {w5:8.2f} {r:6.2f}  {note}")
     print()
 
     qs = entrymod.queries()
-    print(f"{'query':28s} {'sf0.1':>8s} {'5x':>8s} {'ratio':>6s}")
+    # r11 retired q130 from the registry; its function (and this probe
+    # row — per-row bit math, a good linear-class specimen) live on
+    from tinymr_spark.operators import scale as _scale_mod
+
+    qs.setdefault("q130_zorder_layout", _scale_mod.q130_zorder_layout)
+    print(f"{'query':28s} {'sf0.1':>8s} {N_COPIES:>7d}x {'ratio':>6s}")
     worst = 0.0
     for name in BATTERY:
         fn = qs[name]
