@@ -28,9 +28,11 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 q141-q142+q144+q148+q150-q153+q155-q156+q160-q161.
                 Round 11 retired ten near-duplicates into strictly-more-
                 general survivors (q42-q43, q51, q53, q56, q105, q130,
-                q164-q165, q174, and q204 absorbed into q205) — their
-                functions, oracles, and assertions live on in the package
-                and tests/test_retired_parity.py.
+                q164-q165, q174) — their functions and oracles live on in
+                the package and their assertions run in
+                tests/test_retired_parity.py.  q204 was DELETED outright:
+                its explicit-CDF streaming path and assertions moved into
+                q205's replace_where step.
 oracle_sql()  — DuckDB twins for ALL of the above, including q104 since
                 round 11 (the library MinHashLSH hash family re-derived
                 from its seed via java.util.Random's LCG + straight-line

@@ -5368,12 +5368,15 @@ WHERE l_partkey <= pk AND l_suppkey <= sk
 # positional set difference on sidecars read executor-side).  The plan
 # stays one-partition-per-committed-file with no joins and no table
 # byte through the driver (minitable_stream.py).  Build: v0 orders
-# ingest -> snapshot drain -> v1 append (%10==3 slice) -> v2 DV delete
-# (the keys ≡7 mod 100, marked in sidecars — zero rewrites) -> v3
-# predicate delete (k < max/4, reconstructed MINUS the rows v2 already
-# killed) -> delta drain; the build pins stream == batch change_feed()
-# row-for-row, and the gate hash-checks per-(change_type, version)
-# counts and decimal-exact sums against the oracle's SQL replay.
+# ingest -> snapshot drain -> v1 append (%10==3 slice) -> v2
+# replace_where backfill of the low quarter's evens (EXPLICIT change
+# data streamed verbatim — the retired q204's path) -> v3 DV delete
+# (200 bounded keys ≡7 mod 100 above the backfill scope, marked in
+# sidecars — zero rewrites) -> v4 predicate delete (k < kk/2, its feed
+# reconstructed from the removed files) -> delta drain; the build pins
+# stream == batch change_feed() row-for-row, and the gate hash-checks
+# per-(change_type, version) counts and decimal-exact sums against the
+# oracle's SQL replay.
 # ---------------------------------------------------------------------------
 def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
     import os
@@ -5395,19 +5398,23 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
     landed = table + ".landed"  # `<ver>.`-prefixed: survives staging GC
     ckpt = table + ".ckpt"
     # done-marker carries a BUILD-LOGIC tag: the staging dir is keyed by
-    # source version only, so a history change (r11b bounded the DV
-    # in-list to 200 keys) must invalidate prior builds itself
-    done = table + "._done_r11b"
+    # source version only, so a history change (r11c bounds the DV
+    # in-list to 200 keys ABOVE the backfill scope) must invalidate
+    # prior builds itself
+    done = table + "._done_r11c"
     if (
         not os.path.exists(done)
         or not os.path.isdir(landed)
         or len(minitable.versions(table)) < 5
     ):
         import contextlib
+        import glob
         import shutil
 
-        with contextlib.suppress(OSError):
-            os.remove(done)
+        for stale in glob.glob(table + "._done*"):
+            with contextlib.suppress(OSError):
+                os.remove(stale)  # incl. earlier build tags' markers —
+                # `ver.*`-prefixed names survive the staging GC by design
         shutil.rmtree(table, ignore_errors=True)
         shutil.rmtree(landed, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -5418,10 +5425,16 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
         kk = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 4
         dv_keys = [
             int(r[0])
-            for r in orders.where(F.col("o_orderkey") % 100 == 7)
+            for r in orders.where(
+                (F.col("o_orderkey") % 100 == 7) & (F.col("o_orderkey") > kk)
+            )
             .select("o_orderkey").orderBy("o_orderkey").limit(200).collect()
         ]  # BOUNDED driver list (review r11: an O(rows/100) in-list would
-        # bloat the commit JSON and every per-file IN evaluation at scale)
+        # bloat the commit JSON and per-file IN evaluation at scale), and
+        # bounded FROM ABOVE kk (second-pass review: the 200 smallest ≡7
+        # keys overall all land <= kk at sf0.1, where v2's restatement
+        # already killed them — delete_dv would match nothing and commit
+        # no version, breaking the build exactly at the bench scale)
         minitable.write(
             spark, orders.repartition(4), table, "overwrite",
             stats_cols=["o_orderkey"],
@@ -5499,8 +5512,9 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
 ORACLE_Q205 = """
 WITH m AS (SELECT MAX(o_orderkey) // 4 AS kk FROM orders),
 seven AS (
-    SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_orderkey % 100 = 7 ORDER BY o_orderkey LIMIT 200
+    SELECT o_orderkey, o_totalprice FROM orders, m
+    WHERE o_orderkey % 100 = 7 AND o_orderkey > kk
+    ORDER BY o_orderkey LIMIT 200
 ),
 member AS (
     SELECT 'insert' AS change_type, 0 AS commit_version, o_totalprice
@@ -5519,7 +5533,7 @@ member AS (
     FROM orders, m WHERE o_orderkey <= kk AND o_orderkey % 2 = 0
     UNION ALL
     SELECT 'delete', 3, o_totalprice
-    FROM seven, m WHERE o_orderkey > kk
+    FROM seven
     UNION ALL
     SELECT 'delete', 4, o_totalprice
     FROM orders, m WHERE o_orderkey < kk // 2 AND o_orderkey % 2 = 0
@@ -5619,27 +5633,20 @@ def q206_row_tracking(spark, sf_dir: str) -> DataFrame:
         _lt(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
     )
     live = minitable.read(spark, table, row_ids=True)
-    origin = live.where(F.col("o_orderkey") <= mx)
-    inserted = live.where(F.col("o_orderkey") > mx)
-    return (
-        live.agg(
-            F.count("*").alias("n_live"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double").alias("sum_price"),
-        )
-        .crossJoin(
-            origin.agg(
-                F.count(F.when(F.col("_row_id").between(1, n), 1))
-                .alias("orig_ids_in_range"),
-            )
-        )
-        .crossJoin(
-            inserted.agg(
-                F.count("*").alias("inserted_cnt"),
-                F.sum("_row_id").alias("inserted_id_sum"),
-                F.max("_row_id").alias("id_hwm"),
-            )
-        )
+    ins = F.col("o_orderkey") > mx  # the 100 merge-inserted rows
+    # ONE map-side-combined aggregation — no scalar crossJoins (a
+    # 1-row x 1-row crossJoin plans BroadcastNestedLoopJoin, the plan
+    # audit's red flag; conditional aggregates fold the three row
+    # classes into a single scan)
+    return live.agg(
+        F.count("*").alias("n_live"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"),
+        F.count(F.when(~ins & F.col("_row_id").between(1, n), 1))
+        .alias("orig_ids_in_range"),
+        F.count(F.when(ins, 1)).alias("inserted_cnt"),
+        F.sum(F.when(ins, F.col("_row_id"))).alias("inserted_id_sum"),
+        F.max(F.when(ins, F.col("_row_id"))).alias("id_hwm"),
     )
 
 

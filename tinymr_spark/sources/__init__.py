@@ -174,8 +174,10 @@ def retire_artifact_roots(spark: SparkSession, index_tags=(), staging_kinds=()):
     idx_root = staging_root("tinymr_spark_index")
     for tag in index_tags:
         p = os.path.join(idx_root, tag)
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+        if not os.path.isdir(p):
+            continue  # already clean — the common case must cost one stat,
+            # not a catalog enumeration per resolve (review r11 2nd pass)
+        shutil.rmtree(p, ignore_errors=True)
         for t in spark.catalog.listTables():
             if t.name.startswith(f"idx_{tag}_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
