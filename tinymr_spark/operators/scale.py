@@ -5435,6 +5435,11 @@ def q205_stream_cdc_full_dml(spark, sf_dir: str) -> DataFrame:
         # keys overall all land <= kk at sf0.1, where v2's restatement
         # already killed them — delete_dv would match nothing and commit
         # no version, breaking the build exactly at the bench scale)
+        assert dv_keys, (
+            "q205 needs at least one o_orderkey = 7 (mod 100) above "
+            f"max/4={kk} — corpus too small; a silent empty in-list "
+            "would loop this build forever (third-pass review)"
+        )
         minitable.write(
             spark, orders.repartition(4), table, "overwrite",
             stats_cols=["o_orderkey"],

@@ -177,10 +177,14 @@ def retire_artifact_roots(spark: SparkSession, index_tags=(), staging_kinds=()):
         if not os.path.isdir(p):
             continue  # already clean — the common case must cost one stat,
             # not a catalog enumeration per resolve (review r11 2nd pass)
-        shutil.rmtree(p, ignore_errors=True)
+        # catalog first, THEN the tree: a crash between the two leaves the
+        # dir present, so the next resolve retries the drops — the reverse
+        # order would strand catalog entries behind the isdir short-circuit
+        # (review r11 3rd pass)
         for t in spark.catalog.listTables():
             if t.name.startswith(f"idx_{tag}_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        shutil.rmtree(p, ignore_errors=True)
     for kind in staging_kinds:
         p = staging_root(kind)
         if os.path.isdir(p):
