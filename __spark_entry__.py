@@ -12,15 +12,16 @@ queries()     — every implemented operator from SURVEY.md §2 (+ §2.5
                 multimodal q60-q62+q65-q69, pandas-UDF/UDTF
                 q63-q64+q100+q119-q120+q129, events q70-q79+q108+q115+q154,
                 MapReduce-face q80-q84, streaming
-                q90-q99+q122+q124+q136+q138+q143+q149+q159+q163+q171+q205,
+                q90-q99+q122+q124+q136+q138+q143+q149+q159+q163+q171+q205+q207,
                 graph/iterative q146+q157-q158+q168-q169+q172+q175-q176,
                 lakehouse (minitable) q162-q163+q166-q167+q170+q173+
-                q177-q203+q205-q206 (time travel, MERGE incl. schema
+                q177-q203+q205-q207 (time travel, MERGE incl. schema
                 evolution, UPDATE, DELETE incl. NULL-safe tiers,
                 OPTIMIZE/ZORDER verbs with recorded cluster keys,
                 data skipping + blooms, commit-log checkpoints, schema
                 evolution + column mapping, change feed with removes,
-                streaming CDC over the full DML history, incremental MV
+                streaming CDC over the full DML history, stream admission
+                control (startingVersion/maxFilesPerTrigger), incremental MV
                 over the DML feed, zero-copy RESTORE, deletion-vector
                 DELETE, CHECK constraints, generated/identity columns,
                 ROW TRACKING, shallow clone), storage/scale

@@ -5469,3 +5469,83 @@ def test_retire_artifact_roots_sweeps_legacy_names(spark, tmp_path):
     assert not os.path.exists(legacy_kind_root)
     assert spark.catalog.tableExists("tv_keep")
     os.rmdir(keep_idx)
+
+
+def test_minitable_stream_admission_control(spark, tmp_path):
+    """startingVersion (int and `latest`) + maxFilesPerTrigger (r11 —
+    Delta's stream admission options): history starts where asked, the
+    snapshot never streams when a version is named, `latest` skips all
+    history, and a file budget splits the backlog into whole-commit
+    micro-batches (at least one commit per batch)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    table = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.range(0, 10).select(F.col("id").alias("k")), table,
+        "overwrite",
+    )
+    for i in range(1, 5):  # v1..v4 appends, 5 rows each
+        minitable.write(
+            spark,
+            spark.range(100 * i, 100 * i + 5).select(F.col("id").alias("k")),
+            table,
+        )
+
+    def drain(opts, ckpt):
+        batches = []
+
+        def sink(bdf, bid):
+            rows = [r["k"] for r in bdf.collect()]
+            if rows:
+                batches.append((bid, sorted(rows)))
+
+        reader = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", table).option("columns", "k")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load().writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(processingTime="100 milliseconds").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return batches
+
+    # startingVersion=2: exactly commits 2..4, no snapshot
+    b = drain({"startingVersion": "2"}, "ck1")
+    got = sorted(k for _b, rows in b for k in rows)
+    assert got == sorted(
+        list(range(200, 205)) + list(range(300, 305)) + list(range(400, 405))
+    ), got
+
+    # startingVersion=latest: empty until a NEW commit, then only it
+    assert drain({"startingVersion": "latest"}, "ck2") == []
+    minitable.write(
+        spark, spark.range(900, 902).select(F.col("id").alias("k")), table
+    )  # v5
+    b = drain({"startingVersion": "latest"}, "ck2")  # same checkpoint
+    assert sorted(k for _b, rows in b for k in rows) == [900, 901]
+
+    # maxFilesPerTrigger=1: one commit per micro-batch (5 batches v1..v5)
+    b = drain({"startingVersion": "1", "maxFilesPerTrigger": "1"}, "ck3")
+    assert len(b) == 5, [x[0] for x in b]
+    assert [len(rows) for _b, rows in b] == [5, 5, 5, 5, 2]
+
+    # snapshot mode + limit: the snapshot batch is never split; total
+    # content equals the live table
+    b = drain({"maxFilesPerTrigger": "1"}, "ck4")
+    assert sum(len(r) for _b, r in b) == minitable.read(spark, table).count()
+
+    # bad inputs fail loudly
+    import pytest
+
+    with pytest.raises(Exception, match="positive"):
+        drain({"maxFilesPerTrigger": "0"}, "ck5")
+    with pytest.raises(Exception, match="outside"):
+        drain({"startingVersion": "99"}, "ck6")

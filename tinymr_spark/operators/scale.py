@@ -5681,6 +5681,133 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# q207 — STREAM ADMISSION CONTROL (Delta's startingVersion +
+# maxFilesPerTrigger on the table-stream source): a CDC subscription
+# that (a) starts from a chosen VERSION instead of the snapshot — the
+# feed-from-history pattern — and (b) caps each micro-batch at whole
+# commits fitting a file budget, so a restarted consumer with a long
+# backlog catches up in bounded batches instead of one giant one (the
+# 100-TB concern: an unbounded first batch over months of commits).
+# Build: orders ingest (v0) + three appended slices (v1-v3), then one
+# drain with startingVersion=1 + maxFilesPerTrigger=1 — the build
+# asserts the drain took one micro-batch PER COMMIT (admission working)
+# and v0's snapshot never streamed (startingVersion working); the gate
+# hash-checks per-(change_type, commit_version) counts and decimal
+# sums against the oracle's slice replay.  Offsets stay pure version
+# numbers, so checkpoint replay purity is untouched
+# (sources/minitable_stream.py MinitableStreamReader docstring).
+# ---------------------------------------------------------------------------
+def q207_stream_admission(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        minitable_stream,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_admission", src_path)
+    landed = table + ".landed"
+    ckpt = table + ".ckpt"
+    done = table + "._done"
+    if (
+        not os.path.exists(done)
+        or not os.path.isdir(landed)
+        or len(minitable.versions(table)) < 4
+    ):
+        import contextlib
+        import shutil
+
+        with contextlib.suppress(OSError):
+            os.remove(done)
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(landed, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        minitable_stream.register(spark)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_totalprice").cast("double")
+        )
+        minitable.write(spark, orders.repartition(2), table, "overwrite")
+        for m in (1, 2, 3):  # v1..v3: one slice per commit
+            minitable.write(
+                spark, orders.where(F.col("o_orderkey") % 10 == m), table
+            )
+
+        fed = []
+
+        def sink(bdf, bid):
+            out = bdf.withColumn("_batch", F.lit(bid))
+            out.write.mode("append").parquet(landed)
+            n = bdf.count()
+            if n:
+                fed.append((bid, n))
+
+        q = (
+            spark.readStream.format("tinymr_minitable_stream")
+            .option("path", table)
+            .option("columns", "o_orderkey,o_totalprice")
+            .option("mode", "cdf")
+            .option("startingVersion", "1")
+            .option("maxFilesPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # admission worked: ONE commit per micro-batch, three batches
+        assert len(fed) == 3, fed
+        got = spark.read.parquet(landed)
+        versions = {
+            r["_commit_version"]
+            for r in got.select("_commit_version").distinct().collect()
+        }
+        assert versions == {1, 2, 3}, versions  # v0 snapshot never streamed
+        per_batch = got.groupBy("_batch").agg(
+            F.countDistinct("_commit_version").alias("nv")
+        ).collect()
+        assert all(r["nv"] == 1 for r in per_batch), per_batch
+        open(done, "w").close()
+
+    return (
+        spark.read.parquet(landed)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("int").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+ORACLE_Q207 = """
+WITH member AS (
+    SELECT 'insert' AS change_type, 1 AS commit_version, o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT 'insert', 2, o_totalprice FROM orders WHERE o_orderkey % 10 = 2
+    UNION ALL
+    SELECT 'insert', 3, o_totalprice FROM orders WHERE o_orderkey % 10 = 3
+)
+SELECT change_type,
+       CAST(commit_version AS INT) AS commit_version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM member
+GROUP BY change_type, commit_version
+"""
+
+
 QUERIES = {
     "q110_salted_skew_join": q110_salted_skew_join,
     "q112_hll_sketch_merge": q112_hll_sketch_merge,
@@ -5738,6 +5865,7 @@ QUERIES = {
     "q203_clustered_compaction": q203_clustered_compaction,
     "q205_stream_cdc_full_dml": q205_stream_cdc_full_dml,
     "q206_row_tracking": q206_row_tracking,
+    "q207_stream_admission": q207_stream_admission,
 }
 
 ORACLE = {
@@ -5797,4 +5925,5 @@ ORACLE = {
     "q203_clustered_compaction": ORACLE_Q203,
     "q205_stream_cdc_full_dml": ORACLE_Q205,
     "q206_row_tracking": ORACLE_Q206,
+    "q207_stream_admission": ORACLE_Q207,
 }

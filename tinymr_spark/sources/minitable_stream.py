@@ -218,6 +218,26 @@ class _FilePartition(InputPartition):
 
 
 class MinitableStreamReader(DataSourceStreamReader):
+    """Options beyond path/columns/mode:
+
+    `startingVersion` (Delta's option of the same name): an int N makes
+    the FIRST batch the incremental commits (N-1, head] instead of the
+    snapshot — the feed-from-history subscription; the literal
+    ``latest`` skips history entirely (the first batch is empty and only
+    post-subscription commits stream).  Omitted = snapshot semantics.
+
+    `maxFilesPerTrigger` (Delta's admission control): caps each
+    micro-batch at whole COMMITS whose cumulative planned file count
+    fits the budget (always at least one commit, so a single oversized
+    commit still advances) — a restarted stream with a long backlog
+    catches up in bounded batches instead of one giant one.  Two
+    documented simplifications vs Delta: granularity is whole commits
+    (offsets stay pure version numbers, so checkpoint replay purity is
+    trivial), and the first batch after a RESTART whose WAL batch was
+    already committed is unbounded (the Python DataSource API does not
+    expose the checkpointed offset to latestOffset; the reader re-learns
+    it from the engine's commit() callback one batch later)."""
+
     def __init__(self, options):
         self.path = options["path"]
         self.cols = [c.strip() for c in options["columns"].split(",")]
@@ -227,15 +247,80 @@ class MinitableStreamReader(DataSourceStreamReader):
                 f"unknown minitable stream mode {self.mode!r} "
                 "(append | cdf)"
             )
+        sv = options.get("startingversion", options.get("startingVersion"))
+        self.starting_version: int | str | None = (
+            "latest" if sv == "latest" else (int(sv) if sv is not None else None)
+        )
+        mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
+        self.max_files: int | None = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files <= 0:
+            raise ValueError("maxFilesPerTrigger must be a positive int")
+        self._last: dict | None = None  # newest offset handed to the engine
 
     def initialOffset(self) -> dict:
-        return {"v": -1}  # first batch = everything committed so far
+        from tinymr_spark.sources import minitable
+
+        if self.starting_version is None:
+            return {"v": -1}  # first batch = snapshot at the head
+        vs = minitable.versions(self.path)
+        head = vs[-1] if vs else -1
+        if self.starting_version == "latest":
+            return {"v": head}  # only post-subscription commits stream
+        sv = int(self.starting_version)
+        if vs and not (0 <= sv <= head + 1):
+            raise ValueError(
+                f"startingVersion {sv} outside {self.path}'s log "
+                f"(0..{head + 1})"
+            )
+        return {"v": sv - 1}  # first batch = incremental commits (sv-1, head]
+
+    def _batch_files(self, rec: dict) -> int:
+        """Planned file count of one commit under the current mode — the
+        admission-control unit (mirrors partitions()'s branches)."""
+        if rec.get("data_change") is False:
+            return 0
+        if rec["action"] == "append":
+            return len(rec["added"])
+        if self.mode == "cdf":
+            if rec["action"] == "merge" and rec.get("cdf") is not None:
+                return len(rec["cdf"])
+            if rec["action"] == "merge" and rec.get("predicate") is not None:
+                return len(rec.get("removed", ()))
+            if rec["action"] == "dv":
+                return len(rec.get("removed", ())) + len(rec.get("dv") or {})
+        return 1  # refusal branches: count 1 so the batch still forms
+        # and raises the loud error in partitions()
 
     def latestOffset(self) -> dict:
+        import json
+
         from tinymr_spark.sources import minitable
 
         vs = minitable.versions(self.path)
-        return {"v": vs[-1] if vs else -1}
+        head = vs[-1] if vs else -1
+        if self.max_files is None:
+            return {"v": head}
+        base = self._last if self._last is not None else self.initialOffset()
+        lo = int(base["v"])
+        if lo < 0:
+            # the snapshot batch is never split (Delta splits initial
+            # snapshots only with file-granular offsets) — admit it
+            # whole; limiting starts with the incremental commits
+            out = {"v": head}
+        else:
+            budget, v_end = self.max_files, lo
+            for v in vs:
+                if v <= lo:
+                    continue
+                with open(minitable._version_file(self.path, v)) as f:
+                    n = self._batch_files(json.load(f))
+                if v_end > lo and n > budget:
+                    break  # budget exhausted; always admit >= 1 commit
+                budget -= n
+                v_end = v
+            out = {"v": v_end}
+        self._last = out
+        return out
 
     def partitions(self, start: dict, end: dict):
         import json
@@ -483,7 +568,11 @@ class MinitableStreamReader(DataSourceStreamReader):
             offset += n
 
     def commit(self, end: dict) -> None:
-        pass  # the log is the source of truth; nothing to clean up
+        # the log is the source of truth — nothing to clean up; but the
+        # committed offset re-seeds admission control after a restart
+        # (latestOffset cannot see the checkpoint: Python DS API limit)
+        if self._last is None or int(end["v"]) > int(self._last["v"]):
+            self._last = dict(end)
 
 
 class MinitableStreamDataSource(DataSource):
