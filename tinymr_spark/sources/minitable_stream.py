@@ -328,6 +328,17 @@ class MinitableStreamReader(DataSourceStreamReader):
         from tinymr_spark.sources import minitable
 
         lo, hi = int(start["v"]), int(end["v"])
+        # Admission bookkeeping: the engine's planned ranges are the
+        # ground truth for the checkpointed position (latestOffset
+        # cannot see it after a restart — it may answer BEHIND the
+        # checkpoint once, which plans one empty inverted range).
+        # Learning the true position here stops the limiter from ever
+        # REWINDING over already-consumed versions (a rewound range
+        # would re-stream them as duplicates; test-pinned by the
+        # restart-mid-backlog regression).
+        known = max(lo, hi)
+        if self._last is None or known > int(self._last["v"]):
+            self._last = {"v": known}
         # The INITIAL batch (start = -1) is the table's full snapshot at
         # `hi` — Delta's startingVersion semantics — so a table whose v0
         # is an overwrite (the common init pattern) streams its current
