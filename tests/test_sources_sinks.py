@@ -5613,3 +5613,72 @@ def test_minitable_stream_admission_survives_restart(spark, tmp_path):
     got = sorted(k for _b, rows in seen for k in rows)
     want = sorted(k for i in range(1, 7) for k in range(100 * i, 100 * i + 3))
     assert got == want, (got, want)
+
+
+def test_minitable_stream_admission_cdf_reconstruction_budget(spark, tmp_path):
+    """r11 4th pass: admission control over a CDC history whose commits
+    need RECONSTRUCTION — explicit-CDF merge, predicate delete, DV
+    delete with materialization — must (a) count each commit's planned
+    partitions exactly (a materialized file sits in both `removed` and
+    the dv map but plans once), (b) keep one commit per micro-batch at
+    budget 1, and (c) equal the batch change feed row-for-row.  Also
+    pins startingVersion=0 as FULL HISTORY REPLAY (not snapshot): the
+    build starts from an APPEND v0 so the whole log is replayable."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    minitable_stream.register(spark)
+    table = str(tmp_path / "t")
+    # v0 is an APPEND (not overwrite) so startingVersion=0 can replay it
+    minitable.write(
+        spark,
+        spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartition(2),
+        table, stats_cols=["k"],
+    )
+    src = spark.createDataFrame([(1, 99.0), (100, 1.0)], "k bigint, v double")
+    minitable.merge(spark, src, table, "k", stats_cols=["k"], collect_cdf=True)  # v1
+    minitable.delete(spark, table, [("k", "<", 5)], stats_cols=["k"])  # v2
+    minitable.delete_dv(  # v3: marks + materializes (removed ∩ dv nonempty)
+        spark, table, [("k", "in", [20, 21, 22])], materialize_fraction=0.0001
+    )
+
+    batches = []
+
+    def sink(bdf, bid):
+        rows = [tuple(r) for r in bdf.collect()]
+        if rows:
+            batches.append((bid, rows))
+
+    q = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", table).option("columns", "k,v")
+        .option("mode", "cdf")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "1")
+        .load().writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="100 milliseconds").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # one commit per micro-batch: v0..v3 each alone (budget 1 admits
+    # exactly one commit per trigger regardless of its size)
+    per_batch_versions = [
+        {r[3] for r in rows} for _bid, rows in batches
+    ]
+    assert all(len(vs) == 1 for vs in per_batch_versions), per_batch_versions
+    assert [sorted(vs)[0] for vs in per_batch_versions] == [0, 1, 2, 3]
+    got = sorted(r for _bid, rows in batches for r in rows)
+    # batch feed over the replayable history: change_feed needs
+    # from_version in the log, so v0's slice (all 40 inserts) is
+    # composed manually beside feed(0, 3)
+    head_feed = minitable.change_feed(spark, table, 0, 3).select(
+        "k", "v", "_change_type", "_commit_version"
+    )
+    want = sorted(
+        [tuple(r) for r in head_feed.collect()]
+        + [(k, float(k), "insert", 0) for k in range(40)]
+    )
+    assert got == want, (got[:5], want[:5])

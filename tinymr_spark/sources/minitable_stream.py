@@ -232,11 +232,17 @@ class MinitableStreamReader(DataSourceStreamReader):
     commit still advances) — a restarted stream with a long backlog
     catches up in bounded batches instead of one giant one.  Two
     documented simplifications vs Delta: granularity is whole commits
-    (offsets stay pure version numbers, so checkpoint replay purity is
-    trivial), and the first batch after a RESTART whose WAL batch was
-    already committed is unbounded (the Python DataSource API does not
-    expose the checkpointed offset to latestOffset; the reader re-learns
-    it from the engine's commit() callback one batch later)."""
+    (offsets are version numbers plus an `inc` marker on the
+    pre-history sentinel, so checkpoint replay purity is trivial), and
+    RESTART safety leans on the engine's call ordering — the Python
+    DataSource API hides the checkpointed offset from latestOffset, but
+    Spark 4.1 re-seeds this runner via commit(checkpointedEnd) before
+    the first post-restart latestOffset (probe-verified), and
+    partitions() re-learns the true position from every planned range
+    as a second net, so the limiter never answers BEHIND the checkpoint
+    (a rewound, engine-committed offset would re-stream consumed
+    versions as duplicates; review r11 4th pass, restart regression
+    test-pinned)."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -248,31 +254,59 @@ class MinitableStreamReader(DataSourceStreamReader):
                 "(append | cdf)"
             )
         sv = options.get("startingversion", options.get("startingVersion"))
-        self.starting_version: int | str | None = (
-            "latest" if sv == "latest" else (int(sv) if sv is not None else None)
-        )
+        if sv is None or sv == "latest":
+            self.starting_version: int | str | None = sv
+        else:
+            try:
+                self.starting_version = int(sv)
+            except ValueError:
+                raise ValueError(
+                    f"startingVersion must be an integer version or the "
+                    f"lowercase literal 'latest', got {sv!r}"
+                ) from None
         mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
-        self.max_files: int | None = int(mft) if mft is not None else None
+        try:
+            self.max_files: int | None = int(mft) if mft is not None else None
+        except ValueError:
+            raise ValueError(
+                f"maxFilesPerTrigger must be a positive int, got {mft!r}"
+            ) from None
         if self.max_files is not None and self.max_files <= 0:
-            raise ValueError("maxFilesPerTrigger must be a positive int")
+            raise ValueError(
+                f"maxFilesPerTrigger must be a positive int, got {mft!r}"
+            )
         self._last: dict | None = None  # newest offset handed to the engine
 
     def initialOffset(self) -> dict:
         from tinymr_spark.sources import minitable
 
         if self.starting_version is None:
-            return {"v": -1}  # first batch = snapshot at the head
-        vs = minitable.versions(self.path)
-        head = vs[-1] if vs else -1
-        if self.starting_version == "latest":
-            return {"v": head}  # only post-subscription commits stream
-        sv = int(self.starting_version)
-        if vs and not (0 <= sv <= head + 1):
-            raise ValueError(
-                f"startingVersion {sv} outside {self.path}'s log "
-                f"(0..{head + 1})"
-            )
-        return {"v": sv - 1}  # first batch = incremental commits (sv-1, head]
+            out = {"v": -1}  # first batch = snapshot at the head
+        else:
+            vs = minitable.versions(self.path)
+            head = vs[-1] if vs else -1
+            if self.starting_version == "latest":
+                out = {"v": head}  # only post-subscription commits stream
+            else:
+                sv = int(self.starting_version)
+                if vs and not (0 <= sv <= head + 1):
+                    raise ValueError(
+                        f"startingVersion {sv} outside {self.path}'s log "
+                        f"(0..{head + 1})"
+                    )
+                # first batch = incremental commits (sv-1, head].
+                # startingVersion=0 needs the `inc` marker: its start
+                # sentinel is also -1, but it means FULL HISTORY REPLAY,
+                # not snapshot-at-head (review r11 4th pass — without
+                # the marker, deletes vanished and versions mis-tagged)
+                out = {"v": sv - 1, "inc": 1} if sv == 0 else {"v": sv - 1}
+        # seed the limiter: the engine calls initialOffset exactly once
+        # per FRESH query, pinning batch 0's true start — latestOffset
+        # must never re-derive it later (the head may have moved; a
+        # startingVersion=latest limiter would silently skip the gap)
+        if self._last is None:
+            self._last = dict(out)
+        return out
 
     def _batch_files(self, rec: dict) -> int:
         """Planned file count of one commit under the current mode — the
@@ -287,7 +321,15 @@ class MinitableStreamReader(DataSourceStreamReader):
             if rec["action"] == "merge" and rec.get("predicate") is not None:
                 return len(rec.get("removed", ()))
             if rec["action"] == "dv":
-                return len(rec.get("removed", ())) + len(rec.get("dv") or {})
+                # a MATERIALIZED file sits in both `removed` and the dv
+                # map but plans as ONE partition (its deletes are the
+                # diff) — counting it twice starves admission (r11 4th
+                # pass; mirrors partitions()'s skip)
+                dv_map = rec.get("dv") or {}
+                whole = sum(
+                    1 for f in rec.get("removed", ()) if f not in dv_map
+                )
+                return whole + len(dv_map)
         return 1  # refusal branches: count 1 so the batch still forms
         # and raises the loud error in partitions()
 
@@ -300,9 +342,16 @@ class MinitableStreamReader(DataSourceStreamReader):
         head = vs[-1] if vs else -1
         if self.max_files is None:
             return {"v": head}
+        # The base is the last position THIS runner instance knows.
+        # Spark runs initialOffset on a different (planning-time)
+        # instance, so a fresh query's first latestOffset re-derives it;
+        # on RESTART the engine calls commit(checkpointedEnd) on this
+        # instance BEFORE the first latestOffset (probe-verified, Spark
+        # 4.1), so _last is already the checkpoint — never behind it.
+        # partitions() keeps teaching the true position as a second net.
         base = self._last if self._last is not None else self.initialOffset()
         lo = int(base["v"])
-        if lo < 0:
+        if lo < 0 and not base.get("inc"):
             # the snapshot batch is never split (Delta splits initial
             # snapshots only with file-granular offsets) — admit it
             # whole; limiting starts with the incremental commits
@@ -318,7 +367,7 @@ class MinitableStreamReader(DataSourceStreamReader):
                     break  # budget exhausted; always admit >= 1 commit
                 budget -= n
                 v_end = v
-            out = {"v": v_end}
+            out = {"v": v_end} if v_end >= 0 else dict(base)
         self._last = out
         return out
 
@@ -346,7 +395,13 @@ class MinitableStreamReader(DataSourceStreamReader):
         # pure function of the immutable log, so a checkpoint replay of
         # the (-1, hi] range re-plans the identical rows.
         cdc = self.mode == "cdf"
-        if lo < 0:
+        if lo < 0 and start.get("inc"):
+            # startingVersion=0's sentinel: FULL HISTORY REPLAY from v0
+            # as incremental commits — fall through to the incremental
+            # branch below (its loop covers v0..hi); an overwrite v0
+            # raises there loudly, exactly like batch change_feed
+            pass
+        elif lo < 0:
             parts0: list[_FilePartition] = []
             if hi >= 0:
                 entries, _schema, dvs, _c, colmap = minitable._replay(self.path, hi)
@@ -370,6 +425,8 @@ class MinitableStreamReader(DataSourceStreamReader):
                     )
             return parts0 or [_FilePartition(None, self.cols)]
         parts: list[_FilePartition] = []
+        if hi < 0:
+            return [_FilePartition(None, self.cols)]  # nothing committed yet
         colmap = minitable._replay(self.path, hi)[4]
         phys = [colmap.get(c, c) for c in self.cols]
         for v in minitable.versions(self.path):
