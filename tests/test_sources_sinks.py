@@ -5575,6 +5575,7 @@ def test_minitable_stream_admission_survives_restart(spark, tmp_path):
         )
 
     seen: list[tuple[int, list[int]]] = []
+    trip = {"armed": True}  # induce a DETERMINISTIC mid-backlog stop
 
     def start():
         def sink(bdf, bid):
@@ -5582,6 +5583,12 @@ def test_minitable_stream_admission_survives_restart(spark, tmp_path):
             # with its original id after a restart — sinks dedupe by it
             if any(b == bid for b, _rows in seen):
                 return
+            if trip["armed"] and len(seen) >= 2:
+                # fail the query BEFORE landing the third batch: the
+                # stop point is exact, not a race against the trigger
+                # cadence (review r11 4th pass — a poll+stop window
+                # flaked when batches drained between poll and stop)
+                raise RuntimeError("induced mid-backlog failure")
             rows = sorted(r["k"] for r in bdf.collect())
             if rows:
                 seen.append((bid, rows))
@@ -5596,17 +5603,18 @@ def test_minitable_stream_admission_survives_restart(spark, tmp_path):
             .trigger(processingTime="100 milliseconds").start()
         )
 
-    # drain a FEW batches, then stop mid-backlog
+    # drain exactly TWO batches, then die mid-backlog
+    import pytest
+
     q = start()
-    import time
-
-    deadline = time.time() + 30
-    while len(seen) < 2 and time.time() < deadline:
-        time.sleep(0.1)
+    with pytest.raises(Exception, match="induced"):
+        q.processAllAvailable()
     q.stop()
-    assert 1 <= len(seen) < 6, seen  # mid-backlog, not done
+    assert len(seen) == 2, seen  # mid-backlog, deterministic
 
-    # resume: the union must be exactly v1..v6's rows, each once
+    # resume: the union must be exactly v1..v6's rows, each once (the
+    # failed batch replays under its original id; dedupe absorbs it)
+    trip["armed"] = False
     q2 = start()
     q2.processAllAvailable()
     q2.stop()
