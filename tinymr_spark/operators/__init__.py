@@ -18,10 +18,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CORRECTNESS_r01-r06 keys).  The round number drives the backlog
 # rotation in all_queries(): least-recently-verified queries re-enter
 # the gate first, so every query is periodically re-confirmed instead of
-# q01-q31 soaking up the spare slots each round.  q104's r4/r9 rows were
-# rows-only (it had no SQL oracle until round 11 re-derived the
-# library's hash family); its r9 entry is deliberately REMOVED below so
-# the new value-hash oracle gets a driver verification this round.
+# q01-q31 soaking up the spare slots each round.  q104 got its first
+# VALUE-level driver verification in round 11 (the SQL oracle re-derives
+# the library's MinHashLSH hash family); earlier r4/r9 rows were
+# rows-only.
 def _verified_rounds() -> dict[str, int]:
     rounds: dict[str, int] = {}
     for rnd, entries in _VERIFIED_BY_ROUND:
@@ -238,6 +238,29 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (142, "aqe_skew_join"), (144, "pushdown_datasource"),
         (148, "quality_constraints"), (150, "skew_profile"),
         (151, "schema_evolution"), (152, "outlier_quarantine"),
+    )),
+    (11, (
+        # --- round 11 (CORRECTNESS_r11): 3 new + q104 value-oracle + 46 re-confirms ---
+        (205, "stream_cdc_full_dml"), (206, "row_tracking"),
+        (207, "stream_admission"), (104, "ml_minhash_lsh"),
+        (153, "psi_drift"), (155, "corrupt_ingest"), (156, "federated_join"),
+        (146, "pagerank"), (32, "token_stats"), (33, "quality_score"),
+        (34, "lang_id"), (35, "fingerprint"), (36, "bigram_freq"),
+        (37, "bpe_token_count"), (38, "tfidf"), (39, "prep_pipeline"),
+        (86, "sentence_stats"), (87, "repetition_signals"),
+        (88, "decontaminate"), (158, "bpe_merges"), (169, "bpe_encode"),
+        (40, "dedup_exact"), (41, "dedup_jaccard"), (44, "dedup_embedding"),
+        (45, "dedup_minhash_banded"), (46, "dedup_groups"),
+        (49, "corpus_pipeline"), (47, "dedup_simhash_banded"),
+        (48, "dedup_cdc_chunks"), (157, "semdedup"), (50, "ann_bruteforce"),
+        (52, "label_centroids"), (54, "ann_ivf"), (55, "embedding_lsh_dedup"),
+        (57, "kmeans_iteration"), (161, "embedding_covariance"),
+        (159, "stream_semantic_dedup"), (163, "stream_lakehouse_ingest"),
+        (171, "stream_table_source"), (160, "weighted_sample"),
+        (162, "time_travel"), (166, "merge_upsert"), (167, "data_skipping"),
+        (170, "bloom_skipping"), (173, "optimize_binpack"),
+        (175, "linear_regression"), (176, "grouped_regression"),
+        (177, "delete_where"), (168, "triangle_count"), (172, "kcore_peel"),
     )),
 )
 
