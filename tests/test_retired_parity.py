@@ -15,6 +15,12 @@ strictly-more-general survivor:
     q174 OPTIMIZE ZORDER       -> q200 zorder verb (where-scoped, recorded keys)
     (q204 explicit-CDF streaming was absorbed INTO q205's history, not here)
 
+Round 12 added one more:
+
+    q166 merge upsert          -> q208 conditional merge (update_where +
+                                  delete clause + CDF; plain upsert is its
+                                  degenerate no-condition case)
+
 The functions and their DuckDB oracles remain in the package (several
 are load-bearing machinery for the survivors); THIS file keeps every
 retired query's oracle assertion running in CI — out of the driver gate
@@ -54,6 +60,7 @@ def _retired():
         "q164_change_feed": (scale.q164_change_feed, scale.ORACLE_Q164),
         "q165_incremental_mv": (scale.q165_incremental_mv, scale.ORACLE_Q165),
         "q174_optimize_zorder": (scale.q174_optimize_zorder, scale.ORACLE_Q174),
+        "q166_merge_upsert": (scale.q166_merge_upsert, scale.ORACLE_Q166),
     }
 
 

@@ -1983,9 +1983,25 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                     continue
                 upd = rng.sample(sorted(model), min(3, len(model)))
                 ins = fresh_batch(3)
-                src = [(k, model[k] + 1000.0) for k in upd] + ins
-                minitable.merge(spark, to_df(src), path, "k", stats_cols=["k"])
-                model.update({k: v for k, v in src})
+                if rng.random() < 0.5:
+                    # CONDITIONAL merge (update_where): sources with a
+                    # LOWER value fail `s.v > t.v` and pass through —
+                    # value, generated col, and row-id all untouched;
+                    # inserts are unconditional (NOT MATCHED clause)
+                    delta = {k: rng.choice([1000.0, -1000.0]) for k in upd}
+                    src = [(k, model[k] + delta[k]) for k in upd] + ins
+                    minitable.merge(
+                        spark, to_df(src), path, "k", stats_cols=["k"],
+                        update_where=f"s.{vcol[0]} > t.{vcol[0]}",
+                    )
+                    model.update(
+                        {k: model[k] + delta[k] for k in upd if delta[k] > 0}
+                    )
+                    model.update(dict(ins))
+                else:
+                    src = [(k, model[k] + 1000.0) for k in upd] + ins
+                    minitable.merge(spark, to_df(src), path, "k", stats_cols=["k"])
+                    model.update({k: v for k, v in src})
                 sync_and_check(op)
             elif op == "update":
                 if not model:
@@ -3564,7 +3580,13 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
             if kind == "merge":
                 keys = sorted(model)
                 upd = rng.sample(keys, min(2, len(keys))) if keys else []
-                return (kind, [(k, 5000.0 + k) for k in upd] + fresh(2))
+                # second element: conditional (update_where) or plain —
+                # a conditional merge must rebase/conflict identically
+                return (
+                    kind,
+                    ([(k, 5000.0 + k) for k in upd] + fresh(2),
+                     rng.random() < 0.5),
+                )
             if kind == "optimize":
                 return (kind, None)
             hi = next_key[0] + 3
@@ -3590,8 +3612,12 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                     spark, path, [("k", "<", arg)], stats_cols=["k"]
                 ) is not None
             if kind == "merge":
+                rows, cond = arg
+                kw = {"update_where": "s.v > t.v"} if cond else {}
                 try:
-                    minitable.merge(spark, to_df(arg), path, "k", stats_cols=["k"])
+                    minitable.merge(
+                        spark, to_df(rows), path, "k", stats_cols=["k"], **kw
+                    )
                 except ValueError as e:
                     # the racing writer may have emptied the table; merge
                     # refuses empty targets by contract — a no-commit
@@ -3628,7 +3654,10 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                     if k < arg:
                         del m[k]
             elif kind == "merge":
-                m.update({k: v for k, v in arg})
+                rows, cond = arg
+                for k, v in rows:
+                    if k not in m or not cond or v > m[k]:
+                        m[k] = v
             elif kind == "replace_where":
                 lo, hi, batch = arg
                 for k in list(m):
@@ -5690,3 +5719,178 @@ def test_minitable_stream_admission_cdf_reconstruction_budget(spark, tmp_path):
         + [(k, float(k), "insert", 0) for k in range(40)]
     )
     assert got == want, (got[:5], want[:5])
+
+
+def test_minitable_merge_update_where_conditional(spark, tmp_path):
+    """WHEN MATCHED AND <update_where> THEN UPDATE (Delta's per-clause
+    condition): qualified matches update, unqualified matches PASS
+    THROUGH (neither updated nor re-inserted), the delete clause keeps
+    precedence, touched-file pruning skips files whose matches all fail
+    the condition, and the CDF covers only rows a clause fired on."""
+    import json
+
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "uw")
+    dfA = spark.range(1, 6).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    dfB = spark.range(100, 106).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    minitable.write(spark, dfA.coalesce(1), path, stats_cols=["k"])
+    minitable.write(spark, dfB.coalesce(1), path, "append", stats_cols=["k"])
+
+    # k=2 qualifies (s.v > t.v), k=3 fails, k=102 fails (file B's ONLY
+    # match -> file B untouched), k=500 inserts
+    src = spark.createDataFrame(
+        [(2, 999), (3, 1), (102, 1), (500, 5000)], "k long, v long"
+    )
+    v = minitable.merge(
+        spark, src, path, "k",
+        update_where="s.v > t.v", collect_cdf=True, stats_cols=["k"],
+    )
+    rec = json.load(open(minitable._version_file(path, v)))
+    assert len(rec["removed"]) == 1, (
+        "file B's only match failed the condition — it must not be rewritten"
+    )
+    got = {r.k: r.v for r in minitable.read(spark, path).collect()}
+    assert got == {
+        1: 10, 2: 999, 3: 30, 4: 40, 5: 50,
+        100: 1000, 101: 1010, 102: 1020, 103: 1030, 104: 1040, 105: 1050,
+        500: 5000,
+    }
+    # CDF: only the fired rows — k=2 pre/post + k=500 insert; the two
+    # pass-through matches (k=3 touched file, k=102 untouched file)
+    # contribute nothing
+    cf = minitable.change_feed(spark, path, v - 1, v)
+    assert sorted(
+        (r.k, r.v, r._change_type) for r in cf.collect()
+    ) == [(2, 20, "update_preimage"), (2, 999, "update_postimage"),
+          (500, 5000, "insert")]
+
+    # ZERO-TOUCHED ghost-insert guard: every match unqualified -> no-op
+    # commit with no files swapped (and no dead empty data file)
+    head = v
+    src2 = spark.createDataFrame([(101, 1)], "k long, v long")
+    v2 = minitable.merge(spark, src2, path, "k", update_where="s.v > t.v", stats_cols=["k"])
+    rec2 = json.load(open(minitable._version_file(path, v2)))
+    assert rec2["added"] == [] and rec2["removed"] == []
+    assert minitable.read(spark, path).filter("k = 101").count() == 1
+    # the no-op merge is SKIPPABLE by every feed, not refused
+    assert minitable.change_feed(spark, path, head, v2).count() == 0
+    assert minitable.changes(spark, path, head, v2).count() == 0
+
+    # update_set + update_where compose: SET applies only where the
+    # condition holds
+    v3 = minitable.merge(
+        spark,
+        spark.createDataFrame([(1, 7), (3, 7)], "k long, v long"),
+        path, "k",
+        update_set={"v": "t.v + s.v"}, update_where="t.v >= 20",
+        stats_cols=["k"],
+    )
+    got3 = {r.k: r.v for r in minitable.read(spark, path).collect()}
+    assert got3[1] == 10 and got3[3] == 37  # k=1 failed (10 < 20), k=3 fired
+
+    # delete clause precedence: a row passing BOTH conditions deletes
+    minitable.merge(
+        spark,
+        spark.createDataFrame([(2, 5000)], "k long, v long"),
+        path, "k",
+        delete_where="v = 5000", update_where="s.v > t.v", stats_cols=["k"],
+    )
+    assert minitable.read(spark, path).filter("k = 2").count() == 0
+
+    # unknown t-column reference fails loudly before any I/O
+    with pytest.raises(ValueError, match="unknown target column"):
+        minitable.merge(
+            spark, src2, path, "k", update_where="t.nope > 1", stats_cols=["k"]
+        )
+
+
+def test_minitable_merge_update_where_stream_skips_noop(spark, tmp_path):
+    """A no-op conditional merge commit (zero files swapped) must not
+    kill a live table stream in either mode — it plans zero partitions
+    and costs zero admission budget."""
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    path = str(tmp_path / "uwstream")
+    df = spark.range(4).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    minitable.write(spark, df.coalesce(1), path, stats_cols=["k"])
+    head = minitable.merge(
+        spark,
+        spark.createDataFrame([(1, -1)], "k long, v long"),
+        path, "k",
+        update_where="s.v > t.v", stats_cols=["k"],
+    )  # no-op: 0 > 1 fails... (s.v=-1 < t.v=1) — nothing fires
+    rec_path = minitable._version_file(path, head)
+    import json
+
+    rec = json.load(open(rec_path))
+    assert rec["added"] == [] and rec["removed"] == []
+    for mode in ("append", "cdf"):
+        reader = MinitableStreamReader(
+            {"path": path, "mode": mode, "maxfilespertrigger": "1",
+             "columns": "k,v"}
+        )
+        assert reader._batch_files(rec) == 0
+        parts = reader.partitions({"v": head - 1}, {"v": head})
+        assert [p for p in parts if p.path is not None] == []
+
+
+def test_minitable_merge_update_where_rebase(spark, tmp_path, monkeypatch):
+    """Conditional merges keep the serializability contract: a racing
+    DISJOINT append auto-rebases and both land; a racing append inside
+    the merge's key range conflicts deterministically."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    real_commit = minitable.commit
+
+    def interleave(builder):
+        state = {"fired": False}
+
+        def racing(path, action, added, **kw):
+            if not state["fired"] and kw.get("expected_version") is not None:
+                state["fired"] = True
+                builder(path)
+            return real_commit(path, action, added, **kw)
+
+        monkeypatch.setattr(minitable, "commit", racing)
+
+    def fresh(path):
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        minitable.write(
+            spark, df.repartitionByRange(10, "k"), path, "overwrite", stats_cols=["k"]
+        )
+        return path
+
+    src = spark.createDataFrame([(1, 111), (50, 1)], "k bigint, v bigint")
+
+    path = fresh(str(tmp_path / "r1"))
+
+    def other_append(p):
+        df = spark.range(5000, 5100).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+        minitable.write(spark, df.coalesce(1), p, "append", stats_cols=["k"])
+
+    interleave(other_append)
+    v = minitable.merge(spark, src, path, "k", update_where="s.v > t.v", stats_cols=["k"])
+    monkeypatch.setattr(minitable, "commit", real_commit)
+    assert v == 2  # claimed v1, interloper took it, rebased to v2
+    got = {r["k"]: r["v"] for r in minitable.read(spark, path).collect()}
+    assert got[1] == 111 and got[50] == 100  # k=50 failed the condition
+    assert len(got) == 1100
+
+    path = fresh(str(tmp_path / "r2"))
+
+    def overlapping_append(p):
+        df = spark.range(40, 60).select(F.col("id").alias("k"), F.lit(9).cast("long").alias("v"))
+        minitable.write(spark, df.coalesce(1), p, "append", stats_cols=["k"])
+
+    interleave(overlapping_append)
+    with pytest.raises(minitable.CommitConflict, match="concurrent append"):
+        minitable.merge(spark, src, path, "k", update_where="s.v > t.v", stats_cols=["k"])
+    monkeypatch.setattr(minitable, "commit", real_commit)

@@ -5808,6 +5808,138 @@ GROUP BY change_type, commit_version
 """
 
 
+# ---------------------------------------------------------------------------
+# q208 — CONDITIONAL-MATCHED MERGE (Delta's `WHEN MATCHED AND <cond>
+# THEN UPDATE` per-clause condition).  One merge carries all four
+# outcomes at once: matched rows hitting delete_where DELETE (clause
+# precedence), matched rows passing update_where (a predicate over BOTH
+# the target row `t` and the source row `s`) UPDATE whole-row, matched
+# rows failing it PASS THROUGH untouched — neither rewritten nor
+# re-inserted, and files whose matches ALL fail are never rewritten at
+# all (the condition probe reads only the key + the t-columns the
+# predicate names) — and unmatched source rows INSERT.  The result
+# hashes BOTH the final table state and the merge's change feed, so a
+# pass-through row leaking into the CDF, a ghost insert, or a
+# mis-gated SET all break the oracle.  Replaces q166 (plain
+# unconditional upsert — strictly subsumed; its assertions live on in
+# tests/test_retired_parity.py).
+#
+# Scale: the same two-phase touched-file shape as every merge
+# (minitable.py merge docstring) — the clause condition only SHRINKS
+# the rewrite set, never widens a scan.
+# ---------------------------------------------------------------------------
+def q208_merge_conditional(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_merge_cond", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 2:
+        import contextlib
+        import shutil
+
+        with contextlib.suppress(OSError):
+            os.remove(done)
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        minitable.write(
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            table,
+            "overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        maxk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        # odd matched keys carry a HIGHER source price (condition
+        # fires), even ones a lower price (pass through)
+        updates = orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 2 == 1,
+                F.col("o_totalprice") + F.lit(100.0),
+            ).otherwise(F.col("o_totalprice") - F.lit(100.0)),
+        )
+        inserts = orders.where(F.col("o_orderkey") % 11 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(int(maxk))
+        )
+        minitable.merge(
+            spark,
+            updates.unionByName(inserts),
+            table,
+            "o_orderkey",
+            delete_where="o_orderpriority = '1-URGENT'",
+            update_where="s.o_totalprice > t.o_totalprice "
+            "AND t.o_orderstatus <> 'F'",
+            collect_cdf=True,
+            stats_cols=["o_orderkey"],
+        )
+        open(done, "w").close()
+    price = F.sum(
+        F.col("o_totalprice").cast("decimal(18,2)")
+    ).cast("double").alias("sum_price")
+    state = (
+        minitable.read(spark, table)
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), price)
+        .select(F.lit("state").alias("section"), "grp", "n_rows", "sum_price")
+    )
+    cdf = (
+        minitable.change_feed(spark, table, 0, 1)
+        .groupBy(F.col("_change_type").alias("grp"))
+        .agg(F.count("*").alias("n_rows"), price)
+        .select(F.lit("cdf").alias("section"), "grp", "n_rows", "sum_price")
+    )
+    return state.unionByName(cdf)
+
+
+ORACLE_Q208 = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+fired AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey % 5 = 0 AND o_orderpriority <> '1-URGENT'
+          AND o_orderkey % 2 = 1 AND o_orderstatus <> 'F'
+),
+state AS (
+    SELECT o_orderstatus AS grp,
+           CASE WHEN o_orderkey IN (SELECT o_orderkey FROM fired)
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+    FROM orders
+    WHERE NOT (o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey % 11 = 3
+),
+cdf AS (
+    SELECT 'delete' AS grp, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'update_preimage', CAST(o_totalprice AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM fired)
+    UNION ALL
+    SELECT 'update_postimage',
+           CAST(o_totalprice AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM fired)
+    UNION ALL
+    SELECT 'insert', CAST(o_totalprice AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey % 11 = 3
+)
+SELECT 'state' AS section, grp, COUNT(*) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS sum_price
+FROM state GROUP BY grp
+UNION ALL
+SELECT 'cdf', grp, COUNT(*), CAST(SUM(price) AS DOUBLE)
+FROM cdf GROUP BY grp
+"""
+
+
 QUERIES = {
     "q110_salted_skew_join": q110_salted_skew_join,
     "q112_hll_sketch_merge": q112_hll_sketch_merge,
@@ -5834,7 +5966,6 @@ QUERIES = {
     "q156_federated_join": q156_federated_join,
     "q160_weighted_sample": q160_weighted_sample,
     "q162_time_travel": q162_time_travel,
-    "q166_merge_upsert": q166_merge_upsert,
     "q167_data_skipping": q167_data_skipping,
     "q170_bloom_skipping": q170_bloom_skipping,
     "q173_optimize_binpack": q173_optimize_binpack,
@@ -5866,6 +5997,7 @@ QUERIES = {
     "q205_stream_cdc_full_dml": q205_stream_cdc_full_dml,
     "q206_row_tracking": q206_row_tracking,
     "q207_stream_admission": q207_stream_admission,
+    "q208_merge_conditional": q208_merge_conditional,
 }
 
 ORACLE = {
@@ -5894,7 +6026,6 @@ ORACLE = {
     "q156_federated_join": ORACLE_Q156,
     "q160_weighted_sample": ORACLE_Q160,
     "q162_time_travel": ORACLE_Q162,
-    "q166_merge_upsert": ORACLE_Q166,
     "q167_data_skipping": ORACLE_Q167,
     "q170_bloom_skipping": ORACLE_Q170,
     "q173_optimize_binpack": ORACLE_Q173,
@@ -5926,4 +6057,5 @@ ORACLE = {
     "q205_stream_cdc_full_dml": ORACLE_Q205,
     "q206_row_tracking": ORACLE_Q206,
     "q207_stream_admission": ORACLE_Q207,
+    "q208_merge_conditional": ORACLE_Q208,
 }

@@ -2423,14 +2423,32 @@ def merge(
     collect_cdf: bool = False,
     update_set: dict[str, str] | None = None,
     merge_schema: bool = False,
+    update_where: str | None = None,
 ) -> int:
     """MERGE INTO (Delta-style declarative upsert), whole-row semantics
     by default:
 
     * WHEN MATCHED AND `delete_where` (a SQL boolean over SOURCE
       columns) THEN DELETE;
-    * WHEN MATCHED THEN UPDATE (the source row replaces the target row);
+    * WHEN MATCHED [AND `update_where`] THEN UPDATE (the source row
+      replaces the target row);
     * WHEN NOT MATCHED THEN INSERT.
+
+    `update_where` (Delta's per-clause `WHEN MATCHED AND <cond> THEN
+    UPDATE` condition) is a SQL boolean over the aliases `t` (the
+    matched target row, plain `t.col` references) and `s` (the source
+    row).  Matched rows failing it — or evaluating it to NULL — PASS
+    THROUGH UNCHANGED: they are neither updated nor deleted, and their
+    source rows are NOT inserted (the row matched; Delta's NOT MATCHED
+    clause never sees it).  Clause order is Delta's: delete_where is
+    checked first, so a row passing both conditions deletes.
+    Touched-file pruning honors the condition: a candidate file whose
+    key-matched rows ALL fail `update_where` (and carry no delete) is
+    not rewritten at all — the condition probe reads only `key` plus
+    the `t.` columns the condition references (parquet column pruning),
+    and the matched-key set it produces keeps unqualified source rows
+    out of the INSERT clause even though their files never enter the
+    rewrite join.
 
     `update_set` switches the MATCHED-update clause to COLUMN-LEVEL SET
     expressions (Delta's `WHEN MATCHED THEN UPDATE SET col = expr`):
@@ -2512,19 +2530,9 @@ def merge(
     key_range = [(key, ">=", smin), (key, "<=", smax)]
     pk_range = _phys_where(key_range, colmap)  # stats are physical-named
     candidates = [f for f, st in entries if _file_survives(st, pk_range)]
-    touched: list[str] = []
-    if candidates:
-        probe = (
-            _read_files(
-                spark, [os.path.join(path, f) for f in candidates], schema, colmap
-            )
-            .select(key, F.input_file_name().alias("__file"))
-            .join(source.select(key), key, "inner")
-            .select("__file")
-            .distinct()
-        )
-        uris = [r[0] for r in probe.collect()]  # O(touched files) names
-        touched = [f for f in candidates if any(u.endswith("/" + f) for u in uris)]
+    # the find-touched-files probe runs AFTER src is built below: with
+    # `update_where` it must see the source's __delete flag and the
+    # condition's s-side columns
     # column list from the PLANNED snapshot's schema record — a second
     # head read here would both re-replay the log and race our own
     # read_version (a schema-evolving append in between would bind cols
@@ -2575,6 +2583,21 @@ def merge(
         schema = schema_out
         cols = [f["name"] for f in schema["fields"]]
     gen = _generated_map(schema)
+    t_ref: list[str] = []
+    if update_where is not None:
+        import re
+
+        # the probe reads only the target columns the condition names —
+        # `t.col` / `t.`col`` references (the documented contract; the
+        # s side resolves against the full source row at plan time)
+        t_ref = sorted(
+            {m for m in re.findall(r"\bt\.`?([A-Za-z_][A-Za-z0-9_]*)`?", update_where)}
+        )
+        bad_t = sorted(set(t_ref) - set(cols))
+        if bad_t:
+            raise ValueError(
+                f"update_where references unknown target column(s) {bad_t}"
+            )
     if update_set is not None:
         bad = sorted(set(update_set) - set(cols))
         if bad:
@@ -2632,6 +2655,61 @@ def merge(
         "__delete",
         F.coalesce(F.expr(delete_where), F.lit(False)) if delete_where else F.lit(False),
     )
+    # Phase 2: find-touched-files.  Key-only probe by default (one
+    # column read per candidate).  With `update_where` the probe also
+    # reads the condition's t-columns and keeps only QUALIFIED pairs
+    # (delete-flagged or condition-true) for the rewrite set, while the
+    # full matched-key set — condition-independent — flags source rows
+    # whose matches all pass through so they never reach the INSERT
+    # clause (a key-matched row is matched even when no clause fires).
+    touched: list[str] = []
+    probe_pin: DataFrame | None = None
+    matched_flag: DataFrame | None = None
+    if candidates:
+        cand_paths = [os.path.join(path, f) for f in candidates]
+        if update_where is None:
+            probe = (
+                _read_files(spark, cand_paths, schema, colmap)
+                .select(key, F.input_file_name().alias("__file"))
+                .join(src.select(key), key, "inner")
+                .select("__file")
+                .distinct()
+            )
+            uris = [r[0] for r in probe.collect()]  # O(touched files) names
+        else:
+            probe_cols = [key] + [c for c in t_ref if c != key]
+            pairs = (
+                _read_files(spark, cand_paths, schema, colmap)
+                .select(*probe_cols, F.input_file_name().alias("__file"))
+                .alias("t")
+                .join(src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
+                .select(
+                    F.col(f"t.{key}").alias("__k"),
+                    F.col("__file"),
+                    (
+                        F.col("s.__delete")
+                        | F.coalesce(F.expr(update_where), F.lit(False))
+                    ).alias("__q"),
+                )
+                .persist()  # two consumers: touched collect + matched keys
+            )
+            probe_pin = pairs
+            uris = [
+                r[0]
+                for r in pairs.filter(F.col("__q")).select("__file").distinct().collect()
+            ]
+            matched_flag = (
+                pairs.select(F.col("__k").alias(key))
+                .distinct()
+                .withColumn("__matched", F.lit(True))
+            )
+        touched = [f for f in candidates if any(u.endswith("/" + f) for u in uris)]
+    if matched_flag is not None:
+        src = src.join(matched_flag, key, "left").withColumn(
+            "__matched", F.coalesce(F.col("__matched"), F.lit(False))
+        )
+    else:
+        src = src.withColumn("__matched", F.lit(False))
     cdf_df = None
     joined = None
     if touched:
@@ -2646,12 +2724,21 @@ def merge(
             # keeping the advertised O(touched + source) cost
             joined = joined.persist()
         matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+        # NULL update_where passes through, like delete_where (Delta's
+        # three-valued clause conditions: an un-fired clause is not an
+        # error, the row just takes no clause)
+        upd_cond = (
+            F.coalesce(F.expr(update_where), F.lit(False))
+            if update_where is not None
+            else F.lit(True)
+        )
         tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
 
         def _out_col(c):
-            """The landing value for column `c`: matched rows take the
-            UPDATE clause (whole source row, or the update_set
-            expression over the t/s aliases cast to the table type),
+            """The landing value for column `c`: matched rows passing
+            `update_where` take the UPDATE clause (whole source row, or
+            the update_set expression over the t/s aliases cast to the
+            table type), matched rows failing it keep the target row,
             inserts take the source row, carried-over target rows keep
             theirs."""
             if c in idmap:
@@ -2665,7 +2752,8 @@ def merge(
             else:
                 upd = F.col(f"t.{c}")
             return (
-                F.when(matched, upd)
+                F.when(matched & upd_cond, upd)
+                .when(matched, F.col(f"t.{c}"))  # condition failed: pass through
                 .when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
@@ -2687,8 +2775,18 @@ def merge(
                 ]
             )
 
+        # drop (a) delete-clause rows and (b) "ghost inserts": source
+        # rows whose every key match passed through in an UNTOUCHED file
+        # — they look unmatched in this join (its t side reads only
+        # touched files) but the row IS matched, so NOT MATCHED must
+        # never fire for it
+        ghost = (
+            F.col(f"t.{key}").isNull()
+            & F.col(f"s.{key}").isNotNull()
+            & F.col("s.__matched")
+        )
         merged = _regen_m(
-            joined.filter(~(matched & F.col("s.__delete"))).select(
+            joined.filter(~(matched & F.col("s.__delete")) & ~ghost).select(
                 *[_out_col(c) for c in cols]
             )
         )
@@ -2700,7 +2798,10 @@ def merge(
             s_row = [F.col(f"s.{c}").alias(c) for c in cols]
             # the post-image is the MERGED landing row (honors update_set)
             post_row = [_out_col(c) for c in cols]
-            updated = matched & ~F.col("s.__delete")
+            # pass-through rows (update_where false/NULL) changed
+            # nothing and emit NO change rows (Delta's merge CDF covers
+            # only rows a clause actually fired on)
+            updated = matched & ~F.col("s.__delete") & upd_cond
             ct = "_change_type"
             cdf_df = (
                 joined.filter(matched & F.col("s.__delete"))
@@ -2714,12 +2815,20 @@ def merge(
                     .withColumn(ct, F.lit("update_postimage"))
                 )
                 .unionByName(
-                    joined.filter(F.col(f"t.{key}").isNull()).select(*s_row)
+                    # ghost inserts (matched only in untouched files)
+                    # fired no clause: no insert row
+                    joined.filter(
+                        F.col(f"t.{key}").isNull() & ~F.col("s.__matched")
+                    ).select(*s_row)
                     .withColumn(ct, F.lit("insert"))
                 )
             )
     else:
-        merged = src.select(*cols)  # nothing can match: pure insert
+        # no file needs rewriting.  Without update_where that means
+        # nothing matched: pure insert.  With it, matched-but-
+        # unqualified source rows may exist (their files all passed
+        # through) — they fired no clause and must not insert.
+        merged = src.filter(~F.col("__matched")).select(*cols)
         if gen:
             # same contract as the upsert branch's _regen_m: a source-
             # provided generated value is recomputed, not validated-
@@ -2770,13 +2879,29 @@ def merge(
     )
     for pin in id_pins:  # ids are in the staged parquet now
         pin.unpersist(False)
+    # A merge can stage ZERO landing rows (every source row delete-
+    # flagged, or a conditional merge whose matches all passed through):
+    # committing the empty part file would add a dead file to the live
+    # set — and one per no-op merge, forever in every scan's plan.  Drop
+    # empties from the commit (one footer read per staged file, the same
+    # O(files) driver metadata class as _collect_stats below).
+    import pyarrow.parquet as pq
+
+    empties = [
+        a
+        for a in added
+        if pq.ParquetFile(os.path.join(path, a)).metadata.num_rows == 0
+    ]
+    for a in empties:
+        os.remove(os.path.join(path, a))  # never committed: orphan otherwise
+    added = [a for a in added if a not in set(empties)]
     # CHECK constraints validate the STAGED bytes (the exact rows that
     # will commit): staged merge output holds only landing rows —
     # delete-flagged source rows never materialize, and carried-over
     # target rows passed at their own write time (add_constraint
     # validates the existing table)
     gen_checks = _generated_checks(schema)
-    if constraints or gen_checks:
+    if (constraints or gen_checks) and added:  # zero landing rows: nothing to check
         _enforce_constraints(
             _read_files(
                 spark, [os.path.join(path, a) for a in added], schema, colmap
@@ -2791,6 +2916,8 @@ def merge(
     )
     if joined is not None and collect_cdf:
         joined.unpersist()
+    if probe_pin is not None:  # rewrite + cdf staged; probe pairs done
+        probe_pin.unpersist(False)
     want_stats = sorted(
         {colmap.get(c, c) for c in {key, *(stats_cols or [])}} if colmap
         else {key, *(stats_cols or [])}
@@ -4214,12 +4341,15 @@ def change_feed(
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
-            else:
+            elif rec.get("added") or rec.get("removed"):
                 raise ValueError(
                     f"version {v} is a merge with neither a recorded predicate "
                     "nor change data — no row-level feed exists for it; "
                     "use a snapshot diff instead"
                 )
+            # else: a NO-OP merge (e.g. every match failed update_where
+            # and nothing inserted) — zero files swapped is PROOF of
+            # zero row changes; contribute nothing instead of refusing
         else:
             raise ValueError(
                 f"version {v} is an overwrite — the ({from_version}, "
@@ -4265,6 +4395,12 @@ def changes(
         if rec.get("data_change") is False:
             continue  # OPTIMIZE etc.: rows provably unchanged, no delta
         if rec["action"] != "append":
+            if (
+                rec["action"] == "merge"
+                and not rec.get("added")
+                and not rec.get("removed")
+            ):
+                continue  # no-op merge: zero files swapped = zero rows changed
             raise ValueError(
                 f"version {v} is a {rec['action']} — the ({from_version}, "
                 f"{to_version}] range has no append-only change feed; "

@@ -313,6 +313,13 @@ class MinitableStreamReader(DataSourceStreamReader):
         admission-control unit (mirrors partitions()'s branches)."""
         if rec.get("data_change") is False:
             return 0
+        if (
+            rec["action"] == "merge"
+            and rec.get("cdf") is None
+            and not rec.get("added")
+            and not rec.get("removed")
+        ):
+            return 0  # no-op merge: partitions() skips it in both modes
         if rec["action"] == "append":
             return len(rec["added"])
         if self.mode == "cdf":
@@ -447,6 +454,15 @@ class MinitableStreamReader(DataSourceStreamReader):
                     for f in rec["added"]
                 )
                 continue
+            if (
+                rec["action"] == "merge"
+                and rec.get("cdf") is None
+                and not rec.get("added")
+                and not rec.get("removed")
+            ):
+                continue  # NO-OP merge (every match failed update_where,
+                # nothing inserted): zero files swapped is proof of zero
+                # row changes in BOTH modes — skip, don't refuse
             if cdc and rec["action"] == "merge" and rec.get("cdf") is not None:
                 # explicit change-data files: plain parquet carrying
                 # `_change_type` per row — stream them directly, one
