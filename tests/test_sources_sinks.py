@@ -5504,8 +5504,9 @@ def test_minitable_stream_admission_control(spark, tmp_path):
     """startingVersion (int and `latest`) + maxFilesPerTrigger (r11 —
     Delta's stream admission options): history starts where asked, the
     snapshot never streams when a version is named, `latest` skips all
-    history, and a file budget splits the backlog into whole-commit
-    micro-batches (at least one commit per batch)."""
+    history, and a file budget splits the backlog into bounded
+    micro-batches (file-granular as of r12 — one-file commits still
+    land one per batch)."""
     from pyspark.sql import functions as F
 
     from tinymr_spark.sources import minitable, minitable_stream
@@ -5516,10 +5517,11 @@ def test_minitable_stream_admission_control(spark, tmp_path):
         spark, spark.range(0, 10).select(F.col("id").alias("k")), table,
         "overwrite",
     )
-    for i in range(1, 5):  # v1..v4 appends, 5 rows each
+    for i in range(1, 5):  # v1..v4 appends, 5 rows each, ONE file each
         minitable.write(
             spark,
-            spark.range(100 * i, 100 * i + 5).select(F.col("id").alias("k")),
+            spark.range(100 * i, 100 * i + 5)
+            .select(F.col("id").alias("k")).coalesce(1),
             table,
         )
 
@@ -5556,20 +5558,32 @@ def test_minitable_stream_admission_control(spark, tmp_path):
     # startingVersion=latest: empty until a NEW commit, then only it
     assert drain({"startingVersion": "latest"}, "ck2") == []
     minitable.write(
-        spark, spark.range(900, 902).select(F.col("id").alias("k")), table
+        spark,
+        spark.range(900, 902).select(F.col("id").alias("k")).coalesce(1),
+        table,
     )  # v5
     b = drain({"startingVersion": "latest"}, "ck2")  # same checkpoint
     assert sorted(k for _b, rows in b for k in rows) == [900, 901]
 
-    # maxFilesPerTrigger=1: one commit per micro-batch (5 batches v1..v5)
+    # maxFilesPerTrigger=1 over one-file commits: one commit per
+    # micro-batch (5 batches v1..v5)
     b = drain({"startingVersion": "1", "maxFilesPerTrigger": "1"}, "ck3")
     assert len(b) == 5, [x[0] for x in b]
     assert [len(rows) for _b, rows in b] == [5, 5, 5, 5, 2]
 
-    # snapshot mode + limit: the snapshot batch is never split; total
-    # content equals the live table
+    # snapshot mode + limit: the budgeted snapshot SPLITS file-granular
+    # (r12 — Delta's file-granular initial-snapshot offsets); total
+    # content equals the live table, each batch is one file, and the
+    # batch count is exactly the live-file + backlog-file count
     b = drain({"maxFilesPerTrigger": "1"}, "ck4")
     assert sum(len(r) for _b, r in b) == minitable.read(spark, table).count()
+    import pyarrow.parquet as pq
+
+    n_nonempty = sum(
+        1 for f in minitable.snapshot(table)
+        if pq.ParquetFile(f).metadata.num_rows > 0
+    )
+    assert len(b) == n_nonempty, (len(b), n_nonempty)
 
     # bad inputs fail loudly
     import pytest
@@ -5653,12 +5667,14 @@ def test_minitable_stream_admission_survives_restart(spark, tmp_path):
 
 
 def test_minitable_stream_admission_cdf_reconstruction_budget(spark, tmp_path):
-    """r11 4th pass: admission control over a CDC history whose commits
-    need RECONSTRUCTION — explicit-CDF merge, predicate delete, DV
-    delete with materialization — must (a) count each commit's planned
-    partitions exactly (a materialized file sits in both `removed` and
-    the dv map but plans once), (b) keep one commit per micro-batch at
-    budget 1, and (c) equal the batch change feed row-for-row.  Also
+    """r11 4th pass, updated for r12's file-granular offsets: admission
+    control over a CDC history whose commits need RECONSTRUCTION —
+    explicit-CDF merge, predicate delete, DV delete with
+    materialization — must (a) count each commit's planned partitions
+    exactly (a materialized file sits in both `removed` and the dv map
+    but plans once), (b) at budget 1 admit ONE planned file per
+    micro-batch — splitting multi-file commits, never spanning two
+    commits — and (c) equal the batch change feed row-for-row.  Also
     pins startingVersion=0 as FULL HISTORY REPLAY (not snapshot): the
     build starts from an APPEND v0 so the whole log is replayable."""
     from pyspark.sql import functions as F
@@ -5700,13 +5716,37 @@ def test_minitable_stream_admission_cdf_reconstruction_budget(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    # one commit per micro-batch: v0..v3 each alone (budget 1 admits
-    # exactly one commit per trigger regardless of its size)
+    # budget 1 = one PLANNED FILE per micro-batch (r12 file-granular
+    # offsets): a batch never spans two commits, versions only move
+    # forward, and a multi-file commit takes as many non-empty batches
+    # as its planned files carrying rows — v0's two-file append MUST
+    # split in two
+    import json as _json
+
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    probe = MinitableStreamReader(
+        {"path": table, "columns": "k,v", "mode": "cdf"}
+    )
+    planned = {
+        v: probe._batch_files(
+            _json.load(open(minitable._version_file(table, v)))
+        )
+        for v in range(4)
+    }
     per_batch_versions = [
         {r[3] for r in rows} for _bid, rows in batches
     ]
     assert all(len(vs) == 1 for vs in per_batch_versions), per_batch_versions
-    assert [sorted(vs)[0] for vs in per_batch_versions] == [0, 1, 2, 3]
+    seq = [sorted(vs)[0] for vs in per_batch_versions]
+    assert seq == sorted(seq), seq  # versions never move backward
+    from collections import Counter
+
+    per_version_batches = Counter(seq)
+    assert per_version_batches[0] == 2, (per_version_batches, planned)
+    assert planned[0] == 2, planned
+    for v, n in per_version_batches.items():
+        assert n <= planned[v], (v, n, planned)
     got = sorted(r for _bid, rows in batches for r in rows)
     # batch feed over the replayable history: change_feed needs
     # from_version in the log, so v0's slice (all 40 inserts) is
@@ -5721,7 +5761,210 @@ def test_minitable_stream_admission_cdf_reconstruction_budget(spark, tmp_path):
     assert got == want, (got[:5], want[:5])
 
 
-def test_minitable_merge_update_where_conditional(spark, tmp_path):
+def _drive_reader(reader, max_triggers=200):
+    """Simulate the engine's trigger loop against a reader directly:
+    initialOffset, then latestOffset until it stops moving, collecting
+    each (start, end] batch's partitions and rows — exact, cheap
+    offset-algebra pins without a streaming query's wall-clock."""
+    offs = [reader.initialOffset()]
+    batches = []  # (start, end, [partitions], [rows])
+    for _ in range(max_triggers):
+        end = reader.latestOffset()
+        if end == offs[-1]:
+            break
+        parts = reader.partitions(offs[-1], end)
+        rows = [t for p in parts for t in reader.read(p)]
+        reader.commit(end)
+        batches.append((offs[-1], end, [p for p in parts if p.path], rows))
+        offs.append(end)
+    else:
+        raise AssertionError("reader never converged")
+    return offs, batches
+
+
+def test_minitable_stream_file_granular_offsets(spark, tmp_path):
+    """r12: maxFilesPerTrigger splits MULTI-FILE commits across
+    micro-batches with file-granular offsets ({"v": N, "f": K}) instead
+    of admitting whole commits — each batch plans at most the budget,
+    a batch never spans a commit boundary mid-file-list ambiguously,
+    and the union over all batches is exactly-once."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    minitable.write(  # v0: 1 file
+        spark, spark.range(0, 5).select(F.col("id").alias("k")).coalesce(1),
+        table,
+    )
+    minitable.write(  # v1: 3 files
+        spark,
+        spark.range(10, 22).select(F.col("id").alias("k")).repartition(3),
+        table,
+    )
+    minitable.write(  # v2: 1 file
+        spark, spark.range(30, 33).select(F.col("id").alias("k")).coalesce(1),
+        table,
+    )
+    reader = MinitableStreamReader(
+        {"path": table, "columns": "k",
+         "startingversion": "0", "maxfilespertrigger": "2"}
+    )
+    offs, batches = _drive_reader(reader)
+    # v1's 3 files cannot fit one 2-file batch: a PARTIAL offset must
+    # appear in the walk and every batch must respect the budget
+    assert any("f" in o for o in offs[1:]), offs
+    assert all(len(parts) <= 2 for _s, _e, parts, _r in batches), [
+        (s, e, len(p)) for s, e, p, _ in batches
+    ]
+    got = sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+    want = sorted(
+        r["k"] for r in minitable.read(spark, table).collect()
+    )
+    assert got == want, (got, want)
+    # replay purity: re-planning any (start, end] range yields the
+    # identical file list — partial offsets included
+    for s, e, parts, _rows in batches:
+        again = [p.path for p in reader.partitions(s, e) if p.path]
+        assert again == [p.path for p in parts], (s, e)
+
+
+def test_minitable_stream_max_bytes_per_trigger(spark, tmp_path):
+    """r12: maxBytesPerTrigger admits planned files while their
+    cumulative size fits the budget, using the commit log's recorded
+    `sizes` (Delta's AddFile.size); a single file over the budget still
+    streams alone — the only ceiling breach allowed."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v0..v2, 2 one-file appends' worth of data each
+        minitable.write(
+            spark,
+            spark.range(100 * i, 100 * i + 50)
+            .select(F.col("id").alias("k")).repartition(2),
+            table,
+        )
+    # every commit recorded its files' byte sizes
+    sizes = {}
+    for v in minitable.versions(table):
+        rec = json.load(open(minitable._version_file(table, v)))
+        assert set(rec["sizes"]) == set(rec["added"]), rec
+        sizes.update(rec["sizes"])
+    one_file = max(sizes.values())
+    reader = MinitableStreamReader(
+        {"path": table, "columns": "k",
+         "startingversion": "0", "maxbytespertrigger": str(one_file)}
+    )
+    _offs, batches = _drive_reader(reader)
+    import os as _os
+
+    for _s, _e, parts, _rows in batches:
+        total = sum(_os.path.getsize(p.path) for p in parts)
+        assert total <= one_file or len(parts) == 1, (total, len(parts))
+    got = sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+    want = sorted(r["k"] for r in minitable.read(spark, table).collect())
+    assert got == want
+    # a budget SMALLER than any file still advances, one file per batch
+    tiny = MinitableStreamReader(
+        {"path": table, "columns": "k",
+         "startingversion": "0", "maxbytespertrigger": "1"}
+    )
+    _o2, b2 = _drive_reader(tiny)
+    assert all(len(parts) == 1 for _s, _e, parts, _r in b2), [
+        len(p) for _s, _e, p, _ in b2
+    ]
+    got2 = sorted(k for _s, _e, _p, rows in b2 for (k,) in rows)
+    assert got2 == want
+
+
+def test_minitable_stream_snapshot_splitting_respects_dv(spark, tmp_path):
+    """r12: a BUDGETED initial snapshot splits file-granular, pinned at
+    one version ({"v": -1, "snap": H, "f": K}) — every batch honors the
+    budget, deletion-vector'd rows stay deleted in whichever slice
+    their file lands, and completion hands over to incremental
+    streaming with no row lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    minitable.write(  # v0: 4 files
+        spark,
+        spark.range(0, 40).select(F.col("id").alias("k")).repartition(4),
+        table, "overwrite", stats_cols=["k"],
+    )
+    minitable.delete_dv(spark, table, [("k", "in", [1, 2, 3])])  # v1
+    minitable.write(  # v2: 1 file
+        spark, spark.range(100, 103).select(F.col("id").alias("k")).coalesce(1),
+        table,
+    )
+    reader = MinitableStreamReader(
+        {"path": table, "columns": "k", "maxfilespertrigger": "2"}
+    )
+    offs, batches = _drive_reader(reader)
+    assert any("snap" in o for o in offs[1:]), offs  # it DID split
+    assert all(len(parts) <= 2 for _s, _e, parts, _r in batches)
+    got = sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+    want = sorted(r["k"] for r in minitable.read(spark, table).collect())
+    assert got == want, (got, want)
+    assert not any(k in (1, 2, 3) for k in got)
+
+
+def test_minitable_stream_hwm_bounds_fresh_runner(spark, tmp_path):
+    """r12: with `streamId`, commit() persists the reader's high-water
+    mark beside the table, so a FRESH runner whose first call is
+    latestOffset (the restart ordering the Python DataSource API can't
+    guarantee) still answers within one budget of the checkpoint — the
+    first post-restart batch is bounded, closing q207's second
+    documented simplification."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    for i in range(7):  # v0..v6, one file each
+        minitable.write(
+            spark,
+            spark.range(10 * i, 10 * i + 3)
+            .select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+    opts = {
+        "path": table, "columns": "k", "startingversion": "1",
+        "maxfilespertrigger": "1", "streamid": "sub-a",
+    }
+    r1 = MinitableStreamReader(opts)
+    r1.initialOffset()
+    e1 = r1.latestOffset()
+    assert e1 == {"v": 1}, e1
+    r1.commit(e1)  # engine confirms the batch -> HWM persisted
+    hwm = json.load(open(os.path.join(table, "_stream_hwm", "sub-a.json")))
+    assert hwm == {"v": 1}, hwm
+    # fresh runner, first call latestOffset: bounded by the HWM
+    r2 = MinitableStreamReader(opts)
+    assert r2.latestOffset() == {"v": 2}
+    # a stale/absent HWM never loses rows: batch boundaries come from
+    # the ENGINE's offsets — partitions() over the checkpointed range
+    # plans the same files regardless of pacing state
+    r3 = MinitableStreamReader(opts)
+    parts = r3.partitions({"v": 1}, {"v": 2})
+    assert len([p for p in parts if p.path]) == 1
+    # bad streamId fails loudly (it becomes a filename)
+    import pytest
+
+    with pytest.raises(Exception, match="filename token"):
+        MinitableStreamReader({**opts, "streamid": "../evil"})
     """WHEN MATCHED AND <update_where> THEN UPDATE (Delta's per-clause
     condition): qualified matches update, unqualified matches PASS
     THROUGH (neither updated nor re-inserted), the delete clause keeps

@@ -5683,20 +5683,28 @@ FROM m
 
 # ---------------------------------------------------------------------------
 # q207 — STREAM ADMISSION CONTROL (Delta's startingVersion +
-# maxFilesPerTrigger on the table-stream source): a CDC subscription
-# that (a) starts from a chosen VERSION instead of the snapshot — the
-# feed-from-history pattern — and (b) caps each micro-batch at whole
-# commits fitting a file budget, so a restarted consumer with a long
-# backlog catches up in bounded batches instead of one giant one (the
-# 100-TB concern: an unbounded first batch over months of commits).
-# Build: orders ingest (v0) + three appended slices (v1-v3), then one
-# drain with startingVersion=1 + maxFilesPerTrigger=1 — the build
-# asserts the drain took one micro-batch PER COMMIT (admission working)
-# and v0's snapshot never streamed (startingVersion working); the gate
-# hash-checks per-(change_type, commit_version) counts and decimal
-# sums against the oracle's slice replay.  Offsets stay pure version
-# numbers, so checkpoint replay purity is untouched
-# (sources/minitable_stream.py MinitableStreamReader docstring).
+# maxFilesPerTrigger + maxBytesPerTrigger on the table-stream source):
+# a CDC subscription that (a) starts from a chosen VERSION instead of
+# the snapshot — the feed-from-history pattern — and (b) caps each
+# micro-batch at a planned FILE or BYTE budget with FILE-GRANULAR
+# offsets ({"v": N, "f": K} — Delta's file-granular admission), so a
+# restarted consumer with a long backlog catches up in bounded batches
+# and a single oversized commit SPLITS across micro-batches instead of
+# forcing one unbounded batch (the 100-TB concern: months of commits,
+# or one compaction-sized commit, must never become one giant batch).
+# Build: orders ingest (v0) + three appended slices (v1 staged as TWO
+# files, v2-v3 one each), then one drain with startingVersion=1 +
+# maxFilesPerTrigger=1 — the build asserts v1 split across two
+# micro-batches, no batch spans two commits, versions only move
+# forward, and v0's snapshot never streamed; driver-level probes then
+# pin the byte budget (admitted bytes <= maxBytesPerTrigger unless a
+# batch is a single file) and the persisted `streamId` high-water mark
+# (a FRESH runner's first latestOffset answers within one budget of
+# the last committed offset — the bounded first post-restart batch).
+# The gate hash-checks per-(change_type, commit_version) counts and
+# decimal sums against the oracle's slice replay.  Every offset shape
+# is a pure function of the immutable log, so checkpoint replay purity
+# is untouched (sources/minitable_stream.py module docstring).
 # ---------------------------------------------------------------------------
 def q207_stream_admission(spark, sf_dir: str) -> DataFrame:
     import os
@@ -5710,7 +5718,7 @@ def q207_stream_admission(spark, sf_dir: str) -> DataFrame:
     )
 
     src_path = table_path(sf_dir, "orders")
-    table = versioned_staging_dir("tinymr_spark_minitable_admission", src_path)
+    table = versioned_staging_dir("tinymr_spark_minitable_admission2", src_path)
     landed = table + ".landed"
     ckpt = table + ".ckpt"
     done = table + "._done"
@@ -5732,9 +5740,18 @@ def q207_stream_admission(spark, sf_dir: str) -> DataFrame:
             "o_orderkey", F.col("o_totalprice").cast("double")
         )
         minitable.write(spark, orders.repartition(2), table, "overwrite")
-        for m in (1, 2, 3):  # v1..v3: one slice per commit
+        # v1: TWO files — the oversized commit the file budget must
+        # split; v2/v3: one file each
+        minitable.write(
+            spark,
+            orders.where(F.col("o_orderkey") % 10 == 1).repartition(2),
+            table,
+        )
+        for m in (2, 3):
             minitable.write(
-                spark, orders.where(F.col("o_orderkey") % 10 == m), table
+                spark,
+                orders.where(F.col("o_orderkey") % 10 == m).coalesce(1),
+                table,
             )
 
         fed = []
@@ -5742,9 +5759,12 @@ def q207_stream_admission(spark, sf_dir: str) -> DataFrame:
         def sink(bdf, bid):
             out = bdf.withColumn("_batch", F.lit(bid))
             out.write.mode("append").parquet(landed)
-            n = bdf.count()
-            if n:
-                fed.append((bid, n))
+            vs = [
+                r["_commit_version"]
+                for r in out.select("_commit_version").distinct().collect()
+            ]
+            if vs:
+                fed.append((bid, sorted(vs)))
 
         q = (
             spark.readStream.format("tinymr_minitable_stream")
@@ -5761,18 +5781,51 @@ def q207_stream_admission(spark, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-        # admission worked: ONE commit per micro-batch, three batches
-        assert len(fed) == 3, fed
-        got = spark.read.parquet(landed)
-        versions = {
-            r["_commit_version"]
-            for r in got.select("_commit_version").distinct().collect()
+        # file-granular admission: v1's two files took TWO batches, no
+        # batch spans two commits, versions never move backward
+        assert all(len(vs) == 1 for _b, vs in fed), fed
+        seq = [vs[0] for _b, vs in fed]
+        assert seq == [1, 1, 2, 3], seq  # v0 snapshot never streamed
+        # ---- driver-level probes: byte budget + persisted HWM -------
+        import json
+
+        from tinymr_spark.sources.minitable_stream import (
+            MinitableStreamReader,
+        )
+
+        rec1 = json.load(open(minitable._version_file(table, 1)))
+        budget = max(rec1["sizes"].values())  # one v1 file fits, two don't
+        rb = MinitableStreamReader(
+            {"path": table, "columns": "o_orderkey,o_totalprice",
+             "mode": "cdf", "startingversion": "1",
+             "maxbytespertrigger": str(budget)}
+        )
+        rb.initialOffset()
+        prev = {"v": 0}
+        while True:
+            end = rb.latestOffset()
+            if end == prev:
+                break
+            parts = [p for p in rb.partitions(prev, end) if p.path]
+            admitted = sum(os.path.getsize(p.path) for p in parts)
+            assert admitted <= budget or len(parts) == 1, (admitted, budget)
+            rb.commit(end)
+            prev = end
+        assert prev == {"v": 3}, prev  # the whole backlog drained
+        # persisted HWM: a FRESH runner's first latestOffset stays
+        # within one file budget of the last committed offset
+        hopts = {
+            "path": table, "columns": "o_orderkey,o_totalprice",
+            "mode": "cdf", "startingversion": "1",
+            "maxfilespertrigger": "1", "streamid": "q207",
         }
-        assert versions == {1, 2, 3}, versions  # v0 snapshot never streamed
-        per_batch = got.groupBy("_batch").agg(
-            F.countDistinct("_commit_version").alias("nv")
-        ).collect()
-        assert all(r["nv"] == 1 for r in per_batch), per_batch
+        rh = MinitableStreamReader(hopts)
+        rh.initialOffset()
+        first = rh.latestOffset()
+        rh.commit(first)
+        fresh = MinitableStreamReader(hopts)
+        nxt = fresh.latestOffset()  # FIRST call on a fresh runner
+        assert nxt == {"v": 1}, (first, nxt)  # bounded: one more file
         open(done, "w").close()
 
     return (

@@ -7,6 +7,7 @@ commit log of JSON records `v{N}.json`:
 
     {"version": N, "action": "append"|"overwrite"|"merge",
      "added": [...], "removed": [...],            # merge only
+     "sizes": {"file": bytes},                    # Delta's AddFile.size
      "stats": {"file": {"col": [min, max]                      # range stats
                         | {"range": [...], "bloom": {...}}}}}  # + bloom
 
@@ -1115,6 +1116,21 @@ def commit(
         body["removed"] = removed
     if stats:
         body["stats"] = stats
+    # Per-file byte sizes (Delta's AddFile.size): the stream source's
+    # maxBytesPerTrigger admission budgets against these without a
+    # filesystem stat per trigger.  Recorded best-effort — the files
+    # exist by the write-ordering barrier, but a size is only an
+    # admission HINT, so a stat failure here must not fail the commit
+    # (the reader falls back to its own stat, and a truly missing file
+    # surfaces loudly at read time).
+    sizes = {}
+    for f in list(added) + list(cdf or ()):
+        try:
+            sizes[f] = os.path.getsize(os.path.join(path, f))
+        except OSError:
+            pass
+    if sizes:
+        body["sizes"] = sizes
     if txn is not None:
         body["txn"] = {"app": txn[0], "version": txn[1]}
     if schema is not None or record_null_schema:

@@ -2,20 +2,30 @@
 stream" face of the lakehouse primitive (Delta's streaming source
 semantics), the read-side complement of q163's streaming ingest sink.
 
-Offsets are COMMITTED VERSION NUMBERS: `latestOffset` answers the log
-head (a driver-side directory listing, O(commits)), and a micro-batch
-(start, end] is DEFINED as the files added by the append commits in
-that version range — exactly the change-feed contract of
+Offsets are FILE-GRANULAR LOG POSITIONS: `latestOffset` answers the
+log head (a driver-side directory listing, O(commits)), and a
+micro-batch (start, end] is DEFINED as the files added by the append
+commits in that position range — exactly the change-feed contract of
 `minitable.changes()`, so a batch never re-reads table history and an
 overwrite/merge in range raises loudly instead of streaming rewritten
-rows as if they were new.  The INITIAL batch is special-cased: start
-offset -1 plans the table's full SNAPSHOT at the batch's end version
-(Delta's startingVersion semantics) — so a table initialized by an
-overwrite, or one whose history holds pre-subscription rewrites,
-streams its current rows once and then goes purely incremental: each
-new append commit streams exactly once, by construction of the offset
-algebra.  Only a rewrite LANDING MID-STREAM (inside a start >= 0
-range) raises.
+rows as if they were new.  `{"v": N}` means commit N is fully
+consumed; under admission control an offset may also be
+`{"v": N, "f": K}` — commits before N fully consumed plus the first K
+files of commit N's deterministic planned-file list (Delta's
+file-granular offsets), so a single oversized commit splits across
+micro-batches instead of forcing one unbounded batch.  The INITIAL
+batch is special-cased: start offset -1 plans the table's full
+SNAPSHOT at the batch's end version (Delta's startingVersion
+semantics) — so a table initialized by an overwrite, or one whose
+history holds pre-subscription rewrites, streams its current rows once
+and then goes purely incremental: each new append commit streams
+exactly once, by construction of the offset algebra.  A budgeted
+snapshot splits too, pinned at one version:
+`{"v": -1, "snap": H, "f": K}` is the snapshot-at-H with its first K
+files consumed (completion normalizes to `{"v": H}`).  Every planned
+range is a pure function of the immutable log, so checkpoint replay
+purity holds across all shapes.  Only a rewrite LANDING MID-STREAM
+(inside an incremental range) raises.
 
 Scale split (the q136 rework's lesson, pydatasource.py:144): the driver
 does OFFSET BOOKKEEPING ONLY; `partitions()` maps the version range to
@@ -174,6 +184,24 @@ def _predicate_mask(batch, where: list, read_cols: list[str]) -> list[bool]:
     return pc.fill_null(mask, False).to_pylist()
 
 
+def _off_key(off: dict) -> tuple[int, int, int]:
+    """Total order over the offset shapes, for monotone bookkeeping.
+
+    Within one stream's life positions only move forward; this key
+    makes that comparable across shapes: a partial snapshot at H sorts
+    after every complete commit < H and before `{"v": H}`; a partial
+    commit `{"v": N, "f": K}` sorts between `{"v": N-1}` and
+    `{"v": N}`; the fresh sentinels sort below everything."""
+    if "snap" in off:
+        return (int(off["snap"]), 0, int(off["f"]))
+    v = int(off["v"])
+    if v < 0:
+        return (-2, 0, 0)
+    if "f" in off:
+        return (v, 0, int(off["f"]))
+    return (v, 1, 0)
+
+
 class _FilePartition(InputPartition):
     """One committed parquet file of the micro-batch's version range;
     pickled to an executor, which reads it directly.  `dv_path` is the
@@ -227,22 +255,39 @@ class MinitableStreamReader(DataSourceStreamReader):
     post-subscription commits stream).  Omitted = snapshot semantics.
 
     `maxFilesPerTrigger` (Delta's admission control): caps each
-    micro-batch at whole COMMITS whose cumulative planned file count
-    fits the budget (always at least one commit, so a single oversized
-    commit still advances) — a restarted stream with a long backlog
-    catches up in bounded batches instead of one giant one.  Two
-    documented simplifications vs Delta: granularity is whole commits
-    (offsets are version numbers plus an `inc` marker on the
-    pre-history sentinel, so checkpoint replay purity is trivial), and
-    RESTART safety leans on the engine's call ordering — the Python
-    DataSource API hides the checkpointed offset from latestOffset, but
-    Spark 4.1 re-seeds this runner via commit(checkpointedEnd) before
-    the first post-restart latestOffset (probe-verified), and
-    partitions() re-learns the true position from every planned range
-    as a second net, so the limiter never answers BEHIND the checkpoint
-    (a rewound, engine-committed offset would re-stream consumed
-    versions as duplicates; review r11 4th pass, restart regression
-    test-pinned)."""
+    micro-batch at a planned FILE budget, with FILE-GRANULAR offsets
+    (`{"v": N, "f": K}` — the first K files of commit N's deterministic
+    planned-file list): an oversized commit splits across micro-batches
+    instead of forcing one unbounded batch, and a budgeted initial
+    snapshot splits the same way, pinned at one version
+    (`{"v": -1, "snap": H, "f": K}`).  Always at least one file per
+    batch, so the stream always advances.
+
+    `maxBytesPerTrigger` (Delta's byte-budget twin): admits planned
+    files while their cumulative size fits the budget — sizes come from
+    the commit log's recorded `sizes` map (Delta's AddFile.size; legacy
+    commits fall back to one cached stat per file).  A single file
+    larger than the budget still streams alone — the only way a batch
+    exceeds the ceiling.  Both budgets may be set; a file must fit both
+    to be admitted.
+
+    `streamId` (opt-in): a filename token naming this subscription.
+    When set, every engine `commit()` persists the reader's high-water
+    mark at `<table>/_stream_hwm/<streamId>.json`, so a FRESH runner
+    whose first call is latestOffset (the Python DataSource API hides
+    the checkpointed offset from it) re-learns its position from disk
+    and the first post-restart batch honors the budget too.  Without
+    it, restart bounding leans on the engine's call ordering — Spark
+    4.1 re-seeds this runner via commit(checkpointedEnd) before the
+    first post-restart latestOffset (probe-verified) — and partitions()
+    re-learns the true position from every planned range as a second
+    net, so the limiter never answers BEHIND the checkpoint (a rewound,
+    engine-committed offset would re-stream consumed versions as
+    duplicates; review r11 4th pass, restart regression test-pinned).
+    The HWM only PACES admission — the engine's checkpointed offsets
+    stay the sole source of batch boundaries — so a stale or reused
+    streamId can loosen the ceiling for one batch but never lose,
+    duplicate, or reorder rows."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -275,7 +320,33 @@ class MinitableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxFilesPerTrigger must be a positive int, got {mft!r}"
             )
+        mbt = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
+        try:
+            self.max_bytes: int | None = int(mbt) if mbt is not None else None
+        except ValueError:
+            raise ValueError(
+                f"maxBytesPerTrigger must be a positive byte count, got {mbt!r}"
+            ) from None
+        if self.max_bytes is not None and self.max_bytes <= 0:
+            raise ValueError(
+                f"maxBytesPerTrigger must be a positive byte count, got {mbt!r}"
+            )
+        sid = options.get("streamid", options.get("streamId"))
+        if sid is not None:
+            import re
+
+            if not re.fullmatch(r"[A-Za-z0-9_.-]+", sid):
+                raise ValueError(
+                    f"streamId must be a plain filename token "
+                    f"([A-Za-z0-9_.-]+), got {sid!r}"
+                )
+        self.stream_id: str | None = sid
         self._last: dict | None = None  # newest offset handed to the engine
+        # admission caches, O(backlog): planned (file, bytes) per commit
+        # and the pinned snapshot file list — both pure functions of the
+        # immutable log, evicted as the stream consumes past them
+        self._plan_cache: dict[int, list[tuple[str | None, int]]] = {}
+        self._snap_cache: tuple[int, list[str]] | None = None
 
     def initialOffset(self) -> dict:
         from tinymr_spark.sources import minitable
@@ -308,246 +379,442 @@ class MinitableStreamReader(DataSourceStreamReader):
             self._last = dict(out)
         return out
 
-    def _batch_files(self, rec: dict) -> int:
-        """Planned file count of one commit under the current mode — the
-        admission-control unit (mirrors partitions()'s branches)."""
+    def _planned_files(self, rec: dict) -> list[str | None]:
+        """One commit's planned files under the current mode, in the
+        DETERMINISTIC order partitions() builds them — the admission
+        unit and the meaning of a partial offset's `f` index.  Empty
+        for no-op commits; `[None]` for refusal branches so the batch
+        still forms and raises the loud error in partitions()."""
         if rec.get("data_change") is False:
-            return 0
+            return []
         if (
             rec["action"] == "merge"
             and rec.get("cdf") is None
             and not rec.get("added")
             and not rec.get("removed")
         ):
-            return 0  # no-op merge: partitions() skips it in both modes
+            return []  # no-op merge: partitions() skips it in both modes
         if rec["action"] == "append":
-            return len(rec["added"])
+            return list(rec["added"])
         if self.mode == "cdf":
             if rec["action"] == "merge" and rec.get("cdf") is not None:
-                return len(rec["cdf"])
+                return list(rec["cdf"])
             if rec["action"] == "merge" and rec.get("predicate") is not None:
-                return len(rec.get("removed", ()))
+                return list(rec.get("removed", ()))
             if rec["action"] == "dv":
                 # a MATERIALIZED file sits in both `removed` and the dv
                 # map but plans as ONE partition (its deletes are the
                 # diff) — counting it twice starves admission (r11 4th
-                # pass; mirrors partitions()'s skip)
+                # pass; mirrors partitions()'s order: whole-drops in
+                # `removed` order, then the dv map sorted)
                 dv_map = rec.get("dv") or {}
-                whole = sum(
-                    1 for f in rec.get("removed", ()) if f not in dv_map
-                )
-                return whole + len(dv_map)
-        return 1  # refusal branches: count 1 so the batch still forms
-        # and raises the loud error in partitions()
+                return [
+                    f for f in rec.get("removed", ()) if f not in dv_map
+                ] + sorted(dv_map)
+        return [None]
 
-    def latestOffset(self) -> dict:
+    def _batch_files(self, rec: dict) -> int:
+        """Planned file count of one commit (the admission cost)."""
+        return len(self._planned_files(rec))
+
+    def _file_bytes(self, rel: str | None, sizes: dict | None) -> int:
+        """Byte size of one planned file for the maxBytesPerTrigger
+        budget: the commit's recorded `sizes` map when present (Delta's
+        AddFile.size), else one stat — a HINT only, so a missing file
+        costs 0 here and surfaces loudly at read time instead."""
+        if rel is None:
+            return 0
+        if sizes and rel in sizes:
+            return int(sizes[rel])
+        try:
+            return os.path.getsize(os.path.join(self.path, rel))
+        except OSError:
+            return 0
+
+    def _plan(self, v: int) -> list[tuple[str | None, int]]:
+        """Cached (file, bytes) plan of commit v — parsed once per
+        reader per commit (records are immutable)."""
         import json
 
         from tinymr_spark.sources import minitable
 
+        hit = self._plan_cache.get(v)
+        if hit is not None:
+            return hit
+        with open(minitable._version_file(self.path, v)) as f:
+            rec = json.load(f)
+        sizes = rec.get("sizes")
+        out = [(f, self._file_bytes(f, sizes)) for f in self._planned_files(rec)]
+        self._plan_cache[v] = out
+        return out
+
+    def _snapshot_files(self, hi: int) -> list[str]:
+        """The snapshot-at-hi file list (relpaths, replay order) — the
+        deterministic index space of partial-snapshot offsets."""
+        from tinymr_spark.sources import minitable
+
+        if self._snap_cache is not None and self._snap_cache[0] == hi:
+            return self._snap_cache[1]
+        files = [rel for rel, _st in minitable._replay(self.path, hi)[0]]
+        self._snap_cache = (hi, files)
+        return files
+
+    # ---- persisted high-water mark (streamId) ----------------------
+    def _hwm_file(self) -> str:
+        return os.path.join(
+            self.path, "_stream_hwm", f"{self.stream_id}.json"
+        )
+
+    def _load_hwm(self) -> dict | None:
+        if self.stream_id is None:
+            return None
+        import json
+
+        try:
+            with open(self._hwm_file()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _save_hwm(self) -> None:
+        if self.stream_id is None or self._last is None:
+            return
+        import json
+
+        target = self._hwm_file()
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        # one writer per streamId (the stream's driver); os.replace
+        # publishes the full body atomically, so a crashed write leaves
+        # the previous HWM, never a torn one
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._last, f)
+        os.replace(tmp, target)
+
+    def _base(self) -> dict:
+        """The position this runner counts its budget from: its own
+        _last, else the persisted HWM (streamId), else initialOffset.
+        A present HWM wins outright — it IS the subscription's last
+        committed position, while a re-derived initialOffset can land
+        AHEAD of it (startingVersion=latest re-reads the moved head) and
+        would un-bound or skew the first post-restart batch.  A stale
+        HWM (crash between the engine's offset-log write and commit())
+        sits one batch behind the checkpoint: the engine then plans one
+        empty inverted range, partitions() re-learns the true position,
+        and pacing resumes — never a lost or duplicated row, because
+        batch boundaries come only from the engine's checkpoint."""
+        if self._last is None:
+            hwm = self._load_hwm()
+            if hwm is not None:
+                self._last = dict(hwm)
+            else:
+                self.initialOffset()  # seeds _last
+        return dict(self._last)
+
+    def latestOffset(self) -> dict:
+        from tinymr_spark.sources import minitable
+
         vs = minitable.versions(self.path)
         head = vs[-1] if vs else -1
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
+            if self._last is not None and "snap" in self._last:
+                # budget options removed across a restart mid-snapshot:
+                # one batch finishes the snapshot remainder + catches up
+                out = {"v": max(head, int(self._last["snap"]))}
+                self._last = out
+                return dict(out)
             return {"v": head}
-        # The base is the last position THIS runner instance knows.
-        # Spark runs initialOffset on a different (planning-time)
-        # instance, so a fresh query's first latestOffset re-derives it;
-        # on RESTART the engine calls commit(checkpointedEnd) on this
-        # instance BEFORE the first latestOffset (probe-verified, Spark
-        # 4.1), so _last is already the checkpoint — never behind it.
-        # partitions() keeps teaching the true position as a second net.
-        base = self._last if self._last is not None else self.initialOffset()
-        lo = int(base["v"])
-        if lo < 0 and not base.get("inc"):
-            # the snapshot batch is never split (Delta splits initial
-            # snapshots only with file-granular offsets) — admit it
-            # whole; limiting starts with the incremental commits
-            out = {"v": head}
+        # The base is the last position THIS runner instance knows —
+        # its own bookkeeping, the persisted HWM (streamId), or a fresh
+        # initialOffset.  Spark runs initialOffset on a different
+        # (planning-time) instance, so a fresh query's first
+        # latestOffset re-derives it; on RESTART the engine calls
+        # commit(checkpointedEnd) on this instance BEFORE the first
+        # latestOffset (probe-verified, Spark 4.1) and the HWM file
+        # covers the orderings it doesn't; partitions() keeps teaching
+        # the true position as a further net.
+        base = self._base()
+        consumed_v = int(base["snap"]) if "snap" in base else int(base["v"])
+        self._plan_cache = {
+            v: p for v, p in self._plan_cache.items() if v >= consumed_v
+        }
+        out = self._admit(base, vs, head)
+        if _off_key(out) > _off_key(self._last):
+            self._last = dict(out)
+        return dict(self._last)
+
+    def _admit(self, base: dict, vs: list[int], head: int) -> dict:
+        """Walk planned files forward from `base` until the budgets are
+        spent; returns the batch-end offset (== base when nothing new).
+        Always admits >= 1 file, so a single file over the byte budget
+        still streams alone and the stream always advances."""
+        bf = self.max_files if self.max_files is not None else float("inf")
+        bb = self.max_bytes if self.max_bytes is not None else float("inf")
+        # ---- snapshot phase (pinned at one version) -----------------
+        if "snap" in base or (int(base["v"]) < 0 and not base.get("inc")):
+            if "snap" in base:
+                hi, k = int(base["snap"]), int(base["f"])
+            else:
+                if head < 0:
+                    return dict(base)  # nothing committed yet
+                hi, k = head, 0
+            files = self._snapshot_files(hi)
+            k0 = k
+            while k < len(files):
+                sz = self._file_bytes(files[k], None)
+                if k > k0 and (bf < 1 or bb < sz):
+                    break
+                bf -= 1
+                bb -= sz
+                k += 1
+            if k >= len(files):
+                return {"v": hi}  # snapshot complete; incremental next
+            return {"v": -1, "snap": hi, "f": k}
+        # ---- incremental phase --------------------------------------
+        if int(base["v"]) < 0:  # the `inc` full-history sentinel
+            nv, nf = 0, 0
+        elif "f" in base:
+            nv, nf = int(base["v"]), int(base["f"])
         else:
-            budget, v_end = self.max_files, lo
-            for v in vs:
-                if v <= lo:
-                    continue
-                with open(minitable._version_file(self.path, v)) as f:
-                    n = self._batch_files(json.load(f))
-                if v_end > lo and n > budget:
-                    break  # budget exhausted; always admit >= 1 commit
-                budget -= n
-                v_end = v
-            out = {"v": v_end} if v_end >= 0 else dict(base)
-        self._last = out
-        return out
+            nv, nf = int(base["v"]) + 1, 0
+        admitted = 0
+        end_pos: tuple[int, int, int] | None = None
+        for v in vs:
+            if v < nv:
+                continue
+            planned = self._plan(v)
+            start = min(nf, len(planned)) if v == nv else 0
+            k, hit_budget = start, False
+            while k < len(planned):
+                sz = planned[k][1]
+                if admitted >= 1 and (bf < 1 or bb < sz):
+                    hit_budget = True
+                    break
+                bf -= 1
+                bb -= sz
+                admitted += 1
+                k += 1
+            if k > start or not planned:
+                # progress through commit v (a zero-file commit is
+                # consumed for free — no batch spins on maintenance)
+                end_pos = (v, k, len(planned))
+            if hit_budget:
+                break
+        if end_pos is None:
+            return dict(base)
+        v, k, total = end_pos
+        return {"v": v} if k >= total else {"v": v, "f": k}
 
     def partitions(self, start: dict, end: dict):
         import json
 
         from tinymr_spark.sources import minitable
 
-        lo, hi = int(start["v"]), int(end["v"])
         # Admission bookkeeping: the engine's planned ranges are the
         # ground truth for the checkpointed position (latestOffset
         # cannot see it after a restart — it may answer BEHIND the
         # checkpoint once, which plans one empty inverted range).
         # Learning the true position here stops the limiter from ever
-        # REWINDING over already-consumed versions (a rewound range
+        # REWINDING over already-consumed positions (a rewound range
         # would re-stream them as duplicates; test-pinned by the
         # restart-mid-backlog regression).
-        known = max(lo, hi)
-        if self._last is None or known > int(self._last["v"]):
-            self._last = {"v": known}
-        # The INITIAL batch (start = -1) is the table's full snapshot at
-        # `hi` — Delta's startingVersion semantics — so a table whose v0
-        # is an overwrite (the common init pattern) streams its current
-        # rows once and then goes incremental.  Snapshot resolution is a
-        # pure function of the immutable log, so a checkpoint replay of
-        # the (-1, hi] range re-plans the identical rows.
+        for off in (start, end):
+            if self._last is None or _off_key(off) > _off_key(self._last):
+                self._last = dict(off)
         cdc = self.mode == "cdf"
-        if lo < 0 and start.get("inc"):
-            # startingVersion=0's sentinel: FULL HISTORY REPLAY from v0
-            # as incremental commits — fall through to the incremental
-            # branch below (its loop covers v0..hi); an overwrite v0
-            # raises there loudly, exactly like batch change_feed
-            pass
-        elif lo < 0:
-            parts0: list[_FilePartition] = []
-            if hi >= 0:
-                entries, _schema, dvs, _c, colmap = minitable._replay(self.path, hi)
-                phys = [colmap.get(c, c) for c in self.cols]
-                for rel, _st in entries:
-                    parts0.append(
-                        _FilePartition(
-                            os.path.join(self.path, rel),
-                            self.cols,
-                            dv_path=(
-                                os.path.join(self.path, dvs[rel])
-                                if rel in dvs
-                                else None
-                            ),
-                            phys=phys,
-                            # snapshot rows are the initial inserts
-                            # (Delta's startingVersion CDC semantics)
-                            commit_version=hi if cdc else None,
-                            change_type="insert" if cdc else None,
-                        )
+        # ---- decode the range into a snapshot slice + an incremental
+        # cursor range; every shape is a pure function of the immutable
+        # log, so checkpoint replays re-plan identical rows ------------
+        snap: tuple[int, int, int | None] | None = None  # (H, k_from, k_to)
+        inc_from: tuple[int, int] | None = None  # next (version, file)
+        if "snap" in start:
+            h, kf = int(start["snap"]), int(start["f"])
+            if "snap" in end:
+                if int(end["snap"]) != h:
+                    raise ValueError(
+                        f"partial-snapshot offsets pin different versions "
+                        f"({h} vs {end['snap']}) — corrupted checkpoint"
                     )
-            return parts0 or [_FilePartition(None, self.cols)]
+                snap = (h, kf, int(end["f"]))
+            elif int(end["v"]) >= 0:
+                # budget removed mid-snapshot: finish the remainder and
+                # catch up incrementally in the same batch
+                snap = (h, kf, None)
+                inc_from = (h + 1, 0)
+        elif int(start["v"]) < 0 and not start.get("inc"):
+            # The INITIAL batch — the table's snapshot (Delta's
+            # startingVersion semantics), so a table whose v0 is an
+            # overwrite (the common init pattern) streams its current
+            # rows once and then goes incremental.  Budgeted streams
+            # split it at a pinned version via `snap` offsets.
+            if "snap" in end:
+                snap = (int(end["snap"]), 0, int(end["f"]))
+            elif int(end["v"]) >= 0:
+                snap = (int(end["v"]), 0, None)
+        else:
+            if start.get("inc") and int(start["v"]) < 0:
+                # startingVersion=0's sentinel: FULL HISTORY REPLAY from
+                # v0 as incremental commits; an overwrite v0 raises in
+                # the commit planner, exactly like batch change_feed
+                inc_from = (0, 0)
+            elif "f" in start:
+                inc_from = (int(start["v"]), int(start["f"]))
+            else:
+                inc_from = (int(start["v"]) + 1, 0)
         parts: list[_FilePartition] = []
-        if hi < 0:
-            return [_FilePartition(None, self.cols)]  # nothing committed yet
-        colmap = minitable._replay(self.path, hi)[4]
-        phys = [colmap.get(c, c) for c in self.cols]
-        for v in minitable.versions(self.path):
-            if v <= lo or v > hi:
-                continue
-            with open(minitable._version_file(self.path, v)) as f:
-                rec = json.load(f)
-            if rec.get("data_change") is False:
-                continue  # OPTIMIZE/ZORDER etc.: rows provably
-                # unchanged — maintenance must not kill a live stream
-            if rec["action"] == "append":
-                parts.extend(
+        if snap is not None:
+            h, kf, kt = snap
+            entries, _schema, dvs, _c, colmap = minitable._replay(self.path, h)
+            phys = [colmap.get(c, c) for c in self.cols]
+            for rel, _st in entries[kf : kt if kt is not None else len(entries)]:
+                parts.append(
                     _FilePartition(
-                        os.path.join(self.path, f), self.cols, phys=phys,
-                        commit_version=v if cdc else None,
+                        os.path.join(self.path, rel),
+                        self.cols,
+                        dv_path=(
+                            os.path.join(self.path, dvs[rel])
+                            if rel in dvs
+                            else None
+                        ),
+                        phys=phys,
+                        # snapshot rows are the initial inserts
+                        # (Delta's startingVersion CDC semantics)
+                        commit_version=h if cdc else None,
                         change_type="insert" if cdc else None,
                     )
-                    for f in rec["added"]
                 )
-                continue
-            if (
-                rec["action"] == "merge"
-                and rec.get("cdf") is None
-                and not rec.get("added")
-                and not rec.get("removed")
-            ):
-                continue  # NO-OP merge (every match failed update_where,
-                # nothing inserted): zero files swapped is proof of zero
-                # row changes in BOTH modes — skip, don't refuse
-            if cdc and rec["action"] == "merge" and rec.get("cdf") is not None:
-                # explicit change-data files: plain parquet carrying
-                # `_change_type` per row — stream them directly, one
-                # executor partition per file, no reconstruction
+        if inc_from is not None and "snap" not in end and int(end["v"]) >= 0:
+            sv, sf = inc_from
+            ev = int(end["v"])
+            ef = int(end["f"]) if "f" in end else None
+            if ev >= sv:
+                colmap = minitable._replay(self.path, ev)[4]
+                phys = [colmap.get(c, c) for c in self.cols]
+                for v in minitable.versions(self.path):
+                    if v < sv or v > ev:
+                        continue
+                    with open(minitable._version_file(self.path, v)) as f:
+                        rec = json.load(f)
+                    plist = self._commit_partitions(v, rec, phys, cdc)
+                    lo_i = sf if v == sv else 0
+                    hi_i = ef if (v == ev and ef is not None) else len(plist)
+                    parts.extend(plist[lo_i:hi_i])
+        # Spark requires >= 1 partition; an empty range plans a no-op.
+        return parts or [_FilePartition(None, self.cols)]
+
+    def _commit_partitions(
+        self, v: int, rec: dict, phys: list[str], cdc: bool
+    ) -> list[_FilePartition]:
+        """One commit's full partition list, in EXACTLY the order (and
+        length) of _planned_files(rec) — partial offsets slice this
+        list, so the two must stay in lockstep (asserted below)."""
+        from tinymr_spark.sources import minitable
+
+        parts: list[_FilePartition] = []
+        if rec.get("data_change") is False:
+            return parts  # OPTIMIZE/ZORDER etc.: rows provably
+            # unchanged — maintenance must not kill a live stream
+        if rec["action"] == "append":
+            parts.extend(
+                _FilePartition(
+                    os.path.join(self.path, f), self.cols, phys=phys,
+                    commit_version=v if cdc else None,
+                    change_type="insert" if cdc else None,
+                )
+                for f in rec["added"]
+            )
+        elif (
+            rec["action"] == "merge"
+            and rec.get("cdf") is None
+            and not rec.get("added")
+            and not rec.get("removed")
+        ):
+            pass  # NO-OP merge (every match failed update_where,
+            # nothing inserted): zero files swapped is proof of zero
+            # row changes in BOTH modes — skip, don't refuse
+        elif cdc and rec["action"] == "merge" and rec.get("cdf") is not None:
+            # explicit change-data files: plain parquet carrying
+            # `_change_type` per row — stream them directly, one
+            # executor partition per file, no reconstruction
+            parts.extend(
+                _FilePartition(
+                    os.path.join(self.path, f), self.cols, phys=phys,
+                    commit_version=v, change_type=None,
+                )
+                for f in rec["cdf"]
+            )
+        elif cdc:
+            if rec["action"] == "overwrite":
+                # no row-level feed EXISTS for an overwrite (batch
+                # change_feed refuses it too) — the only recovery is
+                # a fresh subscription's snapshot
+                raise ValueError(
+                    f"minitable version {v} is an overwrite — no "
+                    "row-level change feed exists across it; restart "
+                    "the CDC stream from a fresh checkpoint (the new "
+                    "subscription snapshots the current table)"
+                )
+            if rec["action"] == "merge" and rec.get("predicate") is not None:
+                # PREDICATE DELETE: the deleted rows are the removed
+                # files' live rows matching the recorded conjunction
+                # (physical names — rename-proof), minus rows an
+                # EARLIER deletion vector had already removed.  One
+                # partition per removed file; the executor re-scans
+                # and filters — batch change_feed's plan, off-driver.
+                prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
                 parts.extend(
                     _FilePartition(
                         os.path.join(self.path, f), self.cols, phys=phys,
-                        commit_version=v, change_type=None,
+                        dv_path=(
+                            os.path.join(self.path, prev_dvs[f])
+                            if f in prev_dvs else None
+                        ),
+                        commit_version=v, change_type="delete",
+                        predicate=rec["predicate"],
                     )
-                    for f in rec["cdf"]
+                    for f in rec.get("removed", ())
                 )
-                continue
-            if cdc:
-                if rec["action"] == "overwrite":
-                    # no row-level feed EXISTS for an overwrite (batch
-                    # change_feed refuses it too) — the only recovery is
-                    # a fresh subscription's snapshot
-                    raise ValueError(
-                        f"minitable version {v} is an overwrite — no "
-                        "row-level change feed exists across it; restart "
-                        "the CDC stream from a fresh checkpoint (the new "
-                        "subscription snapshots the current table)"
-                    )
-                if rec["action"] == "merge" and rec.get("predicate") is not None:
-                    # PREDICATE DELETE: the deleted rows are the removed
-                    # files' live rows matching the recorded conjunction
-                    # (physical names — rename-proof), minus rows an
-                    # EARLIER deletion vector had already removed.  One
-                    # partition per removed file; the executor re-scans
-                    # and filters — batch change_feed's plan, off-driver.
-                    prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
-                    parts.extend(
+            elif rec["action"] == "dv":
+                # DV DELETE: whole-dropped files stream their live
+                # rows as deletes; files with a (new or materialized)
+                # vector stream the DV DIFF — rows marked by this
+                # commit beyond the previous vector — re-read from
+                # the base file by row position, sidecars executor-
+                # side (the batch branch's exceptAll as per-file set
+                # difference)
+                prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
+                dv_map = rec.get("dv") or {}
+                for f in rec.get("removed", ()):
+                    if f in dv_map:
+                        continue  # materialized rewrite: deletes are
+                        # exactly the DV diff below, not all rows
+                    parts.append(
                         _FilePartition(
-                            os.path.join(self.path, f), self.cols, phys=phys,
+                            os.path.join(self.path, f), self.cols,
+                            phys=phys,
                             dv_path=(
                                 os.path.join(self.path, prev_dvs[f])
                                 if f in prev_dvs else None
                             ),
                             commit_version=v, change_type="delete",
-                            predicate=rec["predicate"],
                         )
-                        for f in rec.get("removed", ())
                     )
-                    continue
-                if rec["action"] == "dv":
-                    # DV DELETE: whole-dropped files stream their live
-                    # rows as deletes; files with a (new or materialized)
-                    # vector stream the DV DIFF — rows marked by this
-                    # commit beyond the previous vector — re-read from
-                    # the base file by row position, sidecars executor-
-                    # side (the batch branch's exceptAll as per-file set
-                    # difference)
-                    prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
-                    dv_map = rec.get("dv") or {}
-                    for f in rec.get("removed", ()):
-                        if f in dv_map:
-                            continue  # materialized rewrite: deletes are
-                            # exactly the DV diff below, not all rows
-                        parts.append(
-                            _FilePartition(
-                                os.path.join(self.path, f), self.cols,
-                                phys=phys,
-                                dv_path=(
+                for f in sorted(dv_map):
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(self.path, f), self.cols,
+                            phys=phys,
+                            commit_version=v, change_type="delete",
+                            dv_keep=(
+                                os.path.join(self.path, dv_map[f]),
+                                (
                                     os.path.join(self.path, prev_dvs[f])
                                     if f in prev_dvs else None
                                 ),
-                                commit_version=v, change_type="delete",
-                            )
+                            ),
                         )
-                    for f in sorted(dv_map):
-                        parts.append(
-                            _FilePartition(
-                                os.path.join(self.path, f), self.cols,
-                                phys=phys,
-                                commit_version=v, change_type="delete",
-                                dv_keep=(
-                                    os.path.join(self.path, dv_map[f]),
-                                    (
-                                        os.path.join(self.path, prev_dvs[f])
-                                        if f in prev_dvs else None
-                                    ),
-                                ),
-                            )
-                        )
-                    continue
+                    )
+            else:
                 raise ValueError(
                     f"minitable version {v} is a {rec['action']} without "
                     "explicit change data, recorded predicate, or "
@@ -555,13 +822,18 @@ class MinitableStreamReader(DataSourceStreamReader):
                     "(batch change_feed() refuses it too); run the "
                     "writer with collect_cdf=True (merge/update)"
                 )
+        else:
             raise ValueError(
                 f"minitable version {v} is a {rec['action']} — a stream "
                 "over rewritten files would replay pre-existing rows; "
                 "restart the stream from a fresh checkpoint instead"
             )
-        # Spark requires >= 1 partition; an empty range plans a no-op.
-        return parts or [_FilePartition(None, self.cols)]
+        # exactly-once depends on this: a partial offset's `f` index
+        # means the same files to admission and to planning
+        assert len(parts) == len(self._planned_files(rec)), (
+            v, len(parts), self._planned_files(rec),
+        )
+        return parts
 
     def read(self, partition: _FilePartition):
         # EXECUTOR-side: scan exactly this committed file, projected to
@@ -654,9 +926,12 @@ class MinitableStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # the log is the source of truth — nothing to clean up; but the
         # committed offset re-seeds admission control after a restart
-        # (latestOffset cannot see the checkpoint: Python DS API limit)
-        if self._last is None or int(end["v"]) > int(self._last["v"]):
+        # (latestOffset cannot see the checkpoint: Python DS API limit),
+        # and with a streamId it persists to disk so even a FRESH runner
+        # paces its first post-restart batch
+        if self._last is None or _off_key(end) > _off_key(self._last):
             self._last = dict(end)
+        self._save_hwm()
 
 
 class MinitableStreamDataSource(DataSource):
