@@ -51,9 +51,8 @@ DYNAMIC = {"q122_stream_upsert_sink", "q124_stream_delta_compact",
 # contracts, replay-open bounds) — the `build-once` tag here marks that
 # `exchanges=N` is the read, not the pipeline.
 BUILD_ONCE = {
-    "q162_time_travel", "q164_change_feed", "q165_incremental_mv",
-    "q166_merge_upsert", "q167_data_skipping", "q170_bloom_skipping",
-    "q172_kcore_peel", "q173_optimize_binpack", "q174_optimize_zorder",
+    "q162_time_travel", "q167_data_skipping", "q170_bloom_skipping",
+    "q172_kcore_peel", "q173_optimize_binpack",
     "q177_delete_where", "q178_delete_null_safety", "q179_log_checkpoint",
     "q180_table_evolution", "q181_change_feed_dml",
     "q182_incremental_mv_dml", "q183_restore_version",
@@ -62,6 +61,11 @@ BUILD_ONCE = {
     "q191_null_scrub_delete", "q192_merge_accumulate",
     "q193_table_history", "q194_convert_in_place",
     "q195_stream_partitioned_ingest", "q196_stream_expectations",
+    "q197_lakehouse_pipeline", "q198_generated_columns",
+    "q199_identity_columns", "q200_zorder_verb", "q201_replace_where",
+    "q202_merge_schema_evolution", "q203_clustered_compaction",
+    "q205_stream_cdc_full_dml", "q206_row_tracking",
+    "q207_stream_admission", "q208_merge_conditional",
 }
 
 # BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
