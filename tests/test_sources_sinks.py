@@ -5965,6 +5965,132 @@ def test_minitable_stream_hwm_bounds_fresh_runner(spark, tmp_path):
 
     with pytest.raises(Exception, match="filename token"):
         MinitableStreamReader({**opts, "streamid": "../evil"})
+
+
+def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
+    """Randomized exactly-once over the r12 offset algebra: random
+    CDC-streamable DML histories (multi-file appends, explicit-CDF
+    merges, predicate deletes, DV deletes with and without
+    materialization) x random FILE or BYTE budgets x a RUNNER SWAP
+    mid-walk (a fresh reader re-seeded only by the persisted streamId
+    HWM) — the concatenation of every micro-batch must equal the batch
+    change feed row-for-row (v0 composed as inserts: feed ranges are
+    (from, to]), every batch must fit its budget (single-file batches
+    may exceed a byte budget — Delta's rule), and re-planning any
+    consumed range must yield the identical file list."""
+    import os as _os
+    import random
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    rng = random.Random(120802)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        next_key = [0]
+
+        def batch_rows(n):
+            rows = [
+                (k, float(k % 13))
+                for k in range(next_key[0], next_key[0] + n)
+            ]
+            next_key[0] += n
+            return rows
+
+        def to_df(rows):
+            return spark.createDataFrame(rows, "k bigint, v double")
+
+        minitable.write(  # v0: APPEND so startingVersion=0 replays it
+            spark,
+            to_df(batch_rows(rng.randint(8, 16)))
+            .repartition(rng.randint(1, 3)),
+            path, stats_cols=["k"],
+        )
+        v0_keys = list(range(next_key[0]))
+        for _step in range(5):
+            op = rng.choice(["append", "merge_cdf", "delete", "delete_dv"])
+            if op == "append":
+                minitable.write(
+                    spark,
+                    to_df(batch_rows(rng.randint(3, 10)))
+                    .repartition(rng.randint(1, 3)),
+                    path, stats_cols=["k"],
+                )
+            elif op == "merge_cdf":
+                upd = rng.sample(range(next_key[0]), min(3, next_key[0]))
+                src = [(k, 999.0 + k) for k in upd] + batch_rows(2)
+                minitable.merge(
+                    spark, to_df(src), path, "k",
+                    collect_cdf=True, stats_cols=["k"],
+                )
+            elif op == "delete":
+                cut = rng.randint(1, next_key[0])
+                minitable.delete(
+                    spark, path, [("k", "<", cut)], stats_cols=["k"]
+                )  # None result = no live match -> no commit; harmless
+            else:
+                targets = rng.sample(range(next_key[0]), min(4, next_key[0]))
+                kw = (
+                    {"materialize_fraction": 0.3}
+                    if rng.random() < 0.5 else {}
+                )
+                minitable.delete_dv(
+                    spark, path, [("k", "in", targets)], **kw
+                )
+        head = minitable.versions(path)[-1]
+        opts = {
+            "path": path, "columns": "k,v", "mode": "cdf",
+            "startingversion": "0", "streamid": f"fz{trial}",
+        }
+        if rng.random() < 0.5:
+            fb = rng.randint(1, 3)
+            opts["maxfilespertrigger"] = str(fb)
+            bb = None
+        else:
+            fb = None
+            bb = rng.randint(1, 3000)
+            opts["maxbytespertrigger"] = str(bb)
+        reader = MinitableStreamReader(opts)
+        prev = reader.initialOffset()
+        got_rows = []
+        swap_at = rng.randint(1, 3)
+        n_batches = 0
+        while n_batches < 300:
+            end = reader.latestOffset()
+            if end == prev:
+                break
+            parts = [p for p in reader.partitions(prev, end) if p.path]
+            if fb is not None:
+                assert len(parts) <= fb, (trial, prev, end, len(parts))
+            if bb is not None:
+                total = sum(_os.path.getsize(p.path) for p in parts)
+                assert total <= bb or len(parts) == 1, (trial, total, bb)
+            # replay purity across arbitrary (partial) shapes
+            again = [p.path for p in reader.partitions(prev, end) if p.path]
+            assert again == [p.path for p in parts], (trial, prev, end)
+            got_rows += [t for p in parts for t in reader.read(p)]
+            reader.commit(end)
+            prev = end
+            n_batches += 1
+            if n_batches == swap_at:
+                # fresh runner mid-walk: only the HWM file re-seeds it
+                reader = MinitableStreamReader(opts)
+        else:
+            raise AssertionError("admission walk never converged")
+        assert prev == {"v": head}, (trial, prev, head)
+        feed = minitable.change_feed(spark, path, 0, head).select(
+            "k", "v", "_change_type", "_commit_version"
+        )
+        want = sorted(
+            [tuple(r) for r in feed.collect()]
+            + [(k, float(k % 13), "insert", 0) for k in v0_keys]
+        )
+        assert sorted(got_rows) == want, (
+            trial, len(got_rows), len(want),
+        )
+
+
+def test_minitable_merge_update_where_conditional(spark, tmp_path):
     """WHEN MATCHED AND <update_where> THEN UPDATE (Delta's per-clause
     condition): qualified matches update, unqualified matches PASS
     THROUGH (neither updated nor re-inserted), the delete clause keeps
