@@ -6090,6 +6090,154 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
         )
 
 
+def test_minitable_merge_update_where_dv_deleted_match_inserts(spark, tmp_path):
+    """review r12 (runtime-confirmed data loss): a source row whose key
+    matches ONLY a deletion-vector-deleted row is NOT MATCHED — Delta's
+    semantics — so it must INSERT, with or without update_where, and a
+    file whose only matches are DV-dead must not be rewritten.  Before
+    the fix, the update_where probe read candidate files without DVs,
+    flagged the key __matched, and the row vanished from the table and
+    the CDF."""
+    import json
+
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(1, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    minitable.write(spark, df.coalesce(1), path, stats_cols=["k"])
+    minitable.delete_dv(spark, path, [("k", "=", 3)])  # k=3 logically dead
+    src = spark.createDataFrame([(3, 999.0)], "k bigint, v double")
+    v = minitable.merge(
+        spark, src, path, "k",
+        update_where="s.v > t.v", collect_cdf=True, stats_cols=["k"],
+    )
+    got = {r.k: r.v for r in minitable.read(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 4: 40.0, 5: 50.0, 3: 999.0}, got
+    rec = json.load(open(minitable._version_file(path, v)))
+    # the key's only match was dead: no live row qualified, so no file
+    # was rewritten — the insert landed alone
+    assert rec["removed"] == [], rec
+    cdf = {
+        (r.k, r["_change_type"])
+        for r in minitable.change_feed(spark, path, v - 1, v).collect()
+    }
+    assert cdf == {(3, "insert")}, cdf
+    # same semantics without the clause condition (the default probe is
+    # DV-aware too)
+    minitable.delete_dv(spark, path, [("k", "=", 4)])
+    v2 = minitable.merge(
+        spark, spark.createDataFrame([(4, 888.0)], "k bigint, v double"),
+        path, "k", stats_cols=["k"],
+    )
+    got2 = {r.k: r.v for r in minitable.read(spark, path).collect()}
+    assert got2[4] == 888.0, got2
+    rec2 = json.load(open(minitable._version_file(path, v2)))
+    assert rec2["removed"] == [], rec2
+
+
+def test_minitable_merge_conditional_noop_commits_no_cdf(spark, tmp_path):
+    """review r12 (runtime-confirmed): a conditional merge whose every
+    match passes through and which inserts nothing must not commit a
+    zero-row cdf file — the commit is a clean no-op (no added, no
+    removed, no cdf), batch feeds skip it, and a live APPEND-mode table
+    stream survives it instead of refusing."""
+    import json
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    path = str(tmp_path / "t")
+    df = spark.range(1, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    minitable.write(spark, df.coalesce(1), path, stats_cols=["k"])
+    src = spark.createDataFrame([(2, 1.0), (3, 2.0)], "k bigint, v double")
+    v = minitable.merge(  # every match fails s.v > t.v; nothing inserts
+        spark, src, path, "k",
+        update_where="s.v > t.v", collect_cdf=True, stats_cols=["k"],
+    )
+    rec = json.load(open(minitable._version_file(path, v)))
+    assert rec["added"] == [] and rec["removed"] == [], rec
+    assert not rec.get("cdf"), rec  # no zero-row change file committed
+    # an append-mode stream over the history plans the no-op as nothing
+    r = MinitableStreamReader(
+        {"path": path, "columns": "k,v", "startingversion": "0"}
+    )
+    r.initialOffset()
+    end = r.latestOffset()
+    parts = [p for p in r.partitions({"v": 0}, end) if p.path]
+    assert parts == [], (end, parts)
+    # and the batch feed contributes nothing for it
+    assert minitable.change_feed(spark, path, v - 1, v).count() == 0
+
+
+def test_minitable_stream_foreign_hwm_never_duplicates(spark, tmp_path):
+    """review r12: a stale/reused streamId HWM may only LOOSEN pacing,
+    never lose or duplicate rows.  (a) A snapshot-mode subscription
+    paced by a foreign PARTIAL-COMMIT HWM decomposes its first batch as
+    snapshot-at-(v-1) + commit v's file slice — exactly-once composes
+    with the engine re-planning from the partial offset.  (b) An
+    incremental subscription IGNORES a foreign partial-SNAPSHOT HWM
+    (its algebra never produces one)."""
+    import json
+    import os
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    for i, nf in enumerate([1, 2, 1]):  # v0: 1 file, v1: 2 files, v2: 1
+        minitable.write(
+            spark,
+            spark.range(10 * i, 10 * i + 4)
+            .select(F.col("id").alias("k")).repartition(nf),
+            table,
+        )
+    os.makedirs(os.path.join(table, "_stream_hwm"), exist_ok=True)
+    with open(os.path.join(table, "_stream_hwm", "foreign.json"), "w") as f:
+        json.dump({"v": 1, "f": 1}, f)  # partial-commit position
+    opts = {
+        "path": table, "columns": "k",
+        "maxfilespertrigger": "1", "streamid": "foreign",
+    }
+    reader = MinitableStreamReader(opts)
+    offs, batches = _drive_reader(reader)
+    got = sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+    want = sorted(r["k"] for r in minitable.read(spark, table).collect())
+    assert got == want, (offs, got, want)
+    # (b) incremental mode ignores a snapshot-shaped HWM outright
+    with open(os.path.join(table, "_stream_hwm", "snapish.json"), "w") as f:
+        json.dump({"v": -1, "snap": 2, "f": 1}, f)
+    r2 = MinitableStreamReader(
+        {"path": table, "columns": "k", "startingversion": "1",
+         "maxfilespertrigger": "1", "streamid": "snapish"}
+    )
+    first = r2.latestOffset()
+    assert "snap" not in first and first == {"v": 1, "f": 1}, first
+
+
+def test_minitable_merge_update_where_literal_with_t_dot(spark, tmp_path):
+    """review r12: a string literal containing 't.' inside update_where
+    must not be parsed as a target-column reference."""
+    from tinymr_spark.sources import minitable
+
+    path = str(tmp_path / "t")
+    df = spark.range(1, 4).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    minitable.write(spark, df.coalesce(1), path, stats_cols=["k"])
+    src = spark.createDataFrame([(2, 999.0), (9, 90.0)], "k bigint, v double")
+    minitable.merge(
+        spark, src, path, "k",
+        update_where="s.v > t.v AND 't.b.d.' = 't.b.d.'",
+        stats_cols=["k"],
+    )
+    got = {r.k: r.v for r in minitable.read(spark, path).collect()}
+    assert got == {1: 10.0, 2: 999.0, 3: 30.0, 9: 90.0}, got
+
+
 def test_minitable_merge_update_where_conditional(spark, tmp_path):
     """WHEN MATCHED AND <update_where> THEN UPDATE (Delta's per-clause
     condition): qualified matches update, unqualified matches PASS

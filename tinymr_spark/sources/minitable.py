@@ -2605,9 +2605,13 @@ def merge(
 
         # the probe reads only the target columns the condition names —
         # `t.col` / `t.`col`` references (the documented contract; the
-        # s side resolves against the full source row at plan time)
+        # s side resolves against the full source row at plan time).
+        # String literals are scrubbed first so a condition like
+        # s.note = 't.b.d.' is not mis-parsed as referencing column `b`
+        # (review r12; '' is SQL's escaped quote inside a literal).
+        scrubbed = re.sub(r"'(?:[^']|'')*'", "''", update_where)
         t_ref = sorted(
-            {m for m in re.findall(r"\bt\.`?([A-Za-z_][A-Za-z0-9_]*)`?", update_where)}
+            {m for m in re.findall(r"\bt\.`?([A-Za-z_][A-Za-z0-9_]*)`?", scrubbed)}
         )
         bad_t = sorted(set(t_ref) - set(cols))
         if bad_t:
@@ -2682,21 +2686,33 @@ def merge(
     probe_pin: DataFrame | None = None
     matched_flag: DataFrame | None = None
     if candidates:
-        cand_paths = [os.path.join(path, f) for f in candidates]
+        # Both probes read DV-FILTERED rows (review r12): a key whose
+        # only match is a logically-deleted row is NOT matched — Delta's
+        # semantics — so it must neither flag __matched (which would
+        # suppress its INSERT: data loss) nor pull its file into the
+        # rewrite set.  keep_fname carries per-row file identity as the
+        # part BASENAME (input_file_name cannot plan over the DV anti
+        # join; basenames are globally unique — job-UUID named).
         if update_where is None:
             probe = (
-                _read_files(spark, cand_paths, schema, colmap)
-                .select(key, F.input_file_name().alias("__file"))
+                _read_files_dv(
+                    spark, path, candidates, schema, dvs,
+                    keep_fname="__file", colmap=colmap,
+                )
+                .select(key, "__file")
                 .join(src.select(key), key, "inner")
                 .select("__file")
                 .distinct()
             )
-            uris = [r[0] for r in probe.collect()]  # O(touched files) names
+            hit = {r[0] for r in probe.collect()}  # O(touched files) names
         else:
             probe_cols = [key] + [c for c in t_ref if c != key]
             pairs = (
-                _read_files(spark, cand_paths, schema, colmap)
-                .select(*probe_cols, F.input_file_name().alias("__file"))
+                _read_files_dv(
+                    spark, path, candidates, schema, dvs,
+                    keep_fname="__file", colmap=colmap,
+                )
+                .select(*probe_cols, "__file")
                 .alias("t")
                 .join(src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "inner")
                 .select(
@@ -2710,16 +2726,16 @@ def merge(
                 .persist()  # two consumers: touched collect + matched keys
             )
             probe_pin = pairs
-            uris = [
+            hit = {
                 r[0]
                 for r in pairs.filter(F.col("__q")).select("__file").distinct().collect()
-            ]
+            }
             matched_flag = (
                 pairs.select(F.col("__k").alias(key))
                 .distinct()
                 .withColumn("__matched", F.lit(True))
             )
-        touched = [f for f in candidates if any(u.endswith("/" + f) for u in uris)]
+        touched = [f for f in candidates if os.path.basename(f) in hit]
     if matched_flag is not None:
         src = src.join(matched_flag, key, "left").withColumn(
             "__matched", F.coalesce(F.col("__matched"), F.lit(False))
@@ -2930,6 +2946,21 @@ def merge(
         if cdf_df is not None
         else None
     )
+    if cdf_files:
+        # same empties-drop as the data files above (review r12): a
+        # fully pass-through conditional merge stages a ZERO-ROW change
+        # file; committing it would leave a dead file in the log forever
+        # and defeat the stream source's no-op-merge skip (cdf=[file]
+        # reads as "has change data" to a feed that then refuses or
+        # plans a rowless partition per trigger range)
+        cdf_empty = {
+            c
+            for c in cdf_files
+            if pq.ParquetFile(os.path.join(path, c)).metadata.num_rows == 0
+        }
+        for c in cdf_empty:
+            os.remove(os.path.join(path, c))
+        cdf_files = [c for c in cdf_files if c not in cdf_empty] or None
     if joined is not None and collect_cdf:
         joined.unpersist()
     if probe_pin is not None:  # rewrite + cdf staged; probe pairs done

@@ -389,7 +389,7 @@ class MinitableStreamReader(DataSourceStreamReader):
             return []
         if (
             rec["action"] == "merge"
-            and rec.get("cdf") is None
+            and not rec.get("cdf")
             and not rec.get("added")
             and not rec.get("removed")
         ):
@@ -397,7 +397,7 @@ class MinitableStreamReader(DataSourceStreamReader):
         if rec["action"] == "append":
             return list(rec["added"])
         if self.mode == "cdf":
-            if rec["action"] == "merge" and rec.get("cdf") is not None:
+            if rec["action"] == "merge" and rec.get("cdf"):
                 return list(rec["cdf"])
             if rec["action"] == "merge" and rec.get("predicate") is not None:
                 return list(rec.get("removed", ()))
@@ -472,9 +472,18 @@ class MinitableStreamReader(DataSourceStreamReader):
 
         try:
             with open(self._hwm_file()) as f:
-                return json.load(f)
+                hwm = json.load(f)
         except (OSError, ValueError):
             return None
+        if not isinstance(hwm, dict) or "v" not in hwm:
+            return None  # torn/foreign content: pace from scratch
+        if "snap" in hwm and self.starting_version is not None:
+            # a partial-SNAPSHOT position is meaningless to a
+            # startingVersion subscription (its offset algebra never
+            # produces one) — a reused streamId must not pace this
+            # stream into snapshot shapes (review r12)
+            return None
+        return hwm
 
     def _save_hwm(self) -> None:
         if self.stream_id is None or self._last is None:
@@ -649,6 +658,17 @@ class MinitableStreamReader(DataSourceStreamReader):
             # split it at a pinned version via `snap` offsets.
             if "snap" in end:
                 snap = (int(end["snap"]), 0, int(end["f"]))
+            elif "f" in end and int(end["v"]) >= 0:
+                # PARTIAL-COMMIT end on a fresh snapshot start (a
+                # foreign/stale streamId HWM paced the first batch past
+                # the snapshot shapes — review r12): the only
+                # exactly-once decomposition is snapshot-at-(v-1) plus
+                # commit v's files [0:f) incrementally, because the
+                # engine's NEXT start will be this partial offset and
+                # will re-plan commit v from file f.  Planning the full
+                # snapshot at v here would stream commit v's rows twice.
+                snap = (int(end["v"]) - 1, 0, None)
+                inc_from = (int(end["v"]), 0)
             elif int(end["v"]) >= 0:
                 snap = (int(end["v"]), 0, None)
         else:
@@ -662,7 +682,7 @@ class MinitableStreamReader(DataSourceStreamReader):
             else:
                 inc_from = (int(start["v"]) + 1, 0)
         parts: list[_FilePartition] = []
-        if snap is not None:
+        if snap is not None and snap[0] >= 0:
             h, kf, kt = snap
             entries, _schema, dvs, _c, colmap = minitable._replay(self.path, h)
             phys = [colmap.get(c, c) for c in self.cols]
@@ -725,14 +745,14 @@ class MinitableStreamReader(DataSourceStreamReader):
             )
         elif (
             rec["action"] == "merge"
-            and rec.get("cdf") is None
+            and not rec.get("cdf")
             and not rec.get("added")
             and not rec.get("removed")
         ):
             pass  # NO-OP merge (every match failed update_where,
             # nothing inserted): zero files swapped is proof of zero
             # row changes in BOTH modes — skip, don't refuse
-        elif cdc and rec["action"] == "merge" and rec.get("cdf") is not None:
+        elif cdc and rec["action"] == "merge" and rec.get("cdf"):
             # explicit change-data files: plain parquet carrying
             # `_change_type` per row — stream them directly, one
             # executor partition per file, no reconstruction
