@@ -6090,6 +6090,54 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
         )
 
 
+def test_minitable_stream_admission_driver_cost_linear(spark, tmp_path):
+    """The 100-TB driver-cost claim for a budgeted catch-up: draining a
+    long backlog one file per trigger reads each commit record O(1)
+    times AMORTIZED (admission parses each new commit once into the
+    plan cache; partitions re-opens each in-range record once; the
+    per-batch colmap replay reads only the post-checkpoint tail) — the
+    total record opens over the whole drain stay LINEAR in commits,
+    never O(commits^2)."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    n = 40
+    for i in range(n):  # v0..v39, one file each
+        minitable.write(
+            spark,
+            spark.range(2 * i, 2 * i + 2)
+            .select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+    opens = [0]
+    real = minitable._version_file
+
+    def counting(path, version):
+        opens[0] += 1
+        return real(path, version)
+
+    minitable._version_file = counting
+    try:
+        reader = MinitableStreamReader(
+            {"path": table, "columns": "k",
+             "startingversion": "0", "maxfilespertrigger": "1"}
+        )
+        offs, batches = _drive_reader(reader, max_triggers=n + 5)
+    finally:
+        minitable._version_file = real
+    assert len(batches) == n, len(batches)
+    got = sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+    assert got == list(range(2 * n)), got[:6]
+    # linear bound with headroom: _plan once per commit + one re-open in
+    # partitions + the per-batch O(checkpoint-tail) colmap replay; a
+    # quadratic walk (full-log re-read per trigger) would exceed this
+    # several times over at n=40
+    assert opens[0] <= 20 * n, opens[0]
+
+
 def test_minitable_merge_update_where_dv_deleted_match_inserts(spark, tmp_path):
     """review r12 (runtime-confirmed data loss): a source row whose key
     matches ONLY a deletion-vector-deleted row is NOT MATCHED — Delta's
