@@ -6090,6 +6090,43 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
         )
 
 
+def test_minitable_stream_default_file_budget(spark, tmp_path):
+    """r12: maxFilesPerTrigger DEFAULTS to 1000 (Delta's default) so an
+    unconfigured subscription never takes an arbitrarily large backlog
+    as one batch; the literal `none` opts out back to unbounded."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    for i in range(3):
+        minitable.write(
+            spark,
+            spark.range(10 * i, 10 * i + 2)
+            .select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+    r = MinitableStreamReader({"path": table, "columns": "k"})
+    assert r.max_files == 1000
+    r2 = MinitableStreamReader(
+        {"path": table, "columns": "k", "maxfilespertrigger": "none"}
+    )
+    assert r2.max_files is None
+    # unbounded: one latestOffset covers the whole log, snapshot unsplit
+    r2.initialOffset()
+    assert r2.latestOffset() == {"v": 2}
+    # the default still drains small tables in one batch (3 < 1000)
+    r.initialOffset()
+    assert r.latestOffset() == {"v": 2}
+    import pytest
+
+    with pytest.raises(Exception, match="positive int or the"):
+        MinitableStreamReader(
+            {"path": table, "columns": "k", "maxfilespertrigger": "never"}
+        )
+
+
 def test_minitable_stream_admission_driver_cost_linear(spark, tmp_path):
     """The 100-TB driver-cost claim for a budgeted catch-up: draining a
     long backlog one file per trigger reads each commit record O(1)

@@ -254,7 +254,10 @@ class MinitableStreamReader(DataSourceStreamReader):
     ``latest`` skips history entirely (the first batch is empty and only
     post-subscription commits stream).  Omitted = snapshot semantics.
 
-    `maxFilesPerTrigger` (Delta's admission control): caps each
+    `maxFilesPerTrigger` (Delta's admission control; DEFAULT 1000 —
+    Delta's own default — so an unconfigured subscription never takes a
+    months-long backlog or a huge initial snapshot as one batch; the
+    literal ``none`` opts out): caps each
     micro-batch at a planned FILE budget, with FILE-GRANULAR offsets
     (`{"v": N, "f": K}` — the first K files of commit N's deterministic
     planned-file list): an oversized commit splits across micro-batches
@@ -310,16 +313,28 @@ class MinitableStreamReader(DataSourceStreamReader):
                     f"lowercase literal 'latest', got {sv!r}"
                 ) from None
         mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
-        try:
-            self.max_files: int | None = int(mft) if mft is not None else None
-        except ValueError:
-            raise ValueError(
-                f"maxFilesPerTrigger must be a positive int, got {mft!r}"
-            ) from None
-        if self.max_files is not None and self.max_files <= 0:
-            raise ValueError(
-                f"maxFilesPerTrigger must be a positive int, got {mft!r}"
-            )
+        if mft is None:
+            # Delta's default: 1000 files per micro-batch.  An unset
+            # limit would hand a months-long backlog (or a 2M-file
+            # initial snapshot) to ONE batch — the unbounded-first-batch
+            # hazard this option exists to prevent.  The literal `none`
+            # opts out explicitly.
+            self.max_files: int | None = 1000
+        elif str(mft).lower() == "none":
+            self.max_files = None
+        else:
+            try:
+                self.max_files = int(mft)
+            except ValueError:
+                raise ValueError(
+                    f"maxFilesPerTrigger must be a positive int or the "
+                    f"literal 'none', got {mft!r}"
+                ) from None
+            if self.max_files <= 0:
+                raise ValueError(
+                    f"maxFilesPerTrigger must be a positive int or the "
+                    f"literal 'none', got {mft!r}"
+                )
         mbt = options.get("maxbytespertrigger", options.get("maxBytesPerTrigger"))
         try:
             self.max_bytes: int | None = int(mbt) if mbt is not None else None
