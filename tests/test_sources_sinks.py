@@ -6127,6 +6127,99 @@ def test_minitable_stream_default_file_budget(spark, tmp_path):
         )
 
 
+def test_minitable_stream_ignore_deletes_and_skip_change_commits(spark, tmp_path):
+    """r12: Delta's append-mode escape hatches.  ignoreDeletes skips
+    PURE delete commits (whole-file predicate drops) but still refuses
+    a delete that rewrote survivor files; skipChangeCommits skips every
+    merge/dv rewrite while appends keep streaming; CDC mode rejects
+    both options; the default remains the loud refusal."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    # v0: two files split at k=100 so a k<100 delete drops ONE whole
+    # file (pure delete); v1: append; v2: whole-file predicate delete;
+    # v3: merge rewrite; v4: dv delete; v5: append
+    minitable.write(
+        spark,
+        spark.range(0, 8).select(F.col("id").alias("k")).coalesce(1),
+        table, stats_cols=["k"],
+    )
+    minitable.write(
+        spark,
+        spark.range(100, 108).select(F.col("id").alias("k")).coalesce(1),
+        table, stats_cols=["k"],
+    )  # v1
+    minitable.write(
+        spark,
+        spark.range(200, 204).select(F.col("id").alias("k")).coalesce(1),
+        table, stats_cols=["k"],
+    )  # v2
+    _v3, tiers = minitable.delete(spark, table, [("k", "<", 100)])  # v3
+    assert tiers == {"dropped_whole": 1, "rewritten": 0, "untouched": 2}
+    minitable.merge(  # v4: rewrite
+        spark, spark.createDataFrame([(100, ), (300, )], "k bigint"),
+        table, "k", stats_cols=["k"],
+    )
+    minitable.delete_dv(spark, table, [("k", "=", 201)])  # v5: dv mark
+    minitable.write(
+        spark,
+        spark.range(400, 403).select(F.col("id").alias("k")).coalesce(1),
+        table, stats_cols=["k"],
+    )  # v6
+
+    def drain(extra):
+        r = MinitableStreamReader(
+            {"path": table, "columns": "k", "startingversion": "0", **extra}
+        )
+        _offs, batches = _drive_reader(r)
+        return sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+
+    # default: the delete commit refuses loudly
+    with pytest.raises(Exception, match="stream over rewritten files"):
+        drain({})
+    # ignoreDeletes: the pure whole-file drop is skipped, but the MERGE
+    # rewrite still refuses (it is a change, not a delete)
+    with pytest.raises(Exception, match="stream over rewritten files"):
+        drain({"ignoredeletes": "true"})
+    # skipChangeCommits: every rewrite skipped; only appends stream
+    got = drain({"skipchangecommits": "true"})
+    want = sorted(
+        list(range(0, 8)) + list(range(100, 108))
+        + list(range(200, 204)) + list(range(400, 403))
+    )
+    assert got == want, (got, want)
+    # a delete that REWRITES survivors is not a pure delete: build one
+    t2 = str(tmp_path / "t2")
+    minitable.write(
+        spark,
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1),
+        t2, stats_cols=["k"],
+    )
+    _v, tiers2 = minitable.delete(spark, t2, [("k", "<", 5)])
+    assert tiers2["rewritten"] == 1, tiers2  # straddles: survivors staged
+    r2 = MinitableStreamReader(
+        {"path": t2, "columns": "k", "startingversion": "0",
+         "ignoredeletes": "true"}
+    )
+    r2.initialOffset()
+    with pytest.raises(Exception, match="stream over rewritten files"):
+        _drive_reader(r2)
+    # CDC mode rejects both options; non-boolean values fail loudly
+    with pytest.raises(Exception, match="append-mode options"):
+        MinitableStreamReader(
+            {"path": table, "columns": "k", "mode": "cdf",
+             "ignoredeletes": "true"}
+        )
+    with pytest.raises(Exception, match="true or false"):
+        MinitableStreamReader(
+            {"path": table, "columns": "k", "skipchangecommits": "yes"}
+        )
+
+
 def test_minitable_stream_admission_driver_cost_linear(spark, tmp_path):
     """The 100-TB driver-cost claim for a budgeted catch-up: draining a
     long backlog one file per trigger reads each commit record O(1)

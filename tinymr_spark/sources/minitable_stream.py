@@ -290,7 +290,16 @@ class MinitableStreamReader(DataSourceStreamReader):
     The HWM only PACES admission — the engine's checkpointed offsets
     stay the sole source of batch boundaries — so a stale or reused
     streamId can loosen the ceiling for one batch but never lose,
-    duplicate, or reorder rows."""
+    duplicate, or reorder rows.
+
+    `ignoreDeletes` / `skipChangeCommits` (Delta's append-mode escape
+    hatches, default false): instead of the loud refusal, an
+    append-mode stream SKIPS pure delete commits (ignoreDeletes —
+    whole-file predicate drops and whole-drop dv commits only; a delete
+    that rewrites survivor files is a change) or every merge/dv rewrite
+    commit (skipChangeCommits).  Both are an explicit opt-in to an
+    incomplete feed; CDC mode rejects them (it exists to see those
+    changes), and an overwrite still refuses in every mode."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -356,6 +365,30 @@ class MinitableStreamReader(DataSourceStreamReader):
                     f"([A-Za-z0-9_.-]+), got {sid!r}"
                 )
         self.stream_id: str | None = sid
+
+        def _flag(lower: str, camel: str) -> bool:
+            raw = options.get(lower, options.get(camel, "false"))
+            if str(raw).lower() not in ("true", "false"):
+                raise ValueError(f"{camel} must be true or false, got {raw!r}")
+            return str(raw).lower() == "true"
+
+        # Delta's append-mode escape hatches for DML-bearing tables:
+        # `ignoreDeletes` skips pure DELETE commits (predicate deletes
+        # and deletion-vector deletes — commits that only REMOVE rows);
+        # `skipChangeCommits` skips EVERY data-changing rewrite commit
+        # (deletes AND merges/updates).  Both apply to append mode only
+        # — CDC mode exists to SEE those changes — and both are an
+        # explicit opt-in to an incomplete feed, which is why the
+        # default stays the loud refusal.
+        self.ignore_deletes = _flag("ignoredeletes", "ignoreDeletes")
+        self.skip_change_commits = _flag(
+            "skipchangecommits", "skipChangeCommits"
+        )
+        if self.mode == "cdf" and (self.ignore_deletes or self.skip_change_commits):
+            raise ValueError(
+                "ignoreDeletes/skipChangeCommits are append-mode options — "
+                "a CDC stream exists to see those changes"
+            )
         self._last: dict | None = None  # newest offset handed to the engine
         # admission caches, O(backlog): planned (file, bytes) per commit
         # and the pinned snapshot file list — both pure functions of the
@@ -394,6 +427,31 @@ class MinitableStreamReader(DataSourceStreamReader):
             self._last = dict(out)
         return out
 
+    def _append_mode_skip(self, rec: dict) -> bool:
+        """Append-mode opt-outs (Delta's options of the same names):
+        True when this non-append commit is configured to be skipped
+        instead of refusing the stream.  `ignoreDeletes` covers only
+        commits that purely REMOVE data — a predicate delete that drops
+        whole files (no survivor rewrites staged) or a dv-verb commit
+        that only whole-drops (no vector written, nothing added);
+        anything that REWRITES files is Delta's skipChangeCommits
+        territory, which skips every merge/dv commit outright."""
+        if self.mode != "append":
+            return False
+        a = rec["action"]
+        if self.skip_change_commits and a in ("merge", "dv"):
+            return True
+        if self.ignore_deletes:
+            if (
+                a == "merge"
+                and rec.get("predicate") is not None
+                and not rec.get("added")
+            ):
+                return True
+            if a == "dv" and not rec.get("added") and not rec.get("dv"):
+                return True
+        return False
+
     def _planned_files(self, rec: dict) -> list[str | None]:
         """One commit's planned files under the current mode, in the
         DETERMINISTIC order partitions() builds them — the admission
@@ -411,6 +469,8 @@ class MinitableStreamReader(DataSourceStreamReader):
             return []  # no-op merge: partitions() skips it in both modes
         if rec["action"] == "append":
             return list(rec["added"])
+        if self._append_mode_skip(rec):
+            return []  # ignoreDeletes / skipChangeCommits opt-out
         if self.mode == "cdf":
             if rec["action"] == "merge" and rec.get("cdf"):
                 return list(rec["cdf"])
@@ -767,6 +827,9 @@ class MinitableStreamReader(DataSourceStreamReader):
             pass  # NO-OP merge (every match failed update_where,
             # nothing inserted): zero files swapped is proof of zero
             # row changes in BOTH modes — skip, don't refuse
+        elif self._append_mode_skip(rec):
+            pass  # ignoreDeletes / skipChangeCommits: the explicit
+            # append-mode opt-out of delete/rewrite commits
         elif cdc and rec["action"] == "merge" and rec.get("cdf"):
             # explicit change-data files: plain parquet carrying
             # `_change_type` per row — stream them directly, one
