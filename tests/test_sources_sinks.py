@@ -6220,6 +6220,73 @@ def test_minitable_stream_ignore_deletes_and_skip_change_commits(spark, tmp_path
         )
 
 
+def test_minitable_stream_starting_timestamp(spark, tmp_path):
+    """r12: startingTimestamp (Delta's twin of startingVersion,
+    mutually exclusive with it) — streams every commit whose effective
+    commit time is at or after the timestamp: between v1 and v2 starts
+    at v2; before the first commit replays the full history; after the
+    last behaves like `latest` (empty until a new commit)."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v0..v2, one file each
+        minitable.write(
+            spark,
+            spark.range(10 * i, 10 * i + 3)
+            .select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+    ts = [
+        json.load(open(minitable._version_file(table, v)))["ts"]
+        for v in range(3)
+    ]
+    assert ts == sorted(ts)
+
+    def drain(extra):
+        r = MinitableStreamReader({"path": table, "columns": "k", **extra})
+        _offs, batches = _drive_reader(r)
+        return sorted(k for _s, _e, _p, rows in batches for (k,) in rows)
+
+    # strictly between v1 and v2 -> v2 only (ts may be equal at clock
+    # resolution; midpoint guards that)
+    mid = (ts[1] + ts[2]) / 2
+    got = (
+        drain({"startingtimestamp": str(mid)})
+        if ts[1] < ts[2]
+        else None  # same-clock-tick commits: skip this leg
+    )
+    if got is not None:
+        assert got == [20, 21, 22], got
+    # before the first commit -> full history replay
+    assert drain({"startingtimestamp": str(ts[0] - 10)}) == sorted(
+        k for i in range(3) for k in range(10 * i, 10 * i + 3)
+    )
+    # after the last commit -> latest (empty)
+    assert drain({"startingtimestamp": str(ts[2] + 10)}) == []
+    # ISO-8601 accepted; garbage and the option pair fail loudly
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts[0] - 10, tz=timezone.utc).isoformat()
+    assert drain({"startingtimestamp": iso}) == sorted(
+        k for i in range(3) for k in range(10 * i, 10 * i + 3)
+    )
+    with pytest.raises(Exception, match="unix seconds or an"):
+        MinitableStreamReader(
+            {"path": table, "columns": "k", "startingtimestamp": "yesterday"}
+        )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        MinitableStreamReader(
+            {"path": table, "columns": "k",
+             "startingtimestamp": str(mid), "startingversion": "1"}
+        )
+
+
 def test_minitable_stream_admission_driver_cost_linear(spark, tmp_path):
     """The 100-TB driver-cost claim for a budgeted catch-up: draining a
     long backlog one file per trigger reads each commit record O(1)

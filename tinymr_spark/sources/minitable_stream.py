@@ -254,6 +254,14 @@ class MinitableStreamReader(DataSourceStreamReader):
     ``latest`` skips history entirely (the first batch is empty and only
     post-subscription commits stream).  Omitted = snapshot semantics.
 
+    `startingTimestamp` (Delta's twin; mutually exclusive with
+    startingVersion): unix seconds or an ISO-8601 datetime — streams
+    every commit whose effective commit time (recorded `ts`, else
+    record mtime, exactly version_at_timestamp's rule) is at or after
+    it; before the first commit = full history replay, after the last
+    = ``latest``.  Resolved ONCE at initialOffset, so the subscription
+    start never drifts as the log grows.
+
     `maxFilesPerTrigger` (Delta's admission control; DEFAULT 1000 —
     Delta's own default — so an unconfigured subscription never takes a
     months-long backlog or a huge initial snapshot as one batch; the
@@ -321,6 +329,27 @@ class MinitableStreamReader(DataSourceStreamReader):
                     f"startingVersion must be an integer version or the "
                     f"lowercase literal 'latest', got {sv!r}"
                 ) from None
+        st = options.get("startingtimestamp", options.get("startingTimestamp"))
+        if st is not None and self.starting_version is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive (Delta's rule)"
+            )
+        if st is None:
+            self.starting_ts: float | None = None
+        else:
+            try:
+                self.starting_ts = float(st)
+            except ValueError:
+                from datetime import datetime
+
+                try:
+                    self.starting_ts = datetime.fromisoformat(st).timestamp()
+                except ValueError:
+                    raise ValueError(
+                        f"startingTimestamp must be unix seconds or an "
+                        f"ISO-8601 datetime, got {st!r}"
+                    ) from None
         mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
         if mft is None:
             # Delta's default: 1000 files per micro-batch.  An unset
@@ -396,18 +425,45 @@ class MinitableStreamReader(DataSourceStreamReader):
         self._plan_cache: dict[int, list[tuple[str | None, int]]] = {}
         self._snap_cache: tuple[int, list[str]] | None = None
 
+    def _resolve_starting_ts(self) -> int | str:
+        """startingTimestamp -> the startingVersion it means: the FIRST
+        commit whose effective time (recorded `ts`, else the record
+        file's mtime — version_at_timestamp's exact fallback) is at or
+        after the timestamp; before the first commit -> 0 (full
+        history), after the last -> `latest` (only new commits).
+        Resolved once at initialOffset, like Delta — the subscription
+        start must not drift as the log grows."""
+        import json
+
+        from tinymr_spark.sources import minitable
+
+        for v in minitable.versions(self.path):
+            f = minitable._version_file(self.path, v)
+            with open(f) as fh:
+                eff = json.load(fh).get("ts")
+            if eff is None:
+                eff = os.path.getmtime(f)
+            if eff >= self.starting_ts:
+                return v
+        return "latest"
+
     def initialOffset(self) -> dict:
         from tinymr_spark.sources import minitable
 
-        if self.starting_version is None:
+        if self.starting_version is None and self.starting_ts is None:
             out = {"v": -1}  # first batch = snapshot at the head
         else:
+            start = (
+                self.starting_version
+                if self.starting_version is not None
+                else self._resolve_starting_ts()
+            )
             vs = minitable.versions(self.path)
             head = vs[-1] if vs else -1
-            if self.starting_version == "latest":
+            if start == "latest":
                 out = {"v": head}  # only post-subscription commits stream
             else:
-                sv = int(self.starting_version)
+                sv = int(start)
                 if vs and not (0 <= sv <= head + 1):
                     raise ValueError(
                         f"startingVersion {sv} outside {self.path}'s log "
@@ -552,7 +608,9 @@ class MinitableStreamReader(DataSourceStreamReader):
             return None
         if not isinstance(hwm, dict) or "v" not in hwm:
             return None  # torn/foreign content: pace from scratch
-        if "snap" in hwm and self.starting_version is not None:
+        if "snap" in hwm and (
+            self.starting_version is not None or self.starting_ts is not None
+        ):
             # a partial-SNAPSHOT position is meaningless to a
             # startingVersion subscription (its offset algebra never
             # produces one) — a reused streamId must not pace this
