@@ -6091,9 +6091,10 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
 
 
 def test_minitable_stream_default_file_budget(spark, tmp_path):
-    """r12: maxFilesPerTrigger DEFAULTS to 1000 (Delta's default) so an
-    unconfigured subscription never takes an arbitrarily large backlog
-    as one batch; the literal `none` opts out back to unbounded."""
+    """r12: maxFilesPerTrigger has NO default (unlike Delta's 1000 —
+    this API cannot see the trigger, and a default cap would silently
+    truncate single-batch availableNow drains); the literal `none`
+    states unbounded explicitly."""
     from pyspark.sql import functions as F
 
     from tinymr_spark.sources import minitable
@@ -6108,7 +6109,7 @@ def test_minitable_stream_default_file_budget(spark, tmp_path):
             table,
         )
     r = MinitableStreamReader({"path": table, "columns": "k"})
-    assert r.max_files == 1000
+    assert r.max_files is None
     r2 = MinitableStreamReader(
         {"path": table, "columns": "k", "maxfilespertrigger": "none"}
     )
@@ -6116,7 +6117,6 @@ def test_minitable_stream_default_file_budget(spark, tmp_path):
     # unbounded: one latestOffset covers the whole log, snapshot unsplit
     r2.initialOffset()
     assert r2.latestOffset() == {"v": 2}
-    # the default still drains small tables in one batch (3 < 1000)
     r.initialOffset()
     assert r.latestOffset() == {"v": 2}
     import pytest
@@ -6133,6 +6133,8 @@ def test_minitable_stream_ignore_deletes_and_skip_change_commits(spark, tmp_path
     a delete that rewrote survivor files; skipChangeCommits skips every
     merge/dv rewrite while appends keep streaming; CDC mode rejects
     both options; the default remains the loud refusal."""
+    import json
+
     import pytest
     from pyspark.sql import functions as F
 
@@ -6140,9 +6142,9 @@ def test_minitable_stream_ignore_deletes_and_skip_change_commits(spark, tmp_path
     from tinymr_spark.sources.minitable_stream import MinitableStreamReader
 
     table = str(tmp_path / "t")
-    # v0: two files split at k=100 so a k<100 delete drops ONE whole
-    # file (pure delete); v1: append; v2: whole-file predicate delete;
-    # v3: merge rewrite; v4: dv delete; v5: append
+    # v0/v1/v2: three one-file appends with stats, so a k<100 delete
+    # whole-drops v0's file (pure delete); v3: that predicate delete;
+    # v4: merge rewrite; v5: dv mark; v6: append
     minitable.write(
         spark,
         spark.range(0, 8).select(F.col("id").alias("k")).coalesce(1),
@@ -6208,6 +6210,31 @@ def test_minitable_stream_ignore_deletes_and_skip_change_commits(spark, tmp_path
     r2.initialOffset()
     with pytest.raises(Exception, match="stream over rewritten files"):
         _drive_reader(r2)
+    # a delete_dv whose predicate whole-drops a file (no vector written,
+    # nothing staged) IS a pure delete: ignoreDeletes skips it
+    t3 = str(tmp_path / "t3")
+    minitable.write(
+        spark,
+        spark.range(0, 6).select(F.col("id").alias("k")).coalesce(1),
+        t3, stats_cols=["k"],
+    )
+    minitable.write(
+        spark,
+        spark.range(100, 106).select(F.col("id").alias("k")).coalesce(1),
+        t3, stats_cols=["k"],
+    )
+    minitable.delete_dv(spark, t3, [("k", "<", 100)])  # v2: whole-drop
+    rec = json.load(
+        open(minitable._version_file(t3, 2))
+    )
+    assert rec["action"] == "dv" and not rec.get("dv") and not rec["added"], rec
+    r3 = MinitableStreamReader(
+        {"path": t3, "columns": "k", "startingversion": "0",
+         "ignoredeletes": "true"}
+    )
+    _o3, b3 = _drive_reader(r3)
+    got3 = sorted(k for _s, _e, _p, rows in b3 for (k,) in rows)
+    assert got3 == sorted(list(range(0, 6)) + list(range(100, 106))), got3
     # CDC mode rejects both options; non-boolean values fail loudly
     with pytest.raises(Exception, match="append-mode options"):
         MinitableStreamReader(

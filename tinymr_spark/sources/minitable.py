@@ -202,6 +202,17 @@ def versions(path: str) -> list[int]:
 _now = time.time
 
 
+def _effective_commit_ts(path: str, v: int) -> float:
+    """One commit's effective wall-clock time: the recorded `ts`, else
+    the record file's mtime (legacy records) — THE timestamp rule,
+    shared by batch AS-OF resolution and the stream source's
+    startingTimestamp so the two can never drift apart."""
+    f = _version_file(path, v)
+    with open(f) as fh:
+        eff = json.load(fh).get("ts")
+    return float(eff) if eff is not None else os.path.getmtime(f)
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution (Delta's `versionAtTimestamp`): the
     newest committed version whose recorded commit time is <= `ts`.
@@ -218,13 +229,7 @@ def version_at_timestamp(path: str, ts: float) -> int:
     Raises when `ts` predates the first commit."""
     best = None
     for v in versions(path):
-        f = _version_file(path, v)
-        with open(f) as fh:
-            rec = json.load(fh)
-        eff = rec.get("ts")
-        if eff is None:
-            eff = os.path.getmtime(f)
-        if eff <= ts:
+        if _effective_commit_ts(path, v) <= ts:
             best = v
     if best is None:
         raise ValueError(

@@ -262,10 +262,11 @@ class MinitableStreamReader(DataSourceStreamReader):
     = ``latest``.  Resolved ONCE at initialOffset, so the subscription
     start never drifts as the log grows.
 
-    `maxFilesPerTrigger` (Delta's admission control; DEFAULT 1000 —
-    Delta's own default — so an unconfigured subscription never takes a
-    months-long backlog or a huge initial snapshot as one batch; the
-    literal ``none`` opts out): caps each
+    `maxFilesPerTrigger` (Delta's admission control; NO default, unlike
+    Delta's 1000 — Delta exempts Trigger.Once/AvailableNow from rate
+    limits, but this API cannot see the trigger and runs availableNow
+    as a single batch, so a default cap would silently truncate drain
+    jobs; the literal ``none`` states unbounded explicitly): caps each
     micro-batch at a planned FILE budget, with FILE-GRANULAR offsets
     (`{"v": N, "f": K}` — the first K files of commit N's deterministic
     planned-file list): an oversized commit splits across micro-batches
@@ -338,6 +339,8 @@ class MinitableStreamReader(DataSourceStreamReader):
         if st is None:
             self.starting_ts: float | None = None
         else:
+            import math
+
             try:
                 self.starting_ts = float(st)
             except ValueError:
@@ -350,16 +353,22 @@ class MinitableStreamReader(DataSourceStreamReader):
                         f"startingTimestamp must be unix seconds or an "
                         f"ISO-8601 datetime, got {st!r}"
                     ) from None
+            if not math.isfinite(self.starting_ts):
+                # nan compares False against everything and would
+                # silently resolve to `latest` — loud, not wrong
+                raise ValueError(
+                    f"startingTimestamp must be finite, got {st!r}"
+                )
         mft = options.get("maxfilespertrigger", options.get("maxFilesPerTrigger"))
-        if mft is None:
-            # Delta's default: 1000 files per micro-batch.  An unset
-            # limit would hand a months-long backlog (or a 2M-file
-            # initial snapshot) to ONE batch — the unbounded-first-batch
-            # hazard this option exists to prevent.  The literal `none`
-            # opts out explicitly.
-            self.max_files: int | None = 1000
-        elif str(mft).lower() == "none":
-            self.max_files = None
+        if mft is None or str(mft).lower() == "none":
+            # NO default budget, unlike Delta's 1000: Delta exempts
+            # Trigger.Once/AvailableNow from rate limits, but the Python
+            # DataSource API hides the trigger from this reader AND runs
+            # availableNow as a single batch — a default cap would make
+            # that one batch silently cover only the first 1000 files of
+            # the backlog (review r12).  Unbounded stays the safe
+            # default; continuous consumers opt in explicitly.
+            self.max_files: int | None = None
         else:
             try:
                 self.max_files = int(mft)
@@ -402,10 +411,12 @@ class MinitableStreamReader(DataSourceStreamReader):
             return str(raw).lower() == "true"
 
         # Delta's append-mode escape hatches for DML-bearing tables:
-        # `ignoreDeletes` skips pure DELETE commits (predicate deletes
-        # and deletion-vector deletes — commits that only REMOVE rows);
-        # `skipChangeCommits` skips EVERY data-changing rewrite commit
-        # (deletes AND merges/updates).  Both apply to append mode only
+        # `ignoreDeletes` skips PURE delete commits — whole-file drops
+        # only (a delete that rewrites survivors or writes a deletion
+        # vector modifies files and needs skipChangeCommits, exactly
+        # Delta's split); `skipChangeCommits` skips EVERY data-changing
+        # rewrite commit (deletes AND merges/updates).  Both apply to
+        # append mode only
         # — CDC mode exists to SEE those changes — and both are an
         # explicit opt-in to an incomplete feed, which is why the
         # default stays the loud refusal.
@@ -425,25 +436,20 @@ class MinitableStreamReader(DataSourceStreamReader):
         self._plan_cache: dict[int, list[tuple[str | None, int]]] = {}
         self._snap_cache: tuple[int, list[str]] | None = None
 
-    def _resolve_starting_ts(self) -> int | str:
+    def _resolve_starting_ts(self, vs: list[int]) -> int | str:
         """startingTimestamp -> the startingVersion it means: the FIRST
-        commit whose effective time (recorded `ts`, else the record
-        file's mtime — version_at_timestamp's exact fallback) is at or
-        after the timestamp; before the first commit -> 0 (full
-        history), after the last -> `latest` (only new commits).
-        Resolved once at initialOffset, like Delta — the subscription
-        start must not drift as the log grows."""
-        import json
-
+        commit (within the GIVEN listing — the caller resolves `latest`
+        against the same listing's head, so a commit landing mid-call
+        can never fall between the two; review r12) whose effective
+        time (minitable._effective_commit_ts: recorded `ts`, else the
+        record file's mtime) is at or after the timestamp; before the
+        first commit -> 0 (full history), after the last -> `latest`
+        (only new commits).  Resolved once at initialOffset, like Delta
+        — the subscription start must not drift as the log grows."""
         from tinymr_spark.sources import minitable
 
-        for v in minitable.versions(self.path):
-            f = minitable._version_file(self.path, v)
-            with open(f) as fh:
-                eff = json.load(fh).get("ts")
-            if eff is None:
-                eff = os.path.getmtime(f)
-            if eff >= self.starting_ts:
+        for v in vs:
+            if minitable._effective_commit_ts(self.path, v) >= self.starting_ts:
                 return v
         return "latest"
 
@@ -453,13 +459,13 @@ class MinitableStreamReader(DataSourceStreamReader):
         if self.starting_version is None and self.starting_ts is None:
             out = {"v": -1}  # first batch = snapshot at the head
         else:
+            vs = minitable.versions(self.path)
+            head = vs[-1] if vs else -1
             start = (
                 self.starting_version
                 if self.starting_version is not None
-                else self._resolve_starting_ts()
+                else self._resolve_starting_ts(vs)
             )
-            vs = minitable.versions(self.path)
-            head = vs[-1] if vs else -1
             if start == "latest":
                 out = {"v": head}  # only post-subscription commits stream
             else:
