@@ -1983,6 +1983,15 @@ def test_minitable_dml_model_fuzz(spark, tmp_path):
                     continue
                 upd = rng.sample(sorted(model), min(3, len(model)))
                 ins = fresh_batch(3)
+                # REVIVE a deleted key sometimes (review r12's data-loss
+                # class): whether it died by copy-on-write delete or by
+                # a deletion vector, a dead key is NOT MATCHED — Delta's
+                # semantics — so its source row must INSERT with a fresh
+                # row id, in both the conditional and plain variants
+                dead = sorted(set(range(next_key[0])) - set(model))
+                if dead and rng.random() < 0.5:
+                    revived = rng.sample(dead, min(2, len(dead)))
+                    ins = ins + [(k, float(k) + 0.5) for k in revived]
                 if rng.random() < 0.5:
                     # CONDITIONAL merge (update_where): sources with a
                     # LOWER value fail `s.v > t.v` and pass through —
