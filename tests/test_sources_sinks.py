@@ -5770,11 +5770,27 @@ def test_minitable_stream_admission_cdf_reconstruction_budget(spark, tmp_path):
     assert got == want, (got[:5], want[:5])
 
 
+def _read_rows(reader, p):
+    """Flatten one partition's read() output to tuples — the reader
+    yields Arrow RecordBatches on its hot path (r12) and tuples on the
+    fallback; the engine accepts both, tests normalize here."""
+    out = []
+    for item in reader.read(p):
+        if hasattr(item, "to_pylist"):  # Arrow RecordBatch path
+            out.extend(tuple(d.values()) for d in item.to_pylist())
+        else:
+            out.append(tuple(item))
+    return out
+
+
 def _drive_reader(reader, max_triggers=200):
     """Simulate the engine's trigger loop against a reader directly:
     initialOffset, then latestOffset until it stops moving, collecting
     each (start, end] batch's partitions and rows — exact, cheap
     offset-algebra pins without a streaming query's wall-clock."""
+    def _rows(p):
+        return _read_rows(reader, p)
+
     offs = [reader.initialOffset()]
     batches = []  # (start, end, [partitions], [rows])
     for _ in range(max_triggers):
@@ -5782,7 +5798,7 @@ def _drive_reader(reader, max_triggers=200):
         if end == offs[-1]:
             break
         parts = reader.partitions(offs[-1], end)
-        rows = [t for p in parts for t in reader.read(p)]
+        rows = [t for p in parts for t in _rows(p)]
         reader.commit(end)
         batches.append((offs[-1], end, [p for p in parts if p.path], rows))
         offs.append(end)
@@ -6077,7 +6093,7 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
             # replay purity across arbitrary (partial) shapes
             again = [p.path for p in reader.partitions(prev, end) if p.path]
             assert again == [p.path for p in parts], (trial, prev, end)
-            got_rows += [t for p in parts for t in reader.read(p)]
+            got_rows += [t for p in parts for t in _read_rows(reader, p)]
             reader.commit(end)
             prev = end
             n_batches += 1

@@ -94,20 +94,21 @@ _ARROW_DDL = {
 }
 
 
-def _table_ddl(path: str, cols: list[str]) -> str:
-    """Planning-time schema: the requested columns' types from the LOG's
-    schema record when one exists (the authoritative evolution timeline
-    — an evolved column is typed correctly even though the FIRST live
-    file predates it), else from the first live file's parquet footer
-    (legacy logs; metadata-only, like a parquet scan's inference).
-    Timestamps map to microsecond `timestamp` regardless of storage
-    unit — Spark's own parquet reader semantics."""
+def _table_col_types(path: str, cols: list[str]) -> list[str]:
+    """Planning-time column types (DDL strings, one per requested
+    column): from the LOG's schema record when one exists (the
+    authoritative evolution timeline — an evolved column is typed
+    correctly even though the FIRST live file predates it), else from
+    the first live file's parquet footer (legacy logs; metadata-only,
+    like a parquet scan's inference).  Timestamps map to microsecond
+    `timestamp` regardless of storage unit — Spark's own parquet
+    reader semantics."""
     from tinymr_spark.sources import minitable
 
     log_schema = minitable.table_schema(path)
     if log_schema is not None:
         types = {f["name"]: f["type"] for f in log_schema["fields"]}
-        parts = []
+        out = []
         for c in cols:
             if c not in types:
                 raise ValueError(
@@ -116,15 +117,15 @@ def _table_ddl(path: str, cols: list[str]) -> str:
             t = types[c]
             if not isinstance(t, str):
                 raise ValueError(f"unsupported stream column type {t!r} for {c!r}")
-            parts.append(f"{c} {t}")
-        return ", ".join(parts)
+            out.append(t)
+        return out
     import pyarrow.parquet as pq
 
     files = minitable.snapshot(path)
     if not files:
         raise ValueError(f"minitable {path} is empty — no schema to stream")
     schema = pq.ParquetFile(files[0]).schema_arrow
-    parts = []
+    out = []
     for c in cols:
         if c not in schema.names:
             raise ValueError(f"column {c!r} not in minitable schema {schema.names}")
@@ -135,8 +136,34 @@ def _table_ddl(path: str, cols: list[str]) -> str:
             ddl = _ARROW_DDL.get(t)
         if ddl is None:
             raise ValueError(f"unsupported stream column type {t!r} for {c!r}")
-        parts.append(f"{c} {ddl}")
-    return ", ".join(parts)
+        out.append(ddl)
+    return out
+
+
+def _table_ddl(path: str, cols: list[str]) -> str:
+    return ", ".join(
+        f"{c} {t}" for c, t in zip(cols, _table_col_types(path, cols))
+    )
+
+
+def _pa_type(ddl: str):
+    """DDL type string -> pyarrow type for the Arrow-batch read path;
+    None for anything unmapped (the reader then falls back to tuple
+    rows, which Spark converts against the declared schema)."""
+    import pyarrow as pa
+
+    return {
+        "tinyint": pa.int8(), "byte": pa.int8(),
+        "smallint": pa.int16(), "short": pa.int16(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "boolean": pa.bool_(), "string": pa.string(),
+        "date": pa.date32(),
+        # Spark's TimestampType is UTC-adjusted in Arrow; NTZ is naive
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }.get(ddl)
 
 
 def _predicate_mask(batch, where: list, read_cols: list[str]) -> list[bool]:
@@ -435,6 +462,18 @@ class MinitableStreamReader(DataSourceStreamReader):
         # immutable log, evicted as the stream consumes past them
         self._plan_cache: dict[int, list[tuple[str | None, int]]] = {}
         self._snap_cache: tuple[int, list[str]] | None = None
+        self._out_types_cache: list[str] | None = None
+
+    def _out_types(self) -> list[str] | None:
+        """The requested columns' DDL types, resolved once per runner
+        (driver-side) and shipped on every partition so the executor
+        read can emit typed Arrow batches without touching the log."""
+        if self._out_types_cache is None:
+            try:
+                self._out_types_cache = _table_col_types(self.path, self.cols)
+            except Exception:
+                self._out_types_cache = []  # unavailable: tuple fallback
+        return self._out_types_cache or None
 
     def _resolve_starting_ts(self, vs: list[int]) -> int | str:
         """startingTimestamp -> the startingVersion it means: the FIRST
@@ -858,6 +897,9 @@ class MinitableStreamReader(DataSourceStreamReader):
                     lo_i = sf if v == sv else 0
                     hi_i = ef if (v == ev and ef is not None) else len(plist)
                     parts.extend(plist[lo_i:hi_i])
+        ot = self._out_types()
+        for p in parts:
+            p.out_types = ot
         # Spark requires >= 1 partition; an empty range plans a no-op.
         return parts or [_FilePartition(None, self.cols)]
 
@@ -1057,6 +1099,93 @@ class MinitableStreamReader(DataSourceStreamReader):
             if c in names and c not in present
         ]
         read_cols = present + pred_cols
+        # ---- ARROW-BATCH output (the scale path): when every output
+        # type maps to an arrow type, rows never materialize as Python
+        # tuples — columns pass from the parquet scan to Spark as
+        # RecordBatches, with DV/diff/predicate row selection applied
+        # as one vectorized filter per batch.  Unmapped types (e.g.
+        # decimals on legacy tables) fall back to tuple rows, which
+        # Spark converts against the declared schema.
+        import pyarrow as pa
+
+        out_ddl = getattr(partition, "out_types", None)
+        pa_types = None
+        if out_ddl is not None and len(out_ddl) == len(partition.cols):
+            cand = [_pa_type(t) for t in out_ddl]
+            out_names = list(partition.cols)
+            src_cols: list[str | None] = list(
+                getattr(partition, "phys", None) or partition.cols
+            )
+            if cv is not None:
+                if ct is None:
+                    cand.append(pa.string())  # file-carried _change_type
+                    out_names.append("_change_type")
+                    src_cols.append("_change_type")
+                else:
+                    cand.append(pa.string())  # literal change type
+                    out_names.append("_change_type")
+                    src_cols.append(None)
+                cand.append(pa.int32())
+                out_names.append("_commit_version")
+                src_cols.append(None)
+            if all(c is not None for c in cand):
+                pa_types = cand
+        if pa_types is not None:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            dv_np = (
+                np.fromiter(sorted(dv_idx), dtype=np.int64) if dv_idx else None
+            )
+            keep_np = (
+                np.fromiter(sorted(keep_idx), dtype=np.int64)
+                if keep_idx is not None
+                else None
+            )
+            offset = 0
+            for batch in pf.iter_batches(columns=read_cols):
+                n = batch.num_rows
+                keep = None
+                if pred:
+                    keep = np.array(
+                        _predicate_mask(batch, pred, read_cols), dtype=bool
+                    )
+                if dv_np is not None and len(dv_np):
+                    hits = dv_np[(dv_np >= offset) & (dv_np < offset + n)]
+                    if len(hits):
+                        m = np.ones(n, dtype=bool)
+                        m[hits - offset] = False
+                        keep = m if keep is None else (keep & m)
+                if keep_np is not None:
+                    m = np.zeros(n, dtype=bool)
+                    hits = keep_np[(keep_np >= offset) & (keep_np < offset + n)]
+                    m[hits - offset] = True
+                    keep = m if keep is None else (keep & m)
+                offset += n
+                if keep is not None and not keep.any():
+                    continue
+                arrays = []
+                for j, src in enumerate(src_cols):
+                    t = pa_types[j]
+                    if src is None:
+                        lit = ct if out_names[j] == "_change_type" else cv
+                        arr = pa.array([lit] * n, type=t)
+                    elif src in read_cols:
+                        arr = batch.column(read_cols.index(src))
+                        if arr.type != t:
+                            # ns->us timestamp truncation is Spark's own
+                            # parquet semantics; other casts stay safe
+                            arr = arr.cast(t, safe=not pa.types.is_timestamp(t))
+                    else:
+                        arr = pa.nulls(n, type=t)  # pre-evolution file
+                    arrays.append(arr)
+                rb = pa.RecordBatch.from_arrays(arrays, names=out_names)
+                if keep is not None:
+                    rb = rb.filter(pa.array(keep))
+                if rb.num_rows:
+                    yield rb
+            return
+        # ---- tuple fallback (unmapped output types) ------------------
         offset = 0
         for batch in pf.iter_batches(columns=read_cols):
             n = batch.num_rows
@@ -1072,7 +1201,7 @@ class MinitableStreamReader(DataSourceStreamReader):
                     cols = cols + [[ct] * n]
                 cols = cols + [[cv] * n]
             if sel is None and not dv_idx and keep_idx is None:
-                yield from zip(*cols)  # hot path: plain append/insert
+                yield from zip(*cols)  # plain append/insert
             else:
                 for i, row in enumerate(zip(*cols)):
                     gi = offset + i
