@@ -6339,6 +6339,82 @@ def test_minitable_stream_starting_timestamp(spark, tmp_path):
         )
 
 
+def test_minitable_stream_arrow_batches_typed_columns(spark, tmp_path):
+    """r12: the executor read yields typed Arrow RecordBatches — pin
+    the full type surface through a real streaming query (timestamp's
+    UTC-adjusted arrow mapping and date32 are the easy-to-break ones),
+    plus a pre-evolution file serving a typed NULL column, and that the
+    hot path really is RecordBatches (not the tuple fallback)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    minitable_stream.register(spark)
+    table = str(tmp_path / "t")
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("ts"),
+        F.to_date(F.lit("2024-03-01")).alias("d"),
+        F.col("id").cast("boolean").alias("b"),
+    )
+    minitable.write(spark, base.coalesce(1), table)
+    minitable.write(  # v1 EVOLVES: adds a string column; v0 predates it
+        spark,
+        base.withColumn("note", F.lit("late")).coalesce(1),
+        table, merge_schema=True,
+    )
+    rows = []
+
+    def sink(bdf, bid):
+        rows.extend(bdf.collect())
+
+    q = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", table)
+        .option("columns", "k,v,ts,d,b,note")
+        .load().writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="100 milliseconds").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = sorted(
+        ((r["k"], r["v"], r["ts"], r["d"], r["b"], r["note"])
+         for r in minitable.read(spark, table).collect()),
+        key=lambda x: (x[0], x[5] is None),
+    )
+    got = sorted(
+        ((r.k, r.v, r.ts, r.d, r.b, r.note) for r in rows),
+        key=lambda x: (x[0], x[5] is None),
+    )
+    assert got == want, (got[:3], want[:3])
+    assert {r.ts for r in rows} == {
+        datetime.datetime(2024, 3, 1, 10, 0, 0)
+    }
+    assert all(r.d == datetime.date(2024, 3, 1) for r in rows)
+    # the pre-evolution file's rows serve NULL for the evolved column
+    assert [r.note for r in rows].count(None) == 5
+    # and the hot path IS RecordBatches: drive the reader directly
+    import pyarrow as pa
+
+    r = MinitableStreamReader(
+        {"path": table, "columns": "k,v,ts,d,b,note"}
+    )
+    r.initialOffset()
+    end = r.latestOffset()
+    items = [
+        it
+        for p in r.partitions({"v": -1}, end)
+        if p.path
+        for it in r.read(p)
+    ]
+    assert items and all(isinstance(it, pa.RecordBatch) for it in items), items
+
+
 def test_minitable_stream_admission_driver_cost_linear(spark, tmp_path):
     """The 100-TB driver-cost claim for a budgeted catch-up: draining a
     long backlog one file per trigger reads each commit record O(1)
