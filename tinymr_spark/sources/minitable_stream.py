@@ -81,10 +81,12 @@ from pyspark.sql.datasource import (
 )
 
 _ARROW_DDL = {
-    "int8": "tinyint",
-    "int16": "smallint",
-    "int32": "int",
-    "int64": "bigint",
+    # values are Spark jsonValue type names (also valid DDL aliases),
+    # so legacy-footer types parse through the same _pa_type mapping
+    "int8": "byte",
+    "int16": "short",
+    "int32": "integer",
+    "int64": "long",
     "float": "float",
     "double": "double",
     "bool": "boolean",
@@ -147,26 +149,23 @@ def _table_ddl(path: str, cols: list[str]) -> str:
 
 
 def _pa_type(ddl: str):
-    """DDL type string -> pyarrow type for the Arrow-batch read path;
-    None for anything unmapped (the reader then falls back to tuple
-    rows, which Spark converts against the declared schema)."""
-    import pyarrow as pa
+    """Type string (the log schema's jsonValue form) -> pyarrow type
+    for the Arrow-batch read path, via Spark's OWN mapping
+    (to_arrow_type, timestamp_utc default — the exact conversion the
+    worker applies to tuple rows, so the two paths can never drift);
+    None for anything unparseable, which falls back to tuple rows."""
+    import json
 
-    return {
-        "tinyint": pa.int8(), "byte": pa.int8(),
-        "smallint": pa.int16(), "short": pa.int16(),
-        "int": pa.int32(), "integer": pa.int32(),
-        "bigint": pa.int64(), "long": pa.int64(),
-        "float": pa.float32(), "double": pa.float64(),
-        "boolean": pa.bool_(), "string": pa.string(),
-        "date": pa.date32(),
-        # Spark's TimestampType is UTC-adjusted in Arrow; NTZ is naive
-        "timestamp": pa.timestamp("us", tz="UTC"),
-        "timestamp_ntz": pa.timestamp("us"),
-    }.get(ddl)
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import _parse_datatype_json_string
+
+        return to_arrow_type(_parse_datatype_json_string(json.dumps(ddl)))
+    except Exception:
+        return None
 
 
-def _predicate_mask(batch, where: list, read_cols: list[str]) -> list[bool]:
+def _predicate_mask(batch, where: list, read_cols: list[str]):
     """Evaluate a recorded where-conjunction over one arrow batch,
     vectorized with pyarrow.compute, under the SAME SQL three-valued
     semantics as minitable._where_cond (the delete's own filter): a NULL
@@ -174,6 +173,10 @@ def _predicate_mask(batch, where: list, read_cols: list[str]) -> list[bool]:
     final fill_null(False).  A predicate column the file predates reads
     as all-NULL (the log-schema read serves NULL there too).  Returns a
     python bool list aligned to the batch's rows.
+
+    Returns an arrow BooleanArray (no per-row Python boxing — the
+    arrow read path filters with it directly; the tuple fallback
+    to_pylist()s it).
 
     Ops mirror minitable._OPS exactly: < <= > >= = in is_null
     is_not_null; a type the comparison cannot promote raises loudly —
@@ -208,7 +211,7 @@ def _predicate_mask(batch, where: list, read_cols: list[str]) -> list[bool]:
                     "=": pc.equal,
                 }[op](arr, val)
         mask = term if mask is None else pc.and_kleene(mask, term)
-    return pc.fill_null(mask, False).to_pylist()
+    return pc.fill_null(mask, False)
 
 
 def _off_key(off: dict) -> tuple[int, int, int]:
@@ -472,8 +475,10 @@ class MinitableStreamReader(DataSourceStreamReader):
             try:
                 self._out_types_cache = _table_col_types(self.path, self.cols)
             except Exception:
-                self._out_types_cache = []  # unavailable: tuple fallback
-        return self._out_types_cache or None
+                return None  # transient (e.g. IO blip): retry next
+                # trigger rather than pinning the slow tuple path for
+                # the runner's whole life (review r12)
+        return self._out_types_cache
 
     def _resolve_starting_ts(self, vs: list[int]) -> int | str:
         """startingTimestamp -> the startingVersion it means: the FIRST
@@ -1132,7 +1137,6 @@ class MinitableStreamReader(DataSourceStreamReader):
                 pa_types = cand
         if pa_types is not None:
             import numpy as np
-            import pyarrow.compute as pc
 
             dv_np = (
                 np.fromiter(sorted(dv_idx), dtype=np.int64) if dv_idx else None
@@ -1147,8 +1151,8 @@ class MinitableStreamReader(DataSourceStreamReader):
                 n = batch.num_rows
                 keep = None
                 if pred:
-                    keep = np.array(
-                        _predicate_mask(batch, pred, read_cols), dtype=bool
+                    keep = _predicate_mask(batch, pred, read_cols).to_numpy(
+                        zero_copy_only=False
                     )
                 if dv_np is not None and len(dv_np):
                     hits = dv_np[(dv_np >= offset) & (dv_np < offset + n)]
@@ -1162,14 +1166,22 @@ class MinitableStreamReader(DataSourceStreamReader):
                     m[hits - offset] = True
                     keep = m if keep is None else (keep & m)
                 offset += n
-                if keep is not None and not keep.any():
-                    continue
+                if keep is not None:
+                    if not keep.any():
+                        continue
+                    # filter the SCANNED columns first, then build the
+                    # output on the survivors — a DV-diff slice keeping
+                    # a handful of rows must not cast/materialize full
+                    # columns it is about to throw away (review r12)
+                    batch = batch.filter(pa.array(keep))
+                    n = batch.num_rows
                 arrays = []
                 for j, src in enumerate(src_cols):
                     t = pa_types[j]
                     if src is None:
+                        # literal column, no per-row Python boxing
                         lit = ct if out_names[j] == "_change_type" else cv
-                        arr = pa.array([lit] * n, type=t)
+                        arr = pa.repeat(pa.scalar(lit, type=t), n)
                     elif src in read_cols:
                         arr = batch.column(read_cols.index(src))
                         if arr.type != t:
@@ -1180,8 +1192,6 @@ class MinitableStreamReader(DataSourceStreamReader):
                         arr = pa.nulls(n, type=t)  # pre-evolution file
                     arrays.append(arr)
                 rb = pa.RecordBatch.from_arrays(arrays, names=out_names)
-                if keep is not None:
-                    rb = rb.filter(pa.array(keep))
                 if rb.num_rows:
                     yield rb
             return
@@ -1189,7 +1199,11 @@ class MinitableStreamReader(DataSourceStreamReader):
         offset = 0
         for batch in pf.iter_batches(columns=read_cols):
             n = batch.num_rows
-            sel = _predicate_mask(batch, pred, read_cols) if pred else None
+            sel = (
+                _predicate_mask(batch, pred, read_cols).to_pylist()
+                if pred
+                else None
+            )
             data = {
                 p: batch.column(read_cols.index(p)).to_pylist()
                 for p in present
