@@ -6415,6 +6415,69 @@ def test_minitable_stream_arrow_batches_typed_columns(spark, tmp_path):
     assert items and all(isinstance(it, pa.RecordBatch) for it in items), items
 
 
+def test_minitable_change_feed_timestamp_bounds(spark, tmp_path):
+    """r12: batch CDF timestamp bounds (Delta's table_changes
+    startingTimestamp/endingTimestamp): from_timestamp includes every
+    commit at-or-after it — before the first commit means the FULL
+    history including v0 — to_timestamp resolves to the newest commit
+    at-or-before it, a from_timestamp past the last commit raises, and
+    each timestamp is mutually exclusive with its version twin."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    table = str(tmp_path / "t")
+    for i in range(3):  # v0..v2 appends
+        minitable.write(
+            spark,
+            spark.range(10 * i, 10 * i + 3)
+            .select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+    ts = [
+        json.load(open(minitable._version_file(table, v)))["ts"]
+        for v in range(3)
+    ]
+
+    def keys(df):
+        return sorted(r["k"] for r in df.collect())
+
+    # between v0 and v1 -> commits v1..v2 (matches the version form)
+    if ts[0] < ts[1]:
+        mid01 = (ts[0] + ts[1]) / 2
+        assert keys(
+            minitable.change_feed(spark, table, from_timestamp=mid01, to_version=2)
+        ) == keys(minitable.change_feed(spark, table, 0, 2))
+    # before the first commit -> FULL history, v0 included (the version
+    # form cannot express this: (from, to] excludes its lower bound)
+    assert keys(
+        minitable.change_feed(
+            spark, table, from_timestamp=ts[0] - 10, to_version=2
+        )
+    ) == sorted(k for i in range(3) for k in range(10 * i, 10 * i + 3))
+    # to_timestamp resolves to the newest commit at-or-before it
+    if ts[1] < ts[2]:
+        mid12 = (ts[1] + ts[2]) / 2
+        assert keys(
+            minitable.change_feed(
+                spark, table, 0, to_timestamp=mid12
+            )
+        ) == list(range(10, 13))
+    with pytest.raises(ValueError, match="at or after"):
+        minitable.change_feed(
+            spark, table, from_timestamp=ts[2] + 10, to_version=2
+        )
+    with pytest.raises(ValueError, match="exactly one of from_version"):
+        minitable.change_feed(
+            spark, table, 0, 2, from_timestamp=ts[0]
+        )
+    with pytest.raises(ValueError, match="exactly one of to_version"):
+        minitable.change_feed(spark, table, 0)
+
+
 def test_minitable_stream_admission_driver_cost_linear(spark, tmp_path):
     """The 100-TB driver-cost claim for a budgeted catch-up: draining a
     long backlog one file per trigger reads each commit record O(1)

@@ -4214,7 +4214,13 @@ def zorder(
 
 
 def change_feed(
-    spark: SparkSession, path: str, from_version: int, to_version: int
+    spark: SparkSession,
+    path: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    *,
+    from_timestamp: float | None = None,
+    to_timestamp: float | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED with removes: the row-level changes committed in
     versions (from_version, to_version], typed as the table's columns
@@ -4241,12 +4247,44 @@ def change_feed(
     Reading a delete's removed files requires them un-vacuumed —
     vacuum's retention bound is also the feed's horizon (Delta's CDF
     retention).  Schema evolution composes: pieces union by name, so
-    pre-evolution changes serve NULL for later columns."""
+    pre-evolution changes serve NULL for later columns.
+
+    TIMESTAMP bounds (Delta's table_changes startingTimestamp /
+    endingTimestamp, keyword-only, each mutually exclusive with its
+    version twin): `from_timestamp` includes every commit whose
+    effective time (_effective_commit_ts: recorded `ts`, else record
+    mtime) is AT OR AFTER it — a timestamp after the last commit raises
+    loudly, like Delta; `to_timestamp` resolves to the newest commit at
+    or before it (version_at_timestamp's exact rule)."""
     from pyspark.sql import functions as F
 
     vs = versions(path)
+    if (from_version is None) == (from_timestamp is None):
+        raise ValueError(
+            "change_feed() needs exactly one of from_version / from_timestamp"
+        )
+    if (to_version is None) == (to_timestamp is None):
+        raise ValueError(
+            "change_feed() needs exactly one of to_version / to_timestamp"
+        )
+    if from_timestamp is not None:
+        first = next(
+            (v for v in vs if _effective_commit_ts(path, v) >= from_timestamp),
+            None,
+        )
+        if first is None:
+            raise ValueError(
+                f"minitable {path} has no commit at or after timestamp "
+                f"{from_timestamp}"
+            )
+        # the range is (from, to]: starting one BELOW the first
+        # qualifying commit includes it (the stream's startingTimestamp
+        # rule, commit at-or-after)
+        from_version = first - 1
+    if to_timestamp is not None:
+        to_version = version_at_timestamp(path, to_timestamp)
     for bound in (from_version, to_version):
-        if bound not in vs:
+        if bound not in vs and not (bound == from_version and bound == -1):
             raise ValueError(f"minitable {path} has no version {bound} (log: {vs})")
     if to_version <= from_version:
         raise ValueError("change_feed() needs from_version < to_version")
