@@ -6415,6 +6415,91 @@ def test_minitable_stream_arrow_batches_typed_columns(spark, tmp_path):
     assert items and all(isinstance(it, pa.RecordBatch) for it in items), items
 
 
+def test_minitable_widen_column(spark, tmp_path):
+    """r12: ALTER COLUMN TYPE widening (Delta 3.x type widening) as a
+    pure-metadata meta commit: old files' narrower physical types
+    upcast natively through every read path (batch scan, AS-OF, merge
+    rewrite, the stream's arrow cast), post-widening appends take
+    values the old type could not hold, AS-OF before the commit serves
+    the old type, and narrowing/lossy/contract-bound transitions refuse
+    loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    table = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.range(0, 5).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v"),
+        ).coalesce(1),
+        table, stats_cols=["k"],
+    )
+    v_widen_k = minitable.widen_column(table, "k", "long")
+    minitable.widen_column(table, "v", "double")
+    # widened read over the OLD int32/float files, values exact
+    df = minitable.read(spark, table)
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    assert {(r.k, r.v) for r in df.collect()} == {
+        (i, float(i)) for i in range(5)
+    }
+    # AS-OF before the widening serves the old era's types
+    old = minitable.read(spark, table, v_widen_k - 1)
+    assert dict(old.dtypes) == {"k": "int", "v": "float"}
+    # a post-widening append holds values int32 never could
+    big = 2**40
+    minitable.write(
+        spark,
+        spark.createDataFrame([(big, 1.5)], "k long, v double").coalesce(1),
+        table, stats_cols=["k"],
+    )
+    # merge rewrites an OLD file under the widened schema
+    minitable.merge(
+        spark,
+        spark.createDataFrame([(2, 99.5), (big + 1, 2.5)], "k long, v double"),
+        table, "k", stats_cols=["k"],
+    )
+    got = {r.k: r.v for r in minitable.read(spark, table).collect()}
+    assert got[2] == 99.5 and got[big] == 1.5 and got[big + 1] == 2.5
+    # data skipping decides a long literal against int-era stats
+    pruned = minitable.scan(spark, table, [("k", ">=", big)])
+    assert sorted(r.k for r in pruned.collect()) == [big, big + 1]
+    # the table STREAM serves the widened types (arrow upcast per file)
+    minitable_stream.register(spark)
+    rows = []
+    q = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", table).option("columns", "k,v")
+        .load().writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="100 milliseconds").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert {r.k for r in rows} == set(got), (len(rows), len(got))
+    # refusals: narrowing, lossy, unknown, identity, generated
+    with pytest.raises(ValueError, match="legal widenings"):
+        minitable.widen_column(table, "k", "integer")
+    with pytest.raises(ValueError, match="legal widenings"):
+        minitable.widen_column(table, "k", "double")  # long->double lossy
+    with pytest.raises(ValueError, match="no column"):
+        minitable.widen_column(table, "nope", "long")
+    t2 = str(tmp_path / "t2")
+    minitable.write(
+        spark,
+        spark.range(0, 3).select(F.col("id").cast("int").alias("k")),
+        t2, generated={"g": "CAST(k % 7 AS DOUBLE)"}, identity={"rid": (1, 1)},
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        minitable.widen_column(t2, "g", "double")
+    with pytest.raises(ValueError, match="always long"):
+        minitable.widen_column(t2, "rid", "long")
+
+
 def test_minitable_change_feed_timestamp_bounds(spark, tmp_path):
     """r12: batch CDF timestamp bounds (Delta's table_changes
     startingTimestamp/endingTimestamp): from_timestamp includes every

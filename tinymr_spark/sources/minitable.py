@@ -1044,6 +1044,77 @@ def drop_column(path: str, name: str) -> int:
     )
 
 
+# Legal ALTER COLUMN TYPE widenings (Delta 3.x type widening, the
+# lossless subset): every old-era value is exactly representable in the
+# new type, and Spark 4's parquet reader upcasts old files natively, so
+# the change is PURE METADATA.  long->double is deliberately absent
+# (lossy past 2^53); integer->double is exact (int32 < 2^53).
+_WIDENINGS = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def widen_column(path: str, col: str, new_type: str) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE — widening only (Delta 3.x type
+    widening): a meta commit records the schema with `col`'s type
+    replaced; DATA FILES ARE UNTOUCHED — every reader types its scan
+    from the log schema (_read_files / the stream's _table_col_types),
+    and Spark's parquet reader (and the stream's arrow cast) upcast the
+    old files' narrower physical type natively.  AS-OF reads before
+    this commit still serve the old type (the schema timeline), bloom
+    probes stay valid (hashing is numerically normalized — a long
+    literal probes an int-era bloom's exact bits), and range stats
+    compare numerically.  Refused for narrowing/lossy transitions,
+    generated columns (the recorded expression's output type is part of
+    its contract), and identity columns (always long by construction).
+    Claims head+1 so a racing schema-evolving commit conflicts instead
+    of being silently overwritten."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits")
+    head = vs[-1]
+    _e, schema, _d, _constraints, _cm = _replay(path, head)
+    if schema is None:
+        raise ValueError(
+            f"minitable {path} has no recorded schema — type widening "
+            "needs the schema timeline (write with this library first)"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {names}")
+    if col in _generated_map(schema):
+        raise ValueError(
+            f"cannot widen {col!r}: it is a generated column (the "
+            "recorded expression's output type is part of its contract)"
+        )
+    if col in _identity_map(schema):
+        raise ValueError(
+            f"cannot widen {col!r}: identity columns are always long"
+        )
+    cur = next(f["type"] for f in schema["fields"] if f["name"] == col)
+    if not isinstance(cur, str) or new_type not in _WIDENINGS.get(cur, ()):
+        raise ValueError(
+            f"cannot widen {col!r} from {cur!r} to {new_type!r} — legal "
+            f"widenings: { {k: sorted(v) for k, v in _WIDENINGS.items()} }"
+        )
+    new_schema = dict(schema)
+    new_schema["fields"] = [
+        ({**f, "type": new_type} if f["name"] == col else f)
+        for f in schema["fields"]
+    ]
+    return commit(
+        path,
+        "meta",
+        [],
+        schema=new_schema,
+        data_change=False,
+        expected_version=head + 1,
+    )
+
+
 def snapshot(path: str, version: int | None = None) -> list[str]:
     """The live file list AS OF `version` (latest when None), absolute
     paths, in commit-then-manifest order (deterministic)."""
