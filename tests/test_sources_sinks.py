@@ -6481,6 +6481,14 @@ def test_minitable_widen_column(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert {r.k for r in rows} == set(got), (len(rows), len(got))
+    # RESTORE to a pre-widening version rolls the TYPE back with the
+    # schema timeline (and the data with it)
+    minitable.restore(table, v_widen_k - 1)
+    restored = minitable.read(spark, table)
+    assert dict(restored.dtypes) == {"k": "int", "v": "float"}
+    assert {r.k for r in restored.collect()} == set(range(5))
+    # re-widen so the refusal checks below run against the live head
+    minitable.widen_column(table, "k", "long")
     # refusals: narrowing, lossy, unknown, identity, generated
     with pytest.raises(ValueError, match="legal widenings"):
         minitable.widen_column(table, "k", "integer")
