@@ -6398,9 +6398,48 @@ def test_minitable_stream_arrow_batches_typed_columns(spark, tmp_path):
     assert all(r.d == datetime.date(2024, 3, 1) for r in rows)
     # the pre-evolution file's rows serve NULL for the evolved column
     assert [r.note for r in rows].count(None) == 5
-    # and the hot path IS RecordBatches: drive the reader directly
+    # DECIMALS take the arrow path too (Spark's own type mapping —
+    # review r12: the old hand map excluded them silently)
+    t2 = str(tmp_path / "tdec")
+    minitable.write(
+        spark,
+        spark.range(0, 4).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.25).cast("decimal(10,2)").alias("amt"),
+        ).coalesce(1),
+        t2,
+    )
+    rows2 = []
+    q2 = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", t2).option("columns", "k,amt")
+        .load().writeStream.foreachBatch(
+            lambda bdf, bid: rows2.extend(bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="100 milliseconds").start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    import decimal
     import pyarrow as pa
 
+    assert sorted((r.k, r.amt) for r in rows2) == [
+        (i, decimal.Decimal(i * 1.25).quantize(decimal.Decimal("0.01")))
+        for i in range(4)
+    ]
+    r2 = MinitableStreamReader({"path": t2, "columns": "k,amt"})
+    r2.initialOffset()
+    e2 = r2.latestOffset()
+    items2 = [
+        it
+        for p in r2.partitions({"v": -1}, e2)
+        if p.path
+        for it in r2.read(p)
+    ]
+    assert items2 and all(isinstance(it, pa.RecordBatch) for it in items2)
+
+    # and the hot path IS RecordBatches: drive the reader directly
     r = MinitableStreamReader(
         {"path": table, "columns": "k,v,ts,d,b,note"}
     )
@@ -6506,6 +6545,16 @@ def test_minitable_widen_column(spark, tmp_path):
         minitable.widen_column(t2, "g", "double")
     with pytest.raises(ValueError, match="always long"):
         minitable.widen_column(t2, "rid", "long")
+    # an INPUT of a generated expression is just as binding: widening k
+    # would make every later write recompute g at a wider type and fail
+    # against the immutable generated contract — refuse up front
+    # (review r12, runtime-confirmed bricked-table class)
+    with pytest.raises(ValueError, match="input of generated"):
+        minitable.widen_column(t2, "k", "long")
+    # the user's own from_version=-1 stays a loud error (only an
+    # internal from_timestamp resolution may mean "before v0")
+    with pytest.raises(ValueError, match="no version -1"):
+        minitable.change_feed(spark, t2, -1, 0)
 
 
 def test_minitable_change_feed_timestamp_bounds(spark, tmp_path):

@@ -213,6 +213,22 @@ def _effective_commit_ts(path: str, v: int) -> float:
     return float(eff) if eff is not None else os.path.getmtime(f)
 
 
+def version_at_or_after_timestamp(
+    path: str, ts: float, vs: list[int] | None = None
+) -> int | None:
+    """The FIRST committed version whose effective time is at or after
+    `ts`, or None when every commit predates it — the >= twin of
+    version_at_timestamp, THE shared rule for startingTimestamp
+    subscriptions (stream) and from_timestamp feeds (batch).  Pass a
+    pre-listed `vs` to resolve against one consistent log listing (the
+    stream does, so a commit landing mid-call can't fall between two
+    listings)."""
+    for v in vs if vs is not None else versions(path):
+        if _effective_commit_ts(path, v) >= ts:
+            return v
+    return None
+
+
 def version_at_timestamp(path: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution (Delta's `versionAtTimestamp`): the
     newest committed version whose recorded commit time is <= `ts`.
@@ -1089,6 +1105,20 @@ def widen_column(path: str, col: str, new_type: str) -> int:
         raise ValueError(
             f"cannot widen {col!r}: it is a generated column (the "
             "recorded expression's output type is part of its contract)"
+        )
+    # an INPUT of a generated column is just as binding: the expression
+    # recomputes over the widened input and yields a wider type, which
+    # the immutable generated-column contract then rejects on EVERY
+    # later write — a bricked table with no repair path (review r12;
+    # the same class rename_column/drop_column refuse)
+    gen_blocked = _constraint_mentions(
+        {c: e for c, e in _generated_map(schema).items() if c != col}, col
+    )
+    if gen_blocked:
+        raise ValueError(
+            f"cannot widen {col!r}: it is an input of generated "
+            f"column(s) {gen_blocked} — their recorded expressions' "
+            "output types would change"
         )
     if col in _identity_map(schema):
         raise ValueError(
@@ -4338,11 +4368,15 @@ def change_feed(
         raise ValueError(
             "change_feed() needs exactly one of to_version / to_timestamp"
         )
+    # caller-supplied VERSION bounds validate against the log BEFORE
+    # timestamp resolution can introduce the internal -1 sentinel — a
+    # user's from_version=-1 stays the loud error it always was
+    # (review r12; only from_timestamp can mean "before v0")
+    for bound in (from_version, to_version):
+        if bound is not None and bound not in vs:
+            raise ValueError(f"minitable {path} has no version {bound} (log: {vs})")
     if from_timestamp is not None:
-        first = next(
-            (v for v in vs if _effective_commit_ts(path, v) >= from_timestamp),
-            None,
-        )
+        first = version_at_or_after_timestamp(path, from_timestamp, vs)
         if first is None:
             raise ValueError(
                 f"minitable {path} has no commit at or after timestamp "
@@ -4354,9 +4388,6 @@ def change_feed(
         from_version = first - 1
     if to_timestamp is not None:
         to_version = version_at_timestamp(path, to_timestamp)
-    for bound in (from_version, to_version):
-        if bound not in vs and not (bound == from_version and bound == -1):
-            raise ValueError(f"minitable {path} has no version {bound} (log: {vs})")
     if to_version <= from_version:
         raise ValueError("change_feed() needs from_version < to_version")
     _e, schema, _d, _c, colmap = _replay(path, to_version)

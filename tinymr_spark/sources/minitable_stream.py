@@ -171,12 +171,11 @@ def _predicate_mask(batch, where: list, read_cols: list[str]):
     semantics as minitable._where_cond (the delete's own filter): a NULL
     term makes the conjunction NULL, i.e. not matched — and_kleene +
     final fill_null(False).  A predicate column the file predates reads
-    as all-NULL (the log-schema read serves NULL there too).  Returns a
-    python bool list aligned to the batch's rows.
+    as all-NULL (the log-schema read serves NULL there too).
 
-    Returns an arrow BooleanArray (no per-row Python boxing — the
-    arrow read path filters with it directly; the tuple fallback
-    to_pylist()s it).
+    Returns an arrow BooleanArray aligned to the batch's rows (no
+    per-row Python boxing — the arrow read path filters with it
+    directly; the tuple fallback to_pylist()s it).
 
     Ops mirror minitable._OPS exactly: < <= > >= = in is_null
     is_not_null; a type the comparison cannot promote raises loudly —
@@ -492,10 +491,10 @@ class MinitableStreamReader(DataSourceStreamReader):
         — the subscription start must not drift as the log grows."""
         from tinymr_spark.sources import minitable
 
-        for v in vs:
-            if minitable._effective_commit_ts(self.path, v) >= self.starting_ts:
-                return v
-        return "latest"
+        first = minitable.version_at_or_after_timestamp(
+            self.path, self.starting_ts, vs
+        )
+        return "latest" if first is None else first
 
     def initialOffset(self) -> dict:
         from tinymr_spark.sources import minitable
@@ -1108,9 +1107,10 @@ class MinitableStreamReader(DataSourceStreamReader):
         # type maps to an arrow type, rows never materialize as Python
         # tuples — columns pass from the parquet scan to Spark as
         # RecordBatches, with DV/diff/predicate row selection applied
-        # as one vectorized filter per batch.  Unmapped types (e.g.
-        # decimals on legacy tables) fall back to tuple rows, which
-        # Spark converts against the declared schema.
+        # as one vectorized filter per batch.  Types Spark's own
+        # mapping cannot parse fall back to tuple rows, which Spark
+        # converts against the declared schema (decimals/binary DO map
+        # and take the arrow path).
         import pyarrow as pa
 
         out_ddl = getattr(partition, "out_types", None)
