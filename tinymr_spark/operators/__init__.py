@@ -262,6 +262,33 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (175, "linear_regression"), (176, "grouped_regression"),
         (177, "delete_where"), (168, "triangle_count"), (172, "kcore_peel"),
     )),
+    (12, (
+        # --- round 12 (CORRECTNESS_r12): q208 new + 49 stalest re-confirms ---
+        (208, "merge_conditional"), (101, "sequence_packing"),
+        (102, "domain_mixture"), (103, "vocab_encode"),
+        (187, "rag_chunking"), (58, "ann_pq_adc"),
+        (59, "product_quantization"), (60, "multimodal_manifest"),
+        (61, "multimodal_decode"), (62, "multimodal_frames"),
+        (65, "multimodal_resize"), (66, "payload_features"),
+        (67, "audio_frame_energy"), (68, "phash_dedup"),
+        (69, "scene_cuts"), (70, "tumbling_window"),
+        (71, "sliding_window"), (72, "sessionize"),
+        (73, "pivot"), (74, "json_extract"), (75, "asof_join"),
+        (76, "interval_join"), (77, "funnel"), (78, "retention"),
+        (79, "variant_props"), (80, "mr_wordcount"),
+        (81, "mr_distinct_sources"), (82, "mr_chain_relational"),
+        (83, "mr_secondary_sort"), (84, "mr_overloaded_combine"),
+        (90, "stream_tumbling"), (91, "stream_sliding"),
+        (92, "stream_stateful"), (93, "stream_session"),
+        (94, "stream_static_join"), (95, "stream_dedup"),
+        (96, "stream_sink_parquet"), (97, "stream_incremental"),
+        (98, "stream_stream_join"), (99, "stream_dedup_bounded"),
+        (63, "pandas_udf_scalar"), (64, "apply_in_pandas"),
+        (178, "delete_null_safety"), (179, "log_checkpoint"),
+        (180, "table_evolution"), (181, "change_feed_dml"),
+        (182, "incremental_mv_dml"), (183, "restore_version"),
+        (184, "deletion_vectors"), (185, "check_constraints"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()
