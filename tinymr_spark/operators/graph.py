@@ -59,7 +59,14 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 # executor-local (non-reliable) — acceptable: losing an executor mid-loop
 # recomputes from the persisted edge table, and the ContextCleaner
 # reclaims it once the result DataFrame is dropped.
-PR_CHECKPOINT_EVERY: int | None = 2
+#
+# K=3, not 2: interleaved warm-cache min-of-4 at sf0.1 measured K=2
+# 2.68s / K=3 2.30s / uncut 1.91s — each cut costs ~0.4s of eager-job
+# launch overhead, and K=3 keeps the same O(K)-bounded live-plan depth
+# (<=3 uncut rounds) at half the cuts.  The same sweep adjudicated the
+# r12 bench's 3.01s row as environmental (K=2 reproduces well under it
+# on an idle box).
+PR_CHECKPOINT_EVERY: int | None = 3
 
 
 def _edge_cache(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
