@@ -6989,3 +6989,207 @@ def test_minitable_merge_update_where_rebase(spark, tmp_path, monkeypatch):
     with pytest.raises(minitable.CommitConflict, match="concurrent append"):
         minitable.merge(spark, src, path, "k", update_where="s.v > t.v", stats_cols=["k"])
     monkeypatch.setattr(minitable, "commit", real_commit)
+
+
+def test_minitable_column_defaults(spark, tmp_path):
+    """r13: ALTER TABLE ADD COLUMN ... DEFAULT (Delta's
+    allowColumnDefaults): a pure-metadata meta commit whose default is
+    served — not NULL — for every row written BEFORE the column existed,
+    through every read path (batch, AS-OF, scan pruning, DML probes,
+    change feed, the stream source), while post-ADD files carrying real
+    NULLs still serve NULL; writes that omit the column materialize it
+    (Delta's CURRENT_DEFAULT INSERT rule); the default rides the schema
+    timeline (era-correct AS-OF/restore, widening re-renders it)."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    minitable.write(  # v0: pre-ADD rows k=1..3
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string"),
+        table, "overwrite", stats_cols=["k"],
+    )
+    v_add = minitable.add_column(table, "c", "integer", default=7)
+    assert minitable.table_defaults(table) == {"c": 7}
+    assert minitable.table_defaults(table, v_add - 1) == {}
+    # several more defaulted types in one table: string/double/bool/date
+    minitable.add_column(table, "tag", "string", default="it's")
+    minitable.add_column(table, "w", "double", default=0.1)
+    minitable.add_column(table, "ok", "boolean", default=True)
+    minitable.add_column(table, "d", "date", default=datetime.date(2020, 2, 29))
+    # v: append OMITTING every defaulted column -> materialized
+    minitable.write(
+        spark, spark.createDataFrame([(4, "d")], "k long, s string"),
+        table, "append", stats_cols=["k"],
+    )
+    # v: append PROVIDING c with a real NULL and a value
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(5, "e", None), (6, "f", 9)], "k long, s string, c int"
+        ).withColumn("tag", F.lit("own"))
+        .withColumn("w", F.lit(2.5))
+        .withColumn("ok", F.lit(False))
+        .withColumn("d", F.lit(datetime.date(2021, 1, 1))),
+        table, "append", stats_cols=["k"],
+    )
+    got = {r.k: r for r in minitable.read(spark, table).collect()}
+    assert {k: r.c for k, r in got.items()} == {
+        1: 7, 2: 7, 3: 7, 4: 7, 5: None, 6: 9,
+    }
+    assert got[1].tag == "it's" and got[6].tag == "own"
+    assert got[2].w == 0.1 and got[5].w == 2.5
+    assert got[3].ok is True and got[6].ok is False
+    assert got[1].d == datetime.date(2020, 2, 29)
+    assert got[5].d == datetime.date(2021, 1, 1)
+    # AS-OF before the ADD serves the old schema (no column at all)
+    assert minitable.read(spark, table, v_add - 1).columns == ["k", "s"]
+    # scan with a predicate on the defaulted column: pre-ADD files have
+    # no stats for it -> conservative keep, residual filter sees 7
+    assert sorted(
+        r.k for r in minitable.scan(spark, table, [("c", "=", 7)]).collect()
+    ) == [1, 2, 3, 4]
+    # widening the defaulted column re-renders the literal exactly
+    minitable.widen_column(table, "c", "long")
+    df = minitable.read(spark, table)
+    assert dict(df.dtypes)["c"] == "bigint"
+    assert {r.k: r.c for r in df.collect()}[1] == 7
+    # DELETE with a predicate on the defaulted column: pre-ADD rows
+    # count as the default (k=1 matches c=7 AND k<=1)
+    v_del, _summary = minitable.delete(
+        spark, table, [("c", "=", 7), ("k", "<=", 1)]
+    )
+    assert sorted(r.k for r in minitable.read(spark, table).collect()) == [
+        2, 3, 4, 5, 6,
+    ]
+    # MERGE rewriting a pre-ADD file materializes the default verbatim
+    import datetime as _dt
+
+    minitable.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 123, "it's", 0.1, True, _dt.date(2020, 2, 29))],
+            "k long, s string, c long, tag string, w double, ok boolean, d date",
+        ),
+        table, "k", stats_cols=["k"], collect_cdf=True,
+    )
+    got = {r.k: (r.c, r.tag) for r in minitable.read(spark, table).collect()}
+    assert got[2] == (123, "it's") and got[3] == (7, "it's")
+    # CHANGE FEED: the delete's reconstructed row serves the default
+    feed = minitable.change_feed(spark, table, v_del - 1, v_del).collect()
+    deleted = [r for r in feed if r._change_type == "delete"]
+    assert [(r.k, r.c, r.tag) for r in deleted] == [(1, 7, "it's")]
+    # STREAM: snapshot serves defaults on pre-ADD files, real NULLs kept
+    rdr = MinitableStreamReader({"path": table, "columns": "k,c,tag"})
+    _offs, batches = _drive_reader(rdr)
+    rows = sorted((t for _s, _e, _p, ts in batches for t in ts), key=str)
+    assert (2, 123, "it's") in rows and (3, 7, "it's") in rows
+    assert (5, None, "own") in rows
+    # STREAM CDC: the predicate-delete reconstruction evaluates the
+    # recorded conjunction under the ERA's defaults and fills output
+    cdc = MinitableStreamReader(
+        {"path": table, "columns": "k,c,tag", "mode": "cdf",
+         "startingversion": str(v_add)}
+    )
+    _offs, batches = _drive_reader(cdc)
+    crows = [t for _s, _e, _p, ts in batches for t in ts]
+    assert (1, 7, "it's", "delete", v_del) in crows, crows
+    # RESTORE to the pre-ADD era drops the columns with the timeline
+    head = minitable.versions(table)[-1]
+    minitable.restore(table, v_add - 1)
+    assert minitable.read(spark, table).columns == ["k", "s"]
+    assert minitable.table_defaults(table) == {}
+    minitable.restore(table, head)
+    assert minitable.table_defaults(table)["c"] == 7
+    # an OVERWRITE derived from a read() must NOT import the default
+    # stamps into a fresh table (the scan schema carries EXISTS_DEFAULT)
+    t2 = str(tmp_path / "t2")
+    minitable.write(spark, minitable.read(spark, table), t2, "overwrite")
+    assert minitable.table_defaults(t2) == {}
+    sch2 = minitable.table_schema(t2)
+    assert all(
+        "EXISTS_DEFAULT" not in (f.get("metadata") or {})
+        for f in sch2["fields"]
+    )
+    # refusals
+    with pytest.raises(ValueError, match="already exists"):
+        minitable.add_column(table, "c", "integer", default=1)
+    with pytest.raises(ValueError, match="must be int"):
+        minitable.add_column(table, "z", "integer", default="x")
+    with pytest.raises(ValueError, match="must be int"):
+        minitable.add_column(table, "z", "integer", default=True)
+    with pytest.raises(ValueError, match="out of range"):
+        minitable.add_column(table, "z", "byte", default=999)
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        minitable.add_column(table, "z", "double", default=float("nan"))
+    with pytest.raises(ValueError, match="must be str"):
+        minitable.add_column(table, "z", "string", default=5)
+    with pytest.raises(ValueError, match="must be bool"):
+        minitable.add_column(table, "z", "boolean", default=1)
+    with pytest.raises(ValueError, match="must be datetime.date"):
+        minitable.add_column(table, "z", "date", default="2020-01-01")
+    with pytest.raises(ValueError, match="scalar types"):
+        minitable.add_column(table, "z", "array<int>", default=None)
+    with pytest.raises(ValueError, match="no commits"):
+        minitable.add_column(str(tmp_path / "none"), "z", "integer", default=1)
+    # generated/identity NAME collisions refuse with the contract named
+    t3 = str(tmp_path / "t3")
+    minitable.write(
+        spark,
+        spark.range(0, 3).select(F.col("id").cast("int").alias("k")),
+        t3, generated={"g": "CAST(k % 7 AS DOUBLE)"}, identity={"rid": (1, 1)},
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        minitable.add_column(t3, "g", "double", default=1.0)
+    with pytest.raises(ValueError, match="identity column"):
+        minitable.add_column(t3, "rid", "long", default=1)
+
+
+def test_minitable_column_default_era_predicate_replay(spark, tmp_path):
+    """r13 era pin: a predicate DELETE committed BEFORE a default existed
+    must replay under its own era — pre-column files served NULL to that
+    delete, so CDC reconstruction must not retroactively apply a default
+    added later (and the converse: a delete after the ADD replays with
+    the constant)."""
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    minitable.write(  # v0
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        table, "overwrite", stats_cols=["k"],
+    )
+    # v1: plain ADD (no default yet) so the predicate can NAME the column
+    minitable.add_column(table, "c", "integer")
+    # v2: delete c IS NULL AND k = 1 -> kills k=1 (pre-column rows
+    # serve NULL in the no-default era)
+    minitable.delete(spark, table, [("c", "is_null", None), ("k", "=", 1)])
+    assert sorted(r.k for r in minitable.read(spark, table).collect()) == [2]
+    # v3: NOW add a defaulted twin column and rewrite nothing
+    minitable.drop_column(table, "c")
+    v_add = minitable.add_column(table, "c", "integer", default=7)
+    # CDC replay across v2: the delete must still reconstruct k=1 (its
+    # era's c was NULL), even though the head schema defaults c to 7
+    cdc = MinitableStreamReader(
+        {"path": table, "columns": "k,s", "mode": "cdf",
+         "startingversion": "1"}
+    )
+    _offs, batches = _drive_reader(cdc)
+    rows = [t for _s, _e, _p, ts in batches for t in ts]
+    assert ("1", ) != rows  # shape guard
+    assert any(
+        t[0] == 1 and t[-2] == "delete" for t in rows
+    ), rows
+    # and batch change_feed agrees (reads with the RANGE-END era schema,
+    # which has no 'c' at v2's range... the feed over (1, 2] types from
+    # v2's schema where c exists un-defaulted)
+    feed = minitable.change_feed(spark, table, 1, 2).collect()
+    assert [(r.k, r._change_type) for r in feed] == [(1, "delete")]
+    assert feed[0].c is None
+    assert minitable.table_defaults(table, v_add) == {"c": 7}

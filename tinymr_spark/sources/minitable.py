@@ -1145,6 +1145,189 @@ def widen_column(path: str, col: str, new_type: str) -> int:
     )
 
 
+# COLUMN DEFAULT VALUES (Delta's allowColumnDefaults / Spark's column
+# DEFAULT): `ALTER TABLE ADD COLUMN c t DEFAULT v` must serve `v` — not
+# NULL — for every row written BEFORE the column existed, while a
+# post-ADD file that carries a real NULL still serves NULL.  The value
+# rides the schema FIELD METADATA ({"default": <json scalar>}), exactly
+# like generation/identity specs, so it follows the existing schema
+# timeline for free: AS-OF reads serve each era's default, restore rolls
+# it back, appends inherit it, an overwrite resets it with the schema,
+# rename keeps it with the field, drop removes it.
+#
+# Readers serve it through Spark's OWN existence-default machinery: the
+# scan schema stamps the rendered SQL literal as EXISTS_DEFAULT field
+# metadata and the parquet reader fills the constant for files that
+# PHYSICALLY lack the column — per-file discrimination decided by the
+# file footer executor-side, at zero plan cost and with no coalesce()
+# that would clobber genuine NULLs.  The physical-presence discriminator
+# is exact because write() materializes the default into any append that
+# omits the column (Delta's CURRENT_DEFAULT INSERT rule, below), so
+# post-ADD files always carry it.
+_DEFAULT_SQL_TYPES = {
+    "byte": "TINYINT", "short": "SMALLINT", "integer": "INT",
+    "long": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "STRING", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+_INT_BITS = {"byte": 8, "short": 16, "integer": 32, "long": 64}
+
+
+def _default_sql_literal(value, type_str: str) -> str:
+    """A stored default rendered as a deterministic SQL literal of the
+    column's CURRENT type — type widening re-renders automatically (an
+    int-era default reads back as the widened type's exact value)."""
+    if type_str == "string":
+        return "'" + str(value).replace("'", "''") + "'"
+    if type_str == "boolean":
+        return "true" if value else "false"
+    if type_str == "date":
+        return f"DATE '{value}'"
+    if type_str == "timestamp":
+        return f"TIMESTAMP '{value}'"
+    if type_str in ("float", "double"):
+        # parse-from-string round-trips repr() exactly; a bare decimal
+        # literal would re-round through DECIMAL on the way in
+        return f"CAST('{value!r}' AS {_DEFAULT_SQL_TYPES[type_str]})"
+    return f"CAST({int(value)} AS {_DEFAULT_SQL_TYPES[type_str]})"
+
+
+def _default_map(schema: dict | None) -> dict[str, object]:
+    """{logical column: stored default value} from the schema's field
+    metadata — same timeline mechanics as _generated_map."""
+    if not schema:
+        return {}
+    out: dict[str, object] = {}
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        if "default" in md:
+            out[f["name"]] = md["default"]
+    return out
+
+
+def table_defaults(path: str, version: int | None = None) -> dict[str, object]:
+    """The column-default map {col: value} AS OF `version`; empty when
+    the table has no defaulted columns."""
+    return _default_map(table_schema(path, version))
+
+
+def _with_exists_defaults(schema: dict) -> dict:
+    """The scan schema with each stored default stamped as Spark
+    EXISTS_DEFAULT/CURRENT_DEFAULT field metadata — the key Spark's
+    parquet reader consults to fill a column MISSING from a file's
+    physical schema (files that carry the column are untouched)."""
+    fields = []
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        if "default" in md and isinstance(f["type"], str):
+            lit = _default_sql_literal(md["default"], f["type"])
+            f = {
+                **f,
+                "metadata": {**md, "EXISTS_DEFAULT": lit, "CURRENT_DEFAULT": lit},
+            }
+        fields.append(f)
+    return {**schema, "fields": fields}
+
+
+def add_column(path: str, name: str, type_: str, default=None) -> int:
+    """ALTER TABLE ADD COLUMN [... DEFAULT] — pure metadata: the meta
+    commit records the widened schema; with a DEFAULT, existing rows
+    serve the default (not NULL) through the read-side existence-default
+    fill, AS-OF reads before this commit serve the old schema, and every
+    later write that omits the column materializes the default (Delta's
+    CURRENT_DEFAULT INSERT rule).  `default=None` is the plain ADD
+    COLUMN (existing rows serve NULL — q180's mergeSchema semantics as
+    an explicit DDL verb).  Defaults must be constants of the declared
+    type (Delta's existence defaults are constant-foldable by spec):
+    str/bool/int/float/datetime.date/datetime.datetime per the type.
+    With column mapping active the new logical name gets a FRESH
+    physical name (a dropped column's data must never resurrect).
+    Claims head+1 so a racing schema-evolving commit conflicts instead
+    of being silently overwritten."""
+    import datetime
+
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits")
+    head = vs[-1]
+    _e, schema, _d, _constraints, colmap = _replay(path, head)
+    if schema is None:
+        raise ValueError(
+            f"minitable {path} has no recorded schema — ADD COLUMN "
+            "needs the schema timeline (write with this library first)"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if name in names:
+        kind = (
+            "a generated column"
+            if name in _generated_map(schema)
+            else "an identity column"
+            if name in _identity_map(schema)
+            else "a column"
+        )
+        raise ValueError(f"{name!r} already exists in {path} as {kind}")
+    if type_ not in _DEFAULT_SQL_TYPES:
+        raise ValueError(
+            f"add_column supports scalar types {sorted(_DEFAULT_SQL_TYPES)}; "
+            f"got {type_!r} (evolve complex types via write(merge_schema=True))"
+        )
+    stored = None
+    if default is not None:
+        if type_ == "string":
+            if not isinstance(default, str):
+                raise ValueError(f"default for string column must be str, got {default!r}")
+            stored = default
+        elif type_ == "boolean":
+            if not isinstance(default, bool):
+                raise ValueError(f"default for boolean column must be bool, got {default!r}")
+            stored = default
+        elif type_ in _INT_BITS:
+            if isinstance(default, bool) or not isinstance(default, int):
+                raise ValueError(f"default for {type_} column must be int, got {default!r}")
+            bound = 1 << (_INT_BITS[type_] - 1)
+            if not (-bound <= default < bound):
+                raise ValueError(f"default {default} out of range for {type_}")
+            stored = default
+        elif type_ in ("float", "double"):
+            if isinstance(default, bool) or not isinstance(default, (int, float)):
+                raise ValueError(f"default for {type_} column must be numeric, got {default!r}")
+            stored = float(default)
+            if stored != stored or stored in (float("inf"), float("-inf")):
+                raise ValueError("NaN/Inf defaults are not representable as SQL literals")
+        elif type_ == "date":
+            if not isinstance(default, datetime.date) or isinstance(default, datetime.datetime):
+                raise ValueError(f"default for date column must be datetime.date, got {default!r}")
+            stored = default.isoformat()
+        elif type_ == "timestamp":
+            if not isinstance(default, datetime.datetime):
+                raise ValueError(
+                    f"default for timestamp column must be datetime.datetime, got {default!r}"
+                )
+            stored = default.isoformat(sep=" ")
+    new_schema = dict(schema)
+    new_schema["fields"] = list(schema["fields"]) + [
+        {
+            "name": name,
+            "type": type_,
+            "nullable": True,
+            "metadata": {"default": stored} if stored is not None else {},
+        }
+    ]
+    full = None
+    if colmap:
+        full = _full_colmap(schema, colmap)
+        full[name] = f"{name}_{uuid.uuid4().hex[:6]}"
+    return commit(
+        path,
+        "meta",
+        [],
+        schema=new_schema,
+        colmap=full,
+        data_change=False,
+        expected_version=head + 1,
+    )
+
+
 def snapshot(path: str, version: int | None = None) -> list[str]:
     """The live file list AS OF `version` (latest when None), absolute
     paths, in commit-then-manifest order (deterministic)."""
@@ -1751,6 +1934,27 @@ def write(
         if c not in df.columns:
             df = df.withColumn(c, _Fgen.expr(gen[c]))
 
+    # COLUMN DEFAULTS (Delta's CURRENT_DEFAULT INSERT rule): an append
+    # that OMITS a defaulted column materializes the default at write
+    # time — the staged file is physically complete (stats/bloom cover
+    # the column, and the read-side EXISTS_DEFAULT fill's file-footer
+    # discriminator stays exact: only pre-ADD files lack the column).
+    # A batch that PROVIDES the column passes through verbatim,
+    # explicit NULLs included.
+    if action == "append":
+        dfl_types = {
+            f["name"]: f["type"]
+            for f in (prev_schema or {}).get("fields", ())
+        }
+        for c, dv in _default_map(prev_schema).items():
+            if c not in df.columns and isinstance(dfl_types.get(c), str):
+                df = df.withColumn(
+                    c,
+                    _Fgen.expr(_default_sql_literal(dv, dfl_types[c])).cast(
+                        _DEFAULT_SQL_TYPES[dfl_types[c]]
+                    ),
+                )
+
     # ROW TRACKING is an identity column plus a metadata marker: fold
     # the reserved spec in here so everything below (assignment, hwm,
     # rebase guards, schema stamping) is the one identity code path.
@@ -1839,7 +2043,18 @@ def write(
         f["metadata"] = {
             k: v
             for k, v in (f.get("metadata") or {}).items()
-            if k not in ("generated", "identity", "row_id")
+            if k
+            not in (
+                "generated",
+                "identity",
+                "row_id",
+                # a batch derived from a read() carries the scan's
+                # default stamps; THIS table's defaults ride prev_schema
+                # through _merge_schemas, never the writer's frame
+                "default",
+                "EXISTS_DEFAULT",
+                "CURRENT_DEFAULT",
+            )
         }
     schema = _merged_schema(prev_schema, cur)
     if gen or ident:
@@ -2183,7 +2398,10 @@ def _read_files(
         from pyspark.sql.types import StructType
 
         phys = _physical_schema(schema, colmap) if mapped else schema
-        reader = reader.schema(StructType.fromJson(phys))
+        # stored column defaults ride as EXISTS_DEFAULT: Spark's parquet
+        # reader fills the constant for files physically lacking the
+        # column (pre-ADD files), leaving carried NULLs alone
+        reader = reader.schema(StructType.fromJson(_with_exists_defaults(phys)))
     df = reader.parquet(*files)
     if mapped:
         df = df.select(

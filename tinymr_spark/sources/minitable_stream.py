@@ -165,13 +165,16 @@ def _pa_type(ddl: str):
         return None
 
 
-def _predicate_mask(batch, where: list, read_cols: list[str]):
+def _predicate_mask(batch, where: list, read_cols: list[str], defaults: dict | None = None):
     """Evaluate a recorded where-conjunction over one arrow batch,
     vectorized with pyarrow.compute, under the SAME SQL three-valued
     semantics as minitable._where_cond (the delete's own filter): a NULL
     term makes the conjunction NULL, i.e. not matched — and_kleene +
     final fill_null(False).  A predicate column the file predates reads
-    as all-NULL (the log-schema read serves NULL there too).
+    as all-NULL (the log-schema read serves NULL there too) — unless
+    `defaults` (physical-keyed, AS OF the delete's commit) carries a
+    COLUMN DEFAULT for it, in which case every row serves that constant,
+    exactly as the delete's own batch read did.
 
     Returns an arrow BooleanArray aligned to the batch's rows (no
     per-row Python boxing — the arrow read path filters with it
@@ -186,7 +189,28 @@ def _predicate_mask(batch, where: list, read_cols: list[str]):
     n = batch.num_rows
     mask = None
     for col, op, val in where:
-        if col not in read_cols:
+        if col not in read_cols and defaults and defaults.get(col) is not None:
+            # the file predates this column but the era served a
+            # DEFAULT: the term is one constant for the whole file
+            d = defaults[col]
+            if op == "is_null":
+                res = False
+            elif op == "is_not_null":
+                res = True
+            elif op == "in":
+                res = d in list(val)
+            elif op == "<":
+                res = d < val
+            elif op == "<=":
+                res = d <= val
+            elif op == ">":
+                res = d > val
+            elif op == ">=":
+                res = d >= val
+            else:
+                res = d == val
+            term = pa.array([bool(res)] * n, type=pa.bool_())
+        elif col not in read_cols:
             # the file predates this column: every row serves NULL —
             # is_null holds, is_not_null doesn't, comparisons are NULL
             if op == "is_null":
@@ -465,6 +489,7 @@ class MinitableStreamReader(DataSourceStreamReader):
         self._plan_cache: dict[int, list[tuple[str | None, int]]] = {}
         self._snap_cache: tuple[int, list[str]] | None = None
         self._out_types_cache: list[str] | None = None
+        self._out_defaults_cache: list | None = None
 
     def _out_types(self) -> list[str] | None:
         """The requested columns' DDL types, resolved once per runner
@@ -478,6 +503,54 @@ class MinitableStreamReader(DataSourceStreamReader):
                 # trigger rather than pinning the slow tuple path for
                 # the runner's whole life (review r12)
         return self._out_types_cache
+
+    def _out_defaults(self) -> list | None:
+        """Per requested column, the table's stored COLUMN DEFAULT (or
+        None) — the stream's twin of the batch read's EXISTS_DEFAULT
+        fill: a file that physically predates the column serves the
+        constant, not NULL.  Resolved from the LATEST schema, the same
+        era _out_types types the whole stream from (a column added
+        later than a streamed file is typed and defaulted by the head
+        schema — read()'s semantics applied to the feed's fixed column
+        set).  Date/timestamp defaults are stored as ISO strings in the
+        log and converted to Python objects here so both the arrow and
+        tuple executor paths can emit them natively."""
+        if self._out_defaults_cache is None:
+            import datetime
+
+            from tinymr_spark.sources import minitable
+
+            schema = minitable.table_schema(self.path)
+            dfl = minitable._default_map(schema)
+            types = {
+                f["name"]: f["type"] for f in (schema or {}).get("fields", ())
+            }
+            out = []
+            for c in self.cols:
+                v = dfl.get(c)
+                if v is not None:
+                    if types.get(c) == "date":
+                        v = datetime.date.fromisoformat(v)
+                    elif types.get(c) == "timestamp":
+                        v = datetime.datetime.fromisoformat(v)
+                out.append(v)
+            self._out_defaults_cache = out
+        return self._out_defaults_cache
+
+    def _phys_defaults_at(self, v: int) -> dict | None:
+        """{physical column: default value} AS OF commit `v` — the era
+        a recorded delete predicate must replay under: the delete's own
+        filter read pre-ADD files with THAT era's defaults, so its
+        reconstruction must evaluate the same constants (a default
+        added after the delete must not rewrite history)."""
+        from tinymr_spark.sources import minitable
+
+        schema = minitable.table_schema(self.path, v)
+        dfl = minitable._default_map(schema)
+        if not dfl:
+            return None
+        colmap = minitable.table_colmap(self.path, v)
+        return {colmap.get(c, c): val for c, val in dfl.items()}
 
     def _resolve_starting_ts(self, vs: list[int]) -> int | str:
         """startingTimestamp -> the startingVersion it means: the FIRST
@@ -902,8 +975,10 @@ class MinitableStreamReader(DataSourceStreamReader):
                     hi_i = ef if (v == ev and ef is not None) else len(plist)
                     parts.extend(plist[lo_i:hi_i])
         ot = self._out_types()
+        dfl = self._out_defaults()
         for p in parts:
             p.out_types = ot
+            p.defaults = dfl
         # Spark requires >= 1 partition; an empty range plans a no-op.
         return parts or [_FilePartition(None, self.cols)]
 
@@ -970,8 +1045,11 @@ class MinitableStreamReader(DataSourceStreamReader):
                 # partition per removed file; the executor re-scans
                 # and filters — batch change_feed's plan, off-driver.
                 prev_dvs = minitable._replay(self.path, v - 1)[2] if v > 0 else {}
-                parts.extend(
-                    _FilePartition(
+                # era defaults for the replay: the delete's own filter
+                # saw THAT commit's column defaults on pre-ADD files
+                pdfl = self._phys_defaults_at(v)
+                for f in rec.get("removed", ()):
+                    p = _FilePartition(
                         os.path.join(self.path, f), self.cols, phys=phys,
                         dv_path=(
                             os.path.join(self.path, prev_dvs[f])
@@ -980,8 +1058,8 @@ class MinitableStreamReader(DataSourceStreamReader):
                         commit_version=v, change_type="delete",
                         predicate=rec["predicate"],
                     )
-                    for f in rec.get("removed", ())
-                )
+                    p.pred_defaults = pdfl
+                    parts.append(p)
             elif rec["action"] == "dv":
                 # DV DELETE: whole-dropped files stream their live
                 # rows as deletes; files with a (new or materialized)
@@ -1088,6 +1166,9 @@ class MinitableStreamReader(DataSourceStreamReader):
         pred = getattr(partition, "predicate", None)
         pf = pq.ParquetFile(partition.path)
         phys = getattr(partition, "phys", None) or partition.cols
+        # COLUMN DEFAULTS, aligned to partition.cols: the fill for
+        # output columns this file physically predates
+        dfl = getattr(partition, "defaults", None)
         cv = getattr(partition, "commit_version", None)
         ct = getattr(partition, "change_type", None)
         if cv is not None and ct is None:
@@ -1151,9 +1232,10 @@ class MinitableStreamReader(DataSourceStreamReader):
                 n = batch.num_rows
                 keep = None
                 if pred:
-                    keep = _predicate_mask(batch, pred, read_cols).to_numpy(
-                        zero_copy_only=False
-                    )
+                    keep = _predicate_mask(
+                        batch, pred, read_cols,
+                        getattr(partition, "pred_defaults", None),
+                    ).to_numpy(zero_copy_only=False)
                 if dv_np is not None and len(dv_np):
                     hits = dv_np[(dv_np >= offset) & (dv_np < offset + n)]
                     if len(hits):
@@ -1189,7 +1271,18 @@ class MinitableStreamReader(DataSourceStreamReader):
                             # parquet semantics; other casts stay safe
                             arr = arr.cast(t, safe=not pa.types.is_timestamp(t))
                     else:
-                        arr = pa.nulls(n, type=t)  # pre-evolution file
+                        # pre-evolution file: a recorded COLUMN DEFAULT
+                        # serves its constant (the batch read's
+                        # EXISTS_DEFAULT fill), else NULL
+                        d = (
+                            dfl[j]
+                            if dfl is not None and j < len(dfl)
+                            else None
+                        )
+                        if d is not None:
+                            arr = pa.repeat(pa.scalar(d, type=t), n)
+                        else:
+                            arr = pa.nulls(n, type=t)
                     arrays.append(arr)
                 rb = pa.RecordBatch.from_arrays(arrays, names=out_names)
                 if rb.num_rows:
@@ -1200,7 +1293,10 @@ class MinitableStreamReader(DataSourceStreamReader):
         for batch in pf.iter_batches(columns=read_cols):
             n = batch.num_rows
             sel = (
-                _predicate_mask(batch, pred, read_cols).to_pylist()
+                _predicate_mask(
+                    batch, pred, read_cols,
+                    getattr(partition, "pred_defaults", None),
+                ).to_pylist()
                 if pred
                 else None
             )
@@ -1209,7 +1305,15 @@ class MinitableStreamReader(DataSourceStreamReader):
                 for p in present
             }
             nulls = [None] * n
-            cols = [data.get(p, nulls) for p in phys]
+            cols = [
+                data.get(
+                    p,
+                    [dfl[j]] * n
+                    if dfl is not None and j < len(dfl) and dfl[j] is not None
+                    else nulls,
+                )
+                for j, p in enumerate(phys)
+            ]
             if cv is not None:
                 if ct is not None:  # whole-file kind: literal change type
                     cols = cols + [[ct] * n]
