@@ -21,6 +21,13 @@ Round 12 added one more:
                                   delete clause + CDF; plain upsert is its
                                   degenerate no-condition case)
 
+Round 13 added one more:
+
+    q191 NULL-scrub delete     -> q178 delete NULL-safety tiers (same
+                                  three-tier delete semantics) + q209
+                                  column defaults (the new DDL-era delete
+                                  coverage took its gate/bench slot)
+
 The functions and their DuckDB oracles remain in the package (several
 are load-bearing machinery for the survivors); THIS file keeps every
 retired query's oracle assertion running in CI — out of the driver gate
@@ -61,6 +68,9 @@ def _retired():
         "q165_incremental_mv": (scale.q165_incremental_mv, scale.ORACLE_Q165),
         "q174_optimize_zorder": (scale.q174_optimize_zorder, scale.ORACLE_Q174),
         "q166_merge_upsert": (scale.q166_merge_upsert, scale.ORACLE_Q166),
+        "q191_null_scrub_delete": (
+            scale.q191_null_scrub_delete, scale.ORACLE_Q191,
+        ),
     }
 
 

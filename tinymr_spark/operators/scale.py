@@ -5993,6 +5993,152 @@ FROM cdf GROUP BY grp
 """
 
 
+# ---------------------------------------------------------------------------
+# q209 — COLUMN DEFAULT VALUES (Delta's allowColumnDefaults / Spark's
+# `ALTER TABLE ADD COLUMN ... DEFAULT`): rows written BEFORE the column
+# existed serve the DEFAULT, not NULL — via Spark's own EXISTS_DEFAULT
+# existence-default fill, decided per file footer executor-side, so a
+# post-ADD file carrying a real NULL still serves NULL.  The history:
+# v0 overwrite (pre-ADD rows), v1/v2 ADD COLUMN seg DEFAULT 'unassigned'
+# and boost DEFAULT 0.25 (pure-metadata meta commits), v3 an append that
+# OMITS both (write() materializes the defaults — the CURRENT_DEFAULT
+# INSERT rule), v4 an append that PROVIDES them with real NULLs mixed
+# in, v5 a DELETE whose predicate names the defaulted column — pre-ADD
+# rows must match through the default.  Hashed: the AS-OF aggregate at
+# every era (v0 serves the OLD schema; the defaults never bleed
+# backwards) plus the delete's change-feed reconstruction (version 99),
+# whose rows also serve the defaults.  Replaces q191 (delete NULL-scrub
+# tiering — subsumed by q178's NULL-safety tiers; its assertions live on
+# in tests/test_retired_parity.py).
+#
+# Scale: the ADD is O(1) metadata; the default fill is JVM-side in the
+# parquet reader (no coalesce projection, no per-file driver work), and
+# the delete keeps the usual three-tier plan — stats-missing pre-ADD
+# files go to the probe, never a blind rewrite.  boost values are exact
+# binary quarters so double sums are order-independent bit-for-bit.
+# ---------------------------------------------------------------------------
+def q209_column_defaults(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from tinymr_spark.sources import (
+        load_table,
+        minitable,
+        table_path,
+        versioned_staging_dir,
+    )
+
+    src_path = table_path(sf_dir, "orders")
+    table = versioned_staging_dir("tinymr_spark_minitable_defaults", src_path)
+    done = table + "._done"
+    if not os.path.exists(done) or len(minitable.versions(table)) < 6:
+        import contextlib
+        import shutil
+
+        with contextlib.suppress(OSError):
+            os.remove(done)
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select("o_orderkey", "o_totalprice")
+        k = F.col("o_orderkey")
+        cut = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) // 2
+        minitable.write(  # v0: pre-ADD rows
+            spark,
+            base.where(k % 3 == 0).repartitionByRange(4, "o_orderkey"),
+            table, "overwrite", stats_cols=["o_orderkey"],
+        )
+        minitable.add_column(table, "seg", "string", default="unassigned")  # v1
+        minitable.add_column(table, "boost", "double", default=0.25)  # v2
+        minitable.write(  # v3: OMITS both -> materialized defaults
+            spark,
+            base.where(k % 3 == 1).repartitionByRange(4, "o_orderkey"),
+            table, "append", stats_cols=["o_orderkey"],
+        )
+        minitable.write(  # v4: PROVIDES both, real NULLs on even keys
+            spark,
+            base.where(k % 3 == 2)
+            .withColumn("seg", F.when(k % 2 == 1, F.lit("named")))
+            .withColumn("boost", (k % 7) / F.lit(4.0))
+            .repartitionByRange(4, "o_orderkey"),
+            table, "append", stats_cols=["o_orderkey", "seg"],
+        )
+        res = minitable.delete(  # v5: predicate ON the defaulted column
+            spark, table,
+            [("seg", "=", "unassigned"), ("o_orderkey", "<=", cut)],
+            stats_cols=["o_orderkey", "seg"],
+        )
+        assert res is not None
+        open(done, "w").close()
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        has = "seg" in df.columns
+        return df.agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            (
+                F.count(F.when(F.col("seg").isNull(), 1))
+                if has else F.lit(0).cast("long")
+            ).alias("n_null_seg"),
+            (
+                F.count(F.when(F.col("seg") == "unassigned", 1))
+                if has else F.lit(0).cast("long")
+            ).alias("n_default_seg"),
+            (
+                F.coalesce(F.sum("boost"), F.lit(0.0))
+                if has else F.lit(0.0)
+            ).cast("double").alias("sum_boost"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+
+    out = agg(minitable.read(spark, table, 0), 0)
+    for v in (2, 3, 4, 5):
+        out = out.unionByName(agg(minitable.read(spark, table, v), v))
+    # the delete's CDF reconstruction serves the defaults too
+    return out.unionByName(agg(minitable.change_feed(spark, table, 4, 5), 99))
+
+
+ORACLE_Q209 = """
+WITH mk AS (SELECT MAX(o_orderkey) // 2 AS cut FROM orders),
+base AS (
+    SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS slice,
+           CASE WHEN o_orderkey % 3 = 2
+                THEN CASE WHEN o_orderkey % 2 = 1 THEN 'named' END
+                ELSE 'unassigned' END AS seg,
+           CASE WHEN o_orderkey % 3 = 2 THEN (o_orderkey % 7) / 4.0
+                ELSE 0.25 END AS boost
+    FROM orders
+),
+v AS (SELECT * FROM (VALUES (0), (2), (3), (4), (5)) AS t(version)),
+member AS (
+    SELECT v.version, b.o_orderkey, b.o_totalprice, b.seg, b.boost
+    FROM v JOIN base b ON
+         (v.version IN (0, 2) AND b.slice = 0)
+      OR (v.version = 3 AND b.slice IN (0, 1))
+      OR (v.version = 4)
+      OR (v.version = 5 AND NOT (COALESCE(b.seg = 'unassigned', FALSE)
+          AND b.o_orderkey <= (SELECT cut FROM mk)))
+)
+SELECT CAST(version AS INT) AS version,
+       COUNT(*) AS n_rows,
+       CAST(CASE WHEN version = 0 THEN 0
+            ELSE COUNT(CASE WHEN seg IS NULL THEN 1 END) END AS BIGINT)
+           AS n_null_seg,
+       CAST(CASE WHEN version = 0 THEN 0
+            ELSE COUNT(CASE WHEN seg = 'unassigned' THEN 1 END) END AS BIGINT)
+           AS n_default_seg,
+       CAST(CASE WHEN version = 0 THEN 0.0 ELSE SUM(boost) END AS DOUBLE)
+           AS sum_boost,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM member
+GROUP BY version
+UNION ALL
+SELECT 99, COUNT(*), 0, COUNT(*), CAST(SUM(boost) AS DOUBLE),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM base
+WHERE slice IN (0, 1) AND o_orderkey <= (SELECT cut FROM mk)
+"""
+
+
 QUERIES = {
     "q110_salted_skew_join": q110_salted_skew_join,
     "q112_hll_sketch_merge": q112_hll_sketch_merge,
@@ -6037,7 +6183,6 @@ QUERIES = {
     "q188_update_where": q188_update_where,
     "q189_partition_retention": q189_partition_retention,
     "q190_column_mapping": q190_column_mapping,
-    "q191_null_scrub_delete": q191_null_scrub_delete,
     "q192_merge_accumulate": q192_merge_accumulate,
     "q193_table_history": q193_table_history,
     "q194_convert_in_place": q194_convert_in_place,
@@ -6051,6 +6196,7 @@ QUERIES = {
     "q206_row_tracking": q206_row_tracking,
     "q207_stream_admission": q207_stream_admission,
     "q208_merge_conditional": q208_merge_conditional,
+    "q209_column_defaults": q209_column_defaults,
 }
 
 ORACLE = {
@@ -6097,7 +6243,6 @@ ORACLE = {
     "q188_update_where": ORACLE_Q188,
     "q189_partition_retention": ORACLE_Q189,
     "q190_column_mapping": ORACLE_Q190,
-    "q191_null_scrub_delete": ORACLE_Q191,
     "q192_merge_accumulate": ORACLE_Q192,
     "q193_table_history": ORACLE_Q193,
     "q194_convert_in_place": ORACLE_Q194,
@@ -6111,4 +6256,5 @@ ORACLE = {
     "q206_row_tracking": ORACLE_Q206,
     "q207_stream_admission": ORACLE_Q207,
     "q208_merge_conditional": ORACLE_Q208,
+    "q209_column_defaults": ORACLE_Q209,
 }
