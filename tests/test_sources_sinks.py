@@ -7193,3 +7193,80 @@ def test_minitable_column_default_era_predicate_replay(spark, tmp_path):
     assert [(r.k, r._change_type) for r in feed] == [(1, "delete")]
     assert feed[0].c is None
     assert minitable.table_defaults(table, v_add) == {"c": 7}
+
+
+def test_minitable_vacuum_vs_live_stream_contract(spark, tmp_path):
+    """r13 (VERDICT r12 task 4): a stream holding offsets over files a
+    concurrent vacuum() collected must fail LOUDLY with the vacuum-
+    explaining error — never return partial/empty batches — in BOTH
+    orders (vacuum-then-plan and plan-then-vacuum); and a vacuum at or
+    behind the stream's consumed position leaves the live stream intact
+    (the happy order: retention only destroys history the stream has
+    already drained past)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+    from tinymr_spark.sources.minitable_stream import MinitableStreamReader
+
+    table = str(tmp_path / "t")
+    minitable.write(  # v0
+        spark, spark.range(0, 6).select(F.col("id").alias("k")).coalesce(1),
+        table, "overwrite", stats_cols=["k"],
+    )
+    minitable.write(  # v1
+        spark, spark.range(10, 16).select(F.col("id").alias("k")).coalesce(1),
+        table, stats_cols=["k"],
+    )
+    v_del, _s = minitable.delete(spark, table, [("k", "<", 3)])  # v2: rewrite
+
+    # ---- order A: plan first, vacuum second -------------------------
+    # a CDC subscription whose FIRST range spans the delete: its
+    # reconstruction partitions reference v2's REMOVED file
+    cdc = MinitableStreamReader(
+        {"path": table, "columns": "k", "mode": "cdf", "startingversion": "1"}
+    )
+    start = cdc.initialOffset()
+    end = cdc.latestOffset()
+    parts = cdc.partitions(start, end)
+    assert any(p.path for p in parts)
+    minitable.vacuum(table, retain_from_version=v_del, orphan_grace_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        for p in parts:
+            list(cdc.read(p) or ())
+
+    # ---- order B: vacuum first, then a fresh subscription -----------
+    cdc2 = MinitableStreamReader(
+        {"path": table, "columns": "k", "mode": "cdf", "startingversion": "1"}
+    )
+    s2, e2 = cdc2.initialOffset(), cdc2.latestOffset()
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        for p in cdc2.partitions(s2, e2):
+            list(cdc2.read(p) or ())
+
+    # ---- happy order: vacuum BEHIND the consumed position -----------
+    live = MinitableStreamReader({"path": table, "columns": "k"})
+    offs, batches = _drive_reader(live)
+    drained = sorted(t[0] for _s, _e, _p, ts in batches for t in ts)
+    assert drained  # the post-delete snapshot streamed fine
+    head = minitable.versions(table)[-1]
+    minitable.vacuum(table, retain_from_version=head, orphan_grace_seconds=0)
+    minitable.write(  # a post-vacuum append keeps streaming
+        spark, spark.range(20, 23).select(F.col("id").alias("k")).coalesce(1),
+        table, stats_cols=["k"],
+    )
+    end2 = live.latestOffset()
+    rows2 = [
+        t
+        for p in live.partitions(offs[-1], end2)
+        for t in (live.read(p) or ())
+    ]
+    flat = []
+    for item in rows2:
+        import pyarrow as pa
+
+        if isinstance(item, pa.RecordBatch):
+            flat.extend(item.column(0).to_pylist())
+        else:
+            flat.append(item[0])
+    assert sorted(flat) == [20, 21, 22]

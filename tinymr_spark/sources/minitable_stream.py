@@ -1136,7 +1136,15 @@ class MinitableStreamReader(DataSourceStreamReader):
         def _dv_rows(dv_dir: str) -> set[int]:
             # a vector sidecar holds (fname, row_index) for MANY files;
             # this file's marked positions only — O(deleted rows)
-            t = pq.read_table(dv_dir, columns=["fname", "row_index"])
+            try:
+                t = pq.read_table(dv_dir, columns=["fname", "row_index"])
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"minitable deletion-vector sidecar {dv_dir} no "
+                    "longer exists — vacuum() collected it while this "
+                    "stream's offsets still referenced it; restart the "
+                    "stream from a fresh checkpoint"
+                ) from e
             return {
                 ri
                 for fn, ri in zip(
@@ -1164,7 +1172,21 @@ class MinitableStreamReader(DataSourceStreamReader):
             if not keep_idx:
                 return
         pred = getattr(partition, "predicate", None)
-        pf = pq.ParquetFile(partition.path)
+        try:
+            pf = pq.ParquetFile(partition.path)
+        except FileNotFoundError as e:
+            # VACUUM-vs-LIVE-STREAM contract (Delta's rule: the stream /
+            # CDF horizon is vacuum's retention bound): a planned offset
+            # range whose files a concurrent vacuum() collected must
+            # fail LOUDLY — yielding nothing here would silently drop
+            # the rows from an exactly-once feed.
+            raise FileNotFoundError(
+                f"minitable stream file {partition.path} no longer "
+                "exists — vacuum() collected it while this stream's "
+                "offsets still referenced it (the stream reads at most "
+                "as far back as vacuum's retain_from_version); restart "
+                "the stream from a fresh checkpoint"
+            ) from e
         phys = getattr(partition, "phys", None) or partition.cols
         # COLUMN DEFAULTS, aligned to partition.cols: the fill for
         # output columns this file physically predates
