@@ -3562,8 +3562,17 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
         def rand_op():
             kind = rng.choice(
                 ["append", "update", "delete", "delete_dv", "merge",
-                 "optimize", "replace_where", "zorder"]
+                 "optimize", "replace_where", "zorder",
+                 # maintenance verbs racing DML (VERDICT r12 task 5):
+                 # checkpoint folds metadata, vacuum destroys history —
+                 # both must be row-invariant for the live snapshot and
+                 # must never break a racer (vacuum's default grace
+                 # window protects the racer's staged-but-uncommitted
+                 # files; a 0-grace vacuum here would be the bug)
+                 "checkpoint", "vacuum"]
             )
+            if kind in ("checkpoint", "vacuum"):
+                return (kind, None)
             if kind == "append":
                 return (kind, fresh(rng.randint(3, 6)))
             if kind == "replace_where":
@@ -3645,6 +3654,17 @@ def test_minitable_concurrent_writer_serializability_fuzz(spark, tmp_path, monke
                 return minitable.zorder(
                     spark, path, by=["k"], n_files=2, buckets=4
                 ) is not None
+            if kind == "checkpoint":
+                minitable.checkpoint(path)
+                return False  # no version committed, rows unchanged
+            if kind == "vacuum":
+                # destroy all history behind the CURRENT head; the
+                # default orphan grace must protect the racing writer's
+                # staged-but-uncommitted files
+                minitable.vacuum(
+                    path, retain_from_version=minitable.versions(path)[-1]
+                )
+                return False
             return minitable.optimize(
                 spark, path, small_bytes=1 << 20, target_bytes=1 << 22
             ) is not None
