@@ -7290,3 +7290,74 @@ def test_minitable_vacuum_vs_live_stream_contract(spark, tmp_path):
         else:
             flat.append(item[0])
     assert sorted(flat) == [20, 21, 22]
+
+
+def test_minitable_set_and_drop_default(spark, tmp_path):
+    """r13: ALTER COLUMN SET/DROP DEFAULT re-points the WRITE-SIDE
+    default only (Spark's CURRENT_DEFAULT vs EXISTS_DEFAULT split):
+    future omitting writes materialize the new constant, pre-ADD files
+    keep serving the ORIGINAL existence default forever (never
+    retroactive), already-written files are untouched, DROP DEFAULT
+    makes omitting writes stage NULL again while existence stays, and a
+    SET DEFAULT on a never-defaulted column leaves its pre-ADD files
+    serving NULL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    table = str(tmp_path / "t")
+    minitable.write(  # v0: pre-ADD row k=1
+        spark, spark.createDataFrame([(1,)], "k long"), table, "overwrite",
+    )
+    minitable.add_column(table, "c", "integer", default=7)
+    minitable.write(  # k=2 materializes 7
+        spark, spark.createDataFrame([(2,)], "k long"), table, "append",
+    )
+    minitable.set_default(table, "c", 50)  # re-point the write side
+    assert minitable.table_defaults(table) == {"c": 7}  # existence fixed
+    assert minitable.table_write_defaults(table) == {"c": 50}
+    minitable.write(  # k=3 materializes 50
+        spark, spark.createDataFrame([(3,)], "k long"), table, "append",
+    )
+    minitable.drop_default(table, "c")
+    assert minitable.table_write_defaults(table) == {}
+    minitable.write(  # k=4 stages an EXPLICIT NULL: the column must be
+        # physically present or the existence fill would resurrect 7
+        spark, spark.createDataFrame([(4,)], "k long"), table, "append",
+    )
+    got = {r.k: r.c for r in minitable.read(spark, table).collect()}
+    # k=1 pre-ADD serves the ORIGINAL existence default through it all
+    assert got == {1: 7, 2: 7, 3: 50, 4: None}, got
+    # SET DEFAULT on a never-defaulted column: writes materialize, but
+    # pre-ADD files still serve NULL (no existence default was fixed)
+    minitable.add_column(table, "z", "string")  # plain ADD, no default
+    minitable.set_default(table, "z", "later")
+    minitable.write(  # z materializes 'later'; c an explicit NULL
+        spark, spark.createDataFrame([(5,)], "k long"), table, "append",
+    )
+    got = {r.k: r.z for r in minitable.read(spark, table).collect()}
+    assert got[1] is None and got[4] is None and got[5] == "later", got
+    # the write-side timeline is era-correct: AS-OF between set/drop
+    # (v0 write, v1 add c, v2 append, v3 set 50, v4 append, v5 drop,
+    #  v6 append, v7 add z, v8 set z, v9 append)
+    vs = minitable.versions(table)
+    assert minitable.table_write_defaults(table, vs[4]) == {"c": 50}
+    assert minitable.table_write_defaults(table, vs[2]) == {"c": 7}
+    # refusals
+    with pytest.raises(ValueError, match="no column"):
+        minitable.set_default(table, "nope", 1)
+    with pytest.raises(ValueError, match="must be int"):
+        minitable.set_default(table, "c", "x")
+    with pytest.raises(ValueError, match="no default to drop"):
+        minitable.drop_default(table, "k")
+    t2 = str(tmp_path / "t2")
+    minitable.write(
+        spark,
+        spark.range(0, 3).select(F.col("id").cast("int").alias("k")),
+        t2, generated={"g": "CAST(k % 7 AS DOUBLE)"}, identity={"rid": (1, 1)},
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        minitable.set_default(t2, "g", 1.0)
+    with pytest.raises(ValueError, match="identity column"):
+        minitable.set_default(t2, "rid", 1)

@@ -1193,8 +1193,10 @@ def _default_sql_literal(value, type_str: str) -> str:
 
 
 def _default_map(schema: dict | None) -> dict[str, object]:
-    """{logical column: stored default value} from the schema's field
-    metadata — same timeline mechanics as _generated_map."""
+    """{logical column: EXISTENCE default} from the schema's field
+    metadata — the constant served for files that predate the column,
+    fixed at ADD COLUMN time (Spark's rule: a later SET DEFAULT is
+    never retroactive).  Same timeline mechanics as _generated_map."""
     if not schema:
         return {}
     out: dict[str, object] = {}
@@ -1205,10 +1207,167 @@ def _default_map(schema: dict | None) -> dict[str, object]:
     return out
 
 
+def _write_default_map(schema: dict | None) -> dict[str, object]:
+    """{logical column: CURRENT (write-side) default} — the constant a
+    write that OMITS the column materializes.  At ADD COLUMN time both
+    defaults are the same value; ALTER COLUMN SET DEFAULT re-points
+    only this one (field metadata key `write_default`), exactly Spark's
+    CURRENT_DEFAULT vs EXISTS_DEFAULT split: pre-ADD files keep serving
+    the ORIGINAL existence default, already-written files are untouched,
+    only future omitting writes see the new constant."""
+    if not schema:
+        return {}
+    out: dict[str, object] = {}
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        if "write_default" in md:
+            out[f["name"]] = md["write_default"]
+        elif "default" in md and not md.get("write_default_dropped"):
+            out[f["name"]] = md["default"]
+    return out
+
+
+def _validate_default(value, type_: str, what: str = "default"):
+    """Type/range/finiteness validation shared by add_column and
+    set_default; returns the JSON-storable form."""
+    import datetime
+
+    if type_ == "string":
+        if not isinstance(value, str):
+            raise ValueError(f"{what} for string column must be str, got {value!r}")
+        return value
+    if type_ == "boolean":
+        if not isinstance(value, bool):
+            raise ValueError(f"{what} for boolean column must be bool, got {value!r}")
+        return value
+    if type_ in _INT_BITS:
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ValueError(f"{what} for {type_} column must be int, got {value!r}")
+        bound = 1 << (_INT_BITS[type_] - 1)
+        if not (-bound <= value < bound):
+            raise ValueError(f"{what} {value} out of range for {type_}")
+        return value
+    if type_ in ("float", "double"):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(f"{what} for {type_} column must be numeric, got {value!r}")
+        stored = float(value)
+        if stored != stored or stored in (float("inf"), float("-inf")):
+            raise ValueError("NaN/Inf defaults are not representable as SQL literals")
+        return stored
+    if type_ == "date":
+        if not isinstance(value, datetime.date) or isinstance(value, datetime.datetime):
+            raise ValueError(f"{what} for date column must be datetime.date, got {value!r}")
+        return value.isoformat()
+    if type_ == "timestamp":
+        if not isinstance(value, datetime.datetime):
+            raise ValueError(
+                f"{what} for timestamp column must be datetime.datetime, got {value!r}"
+            )
+        return value.isoformat(sep=" ")
+    raise ValueError(
+        f"columns of type {type_!r} cannot carry a {what} "
+        f"(supported: {sorted(_DEFAULT_SQL_TYPES)})"
+    )
+
+
+def set_default(path: str, col: str, default) -> int:
+    """ALTER TABLE ALTER COLUMN ... SET DEFAULT — re-points the
+    WRITE-SIDE default only (Spark's CURRENT_DEFAULT): future writes
+    that omit the column materialize the new constant; files already
+    written are untouched, and pre-ADD files KEEP serving the column's
+    original existence default (SET DEFAULT is never retroactive —
+    Spark's documented rule).  Works on any scalar column, including
+    ones added without a default (their pre-ADD files keep serving
+    NULL).  Refused for generated/identity columns (their values are
+    never writer-omittable).  Pure metadata, claims head+1."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits")
+    head = vs[-1]
+    _e, schema, _d, _constraints, _cm = _replay(path, head)
+    if schema is None:
+        raise ValueError(
+            f"minitable {path} has no recorded schema — SET DEFAULT "
+            "needs the schema timeline (write with this library first)"
+        )
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {names}")
+    if col in _generated_map(schema):
+        raise ValueError(f"cannot set a default on generated column {col!r}")
+    if col in _identity_map(schema):
+        raise ValueError(f"cannot set a default on identity column {col!r}")
+    typ = next(f["type"] for f in schema["fields"] if f["name"] == col)
+    if not isinstance(typ, str):
+        raise ValueError(f"column {col!r} has a complex type — no default support")
+    stored = _validate_default(default, typ)
+    new_schema = dict(schema)
+    new_schema["fields"] = [
+        (
+            {**f, "metadata": {**(f.get("metadata") or {}), "write_default": stored}}
+            if f["name"] == col
+            else f
+        )
+        for f in schema["fields"]
+    ]
+    return commit(
+        path, "meta", [], schema=new_schema,
+        data_change=False, expected_version=head + 1,
+    )
+
+
+def drop_default(path: str, col: str) -> int:
+    """ALTER TABLE ALTER COLUMN ... DROP DEFAULT — removes the
+    WRITE-SIDE default: future omitting writes stage NULL again.  The
+    EXISTENCE default (fixed at ADD COLUMN time) is deliberately kept —
+    pre-ADD files were written under that contract and dropping it
+    would retroactively change committed history (Spark keeps
+    EXISTS_DEFAULT for the column's life too).  Pure metadata."""
+    vs = versions(path)
+    if not vs:
+        raise ValueError(f"minitable {path} has no commits")
+    head = vs[-1]
+    _e, schema, _d, _constraints, _cm = _replay(path, head)
+    if schema is None:
+        raise ValueError(f"minitable {path} has no recorded schema")
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in {names}")
+    fld = next(f for f in schema["fields"] if f["name"] == col)
+    md = fld.get("metadata") or {}
+    if "write_default" not in md and "default" not in md:
+        raise ValueError(f"column {col!r} has no default to drop")
+    new_md = dict(md)
+    new_md.pop("write_default", None)
+    # an ADD-time default keeps serving pre-ADD files (existence), but
+    # stops materializing on omitting writes: record an explicit
+    # write-side NULL marker by... the absence of write_default with
+    # `default` present means "materialize default", so mark it off.
+    if "default" in md:
+        new_md["write_default_dropped"] = True
+    new_schema = dict(schema)
+    new_schema["fields"] = [
+        ({**f, "metadata": new_md} if f["name"] == col else f)
+        for f in schema["fields"]
+    ]
+    return commit(
+        path, "meta", [], schema=new_schema,
+        data_change=False, expected_version=head + 1,
+    )
+
+
 def table_defaults(path: str, version: int | None = None) -> dict[str, object]:
-    """The column-default map {col: value} AS OF `version`; empty when
-    the table has no defaulted columns."""
+    """The EXISTENCE-default map {col: value} AS OF `version` (what
+    pre-ADD files serve); empty when the table has no defaulted
+    columns."""
     return _default_map(table_schema(path, version))
+
+
+def table_write_defaults(path: str, version: int | None = None) -> dict[str, object]:
+    """The WRITE-SIDE default map {col: value} AS OF `version` (what an
+    omitting write materializes) — differs from table_defaults after an
+    ALTER COLUMN SET/DROP DEFAULT."""
+    return _write_default_map(table_schema(path, version))
 
 
 def _with_exists_defaults(schema: dict) -> dict:
@@ -1244,8 +1403,6 @@ def add_column(path: str, name: str, type_: str, default=None) -> int:
     physical name (a dropped column's data must never resurrect).
     Claims head+1 so a racing schema-evolving commit conflicts instead
     of being silently overwritten."""
-    import datetime
-
     vs = versions(path)
     if not vs:
         raise ValueError(f"minitable {path} has no commits")
@@ -1273,37 +1430,7 @@ def add_column(path: str, name: str, type_: str, default=None) -> int:
         )
     stored = None
     if default is not None:
-        if type_ == "string":
-            if not isinstance(default, str):
-                raise ValueError(f"default for string column must be str, got {default!r}")
-            stored = default
-        elif type_ == "boolean":
-            if not isinstance(default, bool):
-                raise ValueError(f"default for boolean column must be bool, got {default!r}")
-            stored = default
-        elif type_ in _INT_BITS:
-            if isinstance(default, bool) or not isinstance(default, int):
-                raise ValueError(f"default for {type_} column must be int, got {default!r}")
-            bound = 1 << (_INT_BITS[type_] - 1)
-            if not (-bound <= default < bound):
-                raise ValueError(f"default {default} out of range for {type_}")
-            stored = default
-        elif type_ in ("float", "double"):
-            if isinstance(default, bool) or not isinstance(default, (int, float)):
-                raise ValueError(f"default for {type_} column must be numeric, got {default!r}")
-            stored = float(default)
-            if stored != stored or stored in (float("inf"), float("-inf")):
-                raise ValueError("NaN/Inf defaults are not representable as SQL literals")
-        elif type_ == "date":
-            if not isinstance(default, datetime.date) or isinstance(default, datetime.datetime):
-                raise ValueError(f"default for date column must be datetime.date, got {default!r}")
-            stored = default.isoformat()
-        elif type_ == "timestamp":
-            if not isinstance(default, datetime.datetime):
-                raise ValueError(
-                    f"default for timestamp column must be datetime.datetime, got {default!r}"
-                )
-            stored = default.isoformat(sep=" ")
+        stored = _validate_default(default, type_)
     new_schema = dict(schema)
     new_schema["fields"] = list(schema["fields"]) + [
         {
@@ -1946,13 +2073,25 @@ def write(
             f["name"]: f["type"]
             for f in (prev_schema or {}).get("fields", ())
         }
-        for c, dv in _default_map(prev_schema).items():
-            if c not in df.columns and isinstance(dfl_types.get(c), str):
+        wd = _write_default_map(prev_schema)
+        for c in sorted(set(wd) | set(_default_map(prev_schema))):
+            if c in df.columns or not isinstance(dfl_types.get(c), str):
+                continue
+            if c in wd:
                 df = df.withColumn(
                     c,
-                    _Fgen.expr(_default_sql_literal(dv, dfl_types[c])).cast(
+                    _Fgen.expr(_default_sql_literal(wd[c], dfl_types[c])).cast(
                         _DEFAULT_SQL_TYPES[dfl_types[c]]
                     ),
+                )
+            else:
+                # existence default with the write-side one DROPPED:
+                # omitting writes stage an EXPLICIT NULL — the column
+                # must be physically present or the read-side existence
+                # fill (which keys on footer absence) would resurrect
+                # the old default onto post-DROP rows
+                df = df.withColumn(
+                    c, _Fgen.lit(None).cast(_DEFAULT_SQL_TYPES[dfl_types[c]])
                 )
 
     # ROW TRACKING is an identity column plus a metadata marker: fold
@@ -2052,6 +2191,8 @@ def write(
                 # default stamps; THIS table's defaults ride prev_schema
                 # through _merge_schemas, never the writer's frame
                 "default",
+                "write_default",
+                "write_default_dropped",
                 "EXISTS_DEFAULT",
                 "CURRENT_DEFAULT",
             )
