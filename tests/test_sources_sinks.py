@@ -7361,3 +7361,78 @@ def test_minitable_set_and_drop_default(spark, tmp_path):
         minitable.set_default(t2, "g", 1.0)
     with pytest.raises(ValueError, match="identity column"):
         minitable.set_default(t2, "rid", 1)
+
+
+def test_minitable_defaults_survive_checkpoint_and_clone(spark, tmp_path):
+    """r13: the default rides the schema record through the parquet log
+    CHECKPOINT fold (reads through a ckpt still serve it) and SHALLOW
+    CLONE carries it at its AS-OF state."""
+    from tinymr_spark.sources import minitable
+
+    t = str(tmp_path / "t")
+    minitable.write(spark, spark.createDataFrame([(1,)], "k long"), t, "overwrite")
+    minitable.add_column(t, "c", "integer", default=7)
+    for i in range(12):  # cross AUTO_CHECKPOINT_INTERVAL
+        minitable.write(
+            spark, spark.createDataFrame([(10 + i,)], "k long"), t, "append"
+        )
+    assert minitable.checkpoint_versions(t)
+    got = {r.k: r.c for r in minitable.read(spark, t).collect()}
+    assert got[1] == 7 and all(v == 7 for v in got.values())
+    dst = str(tmp_path / "c")
+    minitable.clone(t, dst)
+    assert minitable.table_defaults(dst) == {"c": 7}
+    assert {r.k: r.c for r in minitable.read(spark, dst).collect()} == got
+
+
+def test_minitable_add_column_racing_append_conflicts(spark, tmp_path, monkeypatch):
+    """r13: add_column/set_default claim head+1 like every schema verb —
+    a commit landing between the replay and the claim surfaces
+    CommitConflict (never a silent schema overwrite), and the loser
+    leaves zero trace (retry succeeds against the new head)."""
+    import pytest
+
+    from tinymr_spark.sources import minitable
+
+    t = str(tmp_path / "t")
+    minitable.write(spark, spark.createDataFrame([(1,)], "k long"), t, "overwrite")
+    real_commit = minitable.commit
+
+    def racing(path_, action, added, **kw):
+        monkeypatch.setattr(minitable, "commit", real_commit)
+        minitable.write(  # B lands first
+            spark, spark.createDataFrame([(2,)], "k long"), t, "append"
+        )
+        return real_commit(path_, action, added, **kw)
+
+    monkeypatch.setattr(minitable, "commit", racing)
+    with pytest.raises(minitable.CommitConflict):
+        minitable.add_column(t, "c", "integer", default=7)
+    # zero trace; the retry wins cleanly and B's row is defaulted
+    assert minitable.table_defaults(t) == {}
+    minitable.add_column(t, "c", "integer", default=7)
+    assert {r.k: r.c for r in minitable.read(spark, t).collect()} == {1: 7, 2: 7}
+
+
+def test_minitable_generated_column_over_defaulted_input(spark, tmp_path):
+    """r13 ordering pin: defaults materialize BEFORE generated columns,
+    so a generation expression referencing a defaulted column the batch
+    omitted computes over the default instead of failing analysis."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    t = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame([(1, 2)], "k long, c int"),
+        t, "overwrite", generated={"g": "CAST(c * 10 AS INT)"},
+    )
+    # give c a write-side default, then append OMITTING c: the default
+    # (5) must feed g's expression (50)
+    minitable.set_default(t, "c", 5)
+    minitable.write(
+        spark, spark.createDataFrame([(2,)], "k long"), t, "append"
+    )
+    got = {r.k: (r.c, r.g) for r in minitable.read(spark, t).collect()}
+    assert got == {1: (2, 20), 2: (5, 50)}, got

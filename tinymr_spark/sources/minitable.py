@@ -2057,9 +2057,6 @@ def write(
             )
     gen = {**gen_prev, **(generated or {})}
     gen_provided = [c for c in gen if c in df.columns]
-    for c in gen:
-        if c not in df.columns:
-            df = df.withColumn(c, _Fgen.expr(gen[c]))
 
     # COLUMN DEFAULTS (Delta's CURRENT_DEFAULT INSERT rule): an append
     # that OMITS a defaulted column materializes the default at write
@@ -2067,7 +2064,10 @@ def write(
     # the column, and the read-side EXISTS_DEFAULT fill's file-footer
     # discriminator stays exact: only pre-ADD files lack the column).
     # A batch that PROVIDES the column passes through verbatim,
-    # explicit NULLs included.
+    # explicit NULLs included.  Defaults materialize BEFORE generated
+    # columns (below): a generation expression may reference a defaulted
+    # column the batch omitted, while a default is a constant that can
+    # reference nothing.
     if action == "append":
         dfl_types = {
             f["name"]: f["type"]
@@ -2093,6 +2093,10 @@ def write(
                 df = df.withColumn(
                     c, _Fgen.lit(None).cast(_DEFAULT_SQL_TYPES[dfl_types[c]])
                 )
+
+    for c in gen:
+        if c not in df.columns:
+            df = df.withColumn(c, _Fgen.expr(gen[c]))
 
     # ROW TRACKING is an identity column plus a metadata marker: fold
     # the reserved spec in here so everything below (assignment, hwm,
