@@ -7436,3 +7436,20 @@ def test_minitable_generated_column_over_defaulted_input(spark, tmp_path):
     )
     got = {r.k: (r.c, r.g) for r in minitable.read(spark, t).collect()}
     assert got == {1: (2, 20), 2: (5, 50)}, got
+
+
+def test_minitable_set_default_after_drop_reenables(spark, tmp_path):
+    """r13: SET DEFAULT after a DROP DEFAULT clears the drop marker —
+    omitting writes materialize the new constant again."""
+    from tinymr_spark.sources import minitable
+
+    t = str(tmp_path / "t")
+    minitable.write(spark, spark.createDataFrame([(1,)], "k long"), t, "overwrite")
+    minitable.add_column(t, "c", "integer", default=7)
+    minitable.drop_default(t, "c")
+    assert minitable.table_write_defaults(t) == {}
+    minitable.set_default(t, "c", 99)
+    assert minitable.table_write_defaults(t) == {"c": 99}
+    minitable.write(spark, spark.createDataFrame([(2,)], "k long"), t, "append")
+    got = {r.k: r.c for r in minitable.read(spark, t).collect()}
+    assert got == {1: 7, 2: 99}, got  # existence default untouched

@@ -1301,14 +1301,18 @@ def set_default(path: str, col: str, default) -> int:
     if not isinstance(typ, str):
         raise ValueError(f"column {col!r} has a complex type — no default support")
     stored = _validate_default(default, typ)
+
+    def _set(f):
+        md = {
+            k: v
+            for k, v in (f.get("metadata") or {}).items()
+            if k != "write_default_dropped"  # a re-SET clears the DROP marker
+        }
+        return {**f, "metadata": {**md, "write_default": stored}}
+
     new_schema = dict(schema)
     new_schema["fields"] = [
-        (
-            {**f, "metadata": {**(f.get("metadata") or {}), "write_default": stored}}
-            if f["name"] == col
-            else f
-        )
-        for f in schema["fields"]
+        (_set(f) if f["name"] == col else f) for f in schema["fields"]
     ]
     return commit(
         path, "meta", [], schema=new_schema,
