@@ -7453,3 +7453,54 @@ def test_minitable_set_default_after_drop_reenables(spark, tmp_path):
     minitable.write(spark, spark.createDataFrame([(2,)], "k long"), t, "append")
     got = {r.k: r.c for r in minitable.read(spark, t).collect()}
     assert got == {1: 7, 2: 99}, got  # existence default untouched
+
+
+def test_minitable_detail_restore_ts_vacuum_hours(spark, tmp_path):
+    """r13 utility-verb completions: DESCRIBE DETAIL as a one-row
+    metadata-only DataFrame, RESTORE TO TIMESTAMP resolving through the
+    shared effective-commit-time rule, and VACUUM ... RETAIN n HOURS
+    resolving the version horizon from wall clock (the snapshot at the
+    window edge stays intact)."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    t = str(tmp_path / "t")
+    minitable.write(
+        spark,
+        spark.createDataFrame([(k, k % 3, float(k)) for k in range(12)],
+                              "k bigint, b bigint, v double").repartition("b"),
+        t, "overwrite", partition_by=["b"], stats_cols=["k"],
+    )
+    minitable.add_column(t, "c", "integer", default=7)
+    minitable.write(
+        spark, spark.createDataFrame([(100, 0, 1.0)], "k bigint, b bigint, v double"),
+        t, "append",
+    )
+    d = minitable.detail(spark, t).collect()[0]
+    assert d.format == "minitable" and d.version == 2
+    assert d.num_files == len(minitable.snapshot(t))
+    assert d.size_bytes > 0 and d.num_columns == 4
+    assert d.partition_by == "b" and d.num_default_columns == 1
+    # AS-OF detail serves the era (no defaulted column at v0)
+    d0 = minitable.detail(spark, t, 0).collect()[0]
+    assert d0.version == 0 and d0.num_default_columns == 0
+    # RESTORE TO TIMESTAMP: between v0 and v1 resolves to v0
+    ts = [json.load(open(minitable._version_file(t, v)))["ts"] for v in range(3)]
+    if ts[0] < ts[1]:
+        minitable.restore_at_timestamp(t, (ts[0] + ts[1]) / 2)
+        assert minitable.read(spark, t).columns == ["k", "b", "v"]
+        assert minitable.table_defaults(t) == {}
+    # VACUUM RETAIN HOURS: a huge window deletes nothing and the table
+    # still reads; hours=0 collects everything behind the head
+    assert minitable.vacuum(t, retain_hours=1e6, dry_run=True) == []
+    head = minitable.versions(t)[-1]
+    dropped = minitable.vacuum(t, retain_hours=0.0, orphan_grace_seconds=0)
+    assert minitable.read(spark, t).count() == 12  # head snapshot intact
+    with pytest.raises(ValueError, match="exactly one of"):
+        minitable.vacuum(t)
+    with pytest.raises(ValueError, match="exactly one of"):
+        minitable.vacuum(t, retain_from_version=head, retain_hours=1.0)

@@ -297,6 +297,54 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def detail(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """DESCRIBE DETAIL (Delta's one-row table summary) AS OF `version`:
+    location, head version, live file count and total bytes, logical
+    column count, partition / clustering columns, live deletion-vector
+    count, constraint count, and which column contracts are active
+    (generated / identity / defaults / column mapping).  Metadata-only —
+    O(live files) getsize calls, no data scan."""
+    entries, schema, dvs, constraints, colmap = _replay(path, version)
+    vs = versions(path)
+    v = version if version is not None else (vs[-1] if vs else None)
+    if v is None:
+        raise ValueError(f"minitable {path} has no commits")
+    nbytes = 0
+    for f, _st in entries:
+        try:
+            nbytes += os.path.getsize(os.path.join(path, f))
+        except OSError:
+            pass  # vacuumed historical target: detail stays answerable
+    fields = (schema or {}).get("fields", [])
+    pby = table_partition_by(path, v)
+    cby = table_cluster_by(path, v)
+    row = (
+        "minitable",
+        os.path.abspath(path),
+        int(v),
+        len(entries),
+        int(nbytes),
+        len(fields) or None,
+        ",".join(pby) if pby else None,
+        ",".join(cby) if cby else None,
+        len(set(dvs.values())),
+        len(constraints),
+        len(_generated_map(schema)),
+        len(_identity_map(schema)),
+        len(_default_map(schema)),
+        bool(colmap),
+        float(_effective_commit_ts(path, v)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "format string, location string, version int, num_files int, "
+        "size_bytes bigint, num_columns int, partition_by string, "
+        "cluster_by string, num_deletion_vectors int, num_constraints int, "
+        "num_generated_columns int, num_identity_columns int, "
+        "num_default_columns int, column_mapping boolean, commit_ts double",
+    )
+
+
 def convert_parquet_dir(
     spark: SparkSession,
     src_dir: str,
@@ -5039,6 +5087,15 @@ def restore(path: str, to_version: int) -> int:
     )
 
 
+def restore_at_timestamp(path: str, ts: float) -> int:
+    """RESTORE TABLE ... TO TIMESTAMP (Delta's timestamp twin of
+    restore): resolves to the newest commit at or before `ts` via the
+    shared effective-commit-time rule (version_at_timestamp — exactly
+    how TIMESTAMP AS OF reads resolve), then runs the version restore.
+    Returns the new version number."""
+    return restore(path, version_at_timestamp(path, ts))
+
+
 def clone(src: str, dst: str, version: int | None = None) -> int:
     """SHALLOW CLONE (Delta's zero-copy table fork): commit v0 of `dst`
     referencing `src`'s live files — AS OF `version` — by ABSOLUTE path.
@@ -5090,9 +5147,10 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
 
 def vacuum(
     path: str,
-    retain_from_version: int,
+    retain_from_version: int | None = None,
     orphan_grace_seconds: float = 3600.0,
     dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> list[str]:
     """Delete part files unreferenced by EVERY version >=
     `retain_from_version`; versions before it become unreadable (their
@@ -5106,10 +5164,32 @@ def vacuum(
     apart by name, so it only deletes never-referenced files older than
     `orphan_grace_seconds` (Delta's vacuum retention window, mtime-based)
     — superseded files that some commit DID reference carry no such risk
-    and are deleted regardless of age (ADVICE r7)."""
+    and are deleted regardless of age (ADVICE r7).
+
+    `retain_hours` (Delta's `VACUUM ... RETAIN n HOURS`, mutually
+    exclusive with `retain_from_version`): resolves the version horizon
+    from wall clock — every version whose effective commit time is
+    within the last n hours stays readable, plus the newest one at or
+    before the cutoff (it IS the live snapshot of that moment; Delta's
+    rule that vacuum can never drop current-snapshot files extends to
+    the whole retained window)."""
     import time
 
     vs = versions(path)
+    if (retain_from_version is None) == (retain_hours is None):
+        raise ValueError(
+            "vacuum() needs exactly one of retain_from_version / retain_hours"
+        )
+    if retain_hours is not None:
+        if retain_hours < 0:
+            raise ValueError("retain_hours must be >= 0")
+        cutoff_ts = time.time() - retain_hours * 3600.0
+        # newest version at or before the cutoff: the snapshot a reader
+        # at the window edge sees — it must stay intact
+        retain_from_version = vs[0] if vs else None
+        for v in vs:
+            if _effective_commit_ts(path, v) <= cutoff_ts:
+                retain_from_version = v
     if retain_from_version not in vs:
         # A typo'd bound above the head would retain NOTHING and delete
         # every data file including the live version's — refuse instead
