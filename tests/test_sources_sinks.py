@@ -7504,3 +7504,149 @@ def test_minitable_detail_restore_ts_vacuum_hours(spark, tmp_path):
         minitable.vacuum(t)
     with pytest.raises(ValueError, match="exactly one of"):
         minitable.vacuum(t, retain_from_version=head, retain_hours=1.0)
+
+
+def test_minitable_column_defaults_model_fuzz(spark, tmp_path):
+    """r13 model fuzz for the defaults feature: random histories of
+    append (random provided-column subsets, explicit NULLs included) /
+    ADD COLUMN [DEFAULT] / SET DEFAULT / DROP DEFAULT / widen / delete
+    against a dict model.  The model encodes the contract exactly:
+    existence defaults materialize onto EXISTING rows at ADD time and
+    never change; an omitting write materializes the ACTIVE write-side
+    default, or an explicit NULL once one existed; provided values
+    (explicit NULLs included) always win.  Every step checks the head
+    read; every trial also checks a random AS-OF against the model
+    snapshot recorded at that version (the era contract end-to-end)."""
+    import copy
+    import random
+
+    from tinymr_spark.sources import minitable
+
+    rng = random.Random(130013)
+
+    for trial in range(6):
+        t = str(tmp_path / f"t{trial}")
+        # column registry: name -> (type, exists_default, write_default)
+        cols: dict = {}
+        rows: dict = {}  # k -> {col: value}
+        next_k = [0]
+        next_c = [0]
+        snaps: dict = {}  # version -> (deepcopy rows, column names)
+
+        def commit_snap():
+            v = minitable.versions(t)[-1]
+            snaps[v] = (copy.deepcopy(rows), sorted(cols))
+
+        def rand_val(typ):
+            if typ == "integer":
+                return rng.randint(0, 5)
+            return rng.choice(["a", "b", "it's"])
+
+        def do_append():
+            n = rng.randint(1, 3)
+            provided = [c for c in cols if rng.random() < 0.5]
+            new = {}
+            for _ in range(n):
+                k = next_k[0]
+                next_k[0] += 1
+                row = {}
+                for c, (typ, _ed, wd) in cols.items():
+                    if c in provided:
+                        row[c] = (
+                            None if rng.random() < 0.3 else rand_val(typ)
+                        )
+                    else:
+                        row[c] = wd  # active write default, else None
+                new[k] = row
+            ddl = "k bigint" + "".join(
+                f", {c} {'int' if cols[c][0] == 'integer' else 'string'}"
+                for c in provided
+            )
+            data = [
+                tuple([k] + [new[k][c] for c in provided]) for k in new
+            ]
+            minitable.write(
+                spark, spark.createDataFrame(data, ddl), t,
+                "overwrite" if not rows and not minitable.versions(t) else "append",
+                merge_schema=True, stats_cols=["k"],
+            )
+            rows.update(new)
+
+        def do_add():
+            c = f"c{next_c[0]}"
+            next_c[0] += 1
+            typ = rng.choice(["integer", "string"])
+            d = rand_val(typ) if rng.random() < 0.7 else None
+            minitable.add_column(t, c, typ, default=d)
+            cols[c] = (typ, d, d)
+            for r in rows.values():  # existence default fixes at ADD
+                r[c] = d
+        def do_set():
+            cands = [c for c in cols]
+            if not cands:
+                return
+            c = rng.choice(cands)
+            v = rand_val(cols[c][0])
+            minitable.set_default(t, c, v)
+            cols[c] = (cols[c][0], cols[c][1], v)
+
+        def do_drop():
+            cands = [c for c, (_t, ed, wd) in cols.items() if wd is not None]
+            if not cands:
+                return
+            c = rng.choice(cands)
+            minitable.drop_default(t, c)
+            cols[c] = (cols[c][0], cols[c][1], None)
+
+        def do_widen():
+            cands = [c for c, (typ, _e, _w) in cols.items() if typ == "integer"]
+            if not cands:
+                return
+            c = rng.choice(cands)
+            minitable.widen_column(t, c, "long")
+            cols[c] = ("long_w", cols[c][1], cols[c][2])  # values unchanged
+
+        def do_delete():
+            if not cols or not rows:
+                return
+            c = rng.choice(list(cols))
+            if rng.random() < 0.5:
+                res = minitable.delete(spark, t, [(c, "is_null", None)])
+                if res is not None:
+                    for k in [k for k, r in rows.items() if r[c] is None]:
+                        del rows[k]
+            else:
+                v = rand_val("integer" if cols[c][0] != "string" else "string")
+                res = minitable.delete(spark, t, [(c, "=", v)])
+                if res is not None:
+                    for k in [k for k, r in rows.items() if r[c] == v]:
+                        del rows[k]
+
+        do_append()  # v0 table creation
+        commit_snap()
+        ops = [do_append, do_add, do_set, do_drop, do_widen, do_delete]
+        for _step in range(10):
+            before = minitable.versions(t)[-1]
+            rng.choice(ops)()
+            if minitable.versions(t)[-1] != before:
+                commit_snap()
+            if rows:
+                got = {
+                    r["k"]: {c: r[c] for c in cols}
+                    for r in minitable.read(spark, t).collect()
+                }
+                want = {k: dict(r) for k, r in rows.items()}
+                assert got == want, (trial, _step, got, want)
+            else:
+                assert minitable.snapshot(t) == []
+        # AS-OF era check against a random recorded snapshot
+        v = rng.choice(sorted(snaps))
+        mrows, mcols = snaps[v]
+        if mrows:
+            got = {
+                r["k"]: {c: r[c] for c in mcols}
+                for r in minitable.read(spark, t, v).collect()
+            }
+            assert got == {k: {c: r[c] for c in mcols} for k, r in mrows.items()}, (
+                trial, v,
+            )
