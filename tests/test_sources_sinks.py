@@ -7650,3 +7650,53 @@ def test_minitable_column_defaults_model_fuzz(spark, tmp_path):
             assert got == {k: {c: r[c] for c in mcols} for k, r in mrows.items()}, (
                 trial, v,
             )
+
+
+def test_minitable_optimize_where_scoping(spark, tmp_path):
+    """r13: OPTIMIZE ... WHERE compacts only files whose stats admit
+    matching rows (the hot-partition maintenance idiom): the cold
+    partition's dribble is untouched, the scoped commit is
+    data_change=false and row-invariant, and a later unscoped OPTIMIZE
+    still packs the rest."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable
+
+    t = str(tmp_path / "t")
+    # two partitions, three small files each
+    minitable.write(
+        spark,
+        spark.createDataFrame(
+            [(k, k % 2, float(k)) for k in range(6)], "k bigint, p bigint, v double"
+        ).repartition("p"),
+        t, "overwrite", partition_by=["p"], stats_cols=["k"],
+    )
+    for i in range(2):
+        minitable.write(
+            spark,
+            spark.createDataFrame(
+                [(10 + 2 * i, 0, 1.0), (11 + 2 * i, 1, 1.0)],
+                "k bigint, p bigint, v double",
+            ),
+            t,
+        )
+    before = {r for r, _s in minitable._live_entries(t)}
+    res = minitable.optimize(
+        spark, t, small_bytes=1 << 20, target_bytes=1 << 22,
+        where=[("p", "=", 0)],
+    )
+    assert res is not None
+    after = {r for r, _s in minitable._live_entries(t)}
+    # every p=1 hive file survived untouched
+    p1_before = {r for r in before if "__p_p=1" in r}
+    assert p1_before <= after, (p1_before - after)
+    # rows unchanged
+    got = sorted((r.k, r.p) for r in minitable.read(spark, t).collect())
+    assert got == sorted(
+        [(k, k % 2) for k in range(6)] + [(10, 0), (12, 0), (11, 1), (13, 1)]
+    )
+    # the cold partition still packs when asked unscoped
+    res2 = minitable.optimize(spark, t, small_bytes=1 << 20, target_bytes=1 << 22)
+    assert res2 is not None
+    got2 = sorted((r.k, r.p) for r in minitable.read(spark, t).collect())
+    assert got2 == got

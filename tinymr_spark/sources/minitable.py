@@ -4423,6 +4423,7 @@ def optimize(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    where: list[tuple] | None = None,
 ) -> dict | None:
     """OPTIMIZE (Delta-style bin-packing compaction): rewrite only the
     live files SMALLER than `small_bytes`, first-fit bin-packed in
@@ -4467,10 +4468,23 @@ def optimize(
     layout with the partition columns force-included in `stats_cols` —
     so compaction preserves the exact stats that make partition pruning
     and whole-partition drops metadata-only.  A partition with a single
-    small file is left alone (nothing to pack with)."""
+    small file is left alone (nothing to pack with).
+
+    `where` (Delta's OPTIMIZE ... WHERE) scopes compaction to the files
+    whose stats ADMIT matching rows — the hot-partition maintenance
+    idiom at 100 TB: compact today's dribble without touching the cold
+    tail.  Scope is decided by the same skipping algebra as scan()
+    (`_file_survives`), and since OPTIMIZE rewrites whole files and
+    never filters rows, any file subset is row-invariant-safe; a file
+    with no stats conservatively stays IN scope (it might hold matching
+    rows, and over-compacting is harmless)."""
     all_versions = versions(path)
     read_version = all_versions[-1] if all_versions else None
     entries, schema, dvs, _c, colmap = _replay(path, read_version)
+    if where:
+        _check_where(where, "optimize")
+        pw = _phys_where(where, colmap)
+        entries = [(f, st) for f, st in entries if _file_survives(st, pw)]
     if partition_by is None:
         # the layout comes from the log, like every other rewrite path
         # (review r10): an operator calling bare optimize() on a
