@@ -6052,9 +6052,19 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
             path, stats_cols=["k"],
         )
         v0_keys = list(range(next_key[0]))
+        extra_cols: list[tuple[str, int]] = []  # ADD COLUMN ... DEFAULT history
         for _step in range(5):
-            op = rng.choice(["append", "merge_cdf", "delete", "delete_dv"])
-            if op == "append":
+            op = rng.choice(
+                ["append", "merge_cdf", "delete", "delete_dv", "add_column"]
+            )
+            if op == "add_column":
+                # META commit mid-history: the stream must SKIP it
+                # (data_change=false) without perturbing offsets, file
+                # budgets, replay purity, or the HWM swap
+                name = f"d{len(extra_cols)}"
+                minitable.add_column(path, name, "integer", default=7)
+                extra_cols.append((name, 7))
+            elif op == "append":
                 minitable.write(
                     spark,
                     to_df(batch_rows(rng.randint(3, 10)))
@@ -6063,9 +6073,15 @@ def test_minitable_stream_admission_exactly_once_fuzz(spark, tmp_path):
                 )
             elif op == "merge_cdf":
                 upd = rng.sample(range(next_key[0]), min(3, next_key[0]))
-                src = [(k, 999.0 + k) for k in upd] + batch_rows(2)
+                src_df = to_df(
+                    [(k, 999.0 + k) for k in upd] + batch_rows(2)
+                )
+                for name, val in extra_cols:  # merge sources carry all columns
+                    from pyspark.sql import functions as _F
+
+                    src_df = src_df.withColumn(name, _F.lit(val).cast("int"))
                 minitable.merge(
-                    spark, to_df(src), path, "k",
+                    spark, src_df, path, "k",
                     collect_cdf=True, stats_cols=["k"],
                 )
             elif op == "delete":
