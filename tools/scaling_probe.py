@@ -411,16 +411,24 @@ def main():
     qs.setdefault("q130_zorder_layout", _scale_mod.q130_zorder_layout)
     print(f"{'query':28s} {'sf0.1':>8s} {N_COPIES:>7d}x {'ratio':>6s}")
     worst = 0.0
+    def timed_min2(fn, sf):
+        # min-of-2: a single contended pass once reported a 15x ratio on
+        # a query whose input the probe doesn't even scale (q132, r13) —
+        # the probe shares cores with the harness, so one sample per
+        # cell is not trustworthy evidence of super-linearity
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     for name in BATTERY:
         fn = qs[name]
         fn(spark, BASE).count()  # warm plan
-        t0 = time.perf_counter()
-        fn(spark, BASE).count()
-        t_base = time.perf_counter() - t0
+        t_base = timed_min2(fn, BASE)
         fn(spark, STAGE).count()  # warm 5x plan/stats
-        t0 = time.perf_counter()
-        fn(spark, STAGE).count()
-        t_5x = time.perf_counter() - t0
+        t_5x = timed_min2(fn, STAGE)
         ratio = t_5x / t_base if t_base > 0 else float("inf")
         worst = max(worst, ratio)
         print(f"{name:28s} {t_base:8.2f} {t_5x:8.2f} {ratio:6.2f}")
