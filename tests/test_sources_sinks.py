@@ -7554,7 +7554,7 @@ def test_minitable_column_defaults_model_fuzz(spark, tmp_path):
             snaps[v] = (copy.deepcopy(rows), sorted(cols))
 
         def rand_val(typ):
-            if typ == "integer":
+            if typ in ("integer", "long_w"):
                 return rng.randint(0, 5)
             return rng.choice(["a", "b", "it's"])
 
@@ -7574,9 +7574,9 @@ def test_minitable_column_defaults_model_fuzz(spark, tmp_path):
                     else:
                         row[c] = wd  # active write default, else None
                 new[k] = row
+            ddl_of = {"integer": "int", "long_w": "bigint", "string": "string"}
             ddl = "k bigint" + "".join(
-                f", {c} {'int' if cols[c][0] == 'integer' else 'string'}"
-                for c in provided
+                f", {c} {ddl_of[cols[c][0]]}" for c in provided
             )
             data = [
                 tuple([k] + [new[k][c] for c in provided]) for k in new
@@ -7638,9 +7638,24 @@ def test_minitable_column_defaults_model_fuzz(spark, tmp_path):
                     for k in [k for k, r in rows.items() if r[c] == v]:
                         del rows[k]
 
+        def do_update():
+            if not cols or not rows:
+                return
+            c = rng.choice(list(cols))
+            typ = cols[c][0]
+            v = rand_val("integer" if typ != "string" else "string")
+            cut = rng.choice(sorted(rows))
+            lit = f"'{v}'" if typ == "string" else str(v)
+            res = minitable.update(spark, t, {c: lit}, [("k", "<=", cut)])
+            if res is not None:
+                for k, r in rows.items():
+                    if k <= cut:
+                        r[c] = v
+
         do_append()  # v0 table creation
         commit_snap()
-        ops = [do_append, do_add, do_set, do_drop, do_widen, do_delete]
+        ops = [do_append, do_add, do_set, do_drop, do_widen, do_delete,
+               do_update]
         for _step in range(10):
             before = minitable.versions(t)[-1]
             rng.choice(ops)()

@@ -134,15 +134,24 @@ def q04_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # region filter applied BEFORE the dim join (smaller build side by
+    # construction, not just after Catalyst pushdown); nation/region are
+    # fixed-size true dims — broadcast hints are correct there — but
+    # dims derives from CUSTOMER, which scales with the data: a forced
+    # broadcast would ship an unbounded side at 100 TB (r13 — the 25x
+    # probe flagged the hint), so AQE picks the strategy from runtime
+    # size instead.
     dims = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name").isin("AMERICA", "ASIA"))),
+            nation.n_regionkey == region.r_regionkey,
+        )
         .select("c_custkey", "n_name", "r_name")
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
-        .where(F.col("r_name").isin("AMERICA", "ASIA"))
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -562,8 +571,13 @@ HAVING COUNT(*) >= 5
 def q20_segment_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # no broadcast hint: customer SCALES with the data (unlike
+    # nation/region) — AQE picks broadcast at small SF from runtime
+    # size and degrades to a shuffle join when the side outgrows the
+    # threshold, which a pinned hint would prevent at 100 TB (r13,
+    # same class as q04's dims hint)
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),

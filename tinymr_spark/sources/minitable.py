@@ -1737,11 +1737,42 @@ def _stage(
                 unique = f[: -len(".parquet")] + f"-{uuid.uuid4().hex[:8]}.parquet"
                 os.rename(os.path.join(root, f), os.path.join(root, unique))
                 rels.append(os.path.relpath(os.path.join(root, unique), path))
-        return sorted(rels)
+        return _drop_empty_parts(path, sorted(rels))
     df.write.mode("overwrite").parquet(staging)
-    return sorted(
-        f"{attempt}/{f}" for f in os.listdir(staging) if f.endswith(".parquet")
+    return _drop_empty_parts(
+        path,
+        sorted(
+            f"{attempt}/{f}" for f in os.listdir(staging) if f.endswith(".parquet")
+        ),
     )
+
+
+def _drop_empty_parts(path: str, rels: list[str]) -> list[str]:
+    """Remove ZERO-ROW staged part files before they are ever committed —
+    Spark's writer emits one part per task, so a 2-row frame on a
+    4-slot session stages dead files that no later DELETE can ever
+    touch (no rows match) and that accumulate in the log forever (the
+    r13 model fuzz surfaced one; a streaming sink's short micro-batches
+    dribble them structurally).  Row counts come from the parquet
+    FOOTER (O(staged files) metadata reads, no data I/O).  When EVERY
+    staged file is empty (a 0-row frame), ONE empty file is kept so the
+    commit's semantics are unchanged: the table stays readable with its
+    schema, exactly as before."""
+    import pyarrow.parquet as pq
+
+    live = [
+        r
+        for r in rels
+        if pq.read_metadata(os.path.join(path, r)).num_rows > 0
+    ]
+    if live == rels:
+        return rels
+    if not live and rels:
+        live = rels[:1]  # keep one: an all-empty stage is a real 0-row write
+    for r in rels:
+        if r not in live:
+            os.remove(os.path.join(path, r))
+    return live
 
 
 # --- per-file BLOOM FILTERS for point-lookup skipping -----------------------
@@ -3605,7 +3636,7 @@ def update(
     touched = [f for f in candidates if f.rsplit("/", 1)[-1] in bases]  # log order
     if not touched:
         return None
-    rows_updated = sum(per_file.values())
+    rows_updated = sum(n for n, _total in per_file.values())
     # rewrites must preserve the table's recorded partition layout —
     # otherwise the hive dirs and exact [v, v] partition stats are lost
     # on the touched files and later retention deletes degrade from
@@ -3761,17 +3792,30 @@ def _plan_predicate_removal(
     refuses multi-source plans) so only genuine match-holders rewrite.
     One definition because the probe's subtleties are correctness-
     critical (review r10): a fix applied to one caller must reach all.
-    Returns (whole, touched)."""
+    Returns (whole, touched).
+
+    A probed straddler whose EVERY live row matches (the probe's exact
+    matching == total counts) joins the whole-drop tier: stats could
+    not prove it, but the probe just did — rewriting it would stage an
+    empty survivor file that lives in the log forever (r13, model-fuzz
+    finding)."""
     candidates = [(f, st) for f, st in entries if _file_survives(st, pw)]
     whole = [f for f, st in candidates if _file_fully_matches(st, pw)]
     whole_set = set(whole)  # membership test must stay O(1) at large live-file counts
     straddle = [f for f, st in candidates if f not in whole_set]
     touched: list[str] = []
     if straddle:
-        bases = set(
-            _probe_matching_files(spark, path, straddle, schema, dvs, colmap, where)
+        counts = _probe_matching_files(
+            spark, path, straddle, schema, dvs, colmap, where
         )
-        touched = [f for f in straddle if f.rsplit("/", 1)[-1] in bases]
+        for f in straddle:
+            c = counts.get(f.rsplit("/", 1)[-1])
+            if c is None:
+                continue  # no matching live rows: untouched
+            if c[0] == c[1]:
+                whole.append(f)  # probe-proven full match: metadata drop
+            else:
+                touched.append(f)
     return whole, touched
 
 
@@ -3783,34 +3827,42 @@ def _probe_matching_files(
     dvs: dict[str, str],
     colmap: dict[str, str],
     where: list[tuple],
-) -> dict[str, int]:
-    """Per-file LIVE matching-row counts — the find-touched-files probe
-    shared by update(), delete(), and replace_where() (review r10: the
-    probe's subtleties — predicate columns + basename only so parquet
-    column pruning applies, basename captured BEFORE the DV anti join
-    because input_file_name() refuses multi-source plans, NULL
-    predicates coalesced to no-match — must live exactly once).  An
-    empty `where` counts every live row (the unfiltered UPDATE).
-    Returns {file basename: n matching live rows}, omitting files with
-    none — O(probed files) driver-side names."""
+) -> dict[str, tuple[int, int]]:
+    """Per-file (matching, total) LIVE row counts — the
+    find-touched-files probe shared by update(), delete(), and
+    replace_where() (review r10: the probe's subtleties — predicate
+    columns + basename only so parquet column pruning applies, basename
+    captured BEFORE the DV anti join because input_file_name() refuses
+    multi-source plans, NULL predicates coalesced to no-match — must
+    live exactly once).  An empty `where` counts every live row (the
+    unfiltered UPDATE).  Returns {file basename: (n_matching, n_live)},
+    omitting files with zero matches — O(probed files) driver-side
+    names.  The total is the same aggregation pass (a conditional count
+    next to the plain one), and it upgrades the delete plan: a probed
+    file whose EVERY live row matches whole-drops by metadata instead
+    of staging an empty survivor file (r13 — the model fuzz caught a
+    fully-emptied unproven file leaving a zero-row live file)."""
     from pyspark.sql import functions as F
 
     cond = F.coalesce(_where_cond(where), F.lit(False)) if where else F.lit(True)
     probe_cols = {col for col, _o, _v in where}
-    return {
-        r["__file"]: r["n"]
-        for r in (
-            _read_files_dv(
-                spark, path, rels, schema, dvs,
-                keep_fname="__file", colmap=colmap,
-            )
-            .select(*probe_cols, "__file")
-            .where(cond)
-            .groupBy("__file")
-            .agg(F.count("*").alias("n"))
-            .collect()
+    out = {}
+    for r in (
+        _read_files_dv(
+            spark, path, rels, schema, dvs,
+            keep_fname="__file", colmap=colmap,
         )
-    }
+        .select(*probe_cols, "__file")
+        .groupBy("__file")
+        .agg(
+            F.count(F.when(cond, 1)).alias("n"),
+            F.count("*").alias("total"),
+        )
+        .collect()
+    ):
+        if r["n"]:
+            out[r["__file"]] = (r["n"], r["total"])
+    return out
 
 
 def _stage_survivors(
