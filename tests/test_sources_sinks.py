@@ -7731,3 +7731,47 @@ def test_minitable_optimize_where_scoping(spark, tmp_path):
     assert res2 is not None
     got2 = sorted((r.k, r.p) for r in minitable.read(spark, t).collect())
     assert got2 == got
+
+
+def test_minitable_stream_defaults_through_real_engine(spark, tmp_path):
+    """r13: column defaults through an actual Structured Streaming query
+    (not just the direct reader drive): pre-ADD snapshot rows serve the
+    default, post-ADD explicit NULLs stay NULL, and a post-subscription
+    append of omitting rows streams the materialized default."""
+    from pyspark.sql import functions as F
+
+    from tinymr_spark.sources import minitable, minitable_stream
+
+    t = str(tmp_path / "t")
+    minitable.write(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        t, "overwrite",
+    )
+    minitable.add_column(t, "c", "integer", default=7)
+    minitable.write(
+        spark,
+        spark.createDataFrame([(3, "c", None), (4, "d", 9)],
+                              "k long, s string, c int"),
+        t, "append",
+    )
+    minitable_stream.register(spark)
+    rows = []
+    q = (
+        spark.readStream.format("tinymr_minitable_stream")
+        .option("path", t).option("columns", "k,c")
+        .load().writeStream.foreachBatch(
+            lambda bdf, bid: rows.extend(bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="100 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        minitable.write(  # post-subscription omitting append
+            spark, spark.createDataFrame([(5, "e")], "k long, s string"), t,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: r.c for r in rows}
+    assert got == {1: 7, 2: 7, 3: None, 4: 9, 5: 7}, got
