@@ -126,21 +126,43 @@ FROM (SELECT doc_id, text,
 # the standard cheap filters of an LLM data pipeline.
 # ---------------------------------------------------------------------------
 def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-decimal rounding by EXACT INTEGER HALF-UP — round(a/b, 4) =
+    # (a*20000 + b) div (2b), then /10000.0.  ROUND(double, 4) lands on
+    # halfway cases here (quality_score is a mean of /n_tok ratios:
+    # 37/160 = .23125 at sf0.1) where Spark and DuckDB round the
+    # non-dyadic double in opposite directions BY DESIGN — the same
+    # divergence class graph.py's fixed-point note documents, surfaced
+    # by the r13 full-registry sf0.1 sweep.  Integer div is identical
+    # everywhere; the final /10000.0 maps both engines to the same
+    # nearest double.
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    toks = F.col("toks")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    n_distinct = F.size(F.array_distinct(toks))
-    stop_ratio = F.round(n_stop / n_tok, 4)
-    diversity = F.round(n_distinct / n_tok, 4)
     return docs.select(
         "doc_id",
         "lang",
-        n_tok.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        diversity.alias("diversity"),
-        F.round(
-            (n_stop / n_tok) * 0.5 + (n_distinct / n_tok) * 0.5, 4
+        F.size(F.col("toks")).alias("n_tokens"),
+        (
+            F.expr(
+                "(size(filter(toks, x -> x in "
+                "('the','a','of','and','to','in','is'))) * 20000L + size(toks))"
+                " div (2L * size(toks))"
+            )
+            / 10000.0
+        ).alias("stopword_ratio"),
+        (
+            F.expr(
+                "(size(array_distinct(toks)) * 20000L + size(toks))"
+                " div (2L * size(toks))"
+            )
+            / 10000.0
+        ).alias("diversity"),
+        (
+            F.expr(
+                "((size(filter(toks, x -> x in "
+                "('the','a','of','and','to','in','is')))"
+                " + size(array_distinct(toks))) * 20000L + 2L * size(toks))"
+                " div (4L * size(toks))"
+            )
+            / 10000.0
         ).alias("quality_score"),
     )
 
@@ -148,12 +170,13 @@ def q33_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q33 = r"""
 SELECT doc_id, lang,
        CAST(len(toks) AS INT) AS n_tokens,
-       ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             / len(toks), 4) AS stopword_ratio,
-       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS diversity,
-       ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             / len(toks) * 0.5
-             + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5, 4) AS quality_score
+       ((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) * 20000
+         + len(toks)) // (2 * len(toks))) / 10000.0 AS stopword_ratio,
+       ((len(list_distinct(toks)) * 20000 + len(toks)) // (2 * len(toks)))
+         / 10000.0 AS diversity,
+       (((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+          + len(list_distinct(toks))) * 20000 + 2 * len(toks)) // (4 * len(toks)))
+         / 10000.0 AS quality_score
 FROM (SELECT doc_id, lang,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       FROM documents)
