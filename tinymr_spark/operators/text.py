@@ -99,10 +99,15 @@ def q32_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(
-            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
-            / F.size(toks),
-            4,
+        # exact integer half-up rounding (the q33 halfway class, r13):
+        # char-count / token-count can land exactly on a 4-decimal
+        # halfway point, where Spark and DuckDB round doubles apart
+        (
+            F.expr(
+                "(length(regexp_replace(text, '\\\\s+', '')) * 20000L"
+                " + size(toks)) div (2L * size(toks))"
+            )
+            / 10000.0
         ).alias("avg_token_len"),
         F.length("text").alias("text_len"),
     )
@@ -112,8 +117,8 @@ ORACLE_Q32 = r"""
 SELECT doc_id,
        CAST(len(toks) AS INT)                 AS n_tokens,
        CAST(len(list_distinct(toks)) AS INT)  AS n_distinct_tokens,
-       ROUND(CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-             / len(toks), 4)                  AS avg_token_len,
+       ((LENGTH(regexp_replace(text, '\s+', '', 'g')) * 20000
+         + len(toks)) // (2 * len(toks))) / 10000.0 AS avg_token_len,
        CAST(LENGTH(text) AS INT)              AS text_len
 FROM (SELECT doc_id, text,
              list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -392,6 +397,18 @@ def q39_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp"),
         n_tok.alias("n_tokens"),
         (n_stop / n_tok).alias("stop_ratio"),
+        # per-row exact integer half-up 4dp twin: MIN of rounded equals
+        # ROUND of min (rounding is monotone), and the per-row integer
+        # form cannot hit the cross-engine double-halfway divergence
+        # (the q33 class, r13)
+        (
+            F.expr(
+                "(size(filter(toks, x -> x in "
+                "('the','a','of','and','to','in','is'))) * 20000L"
+                " + size(toks)) div (2L * size(toks))"
+            )
+            / 10000.0
+        ).alias("stop_r4"),
     ).where(
         (F.col("lang") == "en")
         & (F.col("n_tokens") >= MIN_TOKENS)
@@ -401,7 +418,7 @@ def q39_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_copies"),
         F.min("n_tokens").alias("n_tokens"),
-        F.round(F.min("stop_ratio"), 4).alias("stop_ratio"),
+        F.min("stop_r4").alias("stop_ratio"),
     )
 
 
@@ -410,13 +427,15 @@ WITH staged AS (
     SELECT doc_id, lang, md5(text) AS fp,
            CAST(len(toks) AS INT) AS n_tokens,
            CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-               / len(toks) AS stop_ratio
+               / len(toks) AS stop_ratio,
+           ((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) * 20000
+             + len(toks)) // (2 * len(toks))) / 10000.0 AS stop_r4
     FROM (SELECT doc_id, lang, text,
                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
           FROM documents)
 )
 SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
-       MIN(n_tokens) AS n_tokens, ROUND(MIN(stop_ratio), 4) AS stop_ratio
+       MIN(n_tokens) AS n_tokens, MIN(stop_r4) AS stop_ratio
 FROM staged
 WHERE lang = 'en' AND n_tokens >= {MIN_TOKENS} AND stop_ratio <= {MAX_STOP_RATIO}
 GROUP BY fp
@@ -443,17 +462,21 @@ def q86_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words_per = F.transform(
         sents, lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))
     )
+    total_words = F.aggregate(words_per, F.lit(0).cast("long"), lambda a, b: a + b)
+    n_sents = F.size(sents).cast("long")
     return docs.select(
         "doc_id",
         F.size(sents).alias("n_sentences"),
-        F.round(
-            F.when(
-                F.size(sents) > 0,
-                F.aggregate(words_per, F.lit(0), lambda a, b: a + b)
-                / F.size(sents).cast("double"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("avg_words_per_sentence"),
+        # exact integer half-up 4dp (the q33 halfway class, r13):
+        # round(words/sentences, 4) as (a*20000 + b) div (2b) / 10000.0
+        F.when(
+            F.size(sents) > 0,
+            ((total_words * 20000 + n_sents) - F.pmod(
+                total_words * 20000 + n_sents, 2 * n_sents
+            )) / (2 * n_sents) / F.lit(10000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_words_per_sentence"),
     )
 
 
@@ -467,12 +490,12 @@ WITH segs AS (
 )
 SELECT doc_id,
        CAST(len(sents) AS INT) AS n_sentences,
-       ROUND(CASE WHEN len(sents) > 0
-                  THEN CAST(list_sum(COALESCE(list_transform(sents,
-                         s -> len(list_filter(regexp_split_to_array(s, '\s+'),
-                                              w -> w <> ''))), [])) AS DOUBLE)
-                       / len(sents)
-                  ELSE 0.0 END, 4) AS avg_words_per_sentence
+       CASE WHEN len(sents) > 0
+            THEN ((list_sum(COALESCE(list_transform(sents,
+                    s -> len(list_filter(regexp_split_to_array(s, '\s+'),
+                                         w -> w <> ''))), [])) * 20000
+                   + len(sents)) // (2 * len(sents))) / 10000.0
+            ELSE 0.0 END AS avg_words_per_sentence
 FROM segs
 """
 
