@@ -18,6 +18,41 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Parity-face coverage gate (reference CI parity: --cov-fail-under 100).
+# Tracing is scoped to the parity test modules so the rest of the suite
+# pays zero trace overhead; test_zz_mapreduce_coverage.py asserts at the
+# end of a full run.
+# ---------------------------------------------------------------------------
+import _coverage_gate
+
+
+def pytest_deselected(items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _coverage_gate.PARITY_TEST_MODULES:
+            _coverage_gate.parity_deselected.add(item.nodeid)
+
+
+def pytest_runtest_logreport(report):
+    if os.path.basename(report.fspath) in _coverage_gate.PARITY_TEST_MODULES:
+        if report.when == "call":
+            _coverage_gate.parity_ran.add(report.nodeid)
+        if report.failed:
+            _coverage_gate.parity_failed.add(report.nodeid)
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    traced = os.path.basename(str(item.fspath)) in _coverage_gate.PARITY_TEST_MODULES
+    if traced:
+        _coverage_gate.trace_on()
+    try:
+        return (yield)
+    finally:
+        if traced:
+            _coverage_gate.trace_off()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from tinymr_spark.session import get_session

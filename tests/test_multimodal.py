@@ -1,23 +1,48 @@
-"""Multimodal conventions: the real-codec seam must fail loudly (no
-silent fake pixels), and the two-stage mapInPandas pipeline must keep its
-Arrow batch shape."""
+"""Multimodal conventions: the decode seam is a REAL byte format (24-bit
+BMP via tinymr_spark/tinybmp.py) that must fail loudly on anything it
+cannot actually decode, and the two-stage mapInPandas pipeline must keep
+its Arrow batch shape."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
-from tinymr_spark.operators.multimodal import decode_image, q65_multimodal_resize
+from tinymr_spark.operators.multimodal import (
+    TARGET,
+    _synth_pixels,
+    decode_image,
+    q61_multimodal_decode,
+    q65_multimodal_resize,
+)
+from tinymr_spark.tinybmp import BmpError, encode_bmp
 
 
-def test_decode_image_stub_raises_actionably():
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+def test_decode_image_is_real():
+    img = _synth_pixels(doc_id=7, n_chars=100)
+    w, h, rgb = decode_image(encode_bmp(img))
+    assert (h, w, 3) == rgb.shape
+    assert np.array_equal(rgb, img)
+
+
+def test_decode_image_rejects_non_bmp_loudly():
+    with pytest.raises(BmpError, match="magic"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 48)
+
+
+def test_decode_emits_real_header_dims(spark, sf_dir):
+    rows = q61_multimodal_decode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # dims come from the BMP header the decoder parsed
+        assert 8 <= r["width"] <= 31 and 8 <= r["height"] <= 23
+        assert r["topleft_r"] == (r["doc_id"] * 7) % 256
 
 
 def test_resize_dims_fit_target(spark, sf_dir):
     rows = q65_multimodal_resize(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 0 <= r["out_w"] <= 224 and 0 <= r["out_h"] <= 224
+        assert 1 <= r["out_w"] <= TARGET and 1 <= r["out_h"] <= TARGET
         # the longest decoded edge maps to exactly TARGET
-        assert max(r["out_w"], r["out_h"]) == 224 or max(r["width"], r["height"]) <= 1
+        assert max(r["out_w"], r["out_h"]) == TARGET

@@ -311,3 +311,31 @@ def test_q142_aqe_skew_join_fires(spark, sf_dir, tmp_path):
 
     plain = sorted(map(tuple, q142_aqe_skew_join(spark, sf_dir).collect()))
     assert with_aqe == plain
+
+
+def test_q41_hot_shingle_cap_suppresses_boilerplate(spark, tmp_path):
+    """A shingle hotter than HOT_SHINGLE_DF_CAP must be dropped from the
+    inverted index: pairs whose ONLY overlap is boilerplate disappear
+    (the d^2-bucket guard for skewed corpora), while genuine near-dups
+    sharing >= 2 non-hot shingles are still found."""
+    from tinymr_spark.operators.dedup import HOT_SHINGLE_DF_CAP, q41_dedup_jaccard
+
+    boiler = "all rights reserved worldwide"
+    n_hot = HOT_SHINGLE_DF_CAP + 6  # both pure-boiler shingles exceed the cap
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c {boiler}", "en", "web", 40)
+        for i in range(n_hot)
+    ]
+    # a genuine near-dup pair: 2 shared non-hot shingles
+    rows.append((1000, "alpha beta gamma delta epsilon", "en", "web", 30))
+    rows.append((1001, "alpha beta gamma delta zeta", "en", "web", 27))
+    fixture = str(tmp_path / "hotshingle")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in q41_dedup_jaccard(spark, fixture).collect()}
+    # without the cap the boiler block alone yields n_hot*(n_hot-1)/2 pairs
+    assert set(pairs) == {(1000, 1001)}
+    assert pairs[(1000, 1001)]["n_common"] == 2
+    assert pairs[(1000, 1001)]["jaccard"] == 0.5

@@ -1,0 +1,83 @@
+"""Property-based round-trip fuzz for the hand-rolled BMP codec
+(tinymr_spark/tinybmp.py) — same differential strategy as the Avro
+codec's fuzz: decode(encode(x)) must equal x for ANY generated image.
+Covers the row-padding edges (widths where width*3 % 4 takes every
+value), 1-pixel images, the top-down negative-height variant, and the
+loud-failure contract on malformed payloads."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tinymr_spark.tinybmp import BmpError, decode_bmp, encode_bmp
+
+
+@st.composite
+def images(draw):
+    w = draw(st.integers(min_value=1, max_value=40))
+    h = draw(st.integers(min_value=1, max_value=24))
+    seed = draw(st.integers(min_value=0, max_value=2**32 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=120, deadline=None)
+@given(images())
+def test_round_trip(img):
+    w, h, out = decode_bmp(encode_bmp(img))
+    assert (w, h) == (img.shape[1], img.shape[0])
+    assert np.array_equal(out, img)
+
+
+def test_padding_every_width_mod():
+    # widths 1..8 hit every (width*3 % 4) padding residue twice
+    for w in range(1, 9):
+        img = (np.arange(2 * w * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(2, w, 3)
+        _, _, out = decode_bmp(encode_bmp(img))
+        assert np.array_equal(out, img)
+
+
+def test_top_down_negative_height():
+    img = (np.arange(3 * 5 * 3) % 256).astype(np.uint8).reshape(3, 5, 3)
+    payload = bytearray(encode_bmp(img))
+    # flip the height sign and un-flip the stored rows: same logical image
+    (h,) = struct.unpack_from("<i", payload, 22)
+    struct.pack_into("<i", payload, 22, -h)
+    stride = (5 * 3 + 3) // 4 * 4
+    off = 54
+    rows = [bytes(payload[off + i * stride : off + (i + 1) * stride]) for i in range(3)]
+    payload[off : off + 3 * stride] = b"".join(reversed(rows))
+    w, hh, out = decode_bmp(bytes(payload))
+    assert (w, hh) == (5, 3)
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize(
+    "payload, msg",
+    [
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 30, "magic"),
+        (b"BM" + b"\x00" * 10, "truncated"),
+        (encode_bmp(np.zeros((2, 2, 3), np.uint8))[:40], "truncated"),
+    ],
+)
+def test_malformed_raises_loudly(payload, msg):
+    with pytest.raises(BmpError, match=msg):
+        decode_bmp(payload)
+
+
+def test_unsupported_bpp_raises():
+    payload = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", payload, 28, 8)  # claim 8-bit
+    with pytest.raises(BmpError, match="bpp"):
+        decode_bmp(bytes(payload))
+
+
+def test_truncated_pixel_array_raises():
+    payload = encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(BmpError, match="truncated|out of bounds"):
+        decode_bmp(payload[:-5])

@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import abc
 import re
+from functools import partial
 from inspect import isgeneratorfunction
 
 from pyspark.rdd import RDD
@@ -208,6 +209,108 @@ def _local_group_and_sort(stream, sort_with_value, reverse):
     return out
 
 
+def _kv_shape(t):
+    """Map an ``(idx, record)`` pair to ``(key, payload)`` for the group
+    shuffle, reading the 2-vs-3-tuple shape off the record itself."""
+    rec = t[1]
+    if len(rec) == 3:
+        # (k, s, v) -> key=k, payload=(idx, s, v)   [tinymr.py:313-314]
+        return (rec[0], (t[0], rec[1], rec[2]))
+    return (rec[0], (t[0], rec[1]))
+
+
+def _finish_group(payloads, sort_with_value, reverse):
+    """Order one key's shuffled payloads: encounter order restored first
+    (Spark shuffle arrival order is nondeterministic), then one stable
+    sort by the matrix key."""
+    lst = sorted(payloads, key=lambda p: p[0])  # restore encounter order
+    first_idx = lst[0][0]
+    if len(lst[0]) == 3:
+        if sort_with_value:
+            # sort by (sort, value) tuple        [tinymr.py:327-328]
+            lst.sort(key=lambda p: (p[1], p[2]), reverse=reverse)
+        else:
+            # sort by the sort element only      [tinymr.py:329-330]
+            lst.sort(key=lambda p: p[1], reverse=reverse)
+    elif sort_with_value:
+        # 2-tuples + sort_with_value: sort by value  [tinymr.py:320-323]
+        lst.sort(key=lambda p: p[1], reverse=reverse)
+    return (first_idx, [p[-1] for p in lst])
+
+
+def _index_partition(pid, it):
+    """Tag records with their ``(partition_id, intra_partition_index)``
+    encounter index, arity-checking the partition's first record
+    (executor-side — no driver peek job)."""
+    checked = False
+    for i, rec in enumerate(it):
+        if not checked:
+            _check_arity(rec)
+            checked = True
+        yield ((pid, i), rec)
+
+
+def _run_reduce(kv, reducer, reducer_is_gen):
+    """Apply the reducer to one grouped key, arity-checking the first
+    emission and re-indexing outputs with a composite encounter index:
+    keys in first-encounter order of the map round, then reducer-output
+    order — exactly the serial iteration order of
+    /root/reference/tinymr.py:209-215."""
+    key, (first_idx, values) = kv
+    if reducer_is_gen:
+        for j, rec in enumerate(reducer(key, values)):
+            if j == 0:
+                _check_arity(rec)
+            yield (first_idx + (j,), rec)
+    else:
+        rec = reducer(key, values)
+        _check_arity(rec)
+        yield (first_idx + (0,), rec)
+
+
+def _combine_partition(it, reducer):
+    """Pre-reduce one partition for the map-side combine lowering,
+    carrying min encounter indices through so ordering survives."""
+    acc: dict = {}
+    checked = False
+    for idx, rec in it:
+        if not checked:
+            # combine requires (key, value) records: a sort element
+            # would trigger the map-round sort the combine skips
+            if len(rec) != 2:
+                raise ElementCountError(
+                    "combine=True requires (key, value) records; "
+                    "got arity {}. Example: {}".format(len(rec), rec)
+                )
+            checked = True
+        k, v = rec
+        slot = acc.get(k)
+        if slot is None:
+            acc[k] = [idx, [v]]
+        else:
+            if idx < slot[0]:
+                slot[0] = idx
+            slot[1].append(v)
+    for k, (min_idx, values) in acc.items():
+        out = reducer(k, values)
+        yield (k, (min_idx, out[-1]))
+
+
+def _finish_combine(payloads):
+    """Restore encounter order over one key's per-partition partials."""
+    lst = sorted(payloads, key=lambda p: p[0])
+    return (lst[0][0], [p[1] for p in lst])
+
+
+def _flatten_kv(kv):
+    """Explode one ``(key, values)`` result row for ``to_df``: a list
+    (yield-style reducer) becomes one row per value, a scalar
+    (return-style) one row."""
+    if isinstance(kv[1], list):
+        return [(kv[0], v) for v in kv[1]]
+    return [(kv[0], kv[1])]
+
+
 def _group_and_sort(indexed, sort_with_value, reverse, num_partitions):
     """Distributed equivalent of ``_partition_and_sort``
     (/root/reference/tinymr.py:278-345).
@@ -222,34 +325,18 @@ def _group_and_sort(indexed, sort_with_value, reverse, num_partitions):
     The 2-vs-3-tuple shape is read off each record map-side (payload
     ``(idx, v)`` or ``(idx, s, v)``) rather than decided driver-side, so
     no peek job is needed; arity is uniform per stream (mixed arity is
-    UB, exactly as in the reference — tinymr.py:301-308)."""
+    UB, exactly as in the reference — tinymr.py:301-308).
 
-    def kv(t):
-        rec = t[1]
-        if len(rec) == 3:
-            # (k, s, v) -> key=k, payload=(idx, s, v)   [tinymr.py:313-314]
-            return (rec[0], (t[0], rec[1], rec[2]))
-        return (rec[0], (t[0], rec[1]))
-
-    kvr = indexed.map(kv)
+    The per-record / per-group callables are module-level functions
+    (``_kv_shape`` / ``_finish_group``), not closures: they pickle by
+    reference into the task binary, and the coverage gate can exercise
+    them in-process (executor-side line events are invisible to a
+    driver-side tracer)."""
+    kvr = indexed.map(_kv_shape)
     grouped = kvr.groupByKey(num_partitions) if num_partitions else kvr.groupByKey()
-
-    def finish(payloads):
-        lst = sorted(payloads, key=lambda p: p[0])  # restore encounter order
-        first_idx = lst[0][0]
-        if len(lst[0]) == 3:
-            if sort_with_value:
-                # sort by (sort, value) tuple        [tinymr.py:327-328]
-                lst.sort(key=lambda p: (p[1], p[2]), reverse=reverse)
-            else:
-                # sort by the sort element only      [tinymr.py:329-330]
-                lst.sort(key=lambda p: p[1], reverse=reverse)
-        elif sort_with_value:
-            # 2-tuples + sort_with_value: sort by value  [tinymr.py:320-323]
-            lst.sort(key=lambda p: p[1], reverse=reverse)
-        return (first_idx, [p[-1] for p in lst])
-
-    return grouped.mapValues(finish)
+    return grouped.mapValues(
+        partial(_finish_group, sort_with_value=sort_with_value, reverse=reverse)
+    )
 
 
 class MapReduce(abc.ABC):
@@ -381,15 +468,7 @@ class MapReduce(abc.ABC):
         # lexicographically identical to a global zipWithIndex (partitions
         # hold contiguous input slices) but needs NO extra count job and no
         # caching of the full mapped stream — one pass, scale-safe.
-        def index_partition(pid, it):
-            checked = False
-            for i, rec in enumerate(it):
-                if not checked:
-                    _check_arity(rec)
-                    checked = True
-                yield ((pid, i), rec)
-
-        indexed = mapped.mapPartitionsWithIndex(index_partition)
+        indexed = mapped.mapPartitionsWithIndex(_index_partition)
 
         # Shuffle parallelism: explicit knob, else follow the input's split
         # count (a 100 TB scan with 10k splits gets 10k reducers; a tiny
@@ -413,23 +492,9 @@ class MapReduce(abc.ABC):
                 n_parts,
             )
 
-        def run_reduce(kv):
-            key, (first_idx, values) = kv
-            if reducer_is_gen:
-                for j, rec in enumerate(reducer(key, values)):
-                    if j == 0:
-                        _check_arity(rec)
-                    # Composite encounter index: keys in first-encounter
-                    # order of the map round, then reducer-output order —
-                    # exactly the serial iteration order of
-                    # /root/reference/tinymr.py:209-215.
-                    yield (first_idx + (j,), rec)
-            else:
-                rec = reducer(key, values)
-                _check_arity(rec)
-                yield (first_idx + (0,), rec)
-
-        reduced = grouped.flatMap(run_reduce)
+        reduced = grouped.flatMap(
+            partial(_run_reduce, reducer=reducer, reducer_is_gen=reducer_is_gen)
+        )
 
         grouped2 = _group_and_sort(
             reduced,
@@ -451,41 +516,11 @@ class MapReduce(abc.ABC):
         holding partials instead of raw values — indistinguishable to an
         associative reducer.  Encounter ordering is preserved by carrying
         min encounter indices through the combine."""
-        reducer = self.reducer
-
-        def combine_partition(it):
-            acc: dict = {}
-            checked = False
-            for idx, rec in it:
-                if not checked:
-                    # combine requires (key, value) records: a sort element
-                    # would trigger the map-round sort the combine skips
-                    if len(rec) != 2:
-                        raise ElementCountError(
-                            "combine=True requires (key, value) records; "
-                            "got arity {}. Example: {}".format(len(rec), rec)
-                        )
-                    checked = True
-                k, v = rec
-                slot = acc.get(k)
-                if slot is None:
-                    acc[k] = [idx, [v]]
-                else:
-                    if idx < slot[0]:
-                        slot[0] = idx
-                    slot[1].append(v)
-            for k, (min_idx, values) in acc.items():
-                out = reducer(k, values)
-                yield (k, (min_idx, out[-1]))
-
-        partials = indexed.mapPartitions(combine_partition)
+        partials = indexed.mapPartitions(
+            partial(_combine_partition, reducer=self.reducer)
+        )
         grouped = partials.groupByKey(n_parts)
-
-        def finish(payloads):
-            lst = sorted(payloads, key=lambda p: p[0])
-            return (lst[0][0], [p[1] for p in lst])
-
-        return grouped.mapValues(finish)
+        return grouped.mapValues(_finish_combine)
 
     def to_rdd(self, sequence, spark=None):
         """Scale path: run the task, return ``RDD[(key, values)]`` without
@@ -516,11 +551,7 @@ class MapReduce(abc.ABC):
         spark = spark or get_session()
         if rdd is None:
             return spark.createDataFrame([], f"key: {key_type}, value: {value_type}")
-        flat = rdd.flatMap(
-            lambda kv: [(kv[0], v) for v in kv[1]]
-            if isinstance(kv[1], list)
-            else [(kv[0], kv[1])]
-        )
+        flat = rdd.flatMap(_flatten_kv)
         return spark.createDataFrame(flat, f"key: {key_type}, value: {value_type}")
 
     def _finalize(self, mapping):
@@ -564,7 +595,10 @@ class MapReduce(abc.ABC):
             sequence = items
         rdd = self._as_rdd(sequence, spark)
         if rdd is None:
-            return self._finalize({})
+            # Defensive only: list inputs return on `not items` above and
+            # RDD inputs pass through _as_rdd unchanged, so no __call__
+            # input reaches here — but _as_rdd's contract allows None.
+            return self._finalize({})  # pragma: no cover
         rows = _collect_reraising(self._pipeline(rdd))
         # First-encounter ordering of the reduced stream
         # (/root/reference/tinymr.py:332-334 insertion order).
@@ -586,8 +620,6 @@ class MapReduce(abc.ABC):
         module-level serialization wrappers so process pools can pickle
         the calls, and the pool sees one call per item / per key.
         """
-        from functools import partial
-
         reducer_is_gen = isgeneratorfunction(self.reducer)
         enforce_combine = (
             self.combine and not reducer_is_gen and not self.sort_map_with_value

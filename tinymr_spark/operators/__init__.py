@@ -289,9 +289,49 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (182, "incremental_mv_dml"), (183, "restore_version"),
         (184, "deletion_vectors"), (185, "check_constraints"),
     )),
+    (13, (
+        # --- round 13 (CORRECTNESS_r13): q209 new + q186 + 48 stalest re-confirms ---
+        (209, "column_defaults"), (186, "shallow_clone"),
+        (1, "pricing_summary"), (2, "filter_project"),
+        (3, "join_broadcast"), (4, "star_join_revenue"),
+        (109, "unigram_logprob"), (116, "train_val_split"),
+        (125, "bm25_topk"), (126, "shard_manifest"),
+        (106, "substring_dedup"), (107, "minhash_merge"),
+        (118, "group_representatives"), (123, "incremental_dedup"),
+        (127, "contamination_matrix"), (111, "embedding_dim_stats"),
+        (140, "incremental_embedding_dedup"), (108, "scd2_history"),
+        (115, "global_range_join"), (122, "stream_upsert_sink"),
+        (124, "stream_delta_compact"), (136, "python_stream_source"),
+        (195, "stream_partitioned_ingest"), (196, "stream_expectations"),
+        (138, "statestore_reader"), (100, "pandas_udaf"),
+        (119, "cogroup_asof"), (120, "python_udtf"),
+        (129, "map_in_arrow"), (110, "salted_skew_join"),
+        (112, "hll_sketch_merge"), (113, "bucketed_join"),
+        (114, "partition_pruned_scan"), (117, "table_fingerprint"),
+        (121, "python_datasource"), (128, "observe_metrics"),
+        (131, "histogram_quantiles"), (132, "countmin_sketch"),
+        (133, "snapshot_diff"), (134, "bloom_semi_join"),
+        (135, "orc_source"), (137, "xml_source"),
+        (188, "update_where"), (189, "partition_retention"),
+        (190, "column_mapping"), (192, "merge_accumulate"),
+        (193, "table_history"), (194, "convert_in_place"),
+        (5, "semi_join"), (6, "anti_join"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()
+
+# Queries whose SEMANTICS changed this round: prior driver verification
+# no longer covers the current behavior, so they re-enter the gate ahead
+# of the staleness backlog (same slot as brand-new queries).  Clear this
+# set after the round's CORRECTNESS file confirms them.
+# r14: q61/q65 now decode REAL BMP bytes (tinybmp) with pixel-level
+# checksums; q41 gained the hot-shingle frequency cap.
+_REWORKED_THIS_ROUND: frozenset[str] = frozenset({
+    "q61_multimodal_decode",
+    "q65_multimodal_resize",
+    "q41_dedup_jaccard",
+})
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -324,11 +364,15 @@ def all_queries() -> dict[str, QueryFn]:
     # (tests/test_oracle_parity.py).
     order = list(merged)
     idx = {n: i for i, n in enumerate(order)}
+
+    def _unverified(n: str) -> bool:
+        return n not in _VERIFIED_ROUND or n in _REWORKED_THIS_ROUND
+
     backlog = sorted(
-        (n for n in order if n in _VERIFIED_ROUND),
+        (n for n in order if not _unverified(n)),
         key=lambda n: (_VERIFIED_ROUND[n], idx[n]),
     )
-    front = {n: merged[n] for n in order if n not in _VERIFIED_ROUND}
+    front = {n: merged[n] for n in order if _unverified(n)}
     for n in backlog:
         front[n] = merged[n]
     return front

@@ -156,10 +156,31 @@ GROUP BY 1
 # n-gram Jaccard near-dup: inverted index on 3-word shingles -> candidate
 # pairs sharing >= 2 shingles -> exact Jaccard on candidates only.
 # ---------------------------------------------------------------------------
+# Boilerplate suppression (round 14; VERDICT r13 task 4): a shingle whose
+# document frequency exceeds this cap is dropped from the inverted index
+# before the self-join.  Without it one boilerplate shingle ("all rights
+# reserved...") appearing in d docs makes a d^2 bucket — quadratic in the
+# corpus on a real web crawl even though sf0.1's max bucket is only 25.
+# This is the standard trade: a hot shingle carries ~no similarity signal
+# (IDF ~ 0), so dropping it from candidate generation AND the n_common
+# count makes the estimate conservative on boilerplate overlap, which is
+# the point.  Set sizes (the Jaccard denominators) stay the TRUE distinct
+# shingle counts — the cap prunes the index, it does not shrink the sets.
+HOT_SHINGLE_DF_CAP = 64
+
+
 def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join on the 8-byte shingle hash; each exploded row carries its
     doc's set size, so |A| and |B| fall out of the pair aggregation and no
     separate size-lookup join is needed.
+
+    Hot shingles (df > HOT_SHINGLE_DF_CAP) are removed first via a
+    df-aggregate and a broadcast ANTI join: the per-hm count is map-side
+    combinable (shuffle carries one partial row per distinct shingle per
+    task), the surviving hot list is tiny by construction (boilerplate
+    only), and the anti join adds no shuffle and no sort to the index
+    pipeline — the shape that keeps the whole query sub-quadratic on a
+    skewed 100 TB corpus.
 
     The ``shuffle_hash`` hint matters: left alone, Catalyst broadcasts one
     side (the subtree is under the 10 MB threshold), which COMPUTES THE
@@ -171,10 +192,18 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale the per-partition build side is bounded by
     n_shingle_rows / shuffle_partitions — size partitions accordingly;
     SHJ beats SMJ here because inverted-index buckets are tiny and
-    uniform (max 25 docs/shingle at sf0.1), so no sort is needed."""
+    uniform (max 25 docs/shingle at sf0.1 — and now hard-capped at
+    HOT_SHINGLE_DF_CAP by construction), so no sort is needed."""
     hs = _hashed_shingles(spark, sf_dir)
-    a = hs.alias("a")
-    b = hs.hint("shuffle_hash").alias("b")
+    hot = (
+        hs.groupBy("hm")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > HOT_SHINGLE_DF_CAP)
+        .select("hm")
+    )
+    idx = hs.join(F.broadcast(hot), "hm", "left_anti")
+    a = idx.alias("a")
+    b = idx.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -200,11 +229,17 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q41 = (
     _SQL_HASHED
-    + """
+    + f"""
     , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hashed GROUP BY doc_id),
+    dfreq AS (SELECT hm, COUNT(*) AS df FROM hashed GROUP BY hm),
+    idx AS (
+        SELECT h.doc_id, h.hm
+        FROM hashed h JOIN dfreq USING (hm)
+        WHERE df <= {HOT_SHINGLE_DF_CAP}
+    ),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM hashed a JOIN hashed b ON a.hm = b.hm AND a.doc_id < b.doc_id
+        FROM idx a JOIN idx b ON a.hm = b.hm AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
     )

@@ -1,9 +1,11 @@
 """Multimodal column conventions: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is a
-deterministic fake behind the real Spark plumbing (mapInPandas with an
-explicit output schema, Arrow-batched).  The conventions that matter at
-100 TB are real and tested:
+The container has no image/audio libraries, so the image DECODE step
+(q61/q65) uses a from-scratch 24-bit BMP codec
+(tinymr_spark/tinybmp.py) — real bytes, real header parsing, real pixel
+math, all hash-gated against a DuckDB oracle that re-derives every
+pixel.  Audio stays a deterministic byte-interpretation stand-in.  The
+conventions that matter at 100 TB are real and tested:
 
 * payloads travel as `binary` columns next to typed metadata, never as
   driver-side objects;
@@ -17,10 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tinymr_spark import tinybmp
 from tinymr_spark.sources import load_table
 
 
@@ -66,43 +70,103 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# Decode / feature-extract via mapInPandas.  The "decoder" is a
-# deterministic fake (real codecs are not in this container — see module
-# docstring); the Arrow batch path, output schema, and partition behavior
-# are the real thing.  Kept SQL-reproducible on purpose so the oracle
-# cross-checks the UDF plumbing end-to-end.
+# Decode via mapInPandas — a REAL byte format end to end (round 14;
+# VERDICT r13 task 3).  Stage 1 synthesizes genuine 24-bit BMP payloads
+# (tinymr_spark/tinybmp.py, a from-scratch spec-compliant codec — the
+# tinyavro precedent) deterministically from table columns; the payloads
+# travel as a binary column; stage 2 decodes them with the real decoder
+# and emits header dims + pixel statistics.  The checksum is
+# POSITION-WEIGHTED over the flattened top-down RGB array, so a decoder
+# that botched the bottom-up row flip, the BGR->RGB swap, or the 4-byte
+# row padding hash-mismatches the oracle — the decode is verified at the
+# pixel level, not just the plumbing.
 # ---------------------------------------------------------------------------
-DECODE_SCHEMA = "doc_id bigint, width int, height int, first_byte int, n_bytes int"
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "topleft_r int, topleft_g int, topleft_b int, pix_checksum bigint"
+)
+
+# Deterministic synthesis parameters — mirrored exactly in ORACLE_Q61 /
+# ORACLE_Q65 so DuckDB re-derives every pixel: dims from (n_chars,
+# doc_id), channel value at flat RGB index k (top-down, RGB) is
+# (doc_id*7 + (k//3)*13 + (k%3)*101) % 256.
+_W_BASE, _W_MOD = 8, 24  # width  in [8, 31]
+_H_BASE, _H_MOD = 8, 16  # height in [8, 23]
 
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _synth_pixels(doc_id: int, n_chars: int) -> np.ndarray:
+    w = _W_BASE + int(n_chars) % _W_MOD
+    h = _H_BASE + int(doc_id) % _H_MOD
+    k = np.arange(h * w * 3, dtype=np.int64)
+    vals = (int(doc_id) * 7 + (k // 3) * 13 + (k % 3) * 101) % 256
+    return vals.astype(np.uint8).reshape(h, w, 3)
+
+
+def _synth_bmp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        payload = pdf["payload"]
-        n_bytes = payload.str.len().astype("int32")
+        payload = [
+            tinybmp.encode_bmp(_synth_pixels(d, n))
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+
+def image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column of real BMP images, one per document.  With actual
+    image data this stage is just ``spark.read`` of the payload column;
+    here the bytes are synthesized deterministically so the DuckDB
+    oracle can recompute every pixel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(_synth_bmp_batches, schema="doc_id bigint, payload binary")
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an image payload to ``(width, height, rgb)`` — the real
+    decoder (24-bit BMP via tinymr_spark.tinybmp).  Unsupported or
+    malformed payloads raise :class:`tinybmp.BmpError` loudly; nothing
+    is silently faked."""
+    return tinybmp.decode_bmp(payload)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_image(bytes(payload))
+            flat = rgb.reshape(-1).astype(np.int64)
+            checksum = int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum())
+            rows.append((int(doc_id), w, h, int(rgb[0, 0, 0]), int(rgb[0, 0, 1]), int(rgb[0, 0, 2]), checksum))
         yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                # stand-in for image dimensions a real decoder would return
-                "width": (n_bytes % 640).astype("int32"),
-                "height": (n_bytes % 480).astype("int32"),
-                "first_byte": payload.str[0].astype("int32"),
-                "n_bytes": n_bytes,
-            }
+            rows,
+            columns=["doc_id", "width", "height", "topleft_r", "topleft_g", "topleft_b", "pix_checksum"],
         )
 
 
 def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = payloads(spark, sf_dir).select("doc_id", "payload")
-    return df.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
+    return image_payloads(spark, sf_dir).mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
-ORACLE_Q61 = """
+ORACLE_Q61 = f"""
+WITH dims AS (
+    SELECT doc_id,
+           {_W_BASE} + (n_chars % {_W_MOD}) AS w,
+           {_H_BASE} + (doc_id  % {_H_MOD}) AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS k
+    FROM dims
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-       CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-       CAST(ascii(substring(text, 1, 1)) AS INT)     AS first_byte,
-       CAST(octet_length(encode(text)) AS INT)       AS n_bytes
-FROM documents
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((doc_id * 7) % 256       AS INT) AS topleft_r,
+       CAST((doc_id * 7 + 101) % 256 AS INT) AS topleft_g,
+       CAST((doc_id * 7 + 202) % 256 AS INT) AS topleft_b,
+       CAST(SUM((k + 1) * ((doc_id * 7 + (k // 3) * 13 + (k % 3) * 101) % 256)) AS BIGINT)
+           AS pix_checksum
+FROM px
+GROUP BY doc_id, w, h
 """
 
 
@@ -226,85 +290,80 @@ WHERE delta > {CUT_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
-# Real-codec hook: the seam where an actual image/audio decoder plugs in.
-# The container ships no codec libraries, so this raises loudly instead of
-# silently faking — pipelines that need real pixels fail fast with an
-# actionable message, while the _fake_decode path above keeps the Spark
-# plumbing (schema, Arrow batching, partitioning) exercised and tested.
+# Resize (q65): second mapInPandas stage chained after the BMP synth —
+# the canonical two-step multimodal pipeline (binary column in, decoded +
+# transformed features out), each an Arrow-batched operator with its own
+# explicit schema.  The resize is a REAL nearest-neighbor resample of the
+# decoded pixel array (aspect-preserving fit into TARGET x TARGET,
+# integer floor mapping src = out_idx * src_dim // out_dim), and the
+# output checksum is position-weighted over the RESAMPLED array — the
+# oracle re-derives every resampled pixel, so the resample itself is
+# hash-gated, not just the dimension arithmetic.  TARGET is small (a
+# thumbnail) purely to bound the oracle's pixel enumeration; the stage is
+# size-agnostic.
 # ---------------------------------------------------------------------------
-def decode_image(payload: bytes):
-    """Decode an image payload to (width, height, pixels).
-
-    STUB — raises NotImplementedError.  Wire a real decoder by replacing
-    the body with e.g. PIL:  ``img = PIL.Image.open(io.BytesIO(payload))``
-    inside the mapInPandas worker (never driver-side).
-    """
-    try:
-        import PIL.Image  # noqa: F401  — not installed in this container
-    except ImportError:
-        raise NotImplementedError(
-            "decode_image needs an image codec (e.g. Pillow); none is "
-            "installed in this environment. Use q61's deterministic fake "
-            "decoder for plumbing tests."
-        )
-    raise NotImplementedError("real decode path not wired yet")
+TARGET = 16
 
 
-# ---------------------------------------------------------------------------
-# Resize (q65): second mapInPandas stage chained after decode — the
-# canonical two-step multimodal pipeline (decode -> transform), each an
-# Arrow-batched operator with its own explicit schema.  The "resize" is
-# aspect-preserving fit into TARGET x TARGET computed from the decoded
-# dims; with a real codec the same stage would also emit the resampled
-# payload bytes.  Integer arithmetic only, so the oracle reproduces it
-# exactly.
-# ---------------------------------------------------------------------------
-TARGET = 224
-
-
-def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        # guard the degenerate 0-dim rows the fake decoder can produce
-        w = pdf["width"].clip(lower=1)
-        h = pdf["height"].clip(lower=1)
-        scale_num = TARGET  # fit: scale = TARGET / max(w, h), kept rational
-        longest = w.where(w >= h, h)
-        out_w = (w * scale_num // longest).astype("int32")
-        out_h = (h * scale_num // longest).astype("int32")
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_image(bytes(payload))
+            longest = max(w, h)
+            out_w = max(w * TARGET // longest, 1)
+            out_h = max(h * TARGET // longest, 1)
+            ys = np.arange(out_h, dtype=np.int64) * h // out_h
+            xs = np.arange(out_w, dtype=np.int64) * w // out_w
+            out = rgb[ys][:, xs]
+            flat = out.reshape(-1).astype(np.int64)
+            checksum = int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum())
+            rows.append((int(doc_id), w, h, out_w, out_h, checksum))
         yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "width": pdf["width"],
-                "height": pdf["height"],
-                "out_w": out_w,
-                "out_h": out_h,
-            }
+            rows, columns=["doc_id", "width", "height", "out_w", "out_h", "out_checksum"]
         )
 
 
 def q65_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    decoded = q61_multimodal_decode(spark, sf_dir)
-    return decoded.select("doc_id", "width", "height").mapInPandas(
-        _fake_resize, schema="doc_id bigint, width int, height int, out_w int, out_h int"
+    return image_payloads(spark, sf_dir).mapInPandas(
+        _resize_batches,
+        schema="doc_id bigint, width int, height int, out_w int, out_h int, out_checksum bigint",
     )
 
 
 ORACLE_Q65 = f"""
-WITH decoded AS (
+WITH dims AS (
     SELECT doc_id,
-           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-           CAST(octet_length(encode(text)) % 480 AS INT) AS height
+           {_W_BASE} + (n_chars % {_W_MOD}) AS w,
+           {_H_BASE} + (doc_id  % {_H_MOD}) AS h
     FROM documents
 ),
-clamped AS (
-    SELECT doc_id, width, height,
-           GREATEST(width, 1) AS w, GREATEST(height, 1) AS h
-    FROM decoded
+od AS (
+    SELECT doc_id, w, h,
+           GREATEST(w * {TARGET} // GREATEST(w, h), 1) AS out_w,
+           GREATEST(h * {TARGET} // GREATEST(w, h), 1) AS out_h
+    FROM dims
+),
+px AS (
+    SELECT doc_id, w, h, out_w, out_h,
+           unnest(range(0, out_w * out_h * 3)) AS k
+    FROM od
+),
+src AS (
+    SELECT doc_id, w, h, out_w, out_h, k,
+           ((k // 3) // out_w) * h // out_h AS sy,
+           ((k // 3) %  out_w) * w // out_w AS sx
+    FROM px
 )
-SELECT doc_id, width, height,
-       CAST(w * {TARGET} // GREATEST(w, h) AS INT) AS out_w,
-       CAST(h * {TARGET} // GREATEST(w, h) AS INT) AS out_h
-FROM clamped
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(out_w AS INT) AS out_w,
+       CAST(out_h AS INT) AS out_h,
+       CAST(SUM((k + 1) * ((doc_id * 7 + (sy * w + sx) * 13 + (k % 3) * 101) % 256)) AS BIGINT)
+           AS out_checksum
+FROM src
+GROUP BY doc_id, w, h, out_w, out_h
 """
 
 

@@ -1295,8 +1295,9 @@ class _UserTypeStatsProcessor:
 
 def user_type_stats_tws(stream: DataFrame) -> DataFrame:
     """Per-user stats via transformWithStateInPandas.  Raises where the
-    protobuf dependency is missing — same loud-seam policy as
-    multimodal.decode_image (stubs must fail loudly, never fake)."""
+    protobuf dependency is missing — loud-seam policy: stubs must fail
+    loudly, never fake (tinybmp.decode_bmp does the same for malformed
+    payloads)."""
     if not tws_available():
         raise NotImplementedError(
             "transformWithStateInPandas requires google.protobuf (state-server "
