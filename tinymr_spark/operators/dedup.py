@@ -175,12 +175,16 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate size-lookup join is needed.
 
     Hot shingles (df > HOT_SHINGLE_DF_CAP) are removed first via a
-    df-aggregate and a broadcast ANTI join: the per-hm count is map-side
-    combinable (shuffle carries one partial row per distinct shingle per
-    task), the surviving hot list is tiny by construction (boilerplate
-    only), and the anti join adds no shuffle and no sort to the index
-    pipeline — the shape that keeps the whole query sub-quadratic on a
-    skewed 100 TB corpus.
+    df-aggregate and an ANTI join, with the whole query anchored on ONE
+    explicit hash-exchange of the shingle stream by hm: the df count,
+    the anti join, the self-join's both sides, and the SHJ build all
+    read that same exchange (AQE ReuseExchange — verified one FileScan
+    in the final plan), every downstream operator's hm-distribution is
+    already satisfied, and the per-partition group counts are complete
+    (no second agg shuffle).  Net plan: ONE scan of documents, ONE
+    exchange of the index, ONE exchange for the pair aggregation — and
+    the worst join bucket is hard-capped, the shape that keeps the query
+    sub-quadratic on a skewed 100 TB corpus.
 
     The ``shuffle_hash`` hint matters: left alone, Catalyst broadcasts one
     side (the subtree is under the 10 MB threshold), which COMPUTES THE
@@ -194,14 +198,22 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHJ beats SMJ here because inverted-index buckets are tiny and
     uniform (max 25 docs/shingle at sf0.1 — and now hard-capped at
     HOT_SHINGLE_DF_CAP by construction), so no sort is needed."""
-    hs = _hashed_shingles(spark, sf_dir)
+    hs = _hashed_shingles(spark, sf_dir).repartition("hm")
+    # The throwaway min() aggregates keep doc_id/n_sh alive through column
+    # pruning so this branch's exchange child stays CANONICALLY IDENTICAL
+    # to the join sides' — without them Catalyst prunes to an hm-only
+    # projection, which is a different exchange and a second full scan.
     hot = (
         hs.groupBy("hm")
-        .agg(F.count("*").alias("df"))
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("_keep_d"),
+            F.min("n_sh").alias("_keep_n"),
+        )
         .where(F.col("df") > HOT_SHINGLE_DF_CAP)
         .select("hm")
     )
-    idx = hs.join(F.broadcast(hot), "hm", "left_anti")
+    idx = hs.join(hot.hint("shuffle_hash"), "hm", "left_anti")
     a = idx.alias("a")
     b = idx.hint("shuffle_hash").alias("b")
     return (
