@@ -46,3 +46,25 @@ def test_resize_dims_fit_target(spark, sf_dir):
         assert 1 <= r["out_w"] <= TARGET and 1 <= r["out_h"] <= TARGET
         # the longest decoded edge maps to exactly TARGET
         assert max(r["out_w"], r["out_h"]) == TARGET
+
+
+def test_wav_round_trip_is_real():
+    import numpy as np
+
+    from tinymr_spark.operators.multimodal import AUDIO_RATE, decode_wav, encode_wav
+
+    samples = np.arange(1000, dtype=np.uint8)
+    payload = encode_wav(samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, channels, out = decode_wav(payload)
+    assert (rate, channels) == (AUDIO_RATE, 1)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_rejects_garbage_loudly():
+    import wave
+
+    from tinymr_spark.operators.multimodal import decode_wav
+
+    with pytest.raises((wave.Error, EOFError)):
+        decode_wav(b"\x89PNG not audio at all" + b"\x00" * 40)

@@ -1,11 +1,14 @@
 """Multimodal column conventions: opaque binary payloads + typed metadata.
 
-The container has no image/audio libraries, so the image DECODE step
+The container has no image libraries, so the image DECODE step
 (q61/q65) uses a from-scratch 24-bit BMP codec
 (tinymr_spark/tinybmp.py) — real bytes, real header parsing, real pixel
 math, all hash-gated against a DuckDB oracle that re-derives every
-pixel.  Audio stays a deterministic byte-interpretation stand-in.  The
-conventions that matter at 100 TB are real and tested:
+pixel.  Audio (q67) rides real RIFF/WAVE containers through the stdlib
+``wave`` codec the same way.  In both, only the SAMPLE/PIXEL VALUES are
+synthesized deterministically (so the oracle can recompute them); the
+byte formats and decoders are genuine.  The conventions that matter at
+100 TB are real and tested:
 
 * payloads travel as `binary` columns next to typed metadata, never as
   driver-side objects;
@@ -417,17 +420,64 @@ FROM documents
 # the oracle hash-matches on raw doubles with no rounding.
 # ---------------------------------------------------------------------------
 AUDIO_FRAME = 256
+AUDIO_RATE = 8000
 
 ENERGY_SCHEMA = "doc_id bigint, frame_id int, n_samples int, peak int, sum_sq bigint"
 
 
-def _frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    import numpy as np
+def encode_wav(samples: "np.ndarray", rate: int = AUDIO_RATE) -> bytes:
+    """Wrap uint8 samples in a real RIFF/WAVE container (8-bit PCM mono)
+    via the stdlib ``wave`` module — an actual audio codec, not a header
+    fake.  Round 14: q67's payloads are genuine WAV files end to end;
+    only the SAMPLE VALUES are synthesized deterministically (from the
+    document bytes) so the DuckDB oracle can re-derive every frame."""
+    import io
+    import wave
 
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM: unsigned samples, 1 byte each
+        w.setframerate(rate)
+        w.writeframes(samples.astype(np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a WAV payload to ``(rate, n_channels, samples)`` with the
+    stdlib ``wave`` parser (RIFF chunk walk, fmt validation).  Malformed
+    or non-PCM payloads raise ``wave.Error`` loudly — same policy as
+    tinybmp.decode_bmp.  Only 8-bit mono is consumed downstream; wider
+    formats decode but q67 asserts its synthesis contract."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width != 1:
+        raise ValueError(f"expected 8-bit PCM, got sampwidth={width}")
+    return rate, channels, np.frombuffer(frames, dtype=np.uint8)
+
+
+def _synth_wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payload = [
+            encode_wav(np.frombuffer(bytes(p), dtype=np.uint8))
+            for p in pdf["payload"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+
+def _frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows: dict = {k: [] for k in ("doc_id", "frame_id", "n_samples", "peak", "sum_sq")}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            rate, channels, samples = decode_wav(bytes(payload))
+            assert rate == AUDIO_RATE and channels == 1  # synthesis contract
+            samples = samples.astype(np.int64)
             for f in range(0, len(samples), AUDIO_FRAME):
                 fr = samples[f : f + AUDIO_FRAME]
                 rows["doc_id"].append(doc_id)
@@ -439,8 +489,16 @@ def _frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def q67_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage audio pipeline over a real byte format: stage 1 wraps
+    each document's deterministic sample stream in a genuine RIFF/WAVE
+    container (8-bit PCM mono — the samples ARE the utf-8 bytes, so the
+    oracle reproduces them from `text`); stage 2 parses the WAV with the
+    stdlib codec and emits per-frame energy.  A decoder that misread the
+    RIFF data-chunk offset or sample width would shift every frame and
+    hash-mismatch the oracle."""
     df = payloads(spark, sf_dir).select("doc_id", "payload")
-    frames = df.mapInPandas(_frame_energy, schema=ENERGY_SCHEMA)
+    wavs = df.mapInPandas(_synth_wav_batches, schema="doc_id bigint, payload binary")
+    frames = wavs.mapInPandas(_frame_energy, schema=ENERGY_SCHEMA)
     return frames.select(
         "doc_id",
         "frame_id",
