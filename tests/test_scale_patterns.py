@@ -339,3 +339,56 @@ def test_q41_hot_shingle_cap_suppresses_boilerplate(spark, tmp_path):
     assert set(pairs) == {(1000, 1001)}
     assert pairs[(1000, 1001)]["n_common"] == 2
     assert pairs[(1000, 1001)]["jaccard"] == 0.5
+
+
+def test_q41_plan_shares_one_index_exchange(spark, sf_dir):
+    """q41's index must be exchanged by hm ONCE, with the second
+    self-join side reading it via AQE ReuseExchange rather than
+    re-scanning/re-hashing the corpus.  On a corpus with NO hot shingle
+    (sf0.001) AQE goes one better: the empty broadcast side ELIMINATES
+    the anti join entirely (PropagateEmptyRelation) — assert that too.
+    Guards the r14 plan rework."""
+    from tinymr_spark.operators.dedup import q41_dedup_jaccard
+
+    df = q41_dedup_jaccard(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==", 1)[0] if "== Initial Plan ==" in plan else plan
+    assert "isFinalPlan=true" in final, final[:200]
+    # the b side's index exchange resolves to reuse
+    assert final.count("ReusedExchange") >= 1, final
+    # index + df-agg + pair-agg; a 4th hash exchange means a consumer
+    # stopped reusing the index
+    real_exchanges = final.count("+- Exchange hashpartitioning")
+    assert real_exchanges <= 3, f"{real_exchanges} non-reused exchanges:\n{final}"
+    assert "ShuffledHashJoin" in final, final
+
+
+def test_q41_hot_corpus_plan_keeps_broadcast_anti(spark, tmp_path):
+    """With an actually-hot shingle the anti join must survive as a
+    BroadcastHashJoin LeftAnti fed by a map-side-combined df count, and
+    the index exchange must still be shared across the self-join."""
+    from tinymr_spark.operators.dedup import HOT_SHINGLE_DF_CAP, q41_dedup_jaccard
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c {boiler}", "en", "web", 30)
+        for i in range(HOT_SHINGLE_DF_CAP + 6)
+    ]
+    # one genuine near-dup pair so the result is non-empty — otherwise
+    # AQE's PropagateEmptyRelation collapses the whole plan and there is
+    # no join left to assert on
+    rows.append((1000, "alpha beta gamma delta epsilon", "en", "web", 30))
+    rows.append((1001, "alpha beta gamma delta zeta", "en", "web", 27))
+    fixture = str(tmp_path / "hotplan")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+
+    df = q41_dedup_jaccard(spark, fixture)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==", 1)[0] if "== Initial Plan ==" in plan else plan
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final, final
+    assert "partial_count" in final, final  # map-side combine on the df branch
+    assert final.count("ReusedExchange") >= 1, final

@@ -175,16 +175,17 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate size-lookup join is needed.
 
     Hot shingles (df > HOT_SHINGLE_DF_CAP) are removed first via a
-    df-aggregate and an ANTI join, with the whole query anchored on ONE
-    explicit hash-exchange of the shingle stream by hm: the df count,
-    the anti join, the self-join's both sides, and the SHJ build all
-    read that same exchange (AQE ReuseExchange — verified one FileScan
-    in the final plan), every downstream operator's hm-distribution is
-    already satisfied, and the per-partition group counts are complete
-    (no second agg shuffle).  Net plan: ONE scan of documents, ONE
-    exchange of the index, ONE exchange for the pair aggregation — and
-    the worst join bucket is hard-capped, the shape that keeps the query
-    sub-quadratic on a skewed 100 TB corpus.
+    df-aggregate and a broadcast ANTI join.  Plan shape (pinned by
+    tests/test_scale_patterns.py::test_q41_plan_shares_one_index_exchange):
+    the index is exchanged by hm ONCE and both self-join sides plus the
+    anti join read that same exchange via AQE ReuseExchange; the df
+    branch is a separate column-pruned scan whose map-side partial
+    counts collapse its shuffle to one row per distinct shingle per
+    task, and the hot survivors broadcast (boilerplate only — tiny by
+    construction).  Net: two linear scans (one text-only), one index
+    exchange, one tiny agg shuffle, one pair-agg exchange, and the worst
+    join bucket hard-capped — sub-quadratic on a skewed 100 TB corpus by
+    construction.
 
     The ``shuffle_hash`` hint matters: left alone, Catalyst broadcasts one
     side (the subtree is under the 10 MB threshold), which COMPUTES THE
@@ -199,21 +200,18 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform (max 25 docs/shingle at sf0.1 — and now hard-capped at
     HOT_SHINGLE_DF_CAP by construction), so no sort is needed."""
     hs = _hashed_shingles(spark, sf_dir).repartition("hm")
-    # The throwaway min() aggregates keep doc_id/n_sh alive through column
-    # pruning so this branch's exchange child stays CANONICALLY IDENTICAL
-    # to the join sides' — without them Catalyst prunes to an hm-only
-    # projection, which is a different exchange and a second full scan.
+    # The df branch is its own COLUMN-PRUNED scan (text only) with
+    # map-side partial counting, so its shuffle carries one row per
+    # distinct shingle per task — the cheapest possible df computation —
+    # and the hot survivors broadcast (tiny by construction).
     hot = (
-        hs.groupBy("hm")
-        .agg(
-            F.count("*").alias("df"),
-            F.min("doc_id").alias("_keep_d"),
-            F.min("n_sh").alias("_keep_n"),
-        )
+        _hashed_shingles(spark, sf_dir)
+        .groupBy("hm")
+        .agg(F.count("*").alias("df"))
         .where(F.col("df") > HOT_SHINGLE_DF_CAP)
         .select("hm")
     )
-    idx = hs.join(hot.hint("shuffle_hash"), "hm", "left_anti")
+    idx = hs.join(F.broadcast(hot), "hm", "left_anti")
     a = idx.alias("a")
     b = idx.hint("shuffle_hash").alias("b")
     return (
