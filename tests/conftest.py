@@ -63,6 +63,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
+    if not os.path.isdir(SF_SMALL):
+        pytest.skip(
+            "synthetic parquet fixtures not present at "
+            f"{SF_SMALL} (driver-generated; see TESTDATA.md)"
+        )
     return SF_SMALL
 
 
