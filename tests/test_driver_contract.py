@@ -34,3 +34,21 @@ def test_wrapper_pins_utc_on_foreign_session(spark, duck, sf_dir, name):
     assert check_oracle.table_hash(srows, scols) == check_oracle.table_hash(
         rel.fetchall(), rel.columns
     )
+
+
+def test_module_execution_surface_prints_version():
+    """Reference CI parity: `python -m tinymr_spark --version` must work
+    (reference tests.yml:44 runs `python3 -m tinymr --version`)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "tinymr_spark", "--version"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        check=True,
+    )
+    import tinymr_spark
+
+    assert out.stdout.strip() == tinymr_spark.__version__

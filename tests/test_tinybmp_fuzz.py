@@ -81,3 +81,34 @@ def test_truncated_pixel_array_raises():
     payload = encode_bmp(np.zeros((4, 4, 3), np.uint8))
     with pytest.raises(BmpError, match="truncated|out of bounds"):
         decode_bmp(payload[:-5])
+
+
+def test_spec_golden_vector():
+    """A 2x1 BMP written out BY HAND from the format spec (not via
+    encode_bmp) — left pixel red, right pixel blue, one padded row.
+    Catches a self-consistent-but-wrong codec that round-trips its own
+    output while disagreeing with the actual file format."""
+    golden = bytes.fromhex(
+        "424d"          # 'BM'
+        "3e000000"      # file size = 54 + 8 = 62
+        "0000" "0000"   # reserved
+        "36000000"      # pixel offset = 54
+        "28000000"      # DIB size = 40
+        "02000000"      # width = 2
+        "01000000"      # height = 1 (bottom-up)
+        "0100"          # planes = 1
+        "1800"          # bpp = 24
+        "00000000"      # compression = BI_RGB
+        "08000000"      # image size = 8 (one padded row)
+        "130b0000" "130b0000"  # 2835 ppm
+        "00000000" "00000000"  # palette
+        "0000ff"        # left pixel, BGR = red
+        "ff0000"        # right pixel, BGR = blue
+        "0000"          # row padding to 4 bytes
+    )
+    assert len(golden) == 62
+    w, h, rgb = decode_bmp(golden)
+    assert (w, h) == (2, 1)
+    assert rgb.tolist() == [[[255, 0, 0], [0, 0, 255]]]
+    # and the encoder must reproduce the spec bytes for the same image
+    assert encode_bmp(rgb) == golden
