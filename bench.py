@@ -106,13 +106,33 @@ def main():
         except Exception as e:
             print(f"# bench retry error {name}: {type(e).__name__}: {e}", file=sys.stderr)
 
-    line = format_bench_line(
-        timings,
-        sf_dir,
-        detail_path=os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        ),
+    # ALWAYS write the detail file with per-pass samples and the box's
+    # load averages: four straight rounds needed a manual idle-box
+    # re-measurement to adjudicate driver-bench drift, and the spread
+    # across a row's samples (wide = contention, tight-but-higher =
+    # regression) plus the load numbers answer that question from the
+    # artifact alone.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        load = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load = None
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(sum(t for t in timings.values() if t >= 0), 4),
+                "unit": "sec",
+                "queries": {n: round(t, 4) for n, t in timings.items()},
+                "samples": samples,
+                "loadavg_at_end": load,
+                "sf": sf_dir,
+            },
+            f,
+        )
+    line = format_bench_line(timings, sf_dir, detail_path=detail_path)
     if len(line) > 1900:  # stay inside the driver's 2000-char stdout tail
         print(
             f"# bench OVERFLOW: JSON line {len(line)} chars exceeds the "
@@ -200,9 +220,11 @@ def format_bench_line(
         if len(line) <= 1900:
             return line
 
-    # DIGEST stage: full fidelity to the detail file, the line carries
-    # failures + the slowest hot rows that fit + a cold rollup.
-    if detail_path:
+    # DIGEST stage: the line carries failures + the slowest hot rows
+    # that fit + a cold rollup; full fidelity (including per-pass
+    # samples) is in the detail file, which main() now writes on EVERY
+    # run.  Callers without one (tests) still get a valid line.
+    if detail_path and not os.path.exists(detail_path):
         with open(detail_path, "w") as f:
             json.dump(
                 {"metric": "total_query_wall_sec", "value": total,
