@@ -137,3 +137,21 @@ def test_bench_digest_not_engaged_at_current_inventory():
     line = format_bench_line(timings, "/root/testdata/sf0.1", detail_path=None)
     d = json.loads(line)
     assert "cold" not in d and len(d["queries"]) == len(names)
+
+
+def test_bench_digest_does_not_clobber_sampled_detail(tmp_path):
+    """main() writes the RICH detail file (per-pass samples + load
+    averages) before formatting; the digest stage must leave an existing
+    detail file alone so the samples survive even when the line
+    overflows to digest mode."""
+    detail = str(tmp_path / "detail.json")
+    rich = {"queries": {"q1_x": 1.0}, "samples": {"q1_x": [1.2, 1.0]}}
+    with open(detail, "w") as f:
+        json.dump(rich, f)
+    names = [f"q{i}_simulated_query_name_{i}" for i in range(1, 401)]
+    timings = {n: round(0.51 + (i % 40) * 0.1003, 4) for i, n in enumerate(names)}
+    line = format_bench_line(timings, "/root/testdata/sf0.1", detail_path=detail)
+    d = json.loads(line)
+    assert d.get("detail") == "detail.json"  # digest engaged at 400 rows
+    with open(detail) as f:
+        assert json.load(f) == rich  # untouched
