@@ -52,3 +52,27 @@ def test_module_execution_surface_prints_version():
     import tinymr_spark
 
     assert out.stdout.strip() == tinymr_spark.__version__
+
+
+def test_gate_rotation_orders_reworked_then_stalest():
+    """The driver's correctness gate hashes the FIRST 50 queries()
+    entries; the rotation must front (a) anything never driver-verified,
+    (b) anything semantically REWORKED this round (prior verification no
+    longer attests current behavior), then backfill least-recently-
+    verified first.  A regression here silently starves stale queries of
+    re-verification."""
+    from tinymr_spark.operators import (
+        _REWORKED_THIS_ROUND,
+        _VERIFIED_ROUND,
+        all_queries,
+    )
+
+    order = list(all_queries())
+    fresh = [n for n in order if n not in _VERIFIED_ROUND or n in _REWORKED_THIS_ROUND]
+    # every fresh/reworked entry precedes every verified backlog entry
+    assert order[: len(fresh)] == fresh
+    # the backlog is non-decreasing in last-verified round
+    rounds = [_VERIFIED_ROUND[n] for n in order[len(fresh):]]
+    assert rounds == sorted(rounds)
+    # and every reworked name actually exists in the registry
+    assert _REWORKED_THIS_ROUND <= set(order)
