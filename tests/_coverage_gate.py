@@ -89,11 +89,11 @@ def import_time_lines() -> None:
         trace_off()
 
 
-def executable_lines() -> set[int]:
-    with open(MR_PATH) as f:
+def executable_lines(path: str = MR_PATH) -> set[int]:
+    with open(path) as f:
         source = f.read()
     lines: set[int] = set()
-    stack = [compile(source, MR_PATH, "exec")]
+    stack = [compile(source, path, "exec")]
     while stack:
         code = stack.pop()
         for _start, _end, lineno in code.co_lines():
@@ -102,16 +102,16 @@ def executable_lines() -> set[int]:
         for const in code.co_consts:
             if hasattr(const, "co_lines"):
                 stack.append(const)
-    return lines - pragma_no_cover_lines()
+    return lines - pragma_no_cover_lines(path)
 
 
-def pragma_no_cover_lines() -> set[int]:
+def pragma_no_cover_lines(path: str = MR_PATH) -> set[int]:
     """Lines excluded the way coverage.py excludes them: a ``# pragma: no
     cover`` on a statement's first line excludes that statement (the
     repo's two uses are single-line ``raise NotImplementedError`` bodies
     and one defensive branch)."""
     excluded: set[int] = set()
-    with open(MR_PATH) as f:
+    with open(path) as f:
         for i, line in enumerate(f, 1):
             if "# pragma: no cover" in line:
                 excluded.add(i)
