@@ -14,8 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Queries the driver's capped 50-entry correctness gate has hash-verified,
-# keyed by the MOST RECENT round that verified them (union of
-# CORRECTNESS_r01-r06 keys).  The round number drives the backlog
+# keyed by the MOST RECENT round that verified them (union of the
+# CORRECTNESS_r01-r13 keys).  The round number drives the backlog
 # rotation in all_queries(): least-recently-verified queries re-enter
 # the gate first, so every query is periodically re-confirmed instead of
 # q01-q31 soaking up the spare slots each round.  q104 got its first
