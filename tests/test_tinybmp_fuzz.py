@@ -112,3 +112,30 @@ def test_spec_golden_vector():
     assert rgb.tolist() == [[[255, 0, 0], [0, 0, 255]]]
     # and the encoder must reproduce the spec bytes for the same image
     assert encode_bmp(rgb) == golden
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200))
+def test_garbage_bytes_never_escape_bmperror(data):
+    """A real decoder's error surface is part of its contract: arbitrary
+    bytes either decode or raise BmpError — struct.error / numpy
+    exceptions leaking out would crash a mapInPandas worker with an
+    undiagnosable traceback."""
+    try:
+        decode_bmp(data)
+    except BmpError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(images(), st.data())
+def test_mutated_valid_bmps_never_escape_bmperror(img, data):
+    payload = bytearray(encode_bmp(img))
+    n_flips = data.draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+        payload[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+    try:
+        decode_bmp(bytes(payload))
+    except BmpError:
+        pass
