@@ -66,5 +66,34 @@ def test_wav_rejects_garbage_loudly():
 
     from tinymr_spark.operators.multimodal import decode_wav
 
-    with pytest.raises((wave.Error, EOFError)):
+    with pytest.raises(wave.Error):
         decode_wav(b"\x89PNG not audio at all" + b"\x00" * 40)
+
+
+def test_wav_error_surface_is_single_typed():
+    """Garbage and bit-flipped payloads must decode or raise wave.Error —
+    nothing else (the bare stdlib parser leaks EOFError/RuntimeError on
+    adversarial chunks; decode_wav normalizes them)."""
+    import random
+    import wave
+
+    import numpy as np
+
+    from tinymr_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = random.Random(7)
+    for _ in range(400):
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 120)))
+        try:
+            decode_wav(data)
+        except wave.Error:
+            pass
+    base = bytearray(encode_wav(np.arange(300, dtype=np.uint8)))
+    for _ in range(400):
+        p = bytearray(base)
+        for _f in range(rng.randint(1, 8)):
+            p[rng.randrange(len(p))] ^= rng.randrange(1, 256)
+        try:
+            decode_wav(bytes(p))
+        except wave.Error:
+            pass

@@ -446,19 +446,28 @@ def encode_wav(samples: "np.ndarray", rate: int = AUDIO_RATE) -> bytes:
 def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """Decode a WAV payload to ``(rate, n_channels, samples)`` with the
     stdlib ``wave`` parser (RIFF chunk walk, fmt validation).  Malformed
-    or non-PCM payloads raise ``wave.Error`` loudly — same policy as
-    tinybmp.decode_bmp.  Only 8-bit mono is consumed downstream; wider
-    formats decode but q67 asserts its synthesis contract."""
+    or non-PCM payloads raise ``wave.Error`` loudly — same single-type
+    error contract as tinybmp.decode_bmp (fuzz-pinned: the bare stdlib
+    parser leaks EOFError/RuntimeError/struct.error on truncated or
+    bit-flipped chunks, which would crash a mapInPandas worker with an
+    undiagnosable traceback).  Only 8-bit mono is consumed downstream;
+    wider formats decode but q67 asserts its synthesis contract."""
     import io
+    import struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate = w.getframerate()
-        channels = w.getnchannels()
-        width = w.getsampwidth()
-        frames = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            channels = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except wave.Error:
+        raise
+    except (EOFError, RuntimeError, ValueError, struct.error) as e:
+        raise wave.Error(f"malformed WAV payload: {type(e).__name__}: {e}") from e
     if width != 1:
-        raise ValueError(f"expected 8-bit PCM, got sampwidth={width}")
+        raise wave.Error(f"expected 8-bit PCM, got sampwidth={width}")
     return rate, channels, np.frombuffer(frames, dtype=np.uint8)
 
 
