@@ -18,6 +18,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def record_pass(
+    timings: dict[str, float], samples: dict[str, list[float]], name: str, t: float
+) -> None:
+    """Record one timed pass of `name`: the pass ALWAYS lands in
+    `samples` (the committed BENCH_DETAIL evidence — including the
+    adaptive retry pass, so a retried row's reported min appears in its
+    own sample list) and `timings` keeps the per-query min, preserving
+    the -1.0 failure sentinel."""
+    samples.setdefault(name, []).append(t)
+    prev = timings.get(name)
+    timings[name] = t if prev is None or prev < 0 else min(prev, t)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -68,10 +81,7 @@ def main():
             try:
                 df = fn(spark, sf_dir)
                 df.count()
-                t = round(time.perf_counter() - t0, 4)
-                samples.setdefault(name, []).append(t)
-                prev = timings.get(name)
-                timings[name] = t if prev is None or prev < 0 else min(prev, t)
+                record_pass(timings, samples, name, round(time.perf_counter() - t0, 4))
             except Exception as e:  # a failed query must not hide the rest
                 timings.setdefault(name, -1.0)
                 print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -101,8 +111,11 @@ def main():
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).count()
-            t = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings[name], t)
+            # The retry pass belongs in the committed samples too —
+            # otherwise BENCH_DETAIL contradicts itself for exactly the
+            # rows the retry exists for (reported min absent from its
+            # own sample list).
+            record_pass(timings, samples, name, round(time.perf_counter() - t0, 4))
         except Exception as e:
             print(f"# bench retry error {name}: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -1,7 +1,9 @@
 """``python -m tinymr_spark`` — the module-execution surface the
 reference's CI exercises (``python3 -m tinymr --version``, reference
-.github/workflows/tests.yml:44).  Prints the resolved version; with
-``--verbose`` adds the environment facts a bug report needs."""
+.github/workflows/tests.yml:44).  ``--version`` prints the resolved
+version (with ``--verbose`` adding the environment facts a bug report
+needs); with no arguments the parser's help is shown instead of
+silently printing the version for flags that never asked for it."""
 
 from __future__ import annotations
 
@@ -20,6 +22,9 @@ def main(argv: list[str] | None = None) -> int:
         "--verbose", action="store_true", help="also print runtime environment facts"
     )
     args = parser.parse_args(argv)
+    if not args.version and not args.verbose:
+        parser.print_help()
+        return 0
     print(tinymr_spark.__version__)
     if args.verbose:
         import pyspark

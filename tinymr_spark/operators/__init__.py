@@ -317,6 +317,35 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (193, "table_history"), (194, "convert_in_place"),
         (5, "semi_join"), (6, "anti_join"),
     )),
+    (14, (
+        # --- round 14 (CORRECTNESS_r14): 3 semantics-reworked (q41 hot-shingle
+        # cap, q61/q65 real BMP decode) + the 47 stalest re-confirms ---
+        (41, "dedup_jaccard"), (61, "multimodal_decode"),
+        (65, "multimodal_resize"), (7, "global_topk"),
+        (8, "window_rank"), (9, "window_running_sum"),
+        (10, "rollup"), (11, "cube"),
+        (12, "grouping_sets"), (13, "distinct_agg"),
+        (14, "set_ops"), (15, "scalar_functions"),
+        (16, "case_buckets"), (17, "agg_stats"),
+        (18, "exists_subquery"), (19, "having_scalar_subquery"),
+        (20, "segment_order_value"), (21, "percentiles"),
+        (22, "analytics_battery"), (23, "window_range_frame"),
+        (24, "approx_distinct"), (25, "array_functions"),
+        (26, "salted_agg"), (27, "stratified_sample"),
+        (28, "full_outer_join"), (29, "unpivot"),
+        (85, "sql_interface"), (89, "monthly_gapfill"),
+        (139, "sql_udf"), (30, "wordcount"),
+        (31, "top_words"), (145, "incremental_bm25"),
+        (147, "hybrid_rrf"), (154, "ohlc_resample"),
+        (143, "python_stream_sink"), (149, "stream_index_probe"),
+        (197, "lakehouse_pipeline"), (141, "avro_source"),
+        (142, "aqe_skew_join"), (144, "pushdown_datasource"),
+        (148, "quality_constraints"), (150, "skew_profile"),
+        (151, "schema_evolution"), (152, "outlier_quarantine"),
+        (198, "generated_columns"), (199, "identity_columns"),
+        (200, "zorder_verb"), (201, "replace_where"),
+        (202, "merge_schema_evolution"), (203, "clustered_compaction"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()
@@ -325,12 +354,11 @@ _VERIFIED_ROUND = _verified_rounds()
 # no longer covers the current behavior, so they re-enter the gate ahead
 # of the staleness backlog (same slot as brand-new queries).  Clear this
 # set after the round's CORRECTNESS file confirms them.
-# r14: q61/q65 now decode REAL BMP bytes (tinybmp) with pixel-level
-# checksums; q41 gained the hot-shingle frequency cap.
+# r15: q68/q69 now run on tinybmp-DECODED pixel frames (not raw payload
+# bytes) with pixel-level oracles.
 _REWORKED_THIS_ROUND: frozenset[str] = frozenset({
-    "q61_multimodal_decode",
-    "q65_multimodal_resize",
-    "q41_dedup_jaccard",
+    "q68_phash_dedup",
+    "q69_scene_cuts",
 })
 
 

@@ -450,8 +450,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     error contract as tinybmp.decode_bmp (fuzz-pinned: the bare stdlib
     parser leaks EOFError/RuntimeError/struct.error on truncated or
     bit-flipped chunks, which would crash a mapInPandas worker with an
-    undiagnosable traceback).  Only 8-bit mono is consumed downstream;
-    wider formats decode but q67 asserts its synthesis contract."""
+    undiagnosable traceback).  Only 8-bit PCM is accepted: wider sample
+    widths raise ``wave.Error`` here (the uint8 reinterpretation below
+    would silently garble them); q67 additionally asserts its synthesis
+    contract (rate/mono) after the decode."""
     import io
     import struct
     import wave
