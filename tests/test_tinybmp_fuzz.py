@@ -14,7 +14,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from tinymr_spark.tinybmp import BmpError, decode_bmp, encode_bmp
+from tinymr_spark.tinybmp import BmpError, decode_bmp, encode_bmp, iter_bmp_stream
 
 
 @st.composite
@@ -137,5 +137,62 @@ def test_mutated_valid_bmps_never_escape_bmperror(img, data):
         payload[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
     try:
         decode_bmp(bytes(payload))
+    except BmpError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# iter_bmp_stream — the multi-frame container walk (q69's video payloads)
+# ---------------------------------------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(st.lists(images(), min_size=0, max_size=5))
+def test_stream_round_trip_recovers_every_frame(frames):
+    stream = b"".join(encode_bmp(f) for f in frames)
+    out = list(iter_bmp_stream(stream))
+    assert len(out) == len(frames)
+    for slice_, img in zip(out, frames):
+        w, h, rgb = decode_bmp(slice_)
+        assert (w, h) == (img.shape[1], img.shape[0])
+        assert np.array_equal(rgb, img)
+
+
+@pytest.mark.parametrize(
+    "stream, msg",
+    [
+        # garbage where the second frame's header should be
+        (encode_bmp(np.zeros((2, 2, 3), np.uint8)) + b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, "magic"),
+        # trailing bytes too short to be a header
+        (encode_bmp(np.zeros((2, 2, 3), np.uint8)) + b"BM\x01", "trailing garbage"),
+        # a size field that runs past the buffer
+        (encode_bmp(np.zeros((2, 2, 3), np.uint8))[:-4], "overruns"),
+    ],
+)
+def test_stream_malformed_raises_loudly(stream, msg):
+    with pytest.raises(BmpError, match=msg):
+        list(iter_bmp_stream(stream))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_stream_garbage_never_escapes_bmperror(data):
+    try:
+        list(iter_bmp_stream(data))
+    except BmpError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(images(), min_size=1, max_size=3), st.data())
+def test_stream_mutated_never_escapes_bmperror(frames, data):
+    """Bit-flipped multi-frame streams either walk+decode or raise
+    BmpError — a corrupted size field must not desync into a raw
+    struct/IndexError from a worker."""
+    payload = bytearray(b"".join(encode_bmp(f) for f in frames))
+    for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+        pos = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+        payload[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+    try:
+        for frame in iter_bmp_stream(bytes(payload)):
+            decode_bmp(frame)
     except BmpError:
         pass

@@ -1,11 +1,14 @@
 """Multimodal column conventions: opaque binary payloads + typed metadata.
 
 The container has no image libraries, so the image DECODE step
-(q61/q65) uses a from-scratch 24-bit BMP codec
-(tinymr_spark/tinybmp.py) — real bytes, real header parsing, real pixel
-math, all hash-gated against a DuckDB oracle that re-derives every
-pixel.  Audio (q67) rides real RIFF/WAVE containers through the stdlib
-``wave`` codec the same way.  In both, only the SAMPLE/PIXEL VALUES are
+(q61/q65, and since r15 the q68 perceptual hash and q69 scene cuts)
+uses a from-scratch 24-bit BMP codec (tinymr_spark/tinybmp.py) — real
+bytes, real header parsing, real pixel math, all hash-gated against a
+DuckDB oracle that re-derives every pixel; q69 additionally walks a
+multi-frame container via the headers' size fields
+(tinybmp.iter_bmp_stream).  Audio (q67) rides real RIFF/WAVE containers
+through the stdlib ``wave`` codec the same way.  In all, only the
+SAMPLE/PIXEL VALUES are
 synthesized deterministically (so the oracle can recompute them); the
 byte formats and decoders are genuine.  The conventions that matter at
 100 TB are real and tested:
@@ -218,48 +221,92 @@ WHERE frame_no % 4 = 0
 
 
 # ---------------------------------------------------------------------------
-# q69 — scene-cut detection: the video-segmentation primitive.  Frames
-# (q62's chunking) are summarized by their mean sample value; a cut is a
-# frame whose mean jumps more than CUT_THRESHOLD from its predecessor
-# (with real decoded frames the identical lag-compare would run on
-# histogram or embedding distances).  Plan shape: frame means are
-# PER-ROW array folds over slices — only O(frames) rows ever explode
-# (measured 2.3x faster at sf0.1 than exploding every sample into a
-# groupBy: 2.3s -> 1.0s; the per-sample shuffle was the whole cost) —
-# then one per-doc window.  Mean = exact-int sum / count, so the lag
-# deltas match the oracle bit-for-bit with no rounding.
+# q69 — scene-cut detection: the video-segmentation primitive, on REAL
+# decoded frames (round 15; previously the lag-compare ran on raw payload
+# byte chunks).  Stage 1 synthesizes a per-document "video" — a
+# concatenation of genuine 24-bit BMP frames sharing the doc's q61 dims,
+# where each frame's pixels are brightness(scene) + flicker(frame) +
+# texture(pixel), all exact integers <= 242 (no uint8 wraparound, so
+# frame means are scene-separable: a mod-256-uniform synthesis would
+# make the mean shift-invariant and cuts undetectable).  Stage 2 walks
+# the container with tinybmp.iter_bmp_stream (real header size fields —
+# a walker that misread a size desyncs every later frame), decodes each
+# frame, and emits its exact-int-sum / count mean.  Stage 3 stays
+# JVM-side: one per-doc window lag, cut iff the mean jumps more than
+# CUT_THRESHOLD.  Within a scene the flicker delta is exactly 1 (never a
+# cut); at scene boundaries the doc-dependent brightness jump is
+# pseudo-random in [-159, 159], so ~13% of scene changes are genuinely
+# subtle non-cuts — the detector discriminates, it doesn't just count
+# scene boundaries (the sanity check in tests/test_multimodal.py pins
+# both populations non-empty).  Plan
+# shape: only O(docs x frames) small rows ever shuffle (the window),
+# pixels never leave the Arrow batch.
 # ---------------------------------------------------------------------------
-CUT_THRESHOLD = 3.0
+CUT_THRESHOLD = 10.0
+VID_FRAMES_BASE, VID_FRAMES_MOD = 4, 5  # frames per doc in [4, 8]
+VID_SCENE_LEN = 3  # frames per scene
+VID_BRIGHT_BASE, VID_BRIGHT_MOD = 40, 160  # scene brightness in [40, 199]
+VID_TEXTURE_MUL, VID_TEXTURE_MOD = 13, 40  # per-pixel texture in [0, 39]
+
+
+def _synth_video(doc_id: int, n_chars: int) -> bytes:
+    w = _W_BASE + int(n_chars) % _W_MOD
+    h = _H_BASE + int(doc_id) % _H_MOD
+    n_frames = VID_FRAMES_BASE + int(doc_id) % VID_FRAMES_MOD
+    k = np.arange(h * w * 3, dtype=np.int64)
+    texture = (k * VID_TEXTURE_MUL) % VID_TEXTURE_MOD
+    frames = []
+    for f in range(n_frames):
+        s = f // VID_SCENE_LEN
+        brightness = (
+            VID_BRIGHT_BASE
+            + (int(doc_id) * 31 + s * s * 67 + s * int(doc_id) * 13) % VID_BRIGHT_MOD
+        )
+        vals = (brightness + f % 3 + texture).astype(np.uint8).reshape(h, w, 3)
+        frames.append(tinybmp.encode_bmp(vals))
+    return b"".join(frames)
+
+
+def _synth_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payload = [
+            _synth_video(d, n) for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
+
+
+def video_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column of multi-frame videos (concatenated real BMP
+    frames), one per document.  With actual video data this stage is
+    just ``spark.read`` of the payload column; here the frames are
+    synthesized deterministically so the DuckDB oracle can recompute
+    every pixel of every frame."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return docs.mapInPandas(_synth_video_batches, schema="doc_id bigint, payload binary")
+
+
+def _video_frame_means(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict = {"doc_id": [], "frame_no": [], "mean_val": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for f, frame in enumerate(tinybmp.iter_bmp_stream(bytes(payload))):
+                _w, _h, rgb = decode_image(frame)
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_no"].append(f)
+                # exact int sum / count: one correctly-rounded IEEE
+                # division on both engines, so lag deltas hash-match
+                rows["mean_val"].append(int(rgb.astype(np.int64).sum()) / rgb.size)
+        yield pd.DataFrame(rows)
 
 
 def q69_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    df = payloads(spark, sf_dir).select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.octet_length("payload")),
-            lambda i: F.ascii(F.substring("payload", i, F.lit(1))),
-        ).alias("codes"),
+    frames = video_payloads(spark, sf_dir).mapInPandas(
+        _video_frame_means, schema="doc_id bigint, frame_no int, mean_val double"
     )
-    n_frames = F.ceil(F.size("codes") / F.lit(FRAME_SIZE)).cast("int")
-
-    def _frame(f):
-        sl = F.slice("codes", f * FRAME_SIZE + 1, FRAME_SIZE)
-        return F.struct(
-            f.cast("int").alias("frame_no"),
-            (
-                F.aggregate(sl, F.lit(0), lambda a, c: a + c).cast("double")
-                / F.least(F.lit(FRAME_SIZE), F.size("codes") - f * FRAME_SIZE)
-            ).alias("mean_code"),
-        )
-
-    frames = df.select(
-        "doc_id",
-        F.explode(F.transform(F.sequence(F.lit(0), n_frames - 1), _frame)).alias("fr"),
-    ).select("doc_id", "fr.frame_no", "fr.mean_code")
     w = Window.partitionBy("doc_id").orderBy("frame_no")
-    delta = F.abs(F.col("mean_code") - F.lag("mean_code").over(w))
+    delta = F.abs(F.col("mean_val") - F.lag("mean_val").over(w))
     return (
         frames.withColumn("delta", delta)
         .where(F.col("delta") > CUT_THRESHOLD)
@@ -268,23 +315,34 @@ def q69_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q69 = f"""
-WITH codes AS (
+WITH dims AS (
     SELECT doc_id,
-           unnest(list_transform(range(1, len(text) + 1), i -> ord(text[i]))) AS code,
-           unnest(range(0, len(text))) AS pos
+           {_W_BASE} + (n_chars % {_W_MOD}) AS w,
+           {_H_BASE} + (doc_id  % {_H_MOD}) AS h
     FROM documents
-    WHERE len(text) > 0
 ),
-frames AS (
-    SELECT doc_id, CAST(pos // {FRAME_SIZE} AS INT) AS frame_no,
-           CAST(SUM(code) AS DOUBLE) / COUNT(*) AS mean_code
-    FROM codes
-    GROUP BY doc_id, pos // {FRAME_SIZE}
+fr AS (
+    SELECT doc_id, w, h, unnest(range(0, {VID_FRAMES_BASE} + doc_id % {VID_FRAMES_MOD})) AS f
+    FROM dims
+),
+px AS (
+    SELECT doc_id, f, unnest(range(0, w * h * 3)) AS k
+    FROM fr
+),
+means AS (
+    SELECT doc_id, CAST(f AS INT) AS frame_no,
+           CAST(SUM({VID_BRIGHT_BASE}
+                    + (doc_id * 31 + (f // {VID_SCENE_LEN}) * (f // {VID_SCENE_LEN}) * 67
+                       + (f // {VID_SCENE_LEN}) * doc_id * 13) % {VID_BRIGHT_MOD}
+                    + f % 3
+                    + (k * {VID_TEXTURE_MUL}) % {VID_TEXTURE_MOD}) AS DOUBLE) / COUNT(*) AS mean_val
+    FROM px
+    GROUP BY doc_id, f
 ),
 delta AS (
     SELECT doc_id, frame_no,
-           ABS(mean_code - LAG(mean_code) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS delta
-    FROM frames
+           ABS(mean_val - LAG(mean_val) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS delta
+    FROM means
 )
 SELECT doc_id, frame_no, delta
 FROM delta
@@ -539,35 +597,52 @@ GROUP BY doc_id, pos // {AUDIO_FRAME}
 
 # ---------------------------------------------------------------------------
 # q68 — perceptual average-hash dedup: the image-level near-dup primitive
-# (aHash: threshold each sample against the image mean, pack the bits).
-# Here the "pixels" are the first 60 payload bytes (same bytes-as-samples
-# stand-in as q67; a real decoder would feed an 8x8 luma grid through the
-# IDENTICAL hash/group plumbing).  Everything stays JVM-side — sequence/
-# transform/aggregate higher-order functions, one shuffle on the packed
-# 60-bit hash — and images agreeing on every thresholded bit collapse to
-# one group (exact-phash dedup; banded hamming near-dup is q47's
-# machinery and composes the same way).
+# (aHash: downsample to a tiny luma grid, threshold each cell against the
+# grid mean, pack the bits).  Round 15: the hash runs on tinybmp-DECODED
+# pixels end to end — stage 1 synthesizes real BMP payloads (q61's
+# image_payloads), stage 2 decodes each image and nearest-neighbor
+# resamples it to a GRID_H x GRID_W grid (q65's floor mapping) whose
+# cells become integer-weighted luma (299R + 587G + 114B — the ITU-R
+# BT.601 weights scaled x1000 so the math stays exact), and the hash
+# itself stays JVM-side: mean / threshold / Horner bit-pack as
+# higher-order array functions over the luma column, one shuffle on the
+# packed 56-bit hash.  A decoder that botched the bottom-up row flip or
+# the BGR channel order flips luma cells into the wrong buckets — the
+# oracle re-derives every grid pixel, so decode + resample are
+# hash-gated, not just the plumbing.  Images agreeing on every
+# thresholded bit collapse to one group (exact-phash dedup; banded
+# hamming near-dup is q47's machinery and composes the same way).
 # ---------------------------------------------------------------------------
-PHASH_BITS = 60  # < 63 so the packed hash stays a positive BIGINT
+GRID_W, GRID_H = 8, 7  # 56 bits < 63: the packed hash stays a positive BIGINT
+
+
+def _luma_grid_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_image(bytes(payload))
+            ys = np.arange(GRID_H, dtype=np.int64) * h // GRID_H
+            xs = np.arange(GRID_W, dtype=np.int64) * w // GRID_W
+            grid = rgb[ys][:, xs].astype(np.int64)
+            luma = grid[:, :, 0] * 299 + grid[:, :, 1] * 587 + grid[:, :, 2] * 114
+            rows.append((int(doc_id), [int(x) for x in luma.reshape(-1)]))
+        yield pd.DataFrame(rows, columns=["doc_id", "lumas"])
 
 
 def q68_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = payloads(spark, sf_dir).select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.least(F.octet_length("payload"), F.lit(PHASH_BITS))),
-            lambda i: F.ascii(F.substring("payload", i, F.lit(1))),
-        ).alias("codes"),
+    grids = image_payloads(spark, sf_dir).mapInPandas(
+        _luma_grid_batches, schema="doc_id bigint, lumas array<bigint>"
     )
-    docs = docs.withColumn(
-        "mean", F.aggregate("codes", F.lit(0), lambda a, c: a + c).cast("double")
-        / F.size("codes")
+    docs = grids.withColumn(
+        "mean",
+        F.aggregate("lumas", F.lit(0).cast("long"), lambda a, c: a + c).cast("double")
+        / F.size("lumas"),
     )
     # shiftleft() takes only literal shift amounts — pack via a Horner
     # fold over the reversed bit list instead (acc*2 + bit), which equals
     # sum(bit_i << i) exactly in int64
     bits = F.transform(
-        "codes",
+        "lumas",
         lambda c: F.when(c > F.col("mean"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ),
@@ -585,19 +660,36 @@ def q68_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q68 = f"""
-WITH codes AS (
+WITH dims AS (
     SELECT doc_id,
-           list_transform(range(1, LEAST(len(text), {PHASH_BITS}) + 1),
-                          i -> ord(text[i])) AS codes
+           {_W_BASE} + (n_chars % {_W_MOD}) AS w,
+           {_H_BASE} + (doc_id  % {_H_MOD}) AS h
     FROM documents
 ),
+cells AS (
+    SELECT doc_id, g,
+           (((g // {GRID_W}) * h) // {GRID_H}) * w
+           + (((g % {GRID_W}) * w) // {GRID_W}) AS pix
+    FROM (SELECT doc_id, w, h, unnest(range(0, {GRID_H * GRID_W})) AS g FROM dims)
+),
+luma AS (
+    SELECT doc_id, g,
+           299 * ((doc_id * 7 + pix * 13) % 256)
+         + 587 * ((doc_id * 7 + pix * 13 + 101) % 256)
+         + 114 * ((doc_id * 7 + pix * 13 + 202) % 256) AS lum
+    FROM cells
+),
+means AS (
+    SELECT doc_id, CAST(SUM(lum) AS DOUBLE) / COUNT(*) AS mean
+    FROM luma GROUP BY doc_id
+),
 hashed AS (
-    SELECT doc_id,
-           CAST(list_sum(list_transform(range(1, len(codes) + 1),
-               i -> CASE WHEN codes[i] > CAST(list_sum(codes) AS DOUBLE) / len(codes)
-                         THEN (CAST(1 AS BIGINT) << (i - 1))
-                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-    FROM codes
+    SELECT l.doc_id,
+           CAST(SUM(CASE WHEN l.lum > m.mean
+                         THEN (CAST(1 AS BIGINT) << g)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+    FROM luma l JOIN means m USING (doc_id)
+    GROUP BY l.doc_id
 )
 SELECT phash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_images
 FROM hashed

@@ -71,6 +71,35 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + dib + pixel_bytes
 
 
+def iter_bmp_stream(payload: bytes):
+    """Split a concatenation of BMP files into per-file byte slices by
+    walking each file header's size field — the container walk a
+    multi-frame (video-like) binary column needs (operators/multimodal.py
+    q69 synthesizes per-document "videos" as concatenated BMP frames and
+    this walker recovers the frame boundaries from the real headers).
+
+    Yields one ``bytes`` slice per embedded file.  Raises
+    :class:`BmpError` on bad magic mid-stream, a size field that
+    overruns the buffer, or trailing garbage too short to be a header —
+    the same single-typed loud-failure contract as :func:`decode_bmp`
+    (a worker must never crash with a raw struct.error).
+    """
+    off, n = 0, len(payload)
+    while off < n:
+        if n - off < FILE_HEADER_SIZE:
+            raise BmpError(f"trailing garbage at offset {off}: {n - off} bytes")
+        magic, file_size, _r1, _r2, _pix = _FILE_HEADER.unpack_from(payload, off)
+        if magic != b"BM":
+            raise BmpError(f"bad magic at offset {off}: {magic!r}")
+        if file_size < FILE_HEADER_SIZE or off + file_size > n:
+            raise BmpError(
+                f"frame at offset {off} overruns buffer "
+                f"(size {file_size} of {n - off} remaining)"
+            )
+        yield payload[off : off + file_size]
+        off += file_size
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a 24-bit uncompressed BMP to ``(width, height, rgb)``.
 
