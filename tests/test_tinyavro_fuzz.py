@@ -182,6 +182,93 @@ def test_negative_block_count_reads_as_abs(tmp_path):
     assert list(read_avro_file(p)) == [(10,), (20,), (30,)]
 
 
+# ---------------------------------------------------------------------------
+# Error surface (VERDICT r14 task 6 — the tinybmp/decode_wav precedent):
+# garbage and bit-flipped containers either decode or raise the codec's
+# own AvroError, never a raw struct/Index/Key/UnicodeDecodeError from a
+# worker's decode loop.  Every case must also TERMINATE (crafted
+# negative lengths used to walk the block cursor backwards).
+# ---------------------------------------------------------------------------
+def _reference_file_bytes() -> bytes:
+    import io as _io
+
+    from tinymr_spark.sources.tinyavro import write_avro_file as _w  # noqa: F401
+
+    schema = json.dumps(
+        {"type": "record", "name": "row",
+         "fields": [{"name": "a", "type": "long"}, {"name": "s", "type": "string"},
+                    {"name": "d", "type": "double"}, {"name": "b", "type": "boolean"}]}
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/ref.avro"
+        write_avro_file(
+            p, schema, ["long", "string", "double", "boolean"],
+            [(i, f"s{i}", i / 3.0, i % 2 == 0) for i in range(50)],
+        )
+        return open(p, "rb").read()
+
+
+_REF_BYTES = _reference_file_bytes()
+
+
+def _decode_all(tmp_path, payload: bytes):
+    from tinymr_spark.sources.tinyavro import AvroError
+
+    p = str(tmp_path / "fuzz.avro")
+    open(p, "wb").write(payload)
+    try:
+        return list(read_avro_file(p))
+    except AvroError:
+        return None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_garbage_bytes_never_escape_avroerror(tmp_path_factory, data):
+    _decode_all(tmp_path_factory.mktemp("g"), data)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_mutated_valid_files_never_escape_avroerror(tmp_path_factory, data):
+    payload = bytearray(_REF_BYTES)
+    for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+        pos = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+        payload[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+    _decode_all(tmp_path_factory.mktemp("m"), bytes(payload))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=0, max_value=len(_REF_BYTES) - 1))
+def test_truncated_valid_files_never_escape_avroerror(tmp_path_factory, cut):
+    _decode_all(tmp_path_factory.mktemp("t"), _REF_BYTES[:cut])
+
+
+def test_magic_prefixed_garbage_raises_avroerror(tmp_path):
+    """The adversarial corner: a correct magic + crafted varints (all
+    continuation bits, negative lengths) must raise AvroError, not spin
+    or leak IndexError."""
+    from tinymr_spark.sources.tinyavro import MAGIC, AvroError
+
+    import pytest
+
+    for tail in (b"\xff" * 40, b"\x80" * 40, b"\x03\x05" + b"\xfe" * 20):
+        p = str(tmp_path / "adv.avro")
+        open(p, "wb").write(MAGIC + tail)
+        with pytest.raises(AvroError):
+            list(read_avro_file(p))
+
+
+def test_avroerror_is_a_valueerror():
+    """Callers matching the codec's historical ValueError contract keep
+    working."""
+    from tinymr_spark.sources.tinyavro import AvroError
+
+    assert issubclass(AvroError, ValueError)
+
+
 def test_manifest_consolidation_orders_batches_numerically(tmp_path):
     """_MANIFEST-10 must consolidate AFTER _MANIFEST-2 (numeric batchId
     order, not lexicographic), with the base _MANIFEST first."""

@@ -49,6 +49,31 @@ MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
 _BLOCK_ROWS = 4096  # rows per container block: bounded memory either side
 
+
+class AvroError(ValueError):
+    """Raised on malformed or unsupported Avro container payloads.
+
+    The reader's single-typed error contract (the tinybmp/decode_wav
+    precedent, fuzz-pinned): garbage or bit-flipped files either decode
+    or raise AvroError — never a raw IndexError/struct.error/
+    UnicodeDecodeError/KeyError from deep inside a worker's decode loop,
+    which would crash the scan with an undiagnosable traceback.
+    Subclasses ValueError so callers matching the codec's historical
+    error type keep working."""
+
+
+# Raw exception types the decode paths can hit on adversarial bytes;
+# _as_avro_error normalizes them (ValueError — including json decode
+# errors — is re-raised as-is or already an AvroError).
+_RAW_DECODE_ERRORS = (
+    IndexError,
+    KeyError,
+    TypeError,
+    struct.error,
+    UnicodeDecodeError,
+    OverflowError,
+)
+
 # Spark simpleString -> (avro type, encoder, decoder-key)
 _SPARK_TO_AVRO = {
     "bigint": "long",
@@ -89,6 +114,8 @@ def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             break
         shift += 7
+        if shift > 63:  # spec: a zigzag int64 is at most 10 varint bytes
+            raise AvroError(f"varint overruns 64 bits at offset {pos}")
     return (u >> 1) ^ -(u & 1), pos
 
 
@@ -99,6 +126,11 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
 
 def _read_bytes(buf: memoryview, pos: int) -> tuple[bytes, int]:
     n, pos = _read_long(buf, pos)
+    if n < 0 or pos + n > len(buf):
+        # a negative length would walk pos BACKWARDS (infinite block
+        # loop on crafted input); an overlong one would silently
+        # truncate via slicing
+        raise AvroError(f"bad byte-length {n} at offset {pos}")
     return bytes(buf[pos : pos + n]), pos + n
 
 
@@ -242,66 +274,100 @@ class _FileCursor:
             if not b & 0x80:
                 break
             shift += 7
+            if shift > 63:
+                raise AvroError(f"varint overruns 64 bits at offset {self.pos}")
         return (u >> 1) ^ -(u & 1)
 
     def read_bytes(self) -> bytes:
-        return self.read(self.read_long())
+        n = self.read_long()
+        if n < 0:
+            # f.read(-1) would slurp to EOF and walk self.pos backwards
+            raise AvroError(f"bad byte-length {n} in header at offset {self.pos}")
+        return self.read(n)
 
 
 def read_avro_header(path: str) -> tuple[dict, bytes, int]:
     """(record schema, sync marker, data offset) from a container file —
     a metadata-only read, the avro analog of a parquet footer probe:
-    only header bytes are read, never the data blocks."""
-    with open(path, "rb") as f:
-        cur = _FileCursor(f)
-        if cur.read(4) != MAGIC:
-            raise ValueError(f"{path} is not an Avro object container file")
-        meta: dict[bytes, bytes] = {}
-        while True:
-            n = cur.read_long()
-            if n == 0:
-                break
-            if n < 0:  # spec: negative count prefixes a block byte size
-                n = -n
-                cur.read_long()
-            for _ in range(n):
-                k = cur.read_bytes()
-                v = cur.read_bytes()
-                meta[k] = v
-        codec = meta.get(b"avro.codec", b"null")
-        if codec != b"null":
-            raise ValueError(f"unsupported avro codec {codec!r} (null only)")
-        sync = cur.read(SYNC_SIZE)
-        return json.loads(meta[b"avro.schema"]), sync, cur.pos
+    only header bytes are read, never the data blocks.  Malformed or
+    unsupported headers raise :class:`AvroError`, nothing else."""
+    try:
+        with open(path, "rb") as f:
+            cur = _FileCursor(f)
+            if cur.read(4) != MAGIC:
+                raise AvroError(f"{path} is not an Avro object container file")
+            meta: dict[bytes, bytes] = {}
+            while True:
+                n = cur.read_long()
+                if n == 0:
+                    break
+                if n < 0:  # spec: negative count prefixes a block byte size
+                    n = -n
+                    cur.read_long()
+                for _ in range(n):
+                    k = cur.read_bytes()
+                    v = cur.read_bytes()
+                    meta[k] = v
+            codec = meta.get(b"avro.codec", b"null")
+            if codec != b"null":
+                raise AvroError(f"unsupported avro codec {codec!r} (null only)")
+            if b"avro.schema" not in meta:
+                raise AvroError(f"{path} header carries no avro.schema")
+            sync = cur.read(SYNC_SIZE)
+            schema = json.loads(meta[b"avro.schema"])
+            if not isinstance(schema, dict) or not isinstance(
+                schema.get("fields"), list
+            ):
+                raise AvroError(f"{path} schema is not a record with fields")
+            return schema, sync, cur.pos
+    except AvroError:
+        raise
+    except (*_RAW_DECODE_ERRORS, ValueError) as e:
+        raise AvroError(
+            f"malformed Avro header in {path}: {type(e).__name__}: {e}"
+        ) from e
 
 
 def read_avro_file(path: str):
     """Yield row tuples; decodes with the file's own embedded writer
     schema (no external schema needed — reader-side projection happens
-    in Spark above this scan)."""
+    in Spark above this scan).  Malformed blocks raise
+    :class:`AvroError`, nothing else (fuzz-pinned)."""
     schema, sync, pos = read_avro_header(path)
-    decs = [_DECODERS[f["type"]] for f in schema["fields"]]
-    with open(path, "rb") as f:
-        raw = f.read()
-    buf = memoryview(raw)
-    end = len(raw)
-    while pos < end:
-        count, pos = _read_long(buf, pos)
-        if count < 0:
-            # OCF data blocks are spec'd count-then-size, but mirror the
-            # header map's negative-count tolerance for foreign writers
-            # that emit array-style blocks: abs(count) rows follow.
-            count = -count
-        _, pos = _read_long(buf, pos)  # block byte size (unused: null codec)
-        for _ in range(count):
-            row = []
-            for dec in decs:
-                v, pos = dec(buf, pos)
-                row.append(v)
-            yield tuple(row)
-        if buf[pos : pos + SYNC_SIZE] != sync:
-            raise ValueError(f"sync marker mismatch in {path} at {pos}")
-        pos += SYNC_SIZE
+    try:
+        decs = [_DECODERS[f["type"]] for f in schema["fields"]]
+        if not decs:
+            # a zero-field record consumes no bytes per row: a crafted
+            # huge block count would spin forever without advancing
+            raise AvroError(f"{path} schema has no fields")
+        with open(path, "rb") as f:
+            raw = f.read()
+        buf = memoryview(raw)
+        end = len(raw)
+        while pos < end:
+            count, pos = _read_long(buf, pos)
+            if count < 0:
+                # OCF data blocks are spec'd count-then-size, but mirror
+                # the header map's negative-count tolerance for foreign
+                # writers that emit array-style blocks: abs(count) rows
+                # follow.
+                count = -count
+            _, pos = _read_long(buf, pos)  # block byte size (unused: null codec)
+            for _ in range(count):
+                row = []
+                for dec in decs:
+                    v, pos = dec(buf, pos)
+                    row.append(v)
+                yield tuple(row)
+            if buf[pos : pos + SYNC_SIZE] != sync:
+                raise AvroError(f"sync marker mismatch in {path} at {pos}")
+            pos += SYNC_SIZE
+    except AvroError:
+        raise
+    except (*_RAW_DECODE_ERRORS, ValueError) as e:
+        raise AvroError(
+            f"malformed Avro block in {path}: {type(e).__name__}: {e}"
+        ) from e
 
 
 # ---------------------------------------------------------------------------
