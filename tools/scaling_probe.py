@@ -82,6 +82,12 @@ BATTERY = [
                                # copies leave unchanged — expect strongly
                                # sub-linear (the design claim itself)
     "q160_weighted_sample",    # two-phase cumsum, per-doc linear
+    # round-15 additions: the decoded-pixel multimodal path (per-doc
+    # linear — every copy decodes its own synthesized payloads; q68's
+    # phash groupBy keys diverge per doc_id, q69's window partitions by
+    # doc_id, so 5x docs = 5x work, no pair blowup)
+    "q68_phash_dedup",
+    "q69_scene_cuts",
 ]
 
 
