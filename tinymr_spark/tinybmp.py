@@ -15,10 +15,12 @@ format:
   each row zero-padded to a 4-byte boundary.
 
 ``decode_bmp`` is the real decoder used inside ``mapInPandas`` workers
-(operators/multimodal.py q61/q65); ``encode_bmp`` exists so the
+(operators/multimodal.py q61/q65/q68/q69); ``encode_bmp`` exists so the
 pipeline can synthesize genuine BMP payloads deterministically from
 table columns — which is what lets a DuckDB oracle hash-gate the whole
 encode -> binary column -> decode -> pixel-math path end to end.
+``iter_bmp_stream`` walks a concatenation of BMP files by their header
+size fields — the multi-frame (video-like) container split q69 uses.
 
 Scale note: both directions are a few numpy slice ops per image — no
 per-pixel Python.  At 100 TB this code runs inside Arrow-batched
