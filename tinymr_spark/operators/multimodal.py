@@ -468,10 +468,12 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# q67 — audio-shaped processing: interpret each payload's bytes as PCM
-# samples (the deterministic stand-in for a real audio decode — same
-# loud-seam policy as decode_image) and emit per-frame energy stats, the
-# silence-detection / segmentation primitive of an audio pipeline.  The
+# q67 — audio processing over a REAL byte format (round 14): each
+# payload is a genuine RIFF/WAVE container (8-bit PCM mono, stdlib
+# `wave` codec both directions; only the SAMPLE VALUES are synthesized
+# deterministically so the oracle can re-derive them) decoded to
+# per-frame energy stats, the silence-detection / segmentation
+# primitive of an audio pipeline.  The
 # numpy work is vectorized per Arrow batch inside mapInPandas; the frame
 # RMS leaves Python as an EXACT integer sum of squares, and the sqrt of
 # (bigint / count) is one correctly-rounded IEEE op on both engines, so
