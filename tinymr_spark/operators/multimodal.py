@@ -121,8 +121,19 @@ def image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column of real BMP images, one per document.  With actual
     image data this stage is just ``spark.read`` of the payload column;
     here the bytes are synthesized deterministically so the DuckDB
-    oracle can recompute every pixel."""
+    oracle can recompute every pixel.
+
+    The (doc_id, n_chars) metadata is spread to the session's
+    parallelism BEFORE the Python stages (q106's scan-spread pattern,
+    dedup.py): the documents table is one parquet file at test SFs, and
+    without the exchange every downstream CPU-bound decode task would
+    run on a single core (measured: q61 1.47 -> 0.87 s, q68 2.13 ->
+    1.36 s at sf0.1).  The shuffle carries two ints per row, and the
+    guard makes it a no-op at 100 TB where the scan itself provides
+    >= cores splits."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(_synth_bmp_batches, schema="doc_id bigint, payload binary")
 
 
@@ -280,8 +291,13 @@ def video_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames), one per document.  With actual video data this stage is
     just ``spark.read`` of the payload column; here the frames are
     synthesized deterministically so the DuckDB oracle can recompute
-    every pixel of every frame."""
+    every pixel of every frame.  Same guarded pre-synthesis metadata
+    spread as image_payloads: the per-frame encode/decode work is
+    CPU-bound Python and must not inherit the one-file scan's single
+    partition (q69 1.56 -> 1.11 s at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(_synth_video_batches, schema="doc_id bigint, payload binary")
 
 

@@ -131,8 +131,14 @@ def main() -> int:
             if p in plan and not (p == "BroadcastNestedLoopJoin" and name in ALLOW_BNLJ)
         ]
         infos = [p for p in INFO if p in plan]
-        nex = plan.count("Exchange hashpartitioning") + plan.count(
-            "Exchange rangepartitioning"
+        nex = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            # explicit repartition(n) — a real shuffle too (r15: the
+            # multimodal decode stages repartition their tiny metadata
+            # input so CPU-bound Python work doesn't inherit a one-file
+            # scan's single partition)
+            + plan.count("Exchange RoundRobinPartitioning")
         )
         tag = " dynamic" if dynamic else (" build-once" if name in BUILD_ONCE else "")
         notes = (" RED:" + ",".join(reds)) if reds else ""
