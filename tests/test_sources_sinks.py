@@ -7775,3 +7775,49 @@ def test_minitable_stream_defaults_through_real_engine(spark, tmp_path):
         q.stop()
     got = {r.k: r.c for r in rows}
     assert got == {1: 7, 2: 7, 3: None, 4: 9, 5: 7}, got
+
+
+def test_minitable_merge_materializes_source_once(spark, tmp_path):
+    """The merge's phases (duplicate guard, key bounds, find-touched
+    probe, rewrite) are separate Spark actions: without the source pin
+    each one re-executes the source's lineage — the 125x scaling probe
+    measured a 36x wall blowup on a self-merge whose source read a
+    1000-file table, and a non-deterministic source could match in the
+    probe yet evaluate differently in the rewrite (the Delta hazard its
+    source materialization exists for).  An accumulator-counting UDF on
+    the MERGE KEY — the one column every phase reads, so column pruning
+    cannot hide re-execution — proves the lineage runs exactly once."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from tinymr_spark.sources import minitable
+
+    path = _clustered_table(spark, tmp_path)
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def tracked_key(i):
+        acc.add(1)
+        return i
+
+    src = spark.range(10, 20).select(
+        tracked_key(F.col("id")).alias("k"),
+        F.lit(-1).alias("v"),
+        F.lit("upd").alias("name"),
+    )
+    minitable.merge(spark, src, path, "k")
+    assert acc.value == 10, f"merge source lineage ran {acc.value / 10:g}x"
+    out = minitable.read(spark, path)
+    assert out.filter("name = 'upd'").count() == 10
+    # a source the CALLER already pinned is respected: not re-pinned to
+    # a different level, not unpersisted on the way out
+    src2 = (
+        spark.range(2000, 2003)
+        .select(F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("x").alias("name"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    try:
+        minitable.merge(spark, src2, path, "k")
+        assert src2.storageLevel == StorageLevel.MEMORY_ONLY
+    finally:
+        src2.unpersist()

@@ -2993,6 +2993,63 @@ def merge(
     merge_schema: bool = False,
     update_where: str | None = None,
 ) -> int:
+    """MERGE INTO (Delta-style declarative upsert).  Clause semantics,
+    schema evolution, and the O(touched + source) cost model are
+    documented on `_merge_impl`; this wrapper adds Delta's SOURCE
+    MATERIALIZATION contract: the merge runs several separate Spark
+    actions over the source (duplicate-key guard, key bounds, the
+    find-touched-files probe, the rewrite itself, optionally CDF
+    staging), and without a pin each one re-executes the source's full
+    lineage.  For an expensive source that multiplies the merge's cost
+    by the phase count — the 125x scaling probe's self-merge (source =
+    a DV-filtered read over a 1000-file table) measured 83 s unpinned
+    vs ~the single-scan cost pinned.  For a NON-DETERMINISTIC source
+    it is a correctness hazard: a row could match in the probe and
+    evaluate differently in the rewrite (Delta materializes the merge
+    source for exactly this reason).  MEMORY_AND_DISK so blocks spill
+    rather than evict — recomputation never silently reappears.  A
+    source the caller already persisted is respected (no double pin,
+    not unpersisted here)."""
+    from pyspark.storagelevel import StorageLevel
+
+    source_pin: DataFrame | None = None
+    if source.storageLevel == StorageLevel.NONE:
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        source_pin = source
+    try:
+        return _merge_impl(
+            spark,
+            source,
+            path,
+            key,
+            delete_where=delete_where,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            check_duplicate_keys=check_duplicate_keys,
+            collect_cdf=collect_cdf,
+            update_set=update_set,
+            merge_schema=merge_schema,
+            update_where=update_where,
+        )
+    finally:
+        if source_pin is not None:
+            source_pin.unpersist(False)
+
+
+def _merge_impl(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    key: str,
+    delete_where: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    check_duplicate_keys: bool = True,
+    collect_cdf: bool = False,
+    update_set: dict[str, str] | None = None,
+    merge_schema: bool = False,
+    update_where: str | None = None,
+) -> int:
     """MERGE INTO (Delta-style declarative upsert), whole-row semantics
     by default:
 
