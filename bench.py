@@ -24,8 +24,9 @@ def record_pass(
     """Record one timed pass of `name`: the pass ALWAYS lands in
     `samples` (the committed BENCH_DETAIL evidence — including the
     adaptive retry pass, so a retried row's reported min appears in its
-    own sample list) and `timings` keeps the per-query min, preserving
-    the -1.0 failure sentinel."""
+    own sample list) and `timings` keeps the per-query min.  A -1.0
+    failure sentinel is REPLACED by a later successful pass, never
+    min'd against it (pinned by test_bench_retry_pass_lands_in_samples)."""
     samples.setdefault(name, []).append(t)
     prev = timings.get(name)
     timings[name] = t if prev is None or prev < 0 else min(prev, t)

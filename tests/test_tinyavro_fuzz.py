@@ -281,3 +281,28 @@ def test_manifest_consolidation_orders_batches_numerically(tmp_path):
     assert _committed_files(d) == [
         "base.avro", "batch1.avro", "batch2.avro", "batch10.avro",
     ]
+
+
+def test_wide_final_varint_byte_raises_avroerror():
+    """A 10-byte varint whose FINAL byte carries bits above the uint64
+    range (b'\\xff'*9 + b'\\x7f') passes the byte-count guard — the loop
+    exits on the clear continuation bit before any 11th byte — yet
+    decodes outside int64.  Python's bigints mask what C would overflow,
+    and the out-of-range value would crash later in Spark's bigint/Arrow
+    conversion with exactly the raw worker traceback AvroError exists to
+    prevent.  Both decoders must refuse with the codec's own error,
+    while the maximal VALID 10-byte varint (int64 min) still decodes."""
+    import io
+
+    import pytest
+
+    from tinymr_spark.sources.tinyavro import AvroError, _FileCursor, _read_long
+
+    crafted = b"\xff" * 9 + b"\x7f"
+    with pytest.raises(AvroError, match="64 bits"):
+        _read_long(memoryview(crafted), 0)
+    with pytest.raises(AvroError, match="64 bits"):
+        _FileCursor(io.BytesIO(crafted)).read_long()
+    ok = b"\xff" * 9 + b"\x01"  # zigzag uint64 max -> int64 min
+    assert _read_long(memoryview(ok), 0)[0] == -(2**63)
+    assert _FileCursor(io.BytesIO(ok)).read_long() == -(2**63)

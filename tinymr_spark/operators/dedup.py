@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tinymr_spark.operators.text import ngrams, with_tokens
-from tinymr_spark.sources import load_table
+from tinymr_spark.sources import load_table, spread_scan
 
 N_MINHASH = 8  # minhash signature length (b=8 bands of r=1)
 
@@ -1423,8 +1423,7 @@ def q106_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serializing the whole pipeline on one core (measured 3.0s -> 0.9s
     # at sf0.1 from this spread).  At 100 TB the scan itself provides
     # >= cores splits and this is a no-op.
-    if raw.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        raw = raw.repartition(spark.sparkContext.defaultParallelism)
+    raw = spread_scan(spark, raw)
     docs = with_tokens(raw)
     # Anonymous array fed straight into explode — naming it trips the
     # InferFiltersFromGenerate O(tokens^2) plan trap (see _hashed_shingles).

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tinymr_spark import tinybmp
-from tinymr_spark.sources import load_table
+from tinymr_spark.sources import load_table, spread_scan
 
 
 def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,16 +124,16 @@ def image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can recompute every pixel.
 
     The (doc_id, n_chars) metadata is spread to the session's
-    parallelism BEFORE the Python stages (q106's scan-spread pattern,
-    dedup.py): the documents table is one parquet file at test SFs, and
-    without the exchange every downstream CPU-bound decode task would
-    run on a single core (measured: q61 1.47 -> 0.87 s, q68 2.13 ->
-    1.36 s at sf0.1).  The shuffle carries two ints per row, and the
+    parallelism BEFORE the Python stages (sources.spread_scan — the
+    shared guard): the documents table is one parquet file at test SFs,
+    and without the exchange every downstream CPU-bound decode task
+    would run on a single core (measured: q61 1.47 -> 0.87 s, q68 2.13
+    -> 1.36 s at sf0.1).  The shuffle carries two ints per row, and the
     guard makes it a no-op at 100 TB where the scan itself provides
     >= cores splits."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
     return docs.mapInPandas(_synth_bmp_batches, schema="doc_id bigint, payload binary")
 
 
@@ -295,9 +295,9 @@ def video_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread as image_payloads: the per-frame encode/decode work is
     CPU-bound Python and must not inherit the one-file scan's single
     partition (q69 1.56 -> 1.11 s at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
     return docs.mapInPandas(_synth_video_batches, schema="doc_id bigint, payload binary")
 
 
@@ -643,7 +643,9 @@ def _luma_grid_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             xs = np.arange(GRID_W, dtype=np.int64) * w // GRID_W
             grid = rgb[ys][:, xs].astype(np.int64)
             luma = grid[:, :, 0] * 299 + grid[:, :, 1] * 587 + grid[:, :, 2] * 114
-            rows.append((int(doc_id), [int(x) for x in luma.reshape(-1)]))
+            # .tolist() yields Python ints in one C-level pass — this
+            # runs per image in the CPU-bound decode stage
+            rows.append((int(doc_id), luma.reshape(-1).tolist()))
         yield pd.DataFrame(rows, columns=["doc_id", "lumas"])
 
 

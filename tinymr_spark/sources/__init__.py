@@ -317,6 +317,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Guard against the one-file scan-parallelism trap: a CPU-bound
+    stage (Python decode/shingle work) inherits the scan's partitioning,
+    and a small corpus in a single parquet file yields ONE split —
+    serializing the whole pipeline on one core (measured 3.0s -> 0.9s on
+    q106, 2.13s -> 1.29s on q68 at sf0.1).  The exchange carries only
+    the narrow pre-stage columns, and the guard makes it a no-op at
+    100 TB where the scan itself provides >= cores splits.  Shared by
+    q106 (dedup.py) and the multimodal synthesis stages — tune the
+    heuristic here, once."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         name: load_table(spark, sf_dir, name)

@@ -116,6 +116,14 @@ def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:  # spec: a zigzag int64 is at most 10 varint bytes
             raise AvroError(f"varint overruns 64 bits at offset {pos}")
+    if u >> 64:
+        # a 10-byte varint whose FINAL byte carries high bits (e.g.
+        # b'\xff'*9 + b'\x7f') passes the byte-count check above but
+        # decodes outside uint64 — Python's bigints mask what C would
+        # overflow, and the out-of-range value would crash later in the
+        # Arrow/bigint conversion with exactly the raw worker traceback
+        # AvroError exists to prevent
+        raise AvroError(f"varint exceeds 64 bits at offset {pos}")
     return (u >> 1) ^ -(u & 1), pos
 
 
@@ -276,6 +284,8 @@ class _FileCursor:
             shift += 7
             if shift > 63:
                 raise AvroError(f"varint overruns 64 bits at offset {self.pos}")
+        if u >> 64:  # final-byte high bits: see _read_long
+            raise AvroError(f"varint exceeds 64 bits at offset {self.pos}")
         return (u >> 1) ^ -(u & 1)
 
     def read_bytes(self) -> bytes:

@@ -9,10 +9,14 @@ wall-time ratio.  A ratio near 5 (or below, when fixed overhead
 amortizes) is evidence the plan is data-linear; a super-linear ratio
 flags an operator that would not survive a 100x scale-up.
 
-Small dims (region/nation/supplier/part/documents/embeddings) are
-symlink-copied unscaled: they are broadcast sides, and scaling them 5x
-would change dedup/ANN pair SEMANTICS (quadratic output), not engine
-behavior.
+Small dims (region/nation/supplier/part/embeddings) are copied
+unscaled: they are broadcast sides, and scaling embeddings Kx would
+change dedup/ANN pair SEMANTICS (quadratic output), not engine
+behavior (the honest embeddings scaling lives in
+tools/probe_embeddings_scale.py).  `documents` IS scaled (doc_id
+offsets) — the battery's corpus rows (q101/q103, and since r15 the
+per-doc-linear q68/q69 decode rows) time Kx documents; no battery
+query does cross-doc pairing on documents.
 
 Usage: python tools/scaling_probe.py   (~2-3 min; prints a table)
 """
