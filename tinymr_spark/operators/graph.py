@@ -108,7 +108,12 @@ def _edge_cache(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 def _evict_stale(cache: dict, key: tuple) -> None:
     """Pop+unpersist superseded corpus generations of the SAME graph
     kind (key = (sf_dir, version, kind)) — the established session-cache
-    lifecycle; other kinds sharing the dict are untouched."""
+    lifecycle; other kinds sharing the dict are untouched.  unpersist()
+    frees persist()-ed entries immediately; for localCheckpoint-ed
+    entries (the copurchase tables) it is a no-op on the checkpoint
+    blocks — those are reclaimed by the ContextCleaner once the pop
+    drops the last reference, i.e. eventually rather than eagerly
+    (review r15)."""
     for stale in [k for k in cache if k[0] == key[0] and k[2] == key[2] and k != key]:
         for df in cache.pop(stale):
             df.unpersist()
@@ -116,10 +121,17 @@ def _evict_stale(cache: dict, key: tuple) -> None:
 
 def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, nodes = _edge_cache(spark, sf_dir)
-    n_nodes = nodes.agg(F.count("*").alias("n"))
+    # n is a session constant over the CACHED node table: collect it
+    # once (bounded scalar, the convergence-read pattern) and inline it
+    # as a literal divisor — the previous broadcast-crossJoin re-embedded
+    # the count aggregate in the initial ranks and every iteration's
+    # plan (~6 small jobs + exchanges per run, re-run after each
+    # checkpoint cut), in a module that explicitly tunes exchange counts
+    # (review r15).
+    n = nodes.count()
 
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", "outdeg", F.expr(f"{PR_UNIT} div n").alias("rank_u")
+    ranks = nodes.select(
+        "node", "outdeg", F.expr(f"{PR_UNIT} div {n}").alias("rank_u")
     )
     base_num = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM)  # (1-d) * UNIT * DEN
     for it in range(1, N_PAGERANK_ITERS + 1):
@@ -134,12 +146,11 @@ def q146_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.join(contrib, "node")  # inner: every node has in-edges here
-            .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
                 "outdeg",
                 F.expr(
-                    f"{base_num} div ({PR_DAMP_DEN} * n) "
+                    f"{base_num} div ({PR_DAMP_DEN * n}) "
                     f"+ (s * {PR_DAMP_NUM}) div {PR_DAMP_DEN}"
                 ).alias("rank_u"),
             )
@@ -229,13 +240,13 @@ TRI_PART_MOD = 4  # sampled part family: l_partkey % TRI_PART_MOD == 0
 
 def _copurchase_cache(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(edges, deg, ed) persisted once per lineitem version: canonical
-    (a < b) co-purchase edges between sampled parts, per-node degrees,
-    and the degree-ORIENTED edge table.  `ed` is the triangle join's hot
-    table — it is probed three times per run (two wedge sides + the
-    closing-edge semi join), so deriving it lazily would compile and
-    execute its two degree joins three times over."""
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, deg) checkpointed once per lineitem version: canonical
+    (a < b) co-purchase edges between sampled parts and per-node
+    degrees — the base tables both q168 and q172 read.  The
+    degree-ORIENTED table lives in _oriented_cache: only q168 reads it,
+    and building it here charged every cold k-core run two degree joins
+    plus a checkpoint job it never used (review r15)."""
     from tinymr_spark.sources import file_version, session_cache, table_path
 
     cache = session_cache(spark, "_tinymr_graph_cache")
@@ -265,6 +276,24 @@ def _copurchase_cache(
             .agg(F.count("*").alias("deg"))
             .localCheckpoint(eager=True)
         )
+        _evict_stale(cache, key)
+        cache[key] = (edges, deg)
+    return cache[key]
+
+
+def _oriented_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-ORIENTED edge table, checkpointed once per lineitem
+    version on q168's FIRST use.  Caching (rather than deriving per
+    probe) still matters: the triangle query scans it three times per
+    run (two wedge sides + the closing-edge semi join), so an uncached
+    build would compile and execute its two degree joins three times
+    over."""
+    from tinymr_spark.sources import file_version, session_cache, table_path
+
+    cache = session_cache(spark, "_tinymr_graph_cache")
+    key = (sf_dir, file_version(table_path(sf_dir, "lineitem")), "copurchase_ed")
+    if key not in cache:
+        edges, deg = _copurchase_cache(spark, sf_dir)
         # Orient each edge from its (deg, id)-lexicographically smaller
         # endpoint: out-degree is O(sqrt(m))-bounded, so the out-edge
         # self-join cannot hit the undirected sum(deg^2) blowup.
@@ -303,12 +332,13 @@ def _copurchase_cache(
             .localCheckpoint(eager=True)
         )
         _evict_stale(cache, key)
-        cache[key] = (edges, deg, ed)
-    return cache[key]
+        cache[key] = (ed,)
+    return cache[key][0]
 
 
 def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, deg, ed = _copurchase_cache(spark, sf_dir)
+    e, deg = _copurchase_cache(spark, sf_dir)
+    ed = _oriented_cache(spark, sf_dir)
     # Each triangle appears exactly once: the orientation-minimal node u
     # has out-edges to both v and w ((deg,id)-ordered v < w), and the
     # closing edge v -> w is itself oriented.
@@ -341,12 +371,20 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("node")
         .agg((F.sum("lo") * F.sum("hi")).alias("w"))
-        .agg(F.sum("w").cast("bigint").alias("n_wedges"))
+        # coalesced: empty edge set -> 0 wedges (oracle COUNT), not NULL
+        .agg(
+            F.coalesce(F.sum("w").cast("bigint"), F.lit(0).cast("bigint")).alias(
+                "n_wedges"
+            )
+        )
     )
     globals_ = (
         deg.agg(
             F.count("*").alias("n_nodes"),
-            F.expr("sum(deg) div 2").alias("n_edges"),  # exact: each edge counted twice
+            # exact: each edge counted twice; coalesced like n_triangles
+            # so an empty sampled graph reads 0 (matching the oracle's
+            # COUNT(*)), not sum()'s NULL
+            F.expr("coalesce(sum(deg), 0L) div 2").alias("n_edges"),
         )
         .crossJoin(F.broadcast(wedges))
         .crossJoin(
@@ -428,7 +466,7 @@ KCORE_ROUNDS = 4
 
 
 def q172_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, _deg, _ed = _copurchase_cache(spark, sf_dir)
+    e, deg0 = _copurchase_cache(spark, sf_dir)
     cur = e
     rows: list[tuple] = []
     prev: tuple[int, int] | None = None  # (n_removed, n_remaining) of round i-1
@@ -443,13 +481,21 @@ def q172_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generations.
     retired: list[DataFrame] = []
     for i in range(1, KCORE_ROUNDS + 2):
-        deg = (
-            cur.select(F.col("a").alias("node"))
-            .unionByName(cur.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("d"))
-            .persist()
-        )
+        if i == 1:
+            # round 1's degrees over cur = e are byte-identical to the
+            # cached, already-checkpointed table — reuse it instead of
+            # re-running the full aggregation over the largest edge set
+            # (review r15; unpersist on the derived rename is a no-op,
+            # so the shared retire path below stays uniform)
+            deg = deg0.select("node", F.col("deg").alias("d"))
+        else:
+            deg = (
+                cur.select(F.col("a").alias("node"))
+                .unionByName(cur.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("d"))
+                .persist()
+            )
         s = deg.agg(
             F.expr("coalesce(sum(d), 0L) div 2").alias("m"),
             F.sum(F.when(F.col("d") < KCORE_K, 1).otherwise(0)).alias("rm"),
