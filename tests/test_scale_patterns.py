@@ -341,6 +341,26 @@ def test_q41_hot_shingle_cap_suppresses_boilerplate(spark, tmp_path):
     assert pairs[(1000, 1001)]["jaccard"] == 0.5
 
 
+def test_q41_n_sh_computed_below_the_explode(spark, sf_dir):
+    """n_sh (the doc's distinct-shingle count) must be computed in the
+    projection BELOW the Generate, once per doc.  The pre-r15-opt shape
+    put size(<ngram pipeline>) in the Project ABOVE the explode, where
+    it rebuilt the whole distinct-ngram array per EXPLODED ROW —
+    O(tokens^2) per doc whenever a consumer evaluates n_sh (the noop
+    sink measured q41 at ~16s vs ~3s at sf0.1; count() prunes n_sh,
+    which is why the bench missed it).  The bad shape's signature is a
+    single Project computing BOTH n_sh and hm (hm only exists after the
+    explode)."""
+    from tinymr_spark.operators.dedup import q41_dedup_jaccard
+
+    df = q41_dedup_jaccard(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        assert not ("AS n_sh#" in line and "AS hm#" in line), line
+    # the fix keeps n_sh riding along at all (the Jaccard denominators)
+    assert "AS n_sh#" in plan
+
+
 def test_q41_plan_shares_one_index_exchange(spark, sf_dir):
     """q41's index must be exchanged by hm ONCE, with the second
     self-join side reading it via AQE ReuseExchange rather than

@@ -65,8 +65,19 @@ def _hashed_shingles(spark, sf_dir, n=3):
     post-explode rows for the same reason."""
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     arr = F.array_distinct(ngrams(F.col("toks"), n))
-    return docs.select(
-        "doc_id", F.size(arr).alias("n_sh"), F.explode(arr).alias("sh")
+    # n_sh is computed in its OWN projection BELOW the explode: size()
+    # and explode() in one select puts the size expression in the
+    # Project ABOVE the Generate, where it rebuilds the whole distinct-
+    # ngram array per EXPLODED ROW — O(tokens^2) per doc whenever a
+    # consumer actually evaluates n_sh (count() prunes it, which is why
+    # the bench never saw it; the noop sink measured q41 at ~16s of
+    # per-shingle recompute vs ~3s without, round-15 opt).  As a named
+    # scalar attribute it crosses the Generate untouched and the array
+    # pipeline runs twice per doc (size + explode), never per shingle.
+    # The array itself stays anonymous inside both calls — naming IT
+    # triggers the InferFiltersFromGenerate trap documented above.
+    return docs.select("doc_id", F.size(arr).alias("n_sh"), "toks").select(
+        "doc_id", "n_sh", F.explode(arr).alias("sh")
     ).select(
         "doc_id",
         "n_sh",
