@@ -412,3 +412,55 @@ def test_q41_hot_corpus_plan_keeps_broadcast_anti(spark, tmp_path):
     assert "BroadcastHashJoin" in final and "LeftAnti" in final, final
     assert "partial_count" in final, final  # map-side combine on the df branch
     assert final.count("ReusedExchange") >= 1, final
+
+
+def test_exact_group_percentiles_matches_builtin_bit_for_bit(spark):
+    """q21/q152's distinct-value percentile rewrite must reproduce
+    Spark's `percentile`/`median` EXACTLY (same doubles, not just close):
+    duplicates, NULLs (ignored), an all-NULL group (NULL out), a
+    single-value group, and fractional/integral interpolation positions."""
+    from tinymr_spark.operators.relational import exact_group_percentiles
+
+    rows = (
+        [("a", float(v)) for v in (3, 1, 2, 2, 9, 7)]
+        + [("a", None)]
+        + [("b", 5.5)]
+        + [("c", None), ("c", None)]
+        + [("d", 0.1 * i) for i in range(101)]  # fractional positions
+    )
+    df = spark.createDataFrame(rows, "k string, x double")
+    ps = [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]
+    old = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(x, 0.25)").alias("p25"),
+            F.median("x").alias("p50"),
+            F.expr("percentile(x, 0.9)").alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    new = {
+        r["k"]: r
+        for r in exact_group_percentiles(df, "k", "x", ps)
+        .withColumnRenamed("_n_all", "n")
+        .collect()
+    }
+    assert set(old) == set(new)
+    for k in old:
+        for c in ("p25", "p50", "p90", "n"):
+            o, n = old[k][c], new[k][c]
+            # bit-for-bit: repr equality, not approx
+            assert repr(o) == repr(n), (k, c, o, n)
+
+
+def test_q21_plan_has_no_object_hash_aggregate(spark, sf_dir):
+    """The rewrite's point: exact percentiles without `percentile`'s
+    ObjectHashAggregate value->count buffers — the plan must be codegen'd
+    hash aggregates + one per-group window over distinct values."""
+    from tinymr_spark.operators.relational import q21_percentiles
+
+    plan = explain_str(q21_percentiles(spark, sf_dir), "formatted")
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "Window" in plan, plan

@@ -601,14 +601,109 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 # q21 — percentiles / median (exact linear interpolation; matches DuckDB's
 # quantile_cont bit-for-bit, verified).
+#
+# Scale shape (optimization guide §2.3 "aggregate before you shuffle",
+# §1.4): Spark's exact `percentile`/`median` aggregate is an
+# ObjectHashAggregate whose buffer is a value->count map holding EVERY
+# distinct value of the group — every task builds that map, the maps
+# themselves cross the exchange, and the 3 final tasks merge + sort them
+# single-threaded.  The noop-sink measurement exposed the cost the
+# bench's count() path prunes away: 7.1 s at sf0.1 vs 0.16 s counted.
+# `exact_group_percentiles` computes the identical interpolation from a
+# codegen'd (group, value) count — partial aggregation compresses
+# duplicates map-side, the shuffle carries (group, value, count) rows
+# hash-spread over ALL reducers, and the per-group cumulative window
+# runs over distinct values only.  Same doubles, same formula
+# ((hi-pos)*lower + (pos-lo)*upper, Percentile.getPercentile's exact
+# shape), verified equal on every SF.
 # ---------------------------------------------------------------------------
+def exact_group_percentiles(
+    df: DataFrame, key: str, col: str, ps: list[tuple[float, str]]
+) -> DataFrame:
+    """Exact linear-interpolation percentiles per `key` group, one output
+    column per (fraction, name) in `ps`, plus `_n_all` (count(*) of the
+    group, nulls included — callers needing count(*) reuse it instead of
+    a second scan).  NULL measure values are ignored exactly as Spark's
+    `percentile` ignores them; an all-NULL group yields NULL.
+
+    Replaces `F.percentile`/`F.median`'s per-task value->count map
+    (ObjectHashAggregate, no codegen, whole map shuffled to one task per
+    group) with: groupBy(key, value).count()  ->  one exchange of
+    distinct values spread over all reducers  ->  per-key cumulative
+    window over distinct values  ->  interpolation at the target ranks.
+    Bit-identical to Percentile.getPercentile: pos = p * (n_nonnull - 1),
+    lo = floor(pos), and (lo + 1 - pos) * v_lo + (pos - lo) * v_hi when
+    pos is fractional, v_lo exactly otherwise."""
+    from pyspark.sql import Window
+
+    vals = df.groupBy(key, col).agg(F.count(F.lit(1)).alias("_cnt"))
+    v = F.col(col).cast("double")
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(F.col(col).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    staged = vals.select(
+        key,
+        v.alias("_v"),
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_n_all"),
+        F.sum(F.when(F.col(col).isNull(), F.col("_cnt")).otherwise(F.lit(0)))
+        .over(w_all)
+        .alias("_nulls"),
+    )
+    # Non-null rank space: value row covers 0-based sorted positions
+    # [_cum - _nulls - _cnt, _cum - _nulls - 1]; nulls sort first and are
+    # excluded from the rank space exactly as Percentile drops them.
+    nn = F.col("_n_all") - F.col("_nulls")
+    lo_end = F.col("_cum") - F.col("_nulls")  # exclusive end of coverage
+
+    def _pick(idx):
+        covers = (
+            F.col("_v").isNotNull()
+            & (idx >= lo_end - F.col("_cnt"))
+            & (idx < lo_end)
+        )
+        return F.max(F.when(covers, F.col("_v")))
+
+    agg_cols = []
+    for p, name in ps:
+        pos = F.lit(float(p)) * (nn - F.lit(1))
+        lo = F.floor(pos)
+        agg_cols.append(_pick(lo).alias(f"_vl_{name}"))
+        agg_cols.append(_pick(lo + 1).alias(f"_vu_{name}"))
+    out = staged.groupBy(key).agg(
+        F.max("_n_all").alias("_n_all"),
+        (F.max("_n_all") - F.max("_nulls")).alias("_nn"),
+        *agg_cols,
+    )
+    proj = [F.col(key), F.col("_n_all")]
+    for p, name in ps:
+        pos = F.lit(float(p)) * (F.col("_nn") - F.lit(1))
+        lo = F.floor(pos)
+        vl, vu = F.col(f"_vl_{name}"), F.col(f"_vu_{name}")
+        interp = (lo + 1 - pos) * vl + (pos - lo) * vu
+        proj.append(
+            F.when(F.col("_nn") == 0, F.lit(None).cast("double"))
+            .when(pos == lo.cast("double"), vl)
+            .otherwise(interp)
+            .alias(name)
+        )
+    return out.select(*proj)
+
+
 def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.median("l_extendedprice").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.count("*").alias("n"),
+    pct = exact_group_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")],
+    )
+    return pct.select(
+        "l_returnflag", "p25", "p50", "p90", F.col("_n_all").alias("n")
     )
 
 

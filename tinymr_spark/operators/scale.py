@@ -600,20 +600,23 @@ GROUP BY event_type
 # classifications, and counts all hash-match without rounding tricks;
 # interpolated fences never sit on a rounding boundary.  Scale shape:
 # the 5-row fence table broadcasts back onto the fact scan — one
-# sort-based agg + one narrow pass, no fact shuffle beyond the
-# per-group percentile.
+# narrow distinct-value pass (exact_group_percentiles: codegen'd
+# (group, value) counting + cumulative window, replacing `percentile`'s
+# per-task value->count ObjectHashAggregate buffer — optimization guide
+# §2.3; same doubles, bit-identical interpolation), no fact shuffle
+# beyond it.
 # ---------------------------------------------------------------------------
 IQR_FENCE = 1.5
 
 
 def q152_outlier_quarantine(spark, sf_dir: str) -> DataFrame:
+    from tinymr_spark.operators.relational import exact_group_percentiles
     from tinymr_spark.sources import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    fences = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.25)).alias("p25"),
-        F.percentile("value", F.lit(0.75)).alias("p75"),
-    )
+    fences = exact_group_percentiles(
+        ev, "event_type", "value", [(0.25, "p25"), (0.75, "p75")]
+    ).select("event_type", "p25", "p75")
     lo = F.col("p25") - IQR_FENCE * (F.col("p75") - F.col("p25"))
     hi = F.col("p75") + IQR_FENCE * (F.col("p75") - F.col("p25"))
     flagged = ev.join(F.broadcast(fences), "event_type").select(
