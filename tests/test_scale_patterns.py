@@ -464,3 +464,26 @@ def test_q21_plan_has_no_object_hash_aggregate(spark, sf_dir):
     plan = explain_str(q21_percentiles(spark, sf_dir), "formatted")
     assert "ObjectHashAggregate" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_q43_simhash_single_aggregation_pass(spark, sf_dir):
+    """The r15 fold: per-bit sums are 16 agg columns in ONE
+    groupBy(doc_id), not an explode(sequence(0,15)) through an extra
+    (doc_id, j) exchange — the plan must carry exactly one Generate (the
+    token explode) per simhash branch and no 16-row sequence blowup."""
+    from tinymr_spark.operators.dedup import q43_dedup_simhash
+
+    plan = explain_str(q43_dedup_simhash(spark, sf_dir), "formatted")
+    assert "sequence(" not in plan, plan
+    # ") Generate"/") Exchange" match the numbered detail headers, one
+    # per physical node (the tree repeats each node a second time)
+    assert plan.count(") Generate") == 1, plan
+    # token-tf aggregation + the 16-sum per-doc aggregation: 2 exchanges
+    assert plan.count(") Exchange") <= 2, plan
+    # q47 keeps the streamed self-join (the HOF pair-array variant was
+    # measured worse: it materializes O(|bucket|^2) structs per task)
+    from tinymr_spark.operators.dedup import q47_dedup_simhash_banded
+
+    plan47 = explain_str(q47_dedup_simhash_banded(spark, sf_dir), "formatted")
+    assert "ShuffledHashJoin" in plan47, plan47
+    assert "collect_list" not in plan47, plan47

@@ -334,31 +334,32 @@ def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .withColumn("h", F.md5(F.col("tok")))
     )
-    bits = tf.select(
-        "doc_id",
-        "w",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+
+    # One weighted contribution expression per bit j — the bit index is a
+    # compile-time constant, so all 16 per-doc sums land in ONE
+    # groupBy(doc_id) with 16 partially-aggregated sum columns instead of
+    # exploding sequence(0,15) (a 16x row blowup through an extra
+    # Exchange on (doc_id, j) plus a second Exchange on doc_id).  Each
+    # sum is the identical integer total the exploded shape produced for
+    # that (doc, j) group; summation order cannot change exact ints.
+    def _contrib(j: int):
+        # nibble value of hex char j/4, bit j%4 of it
+        nib = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.floor(nib / F.pow(F.lit(2), F.lit(j % 4))).cast("int") % 2
+        return F.col("w") * (bit * 2 - 1)
+
+    sums = tf.groupBy("doc_id").agg(
+        *[F.sum(_contrib(j)).alias(f"s{j}") for j in range(16)]
     )
-    # nibble value of hex char j/4, bit j%4 of it
-    nib = F.conv(F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1), 16, 10).cast(
-        "int"
-    )
-    bit = F.floor(nib / F.pow(F.lit(2), F.col("j") % 4)).cast("int") % 2
-    contrib = F.col("w") * (bit * 2 - 1)
-    sums = bits.select("doc_id", "j", contrib.alias("c")).groupBy("doc_id", "j").agg(
-        F.sum("c").alias("s")
-    )
-    return (
-        sums.select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("j")).cast("long"))
-            .otherwise(F.lit(0))
-            .alias("bitval"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    bitvals = [
+        F.when(F.col(f"s{j}") > 0, F.pow(F.lit(2), F.lit(j)).cast("long"))
+        .otherwise(F.lit(0))
+        for j in range(16)
+    ]
+    simhash = bitvals[0]
+    for bv in bitvals[1:]:
+        simhash = simhash + bv
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 ORACLE_Q43 = r"""
@@ -942,6 +943,16 @@ def q47_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).select("doc_id", "simhash", F.col("h.band").alias("band"), F.col("h.hv").alias("hv"))
+    # Pairing stays a (band, hv)-keyed self-JOIN deliberately: an
+    # alternative that collect_lists each bucket and generates pairs with
+    # array HOFs was built and measured this round — it runs the simhash
+    # pipeline once instead of twice, but it materializes a bucket's
+    # entire O(|bucket|^2) pair array in memory before exploding where
+    # the join STREAMS the probe side (sf0.1 has 540k candidate pairs:
+    # noop 3.06s -> 4.41s, count 3.29s -> 7.09s with multi-second GC
+    # spreads).  The streamed join is the scale-safe shape; the
+    # double-computed upstream is now half as expensive (see q43's
+    # single-aggregation fold above).
     a = halves.alias("a")
     b = halves.hint("shuffle_hash").alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
