@@ -487,3 +487,21 @@ def test_q43_simhash_single_aggregation_pass(spark, sf_dir):
     plan47 = explain_str(q47_dedup_simhash_banded(spark, sf_dir), "formatted")
     assert "ShuffledHashJoin" in plan47, plan47
     assert "collect_list" not in plan47, plan47
+
+
+def test_pq_codebook_is_deterministic_aggregation(spark, sf_dir):
+    """The r15 codebook fold: K positional max(when(vec_id == k)) agg
+    columns instead of sort_array(collect_list) — value-identical, but
+    deterministic (collect_list is non-deterministic, which blocked
+    exchange/stage canonicalization so q58's two codebook consumers each
+    paid their own scan+aggregate+broadcast) and free of collect_list's
+    ObjectHashAggregate object buffer."""
+    from tinymr_spark.operators.similarity import (
+        q58_ann_pq_adc,
+        q59_product_quantization,
+    )
+
+    for fn in (q58_ann_pq_adc, q59_product_quantization):
+        plan = explain_str(fn(spark, sf_dir), "formatted")
+        assert "collect_list" not in plan, plan
+        assert "ObjectHashAggregate" not in plan, plan

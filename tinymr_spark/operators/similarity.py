@@ -357,17 +357,25 @@ def _pq_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_codebook(parts: DataFrame) -> DataFrame:
     """The K per-subspace centroids folded into ONE broadcastable row,
-    sorted by code (struct field order makes sort_array sort on it)."""
-    return (
-        parts.where(F.col("vec_id") < PQ_K)
-        .select(
-            F.struct(
-                F.col("vec_id").cast("int").alias("code"),
-                *[F.col(f"s{m}").alias(f"cs{m}") for m in range(PQ_M)],
-                *[F.col(f"n{m}").alias(f"cn{m}") for m in range(PQ_M)],
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    array index i holding code i-1.
+
+    Built as K positional ``max(when(vec_id == k, row))`` agg columns
+    (K is a compile-time constant; vec_id is unique so each max sees
+    exactly one row) instead of ``sort_array(collect_list(row))`` —
+    value-identical, but deterministic and codegen'd: collect_list is an
+    ObjectHashAggregate AND is marked non-deterministic, which blocks
+    exchange canonicalization, so q58's two codebook consumers each paid
+    their own scan+aggregate+broadcast; the deterministic form lets
+    ReuseExchange collapse the second copy."""
+    row = F.struct(
+        F.col("vec_id").cast("int").alias("code"),
+        *[F.col(f"s{m}").alias(f"cs{m}") for m in range(PQ_M)],
+        *[F.col(f"n{m}").alias(f"cn{m}") for m in range(PQ_M)],
+    )
+    return parts.where(F.col("vec_id") < PQ_K).agg(
+        F.array(
+            *[F.max(F.when(F.col("vec_id") == k, row)) for k in range(PQ_K)]
+        ).alias("cb")
     )
 
 
@@ -382,10 +390,24 @@ def _pq_sub_d2(m: int, c):
     return F.col(f"n{m}") - 2 * dot + c[f"cn{m}"]
 
 
-def _pq_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector encoded: b0..b{M-1} structs of (d2, code)."""
-    parts = _pq_parts(spark, sf_dir)
-    cb = _pq_codebook(parts)
+def _pq_coded(
+    spark: SparkSession,
+    sf_dir: str,
+    parts: DataFrame | None = None,
+    cb: DataFrame | None = None,
+) -> DataFrame:
+    """Every vector encoded: b0..b{M-1} structs of (d2, code).
+
+    Callers that also build their own codebook (q58's query tables) pass
+    the SAME `parts`/`cb` objects so both branches share one logical
+    subtree: collect_list is non-deterministic, which blocks exchange
+    canonicalization across separately-built copies, so without the
+    shared object the codebook scan+aggregate+broadcast runs twice.
+    """
+    if parts is None:
+        parts = _pq_parts(spark, sf_dir)
+    if cb is None:
+        cb = _pq_codebook(parts)
 
     def _best(m):
         return F.array_min(
@@ -478,7 +500,7 @@ def q58_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = _pq_parts(spark, sf_dir)
     cb = _pq_codebook(parts)
-    coded = _pq_coded(spark, sf_dir).select(
+    coded = _pq_coded(spark, sf_dir, parts=parts, cb=cb).select(
         "vec_id", *[F.col(f"b{m}")["code"].alias(f"code{m}") for m in range(PQ_M)]
     )
     def _qtable(m):
