@@ -505,3 +505,17 @@ def test_pq_codebook_is_deterministic_aggregation(spark, sf_dir):
         plan = explain_str(fn(spark, sf_dir), "formatted")
         assert "collect_list" not in plan, plan
         assert "ObjectHashAggregate" not in plan, plan
+
+
+def test_pair_dot_udf_single_python_boundary_crossing(spark, sf_dir):
+    """The r15 §4.4 fence: q44/q157 project the Arrow pair-dot then
+    filter on the projected value, and CollapseProject was inlining the
+    UDF into the Filter as a SECOND ArrowEvalPython — every candidate
+    pair crossed the JVM->Python boundary twice. asNondeterministic()
+    (the function is pure; the marking is an optimizer fence) must keep
+    it to exactly one ArrowEvalPython per plan."""
+    from tinymr_spark.operators.dedup import q44_dedup_embedding, q157_semdedup
+
+    for fn in (q44_dedup_embedding, q157_semdedup):
+        plan = explain_str(fn(spark, sf_dir), "formatted")
+        assert plan.count(") ArrowEvalPython") == 1, plan

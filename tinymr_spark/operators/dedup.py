@@ -431,7 +431,12 @@ def _pandas_dot():
         mb = np.stack(b.values).astype(np.float64)
         return pd.Series(np.cumsum(ma * mb, axis=1)[:, -1])
 
-    return pdot
+    # The function is pure; the marking is an optimizer fence.  Both
+    # consumers project the dot then filter on the projected value, and
+    # CollapseProject was inlining the UDF into the Filter as a SECOND
+    # ArrowEvalPython — every candidate pair crossed the Python boundary
+    # twice (q44/q157 plans: 2 ArrowEvalPython nodes each).
+    return pdot.asNondeterministic()
 
 
 COS_DUP_THRESHOLD = 0.25  # synthetic embeddings are near-orthogonal (pair max
