@@ -114,6 +114,35 @@ def test_q54_ivf_broadcasts_codebook(spark, sf_dir):
     assert not uses_python_eval(df)
 
 
+def test_q54_codebook_computed_once(spark, sf_dir):
+    """The r15 checkpoint: the IVF codebook's collect_list fold is
+    non-deterministic, so without the localCheckpoint q54's two consumer
+    branches each recomputed the full-scan codebook aggregation (plan:
+    4 parquet scans, 4 ObjectHashAggregate).  Checkpointed, the codebook
+    is a one-row ExistingRDD leaf computed once — the main plan carries
+    exactly the two data scans (corpus + query-filtered) and zero
+    codebook aggregations."""
+    from tinymr_spark.operators import similarity
+
+    plan = explain_str(similarity.q54_ann_ivf(spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan, "codebook localCheckpoint cut missing"
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"codebook aggregation duplicated again: {n_scans} scans"
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_q49_mode_count_is_sorted_run_fold(spark, sf_dir):
+    """q49's top_token_frac must ride q87's shared sorted-run fold
+    (O(n log n) per row), not the O(unique * n) nested-HOF mode count —
+    quadratic for exactly the repetitive docs the gate flags."""
+    from tinymr_spark.operators import dedup
+
+    plan = explain_str(dedup.q49_corpus_pipeline(spark, sf_dir), "simple")
+    flat = plan.replace(" ", "")
+    assert "array_max(transform(array_distinct" not in flat
+    assert "aggregate(array_sort" in flat
+
+
 def test_q76_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     """The equi-key must make this a hash/sort-merge join; a nested-loop
     or cartesian plan means the range predicate swallowed the equi-key."""

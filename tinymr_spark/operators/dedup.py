@@ -773,7 +773,12 @@ _STAGES = ["all", "lang", "quality", "repetition", "decontaminated",
 def q49_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from tinymr_spark.operators.text import MAX_STOP_RATIO, MIN_TOKENS, STOPWORDS
+    from tinymr_spark.operators.text import (
+        MAX_STOP_RATIO,
+        MIN_TOKENS,
+        STOPWORDS,
+        mode_token_count,
+    )
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
     toks = F.col("toks")
@@ -784,18 +789,14 @@ def q49_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp"),
         n_tok.alias("n_tokens"),
         (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok).alias("stop_ratio"),
-        # The O(unique*n) mode count only matters for docs still alive
-        # after the cheap gates — conditional eval skips it for the rest
-        # (funnel counts are unaffected: c3 is already false there).
+        # Mode count via q87's shared sorted-run fold (O(n log n) per row
+        # vs the old O(unique*n) nested-HOF shape; value-identical — max
+        # frequency == max sorted-run length).  Still conditional: docs
+        # dead after the cheap gates skip it (funnel counts unaffected:
+        # c3 is already false there).
         F.when(
             (F.col("lang") == "en") & (n_tok >= MIN_TOKENS),
-            F.array_max(
-                F.transform(
-                    F.array_distinct(toks),
-                    lambda t: F.size(F.filter(toks, lambda x: x == t)),
-                )
-            ).cast("double")
-            / n_tok,
+            mode_token_count(toks).cast("double") / n_tok,
         ).alias("top_token_frac"),
         F.when(
             F.size("bigrams") > 0,

@@ -278,6 +278,9 @@ GROUP BY vec_id
 # then joins on the cell id — candidates never leave their bucket, the
 # classic IVF contract.
 # ---------------------------------------------------------------------------
+_IVF_CB_CHECKPOINT = True  # measurement toggle for the A/B below; shipped True
+
+
 def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector assigned to its nearest seed-codebook cell — the
     shared IVF building block (see q54's header comment for the plan
@@ -301,6 +304,23 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_list("c")).alias("cb"))
     )
+    # Materialize the one-row codebook (localCheckpoint, guide §5): the
+    # collect_list fold is marked non-deterministic, which blocks
+    # exchange/stage canonicalization, so every branch that consumes
+    # `assigned` would otherwise recompute the full-scan codebook
+    # aggregation AND re-broadcast it — q54 (corpus + query branches)
+    # paid the scan+aggregate+broadcast twice, the semdedup index build
+    # three times.  The checkpoint truncates the plan at a one-row RDD:
+    # computed once per query construction (inside the bench's timed
+    # region — construction is timed with the action), identical leaf in
+    # every branch, so ReuseExchange dedupes the broadcast.  The fold's
+    # sort_array makes the VALUE deterministic; only the optimizer
+    # marker, not the data, was ever non-deterministic — and unlike
+    # q58's PQ codebook the cell domain here is data-dependent
+    # (groupBy(label)), so the K-positional-columns rewrite that fixed
+    # q58 cannot apply without assuming a label-domain contract.
+    if _IVF_CB_CHECKPOINT:
+        cb = cb.localCheckpoint()
 
     def _d2_struct(c):
         dot = F.aggregate(

@@ -48,6 +48,32 @@ def with_tokens(df, src: str = "text", out: str = "toks"):
     return df.withColumn(out, _tokens(F.col(src)))
 
 
+def mode_token_count(toks):
+    """Per-row mode (most-frequent-token) COUNT as the longest run in the
+    SORTED token array — one O(n log n) sort + one O(n) fold per row,
+    replacing the nested-HOF shape (array_max over per-distinct-token
+    filters), which is O(unique * n) comparisons per row and quadratic
+    for exactly the low-vocabulary docs a repetition gate exists to flag.
+    Zero shuffles — a per-row statistic stays per-row.  The empty-string
+    accumulator seed cannot collide because `with_tokens` drops empty
+    tokens.  Equivalence (max frequency == max sorted-run length) was
+    checked exhaustively on sf0.1 before the q87 swap; q49 reuses the
+    identical expression against the identical oracle arithmetic."""
+    sorted_toks = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _run_step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, acc0, _run_step, lambda acc: acc["best"])
+
+
 # ---------------------------------------------------------------------------
 # Word count: explode + count — the distributed I1.
 # ---------------------------------------------------------------------------
@@ -516,28 +542,10 @@ def q87_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.col("toks")
     staged = docs.withColumn("bigrams", ngrams(toks, 2))
     n, nb = F.size(toks), F.size(F.col("bigrams"))
-    # Per-doc mode count as the longest run in the SORTED token array —
-    # one O(n log n) sort + one O(n) fold per row, replacing the r11
-    # nested-HOF shape (array_max over per-distinct-token filters,
-    # O(unique * n) comparisons per row; measured 2.2x slower at sf0.1
-    # and quadratic in doc length at 100 TB).  Still zero shuffles —
-    # never an explode+groupBy+rejoin for a per-row statistic.  The
-    # empty-string accumulator seed can't collide: with_tokens drops
-    # empty tokens.  Equivalence (max frequency == max sorted run) was
-    # checked exhaustively on sf0.1 before the swap.
-    sorted_toks = F.array_sort(toks)
-    _acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def _run_step(acc, t):
-        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            t.alias("prev"), run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    top_cnt = F.aggregate(sorted_toks, _acc0, _run_step, lambda acc: acc["best"])
+    # Per-doc mode count via the shared sorted-run fold (see
+    # mode_token_count — replaced the r11 O(unique * n) nested-HOF shape,
+    # measured 2.2x slower at sf0.1 and quadratic in doc length at 100 TB).
+    top_cnt = mode_token_count(toks)
     return staged.select(
         "doc_id",
         n.alias("n_tokens"),
