@@ -152,6 +152,63 @@ def test_q76_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_q38_tf_materialized_once(spark, sf_dir):
+    """q38's tf table must be localCheckpoint-materialized: although df_
+    derives from tf in code, column pruning rewrites the df branch into a
+    bare (doc_id, tok) distinct — a different subtree under the exchange
+    — which blocks AQE ReuseExchange and re-ran the full corpus
+    tokenize+explode+shuffle once per consumer (executed plan before the
+    r15 fix: 2 Generates, 2 full text scans).  With the cut, the result
+    plan reads tf as an ExistingRDD leaf and the only parquet scan left
+    is the zero-column n_docs count."""
+    from tinymr_spark.operators import text as text_ops
+
+    plan = explain_str(text_ops.q38_tfidf(spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan, "tf localCheckpoint cut missing"
+    assert "Generate" not in plan, "tokenize pipeline re-expanded into the result plan"
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_q145_shard_tokenized_once(spark, sf_dir):
+    """q145's shard postings (tf_s) must be localCheckpoint-materialized:
+    its three consumers (merged-postings probe, dl_s, df_s) each got a
+    structurally different pruned copy of the subtree, so the executed
+    plan tokenized the shard THREE times (3 text scans / 3 Generates)
+    before the r15 fix.  With the cut, no explode survives in the result
+    plan — the lake sides are pre-tokenized written indexes and the shard
+    side is the one materialized table."""
+    from tinymr_spark.operators import text as text_ops
+
+    plan = explain_str(text_ops.q145_incremental_bm25(spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan, "tf_s localCheckpoint cut missing"
+    assert "Generate" not in plan, "shard tokenize re-expanded into the result plan"
+
+
+def test_q106_span_pipeline_exchanged_once(spark, sf_dir):
+    """q106's span pipeline (K element_ats + md5 per position) must be
+    computed ONCE: the dup-gram aggregation and the back-join probe share
+    one explicit gh exchange via AQE ReuseExchange.  Before the r15 fix
+    the executed plan ran the explode twice — the aggregation built its
+    own exchange while AQE broadcast a second full copy of the exploded
+    stream (under the 64 MB threshold at sf0.1; ruinous at scale).  Two
+    load-bearing details pinned here: the stream carries no per-doc
+    column the aggregation side would prune (that de-canonicalizes the
+    exchange copies), and the vacuous isnotnull(gh) is stated BELOW the
+    repartition so the join's one-sided inferred filter cannot
+    de-canonicalize them either."""
+    from tinymr_spark.operators import dedup
+
+    df = dedup.q106_substring_dedup(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==", 1)[0]
+    assert "isFinalPlan=true" in final, final[:200]
+    assert final.count("Generate") == 1, (
+        f"span explode ran {final.count('Generate')}x:\n{final[:2000]}"
+    )
+    assert final.count("ReusedExchange") >= 1, final
+
+
 def test_q146_checkpoint_bounds_iteration_lineage(spark, sf_dir):
     """PageRank's per-round lineage must be CUT by localCheckpoint: the
     final printed plan may contain only the rounds since the LAST

@@ -1463,25 +1463,56 @@ def q106_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ngrams(F.col("toks"), SUBSTR_K)
     spans = docs.select(
         "doc_id",
-        F.greatest(F.size("toks") - (SUBSTR_K - 1), F.lit(0)).alias("n_spans"),
         F.explode(arr).alias("gram"),
     ).select(
         "doc_id",
-        "n_spans",
         (
             F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint") % HASH_P
         ).alias("gh"),
     )
+    # ONE gh exchange computed once and read by BOTH consumers (the
+    # dup-gram aggregation and the back-join probe): the previous shape
+    # ran the span pipeline (K element_ats + md5 per position) TWICE in
+    # the executed plan — the aggregation built its own exchange while
+    # AQE broadcast a second full copy of the exploded stream for the
+    # back-join (it fit under the 64 MB threshold at sf0.1; at 100 TB
+    # that estimate explodes).  Two ingredients make the reuse stick:
+    # the explicit repartition("gh") gives both consumers the same
+    # exchange to canonicalize against, and the stream carries ONLY
+    # (doc_id, gh) — a per-doc n_spans column here de-canonicalizes the
+    # copies because the aggregation side prunes it (measured; same
+    # failure mode as q38).  n_spans is re-derived below as the span
+    # count per doc, which a LEFT join against the dup-gram set exposes
+    # in the same aggregation that counts the duplicated spans.
+    #
+    # The isNotNull is vacuously true (gh = md5 of a non-null gram) but
+    # load-bearing: the join infers isnotnull(gh) on its INNER side only,
+    # and that one-sided filter would land above the aggregation branch's
+    # copy of the exchange and de-canonicalize it (measured: both
+    # REPARTITION exchanges materialized as separate stages).  Stated
+    # explicitly below the repartition, both branches merge onto the
+    # identical filtered child.
+    spans = spans.where(F.col("gh").isNotNull()).repartition("gh")
     dup_grams = (
         spans.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .select("gh")
     )
+    # LEFT join keeps every span row (dup_grams is distinct on gh, so no
+    # row multiplication): count(*) per doc = n_spans exactly (a doc in
+    # the output has >= 1 span by construction), count(n_docs) counts the
+    # matched — duplicated — spans, and the n_dup_spans >= 1 filter
+    # reproduces the inner join's doc set.  Values, schema, and types
+    # match the previous shape (n_spans was size-derived int; the count
+    # is cast back).
     return (
-        spans.join(dup_grams, "gh")
-        .groupBy("doc_id", "n_spans")
-        .agg(F.count("*").alias("n_dup_spans"))
+        spans.join(dup_grams, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            F.count("n_docs").alias("n_dup_spans"),
+        )
+        .where(F.col("n_dup_spans") >= 1)
         .select(
             "doc_id",
             "n_spans",

@@ -367,6 +367,20 @@ def q38_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = with_tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # Materialize tf ONCE: although df_ derives from tf in code, column
+    # pruning rewrites the df branch's copy into a bare (doc_id, tok)
+    # distinct — a different subtree under the (doc_id, tok) exchange —
+    # which de-canonicalizes the exchanges, blocks AQE ReuseExchange, and
+    # re-expanded the whole tokenize+explode+shuffle pipeline once per
+    # consumer (executed plan: 2 Generates / 2 full corpus scans; a
+    # count("tf") rewrite does NOT survive — NullPropagation folds count
+    # of a non-null column back to count(1) and pruning recurs).  The
+    # checkpoint truncates the plan at a materialized tf read by both
+    # consumers — tf is the same magnitude as this query's own result
+    # (one row per (doc, term)), so the materialization is bounded by the
+    # output the query must produce anyway, and it replaces a second full
+    # corpus tokenize at 100 TB.  MEMORY_AND_DISK, spills gracefully.
+    tf = tf.localCheckpoint()
     df_ = tf.groupBy("tok").agg(F.count("*").alias("n_df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     return (
@@ -1180,6 +1194,15 @@ def q145_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_s = shard.select("doc_id", F.explode("toks").alias("tok"))
     tf_s = toks_s.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # Materialize the shard postings ONCE: tf_s has three consumers (the
+    # merged-postings probe, dl_s, df_s) and column pruning gives each a
+    # structurally different copy of the subtree, so the executed plan
+    # tokenized the shard THREE times (3 scans / 3 Generates; same
+    # de-canonicalization as q38).  The checkpoint is shard-sized — "only
+    # the shard is tokenized" is this query's own 100 TB contract — and
+    # all three consumers now read the one materialized table (the
+    # terms IN-list still prunes before the scorer join).
+    tf_s = tf_s.localCheckpoint()
     dl_s = tf_s.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_s = tf_s.groupBy("tok").agg(F.count("*").alias("n_df"))
 
