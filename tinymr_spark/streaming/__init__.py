@@ -1995,32 +1995,42 @@ def q171_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         open(done, "w").close()
     minitable_stream.register(spark)
-    _pre_stream_cleanup(spark)
-    view = f"q171_feed_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.format("tinymr_minitable_stream")
         .option("path", table)
         .option("columns", "o_orderkey,o_custkey,o_orderpriority,o_totalprice")
         .load()
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(view)
-        .trigger(availableNow=True)
-        .start()
+    # Pre-reduce IN the stream to (priority, custkey) pair partials:
+    # count_distinct is illegal in a streaming aggregate, but the pair
+    # grouping is legal (complete mode) and carries everything the final
+    # answer needs — counts and the decimal(18,2) sums combine exactly
+    # across micro-batches (integer cents; Spark's stateful aggregation
+    # handles the cross-batch merge), mins/maxes are associative, and
+    # n_customers per priority = the number of pair rows.  The memory
+    # sink then collects one row per (priority, custkey) instead of
+    # every order row, the final driver-side re-scan shrinks the same
+    # way, and run_stream_to_table's machinery (2 state partitions,
+    # trailing no-data micro-batch skipped) replaces the raw sink that
+    # paid a full-width collect plus an empty finalize batch (r15
+    # decomposition: plans/r15/measure_stream_decomp.json).
+    pairs = stream.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.min("o_orderkey").alias("mn"),
+        F.max("o_orderkey").alias("mx"),
     )
-    q.awaitTermination()
+    t = run_stream_to_table(pairs, spark, output_mode="complete")
     return (
-        spark.table(view)
-        .groupBy("o_orderpriority")
+        t.groupBy("o_orderpriority")
         .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
-            F.min("o_orderkey").alias("min_key"),
-            F.max("o_orderkey").alias("max_key"),
-            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("sum_price"),
+            F.min("mn").alias("min_key"),
+            F.max("mx").alias("max_key"),
+            # one pair row per distinct (priority, custkey): counting the
+            # non-null custkeys IS count_distinct(o_custkey)
+            F.count("o_custkey").alias("n_customers"),
         )
     )
 
