@@ -184,6 +184,24 @@ def test_q145_shard_tokenized_once(spark, sf_dir):
     assert "Generate" not in plan, "shard tokenize re-expanded into the result plan"
 
 
+def test_q49_corpus_tokenized_once(spark, sf_dir):
+    """q49's corpus must be tokenized ONCE: the funnel projection, the
+    two disjoint 4-gram explodes, and the q45 shingle leg each re-scanned
+    and re-tokenized `documents` (4 parquet scans / 4 tokenize pipelines
+    in the r15 executed plan).  With the (doc_id, lang, fp, toks)
+    localCheckpoint, every consumer reads the same ExistingRDD leaf and
+    no parquet scan survives in the result plan — the one corpus scan
+    happens inside the checkpoint's construction job."""
+    from tinymr_spark.operators import dedup as dedup_ops
+
+    plan = explain_str(dedup_ops.q49_corpus_pipeline(spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan, "token-table localCheckpoint cut missing"
+    assert "Scan parquet" not in plan, plan
+    # filter(split(text)) appearing anywhere means a consumer re-expanded
+    # its own tokenize pipeline instead of reading the checkpoint
+    assert "split(text" not in plan, "a consumer re-tokenizes the corpus"
+
+
 def test_q106_span_pipeline_exchanged_once(spark, sf_dir):
     """q106's span pipeline (K element_ats + md5 per position) must be
     computed ONCE: the dup-gram aggregation and the back-join probe share

@@ -48,13 +48,17 @@ def _shingles(spark, sf_dir, n=3):
     )
 
 
-def _hashed_shingles(spark, sf_dir, n=3):
+def _hashed_shingles(spark, sf_dir, n=3, docs=None):
     """(doc_id, n_sh, hm) rows over distinct shingles: hm is the
     shingle's 60-bit md5 prefix reduced mod 2^31-1 — an 8-byte
     shuffle/join key instead of a 32-byte hex string, and md5 runs ONCE
     per shingle (per-seed minhashes derive from hm arithmetically).
     n_sh, the doc's distinct-shingle count, rides along so Jaccard needs
     no separate size join.
+
+    `docs`: an already-tokenized (doc_id, toks) frame to shingle instead
+    of re-scanning and re-tokenizing the corpus — q49 passes its
+    checkpointed token table so its q45 leg shares the one tokenize pass.
 
     PLAN TRAP: the shingle array must stay an anonymous expression fed
     straight into explode().  Naming it in its own projection makes
@@ -63,7 +67,8 @@ def _hashed_shingles(spark, sf_dir, n=3):
     re-evaluating filter(split(text)) per element_at, O(tokens^2) per
     doc (measured 4x slowdown end-to-end).  Hashing happens on the flat
     post-explode rows for the same reason."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    if docs is None:
+        docs = with_tokens(load_table(spark, sf_dir, "documents"))
     arr = F.array_distinct(ngrams(F.col("toks"), n))
     # n_sh is computed in its OWN projection BELOW the explode: size()
     # and explode() in one select puts the size expression in the
@@ -87,11 +92,11 @@ def _hashed_shingles(spark, sf_dir, n=3):
     )
 
 
-def _minhash_signature(spark, sf_dir):
+def _minhash_signature(spark, sf_dir, docs=None):
     """One row per doc with columns mh0..mh7.  The mins are plain
     aggregates, so Spark's partial (map-side) aggregation shrinks the
     shuffle from n_shingles*n_seeds rows to n_docs rows."""
-    hs = _hashed_shingles(spark, sf_dir)
+    hs = _hashed_shingles(spark, sf_dir, docs=docs)
     return hs.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("hm") + F.lit(b)) % HASH_P).alias(f"mh{i}")
@@ -527,8 +532,10 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(bandkeys).alias("band", "bandkey"))
 
 
-def q45_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _band_rows(_minhash_signature(spark, sf_dir))
+def q45_dedup_minhash_banded(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    bands = _band_rows(_minhash_signature(spark, sf_dir, docs=docs))
     a = bands.alias("a")
     b = bands.hint("shuffle_hash").alias("b")
     return (
@@ -780,13 +787,28 @@ def q49_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode_token_count,
     )
 
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    # Tokenize the corpus ONCE (guide §2.4 / the q38 localCheckpoint
+    # pattern): the funnel projection, the two disjoint 4-gram explodes
+    # (bench 1/97 + probe 96/97), and q45's shingle pipeline each
+    # re-scanned and re-tokenized `documents` — 4 executed-plan parquet
+    # scans + tokenizes per run.  Materializing (doc_id, lang, fp, toks)
+    # bounds the checkpoint at one pass of the token table (fp = md5 of
+    # text is folded in first so the raw text bytes are NOT
+    # materialized) and every consumer reads the same ExistingRDD leaf.
+    # At 100 TB this trades three repeated scan+split passes for one
+    # sequential local-disk materialization of the columns all four
+    # consumers need anyway.
+    docs = (
+        with_tokens(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.md5("text").alias("fp"), "toks")
+        .localCheckpoint()
+    )
     toks = F.col("toks")
     n_tok = F.size(toks)
     staged = docs.withColumn("bigrams", ngrams(toks, 2)).select(
         "doc_id",
         "lang",
-        F.md5("text").alias("fp"),
+        "fp",
         n_tok.alias("n_tokens"),
         (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok).alias("stop_ratio"),
         # Mode count via q87's shared sorted-run fold (O(n log n) per row
@@ -819,7 +841,7 @@ def q49_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_cont", F.lit(True))
     )
     dup_b = (
-        q45_dedup_minhash_banded(spark, sf_dir)
+        q45_dedup_minhash_banded(spark, sf_dir, docs=docs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))
