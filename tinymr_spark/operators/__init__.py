@@ -346,6 +346,35 @@ _VERIFIED_BY_ROUND: tuple[tuple[int, tuple[tuple[int, str], ...]], ...] = (
         (200, "zorder_verb"), (201, "replace_where"),
         (202, "merge_schema_evolution"), (203, "clustered_compaction"),
     )),
+    (15, (
+        # --- round 15 (CORRECTNESS_r15): q68/q69 reworked-confirmed + the
+        # 48 stalest re-confirms ---
+        (68, "phash_dedup"), (69, "scene_cuts"),
+        (32, "token_stats"), (33, "quality_score"),
+        (34, "lang_id"), (35, "fingerprint"),
+        (36, "bigram_freq"), (37, "bpe_token_count"),
+        (38, "tfidf"), (39, "prep_pipeline"),
+        (86, "sentence_stats"), (87, "repetition_signals"),
+        (88, "decontaminate"), (158, "bpe_merges"),
+        (169, "bpe_encode"), (40, "dedup_exact"),
+        (44, "dedup_embedding"), (45, "dedup_minhash_banded"),
+        (46, "dedup_groups"), (49, "corpus_pipeline"),
+        (47, "dedup_simhash_banded"), (48, "dedup_cdc_chunks"),
+        (104, "ml_minhash_lsh"), (157, "semdedup"),
+        (50, "ann_bruteforce"), (52, "label_centroids"),
+        (54, "ann_ivf"), (55, "embedding_lsh_dedup"),
+        (57, "kmeans_iteration"), (161, "embedding_covariance"),
+        (159, "stream_semantic_dedup"), (163, "stream_lakehouse_ingest"),
+        (171, "stream_table_source"), (153, "psi_drift"),
+        (155, "corrupt_ingest"), (156, "federated_join"),
+        (160, "weighted_sample"), (162, "time_travel"),
+        (167, "data_skipping"), (170, "bloom_skipping"),
+        (173, "optimize_binpack"), (175, "linear_regression"),
+        (176, "grouped_regression"), (177, "delete_where"),
+        (205, "stream_cdc_full_dml"), (206, "row_tracking"),
+        (207, "stream_admission"), (146, "pagerank"),
+        (168, "triangle_count"), (172, "kcore_peel"),
+    )),
 )
 
 _VERIFIED_ROUND = _verified_rounds()
@@ -354,12 +383,10 @@ _VERIFIED_ROUND = _verified_rounds()
 # no longer covers the current behavior, so they re-enter the gate ahead
 # of the staleness backlog (same slot as brand-new queries).  Clear this
 # set after the round's CORRECTNESS file confirms them.
-# r15: q68/q69 now run on tinybmp-DECODED pixel frames (not raw payload
-# bytes) with pixel-level oracles.
-_REWORKED_THIS_ROUND: frozenset[str] = frozenset({
-    "q68_phash_dedup",
-    "q69_scene_cuts",
-})
+# r16: empty — r15's reworked q68/q69 were confirmed by CORRECTNESS_r15
+# (now folded into _VERIFIED_BY_ROUND above), and optimization rounds
+# change no query semantics.
+_REWORKED_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -278,13 +278,16 @@ GROUP BY vec_id
 # then joins on the cell id — candidates never leave their bucket, the
 # classic IVF contract.
 # ---------------------------------------------------------------------------
-_IVF_CB_CHECKPOINT = True  # measurement toggle for the A/B below; shipped True
-
-
-def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assigned(
+    spark: SparkSession, sf_dir: str, _checkpoint: bool = True
+) -> DataFrame:
     """Every vector assigned to its nearest seed-codebook cell — the
     shared IVF building block (see q54's header comment for the plan
-    rationale: one-row folded broadcast codebook, no corpus shuffle)."""
+    rationale: one-row folded broadcast codebook, no corpus shuffle).
+
+    `_checkpoint` exists only for tools/ab_ivf_checkpoint.py, which
+    rebinds this function to time the duplicate-codebook variant; every
+    production call leaves it True (the r15 measured decision)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding",
         _dot(F.col("embedding"), F.col("embedding")).alias("norm2"),
@@ -319,7 +322,7 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q58's PQ codebook the cell domain here is data-dependent
     # (groupBy(label)), so the K-positional-columns rewrite that fixed
     # q58 cannot apply without assuming a label-domain contract.
-    if _IVF_CB_CHECKPOINT:
+    if _checkpoint:
         cb = cb.localCheckpoint()
 
     def _d2_struct(c):

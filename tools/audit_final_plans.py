@@ -9,7 +9,7 @@ plans containing two or more Generate/Scan nodes with an IDENTICAL
 normalized signature — the duplicated-pipeline smell.
 
 Usage: python tools/audit_final_plans.py [--sf DIR] [names...]
-Writes plans/r15/final_plan_audit.json.
+Writes plans/$PLANS_ROUND/final_plan_audit.json (default r16).
 """
 
 from __future__ import annotations
@@ -85,7 +85,8 @@ def main() -> None:
             flagged.append(name)
         print(f"ok    {name:34s} gen={row['generates']} scan={row['scans']}{mark}")
     spark.sparkContext.setJobDescription(None)
-    with open("/root/repo/plans/r15/final_plan_audit.json", "w") as f:
+    rnd = os.environ.get("PLANS_ROUND", "r16")
+    with open(f"/root/repo/plans/{rnd}/final_plan_audit.json", "w") as f:
         json.dump({"sf": sf_dir, "rows": report, "flagged": flagged}, f, indent=1)
     print("flagged:", flagged)
 
