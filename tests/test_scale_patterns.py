@@ -350,10 +350,13 @@ def test_q41_n_sh_computed_below_the_explode(spark, sf_dir):
     sink measured q41 at ~16s vs ~3s at sf0.1; count() prunes n_sh,
     which is why the bench missed it).  The bad shape's signature is a
     single Project computing BOTH n_sh and hm (hm only exists after the
-    explode)."""
-    from tinymr_spark.operators.dedup import q41_dedup_jaccard
+    explode).  Since the r16 index checkpoint the pipeline no longer
+    appears in q41's own result plan (it runs inside the checkpoint
+    construction job), so the pin asserts on the shared helper that all
+    of q41/q45/q46 build from."""
+    from tinymr_spark.operators.dedup import _hashed_shingles
 
-    df = q41_dedup_jaccard(spark, sf_dir)
+    df = _hashed_shingles(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     for line in plan.splitlines():
         assert not ("AS n_sh#" in line and "AS hm#" in line), line

@@ -193,14 +193,21 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot shingles (df > HOT_SHINGLE_DF_CAP) are removed first via a
     df-aggregate and a broadcast ANTI join.  Plan shape (pinned by
     tests/test_scale_patterns.py::test_q41_plan_shares_one_index_exchange):
-    the index is exchanged by hm ONCE and both self-join sides plus the
-    anti join read that same exchange via AQE ReuseExchange; the df
-    branch is a separate column-pruned scan whose map-side partial
-    counts collapse its shuffle to one row per distinct shingle per
-    task, and the hot survivors broadcast (boilerplate only — tiny by
-    construction).  Net: two linear scans (one text-only), one index
-    exchange, one tiny agg shuffle, one pair-agg exchange, and the worst
-    join bucket hard-capped — sub-quadratic on a skewed 100 TB corpus by
+    the (doc_id, n_sh, hm) index is tokenized, exchanged by hm, and
+    localCheckpoint-materialized ONCE; the df branch, the anti join, and
+    both self-join sides all read that one materialized table.  The
+    checkpoint preserves the exchange's hashpartitioning(hm) (LogicalRDD
+    carries outputPartitioning), so the self-join and the df groupBy need
+    NO further exchange.  Until r16 the df branch was its own text-only
+    corpus scan — a full second tokenize+md5 pass whose output AQE then
+    discarded at sf0.1 (empty hot set folds the anti join away AFTER the
+    branch's stages ran); deriving it from the index exchange without the
+    checkpoint does not work, because column pruning rewrites the df
+    copy's exchange child to hm-only and de-canonicalizes the reuse (the
+    q38/q106 failure mode).  Net: ONE linear scan, one index exchange
+    (materialized), one pair-agg exchange, the hot survivors broadcast
+    (boilerplate only — tiny by construction), and the worst join bucket
+    hard-capped — sub-quadratic on a skewed 100 TB corpus by
     construction.
 
     The ``shuffle_hash`` hint matters: left alone, Catalyst broadcasts one
@@ -215,14 +222,20 @@ def q41_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHJ beats SMJ here because inverted-index buckets are tiny and
     uniform (max 25 docs/shingle at sf0.1 — and now hard-capped at
     HOT_SHINGLE_DF_CAP by construction), so no sort is needed."""
-    hs = _hashed_shingles(spark, sf_dir).repartition("hm")
-    # The df branch is its own COLUMN-PRUNED scan (text only) with
-    # map-side partial counting, so its shuffle carries one row per
-    # distinct shingle per task — the cheapest possible df computation —
-    # and the hot survivors broadcast (tiny by construction).
+    # No repartition before the cut: the checkpoint job is then pure
+    # map-side (scan+tokenize+explode+hash, zero shuffles) and the
+    # self-join's own hm exchange — reused by its b side — is the ONLY
+    # full shuffle of the index.  (Checkpointing AFTER a repartition was
+    # measured to shuffle the index twice: the LogicalRDD does not
+    # surface the stored partitioning to the join, which adds an
+    # ENSURE_REQUIREMENTS exchange on top — plans/r16/q41_executed.txt
+    # captures the shape that matters: 0 FileScans in the result plan.)
+    hs = _hashed_shingles(spark, sf_dir).localCheckpoint()
+    # The df counts read the materialized index with map-side partial
+    # counting — one tiny (hm, count) shuffle — and the hot survivors
+    # broadcast (tiny by construction).
     hot = (
-        _hashed_shingles(spark, sf_dir)
-        .groupBy("hm")
+        hs.groupBy("hm")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > HOT_SHINGLE_DF_CAP)
         .select("hm")
