@@ -64,3 +64,35 @@ def uses_python_eval(df: DataFrame) -> bool:
     """True if the plan row-trips through Python (BatchEvalPython — the
     slow path; ArrowEvalPython/MapInPandas are the sanctioned ones)."""
     return "BatchEvalPython" in explain_str(df)
+
+
+def executed_dup_signatures(df: DataFrame) -> dict[str, int]:
+    """Duplicated-pipeline smell detector over the FINAL (post-AQE)
+    plan: execute the DataFrame through its OWN QueryExecution (collect —
+    a separate noop-write command would build a fresh QE and leave
+    isFinalPlan=false), then count Generate/FileScan/Python-eval lines
+    whose normalized signature (expr/plan ids stripped) appears 2+ times.
+    explain() cannot do this job: AQE ReuseExchange only shows in the
+    executed plan, and the r15 audit found both error directions in
+    initial-plan reasoning — self-joins that DO reuse at runtime, and
+    shared code that column pruning silently re-expands into duplicate
+    full pipelines (q38/q145/q106)."""
+    import re
+
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    sig_counts: dict[str, int] = {}
+    for line in final.splitlines():
+        if (
+            "Generate explode" in line
+            or "FileScan" in line
+            or "ArrowEvalPython" in line
+            or "BatchEvalPython" in line
+        ):
+            s = line.strip()
+            s = re.sub(r"#\d+L?", "#x", s)
+            s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+            s = re.sub(r"\[\d+\]", "[x]", s)
+            sig_counts[s] = sig_counts.get(s, 0) + 1
+    return {k: c for k, c in sig_counts.items() if c > 1}
